@@ -1,0 +1,232 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Window / sequence operators (SURVEY.md §2.5-2.6).
+  *
+  * The reference's core sequence idioms re-expressed declaratively:
+  *  - W1 lookahead over ordered lines (mainTesting.py:124,152) → `lead`;
+  *  - W2 contiguous-run / gaps-and-islands (mainTesting.py:231-238) →
+  *    `lag` gap flag + running sum island id;
+  *  - W4 forward repair (mainTesting.py:648-658) → frame-bound aggregates;
+  * plus the standard ranking/running-total surface the reference lacks.
+  *
+  * Scale notes: every window here is `partitionBy(user|custkey)` — state
+  * for one key fits one task, no global sort. The one deliberate
+  * exception (w08 global ranking) is documented inline: a single-key
+  * window is the known scale hazard, at 100 TB it must be re-keyed
+  * (range-partitioned two-pass rank) — flagged in its scaladoc.
+  */
+object Windows extends QueryModule {
+
+  /** w01 — lookahead 1/2 (SURVEY §2.5 W1: is the next line a note ref?).
+    * Here: for each purchase event, the next and next-next event type of
+    * the same user. Partition-local — no shuffle beyond the user hash.
+    */
+  private def w01(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(s, d)
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .withColumn("next2_type", lead($"event_type", 2).over(w))
+      .filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"next_type", $"next2_type")
+      .orderBy($"event_id")
+  }
+  private val w01Sql =
+    """SELECT event_id, user_id, next_type, next2_type FROM (
+         SELECT event_id, user_id, event_type,
+           lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type,
+           lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next2_type
+         FROM events)
+       WHERE event_type = 'purchase' ORDER BY event_id"""
+
+  /** w02 — gaps-and-islands (SURVEY §2.5 W2: contiguous page runs).
+    * Sessions: a >30-min gap between a user's consecutive events starts a
+    * new island; running sum of gap flags is the island id. Two stacked
+    * windows over the same (user_id | ts) ordering — Catalyst evaluates
+    * both in one Window exec pass, one shuffle total.
+    */
+  private def w02(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(s, d)
+      .withColumn("gap_us", unix_micros($"ts") - lag(unix_micros($"ts"), 1).over(w))
+      .withColumn("new_island", when($"gap_us".isNull || $"gap_us" > 30L * 60 * 1000000, 1L).otherwise(0L))
+      .withColumn("island", sum($"new_island").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id")
+      .agg(max($"island").as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy($"user_id")
+  }
+  private val w02Sql =
+    """SELECT user_id, max(island) AS n_sessions, count(*) AS n_events FROM (
+         SELECT user_id, sum(new_island) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         FROM (
+           SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) > 30*60*1000000
+                  OR lag(epoch_us(ts), 1) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_island
+           FROM events))
+       GROUP BY user_id ORDER BY user_id"""
+
+  /** w03 — ranking trio per group (engine extension, SURVEY §2.5 note:
+    * reference has no ranking). Top-3 orders per customer by price;
+    * deterministic total order via the (price DESC, orderkey) tiebreak.
+    */
+  private def w03(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rnk", rank().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .filter($"rn" <= 3)
+      .select($"o_custkey", $"o_orderkey", round($"o_totalprice", 2).as("price"),
+        $"rn", $"rnk", $"drnk")
+      .orderBy($"o_custkey", $"rn")
+  }
+  private val w03Sql =
+    """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rn, rnk, drnk FROM (
+         SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER w AS rn, rank() OVER w AS rnk, dense_rank() OVER w AS drnk
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey))
+       WHERE rn <= 3 ORDER BY o_custkey, rn"""
+
+  /** w04 — running total (engine extension): cumulative spend per
+    * customer in order-date order. Rounded per-row so the two engines'
+    * identical left-to-right accumulation order hashes identically.
+    */
+  private def w04(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .withColumn("cum_spend", round(sum($"o_totalprice").over(w), 2))
+      .select($"o_custkey", $"o_orderkey", $"cum_spend")
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+  private val w04Sql =
+    """SELECT o_custkey, o_orderkey,
+         round(sum(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_spend
+       FROM orders ORDER BY o_custkey, o_orderkey"""
+
+  /** w05 — lag delta (SURVEY §2.5 W1's mirror): change in event value vs
+    * the user's previous event.
+    */
+  private def w05(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(s, d)
+      .withColumn("delta", round($"value" - lag($"value", 1).over(w), 2))
+      .filter($"delta".isNotNull)
+      .select($"event_id", $"user_id", $"delta")
+      .orderBy($"event_id")
+  }
+  private val w05Sql =
+    """SELECT event_id, user_id, delta FROM (
+         SELECT event_id, user_id,
+           round(value - lag(value, 1) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id), 2) AS delta
+         FROM events)
+       WHERE delta IS NOT NULL ORDER BY event_id"""
+
+  /** w06 — carry-forward over an unbounded-preceding frame (SURVEY §2.5
+    * W3(a)/W4: "segment id = last heading seen so far"). Here: each
+    * event carries the timestamp of the user's most recent error.
+    * max(CASE) is used instead of last(…, ignoreNulls) so the oracle SQL
+    * is engine-neutral; semantics are identical for a monotone orderBy.
+    */
+  private def w06(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("last_error_ts", max(when($"event_type" === "error", $"ts")).over(w))
+      .select($"event_id", $"user_id", $"event_type", $"last_error_ts")
+      .orderBy($"event_id")
+  }
+  private val w06Sql =
+    """SELECT event_id, user_id, event_type,
+         max(CASE WHEN event_type = 'error' THEN ts END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_error_ts
+       FROM events ORDER BY event_id"""
+
+  /** w07 — moving average over an explicit row frame (engine extension:
+    * frame specs, absent from the reference).
+    */
+  private def w07(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(-3, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("mavg", round(avg($"value").over(w), 4))
+      .select($"event_id", $"user_id", $"mavg")
+      .orderBy($"event_id")
+  }
+  private val w07Sql =
+    """SELECT event_id, user_id,
+         round(avg(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mavg
+       FROM events ORDER BY event_id"""
+
+  /** w08 — global distribution ranking: ntile / percent_rank / cume_dist
+    * over ALL orders by price. Deliberately a single-partition window —
+    * the canonical scale hazard. At 100 TB this is re-expressed as a
+    * two-pass range-partitioned rank (sample → range bounds → per-range
+    * rank + offset); at test SF the single pass is correct and cheap.
+    * The deterministic total order (price, orderkey) makes ties stable.
+    */
+  private def w08(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.orderBy($"o_totalprice", $"o_orderkey")
+    Tables.orders(s, d)
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+      .select($"o_orderkey", $"quartile", $"pct_rank", $"cume")
+      .orderBy($"o_orderkey")
+  }
+  private val w08Sql =
+    """SELECT o_orderkey, quartile, pct_rank, cume FROM (
+         SELECT o_orderkey,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+         FROM orders
+         WINDOW w AS (ORDER BY o_totalprice, o_orderkey))
+       ORDER BY o_orderkey"""
+
+  val queries: Map[String, QueryFn] = Map(
+    "w01_lead_lookahead" -> w01 _,
+    "w02_gaps_islands" -> w02 _,
+    "w03_ranking_topk" -> w03 _,
+    "w04_running_total" -> w04 _,
+    "w05_lag_delta" -> w05 _,
+    "w06_carry_forward" -> w06 _,
+    "w07_moving_avg" -> w07 _,
+    "w08_global_rank" -> w08 _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "w01_lead_lookahead" -> w01Sql,
+    "w02_gaps_islands" -> w02Sql,
+    "w03_ranking_topk" -> w03Sql,
+    "w04_running_total" -> w04Sql,
+    "w05_lag_delta" -> w05Sql,
+    "w06_carry_forward" -> w06Sql,
+    "w07_moving_avg" -> w07Sql,
+    "w08_global_rank" -> w08Sql,
+  )
+}

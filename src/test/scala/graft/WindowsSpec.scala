@@ -1,0 +1,46 @@
+package graft
+
+import graft.queries.Windows
+import org.apache.spark.sql.functions._
+
+/** Invariant + plan-shape tests for the window module (value-level
+  * correctness is the DuckDB gate). */
+class WindowsSpec extends SparkSpec {
+
+  test("every window query runs; oracle SQL exists for each") {
+    Windows.queries.foreach { case (name, fn) =>
+      assert(fn(spark, sfDir).columns.nonEmpty, name)
+    }
+    assert(Windows.queries.keySet == Windows.oracle.keySet)
+  }
+
+  test("w02 islands: session count is between 1 and event count per user") {
+    val df = Windows.queries("w02_gaps_islands")(spark, sfDir)
+    val bad = df.filter(col("n_sessions") < 1 || col("n_sessions") > col("n_events"))
+    assert(bad.count() == 0)
+  }
+
+  test("w03 ranking: row_number is dense 1..k and rnk >= drnk invariant holds") {
+    val df = Windows.queries("w03_ranking_topk")(spark, sfDir)
+    assert(df.filter(col("rn") > 3 || col("rn") < 1).count() == 0)
+    assert(df.filter(col("rnk") < col("drnk")).count() == 0)
+  }
+
+  test("w04 running total: final cumulative value equals the customer total") {
+    val df = Windows.queries("w04_running_total")(spark, sfDir)
+    val finals = df.groupBy("o_custkey").agg(max(col("cum_spend")).as("got"))
+    val expected = graft.sources.Tables.orders(spark, sfDir)
+      .groupBy("o_custkey").agg(sum(col("o_totalprice")).as("want"))
+    val bad = finals.join(expected, "o_custkey")
+      .filter(abs(col("got") - col("want")) > 0.5)
+    assert(bad.count() == 0)
+  }
+
+  test("partitioned windows shuffle by the partition key only (one exchange)") {
+    val plan = planOf(Windows.queries("w02_gaps_islands")(spark, sfDir))
+    // both stacked windows + the groupBy reuse the user_id hash partitioning:
+    // exactly one shuffle of the events table
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 shuffle, plan:\n$plan")
+  }
+}
