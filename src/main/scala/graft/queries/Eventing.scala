@@ -1,0 +1,187 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Event-time operators (SURVEY.md §2.9): the streaming-shaped surface,
+  * expressed batch-first over the bounded `events` table so the DuckDB
+  * oracle can check values. `graft.streaming.EventStreams` reuses the
+  * same transforms verbatim on an unbounded `readStream` input with
+  * `withWatermark` — the transform functions below take a DataFrame, not
+  * a path, precisely so both planes share one definition.
+  *
+  * Scale notes: tumbling/sliding/session aggregations shuffle once on
+  * (bucket, key) / (user) — state per task is bounded by keys-per-task,
+  * not rows. The as-of join avoids the classic per-probe lookup by the
+  * union-then-carry-forward formulation: one shuffle on user_id, no
+  * nested loop, no broadcast of the build side required.
+  */
+object Eventing extends QueryModule {
+
+  // ---- shared transforms (batch + streaming planes) ----
+
+  /** Tumbling 1-hour counts/sums per event type (flat schema out). */
+  def tumbling(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding 1-hour window, 30-minute slide. */
+  def sliding(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("win_start"), col("event_type"), col("n"))
+
+  /** Session windows with a 30-minute inactivity gap, per user. */
+  def sessions(events: DataFrame): DataFrame =
+    events.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("session_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("session_value"))
+
+  // ---- oracle-checked queries ----
+
+  /** e01 — tumbling event-time aggregation (window()): the engine analog
+    * of the reference's per-quarter bucketing (F11), generalized to
+    * arbitrary time grains.
+    */
+  private def e01(s: SparkSession, d: String): DataFrame =
+    tumbling(Tables.events(s, d)).orderBy(col("win_start"), col("event_type"))
+  private val e01Sql =
+    """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS win_start, event_type,
+         count(*) AS n, round(sum(value), 2) AS sum_value
+       FROM events GROUP BY 1, 2 ORDER BY win_start, event_type"""
+
+  /** e02 — sliding window: every event contributes to the two 1-hour
+    * windows (aligned to :00/:30) that contain it. The oracle reproduces
+    * Spark's window-start enumeration with time_bucket arithmetic.
+    */
+  private def e02(s: SparkSession, d: String): DataFrame =
+    sliding(Tables.events(s, d)).orderBy(col("win_start"), col("event_type"))
+  private val e02Sql =
+    """SELECT win_start, event_type, count(*) AS n FROM (
+         SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS win_start, event_type FROM events
+         UNION ALL
+         SELECT time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE, event_type FROM events
+       ) GROUP BY 1, 2 ORDER BY win_start, event_type"""
+
+  /** e03 — session windows (session_window): dynamic-length windows that
+    * close after 30 min of inactivity; end = last event + gap. Oracle is
+    * the gaps-and-islands formulation — the two must agree exactly.
+    */
+  private def e03(s: SparkSession, d: String): DataFrame =
+    sessions(Tables.events(s, d)).orderBy(col("user_id"), col("session_start"))
+  private val e03Sql =
+    """SELECT min(ts) AS session_start,
+         max(ts) + INTERVAL 30 MINUTE AS session_end,
+         user_id, count(*) AS n_events, round(sum(value), 2) AS session_value
+       FROM (
+         SELECT *, sum(new_island) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         FROM (
+           SELECT user_id, ts, event_id, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) > 30*60*1000000
+                  OR lag(epoch_us(ts), 1) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_island
+           FROM events))
+       GROUP BY user_id, island ORDER BY user_id, session_start"""
+
+  /** e04 — JSON property extraction (north-star: `events.props` is a
+    * JSON string). get_json_object is codegen'd; no UDF.
+    */
+  private def e04(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .withColumn("k", get_json_object($"props", "$.k").cast("int"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
+        round(avg($"k"), 4).as("avg_k"))
+      .orderBy($"event_type")
+  }
+  private val e04Sql =
+    """SELECT event_type, count(*) AS n,
+         sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+         round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k
+       FROM events GROUP BY event_type ORDER BY event_type"""
+
+  /** e05 — as-of join (point-in-time lookup): each purchase event gets
+    * the value of the same user's most recent error at-or-before it.
+    * Formulated shuffle-once: union both sides, carry the latest error
+    * forward with a max-of-struct window (lexicographic on event time),
+    * then keep the probe side. At equal timestamps the build (error) row
+    * sorts first so `>=` semantics match DuckDB's ASOF JOIN oracle.
+    */
+  private def e05(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d).filter($"event_type".isin("purchase", "error"))
+      .withColumn("is_probe", when($"event_type" === "purchase", 1).otherwise(0))
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"ts", $"is_probe", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("last_err",
+        max(when($"event_type" === "error",
+          struct(unix_micros($"ts").as("t"), $"event_id".as("id"), $"value".as("v")))).over(w))
+      .filter($"is_probe" === 1)
+      .select($"event_id", $"user_id", round($"value", 2).as("purchase_value"),
+        $"last_err.v".as("last_error_value"), $"last_err.id".as("last_error_event"))
+      .orderBy($"event_id")
+  }
+  private val e05Sql =
+    """SELECT p.event_id, p.user_id, round(p.value, 2) AS purchase_value,
+         e.value AS last_error_value, e.event_id AS last_error_event
+       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+       ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+         ON p.user_id = e.user_id AND p.ts >= e.ts
+       ORDER BY p.event_id"""
+
+  /** e06 — range (interval) join: follow-on events within 1 hour after
+    * each signup of the same user. Equi-key on user_id carries the join;
+    * the time range is a codegen residual — no cartesian product.
+    */
+  private def e06(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val signups = ev.filter($"event_type" === "signup")
+      .select($"event_id".as("s_event_id"), $"user_id".as("s_user_id"), $"ts".as("s_ts"))
+    val follow = ev.select($"event_id".as("f_event_id"), $"user_id".as("f_user_id"), $"ts".as("f_ts"))
+    signups.join(follow,
+        $"s_user_id" === $"f_user_id" &&
+        $"f_ts" > $"s_ts" &&
+        $"f_ts" <= $"s_ts" + expr("INTERVAL 1 HOUR"), "left")
+      .groupBy($"s_event_id", $"s_user_id")
+      .agg(count($"f_event_id").as("n_followups"))
+      .orderBy($"s_event_id")
+  }
+  private val e06Sql =
+    """SELECT s.event_id AS s_event_id, s.user_id AS s_user_id,
+         count(f.event_id) AS n_followups
+       FROM (SELECT * FROM events WHERE event_type = 'signup') s
+       LEFT JOIN events f
+         ON s.user_id = f.user_id AND f.ts > s.ts
+         AND f.ts <= s.ts + INTERVAL 1 HOUR
+       GROUP BY 1, 2 ORDER BY s_event_id"""
+
+  val queries: Map[String, QueryFn] = Map(
+    "e01_tumbling_window" -> e01 _,
+    "e02_sliding_window" -> e02 _,
+    "e03_session_window" -> e03 _,
+    "e04_json_extract" -> e04 _,
+    "e05_asof_join" -> e05 _,
+    "e06_range_join" -> e06 _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "e01_tumbling_window" -> e01Sql,
+    "e02_sliding_window" -> e02Sql,
+    "e03_session_window" -> e03Sql,
+    "e04_json_extract" -> e04Sql,
+    "e05_asof_join" -> e05Sql,
+    "e06_range_join" -> e06Sql,
+  )
+}

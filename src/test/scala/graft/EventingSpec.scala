@@ -1,0 +1,49 @@
+package graft
+
+import graft.queries.Eventing
+import org.apache.spark.sql.functions._
+
+class EventingSpec extends SparkSpec {
+
+  test("every eventing query runs; oracle SQL exists for each") {
+    Eventing.queries.foreach { case (name, fn) =>
+      assert(fn(spark, sfDir).columns.nonEmpty, name)
+    }
+    assert(Eventing.queries.keySet == Eventing.oracle.keySet)
+  }
+
+  test("e02 sliding doubles e01 tumbling mass: every event is in exactly 2 windows") {
+    val tumblingN = Eventing.queries("e01_tumbling_window")(spark, sfDir)
+      .agg(sum("n")).head.getLong(0)
+    val slidingN = Eventing.queries("e02_sliding_window")(spark, sfDir)
+      .agg(sum("n")).head.getLong(0)
+    assert(slidingN == 2 * tumblingN)
+  }
+
+  test("e03 sessions: end - start >= gap and events partition exactly") {
+    val df = Eventing.queries("e03_session_window")(spark, sfDir)
+    val total = df.agg(sum("n_events")).head.getLong(0)
+    val events = graft.sources.Tables.events(spark, sfDir).count()
+    assert(total == events, "every event lands in exactly one session")
+    val bad = df.filter(unix_micros(col("session_end")) - unix_micros(col("session_start")) < 30L * 60 * 1000000)
+    assert(bad.count() == 0, "session spans at least the gap")
+  }
+
+  test("e05 as-of: looked-up error precedes the purchase") {
+    val purchases = Eventing.queries("e05_asof_join")(spark, sfDir)
+      .filter(col("last_error_event").isNotNull)
+    val errTs = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_id").as("last_error_event"), col("ts").as("err_ts"))
+    val pTs = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts").as("p_ts"))
+    val bad = purchases.join(errTs, "last_error_event").join(pTs, "event_id")
+      .filter(col("err_ts") > col("p_ts"))
+    assert(bad.count() == 0)
+  }
+
+  test("e06 range join plans as a hash join on user_id, not a cartesian product") {
+    val plan = planOf(Eventing.queries("e06_range_join")(spark, sfDir))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+  }
+}
