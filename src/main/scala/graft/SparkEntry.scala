@@ -15,6 +15,7 @@ object SparkEntry {
     Relational,
     Windows,
     Eventing,
+    TextOps,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,253 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Text / line operators (SURVEY.md §2.2 P5-P13, §2.8 F1-F15, §2.5 W3/W4).
+  *
+  * The reference's text plane is ordered PDF lines; here the `documents`
+  * table supplies the text and token position (1-based `pos` from
+  * posexplode) supplies the explicit order — document order is data, not
+  * a side effect (SURVEY §1.1). Everything below is built from
+  * `spark.sql.functions` only, so WholeStageCodegen covers the full
+  * pipeline; there is deliberately no UDF in this module.
+  *
+  * Scale notes: the explode/segmentation queries shuffle on doc_id only
+  * (window partition key); per-doc state is one document's tokens.
+  * Cleaning/predicate queries are map-only — zero shuffles before the
+  * final ordered write.
+  */
+object TextOps extends QueryModule {
+
+  /** Tokens with explicit 1-based position — the engine's `pdf_lines`
+    * analog (doc_id, pos, word). */
+  private def tokens(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos0", "word")))
+      .withColumn("pos", $"pos0" + 1).drop("pos0")
+  }
+
+  /** t01 — cleaning chain (P5 blank filter, P6 whitespace normalize, F1
+    * lower, F2 trim): mess up the text deterministically, then clean it
+    * back; the cleaned form must equal the original (round-trip check is
+    * the oracle's job — both engines compute both forms).
+    */
+  private def t01(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .withColumn("messy", concat(lit("  "), upper($"text"), lit("   \t")))
+      .withColumn("cleaned", lower(trim(regexp_replace($"messy", "\\s+", " "))))
+      .select($"doc_id", ($"cleaned" === $"text").as("roundtrip_ok"),
+        length($"cleaned").as("n_chars_clean"))
+      .orderBy($"doc_id")
+  }
+  private val t01Sql =
+    """SELECT doc_id,
+         lower(trim(regexp_replace('  ' || upper(text) || '   ' || chr(9), '\s+', ' ', 'g'))) = text AS roundtrip_ok,
+         strlen(lower(trim(regexp_replace('  ' || upper(text) || '   ' || chr(9), '\s+', ' ', 'g')))) AS n_chars_clean
+       FROM documents ORDER BY doc_id"""
+
+  /** t02 — predicate battery (P7 substring, P8 conjunctive containment,
+    * P9/P10 regex shape tests, F8 case tests).
+    */
+  private def t02(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id",
+        lower($"text").contains("spark").as("has_spark"),
+        (lower($"text").contains("join") && lower($"text").contains("hash")).as("has_join_and_hash"),
+        $"text".rlike("^the ").as("starts_the"),
+        $"text".rlike("\\bdup\\b").as("has_dup_marker"),
+        (upper($"lang") === $"lang").as("lang_is_upper"))
+      .orderBy($"doc_id")
+  }
+  private val t02Sql =
+    """SELECT doc_id,
+         contains(lower(text), 'spark') AS has_spark,
+         contains(lower(text), 'join') AND contains(lower(text), 'hash') AS has_join_and_hash,
+         regexp_matches(text, '^the ') AS starts_the,
+         regexp_matches(text, '\bdup\b') AS has_dup_marker,
+         upper(lang) = lang AS lang_is_upper
+       FROM documents ORDER BY doc_id"""
+
+  /** t03 — regex extraction (F4 ticker-from-filename analog: numeric id
+    * from the source tag) + F15 basename-style suffix handling.
+    */
+  private def t03(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .withColumn("src_num", regexp_extract($"source", "[0-9]+", 0).cast("int"))
+      .groupBy($"src_num")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+      .orderBy($"src_num")
+  }
+  private val t03Sql =
+    """SELECT CAST(regexp_extract(source, '[0-9]+', 0) AS INT) AS src_num,
+         count(*) AS n_docs, sum(n_chars) AS sum_chars
+       FROM documents GROUP BY 1 ORDER BY src_num"""
+
+  /** t04 — split + element access (F6 split/element_at, F7 prefix tests,
+    * F9 concat, F13 char arithmetic, plus levenshtein as the engine's
+    * fuzzy-compare extension).
+    */
+  private def t04(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .withColumn("toks", split($"text", " "))
+      .select($"doc_id",
+        element_at($"toks", 1).as("first_word"),
+        element_at($"toks", -1).as("last_word"),
+        size($"toks").as("n_tokens"),
+        substring(element_at($"toks", 1), 1, 1).as("first_char"),
+        chr(ascii(substring(element_at($"toks", 1), 1, 1)) + 1).as("next_char"),
+        levenshtein(element_at($"toks", 1), element_at($"toks", -1)).as("lev_first_last"),
+        element_at($"toks", 1).startsWith("s").as("starts_s"))
+      .orderBy($"doc_id")
+  }
+  private val t04Sql =
+    """SELECT doc_id,
+         string_split(text, ' ')[1] AS first_word,
+         string_split(text, ' ')[-1] AS last_word,
+         len(string_split(text, ' ')) AS n_tokens,
+         substr(string_split(text, ' ')[1], 1, 1) AS first_char,
+         chr(ascii(substr(string_split(text, ' ')[1], 1, 1)) + 1) AS next_char,
+         levenshtein(string_split(text, ' ')[1], string_split(text, ' ')[-1]) AS lev_first_last,
+         string_split(text, ' ')[1] LIKE 's%' AS starts_s
+       FROM documents ORDER BY doc_id"""
+
+  /** t05 — ordered token explode (the pdf_lines construction itself:
+    * posexplode ≈ SURVEY §1.1 "order made explicit as a line_no column").
+    * Sampled by doc_id so the result stays bounded at every SF.
+    */
+  private def t05(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    tokens(s, d).filter($"doc_id" % 100 === 0)
+      .select($"doc_id", $"pos", $"word")
+      .orderBy($"doc_id", $"pos")
+  }
+  private val t05Sql =
+    """SELECT doc_id, i AS pos, string_split(text, ' ')[i] AS word
+       FROM documents, unnest(generate_series(1, len(string_split(text, ' ')))) AS t(i)
+       WHERE doc_id % 100 = 0 ORDER BY doc_id, pos"""
+
+  /** t06 — window-formulation segmentation (SURVEY §2.5 W3(a): heading
+    * flag → running sum = segment id → ordered concat per segment). The
+    * marker word 'table' plays the heading role; segment 0 is the
+    * pre-first-heading preamble. Order inside a segment is recovered
+    * with array_sort over (pos, word) structs — collect_list order is
+    * never relied upon (SURVEY §7.4 non-determinism rule).
+    */
+  private def t06(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tokens(s, d)
+      .withColumn("is_head", when($"word" === "table", 1L).otherwise(0L))
+      .withColumn("seg", sum($"is_head").over(w))
+      .groupBy($"doc_id", $"seg")
+      .agg(count(lit(1)).as("n_words"),
+        array_join(transform(array_sort(collect_list(struct($"pos", $"word"))),
+          x => x.getField("word")), " ").as("content"))
+      .orderBy($"doc_id", $"seg")
+  }
+  private val t06Sql =
+    """SELECT doc_id, seg, count(*) AS n_words,
+         string_agg(word, ' ' ORDER BY pos) AS content
+       FROM (
+         SELECT doc_id, pos, word,
+           sum(CASE WHEN word = 'table' THEN 1 ELSE 0 END) OVER (
+             PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+         FROM (
+           SELECT doc_id, i AS pos, string_split(text, ' ')[i] AS word
+           FROM documents, unnest(generate_series(1, len(string_split(text, ' ')))) AS t(i)))
+       GROUP BY doc_id, seg ORDER BY doc_id, seg"""
+
+  /** t07 — forward content repair (SURVEY §2.5 W4, mainTesting.py:648-658):
+    * a segment whose body (tokens minus the heading itself) is empty
+    * borrows the next segment's body; the final fallback is the '-'
+    * sentinel (P12, fillna("-")). lead() over the per-doc segment order.
+    */
+  private def t07(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val segs = tokens(s, d)
+      .withColumn("is_head", when($"word" === "table", 1L).otherwise(0L))
+      .withColumn("seg", sum($"is_head").over(w))
+      .groupBy($"doc_id", $"seg")
+      .agg(array_join(transform(array_sort(collect_list(
+          when($"is_head" === 0, struct($"pos", $"word")))),
+          x => x.getField("word")), " ").as("body"))
+      .withColumn("body", nullif($"body", lit("")))
+    val segW = Window.partitionBy($"doc_id").orderBy($"seg")
+    segs
+      .withColumn("repaired", coalesce($"body", lead($"body", 1).over(segW), lit("-")))
+      .select($"doc_id", $"seg", $"repaired")
+      .orderBy($"doc_id", $"seg")
+  }
+  private val t07Sql =
+    """SELECT doc_id, seg,
+         coalesce(body, lead(body, 1) OVER (PARTITION BY doc_id ORDER BY seg), '-') AS repaired
+       FROM (
+         SELECT doc_id, seg,
+           string_agg(CASE WHEN word <> 'table' THEN word END, ' ' ORDER BY pos) AS body
+         FROM (
+           SELECT doc_id, pos, word,
+             sum(CASE WHEN word = 'table' THEN 1 ELSE 0 END) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+           FROM (
+             SELECT doc_id, i AS pos, string_split(text, ' ')[i] AS word
+             FROM documents, unnest(generate_series(1, len(string_split(text, ' ')))) AS t(i)))
+         GROUP BY doc_id, seg)
+       ORDER BY doc_id, seg"""
+
+  /** t08 — prefix normalization + null sentinel (P13 "PT " prepend,
+    * mainTesting.py:418-419; P12 fillna; F14 null test): non-'en' langs
+    * get a region prefix, a nullified branch exercises the sentinel.
+    */
+  private def t08(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .withColumn("lang_norm",
+        when($"lang".startsWith("en"), $"lang")
+          .otherwise(concat(lit("xx-"), $"lang")))
+      .withColumn("en_only", when($"lang" === "en", $"lang"))
+      .withColumn("en_filled", coalesce($"en_only", lit("-")))
+      .groupBy($"lang_norm", $"en_filled")
+      .agg(count(lit(1)).as("n"), sum(($"en_only".isNull).cast("int")).as("n_null"))
+      .orderBy($"lang_norm")
+  }
+  private val t08Sql =
+    """SELECT CASE WHEN lang LIKE 'en%' THEN lang ELSE 'xx-' || lang END AS lang_norm,
+         coalesce(CASE WHEN lang = 'en' THEN lang END, '-') AS en_filled,
+         count(*) AS n,
+         sum(CAST(CASE WHEN lang = 'en' THEN lang END IS NULL AS INT)) AS n_null
+       FROM documents GROUP BY 1, 2 ORDER BY lang_norm"""
+
+  val queries: Map[String, QueryFn] = Map(
+    "t01_clean_roundtrip" -> t01 _,
+    "t02_predicates" -> t02 _,
+    "t03_regex_extract" -> t03 _,
+    "t04_split_access" -> t04 _,
+    "t05_token_explode" -> t05 _,
+    "t06_segmentation" -> t06 _,
+    "t07_content_repair" -> t07 _,
+    "t08_prefix_null_norm" -> t08 _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "t01_clean_roundtrip" -> t01Sql,
+    "t02_predicates" -> t02Sql,
+    "t03_regex_extract" -> t03Sql,
+    "t04_split_access" -> t04Sql,
+    "t05_token_explode" -> t05Sql,
+    "t06_segmentation" -> t06Sql,
+    "t07_content_repair" -> t07Sql,
+    "t08_prefix_null_norm" -> t08Sql,
+  )
+}

@@ -1,0 +1,42 @@
+package graft
+
+import graft.queries.TextOps
+import org.apache.spark.sql.functions._
+
+class TextOpsSpec extends SparkSpec {
+
+  test("every text query runs; oracle SQL exists for each") {
+    TextOps.queries.foreach { case (name, fn) =>
+      assert(fn(spark, sfDir).columns.nonEmpty, name)
+    }
+    assert(TextOps.queries.keySet == TextOps.oracle.keySet)
+  }
+
+  test("t01 cleaning round-trips every document") {
+    val df = TextOps.queries("t01_clean_roundtrip")(spark, sfDir)
+    assert(df.filter(!col("roundtrip_ok")).count() == 0)
+  }
+
+  test("t06 segmentation is total: token counts add back up per doc") {
+    val segs = TextOps.queries("t06_segmentation")(spark, sfDir)
+      .groupBy("doc_id").agg(sum("n_words").as("n"))
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("want"))
+    val bad = segs.join(docs, "doc_id").filter(col("n") =!= col("want"))
+    assert(bad.count() == 0)
+  }
+
+  test("t07 repair leaves no empty bodies") {
+    val df = TextOps.queries("t07_content_repair")(spark, sfDir)
+    assert(df.filter(col("repaired").isNull || col("repaired") === "").count() == 0)
+  }
+
+  test("map-only queries have no shuffle; segmentation shuffles on doc_id once") {
+    val clean = planOf(TextOps.queries("t01_clean_roundtrip")(spark, sfDir))
+    // t01 sorts for output determinism; no hash shuffle before it
+    assert(!clean.contains("Exchange hashpartitioning"), clean)
+    val seg = planOf(TextOps.queries("t06_segmentation")(spark, sfDir))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(seg).size
+    assert(exchanges <= 2, s"window + groupBy should reuse doc_id partitioning:\n$seg")
+  }
+}
