@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries._
+import graft.ext._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,6 +17,7 @@ object SparkEntry {
     Windows,
     Eventing,
     TextOps,
+    Dedup,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,267 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.QueryModule
+import graft.sources.Tables
+
+/** Deduplication operators for large-scale training-data pipelines
+  * (north-star extension, SURVEY.md §7.3 step 6): exact, n-gram Jaccard,
+  * MinHash+LSH, SimHash, and embedding-cosine near-dup.
+  *
+  * Scale design (the point of each variant):
+  *  - exact dedup is a hash-groupBy — one shuffle on the content hash,
+  *    never on the content itself (the 64-hex digest is the shuffle key,
+  *    so 100 TB of text moves 32 bytes per doc);
+  *  - exact pairwise Jaccard is O(sum over shingles of df(s)^2) — the
+  *    correctness baseline, kept exact here and used to validate...
+  *  - ...MinHash+LSH, the scale path: fixed-width signatures (12 perms)
+  *    + banding (3 bands x 4 rows) so candidate generation is an
+  *    equi-join on band hashes — linear shuffle, no all-pairs;
+  *  - SimHash collapses a document to one 16-bit key — bucket join;
+  *  - embedding near-dup prunes the O(n^2) pair space with sign-bit
+  *    buckets (a 4-plane LSH) before the exact cosine check.
+  *
+  * Every hash is derived from md5 so the DuckDB oracle reproduces the
+  * exact same values — the approximate structures are byte-for-byte
+  * deterministic and fully oracle-checked, not "close enough".
+  */
+object Dedup extends QueryModule {
+
+  /** 60-bit deterministic hash from md5, reproducible in DuckDB as
+    * CAST('0x' || substr(md5(x),1,15) AS BIGINT). */
+  private def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Word 3-shingles as an array column (1-based positions). */
+  private def shingleArr(text: Column): Column = {
+    val toks = split(text, " ")
+    transform(sequence(lit(1), size(toks) - 2), i =>
+      concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
+  }
+
+  /** Distinct (doc_id, shingle) pairs. */
+  private def shingles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", explode(shingleArr($"text")).as("sh"))
+      .distinct()
+  }
+
+  private val shinglesSql =
+    """SELECT DISTINCT doc_id,
+         l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS sh
+       FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+         unnest(generate_series(1, len(l) - 2)) AS t(i)"""
+
+  /** d01 — normalize-then-exact dedup (hash-groupBy): the canonical form
+    * strips the trailing boilerplate marker, sha2 over it is the group
+    * key, the representative is the lowest doc_id (deterministic). Docs
+    * whose group has >1 member are the collapsed duplicates.
+    */
+  private def d01(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .withColumn("canon", regexp_replace($"text", "( dup)+$", ""))
+      .withColumn("h", sha2($"canon", 256))
+      .groupBy($"h")
+      .agg(min($"doc_id").as("kept_doc"), count(lit(1)).as("group_size"))
+      .select($"kept_doc", $"group_size")
+      .orderBy($"kept_doc")
+  }
+  private val d01Sql =
+    """SELECT min(doc_id) AS kept_doc, count(*) AS group_size
+       FROM (SELECT doc_id, sha256(regexp_replace(text, '( dup)+$', '')) AS h
+             FROM documents)
+       GROUP BY h ORDER BY kept_doc"""
+
+  /** d02 — exact n-gram Jaccard near-dup pairs (the correctness baseline
+    * the LSH variant approximates): distinct 3-shingles, inverted-index
+    * self-join on the shingle, |A∩B| / (|A|+|B|-|A∩B|) >= 0.6.
+    * Scale note: cost concentrates on high-document-frequency shingles;
+    * at real scale this query is run on LSH candidates only (see d03) —
+    * here it IS the oracle baseline so it stays exhaustive.
+    */
+  private def d02(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = shingles(s, d)
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
+      .join(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
+      .withColumn("jaccard", round($"n_inter" / ($"na" + $"nb" - $"n_inter"), 6))
+      .filter($"jaccard" >= 0.6)
+      .select($"doc_a", $"doc_b", $"jaccard")
+      .orderBy($"doc_a", $"doc_b")
+  }
+  private val d02Sql =
+    s"""WITH sh AS ($shinglesSql),
+       sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       inter AS (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+         FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         GROUP BY 1, 2)
+       SELECT doc_a, doc_b,
+         round(n_inter / (sa.n + sb.n - n_inter), 6) AS jaccard
+       FROM inter
+       JOIN sizes sa ON sa.doc_id = doc_a
+       JOIN sizes sb ON sb.doc_id = doc_b
+       WHERE round(n_inter / (sa.n + sb.n - n_inter), 6) >= 0.6
+       ORDER BY doc_a, doc_b"""
+
+  /** d03 — MinHash + banded LSH: 12 md5-derived permutations, signature
+    * = per-seed min over shingles; 3 bands x 4 rows; candidate pairs are
+    * docs sharing any band hash; estimated similarity = fraction of
+    * equal signature positions. Candidate generation is an equi-join on
+    * (band, band_hash) — the all-pairs space is never materialized.
+    */
+  private def d03(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val mh = shingles(s, d)
+      .select($"doc_id", $"sh", explode(sequence(lit(0), lit(11))).as("seed"))
+      .groupBy($"doc_id", $"seed")
+      .agg(min(h60(concat($"seed".cast("string"), lit(":"), $"sh"))).as("mh"))
+    val bands = mh
+      .withColumn("band", ($"seed" / 4).cast("int"))
+      .groupBy($"doc_id", $"band")
+      .agg(md5(concat_ws(",",
+        transform(array_sort(collect_list(struct($"seed", $"mh"))),
+          x => x.getField("mh").cast("string")))).as("band_hash"))
+    val cand = bands.as("x").join(bands.as("y"),
+        $"x.band" === $"y.band" && $"x.band_hash" === $"y.band_hash" &&
+        $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b")).distinct()
+    cand
+      .join(mh.select($"doc_id".as("doc_a"), $"seed", $"mh".as("mha")), Seq("doc_a"))
+      .join(mh.select($"doc_id".as("b_doc"), $"seed".as("b_seed"), $"mh".as("mhb")),
+        $"doc_b" === $"b_doc" && $"seed" === $"b_seed")
+      .groupBy($"doc_a", $"doc_b")
+      .agg(round(sum(($"mha" === $"mhb").cast("int")) / 12.0, 6).as("est_sim"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+  private val d03Sql =
+    s"""WITH sh AS ($shinglesSql),
+       mh AS (
+         SELECT doc_id, seed,
+           min(CAST('0x' || substr(md5(seed || ':' || sh), 1, 15) AS BIGINT)) AS mh
+         FROM sh, unnest(generate_series(0, 11)) AS t(seed)
+         GROUP BY doc_id, seed),
+       bands AS (
+         SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+           md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS band_hash
+         FROM mh GROUP BY 1, 2),
+       cand AS (
+         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM bands x JOIN bands y
+           ON x.band = y.band AND x.band_hash = y.band_hash
+           AND x.doc_id < y.doc_id)
+       SELECT doc_a, doc_b,
+         round(sum(CAST(a.mh = b.mh AS INT)) / 12.0, 6) AS est_sim
+       FROM cand
+       JOIN mh a ON a.doc_id = doc_a
+       JOIN mh b ON b.doc_id = doc_b AND a.seed = b.seed
+       GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b"""
+
+  /** d04 — SimHash fingerprints: 16-bit signature from word-frequency
+    * weighted bit votes; identical signatures form a dedup bucket. One
+    * document collapses to a 2-byte key — the cheapest near-dup sieve.
+    */
+  private def d04(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wc = Tables.documents(s, d)
+      .select($"doc_id", explode(split($"text", " ")).as("word"))
+      .groupBy($"doc_id", $"word").agg(count(lit(1)).as("cnt"))
+      .withColumn("h", h60(concat(lit("w:"), $"word")))
+    val bits = wc
+      .select($"doc_id", $"cnt", $"h", explode(sequence(lit(0), lit(15))).as("b"))
+      .withColumn("vote",
+        when(expr("(h >> b) & 1") === 1, $"cnt").otherwise(-$"cnt"))
+      .groupBy($"doc_id", $"b")
+      .agg(sum($"vote").as("v"))
+      .withColumn("bitval", when($"v" > 0, expr("CAST(1 AS BIGINT) << b")).otherwise(lit(0L)))
+      .groupBy($"doc_id")
+      .agg(sum($"bitval").as("simhash"))
+    val buckets = bits.groupBy($"simhash").agg(count(lit(1)).as("bucket_size"))
+    bits.join(buckets, "simhash")
+      .select($"doc_id", $"simhash", $"bucket_size")
+      .orderBy($"doc_id")
+  }
+  private val d04Sql =
+    """WITH wc AS (
+         SELECT doc_id, word, count(*) AS cnt,
+           CAST('0x' || substr(md5('w:' || word), 1, 15) AS BIGINT) AS h
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+         GROUP BY doc_id, word),
+       bits AS (
+         SELECT doc_id, b,
+           sum(CASE WHEN (h >> b) & 1 = 1 THEN cnt ELSE -cnt END) AS v
+         FROM wc, unnest(generate_series(0, 15)) AS t(b)
+         GROUP BY doc_id, b),
+       sigs AS (
+         SELECT doc_id,
+           sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS simhash
+         FROM bits GROUP BY doc_id),
+       buckets AS (SELECT simhash, count(*) AS bucket_size FROM sigs GROUP BY simhash)
+       SELECT doc_id, s.simhash, bucket_size
+       FROM sigs s JOIN buckets USING (simhash)
+       ORDER BY doc_id"""
+
+  /** d05 — embedding-cosine near-dup with sign-bit LSH pruning: 4
+    * hyperplane sign bits (dims 1-4) bucket the vectors; exact cosine
+    * (double precision, sequential fold — bit-stable across engines) is
+    * evaluated within buckets only. At n vectors the pair space shrinks
+    * from n^2 to sum of bucket^2 ~= n^2/16 here; more planes shrink it
+    * geometrically.
+    */
+  private def d05(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("bucket",
+        (element_at($"v", 1) >= 0).cast("int") * 8 +
+        (element_at($"v", 2) >= 0).cast("int") * 4 +
+        (element_at($"v", 3) >= 0).cast("int") * 2 +
+        (element_at($"v", 4) >= 0).cast("int"))
+    val dot = aggregate(zip_with($"a.v", $"b.v", (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val na = aggregate(transform($"a.v", x => x * x), lit(0.0), (acc, x) => acc + x)
+    val nb = aggregate(transform($"b.v", x => x * x), lit(0.0), (acc, x) => acc + x)
+    e.as("a").join(e.as("b"),
+        $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
+      .withColumn("cos", dot / (sqrt(na) * sqrt(nb)))
+      .filter($"cos" >= 0.4)
+      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
+        round($"cos", 6).as("cos_sim"))
+      .orderBy($"vec_a", $"vec_b")
+  }
+  private val d05Sql =
+    """WITH e AS (
+         SELECT vec_id, embedding::DOUBLE[] AS v,
+           CAST(v[1] >= 0 AS INT) * 8 + CAST(v[2] >= 0 AS INT) * 4 +
+           CAST(v[3] >= 0 AS INT) * 2 + CAST(v[4] >= 0 AS INT) AS bucket
+         FROM embeddings)
+       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+       FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+       ORDER BY vec_a, vec_b"""
+
+  val queries: Map[String, QueryFn] = Map(
+    "d01_exact_dedup" -> d01 _,
+    "d02_ngram_jaccard" -> d02 _,
+    "d03_minhash_lsh" -> d03 _,
+    "d04_simhash" -> d04 _,
+    "d05_embedding_neardup" -> d05 _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "d01_exact_dedup" -> d01Sql,
+    "d02_ngram_jaccard" -> d02Sql,
+    "d03_minhash_lsh" -> d03Sql,
+    "d04_simhash" -> d04Sql,
+    "d05_embedding_neardup" -> d05Sql,
+  )
+}

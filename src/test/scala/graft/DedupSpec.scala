@@ -1,0 +1,49 @@
+package graft
+
+import graft.ext.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  test("every dedup query runs; oracle SQL exists for each") {
+    Dedup.queries.foreach { case (name, fn) =>
+      assert(fn(spark, sfDir).columns.nonEmpty, name)
+    }
+    assert(Dedup.queries.keySet == Dedup.oracle.keySet)
+  }
+
+  test("d01 exact dedup collapses the planted ' dup' variants") {
+    val df = Dedup.queries("d01_exact_dedup")(spark, sfDir)
+    val nDocs = graft.sources.Tables.documents(spark, sfDir).count()
+    val kept = df.count()
+    val collapsed = df.agg(sum("group_size")).head.getLong(0)
+    assert(collapsed == nDocs, "every doc lands in exactly one group")
+    assert(kept < nDocs, "planted duplicates must collapse")
+    assert(df.filter(col("group_size") > 2).count() == 0 ||
+      df.filter(col("group_size") >= 2).count() > 0)
+  }
+
+  test("d03 MinHash LSH recalls every exact-Jaccard>=0.6 pair (validated approximation)") {
+    val exact = Dedup.queries("d02_ngram_jaccard")(spark, sfDir)
+      .select("doc_a", "doc_b")
+    val lsh = Dedup.queries("d03_minhash_lsh")(spark, sfDir)
+      .select("doc_a", "doc_b")
+    val missed = exact.except(lsh)
+    assert(missed.count() == 0,
+      "every true near-dup pair must appear among LSH candidates at this scale")
+  }
+
+  test("d04 simhash: near-identical docs share a bucket") {
+    val sig = Dedup.queries("d04_simhash")(spark, sfDir)
+    // the ' dup'-appended twin differs by one rare word: votes shift by
+    // at most 1 per bit, so planted pairs overwhelmingly collide
+    assert(sig.filter(col("bucket_size") >= 2).count() > 0)
+    assert(sig.count() == graft.sources.Tables.documents(spark, sfDir).count())
+  }
+
+  test("d05 bucketed cosine pairs are symmetric-free and above threshold") {
+    val df = Dedup.queries("d05_embedding_neardup")(spark, sfDir)
+    assert(df.filter(col("vec_a") >= col("vec_b")).count() == 0)
+    assert(df.filter(col("cos_sim") < 0.4).count() == 0)
+  }
+}
