@@ -1,0 +1,192 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.queries.QueryModule
+import graft.sources.Tables
+
+/** Similarity search over the `embeddings` table (north-star extension):
+  * brute-force cosine top-k as the exact baseline, and an IVF-style
+  * partitioned search as the scale path.
+  *
+  * Numerics: all arithmetic is double precision — the float32 input is
+  * cast up first (exact), and cosine is a sequential left fold over the
+  * array (`aggregate`), so the value is deterministic and reproducible;
+  * outputs are rounded to 1e-6 so engine-internal expression-order
+  * differences (dot/(sqrt*sqrt) vs dot/sqrt(product)) cannot surface.
+  *
+  * Scale design:
+  *  - s01 brute force is a map-only scan + TakeOrderedAndProject: the
+  *    query vector is broadcast, only k rows reach the driver — this IS
+  *    the right plan at 100 TB when you need exact top-k;
+  *  - s02 batches the probe side through one broadcast join — probes ×
+  *    corpus stays a single shuffle-free stage, per-probe heaps via
+  *    window rank on the corpus side;
+  *  - s03 prunes the corpus with a coarse quantizer (label centroids —
+  *    k-means assignment precomputed by the data, the IVF shape): each
+  *    probe searches one partition, cutting scanned vectors ~10x here
+  *    and |partitions|x in general.
+  */
+object Similarity extends QueryModule {
+
+  /** cosine(a, b) in double precision as a sequential fold. */
+  private def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val na = aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x)
+    val nb = aggregate(transform(b, x => x * x), lit(0.0), (acc, x) => acc + x)
+    dot / (sqrt(na) * sqrt(nb))
+  }
+
+  /** s01 — exact cosine top-k against a fixed query vector (vec_id 0).
+    * The 1-row query side is broadcast; TakeOrderedAndProject keeps the
+    * scan single-pass with only k survivors.
+    */
+  private def s01(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val q = e.filter($"vec_id" === 0).select($"v".as("qv"))
+    e.filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("cos", cosine($"v", $"qv"))
+      .select($"vec_id", round($"cos", 6).as("cos_sim"))
+      .orderBy(round($"cos", 9).desc, $"vec_id")
+      .limit(10)
+  }
+  private val s01Sql =
+    """SELECT vec_id,
+         round(list_cosine_similarity(e.v, q.qv), 6) AS cos_sim
+       FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id <> 0) e
+       CROSS JOIN (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) q
+       ORDER BY round(list_cosine_similarity(e.v, q.qv), 9) DESC, vec_id
+       LIMIT 10"""
+
+  /** s02 — batched kNN: top-3 neighbors for every probe in a probe set
+    * (vec_id < 10), one broadcast of the probes, per-probe ranking via
+    * window row_number.
+    */
+  private def s02(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val probes = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("probe_id"), $"v".as("pv"))
+    val w = Window.partitionBy($"probe_id")
+      .orderBy(round($"cos", 9).desc, $"vec_id")
+    e.join(broadcast(probes), $"vec_id" =!= $"probe_id")
+      .withColumn("cos", cosine($"v", $"pv"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"probe_id", $"vec_id".as("neighbor_id"), $"rank",
+        round($"cos", 6).as("cos_sim"))
+      .orderBy($"probe_id", $"rank")
+  }
+  private val s02Sql =
+    """SELECT probe_id, neighbor_id, rank, cos_sim FROM (
+         SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY p.vec_id
+             ORDER BY round(list_cosine_similarity(e.v, p.v), 9) DESC, e.vec_id) AS rank,
+           round(list_cosine_similarity(e.v, p.v), 6) AS cos_sim
+         FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) e
+         JOIN (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 10) p
+           ON e.vec_id <> p.vec_id)
+       WHERE rank <= 3 ORDER BY probe_id, rank"""
+
+  /** s03 — IVF-style ANN: label centroids act as the coarse quantizer
+    * (the inverted-file cell list); each probe is assigned to its
+    * nearest centroid and searches only that cell. Centroids are a tiny
+    * aggregate (|labels| rows) — broadcast both ways; the corpus is
+    * scanned once, partitioned by label.
+    */
+  private def s03(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+      .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
+    val cent = e
+      .select($"label", posexplode($"v").as(Seq("p", "x")))
+      .groupBy($"label", $"p").agg(avg($"x").as("cx"))
+      .groupBy($"label")
+      .agg(transform(array_sort(collect_list(struct($"p", $"cx"))),
+        c => c.getField("cx")).as("cv"))
+    val probes = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("probe_id"), $"v".as("pv"))
+    val wAssign = Window.partitionBy($"probe_id")
+      .orderBy(round($"ccos", 9).desc, $"label")
+    val assign = probes.crossJoin(broadcast(cent))
+      .withColumn("ccos", cosine($"pv", $"cv"))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter($"arn" === 1)
+      .select($"probe_id", $"pv", $"label".as("cell"))
+    val wRank = Window.partitionBy($"probe_id")
+      .orderBy(round($"cos", 9).desc, $"vec_id")
+    e.join(broadcast(assign),
+        $"label" === $"cell" && $"vec_id" =!= $"probe_id")
+      .withColumn("cos", cosine($"v", $"pv"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter($"rank" <= 3)
+      .select($"probe_id", $"cell", $"vec_id".as("neighbor_id"), $"rank",
+        round($"cos", 6).as("cos_sim"))
+      .orderBy($"probe_id", $"rank")
+  }
+  private val s03Sql =
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       cent AS (
+         SELECT label, list(cx ORDER BY p) AS cv FROM (
+           SELECT label, p, avg(x) AS cx FROM (
+             SELECT label, i AS p, v[i] AS x
+             FROM e, unnest(generate_series(1, len(v))) AS t(i))
+           GROUP BY label, p)
+         GROUP BY label),
+       probes AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 10),
+       assign AS (
+         SELECT probe_id, pv, cell FROM (
+           SELECT p.probe_id, p.pv, c.label AS cell,
+             row_number() OVER (PARTITION BY p.probe_id
+               ORDER BY round(list_cosine_similarity(p.pv, c.cv), 9) DESC, c.label) AS arn
+           FROM probes p CROSS JOIN cent c)
+         WHERE arn = 1)
+       SELECT probe_id, cell, neighbor_id, rank, cos_sim FROM (
+         SELECT a.probe_id, a.cell, e.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY a.probe_id
+             ORDER BY round(list_cosine_similarity(e.v, a.pv), 9) DESC, e.vec_id) AS rank,
+           round(list_cosine_similarity(e.v, a.pv), 6) AS cos_sim
+         FROM e JOIN assign a ON e.label = a.cell AND e.vec_id <> a.probe_id)
+       WHERE rank <= 3 ORDER BY probe_id, rank"""
+
+  /** s04 — s01 again through the native codegen'd `cosine_sim`
+    * Expression (graft.functions.CosineSimilarity) instead of the
+    * higher-order-function fold: same accumulation order, same values,
+    * one tight primitive loop inside WholeStageCodegen and no
+    * per-row intermediate array. The oracle is the same cosine —
+    * proving the custom expression against DuckDB, not just against
+    * the fold.
+    */
+  private def s04(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.CosineSimilarity.cosineSim
+    val e = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val q = e.filter($"vec_id" === 0).select($"v".as("qv"))
+    e.filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("cos", cosineSim($"v", $"qv"))
+      .select($"vec_id", round($"cos", 6).as("cos_sim"))
+      .orderBy(round($"cos", 9).desc, $"vec_id")
+      .limit(10)
+  }
+
+  val queries: Map[String, QueryFn] = Map(
+    "s01_cosine_topk" -> s01 _,
+    "s02_batch_knn" -> s02 _,
+    "s03_ivf_ann" -> s03 _,
+    "s04_cosine_topk_native" -> s04 _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "s01_cosine_topk" -> s01Sql,
+    "s02_batch_knn" -> s02Sql,
+    "s03_ivf_ann" -> s03Sql,
+    "s04_cosine_topk_native" -> s01Sql,
+  )
+}

@@ -1,0 +1,56 @@
+package graft
+
+import graft.ext.Similarity
+import graft.functions.CosineSimilarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  test("every similarity query runs; oracle SQL exists for each") {
+    Similarity.queries.foreach { case (name, fn) =>
+      assert(fn(spark, sfDir).columns.nonEmpty, name)
+    }
+    assert(Similarity.queries.keySet == Similarity.oracle.keySet)
+  }
+
+  test("native cosine_sim expression matches the higher-order-function fold exactly") {
+    val hof = Similarity.queries("s01_cosine_topk")(spark, sfDir).collect()
+    val native = Similarity.queries("s04_cosine_topk_native")(spark, sfDir).collect()
+    assert(hof.toSeq == native.toSeq)
+  }
+
+  test("cosine_sim is callable from SQL after registration and stays in codegen") {
+    CosineSimilarity.register(spark)
+    val r = spark.sql("SELECT cosine_sim(array(1d,0d), array(1d,0d)) AS c").head.getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-12)
+    val df = Similarity.queries("s04_cosine_topk_native")(spark, sfDir)
+    df.collect() // finalize the adaptive plan so codegen stages materialize
+    val finalPlan = df.queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark WholeStageCodegen spans in the plan string
+    assert(finalPlan.contains("*("), finalPlan)
+    assert(finalPlan.contains("cosine_sim"), finalPlan)
+  }
+
+  test("cosine values are bounded and self-similarity is 1") {
+    import spark.implicits._
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val self = e.withColumn("c", CosineSimilarity.cosineSim($"v", $"v"))
+      .filter(abs($"c" - 1.0) > 1e-9)
+    assert(self.count() == 0)
+  }
+
+  test("s03 IVF searches only the assigned cell") {
+    val df = Similarity.queries("s03_ivf_ann")(spark, sfDir)
+    val labels = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id").as("neighbor_id"), col("label"))
+    val bad = df.join(labels, "neighbor_id").filter(col("cell") =!= col("label"))
+    assert(bad.count() == 0)
+  }
+
+  test("s01 brute-force top-k plans as TakeOrderedAndProject with a broadcast query side") {
+    val plan = planOf(Similarity.queries("s01_cosine_topk")(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(plan.contains("Broadcast"), plan)
+  }
+}
