@@ -1,0 +1,175 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.queries.QueryModule
+import graft.sources.Tables
+
+/** Text-analysis operators for training-data curation (north-star
+  * extension): language identification, quality scoring, token
+  * counting, and document fingerprinting — the per-document scoring
+  * pass every corpus pipeline runs before filtering.
+  *
+  * Scale notes: all four are map-side only (per-document functions of
+  * the text column) until their final small aggregation; no UDFs — the
+  * scoring math is higher-order functions + regexes inside codegen, so
+  * a 100 TB corpus pass is a single scan with full predicate pruning
+  * available upstream.
+  */
+object TextAnalysis extends QueryModule {
+
+  /** Marker-word lists per language (n-gram-heuristic stand-in; the
+    * fixture vocabulary is shared so the *mechanism* — count marker
+    * hits per language, argmax with deterministic tie-break — is the
+    * tested artifact, as real lexicons would be plugged in here). */
+  private val markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "fast", "slow"),
+    "de" -> Seq("data", "batch", "hash"),
+    "es" -> Seq("line", "part", "row"),
+    "zh" -> Seq("vector", "stream", "window"))
+
+  private def markerHits(toks: Column, lang: String): Column =
+    size(filter(toks, t => array_contains(
+      array(markers(lang).map(lit): _*), t)))
+
+  /** a01 — language ID by marker-hit argmax (deterministic priority
+    * tie-break en > de > es > zh), reported as a confusion matrix
+    * against the labeled lang column. Integer scores — no float compare.
+    */
+  private def a01(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .withColumn("toks", split($"text", " "))
+      .withColumn("s_en", markerHits($"toks", "en"))
+      .withColumn("s_de", markerHits($"toks", "de"))
+      .withColumn("s_es", markerHits($"toks", "es"))
+      .withColumn("s_zh", markerHits($"toks", "zh"))
+      .withColumn("predicted",
+        when($"s_en" >= $"s_de" && $"s_en" >= $"s_es" && $"s_en" >= $"s_zh", "en")
+          .when($"s_de" >= $"s_es" && $"s_de" >= $"s_zh", "de")
+          .when($"s_es" >= $"s_zh", "es")
+          .otherwise("zh"))
+      .groupBy($"lang", $"predicted")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"lang", $"predicted")
+  }
+  private def hitsSql(lang: String): String = {
+    val lst = markers(lang).map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(string_split(text, ' '), x -> list_contains([$lst], x)))"
+  }
+  private val a01Sql =
+    s"""SELECT lang, predicted, count(*) AS n FROM (
+         SELECT lang,
+           CASE
+             WHEN ${hitsSql("en")} >= ${hitsSql("de")} AND ${hitsSql("en")} >= ${hitsSql("es")} AND ${hitsSql("en")} >= ${hitsSql("zh")} THEN 'en'
+             WHEN ${hitsSql("de")} >= ${hitsSql("es")} AND ${hitsSql("de")} >= ${hitsSql("zh")} THEN 'de'
+             WHEN ${hitsSql("es")} >= ${hitsSql("zh")} THEN 'es'
+             ELSE 'zh' END AS predicted
+         FROM documents)
+       GROUP BY lang, predicted ORDER BY lang, predicted"""
+
+  /** a02 — quality scoring: length/stopword/word-shape ratios combined
+    * into one score (the C4/Gopher-style filter signal). Same formula,
+    * same operation order on both engines.
+    */
+  private def a02(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val stop = array(Seq("the", "a", "of", "and").map(lit): _*)
+    Tables.documents(s, d)
+      .withColumn("toks", split($"text", " "))
+      .withColumn("n_tokens", size($"toks"))
+      .withColumn("mean_wlen", ($"n_chars" - ($"n_tokens" - 1)).cast("double") / $"n_tokens")
+      .withColumn("stop_ratio",
+        size(filter($"toks", t => array_contains(stop, t))).cast("double") / $"n_tokens")
+      .withColumn("short_ratio",
+        size(filter($"toks", t => length(t) <= 2)).cast("double") / $"n_tokens")
+      .withColumn("quality",
+        round(lit(1.0) - $"short_ratio" * 0.5 - $"stop_ratio" * 0.3 +
+          least($"n_tokens".cast("double") / 100.0, lit(1.0)) * 0.2, 6))
+      .select($"doc_id", $"n_tokens", round($"mean_wlen", 4).as("mean_wlen"),
+        round($"stop_ratio", 4).as("stop_ratio"), $"quality")
+      .orderBy($"doc_id")
+  }
+  private val a02Sql =
+    """SELECT doc_id, n_tokens, round(mean_wlen, 4) AS mean_wlen,
+         round(stop_ratio, 4) AS stop_ratio,
+         round(1.0 - short_ratio * 0.5 - stop_ratio * 0.3 +
+           least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.2, 6) AS quality
+       FROM (
+         SELECT doc_id, len(l) AS n_tokens,
+           CAST(n_chars - (len(l) - 1) AS DOUBLE) / len(l) AS mean_wlen,
+           CAST(len(list_filter(l, x -> list_contains(['the','a','of','and'], x))) AS DOUBLE) / len(l) AS stop_ratio,
+           CAST(len(list_filter(l, x -> strlen(x) <= 2)) AS DOUBLE) / len(l) AS short_ratio
+         FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS l FROM documents))
+       ORDER BY doc_id"""
+
+  /** a03 — token counting three ways: whitespace words, BPE-ish regex
+    * chunks (letter runs capped at 4 chars — a stand-in for subword
+    * merges), and the chars/4 estimate; aggregated per language.
+    */
+  private def a03(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .withColumn("ws_tokens", size(split($"text", " ")))
+      .withColumn("bpe_tokens", size(regexp_extract_all($"text", lit("[a-z]{1,4}"), lit(0))))
+      .withColumn("est_tokens", ceil($"n_chars" / 4.0).cast("long"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"ws_tokens").as("sum_ws"),
+        sum($"bpe_tokens").as("sum_bpe"),
+        sum($"est_tokens").as("sum_est"))
+      .orderBy($"lang")
+  }
+  private val a03Sql =
+    """SELECT lang, count(*) AS n_docs,
+         sum(len(string_split(text, ' '))) AS sum_ws,
+         sum(len(regexp_extract_all(text, '[a-z]{1,4}', 0))) AS sum_bpe,
+         sum(CAST(ceil(n_chars / 4.0) AS BIGINT)) AS sum_est
+       FROM documents GROUP BY lang ORDER BY lang"""
+
+  /** a04 — positional polynomial fingerprint: sum over positions of
+    * pos * (h(word) mod 1e9+7). Order- and content-sensitive, pure
+    * integer arithmetic (bounded well under 2^63), identical in the
+    * oracle. The ' dup'-suffixed twins get distinct fingerprints; exact
+    * copies collide — group sizes expose them.
+    */
+  private def a04(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fp = Tables.documents(s, d)
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos0", "word")))
+      .withColumn("h", conv(substring(md5(concat(lit("f:"), $"word")), 1, 15), 16, 10)
+        .cast("long") % 1000000007L)
+      .groupBy($"doc_id")
+      .agg(sum(($"pos0" + 1) * $"h").as("fingerprint"))
+    val groups = fp.groupBy($"fingerprint").agg(count(lit(1)).as("n_same"))
+    fp.join(groups, "fingerprint")
+      .select($"doc_id", $"fingerprint", $"n_same")
+      .orderBy($"doc_id")
+  }
+  private val a04Sql =
+    """WITH fp AS (
+         SELECT doc_id,
+           sum(pos * (CAST('0x' || substr(md5('f:' || w), 1, 15) AS BIGINT) % 1000000007)) AS fingerprint
+         FROM (
+           SELECT doc_id, i AS pos, string_split(text, ' ')[i] AS w
+           FROM documents, unnest(generate_series(1, len(string_split(text, ' ')))) AS t(i))
+         GROUP BY doc_id),
+       groups AS (SELECT fingerprint, count(*) AS n_same FROM fp GROUP BY fingerprint)
+       SELECT doc_id, fingerprint, n_same
+       FROM fp JOIN groups USING (fingerprint)
+       ORDER BY doc_id"""
+
+  val queries: Map[String, QueryFn] = Map(
+    "a01_language_id" -> a01 _,
+    "a02_quality_score" -> a02 _,
+    "a03_token_counts" -> a03 _,
+    "a04_fingerprint" -> a04 _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "a01_language_id" -> a01Sql,
+    "a02_quality_score" -> a02Sql,
+    "a03_token_counts" -> a03Sql,
+    "a04_fingerprint" -> a04Sql,
+  )
+}

@@ -1,0 +1,44 @@
+package graft
+
+import graft.ext.TextAnalysis
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+
+  test("every text-analysis query runs; oracle SQL exists for each") {
+    TextAnalysis.queries.foreach { case (name, fn) =>
+      assert(fn(spark, sfDir).columns.nonEmpty, name)
+    }
+    assert(TextAnalysis.queries.keySet == TextAnalysis.oracle.keySet)
+  }
+
+  test("a01 confusion matrix covers every document exactly once") {
+    val df = TextAnalysis.queries("a01_language_id")(spark, sfDir)
+    val total = df.agg(sum("n")).head.getLong(0)
+    assert(total == graft.sources.Tables.documents(spark, sfDir).count())
+  }
+
+  test("a02 ratios are in [0,1] and quality is bounded") {
+    val df = TextAnalysis.queries("a02_quality_score")(spark, sfDir)
+    assert(df.filter(col("stop_ratio") < 0 || col("stop_ratio") > 1).count() == 0)
+    assert(df.filter(col("quality") < -1 || col("quality") > 1.5).count() == 0)
+  }
+
+  test("a03 BPE-ish tokens >= whitespace tokens (subwords split, never merge)") {
+    val df = TextAnalysis.queries("a03_token_counts")(spark, sfDir)
+    assert(df.filter(col("sum_bpe") < col("sum_ws")).count() == 0)
+  }
+
+  test("a04 fingerprint is position-sensitive: the ' dup' twins do NOT collide") {
+    val df = TextAnalysis.queries("a04_fingerprint")(spark, sfDir)
+    // exact copies would collide; the planted near-dups differ by a
+    // suffix token, so every fingerprint group here is a true exact-dup set
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val joined = df.join(docs, "doc_id")
+    val groups = joined.groupBy("fingerprint")
+      .agg(countDistinct("text").as("nd"), count(lit(1)).as("n"))
+    assert(groups.filter(col("nd") =!= col("n")).count() == 0,
+      "same fingerprint must mean same text at this corpus size")
+  }
+}
