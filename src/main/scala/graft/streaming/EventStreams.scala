@@ -1,0 +1,123 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder}
+import graft.queries.Eventing
+
+/** Structured Streaming plane (SURVEY.md §2.9): the event-time
+  * transforms from `graft.queries.Eventing` applied to an unbounded
+  * input, plus a stateful sessionizer on `flatMapGroupsWithState`.
+  *
+  * Design: batch and streaming share ONE transform definition — the
+  * Eventing functions take a DataFrame and are oblivious to whether it
+  * came from `read` or `readStream`; this module only adds what
+  * unbounded execution needs (watermarks, output mode, state timeout).
+  * The DuckDB oracle checks the batch plane; `StreamingSpec` replays
+  * the same rows through MemoryStream and asserts the streaming results
+  * converge to the batch answer (the exactly-once contract).
+  *
+  * Scale notes: state is keyed by (window|user) — the store holds one
+  * entry per open key, watermarks bound it; shuffle is the same single
+  * exchange as the batch plan.
+  */
+object EventStreams extends Serializable {
+
+  /** Typed event row (events table schema after ts normalization). */
+  case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  /** Open-session accumulator kept in the state store. */
+  case class SessionAcc(startUs: Long, lastUs: Long, n: Long, sum: Double)
+
+  /** Emitted closed session — matches Eventing.sessions's schema. */
+  case class SessionOut(session_start: Timestamp, session_end: Timestamp,
+      user_id: Long, n_events: Long, session_value: Double)
+
+  private val gapUs: Long = 30L * 60 * 1000000
+
+  /** Tumbling 1-hour aggregation with a 2-hour watermark: late events
+    * beyond the watermark are dropped, windows finalize incrementally.
+    */
+  def tumblingStream(events: DataFrame): DataFrame =
+    Eventing.tumbling(events.withWatermark("ts", "2 hours"))
+
+  /** Sliding-window variant, same watermark. */
+  def slidingStream(events: DataFrame): DataFrame =
+    Eventing.sliding(events.withWatermark("ts", "2 hours"))
+
+  /** Session windows via the built-in session_window (state-store backed
+    * under streaming execution). */
+  def sessionStream(events: DataFrame): DataFrame =
+    Eventing.sessions(events.withWatermark("ts", "2 hours"))
+
+  /** Custom stateful sessionization on flatMapGroupsWithState: the
+    * general form for session logic session_window can't express
+    * (per-session aggregates beyond count/sum, custom close rules).
+    * `streaming = false` (batch): every group arrives complete, the
+    * final open session is flushed at group end — the spec cross-checks
+    * this against Eventing.sessions. `streaming = true`: open sessions
+    * persist in the state store and close via event-time timeout once
+    * the watermark passes last-event + gap.
+    */
+  def sessionize(events: Dataset[Ev], streaming: Boolean = false): Dataset[SessionOut] = {
+    implicit val evEnc: Encoder[Ev] = ExpressionEncoder()
+    implicit val accEnc: Encoder[SessionAcc] = ExpressionEncoder()
+    implicit val outEnc: Encoder[SessionOut] = ExpressionEncoder()
+    implicit val keyEnc: Encoder[Long] = ExpressionEncoder()
+
+    def toUs(t: Timestamp): Long = t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    def fromUs(us: Long): Timestamp = {
+      val t = new Timestamp(us / 1000)
+      t.setNanos(((us % 1000000) * 1000).toInt)
+      t
+    }
+    def round2(x: Double): Double = // Spark round(): HALF_UP on the decimal form
+      java.math.BigDecimal.valueOf(x).setScale(2, java.math.RoundingMode.HALF_UP).doubleValue()
+
+    def fn(userId: Long, rows: Iterator[Ev],
+        state: GroupState[SessionAcc]): Iterator[SessionOut] = {
+      val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+      def close(a: SessionAcc): Unit = out += SessionOut(
+        fromUs(a.startUs), fromUs(a.lastUs + gapUs),
+        userId, a.n, round2(a.sum))
+
+      // event-time order within the group (batch delivers all rows;
+      // micro-batches deliver chunks — sorting each chunk preserves
+      // correctness because the watermark bounds disorder across them)
+      val sorted = rows.toArray.sortBy(e => (toUs(e.ts), e.event_id))
+      var acc = state.getOption.orNull
+      sorted.foreach { e =>
+        val t = toUs(e.ts)
+        acc match {
+          case null => acc = SessionAcc(t, t, 1, e.value)
+          case a if t - a.lastUs > gapUs =>
+            close(a); acc = SessionAcc(t, t, 1, e.value)
+          case a => acc = SessionAcc(a.startUs, t, a.n + 1, a.sum + e.value)
+        }
+      }
+      if (state.hasTimedOut) {
+        state.getOption.foreach(close)
+        state.remove()
+      } else if (streaming) {
+        if (acc != null) {
+          state.update(acc)
+          state.setTimeoutTimestamp(acc.lastUs / 1000 + 30 * 60 * 1000)
+        }
+      } else if (acc != null) {
+        // batch: timeouts never fire — flush the final open session now
+        close(acc)
+        if (state.exists) state.remove()
+      }
+      out.iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAcc, SessionOut](
+        OutputMode.Append(),
+        if (streaming) GroupStateTimeout.EventTimeTimeout()
+        else GroupStateTimeout.NoTimeout())(fn)
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.queries.Eventing
+import graft.sources.Tables
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Ev
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming-plane tests: replay the bounded events table through
+  * MemoryStream and assert the streaming results converge to the batch
+  * (DuckDB-checked) answers — the exactly-once contract. */
+class StreamingSpec extends SparkSpec {
+
+  private def loadEvents(): Seq[Ev] = {
+    import spark.implicits._
+    Tables.events(spark, sfDir)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+      .as[Ev].collect().toSeq.sortBy(_.event_id)
+  }
+
+  test("streaming tumbling aggregation converges to the batch answer") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val query = EventStreams.tumblingStream(input.toDF())
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      val evs = loadEvents()
+      val (first, second) = evs.splitAt(evs.length / 2)
+      input.addData(first); query.processAllAvailable()
+      input.addData(second); query.processAllAvailable()
+      val got = spark.table("tumbling_out")
+        .orderBy("win_start", "event_type").collect().toSeq
+      val want = Eventing.queries("e01_tumbling_window")(spark, sfDir).collect().toSeq
+      assert(got == want)
+    } finally query.stop()
+  }
+
+  test("batch flatMapGroupsWithState sessionization matches session_window exactly") {
+    import spark.implicits._
+    val evs = spark.createDataset(loadEvents())
+    val got = EventStreams.sessionize(evs, streaming = false)
+      .toDF().orderBy("user_id", "session_start").collect().toSeq
+    val want = Eventing.queries("e03_session_window")(spark, sfDir)
+      .select("session_start", "session_end", "user_id", "n_events", "session_value")
+      .orderBy("user_id", "session_start").collect().toSeq
+    assert(got == want)
+  }
+
+  test("streaming stateful sessionization emits closed sessions as watermark advances") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val sessions = EventStreams.sessionize(
+      input.toDS().withWatermark("ts", "0 seconds").as[Ev], streaming = true)
+    val query = sessions.writeStream.format("memory").queryName("sessions_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def ev(id: Long, minute: Int): Ev =
+        Ev(id, Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"), 1L, "click", 1.0)
+      // session 1: two events 5 min apart; then a >30min gap
+      input.addData(ev(1, 0), ev(2, 5)); query.processAllAvailable()
+      // advancing event time past 10:05 + 30min closes session 1 via timeout
+      input.addData(ev(3, 59)); query.processAllAvailable()
+      input.addData(Ev(4, Timestamp.valueOf("2024-01-01 12:00:00"), 1L, "click", 1.0))
+      query.processAllAvailable()
+      val closed = spark.table("sessions_out").orderBy("session_start").collect()
+      assert(closed.length >= 1, "first session must have closed")
+      val s1 = closed.head
+      assert(s1.getTimestamp(0) == Timestamp.valueOf("2024-01-01 10:00:00"))
+      assert(s1.getTimestamp(1) == Timestamp.valueOf("2024-01-01 10:35:00"))
+      assert(s1.getLong(3) == 2)
+    } finally query.stop()
+  }
+}
