@@ -84,7 +84,11 @@ object Dedup extends QueryModule {
     */
   private def d02(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val sh = shingles(s, d)
+    // join key is the 60-bit shingle hash, not the ~90-byte string —
+    // an order of magnitude less shuffle volume at identical results
+    // (the oracle hashes identically; a collision would have to defeat
+    // md5 inside one corpus). Three consumers — materialize once.
+    val sh = shingles(s, d).select($"doc_id", h60($"sh").as("sh")).persist()
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
@@ -99,7 +103,9 @@ object Dedup extends QueryModule {
       .orderBy($"doc_a", $"doc_b")
   }
   private val d02Sql =
-    s"""WITH sh AS ($shinglesSql),
+    s"""WITH sh0 AS ($shinglesSql),
+       sh AS (SELECT doc_id,
+         CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS sh FROM sh0),
        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
        inter AS (
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
@@ -121,26 +127,29 @@ object Dedup extends QueryModule {
     */
   private def d03(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val mh = shingles(s, d)
-      .select($"doc_id", $"sh", explode(sequence(lit(0), lit(11))).as("seed"))
-      .groupBy($"doc_id", $"seed")
-      .agg(min(h60(concat($"seed".cast("string"), lit(":"), $"sh"))).as("mh"))
-    val bands = mh
-      .withColumn("band", ($"seed" / 4).cast("int"))
-      .groupBy($"doc_id", $"band")
-      .agg(md5(concat_ws(",",
-        transform(array_sort(collect_list(struct($"seed", $"mh"))),
-          x => x.getField("mh").cast("string")))).as("band_hash"))
-    val cand = bands.as("x").join(bands.as("y"),
-        $"x.band" === $"y.band" && $"x.band_hash" === $"y.band_hash" &&
-        $"x.doc_id" < $"y.doc_id")
-      .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b")).distinct()
-    cand
-      .join(mh.select($"doc_id".as("doc_a"), $"seed", $"mh".as("mha")), Seq("doc_a"))
-      .join(mh.select($"doc_id".as("b_doc"), $"seed".as("b_seed"), $"mh".as("mhb")),
-        $"doc_b" === $"b_doc" && $"seed" === $"b_seed")
-      .groupBy($"doc_a", $"doc_b")
-      .agg(round(sum(($"mha" === $"mhb").cast("int")) / 12.0, 6).as("est_sim"))
+    val seeds = 0 until 12
+    // one aggregation pass, 12 min columns — no 12x row explosion and
+    // the shuffle carries |docs| rows of 12 longs, not |shingles| x 12
+    val minCols = seeds.map(i => min(h60(concat(lit(s"$i:"), $"sh"))).as(s"mh$i"))
+    val mh = shingles(s, d).groupBy($"doc_id").agg(minCols.head, minCols.tail: _*)
+    // the signature table is consumed by 5 downstream branches (3 band
+    // joins + both pair sides); it is |docs| x 12 longs — persist it so
+    // the shingle+hash pipeline runs once, not per branch
+    val withBands = (0 until 3).foldLeft(mh)((df, b) =>
+      df.withColumn(s"bh$b", md5(concat_ws(",",
+        (0 until 4).map(r => col(s"mh${b * 4 + r}").cast("string")): _*))))
+      .persist()
+    val cand = (0 until 3).map { b =>
+        val x = withBands.select($"doc_id".as("doc_a"), col(s"bh$b").as("bh"))
+        val y = withBands.select($"doc_id".as("doc_b"), col(s"bh$b").as("bh"))
+        x.join(y, Seq("bh")).filter($"doc_a" < $"doc_b").select($"doc_a", $"doc_b")
+      }.reduce(_ unionByName _).distinct()
+    val sigA = withBands.select($"doc_id".as("doc_a") +: seeds.map(i => col(s"mh$i").as(s"a$i")): _*)
+    val sigB = withBands.select($"doc_id".as("doc_b") +: seeds.map(i => col(s"mh$i").as(s"b$i")): _*)
+    cand.join(sigA, "doc_a").join(sigB, "doc_b")
+      .withColumn("est_sim", round(
+        seeds.map(i => (col(s"a$i") === col(s"b$i")).cast("int")).reduce(_ + _) / 12.0, 6))
+      .select($"doc_a", $"doc_b", $"est_sim")
       .orderBy($"doc_a", $"doc_b")
   }
   private val d03Sql =
@@ -226,12 +235,12 @@ object Dedup extends QueryModule {
         (element_at($"v", 2) >= 0).cast("int") * 4 +
         (element_at($"v", 3) >= 0).cast("int") * 2 +
         (element_at($"v", 4) >= 0).cast("int"))
-    val dot = aggregate(zip_with($"a.v", $"b.v", (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    val na = aggregate(transform($"a.v", x => x * x), lit(0.0), (acc, x) => acc + x)
-    val nb = aggregate(transform($"b.v", x => x * x), lit(0.0), (acc, x) => acc + x)
+    // native codegen'd expression on the hot pair loop (same fold
+    // order/values as the higher-order-function form — see
+    // graft.functions.CosineSimilarity)
     e.as("a").join(e.as("b"),
         $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
-      .withColumn("cos", dot / (sqrt(na) * sqrt(nb)))
+      .withColumn("cos", graft.functions.CosineSimilarity.cosineSim($"a.v", $"b.v"))
       .filter($"cos" >= 0.4)
       .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
         round($"cos", 6).as("cos_sim"))
