@@ -1,0 +1,239 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{PricedKey, TopKByPrice}
+import graft.sources.Tables
+
+/** Advanced analytics surface: exact percentiles, statistical
+  * aggregates, deterministic arg-max, grouping sets, a typed-Aggregator
+  * top-k (SURVEY.md §2.10), MERGE-style upsert (§2.7 U3 note),
+  * content-driven source discovery (§2.1 S2), all-null row/column
+  * dropping (§2.2 P3/P4), and approximate distinct counting.
+  *
+  * Scale notes: percentiles/stats are single-shuffle partial+final
+  * aggregates; the top-k Aggregator carries O(k) state through map-side
+  * combine (the scale alternative to window sorts); the upsert is the
+  * recompute formulation (anti ∪ updated) — the table-format-free shape
+  * of MERGE.
+  */
+object Advanced extends QueryModule {
+
+  /** v01 — exact percentiles (median / p90) per order priority. */
+  private def v01(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .groupBy($"o_orderpriority")
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_price"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90_price"),
+        count(lit(1)).as("n"))
+      .orderBy($"o_orderpriority")
+  }
+  private val v01Sql =
+    """SELECT o_orderpriority,
+         round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+         round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+         count(*) AS n
+       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
+  /** v02 — statistical aggregates: correlation, covariance, stddev,
+    * variance per return flag. */
+  private def v02(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(
+        round(corr($"l_quantity", $"l_extendedprice"), 6).as("corr_qty_price"),
+        round(covar_samp($"l_quantity", $"l_extendedprice"), 4).as("covar_qty_price"),
+        round(stddev_samp($"l_discount"), 6).as("sd_discount"),
+        round(var_samp($"l_tax"), 6).as("var_tax"))
+      .orderBy($"l_returnflag")
+  }
+  private val v02Sql =
+    """SELECT l_returnflag,
+         round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+         round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+         round(stddev_samp(l_discount), 6) AS sd_discount,
+         round(var_samp(l_tax), 6) AS var_tax
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  /** v03 — deterministic arg-max via lexicographic struct max: the
+    * orderkey of each customer's priciest order, ties broken by key.
+    * One aggregate, no window sort. */
+  private def v03(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .groupBy($"o_custkey")
+      .agg(max(struct(round($"o_totalprice", 2).as("p"), $"o_orderkey".as("k"))).as("m"))
+      .select($"o_custkey", $"m.p".as("best_price"), $"m.k".as("best_order"))
+      .orderBy($"o_custkey")
+  }
+  private val v03Sql =
+    """SELECT o_custkey, m.p AS best_price, m.k AS best_order FROM (
+         SELECT o_custkey,
+           max(struct_pack(p := round(o_totalprice, 2), k := o_orderkey)) AS m
+         FROM orders GROUP BY o_custkey)
+       ORDER BY o_custkey"""
+
+  /** v04 — GROUPING SETS with grouping() disambiguation (the general
+    * form of q07/q08's rollup/cube). */
+  private def v04(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+    s.sql(
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           grouping(o_orderstatus) AS g_status,
+           count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+         FROM orders_gs
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
+         ORDER BY status, priority""")
+  }
+  private val v04Sql =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+         coalesce(o_orderpriority, 'ALL') AS priority,
+         grouping(o_orderstatus) AS g_status,
+         count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+       FROM orders
+       GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
+       ORDER BY status, priority"""
+
+  /** v05 — typed-Aggregator top-k (SURVEY §2.10): per-customer top-3
+    * orders through a bounded heap with O(k) partial state — map-side
+    * combine shrinks every partition's group to k rows pre-shuffle,
+    * where the window formulation (w03) shuffles and sorts every row.
+    * The oracle is that window formulation — both must agree exactly.
+    */
+  private def v05(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ds = Tables.orders(s, d)
+      .select($"o_custkey", round($"o_totalprice", 2).as("price"), $"o_orderkey")
+      .as[(Long, Double, Long)]
+    val top3 = new TopKByPrice(3)
+    ds.map { case (ck, p, k) => (ck, PricedKey(p, k)) }
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(top3.toColumn.name("topk"))
+      .flatMap { case (ck, items) =>
+        items.zipWithIndex.map { case (pk, i) => (ck, i + 1, pk.key, pk.price) }
+      }
+      .toDF("o_custkey", "rn", "o_orderkey", "price")
+      .orderBy($"o_custkey", $"rn")
+  }
+  private val v05Sql =
+    """SELECT o_custkey, rn, o_orderkey, price FROM (
+         SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+           row_number() OVER (PARTITION BY o_custkey
+             ORDER BY round(o_totalprice, 2) DESC, o_orderkey) AS rn
+         FROM orders)
+       WHERE rn <= 3 ORDER BY o_custkey, rn"""
+
+  /** v06 — MERGE-style upsert without a table format (SURVEY §2.7 U3
+    * upsert note): target = each customer's 1997 spend, source = 1998
+    * spend; matched keys update (sum both years), unmatched source keys
+    * insert, unmatched target keys are kept. Full-outer-join recompute
+    * — the anti ∪ updated formulation in one pass.
+    */
+  private def v06(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ord = Tables.orders(s, d)
+    def spend(y: Int) = ord.filter(year($"o_orderdate") === y)
+      .groupBy($"o_custkey").agg(round(sum($"o_totalprice"), 2).as(s"spend_$y"))
+    spend(1997).withColumnRenamed("o_custkey", "t_key")
+      .join(spend(1998).withColumnRenamed("o_custkey", "s_key"),
+        $"t_key" === $"s_key", "full_outer")
+      .select(
+        coalesce($"t_key", $"s_key").as("o_custkey"),
+        when($"t_key".isNotNull && $"s_key".isNotNull, "updated")
+          .when($"s_key".isNotNull, "inserted").otherwise("kept").as("action"),
+        round(coalesce($"spend_1997", lit(0.0)) + coalesce($"spend_1998", lit(0.0)), 2).as("spend"))
+      .orderBy($"o_custkey")
+  }
+  private val v06Sql =
+    """SELECT coalesce(t.o_custkey, s.o_custkey) AS o_custkey,
+         CASE WHEN t.o_custkey IS NOT NULL AND s.o_custkey IS NOT NULL THEN 'updated'
+              WHEN s.o_custkey IS NOT NULL THEN 'inserted' ELSE 'kept' END AS action,
+         round(coalesce(t.spend_1997, 0.0) + coalesce(s.spend_1998, 0.0), 2) AS spend
+       FROM (SELECT o_custkey, round(sum(o_totalprice), 2) AS spend_1997
+             FROM orders WHERE year(o_orderdate) = 1997 GROUP BY o_custkey) t
+       FULL OUTER JOIN (SELECT o_custkey, round(sum(o_totalprice), 2) AS spend_1998
+             FROM orders WHERE year(o_orderdate) = 1998 GROUP BY o_custkey) s
+         ON t.o_custkey = s.o_custkey
+       ORDER BY o_custkey"""
+
+  /** v07 — content-driven source discovery (SURVEY §2.1 S2: scan every
+    * sheet for a keyword, return the first match): first source tag
+    * whose documents mention 'spark', by source number. */
+  private def v07(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .filter(lower($"text").contains("spark"))
+      .select(regexp_extract($"source", "[0-9]+", 0).cast("int").as("src_num"))
+      .orderBy($"src_num")
+      .limit(1)
+  }
+  private val v07Sql =
+    """SELECT CAST(regexp_extract(source, '[0-9]+', 0) AS INT) AS src_num
+       FROM documents WHERE contains(lower(text), 'spark')
+       ORDER BY src_num LIMIT 1"""
+
+  /** v08 — drop all-null rows (P3) and report per-column null masses
+    * (the aggregate P4's driver-side column pruning decides from).
+    * Nullable columns are derived deterministically from events. */
+  private def v08(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .withColumn("big_value", when($"value" > 100, $"value"))
+      .withColumn("err_kind", when($"event_type" === "error", $"event_type"))
+    val nonAllNull = ev.filter($"big_value".isNotNull || $"err_kind".isNotNull)
+    nonAllNull.agg(
+      count(lit(1)).as("rows_kept"),
+      count($"big_value").as("nn_big_value"),
+      count($"err_kind").as("nn_err_kind"))
+  }
+  private val v08Sql =
+    """SELECT count(*) AS rows_kept,
+         count(big_value) AS nn_big_value,
+         count(err_kind) AS nn_err_kind
+       FROM (
+         SELECT CASE WHEN value > 100 THEN value END AS big_value,
+           CASE WHEN event_type = 'error' THEN event_type END AS err_kind
+         FROM events)
+       WHERE big_value IS NOT NULL OR err_kind IS NOT NULL"""
+
+  /** v09 — approximate distinct (HLL++): sketch-based cardinality per
+    * status. No oracle (DuckDB's sketch differs); AdvancedSpec bounds
+    * the error against the exact count — the scale story is the point:
+    * fixed-size sketch state vs a full distinct shuffle. */
+  private def v09(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .groupBy($"o_orderstatus")
+      .agg(approx_count_distinct($"o_custkey", 0.02).as("approx_customers"),
+        countDistinct($"o_custkey").as("exact_customers"))
+      .orderBy($"o_orderstatus")
+  }
+
+  val queries: Map[String, QueryFn] = Map(
+    "v01_percentiles" -> v01 _,
+    "v02_stats_agg" -> v02 _,
+    "v03_argmax_struct" -> v03 _,
+    "v04_grouping_sets" -> v04 _,
+    "v05_topk_aggregator" -> v05 _,
+    "v06_upsert_merge" -> v06 _,
+    "v07_source_discovery" -> v07 _,
+    "v08_drop_null_rows" -> v08 _,
+    "v09_approx_distinct" -> v09 _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "v01_percentiles" -> v01Sql,
+    "v02_stats_agg" -> v02Sql,
+    "v03_argmax_struct" -> v03Sql,
+    "v04_grouping_sets" -> v04Sql,
+    "v05_topk_aggregator" -> v05Sql,
+    "v06_upsert_merge" -> v06Sql,
+    "v07_source_discovery" -> v07Sql,
+    "v08_drop_null_rows" -> v08Sql,
+  )
+}

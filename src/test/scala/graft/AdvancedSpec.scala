@@ -1,0 +1,43 @@
+package graft
+
+import graft.queries.{Advanced, Windows}
+import org.apache.spark.sql.functions._
+
+class AdvancedSpec extends SparkSpec {
+
+  test("every advanced query runs; oracle covers all but approx_distinct") {
+    Advanced.queries.foreach { case (name, fn) =>
+      assert(fn(spark, sfDir).columns.nonEmpty, name)
+    }
+    assert(Advanced.queries.keySet -- Advanced.oracle.keySet == Set("v09_approx_distinct"))
+  }
+
+  test("v05 Aggregator top-k equals the w03 window top-k rows") {
+    val agg = Advanced.queries("v05_topk_aggregator")(spark, sfDir)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"))
+    val win = Windows.queries("w03_ranking_topk")(spark, sfDir)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"))
+    assert(agg.except(win).count() == 0 && win.except(agg).count() == 0)
+  }
+
+  test("v05 runs as partial+final aggregation (map-side combine), not a window sort") {
+    val plan = planOf(Advanced.queries("v05_topk_aggregator")(spark, sfDir))
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"), plan)
+    assert(!plan.contains("Window"), "the Aggregator path must not fall back to a window")
+  }
+
+  test("v09 approximate distinct is within the configured 2% rsd (loose 10% bound)") {
+    val rows = Advanced.queries("v09_approx_distinct")(spark, sfDir).collect()
+    rows.foreach { r =>
+      val approx = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact <= 0.10, s"$approx vs $exact")
+    }
+  }
+
+  test("v06 upsert covers every customer exactly once with a valid action") {
+    val df = Advanced.queries("v06_upsert_merge")(spark, sfDir)
+    assert(df.groupBy("o_custkey").count().filter(col("count") > 1).count() == 0)
+    assert(df.filter(!col("action").isin("updated", "inserted", "kept")).count() == 0)
+  }
+}
