@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Scale-out join utilities (the 100 TB toolbox the test SFs can't
+  * force but a 1000-executor cluster needs):
+  *
+  *  - salted join: when one join key carries a disproportionate share
+  *    of rows, AQE's skew splitting handles sort-merge spills, but a
+  *    pathological hot key still serializes its probe side. Salting
+  *    splits the hot key into `n` synthetic sub-keys: the big side
+  *    hashes a unique column into a salt, the small side replicates
+  *    each row n times — shuffle spreads n-ways, results are identical
+  *    to the plain join (spec-asserted).
+  *
+  *  - bucketed co-located join: pre-shuffling both tables into the same
+  *    bucket layout at write time makes every later equi-join on the
+  *    bucket key shuffle-free — the dominant cost of repeated big-big
+  *    joins amortizes to zero. `BucketingSpec` asserts the no-Exchange
+  *    plan.
+  */
+object ScaleOps {
+
+  /** Equi-join `left⋈right` on `key`, with the left side salted n ways
+    * by a deterministic hash of `leftUnique` (any well-distributed left
+    * column). `right` is replicated n times — use for dimension-sized
+    * right sides where the duplication is cheap relative to the skew.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+      leftUnique: String, n: Int): DataFrame = {
+    val salted = left.withColumn("_salt", pmod(hash(col(leftUnique)), lit(n)))
+    val replicated = right.withColumn("_salt",
+      explode(sequence(lit(0), lit(n - 1))))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
+
+  /** Write `df` as a bucketed+sorted table: later equi-joins between
+    * tables sharing (buckets, key) need no shuffle and no sort. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+}

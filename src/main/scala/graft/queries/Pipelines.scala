@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.plans.{CalkLine, CalkParser, FactPipeline}
+import graft.plans.{CalkLine, CalkParser, FactPipeline, NotesEnrichment}
 
 /** Reference end-to-end pipelines (E1/E2) surfaced as driver-visible
   * queries. The driver test tables model the post-extraction relational
@@ -86,9 +86,25 @@ object Pipelines extends QueryModule {
       .toDF().orderBy("doc_id", "kode")
   }
 
+  private def p03(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fact = Seq(
+      ("BBNI", "PT BNI", 2023, 2, "Laporan Neraca", "Kas dan setara kas", 100.0, null.asInstanceOf[String]),
+      ("BBNI", "PT BNI", 2023, 2, "Laporan Neraca", "Jumlah aset", 900.0, null.asInstanceOf[String]),
+    ).toDF("kode_emiten", "nama_emiten", "tahun", "quartal",
+      "grup_laporan_keuangan", "item", "nilai", "notes")
+    val lines = Seq(
+      ("doc1", "BBNI", 2023, 2, "Laporan Neraca", 4, 0, "Kas dan setara"),
+      ("doc1", "BBNI", 2023, 2, "Laporan Neraca", 4, 1, "2,3b"),
+    ).toDF("doc_id", "kode_emiten", "tahun", "quartal",
+      "grup_laporan_keuangan", "page", "line_no", "text")
+    NotesEnrichment.enrich(fact, lines).orderBy("item", "notes")
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "p01_fact_pipeline" -> p01 _,
     "p02_calk_parser" -> p02 _,
+    "p03_notes_enrichment" -> p03 _,
   )
 
   // Inline fixtures, not sfDir tables — no DuckDB oracle (rows>0 check).

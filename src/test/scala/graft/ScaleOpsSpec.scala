@@ -1,0 +1,47 @@
+package graft
+
+import graft.ops.ScaleOps
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+class ScaleOpsSpec extends SparkSpec {
+
+  test("salted join returns exactly the plain join's rows") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_quantity"))
+    val plain = li.join(Tables.orders(spark, sfDir)
+        .withColumnRenamed("o_orderkey", "l_orderkey"), Seq("l_orderkey"))
+      .select("l_orderkey", "l_linenumber", "o_totalprice")
+    val salted = ScaleOps.saltedJoin(li,
+        Tables.orders(spark, sfDir).withColumnRenamed("o_orderkey", "l_orderkey"),
+        "l_orderkey", "l_linenumber", 8)
+      .select("l_orderkey", "l_linenumber", "o_totalprice")
+    assert(plain.exceptAll(salted).count() == 0)
+    assert(salted.exceptAll(plain).count() == 0)
+  }
+
+  test("bucketed tables join without a shuffle") {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    ScaleOps.writeBucketed(
+      Tables.orders(spark, sfDir).select("o_orderkey", "o_totalprice"),
+      "b_orders", "o_orderkey", 8)
+    ScaleOps.writeBucketed(
+      Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+        .withColumnRenamed("l_orderkey", "o_orderkey"),
+      "b_lineitem", "o_orderkey", 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val joined = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must be shuffle-free (warehouse=$wh):\n$plan")
+      assert(plan.contains("SortMergeJoin"), plan)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+}
