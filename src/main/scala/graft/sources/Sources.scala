@@ -1,0 +1,47 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink layer beyond the fixture parquet (SURVEY.md §2.1): CSV
+  * and JSON line readers with *mandatory* explicit schemas, and
+  * partitioned parquet writes.
+  *
+  * Schema-on-read discipline: the reference trusts sheet positions
+  * (schema-by-convention, enforced nowhere — SURVEY §1.3); here every
+  * non-parquet read REQUIRES a StructType so drift fails loudly at
+  * analysis instead of silently shifting columns. No inferSchema —
+  * at 100 TB an inference pass is a full extra scan.
+  *
+  * Partitioned writes: directory-partitioning by a low-cardinality key
+  * makes later reads prune whole directories (PartitionFilters in the
+  * scan node) — the file-layout analog of predicate pushdown, asserted
+  * in SourcesSpec.
+  */
+object Sources {
+
+  def csv(spark: SparkSession, path: String, schema: StructType,
+      header: Boolean = true): DataFrame =
+    spark.read.schema(schema)
+      .option("header", header.toString)
+      .option("mode", "FAILFAST") // corrupt rows fail the read, not the result
+      .csv(path)
+
+  def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema)
+      .option("mode", "FAILFAST")
+      .json(path)
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  def writeJsonLines(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** Directory-partitioned parquet: one directory per distinct value of
+    * each partition column; equality/IN filters on them prune at file
+    * listing time. Keep partition columns low-cardinality — a
+    * high-cardinality partition key creates a small-file explosion. */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+}
