@@ -1,0 +1,64 @@
+package graft
+
+/** Fleet-wide physical-plan audit: the properties that must hold for
+  * every registered query, not just the ones with dedicated specs.
+  * This is the 100 TB insurance — a regression that sneaks a cartesian
+  * product or an unbroadcast nested loop into any query fails here
+  * before it ever reaches a cluster.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  /** Queries that intentionally cross-join a broadcast scalar/handful
+    * of rows (1-row metadata, query vectors, centroid tables) — the
+    * only place BroadcastNestedLoopJoin is acceptable. */
+  private val bnljWhitelist = Set(
+    "q10_cross_join_meta", "s01_cosine_topk", "s04_cosine_topk_native",
+    "s03_ivf_ann", "s02_batch_knn" /* broadcast probe set x corpus */)
+
+  test("no query plans a CartesianProduct") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = planOf(fn(spark, sfDir))
+      assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
+    }
+  }
+
+  test("BroadcastNestedLoopJoin only where a broadcast cross join is the design") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val plan = planOf(fn(spark, sfDir))
+      if (plan.contains("BroadcastNestedLoopJoin"))
+        assert(bnljWhitelist.contains(name), s"unexpected BNLJ in $name:\n$plan")
+    }
+  }
+
+  test("narrow projections prune the parquet scan (ReadSchema)") {
+    // q06 touches 5 of lineitem's 11 columns; the scan must not read more
+    val plan = planOf(graft.queries.Relational.queries("q06_scan_filter_agg")(spark, sfDir))
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    val cols = read.split(",").filter(_.nonEmpty)
+    assert(cols.length <= 5, s"q06 should read <=5 columns, got: $read")
+    // q02 projects 3 of orders' 6 columns
+    val plan2 = planOf(graft.queries.Relational.queries("q02_topk_orders")(spark, sfDir))
+    val read2 = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(plan2).map(_.group(1)).getOrElse("")
+    assert(read2.split(",").length <= 3, s"q02 should read <=3 columns, got: $read2")
+  }
+
+  test("timestamp range predicates reach the scan as PushedFilters") {
+    Seq("q01_pricing_summary", "q03_shipping_priority", "q06_scan_filter_agg").foreach { q =>
+      val plan = planOf(graft.queries.Relational.queries(q)(spark, sfDir))
+      assert(plan.contains("PushedFilters: [") &&
+        (plan.contains("LessThan") || plan.contains("GreaterThan")),
+        s"$q must push its date range:\n$plan")
+    }
+  }
+
+  test("every query result is deterministic: two runs hash identically") {
+    // spot-check the families most at risk of order instability
+    Seq("t06_segmentation", "d03_minhash_lsh", "s02_batch_knn", "v05_topk_aggregator")
+      .foreach { name =>
+        val fn = SparkEntry.queries(name)
+        val a = fn(spark, sfDir).collect().toSeq
+        val b = fn(spark, sfDir).collect().toSeq
+        assert(a == b, s"$name is nondeterministic")
+      }
+  }
+}
