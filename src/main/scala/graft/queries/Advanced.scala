@@ -214,8 +214,28 @@ object Advanced extends QueryModule {
       .orderBy($"o_orderstatus")
   }
 
+  /** v10 — v05 again through the custom TopKPerKey LogicalPlan /
+    * SparkStrategy / physical operator (graft.plans.TopKPerKeyPlan):
+    * partial per-partition heaps cap the shuffle at k rows per key per
+    * partition, the final stage merges per key. Same oracle as v05 —
+    * the custom operator is held to the DuckDB gate like any builtin.
+    */
+  private def v10(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.orders(s, d)
+      .select($"o_custkey", round($"o_totalprice", 2).as("price"), $"o_orderkey")
+    val top = graft.plans.TopKPerKey.topKPerKey(base, 3,
+      Seq($"o_custkey"), Seq($"price".desc, $"o_orderkey"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"o_custkey").orderBy($"price".desc, $"o_orderkey")
+    top.withColumn("rn", row_number().over(w))
+      .select($"o_custkey", $"rn", $"o_orderkey", $"price")
+      .orderBy($"o_custkey", $"rn")
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "v01_percentiles" -> v01 _,
+    "v10_topk_custom_plan" -> v10 _,
     "v02_stats_agg" -> v02 _,
     "v03_argmax_struct" -> v03 _,
     "v04_grouping_sets" -> v04 _,
@@ -228,6 +248,7 @@ object Advanced extends QueryModule {
 
   val oracle: Map[String, String] = Map(
     "v01_percentiles" -> v01Sql,
+    "v10_topk_custom_plan" -> v05Sql,
     "v02_stats_agg" -> v02Sql,
     "v03_argmax_struct" -> v03Sql,
     "v04_grouping_sets" -> v04Sql,

@@ -1,15 +1,30 @@
 package org.apache.spark.sql.graft
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic
 import org.apache.spark.sql.classic.ExpressionUtils
 
 /** Minimal bridge into `private[sql]` surface: Column <-> Expression
-  * conversion for the classic (non-Connect) API. Lives under
-  * org.apache.spark.sql so the package-private members resolve; keep it
-  * to exactly these two calls.
+  * conversion and DataFrame-from-LogicalPlan for the classic
+  * (non-Connect) API. Lives under org.apache.spark.sql so the
+  * package-private members resolve; keep it to exactly these calls.
   */
 object SqlBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eager ColumnNode -> catalyst conversion: unlike `expression`,
+    * which returns a lazy ColumnNodeExpression wrapper (fine inside
+    * Dataset operators, NOT fine embedded in a custom LogicalPlan — the
+    * wrapper holds non-serializable internal nodes), this produces the
+    * real catalyst tree immediately. */
+  def toCatalyst(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter.apply(c.node)
+
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  def logicalPlan(df: DataFrame): LogicalPlan = df.queryExecution.logical
 }
