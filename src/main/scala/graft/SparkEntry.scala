@@ -15,6 +15,7 @@ object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
     Relational,
     Advanced,
+    Joins,
     Windows,
     Eventing,
     TextOps,

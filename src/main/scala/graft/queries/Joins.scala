@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Outer-join and nested-aggregation surface (the TPC-H shapes the
+  * reference never needed but a complete engine must cover): left
+  * outer with null-group counting, correlated-min elimination via a
+  * derived aggregate join, aggregate-of-aggregate, and HAVING.
+  *
+  * Scale notes: x01's outer join shuffles both sides on the key once
+  * and feeds the two stacked aggregations without re-shuffling more
+  * than the group columns; x02/x03 rewrite correlated subqueries as
+  * derived-table joins — the form Catalyst plans as hash joins instead
+  * of per-row subquery execution.
+  */
+object Joins extends QueryModule {
+
+  /** x01 — TPC-H Q13 shape: customers x their order counts, including
+    * zero-order customers (left outer), then the count-of-counts
+    * distribution. */
+  private def x01(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, d).select($"c_custkey")
+    val ord = Tables.orders(s, d)
+      .filter(!$"o_orderpriority".startsWith("1-"))
+      .select($"o_custkey", $"o_orderkey")
+    cust.join(ord, $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count"))
+      .groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+  }
+  private val x01Sql =
+    """SELECT c_count, count(*) AS custdist FROM (
+         SELECT c_custkey, count(o_orderkey) AS c_count
+         FROM customer LEFT OUTER JOIN orders
+           ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '1-%'
+         GROUP BY c_custkey)
+       GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""
+
+  /** x02 — TPC-H Q2 shape: rows equal to their group's minimum
+    * (correlated scalar subquery rewritten as a derived-aggregate
+    * equi-join): the cheapest lineitem per part. */
+  private def x02(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+    val minPrice = li.groupBy($"l_partkey".as("mp_partkey"))
+      .agg(min($"l_extendedprice").as("min_price"))
+    li.join(minPrice,
+        $"l_partkey" === $"mp_partkey" && $"l_extendedprice" === $"min_price")
+      .groupBy($"l_partkey")
+      .agg(round(min($"l_extendedprice"), 2).as("cheapest"),
+        count(lit(1)).as("n_at_min"))
+      .orderBy($"l_partkey")
+  }
+  private val x02Sql =
+    """SELECT l_partkey, round(min(l_extendedprice), 2) AS cheapest,
+         count(*) AS n_at_min
+       FROM lineitem l
+       WHERE l_extendedprice = (SELECT min(l_extendedprice) FROM lineitem
+                                WHERE l_partkey = l.l_partkey)
+       GROUP BY l_partkey ORDER BY l_partkey"""
+
+  /** x03 — TPC-H Q15 shape: aggregate of an aggregate — suppliers whose
+    * revenue equals the maximum supplier revenue. */
+  private def x03(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rev = Tables.lineitem(s, d)
+      .groupBy($"l_suppkey")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("total_rev"))
+    val maxRev = rev.agg(max($"total_rev").as("max_rev"))
+    rev.join(broadcast(maxRev), $"total_rev" === $"max_rev")
+      .select($"l_suppkey", $"total_rev")
+      .orderBy($"l_suppkey")
+  }
+  private val x03Sql =
+    """WITH rev AS (
+         SELECT l_suppkey,
+           round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_rev
+         FROM lineitem GROUP BY l_suppkey)
+       SELECT l_suppkey, total_rev FROM rev
+       WHERE total_rev = (SELECT max(total_rev) FROM rev)
+       ORDER BY l_suppkey"""
+
+  /** x04 — TPC-H Q18 shape: HAVING on an aggregate (big-quantity
+    * orders), then enrichment join back to the detail. */
+  private def x04(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val big = Tables.lineitem(s, d)
+      .groupBy($"l_orderkey")
+      .agg(sum($"l_quantity").as("sum_qty"))
+      .filter($"sum_qty" > 25) // HAVING
+    big.join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+      .select($"o_orderkey", $"o_custkey", round($"o_totalprice", 2).as("price"),
+        $"sum_qty")
+      .orderBy($"o_orderkey")
+  }
+  private val x04Sql =
+    """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price, sum_qty
+       FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+             FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 25) b
+       JOIN orders ON l_orderkey = o_orderkey
+       ORDER BY o_orderkey"""
+
+  /** x05 — right and full outer in one flow: nations with suppliers vs
+    * nations with customers, reconciled. */
+  private def x05(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val suppN = Tables.supplier(s, d).groupBy($"s_nationkey")
+      .agg(count(lit(1)).as("n_supp"))
+    val custN = Tables.customer(s, d).groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_cust"))
+    suppN.join(custN, $"s_nationkey" === $"c_nationkey", "full_outer")
+      .select(
+        coalesce($"s_nationkey", $"c_nationkey").as("nationkey"),
+        coalesce($"n_supp", lit(0L)).as("n_supp"),
+        coalesce($"n_cust", lit(0L)).as("n_cust"))
+      .orderBy($"nationkey")
+  }
+  private val x05Sql =
+    """SELECT coalesce(s_nationkey, c_nationkey) AS nationkey,
+         coalesce(n_supp, 0) AS n_supp, coalesce(n_cust, 0) AS n_cust
+       FROM (SELECT s_nationkey, count(*) AS n_supp FROM supplier GROUP BY s_nationkey) s
+       FULL OUTER JOIN (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY c_nationkey) c
+         ON s_nationkey = c_nationkey
+       ORDER BY nationkey"""
+
+  val queries: Map[String, QueryFn] = Map(
+    "x01_outer_distribution" -> x01 _,
+    "x02_correlated_min" -> x02 _,
+    "x03_agg_of_agg" -> x03 _,
+    "x04_having_detail" -> x04 _,
+    "x05_full_outer_reconcile" -> x05 _,
+  )
+
+  val oracle: Map[String, String] = Map(
+    "x01_outer_distribution" -> x01Sql,
+    "x02_correlated_min" -> x02Sql,
+    "x03_agg_of_agg" -> x03Sql,
+    "x04_having_detail" -> x04Sql,
+    "x05_full_outer_reconcile" -> x05Sql,
+  )
+}
