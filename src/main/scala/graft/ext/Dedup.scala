@@ -33,6 +33,18 @@ object Dedup extends QueryModule {
   private def h60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Fixed odd multipliers / offsets (< 2^30) for the minhash
+    * permutation family; arbitrary but stable — the oracle embeds the
+    * same constants. */
+  private val permA: IndexedSeq[Long] =
+    IndexedSeq(787021733L, 394601513L, 911911991L, 263882759L, 541717309L,
+      678876581L, 322601051L, 870041003L, 150094637L, 429867169L,
+      735191677L, 596516273L)
+  private val permB: IndexedSeq[Long] =
+    IndexedSeq(105892541L, 883460633L, 419037721L, 661903861L, 223494043L,
+      905850131L, 347807633L, 772091503L, 534610127L, 198653699L,
+      860498681L, 611452397L)
+
   /** Word 3-shingles as an array column (1-based positions). */
   private def shingleArr(text: Column): Column = {
     val toks = split(text, " ")
@@ -129,9 +141,18 @@ object Dedup extends QueryModule {
     import s.implicits._
     val seeds = 0 until 12
     // one aggregation pass, 12 min columns — no 12x row explosion and
-    // the shuffle carries |docs| rows of 12 longs, not |shingles| x 12
-    val minCols = seeds.map(i => min(h60(concat(lit(s"$i:"), $"sh"))).as(s"mh$i"))
-    val mh = shingles(s, d).groupBy($"doc_id").agg(minCols.head, minCols.tail: _*)
+    // the shuffle carries |docs| rows of 12 longs, not |shingles| x 12.
+    // The 12 permutations are a universal-hash family over ONE md5:
+    // h_i(x) = (a_i * (h(x) mod 2^30) + b_i) mod 1e9+7 — md5 runs once
+    // per shingle instead of 12 times (it dominated this query's cost);
+    // products stay < 2^60 so the arithmetic is overflow-free and
+    // bit-identical in the oracle.
+    val base = (h60($"sh") % 1073741824L).as("hb")
+    val minCols = seeds.map { i =>
+      min((lit(permA(i)) * $"hb" + lit(permB(i))) % 1000000007L).as(s"mh$i")
+    }
+    val mh = shingles(s, d).select($"doc_id", base)
+      .groupBy($"doc_id").agg(minCols.head, minCols.tail: _*)
     // the signature table is consumed by 5 downstream branches (3 band
     // joins + both pair sides); it is |docs| x 12 longs — persist it so
     // the shingle+hash pipeline runs once, not per branch
@@ -152,12 +173,19 @@ object Dedup extends QueryModule {
       .select($"doc_a", $"doc_b", $"est_sim")
       .orderBy($"doc_a", $"doc_b")
   }
-  private val d03Sql =
+  private def permCase(col: String): String =
+    seedsList.map { i => s"WHEN $i THEN (${permA(i)} * $col + ${permB(i)}) % 1000000007" }
+      .mkString("CASE seed ", " ", " END")
+  private val seedsList = 0 until 12
+  private lazy val d03Sql =
     s"""WITH sh AS ($shinglesSql),
+       hb AS (
+         SELECT doc_id,
+           CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) % 1073741824 AS hb
+         FROM sh),
        mh AS (
-         SELECT doc_id, seed,
-           min(CAST('0x' || substr(md5(seed || ':' || sh), 1, 15) AS BIGINT)) AS mh
-         FROM sh, unnest(generate_series(0, 11)) AS t(seed)
+         SELECT doc_id, seed, min(${permCase("hb")}) AS mh
+         FROM hb, unnest(generate_series(0, 11)) AS t(seed)
          GROUP BY doc_id, seed),
        bands AS (
          SELECT doc_id, CAST(seed // 4 AS INT) AS band,
@@ -181,21 +209,21 @@ object Dedup extends QueryModule {
     */
   private def d04(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // all 16 bit-votes as wide aggregate columns — no 16x row explode,
+    // one shuffle of |doc, word| groups, then a map-side bit assembly
     val wc = Tables.documents(s, d)
       .select($"doc_id", explode(split($"text", " ")).as("word"))
       .groupBy($"doc_id", $"word").agg(count(lit(1)).as("cnt"))
       .withColumn("h", h60(concat(lit("w:"), $"word")))
-    val bits = wc
-      .select($"doc_id", $"cnt", $"h", explode(sequence(lit(0), lit(15))).as("b"))
-      .withColumn("vote",
-        when(expr("(h >> b) & 1") === 1, $"cnt").otherwise(-$"cnt"))
-      .groupBy($"doc_id", $"b")
-      .agg(sum($"vote").as("v"))
-      .withColumn("bitval", when($"v" > 0, expr("CAST(1 AS BIGINT) << b")).otherwise(lit(0L)))
-      .groupBy($"doc_id")
-      .agg(sum($"bitval").as("simhash"))
-    val buckets = bits.groupBy($"simhash").agg(count(lit(1)).as("bucket_size"))
-    bits.join(buckets, "simhash")
+    val voteCols = (0 until 16).map(b =>
+      sum(when(expr(s"(h >> $b) & 1") === 1, $"cnt").otherwise(-$"cnt")).as(s"v$b"))
+    val sig = wc.groupBy($"doc_id").agg(voteCols.head, voteCols.tail: _*)
+      .withColumn("simhash",
+        (0 until 16).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _))
+      .select($"doc_id", $"simhash")
+    val buckets = sig.groupBy($"simhash").agg(count(lit(1)).as("bucket_size"))
+    sig.join(buckets, "simhash")
       .select($"doc_id", $"simhash", $"bucket_size")
       .orderBy($"doc_id")
   }
