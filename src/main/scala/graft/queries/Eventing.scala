@@ -167,8 +167,32 @@ object Eventing extends QueryModule {
          AND f.ts <= s.ts + INTERVAL 1 HOUR
        GROUP BY 1, 2 ORDER BY s_event_id"""
 
+  /** e07 — MapType surface (SURVEY §1.2 note: engine adds map/array
+    * types): props parsed to map<string,int>, entries exploded, per-key
+    * aggregate. from_json + explode stay in codegen; no UDF.
+    */
+  private def e07(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select(explode(from_json($"props", org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.IntegerType))).as(Seq("key", "val")))
+      .groupBy($"key")
+      .agg(count(lit(1)).as("n"), sum($"val").as("sum_val"),
+        min($"val").as("min_val"), max($"val").as("max_val"))
+      .orderBy($"key")
+  }
+  private val e07Sql =
+    """SELECT key, count(*) AS n, sum(val) AS sum_val,
+         min(val) AS min_val, max(val) AS max_val
+       FROM (
+         SELECT key, CAST(json_extract_string(props, '$.' || key) AS INT) AS val
+         FROM (SELECT unnest(json_keys(props)) AS key, props FROM events))
+       GROUP BY key ORDER BY key"""
+
   val queries: Map[String, QueryFn] = Map(
     "e01_tumbling_window" -> e01 _,
+    "e07_map_entries" -> e07 _,
     "e02_sliding_window" -> e02 _,
     "e03_session_window" -> e03 _,
     "e04_json_extract" -> e04 _,
@@ -178,6 +202,7 @@ object Eventing extends QueryModule {
 
   val oracle: Map[String, String] = Map(
     "e01_tumbling_window" -> e01Sql,
+    "e07_map_entries" -> e07Sql,
     "e02_sliding_window" -> e02Sql,
     "e03_session_window" -> e03Sql,
     "e04_json_extract" -> e04Sql,

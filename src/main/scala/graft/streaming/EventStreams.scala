@@ -53,6 +53,37 @@ object EventStreams extends Serializable {
   def sessionStream(events: DataFrame): DataFrame =
     Eventing.sessions(events.withWatermark("ts", "2 hours"))
 
+  /** Stream-stream inner join with both sides watermarked and the
+    * event-time range bounded — purchases attributed to the same
+    * user's signup within the preceding hour. The time bound is what
+    * lets the state store evict signup rows once the watermark passes
+    * (unbounded stream-stream joins never release state).
+    */
+  def purchaseAttribution(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val purchases = events.filter(col("event_type") === "purchase")
+      .withWatermark("ts", "1 hour")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), round(col("value"), 2).as("p_value"))
+    val signups = events.filter(col("event_type") === "signup")
+      .withWatermark("ts", "1 hour")
+      .select(col("event_id").as("s_id"), col("user_id").as("s_user"),
+        col("ts").as("s_ts"))
+    purchases.join(signups,
+      col("p_user") === col("s_user") &&
+        col("s_ts") <= col("p_ts") &&
+        col("s_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("p_id"), col("p_user"), col("p_value"), col("s_id"))
+  }
+
+  /** Exactly-once ingest dedup: duplicate event_ids arriving within the
+    * watermark horizon collapse to one row; state for an id is dropped
+    * once the watermark passes it (bounded memory, unlike plain
+    * dropDuplicates on a stream). The streaming face of `ext.Dedup`. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Custom stateful sessionization on flatMapGroupsWithState: the
     * general form for session logic session_window can't express
     * (per-session aggregates beyond count/sum, custom close rules).

@@ -52,6 +52,48 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("stream-stream join converges to the batch join over the same rows") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val query = EventStreams.purchaseAttribution(input.toDF())
+      .writeStream.format("memory").queryName("attrib_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val evs = loadEvents()
+      val (first, second) = evs.splitAt(evs.length / 2)
+      input.addData(first); query.processAllAvailable()
+      input.addData(second); query.processAllAvailable()
+      val got = spark.table("attrib_out")
+        .orderBy("p_id", "s_id").collect().toSeq
+      val want = EventStreams.purchaseAttribution(
+        spark.createDataset(evs).toDF()).orderBy("p_id", "s_id").collect().toSeq
+      assert(got == want)
+      assert(want.nonEmpty, "fixture must exercise the join")
+    } finally query.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark collapses duplicate event ids") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val query = EventStreams.dedupStream(input.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def ev(id: Long, minute: Int): Ev =
+        Ev(id, Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"), 7L, "click", 1.0)
+      // same event delivered three times (at-least-once source) + one distinct
+      input.addData(ev(100, 0), ev(100, 0), ev(101, 1))
+      query.processAllAvailable()
+      input.addData(ev(100, 0)) // replay within the watermark horizon
+      query.processAllAvailable()
+      val got = spark.table("dedup_out").select("event_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == Seq(100L, 101L))
+    } finally query.stop()
+  }
+
   test("streaming stateful sessionization emits closed sessions as watermark advances") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
