@@ -176,11 +176,56 @@ object Similarity extends QueryModule {
       .limit(10)
   }
 
+  /** s05 — int8 quantized cosine (the memory-bound scale path: 4x
+    * smaller vectors, SIMD-able integer dot products). Per-vector
+    * symmetric quantization q_i = clamp(round(x_i / (max|x|/127))); the
+    * scales cancel in cosine, so the approximate similarity is the
+    * integer-space cosine directly. Output pairs the approximation with
+    * the exact value — the quantization error is part of the oracle-
+    * checked result, not a hand-waved claim.
+    */
+  private def s05(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def quantize(v: Column): Column = {
+      val scale = array_max(transform(v, x => abs(x))) / 127.0
+      transform(v, x => greatest(lit(-127L), least(lit(127L),
+        round(x / scale).cast("long"))).cast("double"))
+    }
+    val e = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("qv", quantize($"v"))
+    val q = e.filter($"vec_id" === 0).select($"v".as("q_v"), $"qv".as("q_qv"))
+    e.filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("approx_cos", cosine($"qv", $"q_qv"))
+      .withColumn("exact_cos", cosine($"v", $"q_v"))
+      .select($"vec_id", round($"approx_cos", 6).as("approx_cos"),
+        round($"exact_cos", 6).as("exact_cos"),
+        round(abs($"approx_cos" - $"exact_cos"), 6).as("quant_err"))
+      .orderBy(round($"approx_cos", 9).desc, $"vec_id")
+      .limit(10)
+  }
+  private val s05Sql =
+    """WITH e AS (
+         SELECT vec_id, embedding::DOUBLE[] AS v,
+           list_transform(embedding::DOUBLE[], x -> CAST(greatest(-127, least(127,
+             CAST(round(x / (list_max(list_transform(embedding::DOUBLE[], y -> abs(y))) / 127.0)) AS BIGINT))) AS DOUBLE)) AS qv
+         FROM embeddings),
+       q AS (SELECT v AS q_v, qv AS q_qv FROM e WHERE vec_id = 0)
+       SELECT vec_id,
+         round(list_cosine_similarity(e.qv, q.q_qv), 6) AS approx_cos,
+         round(list_cosine_similarity(e.v, q.q_v), 6) AS exact_cos,
+         round(abs(list_cosine_similarity(e.qv, q.q_qv) - list_cosine_similarity(e.v, q.q_v)), 6) AS quant_err
+       FROM (SELECT * FROM e WHERE vec_id <> 0) e CROSS JOIN q
+       ORDER BY round(list_cosine_similarity(e.qv, q.q_qv), 9) DESC, vec_id
+       LIMIT 10"""
+
   val queries: Map[String, QueryFn] = Map(
     "s01_cosine_topk" -> s01 _,
     "s02_batch_knn" -> s02 _,
     "s03_ivf_ann" -> s03 _,
     "s04_cosine_topk_native" -> s04 _,
+    "s05_quantized_cosine" -> s05 _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -188,5 +233,6 @@ object Similarity extends QueryModule {
     "s02_batch_knn" -> s02Sql,
     "s03_ivf_ann" -> s03Sql,
     "s04_cosine_topk_native" -> s01Sql,
+    "s05_quantized_cosine" -> s05Sql,
   )
 }

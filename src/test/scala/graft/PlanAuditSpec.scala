@@ -13,7 +13,8 @@ class PlanAuditSpec extends SparkSpec {
     * only place BroadcastNestedLoopJoin is acceptable. */
   private val bnljWhitelist = Set(
     "q10_cross_join_meta", "s01_cosine_topk", "s04_cosine_topk_native",
-    "s03_ivf_ann", "s02_batch_knn" /* broadcast probe set x corpus */)
+    "s03_ivf_ann", "s02_batch_knn" /* broadcast probe set x corpus */,
+    "s05_quantized_cosine")
 
   test("no query plans a CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -40,6 +40,12 @@ class SimilaritySpec extends SparkSpec {
     assert(self.count() == 0)
   }
 
+  test("s05 int8 quantization error stays under 2% absolute cosine") {
+    val df = Similarity.queries("s05_quantized_cosine")(spark, sfDir)
+    assert(df.filter(col("quant_err") > 0.02).count() == 0,
+      "symmetric int8 quantization of 64-dim vectors must track cosine closely")
+  }
+
   test("s03 IVF searches only the assigned cell") {
     val df = Similarity.queries("s03_ivf_ann")(spark, sfDir)
     val labels = graft.sources.Tables.embeddings(spark, sfDir)
