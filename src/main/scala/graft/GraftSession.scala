@@ -27,13 +27,12 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
 
-  /** Local session sized to the machine (the test/bench shape). */
-  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
-    val s = builder(s"local[$cores]", cores)
+  /** Local session sized to the machine (the test/bench shape). The
+    * TopKPerKey strategy self-registers on first use via
+    * `experimental.extraStrategies` (see TopKPerKeyPlan), so no
+    * session-build hook is needed for it. */
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession =
+    builder(s"local[$cores]", cores)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    // strategies are not injectable via extensions API — register here
-    graft.plans.TopKPerKey // touch to load class
-    s
-  }
 }
