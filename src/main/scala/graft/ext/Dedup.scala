@@ -33,6 +33,20 @@ object Dedup extends QueryModule {
   private def h60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Self-cleaning persist: queries here reuse a small DataFrame across
+    * several join branches, but the query function cannot unpersist
+    * before the caller's action runs. Each invocation releases the
+    * PREVIOUS invocation's cache under the same slot, so repeated runs
+    * (bench, driver, specs) hold at most one live cache per slot
+    * instead of accumulating for the session's lifetime. */
+  private val persistSlots = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def swapPersist(slot: String, df: DataFrame): DataFrame = {
+    val cached = df.persist()
+    val prev = persistSlots.put(slot, cached)
+    if (prev != null && (prev ne cached)) prev.unpersist(blocking = false)
+    cached
+  }
+
   /** Fixed odd multipliers / offsets (< 2^30) for the minhash
     * permutation family; arbitrary but stable — the oracle embeds the
     * same constants. */
@@ -45,11 +59,16 @@ object Dedup extends QueryModule {
       905850131L, 347807633L, 772091503L, 534610127L, 198653699L,
       860498681L, 611452397L)
 
-  /** Word 3-shingles as an array column (1-based positions). */
+  /** Word 3-shingles as an array column (1-based positions). Documents
+    * with fewer than 3 tokens yield an empty array — without the guard,
+    * sequence(1, size-2) turns DESCENDING for size<3 and element_at
+    * throws on index 0 (the DuckDB generate_series is simply empty). */
   private def shingleArr(text: Column): Column = {
     val toks = split(text, " ")
-    transform(sequence(lit(1), size(toks) - 2), i =>
-      concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
+    when(size(toks) >= 3,
+      transform(sequence(lit(1), size(toks) - 2), i =>
+        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+      .otherwise(array())
   }
 
   /** Distinct (doc_id, shingle) pairs. */
@@ -100,7 +119,7 @@ object Dedup extends QueryModule {
     // an order of magnitude less shuffle volume at identical results
     // (the oracle hashes identically; a collision would have to defeat
     // md5 inside one corpus). Three consumers — materialize once.
-    val sh = shingles(s, d).select($"doc_id", h60($"sh").as("sh")).persist()
+    val sh = swapPersist("d02", shingles(s, d).select($"doc_id", h60($"sh").as("sh")))
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
@@ -156,10 +175,10 @@ object Dedup extends QueryModule {
     // the signature table is consumed by 5 downstream branches (3 band
     // joins + both pair sides); it is |docs| x 12 longs — persist it so
     // the shingle+hash pipeline runs once, not per branch
-    val withBands = (0 until 3).foldLeft(mh)((df, b) =>
-      df.withColumn(s"bh$b", md5(concat_ws(",",
-        (0 until 4).map(r => col(s"mh${b * 4 + r}").cast("string")): _*))))
-      .persist()
+    val withBands = swapPersist("d03",
+      (0 until 3).foldLeft(mh)((df, b) =>
+        df.withColumn(s"bh$b", md5(concat_ws(",",
+          (0 until 4).map(r => col(s"mh${b * 4 + r}").cast("string")): _*)))))
     val cand = (0 until 3).map { b =>
         val x = withBands.select($"doc_id".as("doc_a"), col(s"bh$b").as("bh"))
         val y = withBands.select($"doc_id".as("doc_b"), col(s"bh$b").as("bh"))
@@ -269,7 +288,10 @@ object Dedup extends QueryModule {
     e.as("a").join(e.as("b"),
         $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
       .withColumn("cos", graft.functions.CosineSimilarity.cosineSim($"a.v", $"b.v"))
-      .filter($"cos" >= 0.4)
+      // threshold on the ROUNDED value: the two engines' accumulation
+      // orders may differ in the last ulp, and an unrounded >= would
+      // let a boundary pair pass in one engine and fail in the other
+      .filter(round($"cos", 6) >= 0.4)
       .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
         round($"cos", 6).as("cos_sim"))
       .orderBy($"vec_a", $"vec_b")
@@ -283,7 +305,7 @@ object Dedup extends QueryModule {
        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
        FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-       WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+       WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
        ORDER BY vec_a, vec_b"""
 
   val queries: Map[String, QueryFn] = Map(

@@ -193,6 +193,9 @@ object Similarity extends QueryModule {
     }
     val e = Tables.embeddings(s, d)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      // all-zero vectors have no defined cosine and a zero quantization
+      // scale (division blows up differently per engine) — exclude them
+      .filter(array_max(transform($"v", x => abs(x))) > 0)
       .withColumn("qv", quantize($"v"))
     val q = e.filter($"vec_id" === 0).select($"v".as("q_v"), $"qv".as("q_qv"))
     e.filter($"vec_id" =!= 0)
@@ -210,7 +213,8 @@ object Similarity extends QueryModule {
          SELECT vec_id, embedding::DOUBLE[] AS v,
            list_transform(embedding::DOUBLE[], x -> CAST(greatest(-127, least(127,
              CAST(round(x / (list_max(list_transform(embedding::DOUBLE[], y -> abs(y))) / 127.0)) AS BIGINT))) AS DOUBLE)) AS qv
-         FROM embeddings),
+         FROM embeddings
+         WHERE list_max(list_transform(embedding::DOUBLE[], y -> abs(y))) > 0),
        q AS (SELECT v AS q_v, qv AS q_qv FROM e WHERE vec_id = 0)
        SELECT vec_id,
          round(list_cosine_similarity(e.qv, q.q_qv), 6) AS approx_cos,

@@ -38,12 +38,20 @@ case class CosineSimilarity(left: Expression, right: Expression)
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
   override def dataType: DataType = DoubleType
+  // always nullable: a length mismatch yields null even for
+  // non-nullable inputs (and keeps ev.isNull assignable in codegen)
+  override def nullable: Boolean = true
   override def prettyName: String = "cosine_sim"
 
+  // Mismatched lengths yield null — the same answer the HOF fold
+  // gives (zip_with pads with nulls, which poison the sum): a schema
+  // drift or truncated embedding must surface, not silently become a
+  // prefix dot product.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
@@ -57,14 +65,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double dot = 0.0, na = 0.0, nb = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double xv = $a.getDouble(i);
-         |  double yv = $b.getDouble(i);
-         |  dot += xv * yv; na += xv * xv; nb += yv * yv;
+         |int n = $a.numElements();
+         |if (n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double dot = 0.0, na = 0.0, nb = 0.0;
+         |  for (int i = 0; i < n; i++) {
+         |    double xv = $a.getDouble(i);
+         |    double yv = $b.getDouble(i);
+         |    dot += xv * yv; na += xv * xv; nb += yv * yv;
+         |  }
+         |  ${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
          |}
-         |${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
        """.stripMargin
     })
 
@@ -82,7 +94,7 @@ object CosineSimilarity {
   private[functions] val info = new ExpressionInfo(
     classOf[CosineSimilarity].getCanonicalName, "cosine_sim")
 
-  private def build(children: Seq[Expression]): Expression = {
+  private[functions] def build(children: Seq[Expression]): Expression = {
     require(children.length == 2, "cosine_sim expects 2 arguments")
     CosineSimilarity(children.head, children(1))
   }
@@ -102,5 +114,5 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       CosineSimilarity.info,
-      (children: Seq[Expression]) => CosineSimilarity(children.head, children(1))))
+      CosineSimilarity.build _)) // shared arity-checked builder
 }

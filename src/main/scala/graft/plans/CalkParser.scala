@@ -14,10 +14,11 @@ case class CalkRow(doc_id: String, kode: String, heading: String, content: Strin
   *
   * The reference implements this as a 136-line per-line state machine
   * (mainTesting.py:500-635): numeric headings `"<n>. TITLE"` open a
-  * section, single-letter headings `"a. Title"` open subsections *only
-  * when the letter continues the expected a,b,c,... sequence*
-  * (mainTesting.py:566-570 — out-of-sequence letters demote to
-  * content), double-letter headings follow 'z' (:594-623), an ALL-CAPS
+  * section; the FIRST single-letter heading of a section is accepted
+  * whatever its letter (mainTesting.py:566 only rejects when a previous
+  * letter exists), subsequent ones must continue the a,b,c,... sequence
+  * or demote to content (:566-570), double-letter headings are accepted
+  * once 'z' has been seen (:594-623), an ALL-CAPS
   * line directly after a numeric heading is a continuation of that
   * heading (W5, :530-539), and everything else accumulates into the
   * open section's content (:624-625). A repair pass then fills empty
@@ -65,7 +66,12 @@ object CalkParser {
     var heading: String = null
     val content = new StringBuilder
     var parentNum: String = null
-    var expected: String = "a" // next valid (sub)letter code
+    // last accepted (sub)letter code in the current numeric section, or
+    // null before any: the reference accepts ANY first letter heading
+    // (mainTesting.py:566 fires only when known_letter_heading is
+    // non-empty) and then requires consecutive letters; double-letter
+    // headings are accepted once 'z' has been seen (:594-598)
+    var lastLetter: String = null
     var numericOpen = false    // heading can absorb ALL-CAPS continuations
 
     def flushSection(): Unit = {
@@ -80,6 +86,12 @@ object CalkParser {
       case s if s.length == 1 => (s.head + 1).toChar.toString
       case s => s.init + (s.last + 1).toChar // zz-overflow out of scope (ref never reaches it)
     }
+
+    def letterValid(letter: String): Boolean =
+      if (parentNum == null) false
+      else if (lastLetter == null) letter.length == 1 // any first single letter
+      else letter == nextExpected(lastLetter) ||
+        (letter.length == 2 && lastLetter == "z")     // any double after 'z'
 
     def flushDoc(): Unit = {
       flushSection()
@@ -97,7 +109,7 @@ object CalkParser {
       }
       out ++= repaired
       docRows.clear()
-      parentNum = null; expected = "a"
+      parentNum = null; lastLetter = null
     }
 
     it.foreach { line =>
@@ -110,15 +122,15 @@ object CalkParser {
         case NumericHeading(num, title) if num.toInt >= 1 && num.toInt <= 99 =>
           flushSection()
           kode = num; heading = title
-          parentNum = num; expected = "a"; numericOpen = true
-        case LetterHeading(letter, title) if parentNum != null && letter == expected =>
+          parentNum = num; lastLetter = null; numericOpen = true
+        case LetterHeading(letter, title) if letterValid(letter) =>
           flushSection()
           kode = parentNum + letter; heading = title
-          expected = nextExpected(expected)
-        case DoubleLetterHeading(letters, title) if parentNum != null && letters == expected =>
+          lastLetter = letter
+        case DoubleLetterHeading(letters, title) if letterValid(letters) =>
           flushSection()
           kode = parentNum + letters; heading = title
-          expected = nextExpected(expected)
+          lastLetter = letters
         case t if numericOpen && t.nonEmpty && t == t.toUpperCase && t.exists(_.isLetter) =>
           // W5 continuation: ALL-CAPS line extends the open numeric heading
           heading = heading + " " + t

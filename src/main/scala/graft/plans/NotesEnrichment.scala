@@ -53,14 +53,20 @@ object NotesEnrichment {
       .filter(col("note_ref").isNotNull)
       .select(factKey.map(col) :+ col("text") :+ col("note_ref"): _*)
 
+    // Identical fact rows must keep their cardinality (the reference's
+    // UPDATE touches every matching row): a per-(key, item) ordinal
+    // disambiguates exact duplicates through the groupBy and anti-join.
+    val wDup = Window.partitionBy((factKey :+ "item").map(col): _*).orderBy(lit(1))
+    val factU = fact.withColumn("_dup", row_number().over(wDup))
+
     // J1: equi-join on the statement key, containment as residual.
     // A fact row may match several lines — keep the first note ref by
     // line text for determinism (the reference takes the first SELECT hit).
-    val matched = fact.join(withNote,
-        factKey.map(k => fact(k) === withNote(k)).reduce(_ && _) &&
-          lower(fact("item")).contains(lower(withNote("text"))))
-      .select(fact("*"), withNote("note_ref"), withNote("text"))
-      .groupBy(fact.columns.map(fact(_)): _*)
+    val matched = factU.join(withNote,
+        factKey.map(k => factU(k) === withNote(k)).reduce(_ && _) &&
+          lower(factU("item")).contains(lower(withNote("text"))))
+      .select(factU("*"), withNote("note_ref"), withNote("text"))
+      .groupBy(factU.columns.map(factU(_)): _*)
       .agg(min(struct(col("text"), col("note_ref"))).as("m"))
       .withColumn("note_ref", col("m.note_ref")).drop("m")
 
@@ -76,9 +82,9 @@ object NotesEnrichment {
       .drop("note_ref", "tok_pos", "tok")
 
     // MERGE: untouched fact rows ∪ updated rows ∪ inserted rows
-    val untouched = fact.join(updated,
-      (factKey :+ "item").map(k => fact(k) === updated(k)).reduce(_ && _),
+    val untouched = factU.join(updated,
+      (factKey :+ "item" :+ "_dup").map(k => factU(k) === updated(k)).reduce(_ && _),
       "left_anti")
-    untouched.unionByName(updated).unionByName(inserted)
+    untouched.unionByName(updated).unionByName(inserted).drop("_dup")
   }
 }

@@ -115,18 +115,28 @@ object EventStreams extends Serializable {
         fromUs(a.startUs), fromUs(a.lastUs + gapUs),
         userId, a.n, round2(a.sum))
 
-      // event-time order within the group (batch delivers all rows;
-      // micro-batches deliver chunks — sorting each chunk preserves
-      // correctness because the watermark bounds disorder across them)
+      // event-time order within the chunk; ACROSS micro-batches the
+      // watermark only DROPS events, it does not order them, so a
+      // still-admissible late event may precede the stored state. The
+      // transitions below never regress state: later-than-gap events
+      // close and restart, in-range events merge via min/max (so a
+      // late event can extend a session backward), and an event older
+      // than start-gap is an isolated already-complete session emitted
+      // directly. (A late event that would have BRIDGED two already-
+      // emitted sessions cannot be recovered under Append output — the
+      // inherent fMGWS trade-off vs session_window's buffered state.)
       val sorted = rows.toArray.sortBy(e => (toUs(e.ts), e.event_id))
       var acc = state.getOption.orNull
       sorted.foreach { e =>
         val t = toUs(e.ts)
         acc match {
           case null => acc = SessionAcc(t, t, 1, e.value)
-          case a if t - a.lastUs > gapUs =>
+          case a if t > a.lastUs + gapUs =>
             close(a); acc = SessionAcc(t, t, 1, e.value)
-          case a => acc = SessionAcc(a.startUs, t, a.n + 1, a.sum + e.value)
+          case a if t + gapUs < a.startUs =>
+            close(SessionAcc(t, t, 1, e.value)) // isolated earlier session
+          case a => acc = SessionAcc(math.min(a.startUs, t),
+            math.max(a.lastUs, t), a.n + 1, a.sum + e.value)
         }
       }
       if (state.hasTimedOut) {

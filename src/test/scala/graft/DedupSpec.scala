@@ -19,8 +19,7 @@ class DedupSpec extends SparkSpec {
     val collapsed = df.agg(sum("group_size")).head.getLong(0)
     assert(collapsed == nDocs, "every doc lands in exactly one group")
     assert(kept < nDocs, "planted duplicates must collapse")
-    assert(df.filter(col("group_size") > 2).count() == 0 ||
-      df.filter(col("group_size") >= 2).count() > 0)
+    assert(df.filter(col("group_size") >= 2).count() > 0, "dup groups exist")
   }
 
   test("d03 MinHash LSH recalls every exact-Jaccard>=0.6 pair (validated approximation)") {

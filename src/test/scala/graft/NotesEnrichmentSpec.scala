@@ -52,6 +52,23 @@ class NotesEnrichmentSpec extends SparkSpec {
     assert(got.filter(col("is") =!= col("want")).count() == 0)
   }
 
+  test("identical fact rows keep their cardinality and each gets the note") {
+    import spark.implicits._
+    val fact = Seq(
+      ("BBNI", "PT BNI", 2023, 2, "Laporan Neraca", "Kas dan setara kas", 100.0, null.asInstanceOf[String]),
+      ("BBNI", "PT BNI", 2023, 2, "Laporan Neraca", "Kas dan setara kas", 100.0, null.asInstanceOf[String]),
+    ).toDF("kode_emiten", "nama_emiten", "tahun", "quartal",
+      "grup_laporan_keuangan", "item", "nilai", "notes")
+    val lines = Seq(
+      ("doc1", "BBNI", 2023, 2, "Laporan Neraca", 4, 0, "Kas dan setara"),
+      ("doc1", "BBNI", 2023, 2, "Laporan Neraca", 4, 1, "7"),
+    ).toDF("doc_id", "kode_emiten", "tahun", "quartal",
+      "grup_laporan_keuangan", "page", "line_no", "text")
+    val out = NotesEnrichment.enrich(fact, lines)
+    assert(out.count() == 2, "a double-loaded row must not collapse")
+    assert(out.filter(col("notes") === "7").count() == 2, "UPDATE touches every matching row")
+  }
+
   test("enrichment is row-conserving modulo inserts") {
     val (fact, lines) = fixture()
     val out = NotesEnrichment.enrich(fact, lines)

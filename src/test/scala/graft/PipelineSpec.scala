@@ -71,6 +71,22 @@ class PipelineSpec extends SparkSpec {
       ("doc1", "2"), ("doc1", "2a"), ("doc1", "2b"), ("doc2", "3")))
   }
 
+  test("E2 fidelity: a section's FIRST letter heading is accepted whatever its letter") {
+    import spark.implicits._
+    val lines = Seq(
+      CalkLine("d", 1, 0, "5. MODAL SAHAM"),
+      CalkLine("d", 1, 1, "b. Seri B"), // first letter heading is 'b' — reference accepts it
+      CalkLine("d", 1, 2, "Nilai nominal Rp 500."),
+      CalkLine("d", 1, 3, "c. Seri C"), // consecutive from 'b' — accepted
+      CalkLine("d", 1, 4, "Nilai nominal Rp 250."),
+      CalkLine("d", 1, 5, "e. Melompat"), // gap — demotes to content
+    )
+    val got = CalkParser.parse(spark.createDataset(lines)).collect()
+      .map(r => r.kode -> r.content).toMap
+    assert(got.keySet == Set("5", "5b", "5c"))
+    assert(got("5c").contains("e. Melompat"))
+  }
+
   test("E2 property: parser is total — every section kode is unique per doc") {
     import spark.implicits._
     val out = CalkParser.parse(spark.createDataset(Pipelines.calkFixture(spark)))

@@ -31,6 +31,17 @@ class SimilaritySpec extends SparkSpec {
     assert(finalPlan.contains("cosine_sim"), finalPlan)
   }
 
+  test("cosine_sim yields null on length mismatch, matching the HOF fold") {
+    CosineSimilarity.register(spark)
+    val r = spark.sql(
+      "SELECT cosine_sim(array(1d), array(1d, 1d)) AS c").head
+    assert(r.isNullAt(0), "mismatched dimensions must surface as null, not a prefix dot")
+    val hof = spark.sql(
+      """SELECT aggregate(zip_with(array(1d), array(1d, 1d), (x, y) -> x * y),
+         0d, (acc, v) -> acc + v) AS c""").head
+    assert(hof.isNullAt(0), "HOF fold agrees")
+  }
+
   test("cosine values are bounded and self-similarity is 1") {
     import spark.implicits._
     val e = graft.sources.Tables.embeddings(spark, sfDir)
