@@ -107,12 +107,16 @@ object CosineSimilarity {
 }
 
 /** SparkSessionExtensions hook: `.config("spark.sql.extensions",
-  * "graft.functions.GraftExtensions")` registers the function at
-  * session build time. */
+  * "graft.functions.GraftExtensions")` registers the SQL function and
+  * the TopKPerKey planner strategy at session build time (the strategy
+  * also self-registers lazily via experimental.extraStrategies for
+  * sessions built without the config — see TopKPerKeyPlan). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       CosineSimilarity.info,
       CosineSimilarity.build _)) // shared arity-checked builder
+    ext.injectPlannerStrategy(_ => new graft.plans.TopKPerKeyStrategy)
+  }
 }
