@@ -128,8 +128,56 @@ object Joins extends QueryModule {
          ON s_nationkey = c_nationkey
        ORDER BY nationkey"""
 
+  /** x06 — TPC-H Q17 shape: rows below a fraction of their group's
+    * average (correlated AVG subquery as a broadcast derived join). */
+  private def x06(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+    val avgQty = li.groupBy($"l_partkey".as("ap_partkey"))
+      .agg((avg($"l_quantity") * 0.5).as("half_avg"))
+    li.join(broadcast(avgQty), $"l_partkey" === $"ap_partkey")
+      .filter($"l_quantity" < $"half_avg")
+      .agg(round(sum($"l_extendedprice") / 7.0, 4).as("avg_yearly"),
+        count(lit(1)).as("n_rows"))
+  }
+  private val x06Sql =
+    """SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly,
+         count(*) AS n_rows
+       FROM lineitem l
+       WHERE l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem
+                           WHERE l_partkey = l.l_partkey)"""
+
+  /** x07 — date/time arithmetic surface (absent from the reference,
+    * standard for the engine): month truncation, day differences,
+    * extraction, interval shifting. */
+  private def x07(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d).select($"l_orderkey", $"l_shipdate")
+    val ord = Tables.orders(s, d).select($"o_orderkey", $"o_orderdate")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .withColumn("order_month", date_trunc("month", $"o_orderdate").cast("date"))
+      .withColumn("ship_delay_days",
+        datediff($"l_shipdate".cast("date"), $"o_orderdate".cast("date")))
+      .groupBy($"order_month")
+      .agg(count(lit(1)).as("n_lines"),
+        round(avg($"ship_delay_days"), 4).as("avg_delay"),
+        max($"ship_delay_days").as("max_delay"),
+        min(dayofweek($"o_orderdate")).as("min_dow"))
+      .orderBy($"order_month")
+  }
+  private val x07Sql =
+    """SELECT date_trunc('month', o_orderdate) AS order_month,
+         count(*) AS n_lines,
+         round(avg(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))), 4) AS avg_delay,
+         max(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS max_delay,
+         min(dayofweek(o_orderdate) + 1) AS min_dow
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       GROUP BY 1 ORDER BY order_month"""
+
   val queries: Map[String, QueryFn] = Map(
     "x01_outer_distribution" -> x01 _,
+    "x06_avg_subquery" -> x06 _,
+    "x07_date_arithmetic" -> x07 _,
     "x02_correlated_min" -> x02 _,
     "x03_agg_of_agg" -> x03 _,
     "x04_having_detail" -> x04 _,
@@ -138,6 +186,8 @@ object Joins extends QueryModule {
 
   val oracle: Map[String, String] = Map(
     "x01_outer_distribution" -> x01Sql,
+    "x06_avg_subquery" -> x06Sql,
+    "x07_date_arithmetic" -> x07Sql,
     "x02_correlated_min" -> x02Sql,
     "x03_agg_of_agg" -> x03Sql,
     "x04_having_detail" -> x04Sql,
