@@ -52,6 +52,25 @@ class StreamingSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("streaming sliding-window aggregation converges to the batch answer") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val query = EventStreams.slidingStream(input.toDF())
+      .writeStream.format("memory").queryName("sliding_out")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      val evs = loadEvents()
+      evs.grouped(math.max(1, evs.length / 3)).foreach { chunk =>
+        input.addData(chunk); query.processAllAvailable()
+      }
+      val got = spark.table("sliding_out")
+        .orderBy("win_start", "event_type").collect().toSeq
+      val want = Eventing.queries("e02_sliding_window")(spark, sfDir).collect().toSeq
+      assert(got == want)
+    } finally query.stop()
+  }
+
   test("stream-stream join converges to the batch join over the same rows") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
