@@ -190,9 +190,47 @@ object Eventing extends QueryModule {
          FROM (SELECT unnest(json_keys(props)) AS key, props FROM events))
        GROUP BY key ORDER BY key"""
 
+  /** e08 — histogram binning (width_bucket analog via floor division):
+    * the value distribution per event type in 50-unit bins. */
+  private def e08(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .withColumn("bin", floor($"value" / 50.0).cast("long"))
+      .groupBy($"event_type", $"bin")
+      .agg(count(lit(1)).as("n"), round(avg($"value"), 4).as("bin_avg"))
+      .orderBy($"event_type", $"bin")
+  }
+  private val e08Sql =
+    """SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bin,
+         count(*) AS n, round(avg(value), 4) AS bin_avg
+       FROM events GROUP BY 1, 2 ORDER BY event_type, bin"""
+
+  /** e09 — deterministic hash-based sampling (the pipeline-subsetting
+    * operator: unlike sample(), the md5 predicate is reproducible
+    * across engines and runs — every row's fate is a pure function of
+    * its key). Keeps ~10% of events.
+    */
+  private def e09(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .filter(conv(substring(md5(concat(lit("smp:"), $"event_id")), 1, 15), 16, 10)
+        .cast("long") % 10 === 0)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_sampled"), round(sum($"value"), 2).as("sum_sampled"))
+      .orderBy($"event_type")
+  }
+  private val e09Sql =
+    """SELECT event_type, count(*) AS n_sampled,
+         round(sum(value), 2) AS sum_sampled
+       FROM events
+       WHERE CAST('0x' || substr(md5('smp:' || event_id), 1, 15) AS BIGINT) % 10 = 0
+       GROUP BY event_type ORDER BY event_type"""
+
   val queries: Map[String, QueryFn] = Map(
     "e01_tumbling_window" -> e01 _,
     "e07_map_entries" -> e07 _,
+    "e08_histogram" -> e08 _,
+    "e09_hash_sample" -> e09 _,
     "e02_sliding_window" -> e02 _,
     "e03_session_window" -> e03 _,
     "e04_json_extract" -> e04 _,
@@ -203,6 +241,8 @@ object Eventing extends QueryModule {
   val oracle: Map[String, String] = Map(
     "e01_tumbling_window" -> e01Sql,
     "e07_map_entries" -> e07Sql,
+    "e08_histogram" -> e08Sql,
+    "e09_hash_sample" -> e09Sql,
     "e02_sliding_window" -> e02Sql,
     "e03_session_window" -> e03Sql,
     "e04_json_extract" -> e04Sql,

@@ -29,6 +29,14 @@ class EventingSpec extends SparkSpec {
     assert(bad.count() == 0, "session spans at least the gap")
   }
 
+  test("e09 hash sample keeps roughly 10% and is reproducible") {
+    val df = Eventing.queries("e09_hash_sample")(spark, sfDir)
+    val sampled = df.agg(sum("n_sampled")).head.getLong(0).toDouble
+    val total = graft.sources.Tables.events(spark, sfDir).count().toDouble
+    assert(sampled / total > 0.05 && sampled / total < 0.15, s"$sampled of $total")
+    assert(df.collect().toSeq == Eventing.queries("e09_hash_sample")(spark, sfDir).collect().toSeq)
+  }
+
   test("e05 as-of: looked-up error precedes the purchase") {
     val purchases = Eventing.queries("e05_asof_join")(spark, sfDir)
       .filter(col("last_error_event").isNotNull)
