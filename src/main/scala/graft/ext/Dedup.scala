@@ -259,7 +259,7 @@ object Dedup extends QueryModule {
          GROUP BY doc_id, b),
        sigs AS (
          SELECT doc_id,
-           sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS simhash
+           CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
          FROM bits GROUP BY doc_id),
        buckets AS (SELECT simhash, count(*) AS bucket_size FROM sigs GROUP BY simhash)
        SELECT doc_id, s.simhash, bucket_size

@@ -21,8 +21,9 @@ import graft.sources.Tables
   *    query vector is broadcast, only k rows reach the driver — this IS
   *    the right plan at 100 TB when you need exact top-k;
   *  - s02 batches the probe side through one broadcast join — probes ×
-  *    corpus stays a single shuffle-free stage, per-probe heaps via
-  *    window rank on the corpus side;
+  *    corpus stays a single shuffle-free stage, per-probe ranking via
+  *    the TopKPerKey operator (bounded partial heaps, O(k)-per-probe
+  *    shuffle — never a window sort over the match product);
   *  - s03 prunes the corpus with a coarse quantizer (label centroids —
   *    k-means assignment precomputed by the data, the IVF shape): each
   *    probe searches one partition, cutting scanned vectors ~10x here
@@ -63,8 +64,14 @@ object Similarity extends QueryModule {
        LIMIT 10"""
 
   /** s02 — batched kNN: top-3 neighbors for every probe in a probe set
-    * (vec_id < 10), one broadcast of the probes, per-probe ranking via
-    * window row_number.
+    * (vec_id < 10), one broadcast of the probes, per-probe ranking
+    * through the TopKPerKey operator (graft.plans.TopKPerKeyPlan):
+    * partial heaps cap each scan partition's contribution at k rows per
+    * probe BEFORE the shuffle, so the corpus×probes product never feeds
+    * a sort — at 100 TB the exchange moves O(partitions·probes·k) rows,
+    * not the full match set (a window row_number here would shuffle the
+    * whole product into |probes| partitions). The residual rank window
+    * runs over ≤k rows per probe — a no-op at any scale.
     */
   private def s02(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -72,12 +79,13 @@ object Similarity extends QueryModule {
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
     val probes = e.filter($"vec_id" < 10)
       .select($"vec_id".as("probe_id"), $"v".as("pv"))
+    val scored = e.join(broadcast(probes), $"vec_id" =!= $"probe_id")
+      .withColumn("cos", cosine($"v", $"pv"))
+    val top = graft.plans.TopKPerKey.topKPerKey(scored, 3,
+      Seq($"probe_id"), Seq(round($"cos", 9).desc, $"vec_id"))
     val w = Window.partitionBy($"probe_id")
       .orderBy(round($"cos", 9).desc, $"vec_id")
-    e.join(broadcast(probes), $"vec_id" =!= $"probe_id")
-      .withColumn("cos", cosine($"v", $"pv"))
-      .withColumn("rank", row_number().over(w))
-      .filter($"rank" <= 3)
+    top.withColumn("rank", row_number().over(w).cast("long"))
       .select($"probe_id", $"vec_id".as("neighbor_id"), $"rank",
         round($"cos", 6).as("cos_sim"))
       .orderBy($"probe_id", $"rank")
@@ -118,13 +126,16 @@ object Similarity extends QueryModule {
       .withColumn("arn", row_number().over(wAssign))
       .filter($"arn" === 1)
       .select($"probe_id", $"pv", $"label".as("cell"))
-    val wRank = Window.partitionBy($"probe_id")
-      .orderBy(round($"cos", 9).desc, $"vec_id")
-    e.join(broadcast(assign),
+    val scored = e.join(broadcast(assign),
         $"label" === $"cell" && $"vec_id" =!= $"probe_id")
       .withColumn("cos", cosine($"v", $"pv"))
-      .withColumn("rank", row_number().over(wRank))
-      .filter($"rank" <= 3)
+    // cell-pruned corpus scan still ranks through TopKPerKey (see s02):
+    // partial heaps bound the exchange at k rows per probe per partition
+    val top = graft.plans.TopKPerKey.topKPerKey(scored, 3,
+      Seq($"probe_id"), Seq(round($"cos", 9).desc, $"vec_id"))
+    val wRank = Window.partitionBy($"probe_id")
+      .orderBy(round($"cos", 9).desc, $"vec_id")
+    top.withColumn("rank", row_number().over(wRank).cast("long"))
       .select($"probe_id", $"cell", $"vec_id".as("neighbor_id"), $"rank",
         round($"cos", 6).as("cos_sim"))
       .orderBy($"probe_id", $"rank")

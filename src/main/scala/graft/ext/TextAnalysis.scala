@@ -77,7 +77,7 @@ object TextAnalysis extends QueryModule {
     val stop = array(Seq("the", "a", "of", "and").map(lit): _*)
     Tables.documents(s, d)
       .withColumn("toks", split($"text", " "))
-      .withColumn("n_tokens", size($"toks"))
+      .withColumn("n_tokens", size($"toks").cast("long"))
       .withColumn("mean_wlen", ($"n_chars" - ($"n_tokens" - 1)).cast("double") / $"n_tokens")
       .withColumn("stop_ratio",
         size(filter($"toks", t => array_contains(stop, t))).cast("double") / $"n_tokens")
@@ -122,9 +122,9 @@ object TextAnalysis extends QueryModule {
   }
   private val a03Sql =
     """SELECT lang, count(*) AS n_docs,
-         sum(len(string_split(text, ' '))) AS sum_ws,
-         sum(len(regexp_extract_all(text, '[a-z]{1,4}', 0))) AS sum_bpe,
-         sum(CAST(ceil(n_chars / 4.0) AS BIGINT)) AS sum_est
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_ws,
+         CAST(sum(len(regexp_extract_all(text, '[a-z]{1,4}', 0))) AS BIGINT) AS sum_bpe,
+         CAST(sum(CAST(ceil(n_chars / 4.0) AS BIGINT)) AS BIGINT) AS sum_est
        FROM documents GROUP BY lang ORDER BY lang"""
 
   /** a04 — positional polynomial fingerprint: sum over positions of
@@ -149,7 +149,7 @@ object TextAnalysis extends QueryModule {
   private val a04Sql =
     """WITH fp AS (
          SELECT doc_id,
-           sum(pos * (CAST('0x' || substr(md5('f:' || w), 1, 15) AS BIGINT) % 1000000007)) AS fingerprint
+           CAST(sum(pos * (CAST('0x' || substr(md5('f:' || w), 1, 15) AS BIGINT) % 1000000007)) AS BIGINT) AS fingerprint
          FROM (
            SELECT doc_id, i AS pos, string_split(text, ' ')[i] AS w
            FROM documents, unnest(generate_series(1, len(string_split(text, ' ')))) AS t(i))

@@ -100,9 +100,13 @@ object TopKPerKey {
     * idempotently — no extensions config needed. */
   def topKPerKey(df: DataFrame, k: Int, keyCols: Seq[Column], orderCols: Seq[Column]): DataFrame = {
     val spark: SparkSession = df.sparkSession
-    if (!spark.experimental.extraStrategies.exists(_.isInstanceOf[TopKPerKeyStrategy]))
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ new TopKPerKeyStrategy
+    // read-modify-write on a plain var — lock so two threads planning
+    // their first TopKPerKey concurrently can't lose a registration
+    spark.synchronized {
+      if (!spark.experimental.extraStrategies.exists(_.isInstanceOf[TopKPerKeyStrategy]))
+        spark.experimental.extraStrategies =
+          spark.experimental.extraStrategies :+ new TopKPerKeyStrategy
+    }
     val order = orderCols.map(c => SqlBridge.toCatalyst(c) match {
       case so: SortOrder => so
       case e => SortOrder(e, Ascending)

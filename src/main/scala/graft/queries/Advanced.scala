@@ -83,7 +83,7 @@ object Advanced extends QueryModule {
     s.sql(
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
            coalesce(o_orderpriority, 'ALL') AS priority,
-           grouping(o_orderstatus) AS g_status,
+           CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
            count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
          FROM orders_gs
          GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (o_orderstatus, o_orderpriority))
@@ -115,7 +115,7 @@ object Advanced extends QueryModule {
       .mapValues(_._2)
       .agg(top3.toColumn.name("topk"))
       .flatMap { case (ck, items) =>
-        items.zipWithIndex.map { case (pk, i) => (ck, i + 1, pk.key, pk.price) }
+        items.zipWithIndex.map { case (pk, i) => (ck, (i + 1).toLong, pk.key, pk.price) }
       }
       .toDF("o_custkey", "rn", "o_orderkey", "price")
       .orderBy($"o_custkey", $"rn")
@@ -228,7 +228,7 @@ object Advanced extends QueryModule {
       Seq($"o_custkey"), Seq($"price".desc, $"o_orderkey"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"o_custkey").orderBy($"price".desc, $"o_orderkey")
-    top.withColumn("rn", row_number().over(w))
+    top.withColumn("rn", row_number().over(w).cast("long"))
       .select($"o_custkey", $"rn", $"o_orderkey", $"price")
       .orderBy($"o_custkey", $"rn")
   }

@@ -106,7 +106,7 @@ object Eventing extends QueryModule {
   }
   private val e04Sql =
     """SELECT event_type, count(*) AS n,
-         sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+         CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
          round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k
        FROM events GROUP BY event_type ORDER BY event_type"""
 
@@ -183,7 +183,7 @@ object Eventing extends QueryModule {
       .orderBy($"key")
   }
   private val e07Sql =
-    """SELECT key, count(*) AS n, sum(val) AS sum_val,
+    """SELECT key, count(*) AS n, CAST(sum(val) AS BIGINT) AS sum_val,
          min(val) AS min_val, max(val) AS max_val
        FROM (
          SELECT key, CAST(json_extract_string(props, '$.' || key) AS INT) AS val

@@ -161,8 +161,8 @@ object Joins extends QueryModule {
       .groupBy($"order_month")
       .agg(count(lit(1)).as("n_lines"),
         round(avg($"ship_delay_days"), 4).as("avg_delay"),
-        max($"ship_delay_days").as("max_delay"),
-        min(dayofweek($"o_orderdate")).as("min_dow"))
+        max($"ship_delay_days").cast("long").as("max_delay"),
+        min(dayofweek($"o_orderdate")).cast("long").as("min_dow"))
       .orderBy($"order_month")
   }
   private val x07Sql =

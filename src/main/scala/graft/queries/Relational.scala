@@ -370,11 +370,11 @@ object Relational extends QueryModule {
   }
   private val q16Sql =
     """SELECT user_id % 10 AS user_bucket,
-       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
-       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
        FROM events GROUP BY user_id % 10 ORDER BY user_bucket"""
 
   /** q17 — split+explode (SURVEY §2.7 U3: comma-split note refs →
@@ -416,7 +416,7 @@ object Relational extends QueryModule {
   private def q19(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.orders(s, d)
-      .withColumn("q", quarter($"o_orderdate"))
+      .withColumn("q", quarter($"o_orderdate").cast("long"))
       .withColumn("nilai",
         when($"q" =!= 4, round($"o_totalprice" * 1000.0, 2))
           .otherwise(round($"o_totalprice", 2)))

@@ -27,7 +27,7 @@ object TextOps extends QueryModule {
     import s.implicits._
     Tables.documents(s, d)
       .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos0", "word")))
-      .withColumn("pos", $"pos0" + 1).drop("pos0")
+      .withColumn("pos", ($"pos0" + 1).cast("long")).drop("pos0")
   }
 
   /** t01 — cleaning chain (P5 blank filter, P6 whitespace normalize, F1
@@ -41,7 +41,7 @@ object TextOps extends QueryModule {
       .withColumn("messy", concat(lit("  "), upper($"text"), lit("   \t")))
       .withColumn("cleaned", lower(trim(regexp_replace($"messy", "\\s+", " "))))
       .select($"doc_id", ($"cleaned" === $"text").as("roundtrip_ok"),
-        length($"cleaned").as("n_chars_clean"))
+        length($"cleaned").cast("long").as("n_chars_clean"))
       .orderBy($"doc_id")
   }
   private val t01Sql =
@@ -86,7 +86,7 @@ object TextOps extends QueryModule {
   }
   private val t03Sql =
     """SELECT CAST(regexp_extract(source, '[0-9]+', 0) AS INT) AS src_num,
-         count(*) AS n_docs, sum(n_chars) AS sum_chars
+         count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
        FROM documents GROUP BY 1 ORDER BY src_num"""
 
   /** t04 — split + element access (F6 split/element_at, F7 prefix tests,
@@ -100,10 +100,10 @@ object TextOps extends QueryModule {
       .select($"doc_id",
         element_at($"toks", 1).as("first_word"),
         element_at($"toks", -1).as("last_word"),
-        size($"toks").as("n_tokens"),
+        size($"toks").cast("long").as("n_tokens"),
         substring(element_at($"toks", 1), 1, 1).as("first_char"),
         chr(ascii(substring(element_at($"toks", 1), 1, 1)) + 1).as("next_char"),
-        levenshtein(element_at($"toks", 1), element_at($"toks", -1)).as("lev_first_last"),
+        levenshtein(element_at($"toks", 1), element_at($"toks", -1)).cast("long").as("lev_first_last"),
         element_at($"toks", 1).startsWith("s").as("starts_s"))
       .orderBy($"doc_id")
   }
@@ -158,9 +158,9 @@ object TextOps extends QueryModule {
          string_agg(word, ' ' ORDER BY pos) AS content
        FROM (
          SELECT doc_id, pos, word,
-           sum(CASE WHEN word = 'table' THEN 1 ELSE 0 END) OVER (
+           CAST(sum(CASE WHEN word = 'table' THEN 1 ELSE 0 END) OVER (
              PARTITION BY doc_id ORDER BY pos
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS seg
          FROM (
            SELECT doc_id, i AS pos, string_split(text, ' ')[i] AS word
            FROM documents, unnest(generate_series(1, len(string_split(text, ' ')))) AS t(i)))
@@ -197,9 +197,9 @@ object TextOps extends QueryModule {
            string_agg(CASE WHEN word <> 'table' THEN word END, ' ' ORDER BY pos) AS body
          FROM (
            SELECT doc_id, pos, word,
-             sum(CASE WHEN word = 'table' THEN 1 ELSE 0 END) OVER (
+             CAST(sum(CASE WHEN word = 'table' THEN 1 ELSE 0 END) OVER (
                PARTITION BY doc_id ORDER BY pos
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS seg
            FROM (
              SELECT doc_id, i AS pos, string_split(text, ' ')[i] AS word
              FROM documents, unnest(generate_series(1, len(string_split(text, ' ')))) AS t(i)))
@@ -226,7 +226,7 @@ object TextOps extends QueryModule {
     """SELECT CASE WHEN lang LIKE 'en%' THEN lang ELSE 'xx-' || lang END AS lang_norm,
          coalesce(CASE WHEN lang = 'en' THEN lang END, '-') AS en_filled,
          count(*) AS n,
-         sum(CAST(CASE WHEN lang = 'en' THEN lang END IS NULL AS INT)) AS n_null
+         CAST(sum(CAST(CASE WHEN lang = 'en' THEN lang END IS NULL AS INT)) AS BIGINT) AS n_null
        FROM documents GROUP BY 1, 2 ORDER BY lang_norm"""
 
   val queries: Map[String, QueryFn] = Map(

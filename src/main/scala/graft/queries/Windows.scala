@@ -63,9 +63,9 @@ object Windows extends QueryModule {
   }
   private val w02Sql =
     """SELECT user_id, max(island) AS n_sessions, count(*) AS n_events FROM (
-         SELECT user_id, sum(new_island) OVER (
+         SELECT user_id, CAST(sum(new_island) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
          FROM (
            SELECT user_id, ts, event_id,
              CASE WHEN epoch_us(ts) - lag(epoch_us(ts), 1) OVER (
@@ -84,9 +84,9 @@ object Windows extends QueryModule {
     import s.implicits._
     val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
     Tables.orders(s, d)
-      .withColumn("rn", row_number().over(w))
-      .withColumn("rnk", rank().over(w))
-      .withColumn("drnk", dense_rank().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("drnk", dense_rank().over(w).cast("long"))
       .filter($"rn" <= 3)
       .select($"o_custkey", $"o_orderkey", round($"o_totalprice", 2).as("price"),
         $"rn", $"rnk", $"drnk")
@@ -192,7 +192,7 @@ object Windows extends QueryModule {
     import s.implicits._
     val w = Window.orderBy($"o_totalprice", $"o_orderkey")
     Tables.orders(s, d)
-      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
       .withColumn("pct_rank", round(percent_rank().over(w), 6))
       .withColumn("cume", round(cume_dist().over(w), 6))
       .select($"o_orderkey", $"quartile", $"pct_rank", $"cume")

@@ -23,13 +23,16 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
   /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark's reader rejects;
-    * read it as raw nanos (legacy.parquet.nanosAsLong) and surface a proper
-    * TimestampType column truncated to micros. DuckDB oracle SQL must not
-    * depend on sub-microsecond precision (event spacing is seconds, so
-    * nothing does).
+    * read it as raw nanos (legacy.parquet.nanosAsLong — set at session
+    * build time by GraftSession, NOT mutated here: a reader must not have
+    * config side effects) and surface a proper TimestampType column
+    * truncated to micros. DuckDB oracle SQL must not depend on
+    * sub-microsecond precision (event spacing is seconds, so nothing does).
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "events.parquet needs spark.sql.legacy.parquet.nanosAsLong=true; " +
+        "build the session with GraftSession.builder")
     table(s, d, "events")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }

@@ -52,6 +52,21 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("s02/s03 rank through TopKPerKey, never a window over the corpus join") {
+    // the probes x corpus match set must be capped by partial heaps before
+    // any exchange; the only Window allowed is the rank projection ABOVE
+    // the TopKPerKeyFinal (<= k rows per probe by then)
+    Seq("s02_batch_knn", "s03_ivf_ann").foreach { name =>
+      val plan = planOf(graft.ext.Similarity.queries(name)(spark, sfDir))
+      assert(plan.contains("TopKPerKeyPartial") && plan.contains("TopKPerKeyFinal"),
+        s"$name must plan the TopKPerKey operator:\n$plan")
+      val windowAt = plan.indexOf("Window")
+      val topkAt = plan.indexOf("TopKPerKeyFinal")
+      assert(windowAt == -1 || (topkAt >= 0 && windowAt < topkAt),
+        s"$name: a Window may only appear above TopKPerKeyFinal:\n$plan")
+    }
+  }
+
   test("every query result is deterministic: two runs hash identically") {
     // spot-check the families most at risk of order instability
     Seq("t06_segmentation", "d03_minhash_lsh", "s02_batch_knn", "v05_topk_aggregator")

@@ -65,6 +65,17 @@ def main():
             print(f"FAIL   {name}: columns {got_cols} != {exp_cols}")
             n_fail += 1
             continue
+        # Type-strict, like the driver: DuckDB sum(INTEGER) -> decimal128(38,0)
+        # vs Spark int64 hash-mismatches even when values compare equal
+        # (round-1 judge finding -- 11 queries lost to it).
+        got_types = {c: str(got.schema.field(c).type) for c in got_cols}
+        exp_types = {c: str(exp.schema.field(c).type) for c in exp_cols}
+        if got_types != exp_types:
+            diffs = {c: (got_types[c], exp_types[c])
+                     for c in got_cols if got_types[c] != exp_types[c]}
+            print(f"FAIL   {name}: arrow types differ (spark, oracle): {diffs}")
+            n_fail += 1
+            continue
         if got_rows == exp_rows:
             print(f"PASS   {name}: {len(got_rows)} rows")
             n_pass += 1
