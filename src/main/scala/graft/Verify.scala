@@ -11,6 +11,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Dump the inline pipeline fixtures so the p01-p03 oracles can
+    // recompute the pipelines in DuckDB from the same inputs
+    // (queries/Pipelines.scala oracle scaladoc). A SIBLING of outDir:
+    // anything inside outDir would be scanned as a query result.
+    val fixDir = new java.io.File(outDir).getAbsolutePath + "_fixtures"
+    locally {
+      val (raw, meta, existing) = graft.queries.Pipelines.fixture(spark)
+      raw.coalesce(1).write.mode("overwrite").parquet(s"$fixDir/p01_raw")
+      meta.coalesce(1).write.mode("overwrite").parquet(s"$fixDir/p01_meta")
+      existing.coalesce(1).write.mode("overwrite").parquet(s"$fixDir/p01_existing")
+      val (fact, lines) = graft.queries.Pipelines.p03Fixture(spark)
+      fact.coalesce(1).write.mode("overwrite").parquet(s"$fixDir/p03_fact")
+      lines.coalesce(1).write.mode("overwrite").parquet(s"$fixDir/p03_lines")
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -31,7 +45,8 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__FIXTURES__", fixDir))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

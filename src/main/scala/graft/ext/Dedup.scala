@@ -110,8 +110,9 @@ object Dedup extends QueryModule {
     * the LSH variant approximates): distinct 3-shingles, inverted-index
     * self-join on the shingle, |A∩B| / (|A|+|B|-|A∩B|) >= 0.6.
     * Scale note: cost concentrates on high-document-frequency shingles;
-    * at real scale this query is run on LSH candidates only (see d03) —
-    * here it IS the oracle baseline so it stays exhaustive.
+    * at real scale run d06 instead — the same exact check composed onto
+    * d03's LSH candidates. This exhaustive form stays as the oracle
+    * baseline the composition is validated against.
     */
   private def d02(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -156,39 +157,48 @@ object Dedup extends QueryModule {
     * equal signature positions. Candidate generation is an equi-join on
     * (band, band_hash) — the all-pairs space is never materialized.
     */
-  private def d03(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val seeds = 0 until 12
-    // one aggregation pass, 12 min columns — no 12x row explosion and
-    // the shuffle carries |docs| rows of 12 longs, not |shingles| x 12.
-    // The 12 permutations are a universal-hash family over ONE md5:
-    // h_i(x) = (a_i * (h(x) mod 2^30) + b_i) mod 1e9+7 — md5 runs once
-    // per shingle instead of 12 times (it dominated this query's cost);
-    // products stay < 2^60 so the arithmetic is overflow-free and
-    // bit-identical in the oracle.
-    val base = (h60($"sh") % 1073741824L).as("hb")
-    val minCols = seeds.map { i =>
-      min((lit(permA(i)) * $"hb" + lit(permB(i))) % 1000000007L).as(s"mh$i")
+  /** Minhash signature + band-hash table from the hashed shingle table
+    * (doc_id, sh: long). One aggregation pass, 12 min columns — no 12x
+    * row explosion and the shuffle carries |docs| rows of 12 longs, not
+    * |shingles| x 12. The 12 permutations are a universal-hash family
+    * over ONE md5: h_i(x) = (a_i * (h(x) mod 2^30) + b_i) mod 1e9+7 —
+    * md5 runs once per shingle instead of 12 times (it dominated this
+    * query's cost); products stay < 2^60 so the arithmetic is
+    * overflow-free and bit-identical in the oracle. Persisted: the
+    * signature table is consumed by up to 5 downstream branches (3 band
+    * joins + both pair sides) and Spark does not share self-join
+    * subplans. */
+  private def minhashBands(sh: DataFrame, slot: String): DataFrame = {
+    val minCols = seedsList.map { i =>
+      min((lit(permA(i)) * (col("sh") % 1073741824L) + lit(permB(i))) % 1000000007L).as(s"mh$i")
     }
-    val mh = shingles(s, d).select($"doc_id", base)
-      .groupBy($"doc_id").agg(minCols.head, minCols.tail: _*)
-    // the signature table is consumed by 5 downstream branches (3 band
-    // joins + both pair sides); it is |docs| x 12 longs — persist it so
-    // the shingle+hash pipeline runs once, not per branch
-    val withBands = swapPersist("d03",
+    val mh = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+    swapPersist(slot,
       (0 until 3).foldLeft(mh)((df, b) =>
         df.withColumn(s"bh$b", md5(concat_ws(",",
           (0 until 4).map(r => col(s"mh${b * 4 + r}").cast("string")): _*)))))
-    val cand = (0 until 3).map { b =>
-        val x = withBands.select($"doc_id".as("doc_a"), col(s"bh$b").as("bh"))
-        val y = withBands.select($"doc_id".as("doc_b"), col(s"bh$b").as("bh"))
-        x.join(y, Seq("bh")).filter($"doc_a" < $"doc_b").select($"doc_a", $"doc_b")
-      }.reduce(_ unionByName _).distinct()
-    val sigA = withBands.select($"doc_id".as("doc_a") +: seeds.map(i => col(s"mh$i").as(s"a$i")): _*)
-    val sigB = withBands.select($"doc_id".as("doc_b") +: seeds.map(i => col(s"mh$i").as(s"b$i")): _*)
+  }
+
+  /** LSH candidate pairs: docs sharing any of the 3 band hashes. An
+    * equi-join per band — the all-pairs space is never materialized. */
+  private def bandCandidates(withBands: DataFrame): DataFrame =
+    (0 until 3).map { b =>
+      val x = withBands.select(col("doc_id").as("doc_a"), col(s"bh$b").as("bh"))
+      val y = withBands.select(col("doc_id").as("doc_b"), col(s"bh$b").as("bh"))
+      x.join(y, Seq("bh")).filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"))
+    }.reduce(_ unionByName _).distinct()
+
+  private def d03(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = shingles(s, d).select($"doc_id", h60($"sh").as("sh"))
+    val withBands = minhashBands(sh, "d03")
+    val cand = bandCandidates(withBands)
+    val sigA = withBands.select($"doc_id".as("doc_a") +: seedsList.map(i => col(s"mh$i").as(s"a$i")): _*)
+    val sigB = withBands.select($"doc_id".as("doc_b") +: seedsList.map(i => col(s"mh$i").as(s"b$i")): _*)
     cand.join(sigA, "doc_a").join(sigB, "doc_b")
       .withColumn("est_sim", round(
-        seeds.map(i => (col(s"a$i") === col(s"b$i")).cast("int")).reduce(_ + _) / 12.0, 6))
+        seedsList.map(i => (col(s"a$i") === col(s"b$i")).cast("int")).reduce(_ + _) / 12.0, 6))
       .select($"doc_a", $"doc_b", $"est_sim")
       .orderBy($"doc_a", $"doc_b")
   }
@@ -221,6 +231,73 @@ object Dedup extends QueryModule {
        JOIN mh a ON a.doc_id = doc_a
        JOIN mh b ON b.doc_id = doc_b AND a.seed = b.seed
        GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b"""
+
+  /** d06 — LSH-verified near-dup: d02's exact Jaccard evaluated ONLY on
+    * d03's candidate pairs. This is the production near-dup operator at
+    * scale — candidate generation is the banded equi-join (linear
+    * shuffle), and the quadratic exact check runs on |candidates| pairs
+    * instead of the sum-of-df^2 inverted-index blowup. Same 0.6
+    * threshold as d02, so on any corpus where LSH recall is total the
+    * two agree; where a true pair shares no band, d06 trades that pair
+    * for the scan it never had to do (the oracle composes both stages
+    * in one CTE chain, so the trade is itself hash-checked, not
+    * hand-waved).
+    */
+  private def d06(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // hashed shingles feed the signature build AND the exact check —
+    // persist so the explode+md5 pipeline runs once
+    val sh = swapPersist("d06sh", shingles(s, d).select($"doc_id", h60($"sh").as("sh")))
+    val cand = bandCandidates(minhashBands(sh, "d06mh"))
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    // exact intersection only for candidate pairs: equi-join on
+    // (doc, shingle) — per pair the work is |A|+|B|, not df^2
+    val inter = cand
+      .join(sh.select($"doc_id".as("doc_a"), $"sh".as("sha")), "doc_a")
+      .join(sh.select($"doc_id".as("doc_b2"), $"sh".as("shb")),
+        $"doc_b" === $"doc_b2" && $"sha" === $"shb")
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
+      .join(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
+      .withColumn("jaccard", round($"n_inter" / ($"na" + $"nb" - $"n_inter"), 6))
+      .filter($"jaccard" >= 0.6)
+      .select($"doc_a", $"doc_b", $"jaccard")
+      .orderBy($"doc_a", $"doc_b")
+  }
+  private lazy val d06Sql =
+    s"""WITH sh0 AS ($shinglesSql),
+       sh AS (SELECT doc_id,
+         CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS sh FROM sh0),
+       hb AS (SELECT doc_id, sh % 1073741824 AS hb FROM sh),
+       mh AS (
+         SELECT doc_id, seed, min(${permCase("hb")}) AS mh
+         FROM hb, unnest(generate_series(0, 11)) AS t(seed)
+         GROUP BY doc_id, seed),
+       bands AS (
+         SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+           md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS band_hash
+         FROM mh GROUP BY 1, 2),
+       cand AS (
+         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM bands x JOIN bands y
+           ON x.band = y.band AND x.band_hash = y.band_hash
+           AND x.doc_id < y.doc_id),
+       sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       inter AS (
+         SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+         FROM cand c
+         JOIN sh a ON a.doc_id = c.doc_a
+         JOIN sh b ON b.doc_id = c.doc_b AND a.sh = b.sh
+         GROUP BY 1, 2)
+       SELECT doc_a, doc_b,
+         round(n_inter / (sa.n + sb.n - n_inter), 6) AS jaccard
+       FROM inter
+       JOIN sizes sa ON sa.doc_id = doc_a
+       JOIN sizes sb ON sb.doc_id = doc_b
+       WHERE round(n_inter / (sa.n + sb.n - n_inter), 6) >= 0.6
+       ORDER BY doc_a, doc_b"""
 
   /** d04 — SimHash fingerprints: 16-bit signature from word-frequency
     * weighted bit votes; identical signatures form a dedup bucket. One
@@ -314,6 +391,7 @@ object Dedup extends QueryModule {
     "d03_minhash_lsh" -> d03 _,
     "d04_simhash" -> d04 _,
     "d05_embedding_neardup" -> d05 _,
+    "d06_lsh_verified_neardup" -> d06 _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -322,5 +400,6 @@ object Dedup extends QueryModule {
     "d03_minhash_lsh" -> d03Sql,
     "d04_simhash" -> d04Sql,
     "d05_embedding_neardup" -> d05Sql,
+    "d06_lsh_verified_neardup" -> d06Sql,
   )
 }

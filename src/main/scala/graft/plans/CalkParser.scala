@@ -13,17 +13,29 @@ case class CalkRow(doc_id: String, kode: String, heading: String, content: Strin
 /** Exact-fidelity CALK section parser (SURVEY.md §2.5 W3-exact).
   *
   * The reference implements this as a 136-line per-line state machine
-  * (mainTesting.py:500-635): numeric headings `"<n>. TITLE"` open a
-  * section; the FIRST single-letter heading of a section is accepted
-  * whatever its letter (mainTesting.py:566 only rejects when a previous
-  * letter exists), subsequent ones must continue the a,b,c,... sequence
-  * or demote to content (:566-570), double-letter headings are accepted
-  * once 'z' has been seen (:594-623), an ALL-CAPS
-  * line directly after a numeric heading is a continuation of that
-  * heading (W5, :530-539), and everything else accumulates into the
-  * open section's content (:624-625). A repair pass then fills empty
-  * contents from the neighbor section (W4, :648-658) and the sink
-  * fills residual blanks with "-" (:669).
+  * (mainTesting.py:500-635):
+  *  - a numeric heading line `"<n>. TITLE"` opens a section ONLY when
+  *    the title is ALL-CAPS and the line contains exactly one dot
+  *    (:544 `case[1].isupper() and len(case) == 2`) and the number is
+  *    unseen; any other line starting `"<n>."` is silently dropped —
+  *    it matches the numeric branch (:541) but no sub-case, so it
+  *    reaches neither a section nor the content accumulator;
+  *  - the FIRST single-letter heading of a section is accepted whatever
+  *    its letter (:566 only rejects when a previous letter exists);
+  *    subsequent ones must continue the a,b,c,... sequence or demote to
+  *    content (:566-570); a REPEATED letter closes the open section
+  *    with no new heading (:590-591 `heading = ""`);
+  *  - a double-letter heading is accepted whenever 'z' has been seen
+  *    and the pair is unseen (:597-598) — any pair, not only the
+  *    consecutive one; a repeated pair closes like a repeated letter;
+  *  - an ALL-CAPS line directly after a numeric heading continues that
+  *    heading (W5, :530-539); other lines accumulate into the open
+  *    section's content (:624-625); content with NO open section is
+  *    appended to the last emitted section's content (:552-557
+  *    `data[-1][-1] += content`), except before the first section
+  *    (preamble), which is dropped.
+  * A repair pass then fills empty contents from the neighbor section
+  * (W4, :648-658) and the sink fills residual blanks with "-" (:669).
   *
   * Spark shape: the letter-sequence validation makes the fold
   * inherently sequential *per document*, so this is the one operator
@@ -34,13 +46,27 @@ case class CalkRow(doc_id: String, kode: String, heading: String, content: Strin
   * Scale: `repartition(doc_id)` bounds task state to one document's
   * lines; 100 TB of PDFs parallelize across documents.
   *
-  * Deliberate divergences from the reference (SURVEY §7.4): the
-  * hardcoded-issuer and `str.replace` foreign-key bugs are not
-  * reproduced; lookahead cannot overrun the last line.
+  * Deliberate divergences from the reference (SURVEY §7.4):
+  *  - `heading` stores the title WITHOUT the `"<n>. "`/`"<l>. "` prefix
+  *    (the reference stores the whole line; the prefix is redundant
+  *    with `kode`);
+  *  - sections span page breaks (the reference flushes per page and
+  *    re-attaches follow-on content via the data[-1] append — same
+  *    final content, different row timing);
+  *  - the lowercase letter-heading continuation (:534-539) is treated
+  *    as content (it is unreachable in well-formed input: it triggers
+  *    only when a letter heading's title wraps mid-word);
+  *  - a REPEATED numeric heading closes the open section (the
+  *    reference keeps the stale heading variable live, which can
+  *    re-emit an already-flushed heading — a bug, not a behavior);
+  *  - the hardcoded-issuer and `str.replace` foreign-key bugs are not
+  *    reproduced; lookahead cannot overrun the last line.
   */
 object CalkParser {
 
-  private val NumericHeading = "^(\\d{1,2})\\.\\s+(.*)$".r
+  // broad form first (reference :541 is a bare startswith("<n>.")): the
+  // ALL-CAPS/single-dot guard decides open-vs-drop, not the match
+  private val NumericLead = "^(\\d{1,2})\\.(.*)$".r
   private val LetterHeading = "^([a-z])\\.\\s+(.*)$".r
   private val DoubleLetterHeading = "^([a-z]{2})\\.\\s+(.*)$".r
 
@@ -66,11 +92,12 @@ object CalkParser {
     var heading: String = null
     val content = new StringBuilder
     var parentNum: String = null
-    // last accepted (sub)letter code in the current numeric section, or
-    // null before any: the reference accepts ANY first letter heading
-    // (mainTesting.py:566 fires only when known_letter_heading is
-    // non-empty) and then requires consecutive letters; double-letter
-    // headings are accepted once 'z' has been seen (:594-598)
+    val knownNumbers = mutable.Set.empty[String]
+    // letters accepted in the current numeric section (reference's
+    // known_letter_heading): the FIRST single letter is accepted
+    // whatever it is (:566 fires only when the list is non-empty), then
+    // consecutive-from-last; any UNSEEN double letter once 'z' is known
+    val seenLetters = mutable.Set.empty[String]
     var lastLetter: String = null
     var numericOpen = false    // heading can absorb ALL-CAPS continuations
 
@@ -87,11 +114,27 @@ object CalkParser {
       case s => s.init + (s.last + 1).toChar // zz-overflow out of scope (ref never reaches it)
     }
 
-    def letterValid(letter: String): Boolean =
-      if (parentNum == null) false
-      else if (lastLetter == null) letter.length == 1 // any first single letter
-      else letter == nextExpected(lastLetter) ||
-        (letter.length == 2 && lastLetter == "z")     // any double after 'z'
+    def singleValid(letter: String): Boolean =
+      parentNum != null && (lastLetter == null || letter == nextExpected(lastLetter))
+
+    // reference :544: ALL-CAPS title (at least one letter, none lower)
+    def isAllCaps(t: String): Boolean = {
+      val letters = t.filter(_.isLetter)
+      letters.nonEmpty && !letters.exists(_.isLower)
+    }
+
+    /** Content with no open section joins the last emitted section
+      * (reference :552-557 data[-1][-1] append); true preamble drops. */
+    def appendContent(t: String): Unit =
+      if (kode != null) {
+        numericOpen = false // continuation window closes at first content line
+        if (content.nonEmpty) content.append(' ')
+        content.append(t)
+      } else if (docRows.nonEmpty) {
+        val last = docRows.last
+        docRows(docRows.length - 1) = last.copy(
+          content = if (last.content.isEmpty) t else last.content + " " + t)
+      } // else: preamble before any heading — reference drops it
 
     def flushDoc(): Unit = {
       flushSection()
@@ -109,6 +152,7 @@ object CalkParser {
       }
       out ++= repaired
       docRows.clear()
+      knownNumbers.clear(); seenLetters.clear()
       parentNum = null; lastLetter = null
     }
 
@@ -119,26 +163,38 @@ object CalkParser {
       }
       val text = line.text.trim
       text match {
-        case NumericHeading(num, title) if num.toInt >= 1 && num.toInt <= 99 =>
-          flushSection()
-          kode = num; heading = title
-          parentNum = num; lastLetter = null; numericOpen = true
-        case LetterHeading(letter, title) if letterValid(letter) =>
+        case NumericLead(num, _) =>
+          // reference :544: qualify on the RAW line — exactly one dot
+          // and an ALL-CAPS title; disqualified "<n>." lines vanish
+          val parts = text.split("\\.", -1)
+          if (parts.length == 2 && isAllCaps(parts(1))) {
+            flushSection()
+            if (!knownNumbers.contains(num)) {
+              kode = num; heading = parts(1).trim
+              knownNumbers += num
+              parentNum = num; seenLetters.clear(); lastLetter = null
+              numericOpen = true
+            }
+            // repeated number: section stays closed (scaladoc divergence)
+          } // else: silently dropped, not even content
+        case LetterHeading(letter, _) if parentNum != null && seenLetters.contains(letter) =>
+          flushSection() // repeated letter closes with no new heading (:590-591)
+        case LetterHeading(letter, title) if singleValid(letter) =>
           flushSection()
           kode = parentNum + letter; heading = title
-          lastLetter = letter
-        case DoubleLetterHeading(letters, title) if letterValid(letters) =>
-          flushSection()
+          seenLetters += letter; lastLetter = letter
+        case DoubleLetterHeading(letters, _) if parentNum != null && seenLetters.contains(letters) =>
+          flushSection() // repeated pair closes like a repeated letter
+        case DoubleLetterHeading(letters, title) if parentNum != null && seenLetters.contains("z") =>
+          flushSection() // any unseen pair once 'z' is known (:597-598)
           kode = parentNum + letters; heading = title
-          lastLetter = letters
+          seenLetters += letters; lastLetter = letters
         case t if numericOpen && t.nonEmpty && t == t.toUpperCase && t.exists(_.isLetter) =>
           // W5 continuation: ALL-CAPS line extends the open numeric heading
           heading = heading + " " + t
-        case t if kode != null =>
-          numericOpen = false // continuation window closes at first content line
-          if (content.nonEmpty) content.append(' ')
-          content.append(t) // includes out-of-sequence letter "headings" (:566-570)
-        case _ => () // preamble line before any heading — reference drops it
+        case t if t.nonEmpty =>
+          appendContent(t) // includes out-of-sequence letter "headings" (:566-570)
+        case _ => ()
       }
     }
     if (doc != null) flushDoc()

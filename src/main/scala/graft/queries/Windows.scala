@@ -183,9 +183,10 @@ object Windows extends QueryModule {
 
   /** w08 — global distribution ranking: ntile / percent_rank / cume_dist
     * over ALL orders by price. Deliberately a single-partition window —
-    * the canonical scale hazard. At 100 TB this is re-expressed as a
-    * two-pass range-partitioned rank (sample → range bounds → per-range
-    * rank + offset); at test SF the single pass is correct and cheap.
+    * the canonical scale hazard, kept as the readable baseline. w09 is
+    * the same result through the two-pass range-partitioned formulation
+    * (sample → range bounds → per-range rank + offset) that holds at
+    * 100 TB; both share one oracle and a spec asserts row equality.
     * The deterministic total order (price, orderkey) makes ties stable.
     */
   private def w08(s: SparkSession, d: String): DataFrame = {
@@ -208,6 +209,50 @@ object Windows extends QueryModule {
          WINDOW w AS (ORDER BY o_totalprice, o_orderkey))
        ORDER BY o_orderkey"""
 
+  /** w09 — w08 without the single-partition window: the scalable global
+    * rank. Pass 0 samples range bounds on the leading sort key
+    * (approxQuantile — any price-monotone bucketing yields IDENTICAL
+    * ranks; bounds only balance work, so sampling error cannot affect
+    * the result). Pass 1 counts rows per range — a tiny aggregate whose
+    * exclusive prefix sum (a window over |ranges| rows, not |rows|)
+    * gives each range its global rank offset. Pass 2 ranks within each
+    * range in parallel and adds the offset. (price, orderkey) is a total
+    * order with no ties, so rank = row_number and
+    * percent_rank/cume_dist/ntile are closed-form in (rn, n).
+    */
+  private def w09(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ord = Tables.orders(s, d).select($"o_orderkey", $"o_totalprice")
+    val bounds = ord.stat
+      .approxQuantile("o_totalprice", (1 until 32).map(_ / 32.0).toArray, 0.001)
+      .distinct.sorted
+    val boundsCol = array(bounds.map(lit).toIndexedSeq: _*)
+    // range id = #bounds strictly below the price: monotone in price, so
+    // every range's rows sort entirely before the next range's
+    val bucketed = ord.withColumn("bkt",
+      aggregate(boundsCol, lit(0), (acc, b) => acc + ($"o_totalprice" > b).cast("int")))
+    val counts = bucketed.groupBy($"bkt").agg(count(lit(1)).as("cnt"))
+    val wB = Window.orderBy($"bkt").rowsBetween(Window.unboundedPreceding, -1)
+    // |ranges| rows — this single-partition window is over ~32 rows
+    val offsets = counts
+      .withColumn("off", coalesce(sum($"cnt").over(wB), lit(0L)))
+    val total = counts.agg(sum($"cnt").as("n"))
+    val wL = Window.partitionBy($"bkt").orderBy($"o_totalprice", $"o_orderkey")
+    bucketed.join(broadcast(offsets), "bkt")
+      .withColumn("rn", $"off" + row_number().over(wL))
+      .crossJoin(broadcast(total))
+      .withColumn("q", expr("n div 4")).withColumn("r", $"n" % 4)
+      // ntile(4): first r tiles hold q+1 rows, the rest q
+      .withColumn("quartile", expr(
+        """CAST(CASE WHEN rn <= r * (q + 1) THEN (rn + q) div (q + 1)
+                     ELSE r + (rn - r * (q + 1) + q - 1) div q END AS BIGINT)"""))
+      .withColumn("pct_rank",
+        when($"n" === 1, lit(0.0)).otherwise(round(($"rn" - 1) / ($"n" - 1), 6)))
+      .withColumn("cume", round($"rn" / $"n", 6))
+      .select($"o_orderkey", $"quartile", $"pct_rank", $"cume")
+      .orderBy($"o_orderkey")
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "w01_lead_lookahead" -> w01 _,
     "w02_gaps_islands" -> w02 _,
@@ -217,6 +262,7 @@ object Windows extends QueryModule {
     "w06_carry_forward" -> w06 _,
     "w07_moving_avg" -> w07 _,
     "w08_global_rank" -> w08 _,
+    "w09_distributed_rank" -> w09 _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -228,5 +274,7 @@ object Windows extends QueryModule {
     "w06_carry_forward" -> w06Sql,
     "w07_moving_avg" -> w07Sql,
     "w08_global_rank" -> w08Sql,
+    // same oracle as w08: the two formulations must agree exactly
+    "w09_distributed_rank" -> w08Sql,
   )
 }

@@ -32,6 +32,15 @@ class DedupSpec extends SparkSpec {
       "every true near-dup pair must appear among LSH candidates at this scale")
   }
 
+  test("d06 composition equals exact d02 wherever LSH recall is total") {
+    // d03's recall test above proves every true pair IS a candidate at
+    // this SF, so the candidates-only exact check must reproduce d02
+    // row for row — the scale path loses nothing here
+    val exact = Dedup.queries("d02_ngram_jaccard")(spark, sfDir).collect().toSeq
+    val composed = Dedup.queries("d06_lsh_verified_neardup")(spark, sfDir).collect().toSeq
+    assert(composed == exact, "d06 must equal d02 when no true pair is missed")
+  }
+
   test("d04 simhash: near-identical docs share a bucket") {
     val sig = Dedup.queries("d04_simhash")(spark, sfDir)
     // the ' dup'-appended twin differs by one rare word: votes shift by

@@ -68,7 +68,17 @@ class PipelineSpec extends SparkSpec {
     assert(got(("doc2", "3")).content == "Beban pajak dihitung tahunan.")
     // preamble before any heading is dropped: kode set is exactly these
     assert(got.keySet == Set(("doc1", "1"), ("doc1", "1a"), ("doc1", "1b"),
-      ("doc1", "2"), ("doc1", "2a"), ("doc1", "2b"), ("doc2", "3")))
+      ("doc1", "2"), ("doc1", "2a"), ("doc1", "2b"), ("doc2", "3"),
+      ("doc3", "1"), ("doc3", "1a")))
+    // numeric guard (mainTesting.py:544): non-ALL-CAPS and multi-dot
+    // "<n>." lines open nothing AND leave no content trace
+    assert(!got.contains(("doc3", "2")) && !got.contains(("doc3", "3")))
+    assert(!got.values.exists(_.content.contains("Ikhtisar")))
+    // repeated letter heading closes the section; the orphan line and
+    // the invalid double letter re-attach to the last emitted section
+    assert(got(("doc3", "1a")).content ==
+      "Isi pendirian. Baris yatim. ab. Ganda")
+    assert(got(("doc3", "1")).content == "Isi umum.")
   }
 
   test("E2 fidelity: a section's FIRST letter heading is accepted whatever its letter") {

@@ -14,7 +14,8 @@ class PlanAuditSpec extends SparkSpec {
   private val bnljWhitelist = Set(
     "q10_cross_join_meta", "s01_cosine_topk", "s04_cosine_topk_native",
     "s03_ivf_ann", "s02_batch_knn" /* broadcast probe set x corpus */,
-    "s05_quantized_cosine")
+    "s05_quantized_cosine",
+    "w09_distributed_rank" /* 1-row broadcast of the total count */)
 
   test("no query plans a CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -36,6 +36,20 @@ class WindowsSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("w09 two-pass distributed rank equals the single-window w08 exactly") {
+    val single = Windows.queries("w08_global_rank")(spark, sfDir).collect().toSeq
+    val twoPass = Windows.queries("w09_distributed_rank")(spark, sfDir).collect().toSeq
+    assert(twoPass == single)
+  }
+
+  test("w09 never plans a window over the full row set in one partition") {
+    // the per-range rank must hash-partition on the range id; the only
+    // non-partitioned window is the |ranges|-row prefix sum
+    val plan = planOf(Windows.queries("w09_distributed_rank")(spark, sfDir))
+    assert(plan.contains("hashpartitioning(bkt"),
+      s"local ranks must be range-parallel:\n$plan")
+  }
+
   test("partitioned windows shuffle by the partition key only (one exchange)") {
     val plan = planOf(Windows.queries("w02_gaps_islands")(spark, sfDir))
     // both stacked windows + the groupBy reuse the user_id hash partitioning:
