@@ -33,6 +33,18 @@ object NotesEnrichment {
 
   private val factKey = Seq("kode_emiten", "tahun", "quartal", "grup_laporan_keuangan")
 
+  /** factU feeds both merge branches (matched join + untouched anti);
+    * Spark does not share self-join subplans, so persist it — one slot,
+    * previous invocation's cache released on the next call (the caller's
+    * action runs after enrich() returns, so we cannot unpersist here). */
+  @volatile private var factUSlot: DataFrame = null
+  private def swapPersist(df: DataFrame): DataFrame = synchronized {
+    val cached = df.persist()
+    if (factUSlot != null && (factUSlot ne cached)) factUSlot.unpersist(blocking = false)
+    factUSlot = cached
+    cached
+  }
+
   /** fact: (kode_emiten, nama_emiten, tahun, quartal,
     * grup_laporan_keuangan, item, nilai, notes);
     * lines: (doc_id, kode_emiten, tahun, quartal, grup_laporan_keuangan,
@@ -56,8 +68,12 @@ object NotesEnrichment {
     // Identical fact rows must keep their cardinality (the reference's
     // UPDATE touches every matching row): a per-(key, item) ordinal
     // disambiguates exact duplicates through the groupBy and anti-join.
-    val wDup = Window.partitionBy((factKey :+ "item").map(col): _*).orderBy(lit(1))
-    val factU = fact.withColumn("_dup", row_number().over(wDup))
+    // The order columns are explicit for self-documentation; rows inside
+    // one partition of this window are exact duplicates, so ANY order
+    // (including ties) yields the same multiset.
+    val wDup = Window.partitionBy((factKey :+ "item").map(col): _*)
+      .orderBy(col("nama_emiten"), col("nilai"), col("notes"))
+    val factU = swapPersist(fact.withColumn("_dup", row_number().over(wDup)))
 
     // J1: equi-join on the statement key, containment as residual.
     // A fact row may match several lines — keep the first note ref by

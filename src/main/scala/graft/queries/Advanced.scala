@@ -2,8 +2,9 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 import graft.functions.{PricedKey, TopKByPrice}
-import graft.sources.Tables
+import graft.sources.{CatalogSource, SourceCatalog, Sources, Tables}
 
 /** Advanced analytics surface: exact percentiles, statistical
   * aggregates, deterministic arg-max, grouping sets, a typed-Aggregator
@@ -233,9 +234,81 @@ object Advanced extends QueryModule {
       .orderBy($"o_custkey", $"rn")
   }
 
+  /** v11 — catalog-level content discovery (SURVEY §2.1 S2/S4 gap,
+    * VERDICT r1 missing #1): a directory of heterogeneous
+    * schema-declared files (csv + json-lines + parquet, different
+    * schemas — the "workbook") probed in declaration order for the
+    * first source whose content contains the keyword, then the hit
+    * count inside that source. 'neraca' appears in the 2nd source
+    * only, so the probe must skip a non-matching source first. The
+    * fixture dir is (re)written from the deterministic pipeline
+    * fixtures on every run, so the query is self-contained and the
+    * DuckDB oracle reads the very same files.
+    */
+  private val catalogDir = "/tmp/graft_catalog_fixture"
+  private def v11(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (raw, meta, _) = Pipelines.fixture(s)
+    Sources.writeCsv(meta.coalesce(1), s"$catalogDir/meta_csv")
+    Sources.writeJsonLines(raw.coalesce(1), s"$catalogDir/raw_json")
+    val (_, lines) = Pipelines.p03Fixture(s)
+    lines.coalesce(1).write.mode("overwrite").parquet(s"$catalogDir/lines_parquet")
+    val catalog = Seq(
+      CatalogSource("meta_csv", s"$catalogDir/meta_csv", "csv", StructType(Seq(
+        StructField("filing_id", StringType), StructField("key", StringType),
+        StructField("value", StringType)))),
+      CatalogSource("raw_json", s"$catalogDir/raw_json", "json", StructType(Seq(
+        StructField("filing_id", StringType), StructField("statement", StringType),
+        StructField("row_id", IntegerType), StructField("item", StringType),
+        StructField("value", DoubleType)))),
+      CatalogSource("lines_parquet", s"$catalogDir/lines_parquet", "parquet", StructType(Seq(
+        StructField("doc_id", StringType), StructField("kode_emiten", StringType),
+        StructField("tahun", IntegerType), StructField("quartal", IntegerType),
+        StructField("grup_laporan_keuangan", StringType), StructField("page", IntegerType),
+        StructField("line_no", IntegerType), StructField("text", StringType)))))
+    val found = SourceCatalog.discover(s, catalog, "neraca")
+      .getOrElse(throw new NoSuchElementException("no catalog source matches"))
+    val df = SourceCatalog.load(s, found)
+    df.filter(SourceCatalog.containsKeyword(df, "neraca"))
+      .agg(count(lit(1)).as("n_hits"))
+      .select(lit(found.name).as("source_name"), $"n_hits")
+  }
+  private val v11Sql =
+    s"""WITH probes AS (
+         SELECT 1 AS ord, 'meta_csv' AS source_name, count(*) AS n_hits
+         FROM read_csv('$catalogDir/meta_csv/*.csv', header=true,
+           columns={'filing_id':'VARCHAR','key':'VARCHAR','value':'VARCHAR'})
+         WHERE contains(lower(trim(filing_id)), 'neraca')
+            OR contains(lower(trim("key")), 'neraca')
+            OR contains(lower(trim("value")), 'neraca')
+         UNION ALL
+         SELECT 2, 'raw_json', count(*)
+         FROM read_json('$catalogDir/raw_json/*.json', format='newline_delimited',
+           columns={'filing_id':'VARCHAR','statement':'VARCHAR','row_id':'INTEGER',
+                    'item':'VARCHAR','value':'DOUBLE'})
+         WHERE contains(lower(trim(filing_id)), 'neraca')
+            OR contains(lower(trim(statement)), 'neraca')
+            OR contains(lower(trim(CAST(row_id AS VARCHAR))), 'neraca')
+            OR contains(lower(trim(item)), 'neraca')
+            OR contains(lower(trim(CAST("value" AS VARCHAR))), 'neraca')
+         UNION ALL
+         SELECT 3, 'lines_parquet', count(*)
+         FROM read_parquet('$catalogDir/lines_parquet/*.parquet')
+         WHERE contains(lower(trim(doc_id)), 'neraca')
+            OR contains(lower(trim(kode_emiten)), 'neraca')
+            OR contains(lower(trim(CAST(tahun AS VARCHAR))), 'neraca')
+            OR contains(lower(trim(CAST(quartal AS VARCHAR))), 'neraca')
+            OR contains(lower(trim(grup_laporan_keuangan)), 'neraca')
+            OR contains(lower(trim(CAST(page AS VARCHAR))), 'neraca')
+            OR contains(lower(trim(CAST(line_no AS VARCHAR))), 'neraca')
+            OR contains(lower(trim(text)), 'neraca'))
+       SELECT source_name, n_hits FROM probes WHERE n_hits > 0
+       ORDER BY ord LIMIT 1"""
+
   val queries: Map[String, QueryFn] = Map(
     "v01_percentiles" -> v01 _,
     "v10_topk_custom_plan" -> v10 _,
+    "v11_source_catalog" -> v11 _,
     "v02_stats_agg" -> v02 _,
     "v03_argmax_struct" -> v03 _,
     "v04_grouping_sets" -> v04 _,
@@ -249,6 +322,7 @@ object Advanced extends QueryModule {
   val oracle: Map[String, String] = Map(
     "v01_percentiles" -> v01Sql,
     "v10_topk_custom_plan" -> v05Sql,
+    "v11_source_catalog" -> v11Sql,
     "v02_stats_agg" -> v02Sql,
     "v03_argmax_struct" -> v03Sql,
     "v04_grouping_sets" -> v04Sql,

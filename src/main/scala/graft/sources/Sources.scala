@@ -44,4 +44,32 @@ object Sources {
     * high-cardinality partition key creates a small-file explosion. */
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** Idempotent partition-overwrite upsert (the storage-layer form of
+    * the reference's per-key load gate, mainTesting.py:693-761): with
+    * `partitionOverwriteMode=dynamic`, overwrite replaces ONLY the
+    * partitions present in `df` and leaves every other partition
+    * untouched — so re-loading the same statement is a clean replace
+    * (no append-duplicates), and loading a new statement never
+    * rewrites old ones. Exactly-once per partition comes from the
+    * parquet committer: the partition directory swaps atomically at
+    * task commit, a failed job leaves the old files in place.
+    * At 100 TB this writes only the changed statements' directories;
+    * a full-table overwrite (static mode, the default) would delete
+    * everything first. */
+  def upsertPartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** The fact-table statement key (FIXTURES.md B5): the sink partitions
+    * by it, making the reference's "is this statement already loaded"
+    * probe a directory-existence check instead of a table scan. */
+  val factPartitionKey: Seq[String] =
+    Seq("kode_emiten", "tahun", "quartal", "grup_laporan_keuangan")
+
+  /** Partition-overwrite sink specialized to the fact pipeline. */
+  def writeFact(fact: DataFrame, path: String): Unit =
+    upsertPartitioned(fact, path, factPartitionKey)
 }

@@ -47,6 +47,23 @@ class TopKPerKeySpec extends SparkSpec {
     assert(beaten.count() == 0)
   }
 
+  test("generic TopK aggregator works for an arbitrary type and ordering") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    // shortest-two words per language — nothing price-shaped about it
+    implicit val ord: Ordering[(Int, String)] = Ordering.Tuple2
+    val top2 = new graft.functions.TopK[(Int, String)](2)(
+      ord, ExpressionEncoder())
+    val got = Seq(("en", "aaa"), ("en", "b"), ("en", "cc"), ("id", "dddd"), ("id", "e"))
+      .toDF("lang", "word").as[(String, String)]
+      .map { case (l, w) => (l, (w.length, w)) }
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(top2.toColumn.name("topk"))
+      .collect().toMap
+    assert(got("en") == Seq((1, "b"), (2, "cc")))
+    assert(got("id") == Seq((1, "e"), (4, "dddd")))
+  }
+
   test("k larger than any group degenerates to the full input") {
     val got = TopKPerKey.topKPerKey(base(), 1000000,
       Seq(col("o_custkey")), Seq(col("price").desc, col("o_orderkey")))
