@@ -266,8 +266,11 @@ object Dedup extends QueryModule {
       .select($"doc_a", $"doc_b", $"jaccard")
       .orderBy($"doc_a", $"doc_b")
   }
-  private lazy val d06Sql =
-    s"""WITH sh0 AS ($shinglesSql),
+  /** The d06 pipeline as a reusable CTE chain ending in `pairs`
+    * (doc_a, doc_b, jaccard) — shared by the d06 oracle and d07's
+    * clustering oracle. */
+  private lazy val d06Ctes =
+    s"""sh0 AS ($shinglesSql),
        sh AS (SELECT doc_id,
          CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS sh FROM sh0),
        hb AS (SELECT doc_id, sh % 1073741824 AS hb FROM sh),
@@ -290,14 +293,80 @@ object Dedup extends QueryModule {
          FROM cand c
          JOIN sh a ON a.doc_id = c.doc_a
          JOIN sh b ON b.doc_id = c.doc_b AND a.sh = b.sh
-         GROUP BY 1, 2)
-       SELECT doc_a, doc_b,
-         round(n_inter / (sa.n + sb.n - n_inter), 6) AS jaccard
-       FROM inter
-       JOIN sizes sa ON sa.doc_id = doc_a
-       JOIN sizes sb ON sb.doc_id = doc_b
-       WHERE round(n_inter / (sa.n + sb.n - n_inter), 6) >= 0.6
-       ORDER BY doc_a, doc_b"""
+         GROUP BY 1, 2),
+       pairs AS (
+         SELECT doc_a, doc_b,
+           round(n_inter / (sa.n + sb.n - n_inter), 6) AS jaccard
+         FROM inter
+         JOIN sizes sa ON sa.doc_id = doc_a
+         JOIN sizes sb ON sb.doc_id = doc_b
+         WHERE round(n_inter / (sa.n + sb.n - n_inter), 6) >= 0.6)"""
+
+  private lazy val d06Sql =
+    s"""WITH $d06Ctes
+       SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b"""
+
+  /** d07 — near-dup CLUSTERING: connected components over the verified
+    * near-dup pairs (d06), the final step of a training-data dedup
+    * pipeline — pairs alone don't dedup, clusters do (a dup group of n
+    * docs yields up to n(n-1)/2 pairs; keeping min-id per CLUSTER keeps
+    * exactly one). Min-label propagation to fixpoint: each round every
+    * node takes the min label among itself and its neighbors; converges
+    * in O(diameter) rounds, and near-dup components are clique-like so
+    * the diameter is tiny. The loop is driver-COORDINATED (one count
+    * per round for convergence) but never driver-EVALUATED — per round
+    * the data work is one equi-join + one min-aggregate, both
+    * shuffle-on-node-id, the Pregel shape. At 100 TB: rounds are
+    * data-parallel over the (sparse) near-dup edge list, not the
+    * corpus; for adversarial long-chain graphs swap in the
+    * large-star/small-star variant — same per-round operators.
+    * Output: every clustered doc with its cluster representative
+    * (min doc_id), cluster size, and whether it is the kept one.
+    */
+  private def d07(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = d06(s, d).select($"doc_a", $"doc_b")
+    val edges = swapPersist("d07e",
+      pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+        .unionByName(pairs.select($"doc_b".as("src"), $"doc_a".as("dst"))))
+    var labels = edges.select($"src".as("node")).distinct()
+      .withColumn("lbl", $"node").persist()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) { // defensive bound >> real diameter
+      val next = edges.join(labels, edges("src") === labels("node"))
+        .select($"dst".as("node"), $"lbl")
+        .unionByName(labels)
+        .groupBy($"node").agg(min($"lbl").as("lbl"))
+        .persist()
+      changed = next.join(labels.select($"node", $"lbl".as("prev")), "node")
+        .filter($"lbl" =!= $"prev").count()
+      labels.unpersist(blocking = false)
+      labels = next
+      rounds += 1
+    }
+    val clusters = labels.groupBy($"lbl").agg(count(lit(1)).as("cluster_size"))
+    val out = labels.join(clusters, "lbl")
+      .select($"node".as("doc_id"), $"lbl".as("cluster"), $"cluster_size",
+        ($"node" === $"lbl").as("kept"))
+      .orderBy($"doc_id")
+    swapPersist("d07l", labels) // release on next invocation
+    out
+  }
+  private lazy val d07Sql =
+    s"""WITH RECURSIVE $d06Ctes,
+       edges AS (
+         SELECT doc_a AS src, doc_b AS dst FROM pairs
+         UNION ALL SELECT doc_b, doc_a FROM pairs),
+       reach(node, lbl) AS (
+         SELECT DISTINCT src, src FROM edges
+         UNION
+         SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+       labels AS (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node),
+       clusters AS (SELECT lbl, count(*) AS cluster_size FROM labels GROUP BY lbl)
+       SELECT node AS doc_id, l.lbl AS cluster, cluster_size, node = l.lbl AS kept
+       FROM labels l JOIN clusters c ON c.lbl = l.lbl
+       ORDER BY doc_id"""
 
   /** d04 — SimHash fingerprints: 16-bit signature from word-frequency
     * weighted bit votes; identical signatures form a dedup bucket. One
@@ -392,6 +461,7 @@ object Dedup extends QueryModule {
     "d04_simhash" -> d04 _,
     "d05_embedding_neardup" -> d05 _,
     "d06_lsh_verified_neardup" -> d06 _,
+    "d07_neardup_clusters" -> d07 _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -401,5 +471,6 @@ object Dedup extends QueryModule {
     "d04_simhash" -> d04Sql,
     "d05_embedding_neardup" -> d05Sql,
     "d06_lsh_verified_neardup" -> d06Sql,
+    "d07_neardup_clusters" -> d07Sql,
   )
 }

@@ -165,6 +165,71 @@ object Similarity extends QueryModule {
          FROM e JOIN assign a ON e.label = a.cell AND e.vec_id <> a.probe_id)
        WHERE rank <= 3 ORDER BY probe_id, rank"""
 
+  /** s06 — IVF with nprobe=2: each probe searches its TWO nearest
+    * cells instead of one (the standard IVF recall knob — a probe near
+    * a cell boundary recovers neighbors the single-cell search loses;
+    * cost grows linearly with nprobe, still |cells|/nprobe-fold less
+    * than the full corpus). Ranking is global per probe across both
+    * cells, through TopKPerKey like s02/s03. A corpus vector lives in
+    * exactly one cell, so the two probed cells contribute disjoint
+    * candidates — no dedup needed.
+    */
+  private def s06(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+      .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
+    val cent = e
+      .select($"label", posexplode($"v").as(Seq("p", "x")))
+      .groupBy($"label", $"p").agg(avg($"x").as("cx"))
+      .groupBy($"label")
+      .agg(transform(array_sort(collect_list(struct($"p", $"cx"))),
+        c => c.getField("cx")).as("cv"))
+    val probes = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("probe_id"), $"v".as("pv"))
+    val wAssign = Window.partitionBy($"probe_id")
+      .orderBy(round($"ccos", 9).desc, $"label")
+    val assign = probes.crossJoin(broadcast(cent))
+      .withColumn("ccos", cosine($"pv", $"cv"))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter($"arn" <= 2)
+      .select($"probe_id", $"pv", $"label".as("cell"))
+    val scored = e.join(broadcast(assign),
+        $"label" === $"cell" && $"vec_id" =!= $"probe_id")
+      .withColumn("cos", cosine($"v", $"pv"))
+    val top = graft.plans.TopKPerKey.topKPerKey(scored, 3,
+      Seq($"probe_id"), Seq(round($"cos", 9).desc, $"vec_id"))
+    val wRank = Window.partitionBy($"probe_id")
+      .orderBy(round($"cos", 9).desc, $"vec_id")
+    top.withColumn("rank", row_number().over(wRank).cast("long"))
+      .select($"probe_id", $"vec_id".as("neighbor_id"), $"rank",
+        round($"cos", 6).as("cos_sim"))
+      .orderBy($"probe_id", $"rank")
+  }
+  private val s06Sql =
+    """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       cent AS (
+         SELECT label, list(cx ORDER BY p) AS cv FROM (
+           SELECT label, p, avg(x) AS cx FROM (
+             SELECT label, i AS p, v[i] AS x
+             FROM e, unnest(generate_series(1, len(v))) AS t(i))
+           GROUP BY label, p)
+         GROUP BY label),
+       probes AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 10),
+       assign AS (
+         SELECT probe_id, pv, cell FROM (
+           SELECT p.probe_id, p.pv, c.label AS cell,
+             row_number() OVER (PARTITION BY p.probe_id
+               ORDER BY round(list_cosine_similarity(p.pv, c.cv), 9) DESC, c.label) AS arn
+           FROM probes p CROSS JOIN cent c)
+         WHERE arn <= 2)
+       SELECT probe_id, neighbor_id, rank, cos_sim FROM (
+         SELECT a.probe_id, e.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY a.probe_id
+             ORDER BY round(list_cosine_similarity(e.v, a.pv), 9) DESC, e.vec_id) AS rank,
+           round(list_cosine_similarity(e.v, a.pv), 6) AS cos_sim
+         FROM e JOIN assign a ON e.label = a.cell AND e.vec_id <> a.probe_id)
+       WHERE rank <= 3 ORDER BY probe_id, rank"""
+
   /** s04 — s01 again through the native codegen'd `cosine_sim`
     * Expression (graft.functions.CosineSimilarity) instead of the
     * higher-order-function fold: same accumulation order, same values,
@@ -241,6 +306,7 @@ object Similarity extends QueryModule {
     "s03_ivf_ann" -> s03 _,
     "s04_cosine_topk_native" -> s04 _,
     "s05_quantized_cosine" -> s05 _,
+    "s06_ivf_nprobe" -> s06 _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -249,5 +315,6 @@ object Similarity extends QueryModule {
     "s03_ivf_ann" -> s03Sql,
     "s04_cosine_topk_native" -> s01Sql,
     "s05_quantized_cosine" -> s05Sql,
+    "s06_ivf_nprobe" -> s06Sql,
   )
 }

@@ -159,11 +159,62 @@ object TextAnalysis extends QueryModule {
        FROM fp JOIN groups USING (fingerprint)
        ORDER BY doc_id"""
 
+  /** a05 — the composed curation pass a real pipeline runs: language
+    * gate (a01's argmax) → quality gate (a02's score ≥ 0.75) →
+    * deterministic hash subsample (e09's mechanism: md5-derived bucket,
+    * reproducible across runs AND engines — never rand()) → corpus
+    * budget summary (docs kept, token budget, mean quality). One scan,
+    * all three gates fused by Catalyst into the same stage — the
+    * filters cost one pass at 100 TB, not three.
+    */
+  private def a05(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val stop = array(Seq("the", "a", "of", "and").map(lit): _*)
+    Tables.documents(s, d)
+      .withColumn("toks", split($"text", " "))
+      .withColumn("s_en", markerHits($"toks", "en"))
+      .withColumn("s_de", markerHits($"toks", "de"))
+      .withColumn("s_es", markerHits($"toks", "es"))
+      .withColumn("s_zh", markerHits($"toks", "zh"))
+      .filter($"s_en" >= $"s_de" && $"s_en" >= $"s_es" && $"s_en" >= $"s_zh")
+      .withColumn("n_tokens", size($"toks").cast("long"))
+      .withColumn("stop_ratio",
+        size(filter($"toks", t => array_contains(stop, t))).cast("double") / $"n_tokens")
+      .withColumn("short_ratio",
+        size(filter($"toks", t => length(t) <= 2)).cast("double") / $"n_tokens")
+      .withColumn("quality",
+        round(lit(1.0) - $"short_ratio" * 0.5 - $"stop_ratio" * 0.3 +
+          least($"n_tokens".cast("double") / 100.0, lit(1.0)) * 0.2, 6))
+      .filter($"quality" >= 0.75)
+      .filter(conv(substring(md5(concat(lit("s:"), $"doc_id")), 1, 15), 16, 10)
+        .cast("long") % 100 < 50)
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("sum_tokens"),
+        round(avg($"quality"), 6).as("avg_quality"))
+  }
+  private val a05Sql =
+    s"""SELECT count(*) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         round(avg(quality), 6) AS avg_quality
+       FROM (
+         SELECT doc_id, len(l) AS n_tokens,
+           round(1.0
+             - (CAST(len(list_filter(l, x -> strlen(x) <= 2)) AS DOUBLE) / len(l)) * 0.5
+             - (CAST(len(list_filter(l, x -> list_contains(['the','a','of','and'], x))) AS DOUBLE) / len(l)) * 0.3
+             + least(CAST(len(l) AS DOUBLE) / 100.0, 1.0) * 0.2, 6) AS quality
+         FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+               WHERE ${hitsSql("en")} >= ${hitsSql("de")}
+                 AND ${hitsSql("en")} >= ${hitsSql("es")}
+                 AND ${hitsSql("en")} >= ${hitsSql("zh")}))
+       WHERE quality >= 0.75
+         AND CAST('0x' || substr(md5('s:' || doc_id), 1, 15) AS BIGINT) % 100 < 50"""
+
   val queries: Map[String, QueryFn] = Map(
     "a01_language_id" -> a01 _,
     "a02_quality_score" -> a02 _,
     "a03_token_counts" -> a03 _,
     "a04_fingerprint" -> a04 _,
+    "a05_curation_pipeline" -> a05 _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -171,5 +222,6 @@ object TextAnalysis extends QueryModule {
     "a02_quality_score" -> a02Sql,
     "a03_token_counts" -> a03Sql,
     "a04_fingerprint" -> a04Sql,
+    "a05_curation_pipeline" -> a05Sql,
   )
 }

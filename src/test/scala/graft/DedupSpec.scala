@@ -41,6 +41,27 @@ class DedupSpec extends SparkSpec {
     assert(composed == exact, "d06 must equal d02 when no true pair is missed")
   }
 
+  test("d07 clusters: pair endpoints co-cluster, one kept doc per cluster") {
+    val pairs = Dedup.queries("d06_lsh_verified_neardup")(spark, sfDir)
+      .select("doc_a", "doc_b")
+    val labels = Dedup.queries("d07_neardup_clusters")(spark, sfDir)
+    // both endpoints of every verified pair land in the same cluster
+    val la = labels.select(col("doc_id").as("doc_a"), col("cluster").as("ca"))
+    val lb = labels.select(col("doc_id").as("doc_b"), col("cluster").as("cb"))
+    val split = pairs.join(la, "doc_a").join(lb, "doc_b")
+      .filter(col("ca") =!= col("cb"))
+    assert(split.count() == 0, "a verified near-dup pair must not be split")
+    // exactly one kept representative per cluster, and it's the min id
+    val reps = labels.filter(col("kept")).groupBy("cluster").count()
+    assert(reps.filter(col("count") =!= 1).count() == 0)
+    assert(labels.filter(col("kept") && col("doc_id") =!= col("cluster")).count() == 0)
+    // cluster sizes sum to the clustered-node count
+    val nNodes = labels.count()
+    val sumSizes = labels.filter(col("kept"))
+      .agg(sum(col("cluster_size"))).head.getLong(0)
+    assert(sumSizes == nNodes)
+  }
+
   test("d04 simhash: near-identical docs share a bucket") {
     val sig = Dedup.queries("d04_simhash")(spark, sfDir)
     // the ' dup'-appended twin differs by one rare word: votes shift by

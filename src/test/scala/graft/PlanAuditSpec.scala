@@ -14,7 +14,7 @@ class PlanAuditSpec extends SparkSpec {
   private val bnljWhitelist = Set(
     "q10_cross_join_meta", "s01_cosine_topk", "s04_cosine_topk_native",
     "s03_ivf_ann", "s02_batch_knn" /* broadcast probe set x corpus */,
-    "s05_quantized_cosine",
+    "s05_quantized_cosine", "s06_ivf_nprobe",
     "w09_distributed_rank" /* 1-row broadcast of the total count */)
 
   test("no query plans a CartesianProduct") {
@@ -57,7 +57,7 @@ class PlanAuditSpec extends SparkSpec {
     // the probes x corpus match set must be capped by partial heaps before
     // any exchange; the only Window allowed is the rank projection ABOVE
     // the TopKPerKeyFinal (<= k rows per probe by then)
-    Seq("s02_batch_knn", "s03_ivf_ann").foreach { name =>
+    Seq("s02_batch_knn", "s03_ivf_ann", "s06_ivf_nprobe").foreach { name =>
       val plan = planOf(graft.ext.Similarity.queries(name)(spark, sfDir))
       assert(plan.contains("TopKPerKeyPartial") && plan.contains("TopKPerKeyFinal"),
         s"$name must plan the TopKPerKey operator:\n$plan")

@@ -65,6 +65,20 @@ class SimilaritySpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("s06 nprobe=2 recall vs brute force is >= single-cell s03 recall") {
+    // s06's candidate pool is a superset of s03's per probe, and both
+    // rank by true cosine, so recall against the exact answer (s02
+    // top-3) can only improve or hold
+    def hits(name: String): Long = {
+      val exact = Similarity.queries("s02_batch_knn")(spark, sfDir)
+        .select(col("probe_id"), col("neighbor_id"))
+      Similarity.queries(name)(spark, sfDir)
+        .select(col("probe_id"), col("neighbor_id"))
+        .intersect(exact).count()
+    }
+    assert(hits("s06_ivf_nprobe") >= hits("s03_ivf_ann"))
+  }
+
   test("s01 brute-force top-k plans as TakeOrderedAndProject with a broadcast query side") {
     val plan = planOf(Similarity.queries("s01_cosine_topk")(spark, sfDir))
     assert(plan.contains("TakeOrderedAndProject"), plan)
