@@ -226,8 +226,57 @@ object Eventing extends QueryModule {
        WHERE CAST('0x' || substr(md5('smp:' || event_id), 1, 15) AS BIGINT) % 10 = 0
        GROUP BY event_type ORDER BY event_type"""
 
+  /** e10 — funnel analysis: how many users progressed view → click →
+    * purchase IN ORDER (each later stage strictly after the user's
+    * first qualifying earlier stage). Three stage aggregates chained by
+    * equi-joins, all keyed on user_id — one logical shuffle key, so the
+    * three groupBys + two joins co-locate into the same partitioning at
+    * scale (no re-shuffle between stages). `min(ts)`-then-filter is the
+    * order-free formulation: no sort, no window over the event stream.
+    */
+  private def e10(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val v = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t_view"))
+    val c = ev.filter($"event_type" === "click")
+      .join(v, "user_id").filter($"ts" > $"t_view")
+      .groupBy($"user_id").agg(min($"ts").as("t_click"))
+    val p = ev.filter($"event_type" === "purchase")
+      .join(c, "user_id").filter($"ts" > $"t_click")
+      .groupBy($"user_id").agg(min($"ts").as("t_purchase"))
+    // one declarative plan: three 1-row stage counts cross-joined (1-row
+    // BNLJ broadcasts — whitelisted in PlanAuditSpec), no driver actions
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+      .crossJoin(p.agg(count(lit(1)).as("n_full_funnel")))
+      .select($"n_view", $"n_view_click", $"n_full_funnel",
+        round($"n_view_click" / $"n_view", 6).as("click_rate"),
+        round($"n_full_funnel" / $"n_view", 6).as("funnel_rate"))
+  }
+  private val e10Sql =
+    """WITH v AS (
+         SELECT user_id, min(ts) AS t_view FROM events
+         WHERE event_type = 'view' GROUP BY user_id),
+       c AS (
+         SELECT e.user_id, min(e.ts) AS t_click
+         FROM events e JOIN v ON e.user_id = v.user_id
+         WHERE e.event_type = 'click' AND e.ts > v.t_view
+         GROUP BY e.user_id),
+       p AS (
+         SELECT e.user_id, min(e.ts) AS t_purchase
+         FROM events e JOIN c ON e.user_id = c.user_id
+         WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+         GROUP BY e.user_id)
+       SELECT (SELECT count(*) FROM v) AS n_view,
+         (SELECT count(*) FROM c) AS n_view_click,
+         (SELECT count(*) FROM p) AS n_full_funnel,
+         round((SELECT count(*) FROM c) / CAST((SELECT count(*) FROM v) AS DOUBLE), 6) AS click_rate,
+         round((SELECT count(*) FROM p) / CAST((SELECT count(*) FROM v) AS DOUBLE), 6) AS funnel_rate"""
+
   val queries: Map[String, QueryFn] = Map(
     "e01_tumbling_window" -> e01 _,
+    "e10_funnel" -> e10 _,
     "e07_map_entries" -> e07 _,
     "e08_histogram" -> e08 _,
     "e09_hash_sample" -> e09 _,
@@ -240,6 +289,7 @@ object Eventing extends QueryModule {
 
   val oracle: Map[String, String] = Map(
     "e01_tumbling_window" -> e01Sql,
+    "e10_funnel" -> e10Sql,
     "e07_map_entries" -> e07Sql,
     "e08_histogram" -> e08Sql,
     "e09_hash_sample" -> e09Sql,

@@ -49,6 +49,15 @@ class EventingSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("e10 funnel stages are monotonically narrowing with valid rates") {
+    val r = Eventing.queries("e10_funnel")(spark, sfDir).head
+    val (nv, nc, np) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nv >= nc && nc >= np, "each stage can only narrow the cohort")
+    assert(nv > 0 && np > 0, "fixture data reaches the full funnel")
+    assert(r.getDouble(3) >= 0 && r.getDouble(3) <= 1)
+    assert(r.getDouble(4) <= r.getDouble(3), "full-funnel rate <= click rate")
+  }
+
   test("e06 range join plans as a hash join on user_id, not a cartesian product") {
     val plan = planOf(Eventing.queries("e06_range_join")(spark, sfDir))
     assert(!plan.contains("CartesianProduct"), plan)

@@ -15,7 +15,8 @@ class PlanAuditSpec extends SparkSpec {
     "q10_cross_join_meta", "s01_cosine_topk", "s04_cosine_topk_native",
     "s03_ivf_ann", "s02_batch_knn" /* broadcast probe set x corpus */,
     "s05_quantized_cosine", "s06_ivf_nprobe",
-    "w09_distributed_rank" /* 1-row broadcast of the total count */)
+    "w09_distributed_rank" /* 1-row broadcast of the total count */,
+    "e10_funnel" /* three 1-row stage counts cross-joined */)
 
   test("no query plans a CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>
