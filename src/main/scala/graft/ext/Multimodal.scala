@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing (north-star extension): image/audio/video
@@ -45,6 +45,45 @@ object Multimodal extends Serializable {
       MediaRow(id, bytes, MediaMeta(
         if (frames > 1) "video" else "image", w, h, 0, frames * 40L))
     }
+  }
+
+  // ---- REAL binary-column operators (no codec required) -------------
+  // Container-format metadata lives in the payload's LEADING bytes, so
+  // format sniffing and dimension extraction are pure expressions over
+  // substring(binary)+hex+conv — whole-stage codegen, no UDF, and at
+  // 100 TB they run inside the scan stage; the payload never shuffles.
+
+  private val PngSignature = "89504E470D0A1A0A"
+
+  /** Magic-byte format sniff: png / jpeg / unknown. */
+  def sniffFormat(bin: Column): Column =
+    when(upper(hex(substring(bin, 1, 8))) === PngSignature, "png")
+      .when(upper(hex(substring(bin, 1, 3))) === "FFD8FF", "jpeg")
+      .otherwise("unknown")
+
+  /** PNG IHDR fields at fixed offsets (signature 1-8, chunk length
+    * 9-12, "IHDR" 13-16, then big-endian width/height + depth/type).
+    * Null-safe: short or non-PNG payloads yield nulls via the guard. */
+  private def ihdrField(bin: Column, off: Int, len: Int): Column =
+    when(upper(hex(substring(bin, 1, 8))) === PngSignature,
+      conv(hex(substring(bin, off, len)), 16, 10).cast("int"))
+  def pngWidth(bin: Column): Column = ihdrField(bin, 17, 4)
+  def pngHeight(bin: Column): Column = ihdrField(bin, 21, 4)
+  def pngBitDepth(bin: Column): Column = ihdrField(bin, 25, 1)
+  def pngColorType(bin: Column): Column = ihdrField(bin, 26, 1)
+
+  /** Header-only PNG fabricator for fixtures (signature + IHDR — enough
+    * bytes for every metadata operator above, no pixel data). */
+  def fakePng(width: Int, height: Int, bitDepth: Int = 8, colorType: Int = 0): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(26)
+    bb.put(Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+    bb.putInt(13)
+    bb.put("IHDR".getBytes("US-ASCII"))
+    bb.putInt(width)
+    bb.putInt(height)
+    bb.put(bitDepth.toByte)
+    bb.put(colorType.toByte)
+    bb.array()
   }
 
   /** ==== STUB ==== a real build links an image codec here; the fake

@@ -33,6 +33,34 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_.media_id).toSet == videoIds)
   }
 
+  test("PNG metadata extracts real header fields in codegen, no UDF") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Multimodal.fakePng(640, 480)),
+      (2L, Multimodal.fakePng(1920, 1080, bitDepth = 16, colorType = 2)),
+      (3L, Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte)),
+      (4L, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9)),
+    ).toDF("media_id", "content")
+    val got = rows.select(col("media_id"),
+        Multimodal.sniffFormat(col("content")).as("fmt"),
+        Multimodal.pngWidth(col("content")).as("w"),
+        Multimodal.pngHeight(col("content")).as("h"),
+        Multimodal.pngBitDepth(col("content")).as("depth"),
+        Multimodal.pngColorType(col("content")).as("ctype"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getString(1) == "png" && got(1L).getInt(2) == 640 && got(1L).getInt(3) == 480)
+    assert(got(2L).getInt(2) == 1920 && got(2L).getInt(3) == 1080)
+    assert(got(2L).getInt(4) == 16 && got(2L).getInt(5) == 2)
+    assert(got(3L).getString(1) == "jpeg" && got(3L).isNullAt(2), "non-PNG dims are null")
+    assert(got(4L).getString(1) == "unknown")
+    // the whole extraction is catalyst expressions — no UDF node (a
+    // local relation folds into LocalTableScan, so assert absence of
+    // UDFs rather than presence of a codegen stage)
+    val plan = rows.select(Multimodal.pngWidth(col("content")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"), plan)
+  }
+
   test("decode partitioning caps rows per partition; features drop the payload") {
     val media = Multimodal.syntheticMedia(spark, 100)
     val parted = Multimodal.partitionForDecode(media, maxRowsPerPartition = 10)

@@ -69,6 +69,17 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("hot scan families stay inside WholeStageCodegen (no interpreted hot path)") {
+    Seq("q01_pricing_summary", "q06_scan_filter_agg", "t02_predicates",
+      "a02_quality_score", "e08_histogram").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      df.collect() // AQE renders codegen stage markers only in the final plan
+      val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      assert(plan.contains("*("), s"$q lost codegen (no *(n) stage spans):\n$plan")
+      assert(!plan.contains("ScalaUDF"), s"$q must not plan a UDF:\n$plan")
+    }
+  }
+
   test("every query result is deterministic: two runs hash identically") {
     // spot-check the families most at risk of order instability
     Seq("t06_segmentation", "d03_minhash_lsh", "s02_batch_knn", "v05_topk_aggregator")
