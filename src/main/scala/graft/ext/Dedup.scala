@@ -331,16 +331,27 @@ object Dedup extends QueryModule {
         .unionByName(pairs.select($"doc_b".as("src"), $"doc_a".as("dst"))))
     var labels = edges.select($"src".as("node")).distinct()
       .withColumn("lbl", $"node").persist()
-    var changed = 1L
+    // min-label propagation + pointer jumping (label := label's label):
+    // the jump doubles resolved path length per round, so a dup CHAIN of
+    // length L (docs linked dup->dup->dup) converges in O(log L) rounds
+    // instead of O(L). Convergence check is join-free: labels decrease
+    // monotonically, so the label sum strictly falls until fixpoint.
+    var prevSum = labels.agg(sum($"lbl")).head.getLong(0)
     var rounds = 0
-    while (changed > 0 && rounds < 20) { // defensive bound >> real diameter
-      val next = edges.join(labels, edges("src") === labels("node"))
+    var converged = false
+    while (!converged && rounds < 20) { // defensive bound >> log(diameter)
+      val prop = edges.join(labels, edges("src") === labels("node"))
         .select($"dst".as("node"), $"lbl")
         .unionByName(labels)
         .groupBy($"node").agg(min($"lbl").as("lbl"))
+      val next = prop.as("x")
+        .join(prop.select($"node".as("jn"), $"lbl".as("jlbl")).as("y"),
+          col("x.lbl") === $"jn", "left")
+        .select(col("x.node").as("node"), coalesce($"jlbl", col("x.lbl")).as("lbl"))
         .persist()
-      changed = next.join(labels.select($"node", $"lbl".as("prev")), "node")
-        .filter($"lbl" =!= $"prev").count()
+      val curSum = next.agg(sum($"lbl")).head.getLong(0)
+      converged = curSum == prevSum
+      prevSum = curSum
       labels.unpersist(blocking = false)
       labels = next
       rounds += 1

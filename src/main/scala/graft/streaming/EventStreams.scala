@@ -84,6 +84,79 @@ object EventStreams extends Serializable {
     events.withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Funnel stage reached by a user: 1 = view, 2 = click after view,
+    * 3 = purchase after that click (the streaming face of batch e10). */
+  case class FunnelHit(user_id: Long, stage: Int, at: Timestamp)
+
+  /** Per-user funnel progress kept in the state store: first qualifying
+    * time per stage, MinValue = not reached. */
+  case class FunnelState(tView: Long, tClick: Long, tPurchase: Long)
+
+  /** Streaming funnel: a per-user state machine on
+    * flatMapGroupsWithState emitting one FunnelHit the first time each
+    * stage is reached — the incremental form of e10's min-chain
+    * (t_view = first view, t_click = first click strictly after it,
+    * t_purchase = first purchase strictly after that). Batch mode
+    * (`streaming = false`) sees complete, sorted groups, so the machine
+    * reproduces e10's stage cohorts exactly (spec-asserted). Streaming
+    * mode is monotone best-effort under out-of-order input: a late
+    * event can never retract an emitted hit (Append has no retraction);
+    * an admissible late view may lower t_view without re-evaluating
+    * clicks already rejected — the standard funnel-at-ingest trade-off,
+    * resolved exactly by the batch recompute. State is one 24-byte
+    * triple per user, dropped via event-time timeout once the user is
+    * idle past the attribution horizon — after that a returning user
+    * re-enters the funnel as a fresh cohort member (choose the horizon
+    * >= the longest credit window the analysis allows).
+    */
+  def funnelize(events: Dataset[Ev], streaming: Boolean = false,
+      horizonDays: Int = 30): Dataset[FunnelHit] = {
+    implicit val evEnc: Encoder[Ev] = ExpressionEncoder()
+    implicit val stEnc: Encoder[FunnelState] = ExpressionEncoder()
+    implicit val outEnc: Encoder[FunnelHit] = ExpressionEncoder()
+    implicit val keyEnc: Encoder[Long] = ExpressionEncoder()
+    val unset = Long.MinValue
+
+    def toUs(t: Timestamp): Long = t.getTime * 1000 + (t.getNanos / 1000) % 1000
+
+    def fn(userId: Long, rows: Iterator[Ev],
+        state: GroupState[FunnelState]): Iterator[FunnelHit] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      val out = scala.collection.mutable.ArrayBuffer[FunnelHit]()
+      var st = state.getOption.getOrElse(FunnelState(unset, unset, unset))
+      val sorted = rows.toArray.sortBy(e => (toUs(e.ts), e.event_id))
+      var lastUs = unset
+      sorted.foreach { e =>
+        val t = toUs(e.ts)
+        lastUs = math.max(lastUs, t)
+        e.event_type match {
+          case "view" if st.tView == unset =>
+            st = st.copy(tView = t)
+            out += FunnelHit(userId, 1, e.ts)
+          case "click" if st.tView != unset && st.tClick == unset && t > st.tView =>
+            st = st.copy(tClick = t)
+            out += FunnelHit(userId, 2, e.ts)
+          case "purchase" if st.tClick != unset && st.tPurchase == unset && t > st.tClick =>
+            st = st.copy(tPurchase = t)
+            out += FunnelHit(userId, 3, e.ts)
+          case _ => ()
+        }
+      }
+      if (streaming) {
+        state.update(st)
+        if (lastUs != unset)
+          state.setTimeoutTimestamp(lastUs / 1000 + horizonDays * 24L * 3600 * 1000)
+      } else if (state.exists) state.remove()
+      out.iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelHit](
+        OutputMode.Append(),
+        if (streaming) GroupStateTimeout.EventTimeTimeout()
+        else GroupStateTimeout.NoTimeout())(fn)
+  }
+
   /** Custom stateful sessionization on flatMapGroupsWithState: the
     * general form for session logic session_window can't express
     * (per-session aggregates beyond count/sum, custom close rules).

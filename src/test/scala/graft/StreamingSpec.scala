@@ -113,6 +113,44 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("batch funnelize cohorts equal the e10 oracle counts") {
+    import spark.implicits._
+    val evs = spark.createDataset(loadEvents())
+    val hits = EventStreams.funnelize(evs, streaming = false).toDF()
+    val byStage = hits.groupBy("stage").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val e10 = Eventing.queries("e10_funnel")(spark, sfDir).head
+    assert(byStage.getOrElse(1, 0L) == e10.getLong(0), "stage-1 cohort = n_view")
+    assert(byStage.getOrElse(2, 0L) == e10.getLong(1), "stage-2 cohort = n_view_click")
+    assert(byStage.getOrElse(3, 0L) == e10.getLong(2), "stage-3 cohort = n_full_funnel")
+    // a user reaches each stage at most once
+    assert(hits.groupBy("user_id", "stage").count()
+      .filter(col("count") > 1).count() == 0)
+  }
+
+  test("streaming funnelize over ordered replay matches batch funnelize") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val hits = EventStreams.funnelize(
+      input.toDS().withWatermark("ts", "1 hour").as[Ev], streaming = true)
+    val query = hits.writeStream.format("memory").queryName("funnel_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val evs = loadEvents().sortBy(e => (e.ts.getTime, e.event_id))
+      val third = evs.length / 3
+      input.addData(evs.take(third)); query.processAllAvailable()
+      input.addData(evs.slice(third, 2 * third)); query.processAllAvailable()
+      input.addData(evs.drop(2 * third)); query.processAllAvailable()
+      val got = spark.table("funnel_out")
+        .orderBy("user_id", "stage").collect().toSeq
+      val want = EventStreams.funnelize(
+        spark.createDataset(loadEvents()), streaming = false)
+        .toDF().orderBy("user_id", "stage").collect().toSeq
+      assert(got == want, "in-order replay must reproduce the batch funnel")
+    } finally query.stop()
+  }
+
   test("streaming stateful sessionization emits closed sessions as watermark advances") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
