@@ -306,63 +306,72 @@ object Dedup extends QueryModule {
     s"""WITH $d06Ctes
        SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b"""
 
+  /** Per-partition union-find with min-id roots and path compression.
+    * `emitLabels = false` emits the partition's spanning FOREST — one
+    * (root, node) edge per non-root node, <= nodes-1 edges whatever the
+    * input edge count — the lossless compressed form that merges with
+    * other partitions' forests. `emitLabels = true` emits final
+    * (node, component-min) labels. Min-root unioning makes the result
+    * order-independent: the component minimum always ends up the root.
+    */
+  private def unionFindReduce(emitLabels: Boolean)(
+      it: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    it.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val nodes = parent.keys.toArray.sorted
+    if (emitLabels) nodes.iterator.map(k => (k, find(k)))
+    else nodes.iterator.map(k => (find(k), k)).filter { case (r, k) => r != k }
+  }
+
   /** d07 — near-dup CLUSTERING: connected components over the verified
     * near-dup pairs (d06), the final step of a training-data dedup
     * pipeline — pairs alone don't dedup, clusters do (a dup group of n
     * docs yields up to n(n-1)/2 pairs; keeping min-id per CLUSTER keeps
-    * exactly one). Min-label propagation to fixpoint: each round every
-    * node takes the min label among itself and its neighbors; converges
-    * in O(diameter) rounds, and near-dup components are clique-like so
-    * the diameter is tiny. The loop is driver-COORDINATED (one count
-    * per round for convergence) but never driver-EVALUATED — per round
-    * the data work is one equi-join + one min-aggregate, both
-    * shuffle-on-node-id, the Pregel shape. At 100 TB: rounds are
-    * data-parallel over the (sparse) near-dup edge list, not the
-    * corpus; for adversarial long-chain graphs swap in the
-    * large-star/small-star variant — same per-round operators.
+    * exactly one). Hierarchical union-find instead of an iterative
+    * label-propagation join loop: each partition collapses its edges to
+    * a spanning forest (O(E α) work, forest <= local nodes), partitions
+    * merge 16-way through NARROW coalesces (no shuffle, no per-round
+    * driver action — the whole reduction is one job of log16(parts)
+    * chained mapPartitions), and the last level emits (node, min-id)
+    * labels. Per-task memory is bounded by the nodes under that task's
+    * subtree — the near-dup node set, orders smaller than the corpus;
+    * at extreme scale where even that overflows one task, replace the
+    * final levels with large-star/small-star rounds (same forest form).
     * Output: every clustered doc with its cluster representative
     * (min doc_id), cluster size, and whether it is the kept one.
     */
   private def d07(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val pairs = d06(s, d).select($"doc_a", $"doc_b")
-    val edges = swapPersist("d07e",
-      pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
-        .unionByName(pairs.select($"doc_b".as("src"), $"doc_a".as("dst"))))
-    var labels = edges.select($"src".as("node")).distinct()
-      .withColumn("lbl", $"node").persist()
-    // min-label propagation + pointer jumping (label := label's label):
-    // the jump doubles resolved path length per round, so a dup CHAIN of
-    // length L (docs linked dup->dup->dup) converges in O(log L) rounds
-    // instead of O(L). Convergence check is join-free: labels decrease
-    // monotonically, so the label sum strictly falls until fixpoint.
-    var prevSum = labels.agg(sum($"lbl")).head.getLong(0)
-    var rounds = 0
-    var converged = false
-    while (!converged && rounds < 20) { // defensive bound >> log(diameter)
-      val prop = edges.join(labels, edges("src") === labels("node"))
-        .select($"dst".as("node"), $"lbl")
-        .unionByName(labels)
-        .groupBy($"node").agg(min($"lbl").as("lbl"))
-      val next = prop.as("x")
-        .join(prop.select($"node".as("jn"), $"lbl".as("jlbl")).as("y"),
-          col("x.lbl") === $"jn", "left")
-        .select(col("x.node").as("node"), coalesce($"jlbl", col("x.lbl")).as("lbl"))
-        .persist()
-      val curSum = next.agg(sum($"lbl")).head.getLong(0)
-      converged = curSum == prevSum
-      prevSum = curSum
-      labels.unpersist(blocking = false)
-      labels = next
-      rounds += 1
+    // fan-in levels sized from the session's parallelism, NOT probed
+    // from the plan (an AQE probe does not bind the runtime partition
+    // count); the LAST level is always an explicit coalesce(1), which
+    // is what makes the labels exact whatever ran before it
+    var current = d06(s, d).select($"doc_a", $"doc_b").as[(Long, Long)]
+      .mapPartitions(unionFindReduce(emitLabels = false))
+    var parts = math.max(1, s.sparkContext.defaultParallelism / 16)
+    while (parts > 1) {
+      current = current.coalesce(parts).mapPartitions(unionFindReduce(emitLabels = false))
+      parts = math.max(1, parts / 16)
     }
-    val clusters = labels.groupBy($"lbl").agg(count(lit(1)).as("cluster_size"))
-    val out = labels.join(clusters, "lbl")
+    val lab = swapPersist("d07l",
+      current.coalesce(1).mapPartitions(unionFindReduce(emitLabels = true))
+        .toDF("node", "lbl"))
+    val clusters = lab.groupBy($"lbl").agg(count(lit(1)).as("cluster_size"))
+    lab.join(clusters, "lbl")
       .select($"node".as("doc_id"), $"lbl".as("cluster"), $"cluster_size",
         ($"node" === $"lbl").as("kept"))
       .orderBy($"doc_id")
-    swapPersist("d07l", labels) // release on next invocation
-    out
   }
   private lazy val d07Sql =
     s"""WITH RECURSIVE $d06Ctes,

@@ -45,6 +45,10 @@ class DedupSpec extends SparkSpec {
     val pairs = Dedup.queries("d06_lsh_verified_neardup")(spark, sfDir)
       .select("doc_a", "doc_b")
     val labels = Dedup.queries("d07_neardup_clusters")(spark, sfDir)
+    // exactly one label row per clustered doc (a partial merge across
+    // partitions would emit conflicting duplicates — seen once when the
+    // fan-in was probed from the plan instead of forced)
+    assert(labels.count() == labels.select("doc_id").distinct().count())
     // both endpoints of every verified pair land in the same cluster
     val la = labels.select(col("doc_id").as("doc_a"), col("cluster").as("ca"))
     val lb = labels.select(col("doc_id").as("doc_b"), col("cluster").as("cb"))
