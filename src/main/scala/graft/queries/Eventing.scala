@@ -274,9 +274,42 @@ object Eventing extends QueryModule {
          round((SELECT count(*) FROM c) / CAST((SELECT count(*) FROM v) AS DOUBLE), 6) AS click_rate,
          round((SELECT count(*) FROM p) / CAST((SELECT count(*) FROM v) AS DOUBLE), 6) AS funnel_rate"""
 
+  /** e11 — weekly retention cohorts: users grouped by the ISO week of
+    * their first activity; each cell counts how many of a cohort's
+    * users were active k weeks later (the product-analytics retention
+    * matrix). Two aggregates over the deduped (user, week) activity
+    * set, both keyed by user_id — the join reuses the groupBy's
+    * partitioning, and the final cell aggregate moves one row per
+    * (user, active-week), not per event.
+    */
+  private def e11(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wk = Tables.events(s, d)
+      .select($"user_id", date_trunc("week", $"ts").cast("date").as("wk"))
+      .distinct()
+    val cohort = wk.groupBy($"user_id").agg(min($"wk").as("cohort_week"))
+    wk.join(cohort, "user_id")
+      // week boundaries make the day gap an exact multiple of 7
+      .withColumn("week_offset", (datediff($"wk", $"cohort_week") / 7).cast("long"))
+      .groupBy($"cohort_week", $"week_offset")
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy($"cohort_week", $"week_offset")
+  }
+  private val e11Sql =
+    """WITH wk AS (
+         SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+         FROM events),
+       cohort AS (SELECT user_id, min(wk) AS cohort_week FROM wk GROUP BY user_id)
+       SELECT cohort_week,
+         CAST(date_diff('day', cohort_week, wk) / 7 AS BIGINT) AS week_offset,
+         count(*) AS n_active
+       FROM wk JOIN cohort USING (user_id)
+       GROUP BY 1, 2 ORDER BY cohort_week, week_offset"""
+
   val queries: Map[String, QueryFn] = Map(
     "e01_tumbling_window" -> e01 _,
     "e10_funnel" -> e10 _,
+    "e11_retention_cohorts" -> e11 _,
     "e07_map_entries" -> e07 _,
     "e08_histogram" -> e08 _,
     "e09_hash_sample" -> e09 _,
@@ -290,6 +323,7 @@ object Eventing extends QueryModule {
   val oracle: Map[String, String] = Map(
     "e01_tumbling_window" -> e01Sql,
     "e10_funnel" -> e10Sql,
+    "e11_retention_cohorts" -> e11Sql,
     "e07_map_entries" -> e07Sql,
     "e08_histogram" -> e08Sql,
     "e09_hash_sample" -> e09Sql,

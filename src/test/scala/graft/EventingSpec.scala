@@ -58,6 +58,18 @@ class EventingSpec extends SparkSpec {
     assert(r.getDouble(4) <= r.getDouble(3), "full-funnel rate <= click rate")
   }
 
+  test("e11 retention: offset-0 cell per cohort equals the cohort size") {
+    val df = Eventing.queries("e11_retention_cohorts")(spark, sfDir)
+    // every user is active in their own first week, so the k=0 cell is
+    // the whole cohort, and later cells can never exceed it
+    val zero = df.filter(col("week_offset") === 0)
+      .select(col("cohort_week"), col("n_active").as("cohort_size"))
+    val tooBig = df.join(zero, "cohort_week")
+      .filter(col("n_active") > col("cohort_size"))
+    assert(tooBig.count() == 0)
+    assert(df.filter(col("week_offset") < 0).count() == 0)
+  }
+
   test("e06 range join plans as a hash join on user_id, not a cartesian product") {
     val plan = planOf(Eventing.queries("e06_range_join")(spark, sfDir))
     assert(!plan.contains("CartesianProduct"), plan)
