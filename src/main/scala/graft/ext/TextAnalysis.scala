@@ -209,12 +209,43 @@ object TextAnalysis extends QueryModule {
        WHERE quality >= 0.75
          AND CAST('0x' || substr(md5('s:' || doc_id), 1, 15) AS BIGINT) % 100 < 50"""
 
+  /** a06 — corpus n-gram statistics: the 20 most frequent bigrams with
+    * document frequency (how many distinct docs contain each) — the LM
+    * corpus-health report (boilerplate and templated text surface as
+    * high-count bigrams with high doc frequency). Bigrams form map-side
+    * as an array transform (no self-join of token positions); the
+    * aggregate shuffles (bigram, doc) pairs once; top-20 is a
+    * TakeOrderedAndProject, never a global sort.
+    */
+  private def a06(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bi = Tables.documents(s, d)
+      .withColumn("toks", split($"text", " "))
+      .filter(size($"toks") >= 2)
+      .select($"doc_id", explode(transform(
+        sequence(lit(1), size($"toks") - 1),
+        i => concat_ws(" ", element_at($"toks", i), element_at($"toks", i + 1)))).as("bigram"))
+    bi.groupBy($"bigram")
+      .agg(count(lit(1)).as("n"), countDistinct($"doc_id").as("df"))
+      .orderBy($"n".desc, $"bigram")
+      .limit(20)
+  }
+  private val a06Sql =
+    """SELECT bigram, count(*) AS n, count(DISTINCT doc_id) AS df
+       FROM (
+         SELECT doc_id, l[i] || ' ' || l[i+1] AS bigram
+         FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+           unnest(generate_series(1, len(l) - 1)) AS t(i)
+         WHERE len(l) >= 2)
+       GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20"""
+
   val queries: Map[String, QueryFn] = Map(
     "a01_language_id" -> a01 _,
     "a02_quality_score" -> a02 _,
     "a03_token_counts" -> a03 _,
     "a04_fingerprint" -> a04 _,
     "a05_curation_pipeline" -> a05 _,
+    "a06_bigram_stats" -> a06 _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -223,5 +254,6 @@ object TextAnalysis extends QueryModule {
     "a03_token_counts" -> a03Sql,
     "a04_fingerprint" -> a04Sql,
     "a05_curation_pipeline" -> a05Sql,
+    "a06_bigram_stats" -> a06Sql,
   )
 }

@@ -229,8 +229,62 @@ object TextOps extends QueryModule {
          CAST(sum(CAST(CASE WHEN lang = 'en' THEN lang END IS NULL AS INT)) AS BIGINT) AS n_null
        FROM documents GROUP BY 1, 2 ORDER BY lang_norm"""
 
+  /** t09 — PII redaction (training-data curation: strip emails, phone
+    * numbers, IP addresses before anything ships to a training set).
+    * The fixture text has no PII, so — like t01's mess-then-clean
+    * round trip — deterministic PII is injected first and the redaction
+    * chain must remove every planted token; counts of each kind are
+    * part of the checked result. Plain regexp_replace chains: codegen,
+    * map-only, one corpus pass at any scale. Patterns stay in the
+    * RE2 ∩ Java-regex subset so both engines agree exactly.
+    */
+  private def t09(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emailPat = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phonePat = "\\b\\d{3}-\\d{4}\\b"
+    val ipPat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    Tables.documents(s, d)
+      .withColumn("dirty", concat($"text",
+        lit(" contact u"), $"doc_id", lit("@example.com or 555-01"),
+        format_string("%02d", $"doc_id" % 100),
+        lit(" at 10.0."), ($"doc_id" % 256).cast("string"), lit(".7")))
+      .withColumn("n_emails", size(regexp_extract_all($"dirty", lit(emailPat), lit(0))).cast("long"))
+      .withColumn("n_phones", size(regexp_extract_all($"dirty", lit(phonePat), lit(0))).cast("long"))
+      .withColumn("n_ips", size(regexp_extract_all($"dirty", lit(ipPat), lit(0))).cast("long"))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(regexp_replace($"dirty",
+          emailPat, "<EMAIL>"), ipPat, "<IP>"), phonePat, "<PHONE>"))
+      .withColumn("clean", !$"redacted".rlike(emailPat) &&
+        !$"redacted".rlike(phonePat) && !$"redacted".rlike(ipPat))
+      .select($"doc_id", $"n_emails", $"n_phones", $"n_ips", $"clean", $"redacted")
+      .orderBy($"doc_id")
+  }
+  private val t09Sql =
+    """SELECT doc_id,
+         CAST(len(regexp_extract_all(dirty, '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}', 0)) AS BIGINT) AS n_emails,
+         CAST(len(regexp_extract_all(dirty, '\b\d{3}-\d{4}\b', 0)) AS BIGINT) AS n_phones,
+         CAST(len(regexp_extract_all(dirty, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', 0)) AS BIGINT) AS n_ips,
+         NOT (regexp_matches(redacted, '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}')
+           OR regexp_matches(redacted, '\b\d{3}-\d{4}\b')
+           OR regexp_matches(redacted, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS clean,
+         redacted
+       FROM (
+         SELECT doc_id, dirty,
+           regexp_replace(regexp_replace(regexp_replace(dirty,
+             '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+             '\b\d{3}-\d{4}\b', '<PHONE>', 'g') AS redacted
+         FROM (
+           SELECT doc_id,
+             text || ' contact u' || doc_id || '@example.com or 555-01' ||
+             format('{:02d}', doc_id % 100) || ' at 10.0.' ||
+             CAST(doc_id % 256 AS VARCHAR) || '.7' AS dirty
+           FROM documents))
+       ORDER BY doc_id"""
+
   val queries: Map[String, QueryFn] = Map(
     "t01_clean_roundtrip" -> t01 _,
+    "t09_pii_redaction" -> t09 _,
     "t02_predicates" -> t02 _,
     "t03_regex_extract" -> t03 _,
     "t04_split_access" -> t04 _,
@@ -242,6 +296,7 @@ object TextOps extends QueryModule {
 
   val oracle: Map[String, String] = Map(
     "t01_clean_roundtrip" -> t01Sql,
+    "t09_pii_redaction" -> t09Sql,
     "t02_predicates" -> t02Sql,
     "t03_regex_extract" -> t03Sql,
     "t04_split_access" -> t04Sql,

@@ -5,6 +5,15 @@ import org.apache.spark.sql.functions._
 
 class TextAnalysisSpec extends SparkSpec {
 
+  test("a06 bigram stats: df <= n and df <= corpus size; counts descend") {
+    import org.apache.spark.sql.functions.col
+    val df = TextAnalysis.queries("a06_bigram_stats")(spark, sfDir)
+    val nDocs = graft.sources.Tables.documents(spark, sfDir).count()
+    assert(df.filter(col("df") > col("n") || col("df") > nDocs).count() == 0)
+    val counts = df.select("n").collect().map(_.getLong(0)).toSeq
+    assert(counts == counts.sortBy(-_), "top-20 must be in descending count order")
+  }
+
   test("every text-analysis query runs; oracle SQL exists for each") {
     TextAnalysis.queries.foreach { case (name, fn) =>
       assert(fn(spark, sfDir).columns.nonEmpty, name)

@@ -39,4 +39,15 @@ class TextOpsSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(seg).size
     assert(exchanges <= 2, s"window + groupBy should reuse doc_id partitioning:\n$seg")
   }
+
+  test("t09 redaction removes every planted PII token") {
+    import org.apache.spark.sql.functions.col
+    val df = TextOps.queries("t09_pii_redaction")(spark, sfDir)
+    assert(df.filter(!col("clean")).count() == 0, "residual PII after redaction")
+    assert(df.filter(col("n_emails") < 1 || col("n_phones") < 1 || col("n_ips") < 1)
+      .count() == 0, "every doc has the planted email/phone/ip")
+    assert(df.filter(col("redacted").contains("<EMAIL>") &&
+      col("redacted").contains("<PHONE>") && col("redacted").contains("<IP>"))
+      .count() == df.count())
+  }
 }
