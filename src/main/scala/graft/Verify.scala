@@ -24,6 +24,8 @@ object Verify {
       val (fact, lines) = graft.queries.Pipelines.p03Fixture(spark)
       fact.coalesce(1).write.mode("overwrite").parquet(s"$fixDir/p03_fact")
       lines.coalesce(1).write.mode("overwrite").parquet(s"$fixDir/p03_lines")
+      graft.queries.Media.fixture(spark)
+        .coalesce(1).write.mode("overwrite").parquet(s"$fixDir/media")
     }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

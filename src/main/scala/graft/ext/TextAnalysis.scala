@@ -239,8 +239,48 @@ object TextAnalysis extends QueryModule {
          WHERE len(l) >= 2)
        GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20"""
 
+  /** a07 — per-document repetition statistics (the Gopher-rules family
+    * of repetition filters from published LM-corpus curation, word-level
+    * form): fraction of bigram occurrences taken by the single most
+    * frequent bigram, and fraction that are repeats of an already-seen
+    * bigram. Heavily templated / looping documents score high on both
+    * and get filtered before training. Same map-side bigram transform
+    * as a06; first aggregate is (doc, bigram) with map-side partials,
+    * second collapses to one row per doc — both shuffle only small
+    * count tuples, never the text. */
+  private def a07(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bi = Tables.documents(s, d)
+      .withColumn("toks", split($"text", " "))
+      .filter(size($"toks") >= 2)
+      .select($"doc_id", explode(transform(
+        sequence(lit(1), size($"toks") - 1),
+        i => concat_ws(" ", element_at($"toks", i), element_at($"toks", i + 1)))).as("bigram"))
+    bi.groupBy($"doc_id", $"bigram").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_bigrams"),
+        round(max($"c") / sum($"c"), 6).as("top_bigram_frac"),
+        round((sum($"c") - count(lit(1))) / sum($"c"), 6).as("dup_bigram_frac"))
+      .orderBy($"doc_id")
+  }
+  private val a07Sql =
+    """SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+         round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) AS top_bigram_frac,
+         round((CAST(sum(c) AS DOUBLE) - CAST(count(*) AS DOUBLE))
+               / CAST(sum(c) AS DOUBLE), 6) AS dup_bigram_frac
+       FROM (
+         SELECT doc_id, bigram, count(*) AS c
+         FROM (
+           SELECT doc_id, l[i] || ' ' || l[i+1] AS bigram
+           FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+             unnest(generate_series(1, len(l) - 1)) AS t(i)
+           WHERE len(l) >= 2)
+         GROUP BY doc_id, bigram)
+       GROUP BY doc_id ORDER BY doc_id"""
+
   val queries: Map[String, QueryFn] = Map(
     "a01_language_id" -> a01 _,
+    "a07_repetition_stats" -> a07 _,
     "a02_quality_score" -> a02 _,
     "a03_token_counts" -> a03 _,
     "a04_fingerprint" -> a04 _,
@@ -250,6 +290,7 @@ object TextAnalysis extends QueryModule {
 
   val oracle: Map[String, String] = Map(
     "a01_language_id" -> a01Sql,
+    "a07_repetition_stats" -> a07Sql,
     "a02_quality_score" -> a02Sql,
     "a03_token_counts" -> a03Sql,
     "a04_fingerprint" -> a04Sql,

@@ -42,4 +42,15 @@ object ScaleOps {
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Same, but as an external table at an explicit path — for callers
+    * that must control the storage location (the warehouse dir default
+    * is cwd-relative, wrong for a library). */
+  def writeBucketedAt(df: DataFrame, table: String, key: String,
+      buckets: Int, path: String): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key).sortBy(key)
+      .option("path", path)
+      .format("parquet")
+      .saveAsTable(table)
 }

@@ -174,8 +174,63 @@ object Joins extends QueryModule {
        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        GROUP BY 1 ORDER BY order_month"""
 
+  /** x08 — salted skew join (ScaleOps.saltedJoin as a driver query):
+    * lineitem salted 8 ways on a hash of l_orderkey, part replicated
+    * 8x, joined on partkey. The oracle is the PLAIN equi-join SQL —
+    * the driver gate itself proves salting is result-invariant, not
+    * just the spec. At 100 TB this is the hot-key escape hatch when
+    * AQE skew splitting can't save a pathological probe side. */
+  private def x08(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+      .select($"l_partkey".as("key"), $"l_quantity", $"l_orderkey")
+    val pt = Tables.part(s, d).select($"p_partkey".as("key"), $"p_brand")
+    graft.ops.ScaleOps.saltedJoin(li, pt, "key", "l_orderkey", 8)
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum($"l_quantity"), 2).as("sum_qty"))
+      .orderBy($"p_brand")
+  }
+  private val x08Sql =
+    """SELECT p_brand, count(*) AS n_lines,
+         round(sum(l_quantity), 2) AS sum_qty
+       FROM lineitem JOIN part ON l_partkey = p_partkey
+       GROUP BY p_brand ORDER BY p_brand"""
+
+  /** x09 — bucketed co-located join (ScaleOps.writeBucketedAt as a
+    * driver query): orders and customer both written bucketed+sorted
+    * 8 ways on custkey to a scratch dir, re-read and joined — the join
+    * itself plans with NO Exchange on either side (BucketingSpec
+    * asserts that); the oracle is the plain join SQL over the original
+    * parquet, proving the bucketed round-trip is lossless. This is the
+    * amortize-the-shuffle pattern for repeated big-big joins. */
+  private def x09(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val scratch = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_x09").getAbsolutePath
+    graft.ops.ScaleOps.writeBucketedAt(
+      Tables.orders(s, d).select($"o_custkey", $"o_totalprice"),
+      "graft_x09_orders", "o_custkey", 8, s"$scratch/orders")
+    graft.ops.ScaleOps.writeBucketedAt(
+      Tables.customer(s, d).select($"c_custkey", $"c_mktsegment"),
+      "graft_x09_customer", "c_custkey", 8, s"$scratch/customer")
+    s.table("graft_x09_orders")
+      .join(s.table("graft_x09_customer"), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum($"o_totalprice"), 2).as("revenue"))
+      .orderBy($"c_mktsegment")
+  }
+  private val x09Sql =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS revenue
+       FROM orders JOIN customer ON o_custkey = c_custkey
+       GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
   val queries: Map[String, QueryFn] = Map(
     "x01_outer_distribution" -> x01 _,
+    "x08_salted_join" -> x08 _,
+    "x09_bucketed_join" -> x09 _,
     "x06_avg_subquery" -> x06 _,
     "x07_date_arithmetic" -> x07 _,
     "x02_correlated_min" -> x02 _,
@@ -186,6 +241,8 @@ object Joins extends QueryModule {
 
   val oracle: Map[String, String] = Map(
     "x01_outer_distribution" -> x01Sql,
+    "x08_salted_join" -> x08Sql,
+    "x09_bucketed_join" -> x09Sql,
     "x06_avg_subquery" -> x06Sql,
     "x07_date_arithmetic" -> x07Sql,
     "x02_correlated_min" -> x02Sql,
