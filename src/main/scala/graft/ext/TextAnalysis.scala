@@ -278,9 +278,82 @@ object TextAnalysis extends QueryModule {
          GROUP BY doc_id, bigram)
        GROUP BY doc_id ORDER BY doc_id"""
 
+  /** a08 — stratified deterministic sampling (train-mix construction:
+    * different keep-rates per language, reproducible across runs and
+    * engines because the sampling key is a salted md5 of the doc id,
+    * not an RNG). Map-side filter + one tiny per-language aggregate;
+    * at 100 TB this is how a pipeline downsamples dominant languages
+    * without a shuffle or a seed-ordering hazard. */
+  private def a08(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bucket = conv(substring(md5(concat(lit("strat:"), $"doc_id")), 1, 15), 16, 10)
+      .cast("long") % 100
+    val rate = when($"lang" === "en", 50).otherwise(20)
+    Tables.documents(s, d)
+      .withColumn("kept", bucket < rate)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"kept", 1L).otherwise(0L)).as("n_kept"))
+      .orderBy($"lang")
+  }
+  private val a08Sql =
+    """SELECT lang, count(*) AS n_docs,
+         CAST(sum(CASE WHEN ('0x' || substr(md5('strat:' || doc_id), 1, 15))::BIGINT % 100
+                       < (CASE WHEN lang = 'en' THEN 50 ELSE 20 END)
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       FROM documents GROUP BY lang ORDER BY lang"""
+
+  /** a09 — TF-IDF top terms per document (classic ranking signal, and
+    * the shape of every vocabulary-weighted scoring pass). Term
+    * frequencies aggregate once on (doc, word); document frequencies
+    * are a SMALL vocabulary-sized table joined back broadcast, so the
+    * corpus shuffles only its (doc, word, count) tuples — never text.
+    * Per-doc top-3 is a row_number window keyed by doc_id: millions of
+    * small partitions, no skew (contrast w08's global-sort hazard). */
+  private def a09(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    val tf = docs.select($"doc_id", explode(split($"text", " ")).as("word"))
+      .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"word").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(broadcast(df), "word")
+      .crossJoin(broadcast(n))
+      .withColumn("score", $"tf" * log($"n_docs" / $"df"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"score".desc, $"word")))
+      .filter($"rk" <= 3)
+      .select($"doc_id", $"rk".cast("long").as("rk"), $"word",
+        round($"score", 4).as("tfidf"))
+      .orderBy($"doc_id", $"rk")
+  }
+  private val a09Sql =
+    """WITH tf AS (
+         SELECT doc_id, word, count(*) AS tf
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+               FROM documents)
+         GROUP BY doc_id, word),
+       dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+       n AS (SELECT count(*) AS n_docs FROM documents),
+       scored AS (
+         SELECT doc_id, word,
+           tf * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS score
+         FROM tf JOIN dfreq USING (word), n)
+       SELECT doc_id, rk, word, tfidf FROM (
+         SELECT doc_id, word,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, word) AS rk,
+           round(score, 4) AS tfidf
+         FROM scored)
+       WHERE rk <= 3 ORDER BY doc_id, rk"""
+
   val queries: Map[String, QueryFn] = Map(
     "a01_language_id" -> a01 _,
     "a07_repetition_stats" -> a07 _,
+    "a08_stratified_sample" -> a08 _,
+    "a09_tfidf_terms" -> a09 _,
     "a02_quality_score" -> a02 _,
     "a03_token_counts" -> a03 _,
     "a04_fingerprint" -> a04 _,
@@ -291,6 +364,8 @@ object TextAnalysis extends QueryModule {
   val oracle: Map[String, String] = Map(
     "a01_language_id" -> a01Sql,
     "a07_repetition_stats" -> a07Sql,
+    "a08_stratified_sample" -> a08Sql,
+    "a09_tfidf_terms" -> a09Sql,
     "a02_quality_score" -> a02Sql,
     "a03_token_counts" -> a03Sql,
     "a04_fingerprint" -> a04Sql,

@@ -282,7 +282,38 @@ object TextOps extends QueryModule {
            FROM documents))
        ORDER BY doc_id"""
 
+  /** t10 — overlapping token-window chunking (the pre-tokenization
+    * split every LM training pipeline runs: fixed window, fixed stride,
+    * tail chunks kept). Entirely map-side — chunk starts come from
+    * `sequence(1, n, stride)` and each chunk is an array slice, so a
+    * 100 TB corpus chunks inside the scan with no shuffle at all; the
+    * only wide op is the final deterministic ORDER BY for the gate. */
+  private def t10(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val win = 32
+    val stride = 24
+    Tables.documents(s, d)
+      .withColumn("toks", split($"text", " "))
+      .select($"doc_id", posexplode(
+        transform(sequence(lit(1), size($"toks"), lit(stride)),
+          st => array_join(slice($"toks", st, lit(win)), " "))))
+      .select($"doc_id", $"pos".cast("long").as("chunk_idx"),
+        $"col".as("chunk_text"),
+        (size(split($"col", " "))).cast("long").as("n_tokens"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+  private val t10Sql =
+    """SELECT doc_id, i - 1 AS chunk_idx,
+         array_to_string(list_slice(l, s, s + 31), ' ') AS chunk_text,
+         CAST(len(list_slice(l, s, s + 31)) AS BIGINT) AS n_tokens
+       FROM (
+         SELECT doc_id, l, i, 1 + (i - 1) * 24 AS s
+         FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+           unnest(generate_series(1, 1 + (len(l) - 1) // 24)) AS t(i))
+       ORDER BY doc_id, chunk_idx"""
+
   val queries: Map[String, QueryFn] = Map(
+    "t10_chunking" -> t10 _,
     "t01_clean_roundtrip" -> t01 _,
     "t09_pii_redaction" -> t09 _,
     "t02_predicates" -> t02 _,
@@ -297,6 +328,7 @@ object TextOps extends QueryModule {
   val oracle: Map[String, String] = Map(
     "t01_clean_roundtrip" -> t01Sql,
     "t09_pii_redaction" -> t09Sql,
+    "t10_chunking" -> t10Sql,
     "t02_predicates" -> t02Sql,
     "t03_regex_extract" -> t03Sql,
     "t04_split_access" -> t04Sql,

@@ -12,7 +12,8 @@ class PlanAuditSpec extends SparkSpec {
     * of rows (1-row metadata, query vectors, centroid tables) — the
     * only place BroadcastNestedLoopJoin is acceptable. */
   private val bnljWhitelist = Set(
-    "q10_cross_join_meta", "s01_cosine_topk", "s04_cosine_topk_native",
+    "q10_cross_join_meta", "a09_tfidf_terms",
+    "s01_cosine_topk", "s04_cosine_topk_native",
     "s03_ivf_ann", "s02_batch_knn" /* broadcast probe set x corpus */,
     "s05_quantized_cosine", "s06_ivf_nprobe",
     "w09_distributed_rank" /* 1-row broadcast of the total count */,
