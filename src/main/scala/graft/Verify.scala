@@ -26,6 +26,8 @@ object Verify {
       lines.coalesce(1).write.mode("overwrite").parquet(s"$fixDir/p03_lines")
       graft.queries.Media.fixture(spark)
         .coalesce(1).write.mode("overwrite").parquet(s"$fixDir/media")
+      graft.queries.Media.xlsxExpected(spark)
+        .coalesce(1).write.mode("overwrite").parquet(s"$fixDir/xlsx_expected")
     }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

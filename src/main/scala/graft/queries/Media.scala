@@ -3,6 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ext.Multimodal
+import graft.sources.Xlsx
+import graft.sources.Xlsx.W
 
 /** Driver-visible binary-column queries (north-star multimodal
   * extension, oracle-checked): container-format sniffing and PNG IHDR
@@ -58,9 +60,84 @@ object Media extends QueryModule {
         Multimodal.pngColorType(col("content")).cast("long").as("color_type"))
       .orderBy("media_id")
 
+  // ---- real binary XLSX connector (sources/Xlsx) --------------------
+
+  /** Deterministic workbook corpus: two files, multi-sheet, mixing
+    * shared strings, inline strings, numerics, skipped cells, and one
+    * multi-letter column ref (AB) — the shapes `pd.read_excel` reads in
+    * the reference. */
+  def xlsxFixtureData: Seq[(String, Seq[(String, Seq[Seq[W]])])] = Seq(
+    "fin_2023.xlsx" -> Seq(
+      "Laporan Neraca" -> Seq(
+        Seq(W("Pos"), W("Nilai")),
+        Seq(W("Jumlah aset"), W("1000.5", num = true)),
+        Seq(W("Jumlah liabilitas"), W("400.25", num = true)),
+        Seq(W(""), W("7", num = true)),
+        Seq(W("Catatan"), W(""), W("lampiran & <xml>"))),
+      "Laporan Laba Rugi" -> Seq(
+        Seq(W("Pos"), W("Nilai")),
+        Seq(W("Laba bersih"), W("88", num = true)))),
+    "fin_2024.xlsx" -> Seq(
+      "Ikhtisar" -> Seq(
+        Seq(W("Kode entitas"), W("TLKM")),
+        Seq(W("Laba ditahan"), W("12.75", num = true)),
+        Seq(W("Wide") +: Seq.fill(26)(W("")) :+ W("kolom-AB"): _*))))
+
+  /** Write the fixture workbooks as actual .xlsx files (idempotent,
+    * deterministic bytes). Local-path scratch: on a cluster this dir
+    * would be shared storage; the connector itself reads any
+    * binaryFile-supported URI. */
+  def writeXlsxFixture(dir: String): String = {
+    val d = new java.io.File(dir)
+    d.mkdirs()
+    xlsxFixtureData.foreach { case (name, sheets) =>
+      java.nio.file.Files.write(
+        new java.io.File(d, name).toPath, Xlsx.writeWorkbook(sheets))
+    }
+    d.getAbsolutePath
+  }
+
+  /** Expected cell rows derived DIRECTLY from the fixture definition —
+    * never through the parser — so the oracle is independent of the
+    * code under test. */
+  def xlsxExpected(s: SparkSession): DataFrame = {
+    import s.implicits._
+    (for {
+      (file, sheets) <- xlsxFixtureData
+      (sheet, rows) <- sheets
+      (cells, ri) <- rows.zipWithIndex
+      (cell, ci) <- cells.zipWithIndex
+      if cell.text.nonEmpty
+    } yield (file, sheet, (ri + 1).toLong, (ci + 1).toLong, cell.text))
+      .toDF("file", "sheet", "row_idx", "col_idx", "value")
+  }
+
+  private def xlsxDir: String =
+    new java.io.File(sys.props("java.io.tmpdir"), "graft_xlsx").getAbsolutePath
+
+  /** m03 — full binary scan: write real workbooks, read them back
+    * through the zip+XML connector, surface the long cell shape. The
+    * oracle replays the expected cells from a parquet dump that never
+    * touched the parser — a hash match certifies the connector. */
+  private def m03(s: SparkSession, d: String): DataFrame = {
+    val dir = writeXlsxFixture(xlsxDir)
+    Xlsx.read(s, dir).toDF()
+      .orderBy("file", "sheet", "row_idx", "col_idx")
+  }
+
+  /** m04 — content discovery over real bytes: first sheet whose cell
+    * content contains the keyword (the reference's `cari_sheet_excel`,
+    * mainTesting.py:379-389, now against actual workbook files). */
+  private def m04(s: SparkSession, d: String): DataFrame = {
+    val dir = writeXlsxFixture(xlsxDir)
+    Xlsx.discoverSheet(s, dir, "laba")
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "m01_format_sniff" -> m01 _,
     "m02_png_metadata" -> m02 _,
+    "m03_xlsx_cells" -> m03 _,
+    "m04_sheet_discovery" -> m04 _,
   )
 
   // DuckDB reads the payload as BLOB; hex() gives the uppercase hex
@@ -86,8 +163,21 @@ object Media extends QueryModule {
        FROM read_parquet('__FIXTURES__/media/*.parquet')
        ORDER BY media_id"""
 
+  private val m03Sql =
+    """SELECT file, sheet, row_idx, col_idx, value
+       FROM read_parquet('__FIXTURES__/xlsx_expected/*.parquet')
+       ORDER BY file, sheet, row_idx, col_idx"""
+
+  private val m04Sql =
+    """SELECT file, sheet, count(*) AS n_hits
+       FROM read_parquet('__FIXTURES__/xlsx_expected/*.parquet')
+       WHERE contains(lower(value), 'laba')
+       GROUP BY file, sheet ORDER BY file, sheet LIMIT 1"""
+
   val oracle: Map[String, String] = Map(
     "m01_format_sniff" -> m01Sql,
     "m02_png_metadata" -> m02Sql,
+    "m03_xlsx_cells" -> m03Sql,
+    "m04_sheet_discovery" -> m04Sql,
   )
 }
