@@ -28,6 +28,8 @@ object Verify {
         .coalesce(1).write.mode("overwrite").parquet(s"$fixDir/media")
       graft.queries.Media.xlsxExpected(spark)
         .coalesce(1).write.mode("overwrite").parquet(s"$fixDir/xlsx_expected")
+      graft.queries.Media.pdfExpected(spark)
+        .coalesce(1).write.mode("overwrite").parquet(s"$fixDir/pdf_expected")
     }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

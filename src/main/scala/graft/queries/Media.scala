@@ -133,11 +133,70 @@ object Media extends QueryModule {
     Xlsx.discoverSheet(s, dir, "laba")
   }
 
+  // ---- real binary PDF connector (sources/Pdf) ----------------------
+
+  /** Deterministic filing-like PDF corpus: two files, multi-page,
+    * FlateDecode streams, escaped parentheses, a CALK-shaped heading
+    * run — the text shapes fitz extracts in the reference. */
+  def pdfFixtureData: Seq[(String, Seq[Seq[String]])] = Seq(
+    "filing_2023.pdf" -> Seq(
+      Seq("LAPORAN KEUANGAN", "PT Contoh (Persero) Tbk", "Tahun 2023"),
+      Seq("1. UMUM", "Perusahaan didirikan tahun 1946.", "a. Pendirian"),
+      Seq("CATATAN ATAS LAPORAN KEUANGAN", "Kas dan setara kas", "2,3b")),
+    "filing_2024.pdf" -> Seq(
+      Seq("Ikhtisar \\ saldo (awal)", "Laba bersih 88")))
+
+  /** Write the fixture PDFs as actual .pdf files (deterministic
+    * deflate bytes). */
+  def writePdfFixture(dir: String): String = {
+    val d = new java.io.File(dir)
+    d.mkdirs()
+    pdfFixtureData.foreach { case (name, pages) =>
+      java.nio.file.Files.write(
+        new java.io.File(d, name).toPath, graft.sources.Pdf.writePdf(pages))
+    }
+    d.getAbsolutePath
+  }
+
+  /** Expected line rows straight from the fixture definition — the
+    * parser never touches these. */
+  def pdfExpected(s: SparkSession): DataFrame = {
+    import s.implicits._
+    (for {
+      (file, pages) <- pdfFixtureData
+      (lines, pi) <- pages.zipWithIndex
+      (text, li) <- lines.zipWithIndex
+    } yield (file, (pi + 1).toLong, li.toLong, text))
+      .toDF("file", "page", "line_no", "text")
+  }
+
+  private def pdfDir: String =
+    new java.io.File(sys.props("java.io.tmpdir"), "graft_pdf").getAbsolutePath
+
+  /** m05 — full binary page-text scan through the Flate+Tj parser;
+    * oracle replays the expected lines (same certification pattern as
+    * m03). */
+  private def m05(s: SparkSession, d: String): DataFrame = {
+    val dir = writePdfFixture(pdfDir)
+    graft.sources.Pdf.read(s, dir).toDF()
+      .orderBy("file", "page", "line_no")
+  }
+
+  /** m06 — keyword page search over real bytes (the reference's
+    * per-page `kata_kunci in teks.lower()` filter, mainTesting.py:
+    * 217-254): first matching page per file. */
+  private def m06(s: SparkSession, d: String): DataFrame = {
+    val dir = writePdfFixture(pdfDir)
+    graft.sources.Pdf.searchPages(s, dir, "laba")
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "m01_format_sniff" -> m01 _,
     "m02_png_metadata" -> m02 _,
     "m03_xlsx_cells" -> m03 _,
     "m04_sheet_discovery" -> m04 _,
+    "m05_pdf_lines" -> m05 _,
+    "m06_pdf_page_search" -> m06 _,
   )
 
   // DuckDB reads the payload as BLOB; hex() gives the uppercase hex
@@ -174,10 +233,28 @@ object Media extends QueryModule {
        WHERE contains(lower(value), 'laba')
        GROUP BY file, sheet ORDER BY file, sheet LIMIT 1"""
 
+  private val m05Sql =
+    """SELECT file, page, line_no, text
+       FROM read_parquet('__FIXTURES__/pdf_expected/*.parquet')
+       ORDER BY file, page, line_no"""
+
+  private val m06Sql =
+    """SELECT file, page, n_hits FROM (
+         SELECT file, page, n_hits,
+           row_number() OVER (PARTITION BY file ORDER BY page) AS rk
+         FROM (
+           SELECT file, page, count(*) AS n_hits
+           FROM read_parquet('__FIXTURES__/pdf_expected/*.parquet')
+           WHERE contains(lower(text), 'laba')
+           GROUP BY file, page))
+       WHERE rk = 1 ORDER BY file"""
+
   val oracle: Map[String, String] = Map(
     "m01_format_sniff" -> m01Sql,
     "m02_png_metadata" -> m02Sql,
     "m03_xlsx_cells" -> m03Sql,
     "m04_sheet_discovery" -> m04Sql,
+    "m05_pdf_lines" -> m05Sql,
+    "m06_pdf_page_search" -> m06Sql,
   )
 }
