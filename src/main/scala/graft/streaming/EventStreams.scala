@@ -76,6 +76,24 @@ object EventStreams extends Serializable {
       .select(col("p_id"), col("p_user"), col("p_value"), col("s_id"))
   }
 
+  /** Stream-static enrichment: the unbounded event stream joined to a
+    * bounded dimension (user → tier). The static side is planned as a
+    * broadcast on every micro-batch — no stream-side state, no
+    * watermark needed for the join itself (only the downstream agg
+    * keeps windowed state). This is THE standard enrich-at-ingest
+    * shape: at 100 TB/day the dimension rides along each batch while
+    * the fact stream never reshuffles for the join. */
+  def enrichedTierCounts(events: DataFrame, userTiers: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    events.withWatermark("ts", "2 hours")
+      .join(broadcast(userTiers), "user_id")
+      .groupBy(window(col("ts"), "1 hour"), col("tier"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("tier_value"))
+      .select(col("window.start").as("window_start"), col("tier"),
+        col("n_events"), col("tier_value"))
+  }
+
   /** Exactly-once ingest dedup: duplicate event_ids arriving within the
     * watermark horizon collapse to one row; state for an id is dropped
     * once the watermark passes it (bounded memory, unlike plain

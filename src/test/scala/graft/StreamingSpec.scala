@@ -71,6 +71,36 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-static broadcast enrichment converges to the batch join") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // bounded dimension: user -> tier, derived deterministically
+    val tiers = spark.range(0, 200)
+      .select($"id".as("user_id"),
+        when($"id" % 3 === 0, "gold").otherwise("basic").as("tier"))
+    val input = MemoryStream[Ev]
+    val query = EventStreams.enrichedTierCounts(input.toDF(), tiers)
+      .writeStream.format("memory").queryName("tier_out")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      val evs = loadEvents()
+      val (first, second) = evs.splitAt(evs.length / 2)
+      input.addData(first); query.processAllAvailable()
+      input.addData(second); query.processAllAvailable()
+      val got = spark.table("tier_out")
+        .orderBy("window_start", "tier").collect().toSeq
+      val want = spark.createDataset(evs).toDF()
+        .join(broadcast(tiers), "user_id")
+        .groupBy(window($"ts", "1 hour"), $"tier")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum($"value"), 2).as("tier_value"))
+        .select($"window.start".as("window_start"), $"tier",
+          $"n_events", $"tier_value")
+        .orderBy("window_start", "tier").collect().toSeq
+      assert(got.nonEmpty && got == want)
+    } finally query.stop()
+  }
+
   test("stream-stream join converges to the batch join over the same rows") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
