@@ -71,11 +71,19 @@ object Dedup extends QueryModule {
       .otherwise(array())
   }
 
-  /** Distinct (doc_id, shingle) pairs. */
+  /** Distinct (doc_id, 60-bit shingle hash) pairs. The hash is applied
+    * MAP-SIDE, before the distinct: deduping on the ~90-byte shingle
+    * strings shuffled ~10x more bytes than the (8+8)-byte hashed rows
+    * and dominated every shingle consumer's wall time (measured ~7 s of
+    * d02/d06 at sf0.1). Hash-then-distinct equals distinct-then-hash
+    * absent md5 collisions — the same assumption every join here
+    * already makes, and the oracle hash-check would expose a violation.
+    */
   private def shingles(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
-      .select($"doc_id", explode(shingleArr($"text")).as("sh"))
+      .select($"doc_id", explode(shingleArr($"text")).as("shs"))
+      .select($"doc_id", h60($"shs").as("sh"))
       .distinct()
   }
 
@@ -84,6 +92,14 @@ object Dedup extends QueryModule {
          l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS sh
        FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
          unnest(generate_series(1, len(l) - 2)) AS t(i)"""
+
+  // temporary profiling probes (Scratch) — removed once diagnosed
+  def profileShingles(s: SparkSession, d: String): Long =
+    shingles(s, d).count()
+  def profileMinhash(s: SparkSession, d: String): Long =
+    minhashBands(shingles(s, d), "prof").count()
+  def profileCandidates(s: SparkSession, d: String): Long =
+    bandCandidates(minhashBands(shingles(s, d), "prof2")).count()
 
   /** d01 — normalize-then-exact dedup (hash-groupBy): the canonical form
     * strips the trailing boilerplate marker, sha2 over it is the group
@@ -120,7 +136,7 @@ object Dedup extends QueryModule {
     // an order of magnitude less shuffle volume at identical results
     // (the oracle hashes identically; a collision would have to defeat
     // md5 inside one corpus). Three consumers — materialize once.
-    val sh = swapPersist("d02", shingles(s, d).select($"doc_id", h60($"sh").as("sh")))
+    val sh = swapPersist("d02", shingles(s, d))
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
@@ -191,7 +207,7 @@ object Dedup extends QueryModule {
 
   private def d03(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val sh = shingles(s, d).select($"doc_id", h60($"sh").as("sh"))
+    val sh = shingles(s, d)
     val withBands = minhashBands(sh, "d03")
     val cand = bandCandidates(withBands)
     val sigA = withBands.select($"doc_id".as("doc_a") +: seedsList.map(i => col(s"mh$i").as(s"a$i")): _*)
@@ -243,11 +259,16 @@ object Dedup extends QueryModule {
     * in one CTE chain, so the trade is itself hash-checked, not
     * hand-waved).
     */
-  private def d06(s: SparkSession, d: String): DataFrame = {
+  /** Verified near-dup pairs, UNSORTED — shared by d06 (which adds the
+    * gate's deterministic ORDER BY) and d07 (whose clustering must NOT
+    * consume a sorted input: the range-partitioning exchange behind
+    * orderBy runs a bounds-sampling job that re-executes the whole
+    * candidate DAG a second time — measured ~7 s of d07's wall). */
+  private def d06Pairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     // hashed shingles feed the signature build AND the exact check —
     // persist so the explode+md5 pipeline runs once
-    val sh = swapPersist("d06sh", shingles(s, d).select($"doc_id", h60($"sh").as("sh")))
+    val sh = swapPersist("d06sh", shingles(s, d))
     val cand = bandCandidates(minhashBands(sh, "d06mh"))
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     // exact intersection only for candidate pairs: equi-join on
@@ -264,7 +285,11 @@ object Dedup extends QueryModule {
       .withColumn("jaccard", round($"n_inter" / ($"na" + $"nb" - $"n_inter"), 6))
       .filter($"jaccard" >= 0.6)
       .select($"doc_a", $"doc_b", $"jaccard")
-      .orderBy($"doc_a", $"doc_b")
+  }
+
+  private def d06(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    d06Pairs(s, d).orderBy($"doc_a", $"doc_b")
   }
   /** The d06 pipeline as a reusable CTE chain ending in `pairs`
     * (doc_a, doc_b, jaccard) — shared by the d06 oracle and d07's
@@ -357,7 +382,7 @@ object Dedup extends QueryModule {
     // from the plan (an AQE probe does not bind the runtime partition
     // count); the LAST level is always an explicit coalesce(1), which
     // is what makes the labels exact whatever ran before it
-    var current = d06(s, d).select($"doc_a", $"doc_b").as[(Long, Long)]
+    var current = d06Pairs(s, d).select($"doc_a", $"doc_b").as[(Long, Long)]
       .mapPartitions(unionFindReduce(emitLabels = false))
     var parts = math.max(1, s.sparkContext.defaultParallelism / 16)
     while (parts > 1) {

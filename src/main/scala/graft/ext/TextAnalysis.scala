@@ -28,9 +28,31 @@ object TextAnalysis extends QueryModule {
     "es" -> Seq("line", "part", "row"),
     "zh" -> Seq("vector", "stream", "window"))
 
-  private def markerHits(toks: Column, lang: String): Column =
-    size(filter(toks, t => array_contains(
-      array(markers(lang).map(lit): _*), t)))
+  /** Exact-token occurrence count as ONE codegen'd regex pass: Spark's
+    * higher-order array functions (filter + lambda) are CodegenFallback
+    * — interpreted per element — and they dominated a01/a05 wall time
+    * (3.1 s for a map-only scan). Lookarounds keep token-equality
+    * semantics on space-joined text without consuming the delimiter,
+    * so adjacent hits ("a a a") all count. */
+  private def tokenHits(text: Column, words: Seq[String]): Column =
+    size(regexp_extract_all(concat(lit(" "), text, lit(" ")),
+      lit(s"(?<= )(${words.mkString("|")})(?= )"), lit(0)))
+
+  /** All four languages' markers extracted in ONE pass (the lists are
+    * disjoint); per-language scores then filter the tiny hit array
+    * (tens of elements), so the interpreted lambda cost is negligible
+    * — the 2 MB text is scanned once, not four times. */
+  private def allMarkerHits(text: Column): Column =
+    regexp_extract_all(concat(lit(" "), text, lit(" ")),
+      lit(s"(?<= )(${markers.values.flatten.mkString("|")})(?= )"), lit(0))
+
+  private def langScore(hits: Column, lang: String): Column =
+    size(filter(hits, t => array_contains(array(markers(lang).map(lit): _*), t)))
+
+  /** Tokens of length 1-2 via the same single-pass trick. */
+  private def shortHits(text: Column): Column =
+    size(regexp_extract_all(concat(lit(" "), text, lit(" ")),
+      lit("(?<= )[^ ]{1,2}(?= )"), lit(0)))
 
   /** a01 — language ID by marker-hit argmax (deterministic priority
     * tie-break en > de > es > zh), reported as a confusion matrix
@@ -39,11 +61,11 @@ object TextAnalysis extends QueryModule {
   private def a01(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
-      .withColumn("toks", split($"text", " "))
-      .withColumn("s_en", markerHits($"toks", "en"))
-      .withColumn("s_de", markerHits($"toks", "de"))
-      .withColumn("s_es", markerHits($"toks", "es"))
-      .withColumn("s_zh", markerHits($"toks", "zh"))
+      .withColumn("mk", allMarkerHits($"text"))
+      .withColumn("s_en", langScore($"mk", "en"))
+      .withColumn("s_de", langScore($"mk", "de"))
+      .withColumn("s_es", langScore($"mk", "es"))
+      .withColumn("s_zh", langScore($"mk", "zh"))
       .withColumn("predicted",
         when($"s_en" >= $"s_de" && $"s_en" >= $"s_es" && $"s_en" >= $"s_zh", "en")
           .when($"s_de" >= $"s_es" && $"s_de" >= $"s_zh", "de")
@@ -74,15 +96,12 @@ object TextAnalysis extends QueryModule {
     */
   private def a02(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val stop = array(Seq("the", "a", "of", "and").map(lit): _*)
     Tables.documents(s, d)
-      .withColumn("toks", split($"text", " "))
-      .withColumn("n_tokens", size($"toks").cast("long"))
+      .withColumn("n_tokens", size(split($"text", " ")).cast("long"))
       .withColumn("mean_wlen", ($"n_chars" - ($"n_tokens" - 1)).cast("double") / $"n_tokens")
       .withColumn("stop_ratio",
-        size(filter($"toks", t => array_contains(stop, t))).cast("double") / $"n_tokens")
-      .withColumn("short_ratio",
-        size(filter($"toks", t => length(t) <= 2)).cast("double") / $"n_tokens")
+        tokenHits($"text", Seq("the", "a", "of", "and")).cast("double") / $"n_tokens")
+      .withColumn("short_ratio", shortHits($"text").cast("double") / $"n_tokens")
       .withColumn("quality",
         round(lit(1.0) - $"short_ratio" * 0.5 - $"stop_ratio" * 0.3 +
           least($"n_tokens".cast("double") / 100.0, lit(1.0)) * 0.2, 6))
@@ -169,19 +188,17 @@ object TextAnalysis extends QueryModule {
     */
   private def a05(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val stop = array(Seq("the", "a", "of", "and").map(lit): _*)
     Tables.documents(s, d)
-      .withColumn("toks", split($"text", " "))
-      .withColumn("s_en", markerHits($"toks", "en"))
-      .withColumn("s_de", markerHits($"toks", "de"))
-      .withColumn("s_es", markerHits($"toks", "es"))
-      .withColumn("s_zh", markerHits($"toks", "zh"))
+      .withColumn("mk", allMarkerHits($"text"))
+      .withColumn("s_en", langScore($"mk", "en"))
+      .withColumn("s_de", langScore($"mk", "de"))
+      .withColumn("s_es", langScore($"mk", "es"))
+      .withColumn("s_zh", langScore($"mk", "zh"))
       .filter($"s_en" >= $"s_de" && $"s_en" >= $"s_es" && $"s_en" >= $"s_zh")
-      .withColumn("n_tokens", size($"toks").cast("long"))
+      .withColumn("n_tokens", size(split($"text", " ")).cast("long"))
       .withColumn("stop_ratio",
-        size(filter($"toks", t => array_contains(stop, t))).cast("double") / $"n_tokens")
-      .withColumn("short_ratio",
-        size(filter($"toks", t => length(t) <= 2)).cast("double") / $"n_tokens")
+        tokenHits($"text", Seq("the", "a", "of", "and")).cast("double") / $"n_tokens")
+      .withColumn("short_ratio", shortHits($"text").cast("double") / $"n_tokens")
       .withColumn("quality",
         round(lit(1.0) - $"short_ratio" * 0.5 - $"stop_ratio" * 0.3 +
           least($"n_tokens".cast("double") / 100.0, lit(1.0)) * 0.2, 6))
