@@ -93,14 +93,6 @@ object Dedup extends QueryModule {
        FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
          unnest(generate_series(1, len(l) - 2)) AS t(i)"""
 
-  // temporary profiling probes (Scratch) — removed once diagnosed
-  def profileShingles(s: SparkSession, d: String): Long =
-    shingles(s, d).count()
-  def profileMinhash(s: SparkSession, d: String): Long =
-    minhashBands(shingles(s, d), "prof").count()
-  def profileCandidates(s: SparkSession, d: String): Long =
-    bandCandidates(minhashBands(shingles(s, d), "prof2")).count()
-
   /** d01 — normalize-then-exact dedup (hash-groupBy): the canonical form
     * strips the trailing boilerplate marker, sha2 over it is the group
     * key, the representative is the lowest doc_id (deterministic). Docs

@@ -49,10 +49,22 @@ object TextAnalysis extends QueryModule {
   private def langScore(hits: Column, lang: String): Column =
     size(filter(hits, t => array_contains(array(markers(lang).map(lit): _*), t)))
 
-  /** Tokens of length 1-2 via the same single-pass trick. */
+  /** Tokens of length 1-2 via the same single-pass trick. Matches only
+    * NON-EMPTY runs, so irregular whitespace (double/leading/trailing
+    * spaces) contributes nothing — every token count in this module uses
+    * the same non-empty-token definition (see nTokens) so ratios stay
+    * consistent with their denominators on arbitrary spacing. */
   private def shortHits(text: Column): Column =
     size(regexp_extract_all(concat(lit(" "), text, lit(" ")),
       lit("(?<= )[^ ]{1,2}(?= )"), lit(0)))
+
+  /** Non-empty whitespace-token count. `split(' ')` yields "" tokens on
+    * consecutive/leading/trailing spaces, which the regex-based hit
+    * counters above can never match — counting tokens as non-empty runs
+    * keeps numerator and denominator of every ratio agreeing with the
+    * DuckDB oracles on arbitrary whitespace (oracles filter x <> ''). */
+  private def nTokens(text: Column): Column =
+    size(regexp_extract_all(text, lit("[^ ]+"), lit(0)))
 
   /** a01 — language ID by marker-hit argmax (deterministic priority
     * tie-break en > de > es > zh), reported as a confusion matrix
@@ -97,7 +109,7 @@ object TextAnalysis extends QueryModule {
   private def a02(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
-      .withColumn("n_tokens", size(split($"text", " ")).cast("long"))
+      .withColumn("n_tokens", nTokens($"text").cast("long"))
       .withColumn("mean_wlen", ($"n_chars" - ($"n_tokens" - 1)).cast("double") / $"n_tokens")
       .withColumn("stop_ratio",
         tokenHits($"text", Seq("the", "a", "of", "and")).cast("double") / $"n_tokens")
@@ -119,7 +131,9 @@ object TextAnalysis extends QueryModule {
            CAST(n_chars - (len(l) - 1) AS DOUBLE) / len(l) AS mean_wlen,
            CAST(len(list_filter(l, x -> list_contains(['the','a','of','and'], x))) AS DOUBLE) / len(l) AS stop_ratio,
            CAST(len(list_filter(l, x -> strlen(x) <= 2)) AS DOUBLE) / len(l) AS short_ratio
-         FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS l FROM documents))
+         FROM (SELECT doc_id, n_chars,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS l
+               FROM documents))
        ORDER BY doc_id"""
 
   /** a03 — token counting three ways: whitespace words, BPE-ish regex
@@ -129,7 +143,7 @@ object TextAnalysis extends QueryModule {
   private def a03(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
-      .withColumn("ws_tokens", size(split($"text", " ")))
+      .withColumn("ws_tokens", nTokens($"text"))
       .withColumn("bpe_tokens", size(regexp_extract_all($"text", lit("[a-z]{1,4}"), lit(0))))
       .withColumn("est_tokens", ceil($"n_chars" / 4.0).cast("long"))
       .groupBy($"lang")
@@ -141,7 +155,7 @@ object TextAnalysis extends QueryModule {
   }
   private val a03Sql =
     """SELECT lang, count(*) AS n_docs,
-         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_ws,
+         CAST(sum(len(list_filter(string_split(text, ' '), x -> x <> ''))) AS BIGINT) AS sum_ws,
          CAST(sum(len(regexp_extract_all(text, '[a-z]{1,4}', 0))) AS BIGINT) AS sum_bpe,
          CAST(sum(CAST(ceil(n_chars / 4.0) AS BIGINT)) AS BIGINT) AS sum_est
        FROM documents GROUP BY lang ORDER BY lang"""
@@ -195,7 +209,7 @@ object TextAnalysis extends QueryModule {
       .withColumn("s_es", langScore($"mk", "es"))
       .withColumn("s_zh", langScore($"mk", "zh"))
       .filter($"s_en" >= $"s_de" && $"s_en" >= $"s_es" && $"s_en" >= $"s_zh")
-      .withColumn("n_tokens", size(split($"text", " ")).cast("long"))
+      .withColumn("n_tokens", nTokens($"text").cast("long"))
       .withColumn("stop_ratio",
         tokenHits($"text", Seq("the", "a", "of", "and")).cast("double") / $"n_tokens")
       .withColumn("short_ratio", shortHits($"text").cast("double") / $"n_tokens")
@@ -219,7 +233,9 @@ object TextAnalysis extends QueryModule {
              - (CAST(len(list_filter(l, x -> strlen(x) <= 2)) AS DOUBLE) / len(l)) * 0.5
              - (CAST(len(list_filter(l, x -> list_contains(['the','a','of','and'], x))) AS DOUBLE) / len(l)) * 0.3
              + least(CAST(len(l) AS DOUBLE) / 100.0, 1.0) * 0.2, 6) AS quality
-         FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents
+         FROM (SELECT doc_id,
+                 list_filter(string_split(text, ' '), x -> x <> '') AS l
+               FROM documents
                WHERE ${hitsSql("en")} >= ${hitsSql("de")}
                  AND ${hitsSql("en")} >= ${hitsSql("es")}
                  AND ${hitsSql("en")} >= ${hitsSql("zh")}))

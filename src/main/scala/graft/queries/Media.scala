@@ -104,12 +104,12 @@ object Media extends QueryModule {
     import s.implicits._
     (for {
       (file, sheets) <- xlsxFixtureData
-      (sheet, rows) <- sheets
+      ((sheet, rows), si) <- sheets.zipWithIndex
       (cells, ri) <- rows.zipWithIndex
       (cell, ci) <- cells.zipWithIndex
       if cell.text.nonEmpty
-    } yield (file, sheet, (ri + 1).toLong, (ci + 1).toLong, cell.text))
-      .toDF("file", "sheet", "row_idx", "col_idx", "value")
+    } yield (file, sheet, (si + 1).toLong, (ri + 1).toLong, (ci + 1).toLong, cell.text))
+      .toDF("file", "sheet", "sheet_idx", "row_idx", "col_idx", "value")
   }
 
   private def xlsxDir: String =
@@ -122,7 +122,7 @@ object Media extends QueryModule {
   private def m03(s: SparkSession, d: String): DataFrame = {
     val dir = writeXlsxFixture(xlsxDir)
     Xlsx.read(s, dir).toDF()
-      .orderBy("file", "sheet", "row_idx", "col_idx")
+      .orderBy("file", "sheet_idx", "row_idx", "col_idx")
   }
 
   /** m04 — content discovery over real bytes: first sheet whose cell
@@ -223,15 +223,18 @@ object Media extends QueryModule {
        ORDER BY media_id"""
 
   private val m03Sql =
-    """SELECT file, sheet, row_idx, col_idx, value
+    """SELECT file, sheet, sheet_idx, row_idx, col_idx, value
        FROM read_parquet('__FIXTURES__/xlsx_expected/*.parquet')
-       ORDER BY file, sheet, row_idx, col_idx"""
+       ORDER BY file, sheet_idx, row_idx, col_idx"""
 
+  // first match in file-then-DECLARED-sheet order (reference walk order)
   private val m04Sql =
-    """SELECT file, sheet, count(*) AS n_hits
-       FROM read_parquet('__FIXTURES__/xlsx_expected/*.parquet')
-       WHERE contains(lower(value), 'laba')
-       GROUP BY file, sheet ORDER BY file, sheet LIMIT 1"""
+    """SELECT file, sheet, n_hits FROM (
+         SELECT file, sheet, sheet_idx, count(*) AS n_hits
+         FROM read_parquet('__FIXTURES__/xlsx_expected/*.parquet')
+         WHERE contains(lower(value), 'laba')
+         GROUP BY file, sheet, sheet_idx
+         ORDER BY file, sheet_idx LIMIT 1)"""
 
   private val m05Sql =
     """SELECT file, page, line_no, text

@@ -109,14 +109,23 @@ object Pdf {
     }
   }
 
+  /** Streams are untrusted input: a preset-dictionary or corrupt stream
+    * makes `inflate()` return 0 with neither `finished` nor `needsInput`
+    * set (infinite loop without the stall break), and a zip-bomb stream
+    * could inflate without bound — cap the output so one hostile file
+    * degrades to truncated text instead of OOMing an executor. */
+  private val MaxInflatedBytes = 64 << 20
+
   private def inflate(data: Array[Byte]): Array[Byte] = {
     val inf = new Inflater()
     inf.setInput(data)
     val out = new ByteArrayOutputStream()
     val buf = new Array[Byte](4096)
-    while (!inf.finished() && !inf.needsInput()) {
+    var stalled = false
+    while (!inf.finished() && !inf.needsInput() && !stalled &&
+        out.size < MaxInflatedBytes) {
       val n = inf.inflate(buf)
-      if (n > 0) out.write(buf, 0, n)
+      if (n > 0) out.write(buf, 0, n) else stalled = true
     }
     inf.end()
     out.toByteArray

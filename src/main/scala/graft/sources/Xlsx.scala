@@ -30,8 +30,12 @@ import org.apache.spark.sql.functions._
   */
 object Xlsx {
 
-  case class Cell(file: String, sheet: String, row_idx: Long,
-      col_idx: Long, value: String)
+  /** `sheet_idx` is the sheet's 1-based position in the workbook's
+    * declared order (workbook.xml), NOT alphabetical — the reference's
+    * sheet walk (`cari_sheet_excel`, mainTesting.py:379-389) iterates
+    * declaration order, so discovery must too. */
+  case class Cell(file: String, sheet: String, sheet_idx: Long,
+      row_idx: Long, col_idx: Long, value: String)
 
   /** Read every *.xlsx under `dir` into the long cell shape. */
   def read(spark: SparkSession, dir: String): Dataset[Cell] = {
@@ -40,29 +44,32 @@ object Xlsx {
       .select($"path", $"content").as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
         val name = path.substring(path.lastIndexOf('/') + 1)
-        parseWorkbook(bytes).map { case (sheet, r, c, v) =>
-          Cell(name, sheet, r, c, v)
+        parseWorkbook(bytes).map { case (sheet, si, r, c, v) =>
+          Cell(name, sheet, si, r, c, v)
         }
       }
   }
 
-  /** Reference `cari_sheet_excel`: the first sheet (file-then-sheet
-    * order) whose content contains `keyword`, case-insensitively. */
+  /** Reference `cari_sheet_excel`: the first sheet — file order, then
+    * workbook DECLARED sheet order — whose content contains `keyword`,
+    * case-insensitively. */
   def discoverSheet(spark: SparkSession, dir: String, keyword: String): DataFrame = {
     import spark.implicits._
     read(spark, dir)
       .filter(lower($"value").contains(keyword.toLowerCase))
-      .groupBy($"file", $"sheet")
+      .groupBy($"file", $"sheet_idx", $"sheet")
       .agg(count(lit(1)).as("n_hits"))
-      .orderBy($"file", $"sheet")
+      .orderBy($"file", $"sheet_idx")
       .limit(1)
+      .select($"file", $"sheet", $"n_hits")
   }
 
   // ---- parser (executor-side, JDK-only) -----------------------------
 
-  /** Parse one workbook payload to (sheetName, row, col, value) cells,
-    * in sheet order then document order. */
-  def parseWorkbook(bytes: Array[Byte]): Seq[(String, Long, Long, String)] = {
+  /** Parse one workbook payload to (sheetName, sheetIdx, row, col,
+    * value) cells, in declared sheet order then document order;
+    * sheetIdx is the 1-based declared position. */
+  def parseWorkbook(bytes: Array[Byte]): Seq[(String, Long, Long, Long, String)] = {
     val parts = readZip(bytes)
     val shared = parts.get("xl/sharedStrings.xml").map(parseSharedStrings)
       .getOrElse(IndexedSeq.empty)
@@ -70,11 +77,13 @@ object Xlsx {
       .getOrElse(Map.empty)
     val sheets = parts.get("xl/workbook.xml").map(parseSheetList)
       .getOrElse(Seq.empty)
-    sheets.flatMap { case (sheetName, rid) =>
+    sheets.zipWithIndex.flatMap { case ((sheetName, rid), i) =>
       val target = rels.getOrElse(rid, "")
       val part = if (target.startsWith("/")) target.drop(1) else s"xl/$target"
       parts.get(part).toSeq.flatMap { sheetXml =>
-        parseSheet(sheetXml, shared).map { case (r, c, v) => (sheetName, r, c, v) }
+        parseSheet(sheetXml, shared).map { case (r, c, v) =>
+          (sheetName, (i + 1).toLong, r, c, v)
+        }
       }
     }
   }
@@ -184,7 +193,13 @@ object Xlsx {
     val sb = new StringBuilder
     def emit(): Unit = if (cellRef.nonEmpty && sb.nonEmpty) {
       val (row, col) = splitRef(cellRef)
-      val v = if (cellType == "s") shared(sb.toString.trim.toInt) else sb.toString
+      // a malformed or out-of-range shared-string index (corrupt
+      // workbook) degrades to the raw index text instead of throwing —
+      // one bad file must not kill a whole directory scan
+      val v =
+        if (cellType == "s")
+          sb.toString.trim.toIntOption.flatMap(shared.lift).getOrElse(sb.toString)
+        else sb.toString
       out += ((row, col, v))
     }
     while (r.hasNext) r.next() match {

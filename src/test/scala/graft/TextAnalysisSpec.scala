@@ -27,6 +27,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(total == graft.sources.Tables.documents(spark, sfDir).count())
   }
 
+  test("a02 token counts ignore empty tokens from irregular whitespace") {
+    // ADVICE r2: split(' ') yields "" tokens on double/leading/trailing
+    // spaces that the regex hit-counters can never match. Pin the
+    // non-empty-token definition on a doc the driver fixtures lack.
+    val text = " a  bb the   word four "
+    val dir = "/tmp/graft-textanalysis-ws-spec"
+    import spark.implicits._
+    Seq((1L, text, "en", "unit", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val row = TextAnalysis.queries("a02_quality_score")(spark, dir).head()
+    // non-empty tokens: a, bb, the, word, four
+    assert(row.getAs[Long]("n_tokens") == 5L)
+    assert(row.getAs[Double]("stop_ratio") == 0.4) // the, a
+    assert(row.getAs[Double]("mean_wlen") == (23.0 - 4.0) / 5.0)
+    // 1 - short_ratio(0.4)*0.5 - stop_ratio(0.4)*0.3 + min(5/100,1)*0.2
+    assert(row.getAs[Double]("quality") == 0.69)
+    val a03 = TextAnalysis.queries("a03_token_counts")(spark, dir).head()
+    assert(a03.getAs[Long]("sum_ws") == 5L)
+  }
+
   test("a02 ratios are in [0,1] and quality is bounded") {
     val df = TextAnalysis.queries("a02_quality_score")(spark, sfDir)
     assert(df.filter(col("stop_ratio") < 0 || col("stop_ratio") > 1).count() == 0)

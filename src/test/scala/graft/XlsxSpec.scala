@@ -36,8 +36,8 @@ class XlsxSpec extends SparkSpec {
     val bytes = Xlsx.writeWorkbook(Seq(
       "S" -> Seq(Seq(W("a&b <c>"), W("x"), W("y"), W("z")))))
     val cells = Xlsx.parseWorkbook(bytes)
-    assert(cells.map(_._4) == Seq("a&b <c>", "x", "y", "z"))
-    assert(cells.map(c => (c._2, c._3)) == Seq((1L, 1L), (1L, 2L), (1L, 3L), (1L, 4L)))
+    assert(cells.map(_._5) == Seq("a&b <c>", "x", "y", "z"))
+    assert(cells.map(c => (c._3, c._4)) == Seq((1L, 1L), (1L, 2L), (1L, 3L), (1L, 4L)))
   }
 
   test("sheet order follows workbook declaration, not part names") {
@@ -45,6 +45,7 @@ class XlsxSpec extends SparkSpec {
       "Zulu" -> Seq(Seq(W("1", num = true))),
       "Alpha" -> Seq(Seq(W("2", num = true)))))
     assert(Xlsx.parseWorkbook(bytes).map(_._1) == Seq("Zulu", "Alpha"))
+    assert(Xlsx.parseWorkbook(bytes).map(_._2) == Seq(1L, 2L))
   }
 
   test("discoverSheet finds the first sheet containing the keyword") {
@@ -52,6 +53,51 @@ class XlsxSpec extends SparkSpec {
     assert(row.length == 1)
     assert(row(0).getString(0) == "fin_2023.xlsx")
     assert(row(0).getString(1) == "Laporan Laba Rugi")
+  }
+
+  test("discoverSheet walks DECLARED sheet order, not alphabetical") {
+    // reference cari_sheet_excel (mainTesting.py:379-389) iterates the
+    // workbook's declared sheet order; "Zulu" declares first and must
+    // win even though "Alpha" sorts first by name
+    val d = new java.io.File("/tmp/graft-xlsx-order-spec")
+    d.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(d, "order.xlsx").toPath,
+      Xlsx.writeWorkbook(Seq(
+        "Zulu" -> Seq(Seq(W("laba zulu"))),
+        "Alpha" -> Seq(Seq(W("laba alpha"))))))
+    val row = Xlsx.discoverSheet(spark, d.getAbsolutePath, "laba").collect()
+    assert(row.length == 1)
+    assert(row(0).getString(1) == "Zulu")
+  }
+
+  test("corrupt shared-string index degrades to raw text, not a crash") {
+    val good = Xlsx.writeWorkbook(Seq("S" -> Seq(Seq(W("ok")))))
+    // point the cell at shared-string index 999 (out of range)
+    val broken = {
+      val parts = new java.util.zip.ZipInputStream(
+        new java.io.ByteArrayInputStream(good))
+      val bos = new java.io.ByteArrayOutputStream()
+      val zos = new java.util.zip.ZipOutputStream(bos)
+      var e = parts.getNextEntry
+      while (e != null) {
+        val bytes = parts.readAllBytes()
+        val out =
+          if (e.getName == "xl/worksheets/sheet1.xml")
+            new String(bytes, "UTF-8").replace("<v>0</v>", "<v>999</v>")
+              .getBytes("UTF-8")
+          else bytes
+        val ne = new java.util.zip.ZipEntry(e.getName)
+        ne.setTime(0L)
+        zos.putNextEntry(ne)
+        zos.write(out)
+        zos.closeEntry()
+        e = parts.getNextEntry
+      }
+      zos.close()
+      bos.toByteArray
+    }
+    assert(Xlsx.parseWorkbook(broken).map(_._5) == Seq("999"))
   }
 
   test("payload never shuffles: plan reads binary, exchanges only cells") {
