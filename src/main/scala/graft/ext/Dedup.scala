@@ -491,8 +491,61 @@ object Dedup extends QueryModule {
        WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
        ORDER BY vec_a, vec_b"""
 
+  /** d08 — cross-document repeated-chunk removal (the C4/RefinedWeb
+    * "remove duplicated boilerplate spans" pass, aligned-window form):
+    * documents split into non-overlapping 16-token chunks; a chunk
+    * whose text occurs in MORE THAN ONE document is boilerplate
+    * (navigation, license headers, templated footers) and is dropped;
+    * per-doc retention stats come back. Chunks are hashed map-side to
+    * 60-bit keys before the shuffle (same rationale as `shingles`: the
+    * (8+8)-byte hashed rows move, never the ~100-byte chunk text), the
+    * shared-chunk set is a distinct-count aggregate on that key, and
+    * the per-doc rollup is a broadcast-friendly join back. At 100 TB
+    * the only big shuffle is (doc_id, chunk_hash) — the same footprint
+    * as exact dedup d01.
+    */
+  private def d08(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val chunks = Tables.documents(s, d)
+      .withColumn("toks", split($"text", " "))
+      .select($"doc_id", explode(
+        transform(sequence(lit(1), size($"toks"), lit(16)),
+          st => slice($"toks", st, lit(16)))).as("chunk"))
+      .select($"doc_id", h60(array_join($"chunk", " ")).as("ch"),
+        size($"chunk").cast("long").as("ctok"))
+    val shared = chunks.groupBy($"ch")
+      .agg(countDistinct($"doc_id").as("nd"))
+      .filter($"nd" > 1)
+      .select($"ch", lit(true).as("is_shared"))
+    chunks.join(shared, Seq("ch"), "left")
+      .withColumn("sh", coalesce($"is_shared", lit(false)))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when($"sh", 1L).otherwise(0L)).as("n_shared"),
+        sum(when($"sh", 0L).otherwise($"ctok")).as("tokens_kept"))
+      .orderBy($"doc_id")
+  }
+  private val d08Sql =
+    """WITH chunks AS (
+         SELECT doc_id, array_to_string(list_slice(l, s, s + 15), ' ') AS ch,
+           len(list_slice(l, s, s + 15)) AS ctok
+         FROM (
+           SELECT doc_id, l, 1 + (i - 1) * 16 AS s
+           FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+             unnest(generate_series(1, 1 + (len(l) - 1) // 16)) AS t(i))),
+       shared AS (
+         SELECT ch FROM chunks GROUP BY ch HAVING count(DISTINCT doc_id) > 1)
+       SELECT doc_id, count(*) AS n_chunks,
+         CAST(sum(CASE WHEN sh THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+         CAST(sum(CASE WHEN sh THEN 0 ELSE ctok END) AS BIGINT) AS tokens_kept
+       FROM (
+         SELECT c.doc_id, c.ctok, s.ch IS NOT NULL AS sh
+         FROM chunks c LEFT JOIN shared s USING (ch))
+       GROUP BY doc_id ORDER BY doc_id"""
+
   val queries: Map[String, QueryFn] = Map(
     "d01_exact_dedup" -> d01 _,
+    "d08_chunk_dedup" -> d08 _,
     "d02_ngram_jaccard" -> d02 _,
     "d03_minhash_lsh" -> d03 _,
     "d04_simhash" -> d04 _,
@@ -503,6 +556,7 @@ object Dedup extends QueryModule {
 
   val oracle: Map[String, String] = Map(
     "d01_exact_dedup" -> d01Sql,
+    "d08_chunk_dedup" -> d08Sql,
     "d02_ngram_jaccard" -> d02Sql,
     "d03_minhash_lsh" -> d03Sql,
     "d04_simhash" -> d04Sql,

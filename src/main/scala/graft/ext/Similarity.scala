@@ -300,8 +300,74 @@ object Similarity extends QueryModule {
        ORDER BY round(list_cosine_similarity(e.qv, q.q_qv), 9) DESC, vec_id
        LIMIT 10"""
 
+  /** s07 — distributed k-means over the embedding corpus (two unrolled
+    * Lloyd iterations, k=8, seeds = the first 8 vectors — deterministic,
+    * no RNG): assignment is a broadcast of the k tiny centroids against
+    * one corpus scan (map-side argmax, round-9 tie-broken by cluster id
+    * — the s03 discipline); the centroid update shuffles only
+    * (cluster, position, value) triples and aggregates k×dim cells.
+    * At 100 TB each iteration is exactly one linear scan plus a
+    * k×dim-sized aggregate — the canonical scalable k-means layout;
+    * more iterations are the same two stages repeated. Embedding
+    * clustering is the corpus-curation workhorse (topic balancing,
+    * domain mixing, semantic dedup seeding). */
+  private def s07(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val seeds = e.filter($"vec_id" < 8)
+      .select($"vec_id".as("cl"), $"v".as("cv"))
+    def assign(cents: DataFrame): DataFrame = {
+      val w = Window.partitionBy($"vec_id")
+        .orderBy(round($"cc", 9).desc, $"cl")
+      e.crossJoin(broadcast(cents))
+        .withColumn("cc", cosine($"v", $"cv"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"vec_id", $"v", $"cl", $"cc")
+    }
+    val a1 = assign(seeds)
+    val cent1 = a1.select($"cl", posexplode($"v").as(Seq("p", "x")))
+      .groupBy($"cl", $"p").agg(avg($"x").as("cx"))
+      .groupBy($"cl")
+      .agg(transform(array_sort(collect_list(struct($"p", $"cx"))),
+        c => c.getField("cx")).as("cv"))
+    assign(cent1)
+      .groupBy($"cl".as("cluster"))
+      .agg(count(lit(1)).as("n_members"), round(avg($"cc"), 6).as("avg_cos"))
+      .orderBy($"cluster")
+  }
+  private val s07Sql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       seeds AS (SELECT vec_id AS cl, v AS cv FROM e WHERE vec_id < 8),
+       a1 AS (
+         SELECT vec_id, v, cl FROM (
+           SELECT e.vec_id, e.v, s.cl,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY round(list_cosine_similarity(e.v, s.cv), 9) DESC, s.cl) AS rn
+           FROM e CROSS JOIN seeds s)
+         WHERE rn = 1),
+       cent1 AS (
+         SELECT cl, list(cx ORDER BY p) AS cv FROM (
+           SELECT cl, p, avg(x) AS cx FROM (
+             SELECT cl, i AS p, v[i] AS x
+             FROM a1, unnest(generate_series(1, len(v))) AS t(i))
+           GROUP BY cl, p)
+         GROUP BY cl),
+       a2 AS (
+         SELECT vec_id, cl, cc FROM (
+           SELECT e.vec_id, c.cl, list_cosine_similarity(e.v, c.cv) AS cc,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY round(list_cosine_similarity(e.v, c.cv), 9) DESC, c.cl) AS rn
+           FROM e CROSS JOIN cent1 c)
+         WHERE rn = 1)
+       SELECT cl AS cluster, count(*) AS n_members,
+         round(avg(cc), 6) AS avg_cos
+       FROM a2 GROUP BY cl ORDER BY cluster"""
+
   val queries: Map[String, QueryFn] = Map(
     "s01_cosine_topk" -> s01 _,
+    "s07_kmeans" -> s07 _,
     "s02_batch_knn" -> s02 _,
     "s03_ivf_ann" -> s03 _,
     "s04_cosine_topk_native" -> s04 _,
@@ -311,6 +377,7 @@ object Similarity extends QueryModule {
 
   val oracle: Map[String, String] = Map(
     "s01_cosine_topk" -> s01Sql,
+    "s07_kmeans" -> s07Sql,
     "s02_batch_knn" -> s02Sql,
     "s03_ivf_ann" -> s03Sql,
     "s04_cosine_topk_native" -> s01Sql,

@@ -2,6 +2,9 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, ScalarSubquery, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+import org.apache.spark.sql.graft.SqlBridge
 
 /** Scale-out join utilities (the 100 TB toolbox the test SFs can't
   * force but a 1000-executor cluster needs):
@@ -42,6 +45,34 @@ object ScaleOps {
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Bloom-pruned join: `fact⋈dim` where a Bloom filter built over the
+    * dim side's join keys pre-filters the fact side BEFORE its shuffle.
+    * This is Spark's own runtime-filter mechanism (Catalyst
+    * `BloomFilterAggregate` + `BloomFilterMightContain`, the pair the
+    * optimizer injects when `runtime.bloomFilter.enabled` fires) made
+    * an explicit operator, for when the planner's heuristics don't
+    * trigger — e.g. the selective predicate is on a column the
+    * optimizer can't see through. The bloom is a single binary blob
+    * evaluated as a scalar subquery: the fact scan tests
+    * `might_contain(xxhash64(key))` map-side, so at 100 TB only
+    * plausibly-matching fact rows ever reach the join exchange. No
+    * false negatives — the joined result is EXACTLY the plain join
+    * (the x10 driver oracle is the plain-join SQL). */
+  def bloomPrunedJoin(fact: DataFrame, dim: DataFrame,
+      factKey: String, dimKey: String,
+      expectedItems: Long = 1000000L): DataFrame = {
+    val bloomAgg = new BloomFilterAggregate(
+      new XxHash64(Seq(SqlBridge.toCatalyst(dim(dimKey)))), expectedItems)
+    val bloomDf = dim.agg(SqlBridge.column(
+      bloomAgg.toAggregateExpression()).as("bloom"))
+    // might_contain requires a constant or scalar-subquery bloom side;
+    // the subquery broadcasts the blob exactly like the injected filter
+    val mightContain = SqlBridge.column(new BloomFilterMightContain(
+      ScalarSubquery(SqlBridge.logicalPlan(bloomDf)),
+      new XxHash64(Seq(SqlBridge.toCatalyst(fact(factKey))))))
+    fact.where(mightContain).join(dim, fact(factKey) === dim(dimKey))
+  }
 
   /** Same, but as an external table at an explicit path — for callers
     * that must control the storage location (the warehouse dir default

@@ -227,8 +227,37 @@ object Joins extends QueryModule {
        FROM orders JOIN customer ON o_custkey = c_custkey
        GROUP BY c_mktsegment ORDER BY c_mktsegment"""
 
+  /** x10 — bloom-pruned semi-join (ScaleOps.bloomPrunedJoin as a driver
+    * query): a Bloom filter over the urgent orders' keys pre-filters
+    * lineitem map-side before the join shuffle — Spark's runtime-filter
+    * mechanism as an explicit operator. The oracle is the PLAIN
+    * join+filter SQL: blooms have no false negatives, so the gate
+    * itself proves pruning is result-invariant. At 100 TB this turns a
+    * full-fact shuffle into a shuffle of only the ~20% of lines whose
+    * order plausibly matches. */
+  private def x10(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+      .select($"l_orderkey", $"l_returnflag", $"l_extendedprice")
+    val urgent = Tables.orders(s, d)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_orderkey")
+    graft.ops.ScaleOps.bloomPrunedJoin(li, urgent, "l_orderkey", "o_orderkey")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum($"l_extendedprice"), 2).as("revenue"))
+      .orderBy($"l_returnflag")
+  }
+  private val x10Sql =
+    """SELECT l_returnflag, count(*) AS n_lines,
+         round(sum(l_extendedprice), 2) AS revenue
+       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       WHERE o_orderpriority = '1-URGENT'
+       GROUP BY l_returnflag ORDER BY l_returnflag"""
+
   val queries: Map[String, QueryFn] = Map(
     "x01_outer_distribution" -> x01 _,
+    "x10_bloom_prejoin" -> x10 _,
     "x08_salted_join" -> x08 _,
     "x09_bucketed_join" -> x09 _,
     "x06_avg_subquery" -> x06 _,
@@ -241,6 +270,7 @@ object Joins extends QueryModule {
 
   val oracle: Map[String, String] = Map(
     "x01_outer_distribution" -> x01Sql,
+    "x10_bloom_prejoin" -> x10Sql,
     "x08_salted_join" -> x08Sql,
     "x09_bucketed_join" -> x09Sql,
     "x06_avg_subquery" -> x06Sql,

@@ -312,8 +312,44 @@ object TextOps extends QueryModule {
            unnest(generate_series(1, 1 + (len(l) - 1) // 24)) AS t(i))
        ORDER BY doc_id, chunk_idx"""
 
+  /** t11 — sequence packing (training-batch construction): documents
+    * are laid end-to-end per language in doc_id order and each doc is
+    * assigned to the fixed-budget training sequence its first token
+    * lands in (concat-then-chunk bookkeeping — a doc may straddle the
+    * boundary; it belongs to the bin it starts in). The running total
+    * is a window sum PARTITIONED by lang, so each language packs
+    * independently — no global sort; at 100 TB you'd shard further
+    * (lang, hash-bucket) the same way, because packing only needs a
+    * stable order WITHIN a shard, not across the corpus. All integer
+    * arithmetic — bit-exact across engines. */
+  private def t11(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"lang").orderBy($"doc_id")
+    Tables.documents(s, d)
+      .withColumn("tok", size(regexp_extract_all($"text", lit("[^ ]+"), lit(0))).cast("long"))
+      .withColumn("start", sum($"tok").over(w) - $"tok")
+      .withColumn("seq_id", expr("start div 512"))
+      .groupBy($"lang", $"seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"tok").as("sum_tokens"))
+      .orderBy($"lang", $"seq_id")
+  }
+  private val t11Sql =
+    """SELECT lang, seq_id, count(*) AS n_docs,
+         CAST(sum(tok) AS BIGINT) AS sum_tokens
+       FROM (
+         SELECT lang, CAST(CAST(cum - tok AS BIGINT) // 512 AS BIGINT) AS seq_id, tok
+         FROM (
+           SELECT lang, doc_id, tok,
+             sum(tok) OVER (PARTITION BY lang ORDER BY doc_id) AS cum
+           FROM (SELECT lang, doc_id,
+                   len(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+                 FROM documents)))
+       GROUP BY lang, seq_id ORDER BY lang, seq_id"""
+
   val queries: Map[String, QueryFn] = Map(
     "t10_chunking" -> t10 _,
+    "t11_sequence_packing" -> t11 _,
     "t01_clean_roundtrip" -> t01 _,
     "t09_pii_redaction" -> t09 _,
     "t02_predicates" -> t02 _,
@@ -326,6 +362,7 @@ object TextOps extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "t11_sequence_packing" -> t11Sql,
     "t01_clean_roundtrip" -> t01Sql,
     "t09_pii_redaction" -> t09Sql,
     "t10_chunking" -> t10Sql,

@@ -79,4 +79,26 @@ class DedupSpec extends SparkSpec {
     assert(df.filter(col("vec_a") >= col("vec_b")).count() == 0)
     assert(df.filter(col("cos_sim") < 0.4).count() == 0)
   }
+
+  test("d08 chunk dedup: cross-doc copies fully shared, unique doc fully kept") {
+    import spark.implicits._
+    // the driver fixtures have near-dups but no EXACT text copies, so
+    // pin the cross-document semantics on an inline corpus: docs 1+2
+    // are identical (every aligned chunk shared), doc 3 is disjoint
+    val copied = (0 until 40).map(i => s"tok$i").mkString(" ")
+    val unique = (0 until 20).map(i => s"other$i").mkString(" ")
+    val dir = "/tmp/graft-d08-spec"
+    Seq((1L, copied, "en", "unit", copied.length.toLong),
+        (2L, copied, "en", "unit", copied.length.toLong),
+        (3L, unique, "en", "unit", unique.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Dedup.queries("d08_chunk_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_chunks"), r.getAs[Long]("n_shared"),
+          r.getAs[Long]("tokens_kept"))).toMap
+    assert(rows(1L) == ((3L, 3L, 0L)), s"copy A: ${rows(1L)}") // 16+16+8 all shared
+    assert(rows(2L) == ((3L, 3L, 0L)), s"copy B: ${rows(2L)}")
+    assert(rows(3L) == ((2L, 0L, 20L)), s"unique doc keeps all tokens: ${rows(3L)}")
+  }
 }

@@ -16,6 +16,7 @@ class PlanAuditSpec extends SparkSpec {
     "s01_cosine_topk", "s04_cosine_topk_native",
     "s03_ivf_ann", "s02_batch_knn" /* broadcast probe set x corpus */,
     "s05_quantized_cosine", "s06_ivf_nprobe",
+    "s07_kmeans" /* k broadcast centroids x corpus, per Lloyd pass */,
     "w09_distributed_rank" /* 1-row broadcast of the total count */,
     "e10_funnel" /* three 1-row stage counts cross-joined */)
 

@@ -20,6 +20,24 @@ class ScaleOpsSpec extends SparkSpec {
     assert(salted.exceptAll(plain).count() == 0)
   }
 
+  test("bloom-pruned join returns exactly the plain join's rows") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    val urgent = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val plain = li.join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .select("l_orderkey", "l_linenumber", "o_totalprice")
+    val pruned = ScaleOps.bloomPrunedJoin(li, urgent, "l_orderkey", "o_orderkey")
+      .select("l_orderkey", "l_linenumber", "o_totalprice")
+    assert(plain.exceptAll(pruned).count() == 0)
+    assert(pruned.exceptAll(plain).count() == 0)
+    // the bloom test must sit in the fact-side scan stage as a
+    // might_contain filter over a scalar subquery, before any join
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan.take(2000))
+  }
+
   test("bucketed tables join without a shuffle") {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     ScaleOps.writeBucketed(

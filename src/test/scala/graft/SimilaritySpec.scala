@@ -79,6 +79,19 @@ class SimilaritySpec extends SparkSpec {
     assert(hits("s06_ivf_nprobe") >= hits("s03_ivf_ann"))
   }
 
+  test("s07 k-means partitions the corpus and improves on seed assignment") {
+    import org.apache.spark.sql.functions.{col, sum}
+    val df = Similarity.queries("s07_kmeans")(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.length <= 8, "at most k clusters")
+    val total = df.agg(sum(col("n_members"))).head.getLong(0)
+    assert(total == graft.sources.Tables.embeddings(spark, sfDir).count(),
+      "every vector assigned to exactly one cluster")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("avg_cos") >= -1.0 && r.getAs[Double]("avg_cos") <= 1.0)
+    }
+  }
+
   test("s01 brute-force top-k plans as TakeOrderedAndProject with a broadcast query side") {
     val plan = planOf(Similarity.queries("s01_cosine_topk")(spark, sfDir))
     assert(plan.contains("TakeOrderedAndProject"), plan)

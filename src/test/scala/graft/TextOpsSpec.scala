@@ -40,6 +40,19 @@ class TextOpsSpec extends SparkSpec {
     assert(exchanges <= 2, s"window + groupBy should reuse doc_id partitioning:\n$seg")
   }
 
+  test("t11 packing conserves tokens and packs each language from bin 0") {
+    import org.apache.spark.sql.functions.{col, min, sum, regexp_extract_all, size, lit}
+    val df = TextOps.queries("t11_sequence_packing")(spark, sfDir)
+    val packed = df.agg(sum(col("sum_tokens"))).head.getLong(0)
+    val corpus = graft.sources.Tables.documents(spark, sfDir)
+      .select(sum(size(regexp_extract_all(col("text"), lit("[^ ]+"), lit(0))).cast("long")))
+      .head.getLong(0)
+    assert(packed == corpus, "every token lands in exactly one sequence bin")
+    val firstBins = df.groupBy(col("lang")).agg(min(col("seq_id")).as("m"))
+    assert(firstBins.filter(col("m") =!= 0L).count() == 0,
+      "each language's packing starts at bin 0")
+  }
+
   test("t09 redaction removes every planted PII token") {
     import org.apache.spark.sql.functions.col
     val df = TextOps.queries("t09_pii_redaction")(spark, sfDir)
