@@ -409,7 +409,9 @@ object Dedup extends QueryModule {
     * weighted bit votes; identical signatures form a dedup bucket. One
     * document collapses to a 2-byte key — the cheapest near-dup sieve.
     */
-  private def d04(s: SparkSession, d: String): DataFrame = {
+  /** (doc_id, 16-bit simhash) signatures — shared by d04 (bucket view)
+    * and d09 (Hamming-verified pairs). */
+  private def simhashSigs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     // all 16 bit-votes as wide aggregate columns — no 16x row explode,
     // one shuffle of |doc, word| groups, then a map-side bit assembly
@@ -419,18 +421,16 @@ object Dedup extends QueryModule {
       .withColumn("h", h60(concat(lit("w:"), $"word")))
     val voteCols = (0 until 16).map(b =>
       sum(when(expr(s"(h >> $b) & 1") === 1, $"cnt").otherwise(-$"cnt")).as(s"v$b"))
-    val sig = wc.groupBy($"doc_id").agg(voteCols.head, voteCols.tail: _*)
+    wc.groupBy($"doc_id").agg(voteCols.head, voteCols.tail: _*)
       .withColumn("simhash",
         (0 until 16).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce(_ + _))
       .select($"doc_id", $"simhash")
-    val buckets = sig.groupBy($"simhash").agg(count(lit(1)).as("bucket_size"))
-    sig.join(buckets, "simhash")
-      .select($"doc_id", $"simhash", $"bucket_size")
-      .orderBy($"doc_id")
   }
-  private val d04Sql =
-    """WITH wc AS (
+
+  /** The matching DuckDB signature pipeline (wc → bits → sigs CTEs). */
+  private val simhashCte =
+    """wc AS (
          SELECT doc_id, word, count(*) AS cnt,
            CAST('0x' || substr(md5('w:' || word), 1, 15) AS BIGINT) AS h
          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
@@ -443,11 +443,60 @@ object Dedup extends QueryModule {
        sigs AS (
          SELECT doc_id,
            CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
-         FROM bits GROUP BY doc_id),
+         FROM bits GROUP BY doc_id)"""
+
+  private def d04(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sig = simhashSigs(s, d)
+    val buckets = sig.groupBy($"simhash").agg(count(lit(1)).as("bucket_size"))
+    sig.join(buckets, "simhash")
+      .select($"doc_id", $"simhash", $"bucket_size")
+      .orderBy($"doc_id")
+  }
+  private val d04Sql =
+    s"""WITH $simhashCte,
        buckets AS (SELECT simhash, count(*) AS bucket_size FROM sigs GROUP BY simhash)
        SELECT doc_id, s.simhash, bucket_size
        FROM sigs s JOIN buckets USING (simhash)
        ORDER BY doc_id"""
+
+  /** d09 — Hamming-verified SimHash near-dup (the Manku/WWW'07 block
+    * trick, 16-bit form): any pair within Hamming distance 3 must agree
+    * EXACTLY on at least one of the 4 disjoint 4-bit blocks, so
+    * candidate generation is four equi-joins on (block_idx, block_value)
+    * — never an all-pairs scan — and only candidates pay the exact
+    * popcount(xor) verification. At 100 TB the same layout runs with
+    * 64-bit signatures and more blocks (each block join is far more
+    * selective); 16 bits here keeps signature parity with d04's oracle.
+    */
+  private def d09(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val blocks = simhashSigs(s, d)
+      .select($"doc_id", $"simhash", explode(sequence(lit(0), lit(3))).as("b"))
+      .withColumn("bk", expr("(simhash >> (b * 4)) & 15"))
+    val left = blocks.select($"b", $"bk", $"doc_id".as("doc_a"), $"simhash".as("sig_a"))
+    val right = blocks.select($"b", $"bk", $"doc_id".as("doc_b"), $"simhash".as("sig_b"))
+    left.join(right, Seq("b", "bk"))
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b",
+        bit_count($"sig_a".bitwiseXOR($"sig_b")).cast("long").as("hamming"))
+      .distinct()
+      .filter($"hamming" <= 3)
+      .orderBy($"doc_a", $"doc_b")
+  }
+  private val d09Sql =
+    s"""WITH $simhashCte,
+       blocks AS (
+         SELECT doc_id, simhash, b, (simhash >> (b * 4)) & 15 AS bk
+         FROM sigs, unnest(generate_series(0, 3)) AS t(b)),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+           a.simhash AS sa, c.simhash AS sb
+         FROM blocks a JOIN blocks c ON a.b = c.b AND a.bk = c.bk
+           AND a.doc_id < c.doc_id)
+       SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+       FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+       ORDER BY doc_a, doc_b"""
 
   /** d05 — embedding-cosine near-dup with sign-bit LSH pruning: 4
     * hyperplane sign bits (dims 1-4) bucket the vectors; exact cosine
@@ -546,6 +595,7 @@ object Dedup extends QueryModule {
   val queries: Map[String, QueryFn] = Map(
     "d01_exact_dedup" -> d01 _,
     "d08_chunk_dedup" -> d08 _,
+    "d09_simhash_verified" -> d09 _,
     "d02_ngram_jaccard" -> d02 _,
     "d03_minhash_lsh" -> d03 _,
     "d04_simhash" -> d04 _,
@@ -557,6 +607,7 @@ object Dedup extends QueryModule {
   val oracle: Map[String, String] = Map(
     "d01_exact_dedup" -> d01Sql,
     "d08_chunk_dedup" -> d08Sql,
+    "d09_simhash_verified" -> d09Sql,
     "d02_ngram_jaccard" -> d02Sql,
     "d03_minhash_lsh" -> d03Sql,
     "d04_simhash" -> d04Sql,

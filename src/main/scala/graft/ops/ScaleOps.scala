@@ -74,6 +74,36 @@ object ScaleOps {
     fact.where(mightContain).join(dim, fact(factKey) === dim(dimKey))
   }
 
+  /** Distributed global prefix sum (two-pass): a running total over a
+    * GLOBAL order without the single-partition `Window.orderBy` that
+    * serializes w08-style plans. Pass 1 range-partitions on the order
+    * key and computes per-partition running sums; pass 2 folds the 32
+    * per-partition totals (a tiny driver-sized table) into prefix
+    * offsets broadcast back. Result is invariant to where the sampled
+    * range boundaries land because the order tuples are required to be
+    * unique. This is THE scalable form of cumulative aggregation — at
+    * 100 TB every partition works independently except for a k-row
+    * offset exchange. */
+  def distributedPrefixSum(df: DataFrame, value: Column,
+      order: Seq[Column], out: String, partitions: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranged = df.repartitionByRange(partitions, order: _*)
+      .withColumn("_pid", org.apache.spark.sql.functions.spark_partition_id())
+    val within = Window.partitionBy(col("_pid")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = ranged.groupBy(col("_pid")).agg(sum(value).as("_ptot"))
+    // k rows total: the global window here is over the partition COUNT,
+    // not the data — the one place a single-partition window is fine
+    val wOff = Window.orderBy(col("_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("_off", coalesce(sum(col("_ptot")).over(wOff), lit(0L)))
+      .select(col("_pid"), col("_off"))
+    ranged.join(broadcast(offsets), Seq("_pid"))
+      .withColumn(out, sum(value).over(within) + col("_off"))
+      .drop("_pid", "_off")
+  }
+
   /** Same, but as an external table at an explicit path — for callers
     * that must control the storage location (the warehouse dir default
     * is cwd-relative, wrong for a library). */

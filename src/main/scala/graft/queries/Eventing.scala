@@ -306,7 +306,43 @@ object Eventing extends QueryModule {
        FROM wk JOIN cohort USING (user_id)
        GROUP BY 1, 2 ORDER BY cohort_week, week_offset"""
 
+  /** e12 — interval concurrency (sweep-line): every event opens a
+    * 10-minute activity interval; the concurrency level is the running
+    * sum of +1/-1 boundary points in global time order, reported as the
+    * hourly maximum (the "how many things were live at once" question
+    * behind capacity planning and sessionized load analysis). The
+    * global running sum goes through ScaleOps.distributedPrefixSum —
+    * range-partitioned two-pass, NOT a single-partition Window — so the
+    * sweep scales like a sort, not like a serial scan. End-before-start
+    * at equal timestamps (delta -1 < +1) is the standard closed-open
+    * interval convention, mirrored in the oracle's ORDER BY. */
+  private def e12(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val pts = ev.select($"ts".as("t"), lit(1L).as("delta"), $"event_id")
+      .unionAll(ev.select(($"ts" + expr("INTERVAL '600' SECOND")).as("t"),
+        lit(-1L).as("delta"), $"event_id"))
+    val lv = graft.ops.ScaleOps.distributedPrefixSum(
+      pts, col("delta"), Seq(col("t"), col("delta"), col("event_id")), "level")
+    lv.groupBy(date_trunc("hour", $"t").as("hour"))
+      .agg(max($"level").as("max_concurrent"))
+      .orderBy($"hour")
+  }
+  private val e12Sql =
+    """WITH pts AS (
+         SELECT ts AS t, 1 AS delta, event_id FROM events
+         UNION ALL
+         SELECT ts + INTERVAL 600 SECOND, -1, event_id FROM events),
+       lv AS (
+         SELECT t, sum(delta) OVER (ORDER BY t, delta, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS level
+         FROM pts)
+       SELECT date_trunc('hour', t) AS hour,
+         CAST(max(level) AS BIGINT) AS max_concurrent
+       FROM lv GROUP BY 1 ORDER BY hour"""
+
   val queries: Map[String, QueryFn] = Map(
+    "e12_concurrency" -> e12 _,
     "e01_tumbling_window" -> e01 _,
     "e10_funnel" -> e10 _,
     "e11_retention_cohorts" -> e11 _,
@@ -321,6 +357,7 @@ object Eventing extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "e12_concurrency" -> e12Sql,
     "e01_tumbling_window" -> e01Sql,
     "e10_funnel" -> e10Sql,
     "e11_retention_cohorts" -> e11Sql,

@@ -253,8 +253,41 @@ object Windows extends QueryModule {
       .orderBy($"o_orderkey")
   }
 
+  /** w10 — distribution window trio (percent_rank / cume_dist /
+    * ntile): where each order's price sits within its priority class —
+    * the percentile-normalization shape behind score calibration and
+    * quota assignment. Partitioned by o_orderpriority (bounded
+    * per-partition sort); the GLOBAL single-ordering variant of this
+    * family is exactly what w09's two-pass range-partitioned rank is
+    * for — compose these with w09's layout at 100 TB when no partition
+    * key exists. Deterministic total order via the (price, orderkey)
+    * tiebreak; fractional outputs rounded at 6. */
+  private def w10(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice", $"o_orderkey")
+    Tables.orders(s, d)
+      .withColumn("pct_rank", round(percent_rank().over(w), 6))
+      .withColumn("cume", round(cume_dist().over(w), 6))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .select($"o_orderpriority", $"o_orderkey",
+        round($"o_totalprice", 2).as("price"),
+        $"pct_rank", $"cume", $"quartile")
+      .orderBy($"o_orderpriority", $"o_orderkey")
+  }
+  private val w10Sql =
+    """SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS price,
+         round(percent_rank() OVER w, 6) AS pct_rank,
+         round(cume_dist() OVER w, 6) AS cume,
+         CAST(ntile(4) OVER w AS BIGINT) AS quartile
+       FROM orders
+       WINDOW w AS (PARTITION BY o_orderpriority
+                    ORDER BY o_totalprice, o_orderkey)
+       ORDER BY o_orderpriority, o_orderkey"""
+
   val queries: Map[String, QueryFn] = Map(
     "w01_lead_lookahead" -> w01 _,
+    "w10_distribution" -> w10 _,
     "w02_gaps_islands" -> w02 _,
     "w03_ranking_topk" -> w03 _,
     "w04_running_total" -> w04 _,
@@ -267,6 +300,7 @@ object Windows extends QueryModule {
 
   val oracle: Map[String, String] = Map(
     "w01_lead_lookahead" -> w01Sql,
+    "w10_distribution" -> w10Sql,
     "w02_gaps_islands" -> w02Sql,
     "w03_ranking_topk" -> w03Sql,
     "w04_running_total" -> w04Sql,
