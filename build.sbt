@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g of the machine's 128 GiB: local[32] runs 32 concurrent tasks in
+  // ONE JVM, so executor+driver memory share this heap — 8g left heavy
+  // shuffle queries GC-thrashing and contaminated every later timing
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

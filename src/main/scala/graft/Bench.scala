@@ -32,14 +32,29 @@ object Bench {
           false
         }
       val sec = (System.nanoTime() - t0) / 1e9
+      // drop any persisted blocks a query left behind so the next
+      // query's timing is isolated (a leaked cache slot otherwise
+      // shrinks the execution-memory pool for every later query)
+      spark.catalog.clearCache()
       // failures stay visible: negative elapsed + the failed list below
       name -> (if (ok) sec else -sec)
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def j(v: Double) = "%.3f".format(v)
     val total = results.values.filter(_ > 0).sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // full per-query detail goes to a file; the printed line must stay
+    // SHORT — the driver captures only the final ~2000 chars of output,
+    // and a 104-entry map (~4.4 KB) pushed the JSON line's start out of
+    // that window every round (BENCH_r01..r03 all record parsed:null).
+    val fullJson = results.toSeq.sortBy(-_._2)
+      .map { case (k, v) => s"\"$k\":${j(v)}" }
+      .mkString(s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${results.size},"queries":{""",
+        ",", s"""},"failed":$failedJson,"sf":"$sfDir"}""")
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+      fullJson.getBytes("UTF-8"))
+    val top = results.toSeq.sortBy(-_._2).take(25)
+      .map { case (k, v) => s"\"$k\":${j(v)}" }.mkString(",")
+    println(s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${results.size},"queries":{$top},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
