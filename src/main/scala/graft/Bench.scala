@@ -20,7 +20,11 @@ object Bench {
       spark.read.parquet(s"$sfDir/$t.parquet").count()
     }
     var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args = query-name filter (substring match) for focused
+    // local profiling; the driver passes no args and benches everything
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => args.isEmpty || args.exists(name.contains) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop-format write fully evaluates every output column (a count()
       // would let Catalyst prune final projections out of the timing)
@@ -39,20 +43,24 @@ object Bench {
       // failures stay visible: negative elapsed + the failed list below
       name -> (if (ok) sec else -sec)
     }.toMap
-    def j(v: Double) = "%.3f".format(v)
+    // Locale.ROOT: a comma-decimal default locale would emit "1,234"
+    // and break both JSON outputs
+    def j(v: Double) = String.format(java.util.Locale.ROOT, "%.3f",
+      Double.box(v))
     val total = results.values.filter(_ > 0).sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val sorted = results.toSeq.sortBy(-_._2)
     // full per-query detail goes to a file; the printed line must stay
     // SHORT — the driver captures only the final ~2000 chars of output,
     // and a 104-entry map (~4.4 KB) pushed the JSON line's start out of
     // that window every round (BENCH_r01..r03 all record parsed:null).
-    val fullJson = results.toSeq.sortBy(-_._2)
+    val fullJson = sorted
       .map { case (k, v) => s"\"$k\":${j(v)}" }
       .mkString(s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${results.size},"queries":{""",
         ",", s"""},"failed":$failedJson,"sf":"$sfDir"}""")
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       fullJson.getBytes("UTF-8"))
-    val top = results.toSeq.sortBy(-_._2).take(25)
+    val top = sorted.take(25)
       .map { case (k, v) => s"\"$k\":${j(v)}" }.mkString(",")
     println(s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${results.size},"queries":{$top},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()

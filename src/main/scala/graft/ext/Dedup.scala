@@ -480,8 +480,13 @@ object Dedup extends QueryModule {
       .filter($"doc_a" < $"doc_b")
       .select($"doc_a", $"doc_b",
         bit_count($"sig_a".bitwiseXOR($"sig_b")).cast("long").as("hamming"))
-      .distinct()
+      // verify BEFORE dedup: hamming is a pure function of the pair, so
+      // filter-then-distinct equals distinct-then-filter — but the
+      // filter runs map-side inside the join stage and cuts the distinct
+      // shuffle from the full multi-block candidate product (~n^2/16
+      // rows here) down to the verified matches (~100x fewer)
       .filter($"hamming" <= 3)
+      .distinct()
       .orderBy($"doc_a", $"doc_b")
   }
   private val d09Sql =
