@@ -87,6 +87,19 @@ object Dedup extends QueryModule {
       .distinct()
   }
 
+  /** Non-distinct shingle hashes for minhash-only consumers: min() is
+    * duplicate-insensitive, so the (doc_id, sh) distinct's full-width
+    * exchange (~1M rows at sf0.1) buys nothing there — the signature
+    * build aggregates map-side straight off the exploded hashes and
+    * shuffles only |docs| x 12 partial minima. Jaccard consumers (d02,
+    * d06's exact check) still need the distinct form. */
+  private def shinglesRaw(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", explode(shingleArr($"text")).as("shs"))
+      .select($"doc_id", h60($"shs").as("sh"))
+  }
+
   private val shinglesSql =
     """SELECT DISTINCT doc_id,
          l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS sh
@@ -199,7 +212,7 @@ object Dedup extends QueryModule {
 
   private def d03(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val sh = shingles(s, d)
+    val sh = shinglesRaw(s, d)
     val withBands = minhashBands(sh, "d03")
     val cand = bandCandidates(withBands)
     val sigA = withBands.select($"doc_id".as("doc_a") +: seedsList.map(i => col(s"mh$i").as(s"a$i")): _*)
@@ -410,7 +423,10 @@ object Dedup extends QueryModule {
     * document collapses to a 2-byte key — the cheapest near-dup sieve.
     */
   /** (doc_id, 16-bit simhash) signatures — shared by d04 (bucket view)
-    * and d09 (Hamming-verified pairs). */
+    * and d09 (Hamming-verified pairs). Persisted: both consumers feed it
+    * into a self-join (d04: sigs x bucket counts; d09: block x block),
+    * and Spark re-executes the whole explode+groupBy vote pipeline per
+    * branch without it (measured ~2 s/branch at sf0.1). */
   private def simhashSigs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     // all 16 bit-votes as wide aggregate columns — no 16x row explode,
@@ -421,11 +437,12 @@ object Dedup extends QueryModule {
       .withColumn("h", h60(concat(lit("w:"), $"word")))
     val voteCols = (0 until 16).map(b =>
       sum(when(expr(s"(h >> $b) & 1") === 1, $"cnt").otherwise(-$"cnt")).as(s"v$b"))
-    wc.groupBy($"doc_id").agg(voteCols.head, voteCols.tail: _*)
-      .withColumn("simhash",
-        (0 until 16).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-          .reduce(_ + _))
-      .select($"doc_id", $"simhash")
+    swapPersist("simhash",
+      wc.groupBy($"doc_id").agg(voteCols.head, voteCols.tail: _*)
+        .withColumn("simhash",
+          (0 until 16).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+            .reduce(_ + _))
+        .select($"doc_id", $"simhash"))
   }
 
   /** The matching DuckDB signature pipeline (wc → bits → sigs CTEs). */
@@ -476,17 +493,21 @@ object Dedup extends QueryModule {
       .withColumn("bk", expr("(simhash >> (b * 4)) & 15"))
     val left = blocks.select($"b", $"bk", $"doc_id".as("doc_a"), $"simhash".as("sig_a"))
     val right = blocks.select($"b", $"bk", $"doc_id".as("doc_b"), $"simhash".as("sig_b"))
+    val xorSig = $"sig_a".bitwiseXOR($"sig_b")
+    // a verified pair is emitted once PER AGREEING BLOCK; keeping only
+    // the row whose b is the FIRST agreeing block (every earlier 4-bit
+    // block of the xor is nonzero) dedups with a pure bitwise filter
+    // inside the join stage — no distinct, so the 4.2M verified rows
+    // (sf0.1) never hit a second shuffle. Exactly one row survives per
+    // pair: the agreeing-block set is nonempty by construction and has
+    // a unique minimum.
+    val firstAgreeingBlock = (0 until 3).map { bp =>
+      ($"b" <= bp) || (shiftright(xorSig, bp * 4).bitwiseAND(lit(15L)) =!= 0L)
+    }.reduce(_ && _)
     left.join(right, Seq("b", "bk"))
       .filter($"doc_a" < $"doc_b")
-      .select($"doc_a", $"doc_b",
-        bit_count($"sig_a".bitwiseXOR($"sig_b")).cast("long").as("hamming"))
-      // verify BEFORE dedup: hamming is a pure function of the pair, so
-      // filter-then-distinct equals distinct-then-filter — but the
-      // filter runs map-side inside the join stage and cuts the distinct
-      // shuffle from the full multi-block candidate product (~n^2/16
-      // rows here) down to the verified matches (~100x fewer)
-      .filter($"hamming" <= 3)
-      .distinct()
+      .filter(bit_count(xorSig) <= 3 && firstAgreeingBlock)
+      .select($"doc_a", $"doc_b", bit_count(xorSig).cast("long").as("hamming"))
       .orderBy($"doc_a", $"doc_b")
   }
   private val d09Sql =

@@ -190,6 +190,68 @@ object Media extends QueryModule {
     graft.sources.Pdf.searchPages(s, dir, "laba")
   }
 
+  // ---- positioned PDF: table-region scan (S5-S7) --------------------
+
+  /** Positioned fixture: filings whose pages carry a real table region
+    * plus headers/footers/margin notes OUTSIDE the crop area — the
+    * shapes tabula's fixed-area read cuts through. "(6500)" exercises
+    * escaped parentheses surviving the round trip. */
+  def pdfPosFixtureData: Seq[(String, Seq[Seq[(Int, Int, String)]])] = Seq(
+    "tbl_2023.pdf" -> Seq(
+      Seq(
+        (72, 720, "LAPORAN POSISI KEUANGAN"),
+        (72, 700, "PT Contoh Tbk"),
+        (72, 640, "Pos"), (250, 640, "2023"), (380, 640, "2022"),
+        (72, 620, "Kas dan setara kas"), (250, 620, "1500.5"), (380, 620, "1200.25"),
+        (72, 600, "Piutang usaha"), (250, 600, "800"), (380, 600, "650.75"),
+        (72, 580, "Jumlah aset"), (250, 580, "2300.5"), (380, 580, "1851"),
+        (72, 80, "Lihat catatan terlampir")),
+      Seq(
+        (72, 640, "Pendapatan"), (250, 640, "9000"),
+        (72, 620, "Beban pokok"), (250, 620, "(6500)"),
+        (72, 560, "di luar area"))),
+    "tbl_2024.pdf" -> Seq(
+      Seq(
+        (72, 640, "Pos"), (250, 640, "2024"),
+        (72, 620, "Kas dan setara kas"), (250, 620, "1750"),
+        (450, 620, "margin-note"),
+        (72, 300, "Paragraf lain"))))
+
+  def writePdfPosFixture(dir: String): String = {
+    val d = new java.io.File(dir)
+    d.mkdirs()
+    pdfPosFixtureData.foreach { case (name, pages) =>
+      java.nio.file.Files.write(
+        new java.io.File(d, name).toPath,
+        graft.sources.Pdf.writePdfPositioned(pages))
+    }
+    d.getAbsolutePath
+  }
+
+  /** Expected positioned cells straight from the fixture definition. */
+  def pdfPosExpected(s: SparkSession): DataFrame = {
+    import s.implicits._
+    (for {
+      (file, pages) <- pdfPosFixtureData
+      (cells, pi) <- pages.zipWithIndex
+      (x, y, text) <- cells
+    } yield (file, (pi + 1).toLong, x.toLong, y.toLong, text))
+      .toDF("file", "page", "x", "y", "text")
+  }
+
+  private def pdfPosDir: String =
+    new java.io.File(sys.props("java.io.tmpdir"), "graft_pdf_pos").getAbsolutePath
+
+  /** m07 — fixed-area table-region scan over real positioned bytes
+    * (the reference's tabula `read_pdf(area=..)`, test_uploadPDF.py:
+    * 31-34): crop to the table rectangle, rebuild the row/column grid
+    * from geometry. Headers, footers, and margin notes fall outside
+    * the area and must not appear. */
+  private def m07(s: SparkSession, d: String): DataFrame = {
+    val dir = writePdfPosFixture(pdfPosDir)
+    graft.sources.Pdf.tableRegion(s, dir, 60, 570, 400, 650)
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "m01_format_sniff" -> m01 _,
     "m02_png_metadata" -> m02 _,
@@ -197,6 +259,7 @@ object Media extends QueryModule {
     "m04_sheet_discovery" -> m04 _,
     "m05_pdf_lines" -> m05 _,
     "m06_pdf_page_search" -> m06 _,
+    "m07_pdf_table_region" -> m07 _,
   )
 
   // DuckDB reads the payload as BLOB; hex() gives the uppercase hex
@@ -252,6 +315,17 @@ object Media extends QueryModule {
            GROUP BY file, page))
        WHERE rk = 1 ORDER BY file"""
 
+  // same crop + grid reconstruction over the parser-independent
+  // expected-cell dump; rank functions are BIGINT in both engines
+  private val m07Sql =
+    """SELECT file, page, row_idx, col_idx, x, y, value FROM (
+         SELECT file, page, x, y, text AS value,
+           dense_rank() OVER (PARTITION BY file, page ORDER BY y DESC) AS row_idx,
+           row_number() OVER (PARTITION BY file, page, y ORDER BY x) AS col_idx
+         FROM read_parquet('__FIXTURES__/pdf_pos_expected/*.parquet')
+         WHERE x BETWEEN 60 AND 400 AND y BETWEEN 570 AND 650)
+       ORDER BY file, page, row_idx, col_idx"""
+
   val oracle: Map[String, String] = Map(
     "m01_format_sniff" -> m01Sql,
     "m02_png_metadata" -> m02Sql,
@@ -259,5 +333,6 @@ object Media extends QueryModule {
     "m04_sheet_discovery" -> m04Sql,
     "m05_pdf_lines" -> m05Sql,
     "m06_pdf_page_search" -> m06Sql,
+    "m07_pdf_table_region" -> m07Sql,
   )
 }

@@ -54,6 +54,50 @@ object Pdf {
       .orderBy($"file")
   }
 
+  case class PosLine(file: String, page: Long, line_no: Long,
+      x: Double, y: Double, text: String)
+
+  /** Read every *.pdf under `dir` into POSITIONED rows: each shown
+    * string with the text-line origin (x, y) in page coordinates at
+    * the moment of its `Tj`. Works on both writer shapes — absolute
+    * per-cell `BT x y Td` blocks and the relative `0 -14 Td` line walk
+    * (Td offsets accumulate within a BT/ET block, per the spec). */
+  def readPositioned(spark: SparkSession, dir: String): Dataset[PosLine] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(s"$dir/*.pdf")
+      .select($"path", $"content").as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val name = path.substring(path.lastIndexOf('/') + 1)
+        parsePdfPositioned(bytes).map { case (pg, ln, x, y, text) =>
+          PosLine(name, pg, ln, x, y, text)
+        }
+      }
+  }
+
+  /** Table-region scan — the engine-native form of the reference's
+    * tabula fixed-area read (`read_pdf(area=..)`, test_uploadPDF.py:
+    * 31-34): crop to the rectangle [x0,x1]x[y0,y1], then rebuild the
+    * grid — rows are distinct y values top-down (dense_rank, PDF y
+    * grows upward), columns are left-to-right within a row. All window
+    * work is partitioned per (file, page): at corpus scale every page
+    * reconstructs independently inside its scan task's shuffle group —
+    * no global ordering anywhere. */
+  def tableRegion(spark: SparkSession, dir: String,
+      x0: Double, y0: Double, x1: Double, y1: Double): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rowW = Window.partitionBy($"file", $"page").orderBy($"y".desc)
+    val colW = Window.partitionBy($"file", $"page", $"y").orderBy($"x")
+    readPositioned(spark, dir)
+      .filter($"x".between(x0, x1) && $"y".between(y0, y1))
+      .withColumn("row_idx", dense_rank().over(rowW).cast("long"))
+      .withColumn("col_idx", row_number().over(colW).cast("long"))
+      .select($"file", $"page", $"row_idx", $"col_idx",
+        $"x".cast("long").as("x"), $"y".cast("long").as("y"),
+        $"text".as("value"))
+      .orderBy($"file", $"page", $"row_idx", $"col_idx")
+  }
+
   // ---- parser (executor-side, JDK-only) -----------------------------
 
   /** Parse one PDF payload to (page, line_no, text) rows. Pages come
@@ -79,6 +123,45 @@ object Pdf {
         .map(m => unescape(m.matched.dropRight(2).trim.stripPrefix("(").stripSuffix(")")))
         .toSeq
       lines.zipWithIndex.map { case (l, li) => ((pi + 1).toLong, li.toLong, l) }
+    }
+  }
+
+  /** Positioned variant of `parsePdf`: walks the content stream's
+    * operators IN ORDER, tracking the text-line origin — `BT` resets
+    * it, `tx ty Td` translates it, `(s) Tj` emits (page, line_no, x,
+    * y, text). Covers the operator subset both writers emit; unknown
+    * operators pass through harmlessly because only these three match.
+    */
+  def parsePdfPositioned(bytes: Array[Byte]): Seq[(Long, Long, Double, Double, String)] = {
+    val raw = new String(bytes, ISO_8859_1)
+    val objs = objectMap(raw)
+    def dictOf(num: Int): String = objs.getOrElse(num, "")
+    val catalog = objs.collectFirst {
+      case (_, body) if body.contains("/Type /Catalog") => body
+    }.getOrElse("")
+    val pagesRef = ref(catalog, "/Pages").getOrElse(return Seq.empty)
+    val kids = "(\\d+) 0 R".r.findAllMatchIn(
+      "/Kids \\[([^\\]]*)\\]".r.findFirstMatchIn(dictOf(pagesRef)).map(_.group(1)).getOrElse("")
+    ).map(_.group(1).toInt).toSeq
+    val tok = ("(-?[0-9.]+)\\s+(-?[0-9.]+)\\s+Td" +
+      "|\\((?:\\\\.|[^\\\\)])*\\)\\s*Tj|BT").r
+    kids.zipWithIndex.flatMap { case (pageObj, pi) =>
+      val contentRef = ref(dictOf(pageObj), "/Contents")
+      val content = contentRef.map(n => streamOf(raw, n)).getOrElse(Array.empty[Byte])
+      val text = new String(content, ISO_8859_1)
+      var cx = 0.0; var cy = 0.0; var ln = 0L
+      tok.findAllMatchIn(text).flatMap { m =>
+        m.matched match {
+          case "BT" => cx = 0.0; cy = 0.0; None
+          case s if s.endsWith("Td") =>
+            cx += m.group(1).toDouble; cy += m.group(2).toDouble; None
+          case s => // (...) Tj
+            val t = unescape(s.stripSuffix("Tj").trim.stripPrefix("(").stripSuffix(")"))
+            val row = ((pi + 1).toLong, ln, cx, cy, t)
+            ln += 1
+            Some(row)
+        }
+      }.toSeq
     }
   }
 
@@ -155,9 +238,27 @@ object Pdf {
     * one FlateDecode content stream per page, each line a `Tj`, with a
     * correct xref table. Deflate output is deterministic for a fixed
     * level, so fixture bytes are reproducible. */
-  def writePdf(pages: Seq[Seq[String]]): Array[Byte] = {
-    def esc(s: String) = s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
-    val nPages = pages.size
+  def writePdf(pages: Seq[Seq[String]]): Array[Byte] =
+    assemblePdf(pages.map(lines =>
+      "BT /F1 12 Tf 72 720 Td\n" +
+        lines.map(l => s"(${esc(l)}) Tj 0 -14 Td").mkString("\n") + "\nET"))
+
+  /** Write a PDF with explicitly POSITIONED text: each (x, y, text)
+    * cell renders as its own `BT x y Td (text) Tj ET` block, so the
+    * text sits at absolute page coordinates (BT resets the text
+    * matrix). This is the fixture shape for the table-region scan —
+    * the reference's tabula `area=[top,left,bottom,right]` crop
+    * (test_uploadPDF.py:31-34) needs geometry to crop against. */
+  def writePdfPositioned(pages: Seq[Seq[(Int, Int, String)]]): Array[Byte] =
+    assemblePdf(pages.map(cells =>
+      cells.map { case (x, y, t) => s"BT /F1 10 Tf $x $y Td (${esc(t)}) Tj ET" }
+        .mkString("\n")))
+
+  private def esc(s: String) =
+    s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+
+  private def assemblePdf(streams: Seq[String]): Array[Byte] = {
+    val nPages = streams.size
     // object numbering: 1 catalog, 2 pages, then (3+2i) page / (4+2i) content
     val pageObjNums = (0 until nPages).map(i => 3 + 2 * i)
     val body = new StringBuilder
@@ -169,12 +270,10 @@ object Pdf {
     }
     obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
     obj(2, s"<< /Type /Pages /Kids [${pageObjNums.map(n => s"$n 0 R").mkString(" ")}] /Count $nPages >>")
-    pages.zipWithIndex.foreach { case (lines, i) =>
+    streams.zipWithIndex.foreach { case (streamText, i) =>
       val pageNum = 3 + 2 * i
       val contNum = 4 + 2 * i
       obj(pageNum, s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents $contNum 0 R >>")
-      val streamText = "BT /F1 12 Tf 72 720 Td\n" +
-        lines.map(l => s"(${esc(l)}) Tj 0 -14 Td").mkString("\n") + "\nET"
       val deflated = deflate(streamText.getBytes(ISO_8859_1))
       offsets += body.length
       body.append(s"$contNum 0 obj\n<< /Length ${deflated.length} /Filter /FlateDecode >>\nstream\n")
