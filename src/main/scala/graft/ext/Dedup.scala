@@ -275,18 +275,19 @@ object Dedup extends QueryModule {
     // persist so the explode+md5 pipeline runs once
     val sh = swapPersist("d06sh", shingles(s, d))
     val cand = bandCandidates(minhashBands(sh, "d06mh"))
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    // exact intersection only for candidate pairs: equi-join on
-    // (doc, shingle) — per pair the work is |A|+|B|, not df^2
-    val inter = cand
-      .join(sh.select($"doc_id".as("doc_a"), $"sh".as("sha")), "doc_a")
-      .join(sh.select($"doc_id".as("doc_b2"), $"sh".as("shb")),
-        $"doc_b" === $"doc_b2" && $"sha" === $"shb")
-      .groupBy($"doc_a", $"doc_b")
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
-      .join(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
+    // per-doc shingle-hash arrays: ONE groupBy over the shingle table,
+    // then the exact check runs MAP-SIDE per candidate pair via
+    // array_intersect on two doc-length-bounded arrays — the earlier
+    // (doc, shingle) re-join shuffled the full shingle table twice and
+    // re-aggregated |pairs x shingles| rows; this shuffles |docs| rows
+    // of one array column and nothing else. Same n_inter (arrays are
+    // distinct by construction), same jaccard arithmetic, same oracle.
+    val shArr = sh.groupBy($"doc_id").agg(collect_list($"sh").as("arr"))
+      .withColumn("n", size($"arr").cast("long"))
+    cand
+      .join(shArr.select($"doc_id".as("doc_a"), $"arr".as("arr_a"), $"n".as("na")), "doc_a")
+      .join(shArr.select($"doc_id".as("doc_b"), $"arr".as("arr_b"), $"n".as("nb")), "doc_b")
+      .withColumn("n_inter", size(array_intersect($"arr_a", $"arr_b")).cast("long"))
       .withColumn("jaccard", round($"n_inter" / ($"na" + $"nb" - $"n_inter"), 6))
       .filter($"jaccard" >= 0.6)
       .select($"doc_a", $"doc_b", $"jaccard")

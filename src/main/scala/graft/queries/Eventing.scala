@@ -341,7 +341,50 @@ object Eventing extends QueryModule {
          CAST(max(level) AS BIGINT) AS max_concurrent
        FROM lv GROUP BY 1 ORDER BY hour"""
 
+  private val streamRunId = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** e13 — the STREAMING plane under the driver's oracle: the exact
+    * streaming transform (`EventStreams.tumblingStream` — watermarked
+    * tumbling agg) executed as a real Structured Streaming job over the
+    * events file source with `Trigger.AvailableNow`, collected through
+    * a memory sink. Complete output mode makes the final table equal
+    * the batch answer exactly, so e01's DuckDB oracle certifies the
+    * streaming execution path end-to-end — not just a spec convergence
+    * check. At production scale the same pipeline runs in append mode
+    * with the watermark bounding state (see EventStreams); complete
+    * here is what upgrades "converges modulo unclosed tail windows"
+    * to a total equality the hash gate can check.
+    */
+  private def e13(s: SparkSession, d: String): DataFrame = {
+    val name = s"e13_mem_${streamRunId.incrementAndGet()}"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_e13_ckpt").toString
+    // file stream source needs an explicit schema; reuse the batch
+    // footer's (ts arrives as nanos-long, normalized the same way as
+    // Tables.events)
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    // the file stream source requires a DIRECTORY; the test table is a
+    // bare file, so expose it through a linked staging dir (symlink —
+    // zero-copy; plain copy as the cross-filesystem fallback). In
+    // production the source would already be a directory of files.
+    val stage = java.nio.file.Files.createTempDirectory("graft_e13_src")
+    val src = java.nio.file.Paths.get(s"$d/events.parquet")
+    val target = stage.resolve("events.parquet")
+    try java.nio.file.Files.createSymbolicLink(target, src)
+    catch { case _: Exception => java.nio.file.Files.copy(src, target) }
+    val stream = s.readStream.schema(schema).parquet(stage.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = graft.streaming.EventStreams.tumblingStream(stream)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).orderBy(col("win_start"), col("event_type"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
+    "e13_stream_tumbling" -> e13 _,
     "e12_concurrency" -> e12 _,
     "e01_tumbling_window" -> e01 _,
     "e10_funnel" -> e10 _,
@@ -357,6 +400,7 @@ object Eventing extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "e13_stream_tumbling" -> e01Sql, // streaming plane must equal batch
     "e12_concurrency" -> e12Sql,
     "e01_tumbling_window" -> e01Sql,
     "e10_funnel" -> e10Sql,
