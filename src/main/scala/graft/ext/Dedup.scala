@@ -47,6 +47,18 @@ object Dedup extends QueryModule {
     cached
   }
 
+  /** Deterministic global order for a SMALL result without the
+    * range-exchange sampling pass: a plain orderBy plans a
+    * RangePartitioning whose bounds-sampling job re-executes the whole
+    * unpersisted child DAG a second time — measured ~2 s of d06's wall
+    * at sf0.1, where the result is tiny but the candidate DAG is the
+    * expensive part. One round-robin shuffle of the final rows into a
+    * single partition + an in-partition sort yields the same total
+    * order at one execution. Only for gate-sized results — a large
+    * result wants the parallel range sort this trades away. */
+  private def sortedSmall(df: DataFrame, cols: Column*): DataFrame =
+    df.repartition(1).sortWithinPartitions(cols: _*)
+
   /** Fixed odd multipliers / offsets (< 2^30) for the minhash
     * permutation family; arbitrary but stable — the oracle embeds the
     * same constants. */
@@ -147,13 +159,13 @@ object Dedup extends QueryModule {
         $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
-    inter
+    sortedSmall(inter
       .join(sizes.select($"doc_id".as("doc_a"), $"n".as("na")), "doc_a")
       .join(sizes.select($"doc_id".as("doc_b"), $"n".as("nb")), "doc_b")
       .withColumn("jaccard", round($"n_inter" / ($"na" + $"nb" - $"n_inter"), 6))
       .filter($"jaccard" >= 0.6)
-      .select($"doc_a", $"doc_b", $"jaccard")
-      .orderBy($"doc_a", $"doc_b")
+      .select($"doc_a", $"doc_b", $"jaccard"),
+      $"doc_a", $"doc_b")
   }
   private val d02Sql =
     s"""WITH sh0 AS ($shinglesSql),
@@ -217,11 +229,11 @@ object Dedup extends QueryModule {
     val cand = bandCandidates(withBands)
     val sigA = withBands.select($"doc_id".as("doc_a") +: seedsList.map(i => col(s"mh$i").as(s"a$i")): _*)
     val sigB = withBands.select($"doc_id".as("doc_b") +: seedsList.map(i => col(s"mh$i").as(s"b$i")): _*)
-    cand.join(sigA, "doc_a").join(sigB, "doc_b")
+    sortedSmall(cand.join(sigA, "doc_a").join(sigB, "doc_b")
       .withColumn("est_sim", round(
         seedsList.map(i => (col(s"a$i") === col(s"b$i")).cast("int")).reduce(_ + _) / 12.0, 6))
-      .select($"doc_a", $"doc_b", $"est_sim")
-      .orderBy($"doc_a", $"doc_b")
+      .select($"doc_a", $"doc_b", $"est_sim"),
+      $"doc_a", $"doc_b")
   }
   private def permCase(col: String): String =
     seedsList.map { i => s"WHEN $i THEN (${permA(i)} * $col + ${permB(i)}) % 1000000007" }
@@ -295,7 +307,7 @@ object Dedup extends QueryModule {
 
   private def d06(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    d06Pairs(s, d).orderBy($"doc_a", $"doc_b")
+    sortedSmall(d06Pairs(s, d), $"doc_a", $"doc_b")
   }
   /** The d06 pipeline as a reusable CTE chain ending in `pairs`
     * (doc_a, doc_b, jaccard) — shared by the d06 oracle and d07's
@@ -391,9 +403,18 @@ object Dedup extends QueryModule {
     var current = d06Pairs(s, d).select($"doc_a", $"doc_b").as[(Long, Long)]
       .mapPartitions(unionFindReduce(emitLabels = false))
     var parts = math.max(1, s.sparkContext.defaultParallelism / 16)
+    // the first fan-in MUST be a shuffle (repartition), not a narrow
+    // coalesce: a coalesce here propagates upstream to the whole
+    // candidate-verification stage and runs it on `parts` tasks —
+    // measured 18 s vs 8 s at sf0.1 local[32]. The shuffle itself moves
+    // only the spanning-forest edges (<= near-dup nodes), which is
+    // orders smaller than the work it unthrottles; levels BELOW the
+    // barrier only touch that tiny forest, so narrow coalesces are
+    // right for them.
+    current = current.repartition(parts).mapPartitions(unionFindReduce(emitLabels = false))
     while (parts > 1) {
-      current = current.coalesce(parts).mapPartitions(unionFindReduce(emitLabels = false))
       parts = math.max(1, parts / 16)
+      current = current.coalesce(parts).mapPartitions(unionFindReduce(emitLabels = false))
     }
     val lab = swapPersist("d07l",
       current.coalesce(1).mapPartitions(unionFindReduce(emitLabels = true))
@@ -419,36 +440,40 @@ object Dedup extends QueryModule {
        FROM labels l JOIN clusters c ON c.lbl = l.lbl
        ORDER BY doc_id"""
 
-  /** d04 — SimHash fingerprints: 16-bit signature from word-frequency
-    * weighted bit votes; identical signatures form a dedup bucket. One
-    * document collapses to a 2-byte key — the cheapest near-dup sieve.
+  /** d04 — SimHash fingerprints: word-frequency weighted bit votes;
+    * identical signatures form a dedup bucket. The signature WIDTH is
+    * the tuning knob: d04 runs the 16-bit coarse-sieve configuration
+    * (a document collapses to a 2-byte key — cheapest possible bucket
+    * count sieve), d09 runs the production 60-bit layout whose block
+    * joins stay selective at corpus scale.
     */
-  /** (doc_id, 16-bit simhash) signatures — shared by d04 (bucket view)
-    * and d09 (Hamming-verified pairs). Persisted: both consumers feed it
+  /** (doc_id, simhash) signatures at the given bit width — shared
+    * builder for d04 (16-bit bucket view) and d09 (60-bit
+    * Hamming-verified pairs). Persisted per slot: each consumer feeds it
     * into a self-join (d04: sigs x bucket counts; d09: block x block),
     * and Spark re-executes the whole explode+groupBy vote pipeline per
     * branch without it (measured ~2 s/branch at sf0.1). */
-  private def simhashSigs(s: SparkSession, d: String): DataFrame = {
+  private def simhashSigs(s: SparkSession, d: String, bits: Int, slot: String): DataFrame = {
     import s.implicits._
-    // all 16 bit-votes as wide aggregate columns — no 16x row explode,
+    // all bit-votes as wide aggregate columns — no |bits|x row explode,
     // one shuffle of |doc, word| groups, then a map-side bit assembly
     val wc = Tables.documents(s, d)
       .select($"doc_id", explode(split($"text", " ")).as("word"))
       .groupBy($"doc_id", $"word").agg(count(lit(1)).as("cnt"))
       .withColumn("h", h60(concat(lit("w:"), $"word")))
-    val voteCols = (0 until 16).map(b =>
+    val voteCols = (0 until bits).map(b =>
       sum(when(expr(s"(h >> $b) & 1") === 1, $"cnt").otherwise(-$"cnt")).as(s"v$b"))
-    swapPersist("simhash",
+    swapPersist(slot,
       wc.groupBy($"doc_id").agg(voteCols.head, voteCols.tail: _*)
         .withColumn("simhash",
-          (0 until 16).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          (0 until bits).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
             .reduce(_ + _))
         .select($"doc_id", $"simhash"))
   }
 
   /** The matching DuckDB signature pipeline (wc → bits → sigs CTEs). */
-  private val simhashCte =
-    """wc AS (
+  private def simhashCte(bits: Int) =
+    s"""wc AS (
          SELECT doc_id, word, count(*) AS cnt,
            CAST('0x' || substr(md5('w:' || word), 1, 15) AS BIGINT) AS h
          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
@@ -456,7 +481,7 @@ object Dedup extends QueryModule {
        bits AS (
          SELECT doc_id, b,
            sum(CASE WHEN (h >> b) & 1 = 1 THEN cnt ELSE -cnt END) AS v
-         FROM wc, unnest(generate_series(0, 15)) AS t(b)
+         FROM wc, unnest(generate_series(0, ${bits - 1})) AS t(b)
          GROUP BY doc_id, b),
        sigs AS (
          SELECT doc_id,
@@ -465,56 +490,59 @@ object Dedup extends QueryModule {
 
   private def d04(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val sig = simhashSigs(s, d)
+    val sig = simhashSigs(s, d, 16, "simhash")
     val buckets = sig.groupBy($"simhash").agg(count(lit(1)).as("bucket_size"))
     sig.join(buckets, "simhash")
       .select($"doc_id", $"simhash", $"bucket_size")
       .orderBy($"doc_id")
   }
   private val d04Sql =
-    s"""WITH $simhashCte,
+    s"""WITH ${simhashCte(16)},
        buckets AS (SELECT simhash, count(*) AS bucket_size FROM sigs GROUP BY simhash)
        SELECT doc_id, s.simhash, bucket_size
        FROM sigs s JOIN buckets USING (simhash)
        ORDER BY doc_id"""
 
   /** d09 — Hamming-verified SimHash near-dup (the Manku/WWW'07 block
-    * trick, 16-bit form): any pair within Hamming distance 3 must agree
-    * EXACTLY on at least one of the 4 disjoint 4-bit blocks, so
+    * trick, production layout): a 60-bit signature split into 4
+    * disjoint 15-bit blocks. Any pair within Hamming distance 3 must
+    * agree EXACTLY on at least one block (pigeonhole over 4 blocks), so
     * candidate generation is four equi-joins on (block_idx, block_value)
     * — never an all-pairs scan — and only candidates pay the exact
-    * popcount(xor) verification. At 100 TB the same layout runs with
-    * 64-bit signatures and more blocks (each block join is far more
-    * selective); 16 bits here keeps signature parity with d04's oracle.
+    * popcount(xor) verification. The wide blocks are what survive
+    * scale: a 15-bit block key spreads n docs over 2^15 buckets, so the
+    * per-block join stays near-linear where d04's 16-bit sieve (4-bit
+    * blocks) would go quadratic — the width-vs-selectivity trade is the
+    * whole point of Manku's construction.
     */
   private def d09(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val blocks = simhashSigs(s, d)
+    val blocks = simhashSigs(s, d, 60, "simhash60")
       .select($"doc_id", $"simhash", explode(sequence(lit(0), lit(3))).as("b"))
-      .withColumn("bk", expr("(simhash >> (b * 4)) & 15"))
+      .withColumn("bk", expr("(simhash >> (b * 15)) & 32767"))
     val left = blocks.select($"b", $"bk", $"doc_id".as("doc_a"), $"simhash".as("sig_a"))
     val right = blocks.select($"b", $"bk", $"doc_id".as("doc_b"), $"simhash".as("sig_b"))
     val xorSig = $"sig_a".bitwiseXOR($"sig_b")
     // a verified pair is emitted once PER AGREEING BLOCK; keeping only
-    // the row whose b is the FIRST agreeing block (every earlier 4-bit
+    // the row whose b is the FIRST agreeing block (every earlier 15-bit
     // block of the xor is nonzero) dedups with a pure bitwise filter
-    // inside the join stage — no distinct, so the 4.2M verified rows
-    // (sf0.1) never hit a second shuffle. Exactly one row survives per
-    // pair: the agreeing-block set is nonempty by construction and has
-    // a unique minimum.
+    // inside the join stage — no distinct, so verified rows never hit a
+    // second shuffle. Exactly one row survives per pair: the
+    // agreeing-block set is nonempty by construction and has a unique
+    // minimum.
     val firstAgreeingBlock = (0 until 3).map { bp =>
-      ($"b" <= bp) || (shiftright(xorSig, bp * 4).bitwiseAND(lit(15L)) =!= 0L)
+      ($"b" <= bp) || (shiftright(xorSig, bp * 15).bitwiseAND(lit(32767L)) =!= 0L)
     }.reduce(_ && _)
-    left.join(right, Seq("b", "bk"))
+    sortedSmall(left.join(right, Seq("b", "bk"))
       .filter($"doc_a" < $"doc_b")
       .filter(bit_count(xorSig) <= 3 && firstAgreeingBlock)
-      .select($"doc_a", $"doc_b", bit_count(xorSig).cast("long").as("hamming"))
-      .orderBy($"doc_a", $"doc_b")
+      .select($"doc_a", $"doc_b", bit_count(xorSig).cast("long").as("hamming")),
+      $"doc_a", $"doc_b")
   }
   private val d09Sql =
-    s"""WITH $simhashCte,
+    s"""WITH ${simhashCte(60)},
        blocks AS (
-         SELECT doc_id, simhash, b, (simhash >> (b * 4)) & 15 AS bk
+         SELECT doc_id, simhash, b, (simhash >> (b * 15)) & 32767 AS bk
          FROM sigs, unnest(generate_series(0, 3)) AS t(b)),
        cand AS (
          SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,

@@ -355,9 +355,13 @@ object Eventing extends QueryModule {
     * here is what upgrades "converges modulo unclosed tail windows"
     * to a total equality the hash gate can check.
     */
-  private def e13(s: SparkSession, d: String): DataFrame = {
-    val name = s"e13_mem_${streamRunId.incrementAndGet()}"
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_e13_ckpt").toString
+  /** Run a streaming transform over the events table as a REAL
+    * Structured Streaming job (file source, AvailableNow trigger,
+    * memory sink) and return the sink table. Shared by e13/e14. */
+  private def runStreamed(s: SparkSession, d: String, prefix: String,
+      mode: String)(xf: DataFrame => DataFrame): DataFrame = {
+    val name = s"${prefix}_mem_${streamRunId.incrementAndGet()}"
+    val ckpt = java.nio.file.Files.createTempDirectory(s"graft_${prefix}_ckpt").toString
     // file stream source needs an explicit schema; reuse the batch
     // footer's (ts arrives as nanos-long, normalized the same way as
     // Tables.events)
@@ -366,25 +370,55 @@ object Eventing extends QueryModule {
     // bare file, so expose it through a linked staging dir (symlink —
     // zero-copy; plain copy as the cross-filesystem fallback). In
     // production the source would already be a directory of files.
-    val stage = java.nio.file.Files.createTempDirectory("graft_e13_src")
+    val stage = java.nio.file.Files.createTempDirectory(s"graft_${prefix}_src")
     val src = java.nio.file.Paths.get(s"$d/events.parquet")
     val target = stage.resolve("events.parquet")
     try java.nio.file.Files.createSymbolicLink(target, src)
     catch { case _: Exception => java.nio.file.Files.copy(src, target) }
     val stream = s.readStream.schema(schema).parquet(stage.toString)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    val q = graft.streaming.EventStreams.tumblingStream(stream)
+    val q = xf(stream)
       .writeStream.format("memory").queryName(name)
-      .outputMode("complete")
+      .outputMode(mode)
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.table(name).orderBy(col("win_start"), col("event_type"))
+    s.table(name)
   }
+
+  private def e13(s: SparkSession, d: String): DataFrame =
+    runStreamed(s, d, "e13", "complete")(
+      graft.streaming.EventStreams.tumblingStream)
+      .orderBy(col("win_start"), col("event_type"))
+
+  /** e14 — stream-STREAM join under the driver's oracle: purchases
+    * attributed to the same user's signup within the preceding hour
+    * (`EventStreams.purchaseAttribution`), both sides watermarked, run
+    * as a real streaming self-join in APPEND mode. Unlike aggregations
+    * (e13's complete-mode crutch), an inner time-interval join emits a
+    * row the moment both sides have arrived — nothing waits on a
+    * watermark close — so the append-mode sink holds the exact batch
+    * answer and the DuckDB oracle certifies the stateful join path
+    * end-to-end, including the state-eviction time bound.
+    */
+  private def e14(s: SparkSession, d: String): DataFrame =
+    runStreamed(s, d, "e14", "append")(
+      graft.streaming.EventStreams.purchaseAttribution)
+      .orderBy(col("p_id"), col("s_id"))
+
+  private val e14Sql =
+    """SELECT p.event_id AS p_id, p.user_id AS p_user,
+         round(p.value, 2) AS p_value, s.event_id AS s_id
+       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+       JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+         ON s.user_id = p.user_id
+        AND s.ts <= p.ts AND s.ts >= p.ts - INTERVAL 1 HOUR
+       ORDER BY p_id, s_id"""
 
   val queries: Map[String, QueryFn] = Map(
     "e13_stream_tumbling" -> e13 _,
+    "e14_stream_join" -> e14 _,
     "e12_concurrency" -> e12 _,
     "e01_tumbling_window" -> e01 _,
     "e10_funnel" -> e10 _,
@@ -401,6 +435,7 @@ object Eventing extends QueryModule {
 
   val oracle: Map[String, String] = Map(
     "e13_stream_tumbling" -> e01Sql, // streaming plane must equal batch
+    "e14_stream_join" -> e14Sql,
     "e12_concurrency" -> e12Sql,
     "e01_tumbling_window" -> e01Sql,
     "e10_funnel" -> e10Sql,
