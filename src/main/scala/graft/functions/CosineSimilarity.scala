@@ -117,6 +117,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       CosineSimilarity.info,
       CosineSimilarity.build _)) // shared arity-checked builder
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      NfcNormalize.info,
+      NfcNormalize.build _))
     ext.injectPlannerStrategy(_ => new graft.plans.TopKPerKeyStrategy)
   }
 }

@@ -347,7 +347,43 @@ object TextOps extends QueryModule {
                  FROM documents)))
        GROUP BY lang, seq_id ORDER BY lang, seq_id"""
 
+  /** t12 — Unicode NFC normalization via the native codegen'd
+    * Expression (graft.functions.NfcNormalize): the corpus text is
+    * salted with DECOMPOSED sequences (e + combining acute U+0301,
+    * A + combining ring U+030A) that canonical composition must
+    * collapse, then normalized. Character counts before/after prove
+    * real composition happened (each combining pair shrinks by one),
+    * and the full normalized string is hash-checked against DuckDB's
+    * nfc_normalize. Map-only — zero shuffles before the ordered
+    * output; the already-NFC fast path makes the pass near-free on
+    * clean ASCII corpora.
+    */
+  private def t12(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      // decomposed salt: e+U+0301, A+U+030A, o+U+0308 — written as
+      // escapes so an editor can't silently recompose the source file
+      .withColumn("raw", concat($"text",
+        lit(" cafe\u0301 A\u030Angstro\u0308m")))
+      .select($"doc_id",
+        graft.functions.NfcNormalize.nfcNormalize($"raw").as("norm"),
+        length($"raw").cast("long").as("len_raw"))
+      .withColumn("len_norm", length($"norm").cast("long"))
+      .orderBy($"doc_id")
+  }
+  private val t12Sql =
+    """SELECT doc_id,
+         nfc_normalize(raw) AS norm,
+         CAST(length(raw) AS BIGINT) AS len_raw,
+         CAST(length(nfc_normalize(raw)) AS BIGINT) AS len_norm
+       FROM (SELECT doc_id,
+               text || ' cafe' || chr(769) || ' A' || chr(778) ||
+                 'ngstro' || chr(776) || 'm' AS raw
+             FROM documents)
+       ORDER BY doc_id"""
+
   val queries: Map[String, QueryFn] = Map(
+    "t12_nfc_normalize" -> t12 _,
     "t10_chunking" -> t10 _,
     "t11_sequence_packing" -> t11 _,
     "t01_clean_roundtrip" -> t01 _,
@@ -362,6 +398,7 @@ object TextOps extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "t12_nfc_normalize" -> t12Sql,
     "t11_sequence_packing" -> t11Sql,
     "t01_clean_roundtrip" -> t01Sql,
     "t09_pii_redaction" -> t09Sql,
