@@ -647,7 +647,64 @@ object Dedup extends QueryModule {
          FROM chunks c LEFT JOIN shared s USING (ch))
        GROUP BY doc_id ORDER BY doc_id"""
 
+  /** d10 — train/eval DECONTAMINATION: the benchmark-leakage check every
+    * training-data pipeline runs before a model ever sees the corpus
+    * (the GPT-3/PaLM n-gram overlap methodology, here at 8 tokens). The
+    * eval set is the deterministic doc_id % 7 == 0 slice standing in
+    * for a held-out benchmark; a training document is contaminated if it
+    * shares ANY 8-token gram with any eval document. Output: each
+    * contaminated doc with its shared-gram count, total distinct grams,
+    * and contamination rate.
+    *
+    * Scale design: eval benchmarks are tiny next to a 100 TB corpus, so
+    * the eval gram set is BROADCAST — the contamination probe is a
+    * map-side hash-join over the streaming corpus scan (no shuffle of
+    * corpus grams at all); the only exchange is the per-doc count
+    * rollup, keyed by doc_id. Grams are hashed map-side to 60-bit keys
+    * (same rationale as `shingles`: 16-byte rows move, never ~100-byte
+    * gram text).
+    */
+  private def d10(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = split($"text", " ")
+    val grams = Tables.documents(s, d)
+      .select($"doc_id", explode(
+        when(size(toks) >= 8,
+          transform(sequence(lit(1), size(toks) - 7), i =>
+            array_join(slice(toks, i, lit(8)), " ")))
+          .otherwise(array())).as("g8"))
+      .select($"doc_id", h60($"g8").as("g"))
+      .distinct()
+    val train = grams.filter($"doc_id" % 7 =!= 0)
+    val evalGrams = grams.filter($"doc_id" % 7 === 0).select($"g").distinct()
+    val sizes = train.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))
+    train.join(broadcast(evalGrams), Seq("g"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
+      .join(sizes, "doc_id")
+      .withColumn("contamination", round($"n_shared" / $"n_grams", 6))
+      .select($"doc_id", $"n_shared", $"n_grams", $"contamination")
+      .orderBy($"doc_id")
+  }
+  private val d10Sql =
+    """WITH g0 AS (
+         SELECT doc_id, array_to_string(list_slice(l, i, i + 7), ' ') AS g8
+         FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+           unnest(generate_series(1, len(l) - 7)) AS t(i)),
+       g AS (SELECT DISTINCT doc_id,
+         CAST('0x' || substr(md5(g8), 1, 15) AS BIGINT) AS g FROM g0),
+       tr AS (SELECT * FROM g WHERE doc_id % 7 <> 0),
+       ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 7 = 0),
+       sizes AS (SELECT doc_id, count(*) AS n_grams FROM tr GROUP BY doc_id),
+       shared AS (
+         SELECT doc_id, count(*) AS n_shared FROM tr JOIN ev USING (g)
+         GROUP BY doc_id)
+       SELECT s.doc_id, n_shared, n_grams,
+         round(n_shared / n_grams, 6) AS contamination
+       FROM shared s JOIN sizes z ON z.doc_id = s.doc_id
+       ORDER BY s.doc_id"""
+
   val queries: Map[String, QueryFn] = Map(
+    "d10_decontaminate" -> d10 _,
     "d01_exact_dedup" -> d01 _,
     "d08_chunk_dedup" -> d08 _,
     "d09_simhash_verified" -> d09 _,
@@ -660,6 +717,7 @@ object Dedup extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "d10_decontaminate" -> d10Sql,
     "d01_exact_dedup" -> d01Sql,
     "d08_chunk_dedup" -> d08Sql,
     "d09_simhash_verified" -> d09Sql,

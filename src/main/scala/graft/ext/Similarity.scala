@@ -365,7 +365,64 @@ object Similarity extends QueryModule {
          round(avg(cc), 6) AS avg_cos
        FROM a2 GROUP BY cl ORDER BY cluster"""
 
+  /** s08 — LSH-bucketed ANN with MULTI-PROBE (the hash-based
+    * alternative to s03's IVF): corpus vectors bucket by the sign bits
+    * of their first 6 dimensions (64 cells — the degenerate-but-
+    * deterministic form of random-hyperplane LSH, same construction as
+    * d05's pruning buckets), and each probe searches its own cell PLUS
+    * the 6 Hamming-1 neighbor cells. Multi-probe is the recall lever
+    * that makes hash ANN usable: a probe near a hyperplane recovers the
+    * neighbors that fell just across it, at 7/64ths of a full scan
+    * instead of a second hash table. Scale: the probe->cell fan-out is
+    * a 7-row-per-probe broadcast; the corpus is scanned once,
+    * filter-joined on the 6-bit cell key; ranking bounds the exchange
+    * through TopKPerKey partial heaps like every s-query.
+    */
+  private def s08(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def bucketOf(v: Column): Column =
+      (0 until 6).map(i => (element_at(v, i + 1) >= 0).cast("int") * (1 << i))
+        .reduce(_ + _)
+    val e = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .withColumn("bucket", bucketOf($"v"))
+    val probeCells = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("probe_id"), $"v".as("pv"), $"bucket",
+        explode(array((lit(0) +: (0 until 6).map(i => lit(1 << i))): _*)).as("flip"))
+      .select($"probe_id", $"pv", $"bucket".bitwiseXOR($"flip").as("cell"))
+    val scored = e.join(broadcast(probeCells),
+        $"bucket" === $"cell" && $"vec_id" =!= $"probe_id")
+      .withColumn("cos", cosine($"v", $"pv"))
+    val top = graft.plans.TopKPerKey.topKPerKey(scored, 3,
+      Seq($"probe_id"), Seq(round($"cos", 9).desc, $"vec_id"))
+    val w = Window.partitionBy($"probe_id")
+      .orderBy(round($"cos", 9).desc, $"vec_id")
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select($"probe_id", $"vec_id".as("neighbor_id"), $"rank",
+        round($"cos", 6).as("cos_sim"))
+      .orderBy($"probe_id", $"rank")
+  }
+  private val s08Sql =
+    """WITH e AS (
+         SELECT vec_id, embedding::DOUBLE[] AS v,
+           CAST(v[1] >= 0 AS INT) * 1 + CAST(v[2] >= 0 AS INT) * 2 +
+           CAST(v[3] >= 0 AS INT) * 4 + CAST(v[4] >= 0 AS INT) * 8 +
+           CAST(v[5] >= 0 AS INT) * 16 + CAST(v[6] >= 0 AS INT) * 32 AS bucket
+         FROM embeddings),
+       pc AS (
+         SELECT vec_id AS probe_id, v AS pv, xor(bucket, f) AS cell
+         FROM e, unnest([0, 1, 2, 4, 8, 16, 32]) AS t(f)
+         WHERE vec_id < 10)
+       SELECT probe_id, neighbor_id, rank, cos_sim FROM (
+         SELECT p.probe_id, e.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY p.probe_id
+             ORDER BY round(list_cosine_similarity(e.v, p.pv), 9) DESC, e.vec_id) AS rank,
+           round(list_cosine_similarity(e.v, p.pv), 6) AS cos_sim
+         FROM e JOIN pc p ON e.bucket = p.cell AND e.vec_id <> p.probe_id)
+       WHERE rank <= 3 ORDER BY probe_id, rank"""
+
   val queries: Map[String, QueryFn] = Map(
+    "s08_lsh_ann" -> s08 _,
     "s01_cosine_topk" -> s01 _,
     "s07_kmeans" -> s07 _,
     "s02_batch_knn" -> s02 _,
@@ -376,6 +433,7 @@ object Similarity extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "s08_lsh_ann" -> s08Sql,
     "s01_cosine_topk" -> s01Sql,
     "s07_kmeans" -> s07Sql,
     "s02_batch_knn" -> s02Sql,

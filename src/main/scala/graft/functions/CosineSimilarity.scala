@@ -122,5 +122,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       NfcNormalize.info,
       NfcNormalize.build _))
     ext.injectPlannerStrategy(_ => new graft.plans.TopKPerKeyStrategy)
+    // dead-rank top-k rewrite: row_number()<=k window filters become the
+    // TopKPerKey operator (partial per-partition heaps, O(k) shuffle)
+    ext.injectOptimizerRule(_ => graft.plans.RankToTopKRule)
   }
 }

@@ -416,7 +416,23 @@ object Eventing extends QueryModule {
         AND s.ts <= p.ts AND s.ts >= p.ts - INTERVAL 1 HOUR
        ORDER BY p_id, s_id"""
 
+  /** e15 — SESSION WINDOWS on the streaming plane under the oracle:
+    * `EventStreams.sessionStream` (session_window + watermark) as a
+    * real streaming job. Session state is the hardest streaming-agg
+    * case — windows MERGE as late events bridge gaps — so certifying
+    * the final table against e03's gaps-and-islands oracle exercises
+    * the merging session store, not just fixed windows. Complete mode
+    * for the same reason as e13: the final table equals the batch
+    * answer including the tail sessions a watermark close would hold
+    * back under append.
+    */
+  private def e15(s: SparkSession, d: String): DataFrame =
+    runStreamed(s, d, "e15", "complete")(
+      graft.streaming.EventStreams.sessionStream)
+      .orderBy(col("user_id"), col("session_start"))
+
   val queries: Map[String, QueryFn] = Map(
+    "e15_stream_sessions" -> e15 _,
     "e13_stream_tumbling" -> e13 _,
     "e14_stream_join" -> e14 _,
     "e12_concurrency" -> e12 _,
@@ -434,6 +450,7 @@ object Eventing extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "e15_stream_sessions" -> e03Sql, // streaming plane must equal batch
     "e13_stream_tumbling" -> e01Sql, // streaming plane must equal batch
     "e14_stream_join" -> e14Sql,
     "e12_concurrency" -> e12Sql,

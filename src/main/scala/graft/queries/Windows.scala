@@ -285,7 +285,35 @@ object Windows extends QueryModule {
                     ORDER BY o_totalprice, o_orderkey)
        ORDER BY o_orderpriority, o_orderkey"""
 
+  /** w11 — the stock top-k window idiom, WRITTEN as row_number-filter-
+    * drop and EXECUTED as the TopKPerKey operator: RankToTopKRule (see
+    * plans/RankToTopKRule.scala) rewrites this plan because the rank
+    * column is dead after the filter. Same data as w03's top-3 but
+    * through the optimizer path — the oracle re-derives the answer with
+    * the window formulation, so the gate proves the rewrite is
+    * result-identical, and RankRewriteSpec asserts the physical plan
+    * actually contains TopKPerKeyFinal (no silent fallback to Window).
+    */
+  private def w11(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .drop("rn")
+      .select($"o_custkey", $"o_orderkey", round($"o_totalprice", 2).as("price"))
+      .orderBy($"o_custkey", $"price".desc, $"o_orderkey")
+  }
+  private val w11Sql =
+    """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price FROM (
+         SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         FROM orders)
+       WHERE rn <= 3 ORDER BY o_custkey, price DESC, o_orderkey"""
+
   val queries: Map[String, QueryFn] = Map(
+    "w11_topk_rewrite" -> w11 _,
     "w01_lead_lookahead" -> w01 _,
     "w10_distribution" -> w10 _,
     "w02_gaps_islands" -> w02 _,
@@ -299,6 +327,7 @@ object Windows extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "w11_topk_rewrite" -> w11Sql,
     "w01_lead_lookahead" -> w01Sql,
     "w10_distribution" -> w10Sql,
     "w02_gaps_islands" -> w02Sql,
