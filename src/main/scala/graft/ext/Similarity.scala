@@ -421,7 +421,41 @@ object Similarity extends QueryModule {
          FROM e JOIN pc p ON e.bucket = p.cell AND e.vec_id <> p.probe_id)
        WHERE rank <= 3 ORDER BY probe_id, rank"""
 
+  /** s09 — cosine RANGE search (radius query): every corpus vector
+    * within a similarity threshold of any probe, not a fixed top-k.
+    * The retrieval shape dedup-by-similarity and recall-oriented
+    * mining use — result size is data-dependent, so no heap bounds it;
+    * instead the threshold filter runs INSIDE the scan (map-side,
+    * native codegen'd cosine), and only qualifying pairs — a tiny
+    * fraction of corpus×probes — ever reach the exchange for the final
+    * order. At 100 TB: one corpus scan, probes broadcast, shuffle
+    * volume proportional to matches, not candidates.
+    */
+  private def s09(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.CosineSimilarity.cosineSim
+    val e = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val probes = e.filter($"vec_id" < 10)
+      .select($"vec_id".as("probe_id"), $"v".as("pv"))
+    e.filter($"vec_id" >= 10)
+      .join(broadcast(probes))
+      .withColumn("cos", cosineSim($"v", $"pv"))
+      .filter($"cos" >= 0.35)
+      .select($"probe_id", $"vec_id".as("neighbor_id"),
+        round($"cos", 6).as("cos_sim"))
+      .orderBy($"probe_id", $"neighbor_id")
+  }
+  private val s09Sql =
+    """SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(e.v, p.v), 6) AS cos_sim
+       FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id >= 10) e
+       JOIN (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 10) p
+         ON list_cosine_similarity(e.v, p.v) >= 0.35
+       ORDER BY probe_id, neighbor_id"""
+
   val queries: Map[String, QueryFn] = Map(
+    "s09_range_search" -> s09 _,
     "s08_lsh_ann" -> s08 _,
     "s01_cosine_topk" -> s01 _,
     "s07_kmeans" -> s07 _,
@@ -433,6 +467,7 @@ object Similarity extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "s09_range_search" -> s09Sql,
     "s08_lsh_ann" -> s08Sql,
     "s01_cosine_topk" -> s01Sql,
     "s07_kmeans" -> s07Sql,

@@ -382,7 +382,53 @@ object TextAnalysis extends QueryModule {
          FROM scored)
        WHERE rk <= 3 ORDER BY doc_id, rk"""
 
+  /** a10 — unigram language-model scoring (the corpus-statistical form
+    * of perplexity filtering: docs whose tokens are improbable under
+    * the corpus's own unigram distribution are outliers — boilerplate,
+    * noise, wrong-language). The LM is derived from the corpus itself:
+    * token frequencies over all documents, P(w) = count(w)/N. Per-doc
+    * score = mean log P(w); ppl = exp(-score).
+    *
+    * Scale: the LM table is vocabulary-sized (Zipf: tiny vs corpus) —
+    * built with one (word) aggregation whose shuffle carries words not
+    * text, then broadcast back; the scoring pass is a map-side join +
+    * per-doc aggregate keyed by doc_id. A 100 TB corpus = two scans of
+    * the token stream and no large-side shuffle. (With a pre-trained
+    * LM the first scan disappears — the frequency table is just read
+    * and broadcast.)
+    */
+  private def a10(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tok = Tables.documents(s, d)
+      .select($"doc_id", explode(split($"text", " ")).as("word"))
+      .filter($"word" =!= "")
+    val lm = tok.groupBy($"word").agg(count(lit(1)).as("cnt"))
+    val n = tok.agg(count(lit(1)).as("n_total"))
+    tok.join(broadcast(lm), "word")
+      .crossJoin(broadcast(n))
+      .withColumn("logp", log($"cnt" / $"n_total"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg($"logp"), 4).as("avg_logp"),
+        round(exp(-avg($"logp")), 2).as("ppl"))
+      .orderBy($"doc_id")
+  }
+  private val a10Sql =
+    """WITH tok AS (
+         SELECT doc_id, word
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+               FROM documents)
+         WHERE word <> ''),
+       lm AS (SELECT word, count(*) AS cnt FROM tok GROUP BY word),
+       n AS (SELECT count(*) AS n_total FROM tok)
+       SELECT doc_id, count(*) AS n_tokens,
+         round(avg(ln(CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE))), 4) AS avg_logp,
+         round(exp(-avg(ln(CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE)))), 2) AS ppl
+       FROM tok JOIN lm USING (word), n
+       GROUP BY doc_id ORDER BY doc_id"""
+
   val queries: Map[String, QueryFn] = Map(
+    "a10_unigram_logprob" -> a10 _,
     "a01_language_id" -> a01 _,
     "a07_repetition_stats" -> a07 _,
     "a08_stratified_sample" -> a08 _,
@@ -395,6 +441,7 @@ object TextAnalysis extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "a10_unigram_logprob" -> a10Sql,
     "a01_language_id" -> a01Sql,
     "a07_repetition_stats" -> a07Sql,
     "a08_stratified_sample" -> a08Sql,

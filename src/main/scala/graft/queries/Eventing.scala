@@ -359,7 +359,7 @@ object Eventing extends QueryModule {
     * Structured Streaming job (file source, AvailableNow trigger,
     * memory sink) and return the sink table. Shared by e13/e14. */
   private def runStreamed(s: SparkSession, d: String, prefix: String,
-      mode: String)(xf: DataFrame => DataFrame): DataFrame = {
+      mode: String, copies: Int = 1)(xf: DataFrame => DataFrame): DataFrame = {
     val name = s"${prefix}_mem_${streamRunId.incrementAndGet()}"
     val ckpt = java.nio.file.Files.createTempDirectory(s"graft_${prefix}_ckpt").toString
     // file stream source needs an explicit schema; reuse the batch
@@ -372,9 +372,14 @@ object Eventing extends QueryModule {
     // production the source would already be a directory of files.
     val stage = java.nio.file.Files.createTempDirectory(s"graft_${prefix}_src")
     val src = java.nio.file.Paths.get(s"$d/events.parquet")
-    val target = stage.resolve("events.parquet")
-    try java.nio.file.Files.createSymbolicLink(target, src)
-    catch { case _: Exception => java.nio.file.Files.copy(src, target) }
+    // copies > 1 stages the SAME table under several file names — the
+    // stream then genuinely delivers every row that many times, which
+    // is how e16 feeds real duplicates to the dedup operator
+    (1 to copies).foreach { i =>
+      val target = stage.resolve(s"events_$i.parquet")
+      try java.nio.file.Files.createSymbolicLink(target, src)
+      catch { case _: Exception => java.nio.file.Files.copy(src, target) }
+    }
     val stream = s.readStream.schema(schema).parquet(stage.toString)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     val q = xf(stream)
@@ -431,7 +436,31 @@ object Eventing extends QueryModule {
       graft.streaming.EventStreams.sessionStream)
       .orderBy(col("user_id"), col("session_start"))
 
+  /** e16 — WATERMARKED STREAM DEDUP under the oracle: the events table
+    * staged TWICE behind the file source, so every row genuinely
+    * arrives as a duplicate; `EventStreams.dedupStream`
+    * (`dropDuplicatesWithinWatermark` on event_id, 1-hour horizon)
+    * must collapse each pair back to one row. Append mode — dedup
+    * emits the first occurrence immediately; the oracle is simply the
+    * distinct source table, so a hash match certifies the stateful
+    * dedup store end-to-end (the exactly-once ingest contract at the
+    * storage boundary, the streaming face of `ext.Dedup`/q13's
+    * ingest de-dup). State: one entry per id inside the watermark
+    * horizon — bounded, unlike plain dropDuplicates on a stream.
+    */
+  private def e16(s: SparkSession, d: String): DataFrame =
+    runStreamed(s, d, "e16", "append", copies = 2)(
+      graft.streaming.EventStreams.dedupStream)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("value"), 2).as("value"))
+      .orderBy(col("event_id"))
+
+  private val e16Sql =
+    """SELECT event_id, user_id, event_type, round(value, 2) AS value
+       FROM events ORDER BY event_id"""
+
   val queries: Map[String, QueryFn] = Map(
+    "e16_stream_dedup" -> e16 _,
     "e15_stream_sessions" -> e15 _,
     "e13_stream_tumbling" -> e13 _,
     "e14_stream_join" -> e14 _,
@@ -450,6 +479,7 @@ object Eventing extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "e16_stream_dedup" -> e16Sql,
     "e15_stream_sessions" -> e03Sql, // streaming plane must equal batch
     "e13_stream_tumbling" -> e01Sql, // streaming plane must equal batch
     "e14_stream_join" -> e14Sql,

@@ -252,7 +252,43 @@ object Media extends QueryModule {
     graft.sources.Pdf.tableRegion(s, dir, 60, 570, 400, 650)
   }
 
+  /** m08 — ORC sink + source round-trip (the second columnar format a
+    * Spark-native engine must speak; the reference's durable store is
+    * row-oriented MySQL, this is the columnar equivalent at scale).
+    * The documents table is written as ORC, read back through the ORC
+    * reader, and reduced to a per-language content digest (md5-derived
+    * per-row hash, summed) — the oracle computes the SAME digest over
+    * the parquet originals, so a hash match certifies every byte of
+    * every column survived the format round-trip, not just row counts.
+    * Scale: ORC write/read is fully parallel per partition; the digest
+    * aggregation shuffles |langs| rows.
+    */
+  private def m08(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_orc_docs")
+      .getAbsolutePath
+    graft.sources.Tables.documents(s, d).write.mode("overwrite").orc(dir)
+    s.read.orc(dir)
+      .withColumn("digest",
+        conv(substring(md5(concat_ws("|",
+          $"doc_id", $"text", $"lang", $"source", $"n_chars")), 1, 15), 16, 10)
+          .cast("long") % 1000000007L)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("sum_chars"),
+        sum($"digest").as("digest_sum"))
+      .orderBy($"lang")
+  }
+  private val m08Sql =
+    """SELECT lang, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         CAST(sum(('0x' || substr(md5(
+             doc_id || '|' || text || '|' || lang || '|' || source || '|' || n_chars),
+           1, 15))::BIGINT % 1000000007) AS BIGINT) AS digest_sum
+       FROM documents GROUP BY lang ORDER BY lang"""
+
   val queries: Map[String, QueryFn] = Map(
+    "m08_orc_roundtrip" -> m08 _,
     "m01_format_sniff" -> m01 _,
     "m02_png_metadata" -> m02 _,
     "m03_xlsx_cells" -> m03 _,
@@ -327,6 +363,7 @@ object Media extends QueryModule {
        ORDER BY file, page, row_idx, col_idx"""
 
   val oracle: Map[String, String] = Map(
+    "m08_orc_roundtrip" -> m08Sql,
     "m01_format_sniff" -> m01Sql,
     "m02_png_metadata" -> m02Sql,
     "m03_xlsx_cells" -> m03Sql,

@@ -12,6 +12,17 @@ class EventingSpec extends SparkSpec {
     assert(Eventing.queries.keySet == Eventing.oracle.keySet)
   }
 
+  test("e16 streaming dedup over a doubled source equals the distinct batch table") {
+    import org.apache.spark.sql.functions._
+    val streamed = Eventing.queries("e16_stream_dedup")(spark, sfDir).collect()
+    val batch = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round(col("value"), 2).as("value"))
+      .orderBy(col("event_id")).collect()
+    assert(streamed.toSeq == batch.toSeq,
+      "every doubled row must collapse back to exactly one")
+  }
+
   test("e02 sliding doubles e01 tumbling mass: every event is in exactly 2 windows") {
     val tumblingN = Eventing.queries("e01_tumbling_window")(spark, sfDir)
       .agg(sum("n")).head.getLong(0)

@@ -13,6 +13,23 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.queries.keySet == Similarity.oracle.keySet)
   }
 
+  test("s09 range search returns exactly the pairs above threshold, probes broadcast") {
+    val df = Similarity.queries("s09_range_search")(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.forall(_.getAs[Double]("cos_sim") >= 0.35 - 1e-9))
+    // brute-force recount: the filter must neither add nor drop pairs
+    import org.apache.spark.sql.functions._
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+    val expect = e.filter(col("vec_id") >= 10).crossJoin(probes)
+      .withColumn("cos", graft.functions.CosineSimilarity.cosineSim(col("v"), col("pv")))
+      .filter(col("cos") >= 0.35).count()
+    assert(rows.length.toLong == expect)
+    assert(planOf(df).contains("BroadcastExchange"), "probe side must broadcast")
+  }
+
   test("native cosine_sim expression matches the higher-order-function fold exactly") {
     val hof = Similarity.queries("s01_cosine_topk")(spark, sfDir).collect()
     val native = Similarity.queries("s04_cosine_topk_native")(spark, sfDir).collect()

@@ -21,6 +21,15 @@ class SourcesSpec extends SparkSpec {
     assert(back.exceptAll(orders).count() == 0 && orders.exceptAll(back).count() == 0)
   }
 
+  test("orc round-trip is an exact identity on the documents table") {
+    val docs = Tables.documents(spark, sfDir)
+    docs.write.mode("overwrite").orc(s"$tmp/docs_orc")
+    val back = spark.read.orc(s"$tmp/docs_orc")
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      docs.schema.map(f => (f.name, f.dataType)), "schema survives ORC")
+    assert(back.exceptAll(docs).count() == 0 && docs.exceptAll(back).count() == 0)
+  }
+
   test("json-lines round-trip preserves nested struct values") {
     import spark.implicits._
     val df = Seq((1L, ("a", 2.5)), (2L, ("b", -1.0)))

@@ -5,6 +5,20 @@ import org.apache.spark.sql.functions._
 
 class TextAnalysisSpec extends SparkSpec {
 
+  test("a10 unigram LM: avg_logp <= 0, ppl = exp(-avg_logp), every doc scored") {
+    val df = TextAnalysis.queries("a10_unigram_logprob")(spark, sfDir).collect()
+    val nDocs = graft.sources.Tables.documents(spark, sfDir).count()
+    assert(df.length == nDocs, "one score per document")
+    df.foreach { r =>
+      val (logp, ppl) = (r.getAs[Double]("avg_logp"), r.getAs[Double]("ppl"))
+      assert(logp <= 0, "log-probabilities cannot be positive")
+      // ppl is rounded from the unrounded mean; logp to 4 dp — recompute
+      // within the induced tolerance
+      assert(math.abs(ppl - math.exp(-logp)) <= math.exp(-logp) * 1e-3 + 0.01,
+        s"ppl $ppl vs exp(-avg_logp) ${math.exp(-logp)}")
+    }
+  }
+
   test("a06 bigram stats: df <= n and df <= corpus size; counts descend") {
     import org.apache.spark.sql.functions.col
     val df = TextAnalysis.queries("a06_bigram_stats")(spark, sfDir)
