@@ -42,6 +42,14 @@ object Dedup extends QueryModule {
   private val persistSlots = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def swapPersist(slot: String, df: DataFrame): DataFrame = {
     val cached = df.persist()
+    // materialize EAGERLY: the consumers fan the cached table into up to
+    // five parallel join branches, and when the cache is still cold AQE
+    // submits those leaf stages concurrently — each one then computes
+    // the ENTIRE upstream pipeline itself (no cross-job build sharing),
+    // measured as 4 simultaneous ~7 s rebuilds of the same signature
+    // table at sf0.1. One count() builds the cache once, alone on all
+    // cores; every branch then reads blocks.
+    cached.count()
     val prev = persistSlots.put(slot, cached)
     if (prev != null && (prev ne cached)) prev.unpersist(blocking = false)
     cached

