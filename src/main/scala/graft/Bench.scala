@@ -11,6 +11,31 @@ object Bench {
     // paid once here instead of inflating whichever query runs first
     spark.range(1000000L).selectExpr("sum(id)")
       .write.mode("overwrite").format("noop").save()
+    // prime the interpreter/JIT over the expression machinery the query
+    // suite leans on — md5/conv hashing, interpreted higher-order
+    // lambdas, regex extraction, JSON parsing, window frames, shuffle
+    // joins. Cold, these paths cost 5-15 s on WHICHEVER query first
+    // touches them (measured: d02 18 s cold vs 2.5 s steady); that is
+    // JVM warmup, not query cost, so it belongs here, untimed. Synthetic
+    // input only — no query's tables or results are precomputed.
+    locally {
+      import org.apache.spark.sql.functions._
+      val w = spark.range(200000L)
+        .withColumn("s", concat_ws(" ", (0 to 6).map(i => conv((col("id") + i).cast("string"), 10, 36)): _*))
+        .withColumn("j", concat(lit("""{"k":"""), col("id") % 97, lit("}")))
+      val shingled = w
+        .withColumn("toks", split(col("s"), " "))
+        .select(col("id"), col("j"), explode(transform(sequence(lit(1), size(col("toks")) - 2),
+          i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1)))).as("sh"))
+        .withColumn("h", conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long"))
+        .withColumn("k", get_json_object(col("j"), "$.k").cast("int"))
+        .withColumn("r", regexp_extract_all(col("sh"), lit("[^ ]+"), lit(0)))
+      val agg = shingled.groupBy(col("h") % 1024).agg(count(lit(1)).as("n"), sum(col("k")).as("sk"))
+      agg.as("a").join(agg.as("b"), "(h % 1024)")
+        .withColumn("rn", row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("a.n")).orderBy(col("a.sk"))))
+        .write.mode("overwrite").format("noop").save()
+    }
     // touch every table once: the first scan of a file pays footer
     // reads + filesystem metadata that would otherwise land on
     // whichever query alphabetically reads that table first (a01 was
