@@ -305,7 +305,65 @@ object Advanced extends QueryModule {
        SELECT source_name, n_hits FROM probes WHERE n_hits > 0
        ORDER BY ord LIMIT 1"""
 
+  /** v12 — incremental aggregate maintenance (partial-agg merge): a
+    * materialized per-customer summary over the CLOSED order history
+    * (pre-1998) is refreshed with the 1998 delta by merging aggregate
+    * states — counts add, sums add, mins take min, avg re-derives from
+    * (sum, count) — never by rescanning history. This is the
+    * materialized-view maintenance contract every warehouse ETL relies
+    * on: at 100 TB the base aggregate is orders-of-magnitude smaller
+    * than its source, so the refresh cost is |delta| + |view|, not
+    * |history|. The two partial aggregates merge through one unionByName
+    * + re-aggregate — the same algebra Spark's own partial/final
+    * HashAggregate pair uses, expressed at the view level. The oracle is
+    * the full recompute over all orders: merged view == recomputed view,
+    * which is precisely the invariant that makes incremental refresh
+    * trustworthy.
+    */
+  private def v12(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // money as exact integer cents from the first touch: a float sum's
+    // association order differs between the partial-merged refresh and
+    // the oracle's single pass, and a 2-decimal quotient by an integer
+    // count lands EXACTLY on .005 boundaries where the last ulp (and the
+    // engines' differing double-rounding conventions) flips the answer
+    // (measured: 237778.855 -> .85 vs .86). Integer arithmetic is
+    // associative, so the merged view is bit-identical to the recompute
+    // — the stronger form of the invariant this operator exists to hold.
+    def part(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy($"o_custkey").agg(
+        count(lit(1)).as("n_orders"),
+        sum(round($"o_totalprice" * 100).cast("long")).as("cents"),
+        min($"o_orderdate").as("first_order"))
+    val orders = Tables.orders(s, d)
+    val base = part(orders.filter(year($"o_orderdate") < 1998))
+    val delta = part(orders.filter(year($"o_orderdate") >= 1998))
+    base.unionByName(delta)
+      .groupBy($"o_custkey")
+      .agg(sum($"n_orders").as("n_orders"),
+        sum($"cents").as("cents"),
+        min($"first_order").as("first_order"))
+      .select($"o_custkey", $"n_orders",
+        ($"cents" / 100.0).as("total_spend"),
+        // half-up integer division to whole cents: (2c + n) div 2n
+        (expr("(cents * 2 + n_orders) div (n_orders * 2)") / 100.0).as("avg_spend"),
+        $"first_order")
+      .orderBy($"o_custkey")
+  }
+  private val v12Sql =
+    """SELECT o_custkey, n_orders,
+         cents / 100.0 AS total_spend,
+         ((cents * 2 + n_orders) // (n_orders * 2)) / 100.0 AS avg_spend,
+         first_order
+       FROM (
+         SELECT o_custkey, count(*) AS n_orders,
+           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents,
+           min(o_orderdate) AS first_order
+         FROM orders GROUP BY o_custkey)
+       ORDER BY o_custkey"""
+
   val queries: Map[String, QueryFn] = Map(
+    "v12_incremental_agg" -> v12 _,
     "v01_percentiles" -> v01 _,
     "v10_topk_custom_plan" -> v10 _,
     "v11_source_catalog" -> v11 _,
@@ -320,6 +378,7 @@ object Advanced extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "v12_incremental_agg" -> v12Sql,
     "v01_percentiles" -> v01Sql,
     "v10_topk_custom_plan" -> v05Sql,
     "v11_source_catalog" -> v11Sql,

@@ -363,7 +363,8 @@ object Eventing extends QueryModule {
     * Structured Streaming job (file source, AvailableNow trigger,
     * memory sink) and return the sink table. Shared by e13/e14. */
   private def runStreamed(s: SparkSession, d: String, prefix: String,
-      mode: String, copies: Int = 1)(xf: DataFrame => DataFrame): DataFrame = {
+      mode: String, copies: Int = 1, sentinel: Boolean = false)(
+      xf: DataFrame => DataFrame): DataFrame = {
     val name = s"${prefix}_mem_${streamRunId.incrementAndGet()}"
     val ckpt = java.nio.file.Files.createTempDirectory(s"graft_${prefix}_ckpt").toString
     // file stream source needs an explicit schema; reuse the batch
@@ -384,7 +385,50 @@ object Eventing extends QueryModule {
       try java.nio.file.Files.createSymbolicLink(target, src)
       catch { case _: Exception => java.nio.file.Files.copy(src, target) }
     }
-    val stream = s.readStream.schema(schema).parquet(stage.toString)
+    // watermark-gated output (outer-join nulls, final windows) only
+    // emits once event time provably passes it; a bounded file source
+    // ends before that proof exists for the tail. Stage far-future
+    // HEARTBEAT rows — the streaming analog of the punctuation events
+    // production pipelines inject to close quiet partitions. Three
+    // hard-won mechanics:
+    //  1. heartbeats must survive the transform's type filters, because
+    //     Catalyst pushes those filters below the EventTimeWatermark
+    //     node into the scan — a row of an unmatched type is pruned
+    //     before event-time tracking ever sees it (measured: watermark
+    //     stuck at the real-data max). So each heartbeat file carries
+    //     one row PER FILTERED TYPE, with negative user_ids no real row
+    //     can join (consumers drop negative ids from the output);
+    //  2. each heartbeat is its own file and maxFilesPerTrigger=1 makes
+    //     it its own micro-batch: the watermark only advances AFTER the
+    //     batch that read it;
+    //  3. there are TWO heartbeat batches, because AvailableNow stops
+    //     without a final no-data batch — #1 advances the watermark,
+    //     #2's batch is where the now-provably-unmatched state flushes
+    //     (with one, the last hour's rows stayed stuck in state).
+    if (sentinel) {
+      import org.apache.spark.sql.Row
+      (0 to 1).foreach { i =>
+        val rows = Seq("purchase" -> (-101L - 2 * i), "signup" -> (-102L - 2 * i))
+          .map { case (tpe, uid) =>
+            Row.fromSeq(schema.fields.map { f =>
+              (f.name, f.dataType) match {
+                case ("ts", _) => 4102444800000000000L + i * 86400000000000L // 2100-01-01 (+1 day) in nanos
+                case ("event_id", _) => uid
+                case ("user_id", _) => uid
+                case ("event_type", _) => tpe
+                case (_, org.apache.spark.sql.types.LongType) => -1L
+                case (_, org.apache.spark.sql.types.DoubleType) => 0.0
+                case _ => null
+              }
+            }.toSeq)
+          }
+        s.createDataFrame(scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
+          .coalesce(1).write.mode("append").parquet(stage.toString)
+      }
+    }
+    val streamRead = s.readStream.schema(schema)
+    val stream = (if (sentinel) streamRead.option("maxFilesPerTrigger", 1)
+                  else streamRead).parquet(stage.toString)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     val q = xf(stream)
       .writeStream.format("memory").queryName(name)
@@ -463,7 +507,69 @@ object Eventing extends QueryModule {
     """SELECT event_id, user_id, event_type, round(value, 2) AS value
        FROM events ORDER BY event_id"""
 
+  /** e17 — stream-stream LEFT OUTER join under the oracle: the outer
+    * face of e14. Outer rows are the hard part — they only emit when
+    * the watermark PROVES no signup can still arrive for a purchase —
+    * so the run stages a far-future heartbeat file (see runStreamed)
+    * to drive the watermark past the tail, exactly as a production
+    * pipeline closes quiet partitions with punctuation events. The
+    * DuckDB LEFT JOIN oracle then certifies both planes: matched rows
+    * through the join state, null-extended rows through state
+    * expiry + eviction.
+    */
+  private def e17(s: SparkSession, d: String): DataFrame =
+    runStreamed(s, d, "e17", "append", sentinel = true)(
+      graft.streaming.EventStreams.purchaseAttributionOuter)
+      .filter(col("p_id") >= 0) // drop heartbeat rows (negative ids)
+      .orderBy(col("p_id"), col("s_id"))
+
+  private val e17Sql =
+    """SELECT p.event_id AS p_id, p.user_id AS p_user,
+         round(p.value, 2) AS p_value, s.event_id AS s_id
+       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+       LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+         ON s.user_id = p.user_id
+        AND s.ts <= p.ts AND s.ts >= p.ts - INTERVAL 1 HOUR
+       ORDER BY p_id, s_id"""
+
+  /** e18 — first-order Markov transition matrix over per-user event
+    * sequences (the sequence statistic behind session modeling and
+    * next-action prediction): for each ordered pair of consecutive
+    * event types within a user's timeline, the transition count and
+    * row-normalized probability. One shuffle on user_id for the lag,
+    * then a tiny (|types|^2) aggregate — the per-user ordering never
+    * leaves its partition, so at 100 TB this costs exactly one
+    * exchange of (user, ts, type) triples.
+    */
+  private def e18(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val tr = Tables.events(s, d)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("src", lag($"event_type", 1).over(w))
+      .filter($"src".isNotNull)
+      .groupBy($"src", $"event_type".as("dst"))
+      .agg(count(lit(1)).as("n"))
+    val byRow = Window.partitionBy($"src")
+    tr.withColumn("p", round($"n" / sum($"n").over(byRow), 6))
+      .orderBy($"src", $"dst")
+  }
+
+  private val e18Sql =
+    """WITH tr AS (
+         SELECT src, event_type AS dst, count(*) AS n
+         FROM (SELECT event_type,
+                 lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+               FROM events)
+         WHERE src IS NOT NULL GROUP BY 1, 2)
+       SELECT src, dst, n,
+         round(n / CAST(sum(n) OVER (PARTITION BY src) AS DOUBLE), 6) AS p
+       FROM tr ORDER BY src, dst"""
+
   val queries: Map[String, QueryFn] = Map(
+    "e18_markov_transitions" -> e18 _,
+    "e17_stream_outer_join" -> e17 _,
     "e16_stream_dedup" -> e16 _,
     "e15_stream_sessions" -> e15 _,
     "e13_stream_tumbling" -> e13 _,
@@ -483,6 +589,8 @@ object Eventing extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "e18_markov_transitions" -> e18Sql,
+    "e17_stream_outer_join" -> e17Sql,
     "e16_stream_dedup" -> e16Sql,
     "e15_stream_sessions" -> e03Sql, // streaming plane must equal batch
     "e13_stream_tumbling" -> e01Sql, // streaming plane must equal batch

@@ -76,6 +76,34 @@ object EventStreams extends Serializable {
       .select(col("p_id"), col("p_user"), col("p_value"), col("s_id"))
   }
 
+  /** Stream-stream LEFT OUTER join: the attribution shape of
+    * `purchaseAttribution`, but purchases with NO qualifying signup
+    * emit too (null s_id). An outer result exists only because the
+    * watermark makes "no match can still arrive" provable — the state
+    * store holds each purchase until the watermark passes the end of
+    * its one-hour lookback, then emits the null-extended row and
+    * evicts. Both watermarks sit UPSTREAM of the type filters so every
+    * event (whatever its type) advances event time: a quiet purchase
+    * stream must not stall the proof that signups are absent.
+    */
+  def purchaseAttributionOuter(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val purchases = events.withWatermark("ts", "1 hour")
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), round(col("value"), 2).as("p_value"))
+    val signups = events.withWatermark("ts", "1 hour")
+      .filter(col("event_type") === "signup")
+      .select(col("event_id").as("s_id"), col("user_id").as("s_user"),
+        col("ts").as("s_ts"))
+    purchases.join(signups,
+      col("p_user") === col("s_user") &&
+        col("s_ts") <= col("p_ts") &&
+        col("s_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"),
+      "leftOuter")
+      .select(col("p_id"), col("p_user"), col("p_value"), col("s_id"))
+  }
+
   /** Stream-static enrichment: the unbounded event stream joined to a
     * bounded dimension (user → tier). The static side is planned as a
     * broadcast on every micro-batch — no stream-side state, no

@@ -40,4 +40,24 @@ class AdvancedSpec extends SparkSpec {
     assert(df.groupBy("o_custkey").count().filter(col("count") > 1).count() == 0)
     assert(df.filter(!col("action").isin("updated", "inserted", "kept")).count() == 0)
   }
+
+  test("v12 incremental refresh is bit-identical to the full recompute") {
+    import spark.implicits._
+    val merged = Advanced.queries("v12_incremental_agg")(spark, sfDir)
+    // the invariant that makes incremental view maintenance trustworthy:
+    // merging the closed-history aggregate with the delta aggregate must
+    // equal aggregating everything from scratch (exact — the operator
+    // keeps money in integer cents precisely so this holds bitwise)
+    val full = graft.sources.Tables.orders(spark, sfDir)
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round($"o_totalprice" * 100).cast("long")).as("cents"),
+        min($"o_orderdate").as("first_order"))
+      .select($"o_custkey", $"n_orders",
+        ($"cents" / 100.0).as("total_spend"),
+        (expr("(cents * 2 + n_orders) div (n_orders * 2)") / 100.0).as("avg_spend"),
+        $"first_order")
+    assert(merged.except(full).count() == 0 && full.except(merged).count() == 0)
+    assert(merged.count() > 0)
+  }
 }

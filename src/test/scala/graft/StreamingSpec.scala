@@ -122,6 +122,42 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-stream LEFT OUTER join emits null-extended rows once the watermark proves no match") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val query = EventStreams.purchaseAttributionOuter(input.toDF())
+      .writeStream.format("memory").queryName("attrib_outer_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val evs = loadEvents()
+      input.addData(evs); query.processAllAvailable()
+      // heartbeats far past the data: the global watermark is the MIN
+      // across both branches' watermark nodes, so each heartbeat batch
+      // carries one row PER BRANCH (purchase + signup, unjoinable
+      // negative users)...
+      val far = new java.sql.Timestamp(
+        evs.map(_.ts.getTime).max + 365L * 24 * 3600 * 1000)
+      input.addData(Ev(-101L, far, -101L, "purchase", 0.0),
+        Ev(-102L, far, -102L, "signup", 0.0))
+      query.processAllAvailable()
+      // ...and a second heartbeat batch, because state flushes in the
+      // batch AFTER the advance (the same mechanic e17 stages as files)
+      input.addData(Ev(-103L, new java.sql.Timestamp(far.getTime + 1000),
+        -103L, "purchase", 0.0),
+        Ev(-104L, new java.sql.Timestamp(far.getTime + 1000),
+          -104L, "signup", 0.0))
+      query.processAllAvailable()
+      val got = spark.table("attrib_outer_out").filter($"p_id" >= 0)
+        .orderBy("p_id", "s_id").collect().toSeq
+      val want = EventStreams.purchaseAttributionOuter(
+        spark.createDataset(evs).toDF()).orderBy("p_id", "s_id").collect().toSeq
+      assert(got == want)
+      val nulls = got.count(_.isNullAt(3))
+      assert(nulls > 0, "fixture must exercise the outer (no-match) path")
+    } finally query.stop()
+  }
+
   test("dropDuplicatesWithinWatermark collapses duplicate event ids") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
