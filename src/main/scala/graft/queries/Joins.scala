@@ -255,7 +255,45 @@ object Joins extends QueryModule {
        WHERE o_orderpriority = '1-URGENT'
        GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  /** x11 — DYNAMIC PARTITION PRUNING (runtime partition elimination):
+    * the fact table written PARTITIONED BY order-year to scratch, then
+    * joined to a tiny dimension whose filter ("recent" = 1997+) only
+    * becomes a partition predicate at RUNTIME — Spark plans a
+    * dynamicpruning subquery that reuses the dimension's broadcast to
+    * skip entire fact partitions at the scan (PlanAuditSpec asserts the
+    * plan carries it). THE partition-layout payoff at 100 TB: a
+    * date-partitioned warehouse fact never scans years a query's
+    * dimension filter excludes, without the filter ever being written
+    * against the fact. Oracle = the same join over the original
+    * unpartitioned parquet.
+    */
+  private def x11(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val scratch = new java.io.File(
+      sys.props("java.io.tmpdir"), "graft_x11_orders").getAbsolutePath
+    Tables.orders(s, d)
+      .withColumn("yr", year($"o_orderdate"))
+      .write.mode("overwrite").partitionBy("yr").parquet(scratch)
+    val fact = s.read.parquet(scratch)
+    val dim = Tables.orders(s, d)
+      .select(year($"o_orderdate").as("yr")).distinct()
+      .withColumn("era", when($"yr" >= 1997, "recent").otherwise("past"))
+    fact.join(broadcast(dim).filter($"era" === "recent"), "yr")
+      .groupBy($"yr")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+      .select($"yr".cast("int").as("yr"), $"n_orders",
+        ($"cents" / 100.0).as("revenue"))
+      .orderBy($"yr")
+  }
+  private val x11Sql =
+    """SELECT CAST(year(o_orderdate) AS INT) AS yr, count(*) AS n_orders,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS revenue
+       FROM orders WHERE year(o_orderdate) >= 1997
+       GROUP BY 1 ORDER BY yr"""
+
   val queries: Map[String, QueryFn] = Map(
+    "x11_dynamic_pruning" -> x11 _,
     "x01_outer_distribution" -> x01 _,
     "x10_bloom_prejoin" -> x10 _,
     "x08_salted_join" -> x08 _,
@@ -269,6 +307,7 @@ object Joins extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "x11_dynamic_pruning" -> x11Sql,
     "x01_outer_distribution" -> x01Sql,
     "x10_bloom_prejoin" -> x10Sql,
     "x08_salted_join" -> x08Sql,

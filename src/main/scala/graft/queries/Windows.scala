@@ -312,7 +312,50 @@ object Windows extends QueryModule {
          FROM orders)
        WHERE rn <= 3 ORDER BY o_custkey, price DESC, o_orderkey"""
 
+  /** w12 — time-series GAP FILL (dense resample): hourly event counts
+    * per event type on a gapless hour axis — hours with no events
+    * appear with n = 0 (the resample-then-fill step every downstream
+    * charting/forecasting consumer needs, and the inverse of what a
+    * plain groupBy gives, which silently drops empty buckets).
+    * Scale design: the dense axis is generated from the 1-row global
+    * [min, max] span (a broadcast scalar), cross-joined with the tiny
+    * distinct-type set, and LEFT-joined to the hourly aggregate — the
+    * only full-data pass is the aggregate itself (one shuffle of
+    * (hour, type) partials); the fill join touches |hours x types|
+    * rows, which is calendar-sized, not data-sized, at any corpus
+    * scale.
+    */
+  private def w12(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hourly = Tables.events(s, d)
+      .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+      .agg(count(lit(1)).as("n_raw"))
+    val span = Tables.events(s, d)
+      .agg(date_trunc("hour", min($"ts")).as("h0"), date_trunc("hour", max($"ts")).as("h1"))
+    val axis = span.select(explode(sequence($"h0", $"h1", expr("INTERVAL '1' HOUR"))).as("hour"))
+    val types = Tables.events(s, d).select($"event_type").distinct()
+    axis.crossJoin(broadcast(types))
+      .join(hourly, Seq("hour", "event_type"), "left")
+      .select($"hour", $"event_type", coalesce($"n_raw", lit(0L)).as("n"))
+      .orderBy($"hour", $"event_type")
+  }
+  private val w12Sql =
+    """WITH span AS (
+         SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+         FROM events),
+       axis AS (
+         SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM span),
+       types AS (SELECT DISTINCT event_type FROM events),
+       hourly AS (
+         SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_raw
+         FROM events GROUP BY 1, 2)
+       SELECT a.hour, t.event_type, COALESCE(n_raw, 0) AS n
+       FROM axis a CROSS JOIN types t
+       LEFT JOIN hourly h ON h.hour = a.hour AND h.event_type = t.event_type
+       ORDER BY a.hour, t.event_type"""
+
   val queries: Map[String, QueryFn] = Map(
+    "w12_gap_fill" -> w12 _,
     "w11_topk_rewrite" -> w11 _,
     "w01_lead_lookahead" -> w01 _,
     "w10_distribution" -> w10 _,
@@ -327,6 +370,7 @@ object Windows extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "w12_gap_fill" -> w12Sql,
     "w11_topk_rewrite" -> w11Sql,
     "w01_lead_lookahead" -> w01Sql,
     "w10_distribution" -> w10Sql,

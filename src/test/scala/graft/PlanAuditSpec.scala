@@ -20,7 +20,8 @@ class PlanAuditSpec extends SparkSpec {
     "w09_distributed_rank" /* 1-row broadcast of the total count */,
     "e10_funnel" /* three 1-row stage counts cross-joined */,
     "a10_unigram_logprob" /* 1-row broadcast of the corpus token total */,
-    "s09_range_search" /* broadcast probe set x corpus, filter in-scan */)
+    "s09_range_search" /* broadcast probe set x corpus, filter in-scan */,
+    "w12_gap_fill" /* calendar axis x broadcast distinct-type set */)
 
   test("no query plans a CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>
@@ -56,6 +57,12 @@ class PlanAuditSpec extends SparkSpec {
         (plan.contains("LessThan") || plan.contains("GreaterThan")),
         s"$q must push its date range:\n$plan")
     }
+  }
+
+  test("x11 plans a dynamicpruning subquery on the partitioned fact scan") {
+    val plan = planOf(graft.queries.Joins.queries("x11_dynamic_pruning")(spark, sfDir))
+    assert(plan.contains("dynamicpruning"),
+      s"x11's fact scan must carry a runtime partition filter:\n$plan")
   }
 
   test("s02/s03 rank through TopKPerKey, never a window over the corpus join") {
