@@ -287,7 +287,53 @@ object Media extends QueryModule {
            1, 15))::BIGINT % 1000000007) AS BIGINT) AS digest_sum
        FROM documents GROUP BY lang ORDER BY lang"""
 
+  /** m09 — SCHEMA EVOLUTION across parquet generations (mergeSchema):
+    * two generations of the same fact written with different column
+    * sets (v1 carries custkey, v2 added totalprice-cents), read back
+    * as ONE table whose schema is the union — missing columns
+    * null-fill per generation. This is how a long-lived 100 TB
+    * warehouse actually looks (columns appear over time; old files
+    * are never rewritten), and `mergeSchema` is the Spark contract
+    * for it: footer union at planning, per-file projection at scan,
+    * no data movement. The digest aggregate proves both generations'
+    * values and the null-fill survived exactly.
+    */
+  private def m09(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = new java.io.File(sys.props("java.io.tmpdir"), "graft_m09")
+      .getAbsolutePath
+    val orders = graft.sources.Tables.orders(s, d)
+    orders.select($"o_orderkey", $"o_custkey")
+      .write.mode("overwrite").parquet(s"$base/gen=1")
+    orders.select($"o_orderkey",
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      .write.mode("overwrite").parquet(s"$base/gen=2")
+    s.read.option("mergeSchema", "true").parquet(base)
+      .groupBy($"gen")
+      .agg(count(lit(1)).as("n_rows"),
+        count($"o_custkey").as("nn_custkey"),
+        count($"cents").as("nn_cents"),
+        sum($"o_orderkey").as("sum_key"),
+        coalesce(sum($"cents"), lit(0L)).as("sum_cents"))
+      .select($"gen".cast("int").as("gen"), $"n_rows", $"nn_custkey",
+        $"nn_cents", $"sum_key", $"sum_cents")
+      .orderBy($"gen")
+  }
+  private val m09Sql =
+    """SELECT 1 AS gen, count(*) AS n_rows, count(*) AS nn_custkey,
+         CAST(0 AS BIGINT) AS nn_cents,
+         CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+         CAST(0 AS BIGINT) AS sum_cents
+       FROM orders
+       UNION ALL
+       SELECT 2, count(*), CAST(0 AS BIGINT), count(*),
+         CAST(sum(o_orderkey) AS BIGINT),
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+       FROM orders
+       ORDER BY gen"""
+
   val queries: Map[String, QueryFn] = Map(
+    "m09_schema_evolution" -> m09 _,
     "m08_orc_roundtrip" -> m08 _,
     "m01_format_sniff" -> m01 _,
     "m02_png_metadata" -> m02 _,
@@ -363,6 +409,7 @@ object Media extends QueryModule {
        ORDER BY file, page, row_idx, col_idx"""
 
   val oracle: Map[String, String] = Map(
+    "m09_schema_evolution" -> m09Sql,
     "m08_orc_roundtrip" -> m08Sql,
     "m01_format_sniff" -> m01Sql,
     "m02_png_metadata" -> m02Sql,

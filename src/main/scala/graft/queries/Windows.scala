@@ -354,7 +354,34 @@ object Windows extends QueryModule {
        LEFT JOIN hourly h ON h.hour = a.hour AND h.event_type = t.event_type
        ORDER BY a.hour, t.event_type"""
 
+  /** w13 — time-RANGE window frame (value-based, not row-based): per
+    * user, how many of their events fall in the sliding hour ENDING at
+    * each event — the rate-limiting / burst-detection primitive. A
+    * RANGE frame is bounded by the ORDER column's VALUE (here epoch
+    * micros, so ties and irregular spacing are handled by definition),
+    * where the rows-frame w07 uses counts; this is the other half of
+    * Spark's frame semantics, exercised over microsecond-exact event
+    * time. One shuffle on user_id; frames never cross users.
+    */
+  private def w13(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id")
+      .orderBy(expr("unix_micros(ts)"))
+      .rangeBetween(-3600000000L, 0L)
+    Tables.events(s, d)
+      .withColumn("n_last_hour", count(lit(1)).over(w))
+      .select($"event_id", $"user_id", $"ts", $"n_last_hour")
+      .orderBy($"event_id")
+  }
+  private val w13Sql =
+    """SELECT event_id, user_id, ts,
+         count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                        RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+           AS n_last_hour
+       FROM events ORDER BY event_id"""
+
   val queries: Map[String, QueryFn] = Map(
+    "w13_range_frame" -> w13 _,
     "w12_gap_fill" -> w12 _,
     "w11_topk_rewrite" -> w11 _,
     "w01_lead_lookahead" -> w01 _,
@@ -370,6 +397,7 @@ object Windows extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "w13_range_frame" -> w13Sql,
     "w12_gap_fill" -> w12Sql,
     "w11_topk_rewrite" -> w11Sql,
     "w01_lead_lookahead" -> w01Sql,
