@@ -430,13 +430,26 @@ object Eventing extends QueryModule {
     val stream = (if (sentinel) streamRead.option("maxFilesPerTrigger", 1)
                   else streamRead).parquet(stage.toString)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    val q = xf(stream)
-      .writeStream.format("memory").queryName(name)
-      .outputMode(mode)
-      .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // per-microbatch fixed cost is dominated by STATE STORE instances:
+    // one per shuffle partition per stateful operator per batch (an
+    // outer join runs 4 stores/partition; at 32 partitions x 3 batches
+    // that's 384 store lifecycles for a bounded test table — measured
+    // 22 s -> 4.5 s by sizing down). This harness certifies semantics
+    // over a bounded file, so it sizes state to that volume; a
+    // production deployment sizes shuffle.partitions to the cluster,
+    // where the same per-store cost is amortized over real data.
+    // Restored in finally — the session is shared across queries.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = xf(stream)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     s.table(name)
   }
 
