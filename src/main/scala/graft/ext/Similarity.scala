@@ -454,7 +454,49 @@ object Similarity extends QueryModule {
          ON list_cosine_similarity(e.v, p.v) >= 0.35
        ORDER BY probe_id, neighbor_id"""
 
+  /** s10 — ANN RECALL@K evaluation: the IVF index (s03) measured
+    * against exact brute force (s02), per probe — |ANN ∩ exact| / k.
+    * An approximate index without a measured recall number is not an
+    * operator, it's a hope; this puts the quality metric itself under
+    * the oracle gate (the DuckDB oracle recomputes BOTH pipelines and
+    * the overlap), so an index regression shows up as a correctness
+    * failure, not a silent quality drift. Scale: both sides are
+    * probe-keyed top-k outputs (|probes| x k rows) — the eval join is
+    * trivially small whatever the corpus size.
+    */
+  private def s10(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val exact = s02(s, d).select($"probe_id", $"neighbor_id")
+    val ivf1 = s03(s, d).select($"probe_id", $"neighbor_id", lit(1L).as("h1"))
+    val ivf2 = s06(s, d).select($"probe_id", $"neighbor_id", lit(1L).as("h2"))
+    exact
+      .join(ivf1, Seq("probe_id", "neighbor_id"), "left")
+      .join(ivf2, Seq("probe_id", "neighbor_id"), "left")
+      .groupBy($"probe_id")
+      .agg(sum(coalesce($"h1", lit(0L))).as("hits_nprobe1"),
+        sum(coalesce($"h2", lit(0L))).as("hits_nprobe2"))
+      .withColumn("recall_nprobe1", round($"hits_nprobe1" / 3.0, 6))
+      .withColumn("recall_nprobe2", round($"hits_nprobe2" / 3.0, 6))
+      .orderBy($"probe_id")
+  }
+  private lazy val s10Sql =
+    s"""WITH exact AS (SELECT probe_id, neighbor_id FROM ($s02Sql)),
+       ivf1 AS (SELECT probe_id, neighbor_id, CAST(1 AS BIGINT) AS h1
+                FROM ($s03Sql)),
+       ivf2 AS (SELECT probe_id, neighbor_id, CAST(1 AS BIGINT) AS h2
+                FROM ($s06Sql))
+       SELECT e.probe_id,
+         CAST(sum(COALESCE(h1, 0)) AS BIGINT) AS hits_nprobe1,
+         CAST(sum(COALESCE(h2, 0)) AS BIGINT) AS hits_nprobe2,
+         round(sum(COALESCE(h1, 0)) / 3.0, 6) AS recall_nprobe1,
+         round(sum(COALESCE(h2, 0)) / 3.0, 6) AS recall_nprobe2
+       FROM exact e
+       LEFT JOIN ivf1 USING (probe_id, neighbor_id)
+       LEFT JOIN ivf2 USING (probe_id, neighbor_id)
+       GROUP BY e.probe_id ORDER BY e.probe_id"""
+
   val queries: Map[String, QueryFn] = Map(
+    "s10_ann_recall" -> s10 _,
     "s09_range_search" -> s09 _,
     "s08_lsh_ann" -> s08 _,
     "s01_cosine_topk" -> s01 _,
@@ -467,6 +509,7 @@ object Similarity extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "s10_ann_recall" -> s10Sql,
     "s09_range_search" -> s09Sql,
     "s08_lsh_ann" -> s08Sql,
     "s01_cosine_topk" -> s01Sql,

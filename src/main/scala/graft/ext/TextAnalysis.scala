@@ -427,7 +427,41 @@ object TextAnalysis extends QueryModule {
        FROM tok JOIN lm USING (word), n
        GROUP BY doc_id ORDER BY doc_id"""
 
+  /** a11 — per-source DUPLICATION report: the curation dashboard view
+    * of d01's exact dedup — for each ingest source, how many documents
+    * it contributed, how many are redundant copies (their canonical
+    * hash group keeps a lower doc_id), and the redundancy rate. This is
+    * the number that decides which crawl/feed gets deprioritized at
+    * 100 TB; shuffle profile is d01's (32-byte hash keys, never
+    * content) plus a broadcast-sized rollup by source.
+    */
+  private def a11(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val canon = Tables.documents(s, d)
+      .withColumn("h", sha2(regexp_replace($"text", "( dup)+$", ""), 256))
+    val keepers = canon.groupBy($"h").agg(min($"doc_id").as("kept_doc"))
+    canon.join(keepers, "h")
+      .withColumn("is_dup", ($"doc_id" =!= $"kept_doc").cast("long"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"is_dup").as("n_dups"))
+      .withColumn("dup_rate", round($"n_dups" / $"n_docs", 6))
+      .orderBy($"source")
+  }
+  private val a11Sql =
+    """WITH canon AS (
+         SELECT doc_id, source,
+           sha256(regexp_replace(text, '( dup)+$', '')) AS h
+         FROM documents),
+       keepers AS (SELECT h, min(doc_id) AS kept_doc FROM canon GROUP BY h)
+       SELECT source, count(*) AS n_docs,
+         CAST(sum(CASE WHEN doc_id <> kept_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+         round(sum(CASE WHEN doc_id <> kept_doc THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS dup_rate
+       FROM canon JOIN keepers USING (h)
+       GROUP BY source ORDER BY source"""
+
   val queries: Map[String, QueryFn] = Map(
+    "a11_dup_report" -> a11 _,
     "a10_unigram_logprob" -> a10 _,
     "a01_language_id" -> a01 _,
     "a07_repetition_stats" -> a07 _,
@@ -441,6 +475,7 @@ object TextAnalysis extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "a11_dup_report" -> a11Sql,
     "a10_unigram_logprob" -> a10Sql,
     "a01_language_id" -> a01Sql,
     "a07_repetition_stats" -> a07Sql,

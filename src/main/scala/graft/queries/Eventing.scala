@@ -580,7 +580,35 @@ object Eventing extends QueryModule {
          round(n / CAST(sum(n) OVER (PARTITION BY src) AS DOUBLE), 6) AS p
        FROM tr ORDER BY src, dst"""
 
+  /** e19 — windowed TRENDING top-k: the 3 most frequent event types per
+    * hour with their counts and rank — the "what's hot right now"
+    * rollup behind dashboards and alerting. One shuffle for the
+    * (hour, type) aggregate; the ranking window partitions by hour over
+    * POST-AGGREGATE rows (≤ |types| per hour), so the sort that would
+    * be a scale hazard over raw events is a no-op over the rollup.
+    */
+  private def e19(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val hourly = Tables.events(s, d)
+      .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"hour").orderBy($"n".desc, $"event_type")
+    hourly.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= 3)
+      .select($"hour", $"rank", $"event_type", $"n")
+      .orderBy($"hour", $"rank")
+  }
+  private val e19Sql =
+    """SELECT hour, rank, event_type, n FROM (
+         SELECT hour, event_type, n,
+           row_number() OVER (PARTITION BY hour ORDER BY n DESC, event_type) AS rank
+         FROM (SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+               FROM events GROUP BY 1, 2))
+       WHERE rank <= 3 ORDER BY hour, rank"""
+
   val queries: Map[String, QueryFn] = Map(
+    "e19_trending_topk" -> e19 _,
     "e18_markov_transitions" -> e18 _,
     "e17_stream_outer_join" -> e17 _,
     "e16_stream_dedup" -> e16 _,
@@ -602,6 +630,7 @@ object Eventing extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "e19_trending_topk" -> e19Sql,
     "e18_markov_transitions" -> e18Sql,
     "e17_stream_outer_join" -> e17Sql,
     "e16_stream_dedup" -> e16Sql,

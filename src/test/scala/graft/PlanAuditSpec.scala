@@ -21,7 +21,8 @@ class PlanAuditSpec extends SparkSpec {
     "e10_funnel" /* three 1-row stage counts cross-joined */,
     "a10_unigram_logprob" /* 1-row broadcast of the corpus token total */,
     "s09_range_search" /* broadcast probe set x corpus, filter in-scan */,
-    "w12_gap_fill" /* calendar axis x broadcast distinct-type set */)
+    "w12_gap_fill" /* calendar axis x broadcast distinct-type set */,
+    "s10_ann_recall" /* composes s02/s03/s06's broadcast-probe joins */)
 
   test("no query plans a CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>
