@@ -232,15 +232,28 @@ object Dedup extends QueryModule {
 
   private def d03(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val sh = shinglesRaw(s, d)
-    val withBands = minhashBands(sh, "d03")
-    val cand = bandCandidates(withBands)
-    val sigA = withBands.select($"doc_id".as("doc_a") +: seedsList.map(i => col(s"mh$i").as(s"a$i")): _*)
-    val sigB = withBands.select($"doc_id".as("doc_b") +: seedsList.map(i => col(s"mh$i").as(s"b$i")): _*)
-    sortedSmall(cand.join(sigA, "doc_a").join(sigB, "doc_b")
+    val withBands = minhashBands(shinglesRaw(s, d), "d03")
+    // signatures ride THROUGH the band joins (13 longs per side instead
+    // of 1 — pair rows are few, so bytes are trivial), and est_sim is
+    // computed map-side inside each join stage; the dedup across bands
+    // is ONE distinct on the final (doc_a, doc_b, est_sim) triple,
+    // which is well-defined because est_sim is a pure function of the
+    // pair. This replaces the earlier candidates->sigA->sigB re-join
+    // shape (5 downstream branches of the cached table) whose
+    // concurrent AQE stages made wall time collapse-prone under load —
+    // fewer branches, same answer, same oracle.
+    val acols = seedsList.map(i => col(s"mh$i").as(s"a$i"))
+    val bcols = seedsList.map(i => col(s"mh$i").as(s"b$i"))
+    val pairs = (0 until 3).map { b =>
+      val x = withBands.select(col("doc_id").as("doc_a") +: col(s"bh$b").as("bh") +: acols: _*)
+      val y = withBands.select(col("doc_id").as("doc_b") +: col(s"bh$b").as("bh") +: bcols: _*)
+      x.join(y, Seq("bh")).filter($"doc_a" < $"doc_b")
+    }.reduce(_ unionByName _)
+    sortedSmall(pairs
       .withColumn("est_sim", round(
         seedsList.map(i => (col(s"a$i") === col(s"b$i")).cast("int")).reduce(_ + _) / 12.0, 6))
-      .select($"doc_a", $"doc_b", $"est_sim"),
+      .select($"doc_a", $"doc_b", $"est_sim")
+      .distinct(),
       $"doc_a", $"doc_b")
   }
   private def permCase(col: String): String =

@@ -86,4 +86,25 @@ class EventingSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoop"), plan)
   }
+
+  test("e18 Markov rows are proper distributions (each source's probabilities sum to 1)") {
+    val df = Eventing.queries("e18_markov_transitions")(spark, sfDir)
+    val sums = df.groupBy(col("src")).agg(sum(col("p")).as("total")).collect()
+    assert(sums.nonEmpty)
+    sums.foreach { r =>
+      assert(math.abs(r.getAs[Double]("total") - 1.0) < 1e-4,
+        s"${r.get(0)}: ${r.get(1)}")
+    }
+  }
+
+  test("e19 trending emits ranks 1..3 per hour in non-increasing count order") {
+    val df = Eventing.queries("e19_trending_topk")(spark, sfDir)
+    assert(df.filter(col("rank") < 1 || col("rank") > 3).count() == 0)
+    // within an hour, count never increases as rank increases
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("hour")).orderBy(col("rank"))
+    val bad = df.withColumn("prev_n", lag(col("n"), 1).over(w))
+      .filter(col("prev_n").isNotNull && col("n") > col("prev_n"))
+    assert(bad.count() == 0)
+  }
 }

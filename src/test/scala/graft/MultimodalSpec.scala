@@ -68,4 +68,17 @@ class MultimodalSpec extends SparkSpec {
     val feats = Multimodal.imageFeatures(parted).toDF()
     assert(!feats.columns.contains("content"), "binary must not flow downstream")
   }
+
+  test("m09 mergeSchema read exposes the union schema with per-generation null fill") {
+    import org.apache.spark.sql.functions._
+    val df = graft.queries.Media.queries("m09_schema_evolution")(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.map(_.getAs[Int]("gen")).toSeq == Seq(1, 2))
+    val gen1 = rows(0); val gen2 = rows(1)
+    // generation 1 never carried cents; generation 2 never carried custkey
+    assert(gen1.getAs[Long]("nn_cents") == 0 &&
+      gen1.getAs[Long]("nn_custkey") == gen1.getAs[Long]("n_rows"))
+    assert(gen2.getAs[Long]("nn_custkey") == 0 &&
+      gen2.getAs[Long]("nn_cents") == gen2.getAs[Long]("n_rows"))
+  }
 }

@@ -114,4 +114,16 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
     assert(plan.contains("Broadcast"), plan)
   }
+
+  test("s10 recall is monotonically non-decreasing in nprobe") {
+    // nprobe=2 searches a superset of nprobe=1's cell, so per probe its
+    // hit count can never be lower — the invariant that makes nprobe a
+    // recall KNOB rather than a different algorithm
+    val rows = Similarity.queries("s10_ann_recall")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("hits_nprobe2") >= r.getAs[Long]("hits_nprobe1"),
+        r.toString)
+    }
+  }
 }

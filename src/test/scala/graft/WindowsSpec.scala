@@ -57,4 +57,22 @@ class WindowsSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges == 1, s"expected 1 shuffle, plan:\n$plan")
   }
+
+  test("w12 gap fill: dense axis, zero-filled holes, aggregate total preserved") {
+    import org.apache.spark.sql.functions._
+    val df = Windows.queries("w12_gap_fill")(spark, sfDir)
+    val types = df.select("event_type").distinct().count()
+    val hours = df.select("hour").distinct().count()
+    assert(df.count() == types * hours, "axis must be the full cross product")
+    val total = df.agg(sum("n")).head.getLong(0)
+    assert(total == graft.sources.Tables.events(spark, sfDir).count(),
+      "fill must add zeros, never rows that change the mass")
+  }
+
+  test("w13 range frame: every event counts at least itself") {
+    import org.apache.spark.sql.functions._
+    val df = Windows.queries("w13_range_frame")(spark, sfDir)
+    assert(df.filter(col("n_last_hour") < 1).count() == 0)
+    assert(df.count() == graft.sources.Tables.events(spark, sfDir).count())
+  }
 }
