@@ -99,12 +99,17 @@ object Dedup extends QueryModule {
     * absent md5 collisions — the same assumption every join here
     * already makes, and the oracle hash-check would expose a violation.
     */
+  /** PUBLIC operator: distinct (doc_id, 60-bit shingle hash) pairs for
+    * any corpus with an id and a text column — the shared front end of
+    * the Jaccard/minhash family. */
+  def shingleHashes(docs: DataFrame, id: Column, text: Column): DataFrame =
+    docs.select(id.as("doc_id"), explode(shingleArr(text)).as("shs"))
+      .select(col("doc_id"), h60(col("shs")).as("sh"))
+      .distinct()
+
   private def shingles(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, d)
-      .select($"doc_id", explode(shingleArr($"text")).as("shs"))
-      .select($"doc_id", h60($"shs").as("sh"))
-      .distinct()
+    shingleHashes(Tables.documents(s, d), $"doc_id", $"text")
   }
 
   /** Non-distinct shingle hashes for minhash-only consumers: min() is
@@ -131,14 +136,20 @@ object Dedup extends QueryModule {
     * key, the representative is the lowest doc_id (deterministic). Docs
     * whose group has >1 member are the collapsed duplicates.
     */
+  /** PUBLIC operator: exact-duplicate groups for any corpus — rows
+    * sharing the canonical form collapse to (kept_doc = min id,
+    * group_size). The shuffle key is the 32-byte sha2 digest, never
+    * the content. */
+  def exactDedupGroups(docs: DataFrame, id: Column, canon: Column): DataFrame =
+    docs.withColumn("h", sha2(canon, 256))
+      .groupBy(col("h"))
+      .agg(min(id).as("kept_doc"), count(lit(1)).as("group_size"))
+      .select(col("kept_doc"), col("group_size"))
+
   private def d01(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, d)
-      .withColumn("canon", regexp_replace($"text", "( dup)+$", ""))
-      .withColumn("h", sha2($"canon", 256))
-      .groupBy($"h")
-      .agg(min($"doc_id").as("kept_doc"), count(lit(1)).as("group_size"))
-      .select($"kept_doc", $"group_size")
+    exactDedupGroups(Tables.documents(s, d), $"doc_id",
+      regexp_replace($"text", "( dup)+$", ""))
       .orderBy($"kept_doc")
   }
   private val d01Sql =
@@ -302,12 +313,27 @@ object Dedup extends QueryModule {
     * consume a sorted input: the range-partitioning exchange behind
     * orderBy runs a bounds-sampling job that re-executes the whole
     * candidate DAG a second time — measured ~7 s of d07's wall). */
+  /** PUBLIC operator: LSH-verified near-duplicate pairs for any corpus
+    * — candidate generation via banded minhash (linear shuffle), exact
+    * Jaccard evaluated ONLY on candidates, kept at >= threshold. This
+    * is the production near-dup entry point; d06/d07 are its driver
+    * instantiations on the test corpus. `slot` isolates the internal
+    * caches when several corpora are processed in one session. */
+  def nearDupPairs(docs: DataFrame, id: Column, text: Column,
+      threshold: Double, slot: String = "user"): DataFrame =
+    verifiedPairs(shingleHashes(docs, id, text), threshold, slot)
+
   private def d06Pairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    verifiedPairs(shingles(s, d), 0.6, "d06")
+  }
+
+  private def verifiedPairs(shin: DataFrame, threshold: Double,
+      slot: String): DataFrame = {
     // hashed shingles feed the signature build AND the exact check —
     // persist so the explode+md5 pipeline runs once
-    val sh = swapPersist("d06sh", shingles(s, d))
-    val cand = bandCandidates(minhashBands(sh, "d06mh"))
+    val sh = swapPersist(s"${slot}sh", shin)
+    val cand = bandCandidates(minhashBands(sh, s"${slot}mh"))
     // per-doc shingle-hash arrays: ONE groupBy over the shingle table,
     // then the exact check runs MAP-SIDE per candidate pair via
     // array_intersect on two doc-length-bounded arrays — the earlier
@@ -315,15 +341,15 @@ object Dedup extends QueryModule {
     // re-aggregated |pairs x shingles| rows; this shuffles |docs| rows
     // of one array column and nothing else. Same n_inter (arrays are
     // distinct by construction), same jaccard arithmetic, same oracle.
-    val shArr = sh.groupBy($"doc_id").agg(collect_list($"sh").as("arr"))
-      .withColumn("n", size($"arr").cast("long"))
+    val shArr = sh.groupBy(col("doc_id")).agg(collect_list(col("sh")).as("arr"))
+      .withColumn("n", size(col("arr")).cast("long"))
     cand
-      .join(shArr.select($"doc_id".as("doc_a"), $"arr".as("arr_a"), $"n".as("na")), "doc_a")
-      .join(shArr.select($"doc_id".as("doc_b"), $"arr".as("arr_b"), $"n".as("nb")), "doc_b")
-      .withColumn("n_inter", size(array_intersect($"arr_a", $"arr_b")).cast("long"))
-      .withColumn("jaccard", round($"n_inter" / ($"na" + $"nb" - $"n_inter"), 6))
-      .filter($"jaccard" >= 0.6)
-      .select($"doc_a", $"doc_b", $"jaccard")
+      .join(shArr.select(col("doc_id").as("doc_a"), col("arr").as("arr_a"), col("n").as("na")), "doc_a")
+      .join(shArr.select(col("doc_id").as("doc_b"), col("arr").as("arr_b"), col("n").as("nb")), "doc_b")
+      .withColumn("n_inter", size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
+      .withColumn("jaccard", round(col("n_inter") / (col("na") + col("nb") - col("n_inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
   private def d06(s: SparkSession, d: String): DataFrame = {
@@ -415,13 +441,20 @@ object Dedup extends QueryModule {
     * Output: every clustered doc with its cluster representative
     * (min doc_id), cluster size, and whether it is the kept one.
     */
-  private def d07(s: SparkSession, d: String): DataFrame = {
+  /** PUBLIC operator: connected components over an arbitrary
+    * (src, dst) edge DataFrame via hierarchical union-find — returns
+    * (node, lbl) where lbl is the component's minimum node id. See the
+    * d07 scaladoc for the fan-in design; this is the reusable core
+    * (near-dup clustering, entity resolution, any small-diameter
+    * component problem over pair output). */
+  def connectedComponents(edges: DataFrame, src: Column, dst: Column): DataFrame = {
+    val s = edges.sparkSession
     import s.implicits._
     // fan-in levels sized from the session's parallelism, NOT probed
     // from the plan (an AQE probe does not bind the runtime partition
     // count); the LAST level is always an explicit coalesce(1), which
     // is what makes the labels exact whatever ran before it
-    var current = d06Pairs(s, d).select($"doc_a", $"doc_b").as[(Long, Long)]
+    var current = edges.select(src.cast("long"), dst.cast("long")).as[(Long, Long)]
       .mapPartitions(unionFindReduce(emitLabels = false))
     var parts = math.max(1, s.sparkContext.defaultParallelism / 16)
     // the first fan-in MUST be a shuffle (repartition), not a narrow
@@ -437,9 +470,14 @@ object Dedup extends QueryModule {
       parts = math.max(1, parts / 16)
       current = current.coalesce(parts).mapPartitions(unionFindReduce(emitLabels = false))
     }
+    current.coalesce(1).mapPartitions(unionFindReduce(emitLabels = true))
+      .toDF("node", "lbl")
+  }
+
+  private def d07(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val lab = swapPersist("d07l",
-      current.coalesce(1).mapPartitions(unionFindReduce(emitLabels = true))
-        .toDF("node", "lbl"))
+      connectedComponents(d06Pairs(s, d), $"doc_a", $"doc_b"))
     val clusters = lab.groupBy($"lbl").agg(count(lit(1)).as("cluster_size"))
     lab.join(clusters, "lbl")
       .select($"node".as("doc_id"), $"lbl".as("cluster"), $"cluster_size",

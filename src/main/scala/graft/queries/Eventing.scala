@@ -438,20 +438,25 @@ object Eventing extends QueryModule {
     // over a bounded file, so it sizes state to that volume; a
     // production deployment sizes shuffle.partitions to the cluster,
     // where the same per-store cost is amortized over real data.
-    // Restored in finally — the session is shared across queries.
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val q = xf(stream)
-        .writeStream.format("memory").queryName(name)
-        .outputMode(mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    // Restored in finally — the session is shared across queries, and
+    // the lock keeps two concurrent streaming runs (sbt runs suites in
+    // parallel) from interleaving their set/restore pairs.
+    streamConfLock.synchronized {
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = xf(stream)
+          .writeStream.format("memory").queryName(name)
+          .outputMode(mode)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     s.table(name)
   }
+  private val streamConfLock = new Object
 
   private def e13(s: SparkSession, d: String): DataFrame =
     runStreamed(s, d, "e13", "complete")(

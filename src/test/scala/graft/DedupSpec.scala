@@ -101,4 +101,30 @@ class DedupSpec extends SparkSpec {
     assert(rows(2L) == ((3L, 3L, 0L)), s"copy B: ${rows(2L)}")
     assert(rows(3L) == ((2L, 0L, 20L)), s"unique doc keeps all tokens: ${rows(3L)}")
   }
+
+  test("public API: nearDupPairs and connectedComponents work on a caller's own schema") {
+    import spark.implicits._
+    // column names deliberately NOT doc_id/text — the public surface
+    // must not depend on the test corpus's schema
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val corpus = Seq(
+      (101L, base),
+      (102L, base + " extra"),             // near-dup of 101
+      (103L, (1 to 30).map(i => s"zz$i").mkString(" ")), // unrelated
+      (104L, base + " extra")              // exact dup of 102
+    ).toDF("item_id", "body")
+    val pairs = Dedup.nearDupPairs(corpus, $"item_id", $"body", 0.6, "spec")
+    val got = pairs.select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(got.contains((101L, 102L)) && got.contains((102L, 104L)) &&
+      got.contains((101L, 104L)), s"expected the dup triangle, got $got")
+    assert(!got.exists(p => p._1 == 103L || p._2 == 103L), s"103 is unrelated: $got")
+    val comps = Dedup.connectedComponents(pairs, $"doc_a", $"doc_b")
+      .as[(Long, Long)].collect().toMap
+    assert(comps(101L) == 101L && comps(102L) == 101L && comps(104L) == 101L)
+
+    val groups = Dedup.exactDedupGroups(corpus, $"item_id", $"body")
+      .as[(Long, Long)].collect().toMap
+    assert(groups(102L) == 2L, "102 and 104 collapse to one exact group")
+    assert(groups(101L) == 1L && groups(103L) == 1L)
+  }
 }
