@@ -39,6 +39,37 @@ object Similarity extends QueryModule {
     dot / (sqrt(na) * sqrt(nb))
   }
 
+  /** PUBLIC operator: exact cosine top-k of a corpus against a 1-row
+    * query-vector DataFrame (broadcast; TakeOrderedAndProject keeps the
+    * scan single-pass with only k survivors). `query` must have one
+    * row and one array<double> column named qv. */
+  def cosineTopK(corpus: DataFrame, id: Column, vec: Column,
+      query: DataFrame, k: Int): DataFrame =
+    corpus.select(id.as("vec_id"), vec.cast("array<double>").as("v"))
+      .crossJoin(broadcast(query))
+      .withColumn("cos", cosine(col("v"), col("qv")))
+      .select(col("vec_id"), round(col("cos"), 6).as("cos_sim"))
+      .orderBy(round(col("cos"), 9).desc, col("vec_id"))
+      .limit(k)
+
+  /** PUBLIC operator: batched exact kNN — top-k corpus neighbors per
+    * probe row, ranked through the TopKPerKey operator so the
+    * probes x corpus match set is capped at k rows per probe per
+    * partition BEFORE any exchange. `probes` needs (probe_id, pv). */
+  def knn(corpus: DataFrame, id: Column, vec: Column,
+      probes: DataFrame, k: Int): DataFrame = {
+    val scored = corpus.select(id.as("vec_id"), vec.cast("array<double>").as("v"))
+      .join(broadcast(probes), col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", cosine(col("v"), col("pv")))
+    val top = graft.plans.TopKPerKey.topKPerKey(scored, k,
+      Seq(col("probe_id")), Seq(round(col("cos"), 9).desc, col("vec_id")))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(round(col("cos"), 9).desc, col("vec_id"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
   /** s01 — exact cosine top-k against a fixed query vector (vec_id 0).
     * The 1-row query side is broadcast; TakeOrderedAndProject keeps the
     * scan single-pass with only k survivors.
@@ -48,12 +79,7 @@ object Similarity extends QueryModule {
     val e = Tables.embeddings(s, d)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
     val q = e.filter($"vec_id" === 0).select($"v".as("qv"))
-    e.filter($"vec_id" =!= 0)
-      .crossJoin(broadcast(q))
-      .withColumn("cos", cosine($"v", $"qv"))
-      .select($"vec_id", round($"cos", 6).as("cos_sim"))
-      .orderBy(round($"cos", 9).desc, $"vec_id")
-      .limit(10)
+    cosineTopK(e.filter($"vec_id" =!= 0), $"vec_id", $"v", q, 10)
   }
   private val s01Sql =
     """SELECT vec_id,
@@ -79,15 +105,7 @@ object Similarity extends QueryModule {
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
     val probes = e.filter($"vec_id" < 10)
       .select($"vec_id".as("probe_id"), $"v".as("pv"))
-    val scored = e.join(broadcast(probes), $"vec_id" =!= $"probe_id")
-      .withColumn("cos", cosine($"v", $"pv"))
-    val top = graft.plans.TopKPerKey.topKPerKey(scored, 3,
-      Seq($"probe_id"), Seq(round($"cos", 9).desc, $"vec_id"))
-    val w = Window.partitionBy($"probe_id")
-      .orderBy(round($"cos", 9).desc, $"vec_id")
-    top.withColumn("rank", row_number().over(w).cast("long"))
-      .select($"probe_id", $"vec_id".as("neighbor_id"), $"rank",
-        round($"cos", 6).as("cos_sim"))
+    knn(e, $"vec_id", $"v", probes, 3)
       .orderBy($"probe_id", $"rank")
   }
   private val s02Sql =

@@ -115,6 +115,24 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("Broadcast"), plan)
   }
 
+  test("public API: cosineTopK and knn work on a caller's own schema") {
+    import spark.implicits._
+    def vec(xs: Double*): Array[Double] = xs.toArray
+    val corpus = Seq(
+      (11L, vec(1, 0, 0)), (12L, vec(0.9, 0.1, 0)),
+      (13L, vec(0, 1, 0)), (14L, vec(0, 0, 1))
+    ).toDF("item", "emb")
+    val q = Seq(Tuple1(vec(1, 0, 0))).toDF("qv")
+    val top = Similarity.cosineTopK(corpus, col("item"), col("emb"), q, 2)
+      .as[(Long, Double)].collect().toSeq
+    assert(top.map(_._1) == Seq(11L, 12L), s"nearest-first: $top")
+    val probes = Seq((11L, vec(1.0, 0, 0))).toDF("probe_id", "pv")
+    val nn = Similarity.knn(corpus, col("item"), col("emb"), probes, 2)
+      .orderBy("rank").collect()
+    assert(nn.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(12L, 13L),
+      "self is excluded, nearest others ranked")
+  }
+
   test("s10 recall is monotonically non-decreasing in nprobe") {
     // nprobe=2 searches a superset of nprobe=1's cell, so per probe its
     // hit count can never be lower — the invariant that makes nprobe a
