@@ -66,6 +66,20 @@ object TextAnalysis extends QueryModule {
   private def nTokens(text: Column): Column =
     size(regexp_extract_all(text, lit("[^ ]+"), lit(0)))
 
+  /** PUBLIC operator: predicted-language column for any text Column —
+    * marker-hit argmax with the deterministic en > de > es > zh
+    * tie-break. Integer scores, one regex pass, no UDF; plug real
+    * per-language lexicons into `markers` for production use. */
+  def languageOf(text: Column): Column = {
+    val mk = allMarkerHits(text)
+    val (sEn, sDe, sEs, sZh) = (langScore(mk, "en"), langScore(mk, "de"),
+      langScore(mk, "es"), langScore(mk, "zh"))
+    when(sEn >= sDe && sEn >= sEs && sEn >= sZh, "en")
+      .when(sDe >= sEs && sDe >= sZh, "de")
+      .when(sEs >= sZh, "es")
+      .otherwise("zh")
+  }
+
   /** a01 — language ID by marker-hit argmax (deterministic priority
     * tie-break en > de > es > zh), reported as a confusion matrix
     * against the labeled lang column. Integer scores — no float compare.
@@ -73,16 +87,7 @@ object TextAnalysis extends QueryModule {
   private def a01(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
-      .withColumn("mk", allMarkerHits($"text"))
-      .withColumn("s_en", langScore($"mk", "en"))
-      .withColumn("s_de", langScore($"mk", "de"))
-      .withColumn("s_es", langScore($"mk", "es"))
-      .withColumn("s_zh", langScore($"mk", "zh"))
-      .withColumn("predicted",
-        when($"s_en" >= $"s_de" && $"s_en" >= $"s_es" && $"s_en" >= $"s_zh", "en")
-          .when($"s_de" >= $"s_es" && $"s_de" >= $"s_zh", "de")
-          .when($"s_es" >= $"s_zh", "es")
-          .otherwise("zh"))
+      .withColumn("predicted", languageOf($"text"))
       .groupBy($"lang", $"predicted")
       .agg(count(lit(1)).as("n"))
       .orderBy($"lang", $"predicted")
@@ -102,6 +107,18 @@ object TextAnalysis extends QueryModule {
          FROM documents)
        GROUP BY lang, predicted ORDER BY lang, predicted"""
 
+  /** PUBLIC operator: the C4/Gopher-style quality score for any text
+    * Column — 1 − short-token ratio·0.5 − stopword ratio·0.3 + capped
+    * length bonus·0.2, rounded at 6. Pure codegen'd regex counting; no
+    * UDF. */
+  def qualityScore(text: Column): Column = {
+    val n = nTokens(text).cast("long")
+    val stop = tokenHits(text, Seq("the", "a", "of", "and")).cast("double") / n
+    val short = shortHits(text).cast("double") / n
+    round(lit(1.0) - short * 0.5 - stop * 0.3 +
+      least(n.cast("double") / 100.0, lit(1.0)) * 0.2, 6)
+  }
+
   /** a02 — quality scoring: length/stopword/word-shape ratios combined
     * into one score (the C4/Gopher-style filter signal). Same formula,
     * same operation order on both engines.
@@ -113,10 +130,7 @@ object TextAnalysis extends QueryModule {
       .withColumn("mean_wlen", ($"n_chars" - ($"n_tokens" - 1)).cast("double") / $"n_tokens")
       .withColumn("stop_ratio",
         tokenHits($"text", Seq("the", "a", "of", "and")).cast("double") / $"n_tokens")
-      .withColumn("short_ratio", shortHits($"text").cast("double") / $"n_tokens")
-      .withColumn("quality",
-        round(lit(1.0) - $"short_ratio" * 0.5 - $"stop_ratio" * 0.3 +
-          least($"n_tokens".cast("double") / 100.0, lit(1.0)) * 0.2, 6))
+      .withColumn("quality", qualityScore($"text"))
       .select($"doc_id", $"n_tokens", round($"mean_wlen", 4).as("mean_wlen"),
         round($"stop_ratio", 4).as("stop_ratio"), $"quality")
       .orderBy($"doc_id")
@@ -202,20 +216,12 @@ object TextAnalysis extends QueryModule {
     */
   private def a05(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // built from the PUBLIC scorers — the composed pass is exactly what
+    // a library user would write
     Tables.documents(s, d)
-      .withColumn("mk", allMarkerHits($"text"))
-      .withColumn("s_en", langScore($"mk", "en"))
-      .withColumn("s_de", langScore($"mk", "de"))
-      .withColumn("s_es", langScore($"mk", "es"))
-      .withColumn("s_zh", langScore($"mk", "zh"))
-      .filter($"s_en" >= $"s_de" && $"s_en" >= $"s_es" && $"s_en" >= $"s_zh")
+      .filter(languageOf($"text") === "en")
       .withColumn("n_tokens", nTokens($"text").cast("long"))
-      .withColumn("stop_ratio",
-        tokenHits($"text", Seq("the", "a", "of", "and")).cast("double") / $"n_tokens")
-      .withColumn("short_ratio", shortHits($"text").cast("double") / $"n_tokens")
-      .withColumn("quality",
-        round(lit(1.0) - $"short_ratio" * 0.5 - $"stop_ratio" * 0.3 +
-          least($"n_tokens".cast("double") / 100.0, lit(1.0)) * 0.2, 6))
+      .withColumn("quality", qualityScore($"text"))
       .filter($"quality" >= 0.75)
       .filter(conv(substring(md5(concat(lit("s:"), $"doc_id")), 1, 15), 16, 10)
         .cast("long") % 100 < 50)
