@@ -73,7 +73,11 @@ object Bench {
     def j(v: Double) = String.format(java.util.Locale.ROOT, "%.3f",
       Double.box(v))
     val total = results.values.filter(_ > 0).sum
-    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val fullFailedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // cap the PRINTED failure list — a mass failure must not push the
+    // JSON line's head out of the driver's ~2000-char capture window
+    // (bench_full.json keeps the complete list)
+    val failedJson = failed.sorted.take(20).map("\"" + _ + "\"").mkString("[", ",", "]")
     val sorted = results.toSeq.sortBy(-_._2)
     // full per-query detail goes to a file; the printed line must stay
     // SHORT — the driver captures only the final ~2000 chars of output,
@@ -82,7 +86,7 @@ object Bench {
     val fullJson = sorted
       .map { case (k, v) => s"\"$k\":${j(v)}" }
       .mkString(s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${results.size},"queries":{""",
-        ",", s"""},"failed":$failedJson,"sf":"$sfDir"}""")
+        ",", s"""},"failed":$fullFailedJson,"sf":"$sfDir"}""")
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       fullJson.getBytes("UTF-8"))
     val top = sorted.take(25)
