@@ -508,26 +508,31 @@ object Dedup extends QueryModule {
     */
   /** (doc_id, simhash) signatures at the given bit width — shared
     * builder for d04 (16-bit bucket view) and d09 (60-bit
-    * Hamming-verified pairs). Persisted per slot: each consumer feeds it
-    * into a self-join (d04: sigs x bucket counts; d09: block x block),
-    * and Spark re-executes the whole explode+groupBy vote pipeline per
-    * branch without it (measured ~2 s/branch at sf0.1). */
-  private def simhashSigs(s: SparkSession, d: String, bits: Int, slot: String): DataFrame = {
+    * Hamming-verified pairs). ONE shuffle: the per-occurrence bit votes
+    * (+1/-1 per set/unset bit) sum directly per doc_id — summing the
+    * sign over every occurrence equals summing cnt * sign over distinct
+    * (doc, word) groups, so the old (doc_id, word) pre-aggregation
+    * shuffle bought nothing; hash-partial-agg combines the 60 vote
+    * columns map-side and the exchange carries |docs| rows of longs.
+    * Persisted per slot (unless the caller persists a derived table
+    * instead): each consumer feeds it into a self-join (d04: sigs x
+    * bucket counts; d09: block x block), and Spark re-executes the
+    * whole explode+vote pipeline per branch without it (measured
+    * ~2 s/branch at sf0.1). */
+  private def simhashSigs(s: SparkSession, d: String, bits: Int, slot: String,
+      persist: Boolean = true): DataFrame = {
     import s.implicits._
-    // all bit-votes as wide aggregate columns — no |bits|x row explode,
-    // one shuffle of |doc, word| groups, then a map-side bit assembly
-    val wc = Tables.documents(s, d)
+    val occ = Tables.documents(s, d)
       .select($"doc_id", explode(split($"text", " ")).as("word"))
-      .groupBy($"doc_id", $"word").agg(count(lit(1)).as("cnt"))
       .withColumn("h", h60(concat(lit("w:"), $"word")))
     val voteCols = (0 until bits).map(b =>
-      sum(when(expr(s"(h >> $b) & 1") === 1, $"cnt").otherwise(-$"cnt")).as(s"v$b"))
-    swapPersist(slot,
-      wc.groupBy($"doc_id").agg(voteCols.head, voteCols.tail: _*)
-        .withColumn("simhash",
-          (0 until bits).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-            .reduce(_ + _))
-        .select($"doc_id", $"simhash"))
+      sum(when(expr(s"(h >> $b) & 1") === 1, lit(1L)).otherwise(lit(-1L))).as(s"v$b"))
+    val sigs = occ.groupBy($"doc_id").agg(voteCols.head, voteCols.tail: _*)
+      .withColumn("simhash",
+        (0 until bits).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _))
+      .select($"doc_id", $"simhash")
+    if (persist) swapPersist(slot, sigs) else sigs
   }
 
   /** The matching DuckDB signature pipeline (wc → bits → sigs CTEs). */
@@ -576,9 +581,16 @@ object Dedup extends QueryModule {
     */
   private def d09(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val blocks = simhashSigs(s, d, 60, "simhash60")
-      .select($"doc_id", $"simhash", explode(sequence(lit(0), lit(3))).as("b"))
-      .withColumn("bk", expr("(simhash >> (b * 15)) & 32767"))
+    // the persisted table is the EXPLODED block table, not the raw
+    // signatures: both self-join sides then read 4n cached rows
+    // directly instead of re-deriving the explode+bk projection per
+    // branch — the whole vote pipeline materializes exactly once
+    // under the eager count(), including under load (round 5's two
+    // contended driver benches put the recompute races top-2)
+    val blocks = swapPersist("simhash60",
+      simhashSigs(s, d, 60, "simhash60", persist = false)
+        .select($"doc_id", $"simhash", explode(sequence(lit(0), lit(3))).as("b"))
+        .withColumn("bk", expr("(simhash >> (b * 15)) & 32767")))
     val left = blocks.select($"b", $"bk", $"doc_id".as("doc_a"), $"simhash".as("sig_a"))
     val right = blocks.select($"b", $"bk", $"doc_id".as("doc_b"), $"simhash".as("sig_b"))
     val xorSig = $"sig_a".bitwiseXOR($"sig_b")
@@ -612,34 +624,54 @@ object Dedup extends QueryModule {
        FROM cand WHERE bit_count(xor(sa, sb)) <= 3
        ORDER BY doc_a, doc_b"""
 
-  /** d05 — embedding-cosine near-dup with sign-bit LSH pruning: 4
-    * hyperplane sign bits (dims 1-4) bucket the vectors; exact cosine
-    * (double precision, sequential fold — bit-stable across engines) is
-    * evaluated within buckets only. At n vectors the pair space shrinks
-    * from n^2 to sum of bucket^2 ~= n^2/16 here; more planes shrink it
-    * geometrically.
+  /** d05 — embedding-cosine near-dup with sign-bit LSH pruning:
+    * `planes` hyperplane sign bits (dims 1..planes) bucket the vectors;
+    * exact cosine (double precision, sequential fold — bit-stable
+    * across engines) is evaluated within buckets only. At n vectors the
+    * pair space shrinks from n^2 to sum of bucket^2 ~= n^2 / 2^planes,
+    * so the plane count is the knob that must GROW with the corpus —
+    * at 100 TB a fixed handful of buckets is quadratic again. The
+    * recall trade is the standard sign-LSH one: each added plane can
+    * split a true near-dup pair across buckets; recover recall with
+    * multi-probe over Hamming-1 neighbor cells (s08's construction)
+    * when running many planes.
     */
-  private def d05(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val e = Tables.embeddings(s, d)
-      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
-      .withColumn("bucket",
-        (element_at($"v", 1) >= 0).cast("int") * 8 +
-        (element_at($"v", 2) >= 0).cast("int") * 4 +
-        (element_at($"v", 3) >= 0).cast("int") * 2 +
-        (element_at($"v", 4) >= 0).cast("int"))
+  /** Sign-bit LSH bucket over the first `planes` dimensions of an
+    * array<double> column (dim 1 is the most significant bit). */
+  def signBucket(v: Column, planes: Int): Column = {
+    require(planes >= 1 && planes <= 62, s"planes must be in [1, 62], got $planes")
+    (0 until planes).map(i =>
+      (element_at(v, i + 1) >= 0).cast("long") * lit(1L << (planes - 1 - i)))
+      .reduce(_ + _)
+  }
+
+  /** PUBLIC operator: embedding-cosine near-duplicate pairs for any
+    * corpus with an id and a vector column — sign-plane buckets prune
+    * the pair space, the exact cosine check runs in-bucket only.
+    * `planes` sizes the bucket count (2^planes) to the corpus; d05 is
+    * the planes=4 instantiation the oracle checks. */
+  def embeddingNearDupPairs(emb: DataFrame, id: Column, vec: Column,
+      threshold: Double, planes: Int = 4): DataFrame = {
+    val e = emb.select(id.as("vec_id"), vec.cast("array<double>").as("v"))
+      .withColumn("bucket", signBucket(col("v"), planes))
     // native codegen'd expression on the hot pair loop (same fold
     // order/values as the higher-order-function form — see
     // graft.functions.CosineSimilarity)
     e.as("a").join(e.as("b"),
-        $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
-      .withColumn("cos", graft.functions.CosineSimilarity.cosineSim($"a.v", $"b.v"))
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", graft.functions.CosineSimilarity.cosineSim(col("a.v"), col("b.v")))
       // threshold on the ROUNDED value: the two engines' accumulation
       // orders may differ in the last ulp, and an unrounded >= would
       // let a boundary pair pass in one engine and fail in the other
-      .filter(round($"cos", 6) >= 0.4)
-      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
-        round($"cos", 6).as("cos_sim"))
+      .filter(round(col("cos"), 6) >= threshold)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
+  private def d05(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    embeddingNearDupPairs(Tables.embeddings(s, d), $"vec_id", $"embedding",
+      threshold = 0.4, planes = 4)
       .orderBy($"vec_a", $"vec_b")
   }
   private val d05Sql =
@@ -726,14 +758,20 @@ object Dedup extends QueryModule {
   private def d10(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val toks = split($"text", " ")
-    val grams = Tables.documents(s, d)
+    // persisted: the gram table feeds THREE consumers (the broadcast
+    // eval-gram build is its own job, plus the final plan's sizes and
+    // probe branches) — unpersisted, the explode+md5+distinct DAG
+    // re-executed once per consumer (measured 3x the pipeline cost,
+    // the slowest query of round 5 at 59 s driver-side; ~1/3 of that
+    // with the cache)
+    val grams = swapPersist("d10", Tables.documents(s, d)
       .select($"doc_id", explode(
         when(size(toks) >= 8,
           transform(sequence(lit(1), size(toks) - 7), i =>
             array_join(slice(toks, i, lit(8)), " ")))
           .otherwise(array())).as("g8"))
       .select($"doc_id", h60($"g8").as("g"))
-      .distinct()
+      .distinct())
     val train = grams.filter($"doc_id" % 7 =!= 0)
     val evalGrams = grams.filter($"doc_id" % 7 === 0).select($"g").distinct()
     val sizes = train.groupBy($"doc_id").agg(count(lit(1)).as("n_grams"))

@@ -336,13 +336,30 @@ object Similarity extends QueryModule {
     val seeds = e.filter($"vec_id" < 8)
       .select($"vec_id".as("cl"), $"v".as("cv"))
     def assign(cents: DataFrame): DataFrame = {
-      val w = Window.partitionBy($"vec_id")
-        .orderBy(round($"cc", 9).desc, $"cl")
-      e.crossJoin(broadcast(cents))
-        .withColumn("cc", cosine($"v", $"cv"))
-        .withColumn("rn", row_number().over(w))
-        .filter($"rn" === 1)
-        .select($"vec_id", $"v", $"cl", $"cc")
+      // all k centroids collapse into ONE broadcast row and the
+      // per-vector argmax is a map-side fold over that array — zero
+      // shuffle, zero extra corpus rows. (The previous form ranked the
+      // corpus x k crossJoin product through a row_number window
+      // partitioned by vec_id: an 8n-row exchange per Lloyd pass, twice
+      // per run, for an argmax computable inside the scan stage.)
+      // Tie-break preserved exactly: highest round(cos, 9) wins, lowest
+      // cluster id on ties — the comparison is order-independent, so
+      // collect_list's nondeterministic order cannot change the result.
+      val centsArr = cents.agg(collect_list(struct($"cl", $"cv")).as("cents"))
+      e.crossJoin(broadcast(centsArr))
+        .withColumn("best", aggregate(
+          $"cents",
+          struct(lit(Double.NegativeInfinity).as("key"),
+            lit(Long.MaxValue).as("cl"), lit(0.0).as("cc")),
+          (acc, c) => {
+            val cc = cosine($"v", c.getField("cv"))
+            val key = round(cc, 9)
+            when(key > acc.getField("key") ||
+                 (key === acc.getField("key") && c.getField("cl") < acc.getField("cl")),
+              struct(key.as("key"), c.getField("cl").as("cl"), cc.as("cc")))
+              .otherwise(acc)
+          }))
+        .select($"vec_id", $"v", $"best.cl".as("cl"), $"best.cc".as("cc"))
     }
     val a1 = assign(seeds)
     val cent1 = a1.select($"cl", posexplode($"v").as(Seq("p", "x")))

@@ -102,6 +102,26 @@ class DedupSpec extends SparkSpec {
     assert(rows(3L) == ((2L, 0L, 20L)), s"unique doc keeps all tokens: ${rows(3L)}")
   }
 
+  test("d05 plane count scales the bucket space; deeper bucketing only refines") {
+    import spark.implicits._
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+    def nBuckets(p: Int): Long =
+      e.select(Dedup.signBucket(col("embedding").cast("array<double>"), p).as("b"))
+        .distinct().count()
+    val b4 = nBuckets(4); val b6 = nBuckets(6)
+    assert(b4 <= 16 && b6 <= 64, s"bucket ids bounded by 2^planes: $b4, $b6")
+    assert(b6 > b4, s"more planes must spread the corpus over more buckets ($b4 -> $b6)")
+    // plane p's bucket is a prefix of plane p+1's, so a deeper bucketing
+    // only REFINES the partition: every pair surviving more planes also
+    // shared the shallower bucket — the recall trade is one-directional
+    val p4 = Dedup.queries("d05_embedding_neardup")(spark, sfDir)
+      .select("vec_a", "vec_b").collect().toSet
+    val p6 = Dedup.embeddingNearDupPairs(e, $"vec_id", $"embedding",
+        threshold = 0.4, planes = 6)
+      .select("vec_a", "vec_b").collect().toSet
+    assert(p6.subsetOf(p4), "planes=6 pairs must be a subset of planes=4 pairs")
+  }
+
   test("public API: nearDupPairs and connectedComponents work on a caller's own schema") {
     import spark.implicits._
     // column names deliberately NOT doc_id/text — the public surface

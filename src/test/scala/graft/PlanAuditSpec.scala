@@ -81,6 +81,15 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("s07's Lloyd assignment is a map-side fold — no Window over the corpus") {
+    // the argmax over k broadcast centroids must fold inside the scan
+    // stage; a row_number window here exchanges the corpus x k product
+    // once per Lloyd pass (the round-5 regression this pins)
+    val plan = planOf(graft.ext.Similarity.queries("s07_kmeans")(spark, sfDir))
+    assert(!plan.contains("Window"),
+      s"s07 must not plan any Window operator:\n$plan")
+  }
+
   test("hot scan families stay inside WholeStageCodegen (no interpreted hot path)") {
     Seq("q01_pricing_summary", "q06_scan_filter_agg", "t02_predicates",
       "a02_quality_score", "e08_histogram").foreach { q =>
