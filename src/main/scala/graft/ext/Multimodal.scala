@@ -8,14 +8,14 @@ import org.apache.spark.sql.functions._
   * decode / feature-extract / resize / frame-sample operators over
   * `mapPartitions`.
   *
-  * The decode step itself is a STUB — this container ships no image or
-  * audio codecs, so `decodeGray` deterministically fabricates a pixel
-  * buffer from the bytes (clearly marked below). Everything around it
-  * is the real engineering surface and is tested: the schema (binary
-  * payload + metadata struct), doc-partition sizing, per-partition
-  * batched iteration (decoder state amortized across a partition, the
-  * mapInPandas batch shape in Scala form), and downstream columnar
-  * feature output.
+  * The decode step is REAL: payloads are valid grayscale PNGs (encoded
+  * here via `java.util.zip.Deflater` + CRC32 — the JDK ships zlib) and
+  * decoded through `javax.imageio.ImageIO`, the JDK's built-in PNG
+  * codec. Video rows use the filmstrip convention (one PNG of height
+  * frame_h x n_frames; frame f = scanline rows f*h .. (f+1)*h), so a
+  * multi-frame payload still decodes through the same image codec.
+  * The m10 driver query hash-checks the whole encode -> ImageIO ->
+  * feature path against a DuckDB recompute over the raw pixel fixture.
   *
   * Scale notes: media payloads dominate row size — operators here never
   * shuffle the binary column (features are extracted map-side, then the
@@ -32,17 +32,24 @@ object Multimodal extends Serializable {
       mean_intensity: Double, max_intensity: Int, histogram: Seq[Long])
   case class FrameSample(media_id: Long, frame_no: Int, mean_intensity: Double)
 
+  /** The deterministic pixel generator (seeded by media_id) — the
+    * INPUT definition both the synthetic corpus and the m10 oracle's
+    * raw-pixel dump derive from, so the oracle never goes through the
+    * codec under test. */
+  def syntheticPixel(id: Long, i: Int): Int =
+    (((id * 2654435761L + i * 40503L) >>> 16) & 0xff).toInt
+
   /** Deterministic synthetic corpus (seeded by media_id) — stands in
-    * for a real binary source; payload bytes are reproducible. */
+    * for a real binary source; payloads are REAL grayscale PNGs
+    * (videos: filmstrip PNGs, one frame per h-row band). */
   def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(n).map { id =>
       val w = 8 + (id % 5).toInt
       val h = 6 + (id % 3).toInt
       val frames = if (id % 4 == 0) 4 else 1 // every 4th row is a "video"
-      val bytes = Array.tabulate(w * h * frames)(i =>
-        (((id * 2654435761L + i * 40503L) >>> 16) & 0xff).toByte)
-      MediaRow(id, bytes, MediaMeta(
+      val pixels = Array.tabulate(w * h * frames)(i => syntheticPixel(id, i).toByte)
+      MediaRow(id, encodeGrayPng(w, h * frames, pixels), MediaMeta(
         if (frames > 1) "video" else "image", w, h, 0, frames * 40L))
     }
   }
@@ -86,12 +93,69 @@ object Multimodal extends Serializable {
     bb.array()
   }
 
-  /** ==== STUB ==== a real build links an image codec here; the fake
-    * interprets the payload as row-major 8-bit gray pixels per `meta`.
-    * Signature and batch usage are what a real decoder plugs into. */
-  private def decodeGray(content: Array[Byte], w: Int, h: Int, frame: Int): Array[Int] = {
-    val off = frame * w * h
-    Array.tabulate(w * h)(i => content(off + i) & 0xff)
+  /** Real grayscale-PNG encoder: signature + IHDR + one IDAT (filter-0
+    * scanlines, zlib via `Deflater`) + IEND, CRC32 per chunk. PNG gray
+    * 8-bit is lossless, so encode -> ImageIO decode is an exact pixel
+    * round-trip — what lets m10 hash-match a raw-pixel oracle. */
+  def encodeGrayPng(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(pixels.length == width * height,
+      s"pixel buffer ${pixels.length} != $width x $height")
+    val raw = new Array[Byte]((width + 1) * height) // leading 0 = filter None
+    var y = 0
+    while (y < height) {
+      System.arraycopy(pixels, y * width, raw, y * (width + 1) + 1, width)
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
+    defl.end()
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val tb = typ.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      java.nio.ByteBuffer.allocate(12 + data.length)
+        .putInt(data.length).put(tb).put(data).putInt(crc.getValue.toInt).array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(width).putInt(height)
+      .put(8.toByte).put(0.toByte)                  // 8-bit, gray
+      .put(0.toByte).put(0.toByte).put(0.toByte)    // deflate, adaptive, no interlace
+      .array()
+    Array[Byte](0x89.toByte, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", out.toByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  /** Real image decode through the JDK's built-in codec
+    * (`javax.imageio.ImageIO` — PNG/JPEG ship with every JDK): returns
+    * (width, height, band-0 samples row-major). */
+  def decodeImage(content: Array[Byte]): (Int, Int, Array[Int]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+    require(img != null, "payload is not a decodable image")
+    val w = img.getWidth; val h = img.getHeight
+    val raster = img.getRaster
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { px(y * w + x) = raster.getSample(x, y, 0); x += 1 }
+      y += 1
+    }
+    (w, h, px)
+  }
+
+  /** One frame of a (possibly filmstrip) payload: decode via ImageIO,
+    * slice the frame's h-row band. `decoded` lets per-partition callers
+    * decode once and slice many frames. */
+  private def grayFrame(decoded: (Int, Int, Array[Int]), w: Int, h: Int,
+      frame: Int): Array[Int] = {
+    val (dw, dh, px) = decoded
+    require(dw == w && dh % h == 0 && (frame + 1) * h <= dh,
+      s"decoded ${dw}x$dh incompatible with frame $frame of ${w}x$h")
+    java.util.Arrays.copyOfRange(px, frame * w * h, (frame + 1) * w * h)
   }
 
   /** Batched feature extraction: one pass per partition, decoder
@@ -100,9 +164,10 @@ object Multimodal extends Serializable {
   def imageFeatures(media: Dataset[MediaRow]): Dataset[ImageFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // per-partition decoder init would go here (amortized)
+      // ImageIO's plugin scan happens once per executor JVM; per-row
+      // work is the pure decode
       rows.map { r =>
-        val px = decodeGray(r.content, r.meta.width, r.meta.height, 0)
+        val px = grayFrame(decodeImage(r.content), r.meta.width, r.meta.height, 0)
         val hist = Array.fill(4)(0L)
         var sum = 0L; var mx = 0
         px.foreach { v =>
@@ -122,8 +187,9 @@ object Multimodal extends Serializable {
     import media.sparkSession.implicits._
     media.filter(_.meta.kind == "video").flatMap { r =>
       val nFrames = (r.meta.durationMs / 40L).toInt
+      val decoded = decodeImage(r.content) // one codec pass per payload
       (0 until nFrames by stride).map { f =>
-        val px = decodeGray(r.content, r.meta.width, r.meta.height, f)
+        val px = grayFrame(decoded, r.meta.width, r.meta.height, f)
         FrameSample(r.media_id, f, px.map(_.toLong).sum.toDouble / px.length)
       }
     }
@@ -131,10 +197,12 @@ object Multimodal extends Serializable {
 
   /** Size-aware repartition before a heavy decode: payload bytes bound
     * memory, so cap rows per partition explicitly rather than relying
-    * on input-split sizing. */
-  def partitionForDecode(media: Dataset[MediaRow], maxRowsPerPartition: Int): Dataset[MediaRow] = {
-    val n = media.count()
-    val parts = math.max(1, math.ceil(n.toDouble / maxRowsPerPartition).toInt)
+    * on input-split sizing. `rowCount` comes from the caller (catalog
+    * stats, an upstream count, or a known corpus size) — a library
+    * operator must not fire an eager `count()` job of its own. */
+  def partitionForDecode(media: Dataset[MediaRow], maxRowsPerPartition: Int,
+      rowCount: Long): Dataset[MediaRow] = {
+    val parts = math.max(1, math.ceil(rowCount.toDouble / maxRowsPerPartition).toInt)
     media.repartition(parts, col("media_id"))
   }
 }

@@ -422,11 +422,35 @@ object Eventing extends QueryModule {
               }
             }.toSeq)
           }
+        // write to a side dir, then surface ONE named heartbeat file
+        // with an explicitly FAR-FUTURE mtime: FileStreamSource orders
+        // files by modification time, and the symlink staging can fall
+        // back to Files.copy whose mtimes land within the same tick as
+        // the heartbeats' — if a heartbeat batch ran first, the
+        // watermark would jump to 2100 and every real row would drop
+        // as late. Explicit mtimes make the data-then-heartbeat order
+        // a property of the files, not of the staging path taken.
+        val side = java.nio.file.Files.createTempDirectory(s"graft_${prefix}_hb")
         s.createDataFrame(scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
-          .coalesce(1).write.mode("append").parquet(stage.toString)
+          .coalesce(1).write.mode("overwrite").parquet(side.toString)
+        val parquetPart = side.toFile.listFiles()
+          .find(_.getName.endsWith(".parquet"))
+          .getOrElse(sys.error("heartbeat write produced no parquet part"))
+        val target = stage.resolve(s"zz_heartbeat_$i.parquet")
+        java.nio.file.Files.move(parquetPart.toPath, target)
+        java.nio.file.Files.setLastModifiedTime(target,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() + (i + 1) * 3600_000L))
       }
     }
-    val streamRead = s.readStream.schema(schema)
+    // the job runs on an ISOLATED session (own SQLConf, shared context
+    // and cache): sizing shuffle.partitions for the bounded stream must
+    // not leak into batch queries planned concurrently on the shared
+    // session (sbt runs suites in parallel), and with per-run isolation
+    // no set/restore locking is needed at all.
+    val ns = s.newSession()
+    ns.conf.set("spark.sql.shuffle.partitions", "8")
+    val streamRead = ns.readStream.schema(schema)
     val stream = (if (sentinel) streamRead.option("maxFilesPerTrigger", 1)
                   else streamRead).parquet(stage.toString)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
@@ -438,25 +462,16 @@ object Eventing extends QueryModule {
     // over a bounded file, so it sizes state to that volume; a
     // production deployment sizes shuffle.partitions to the cluster,
     // where the same per-store cost is amortized over real data.
-    // Restored in finally — the session is shared across queries, and
-    // the lock keeps two concurrent streaming runs (sbt runs suites in
-    // parallel) from interleaving their set/restore pairs.
-    streamConfLock.synchronized {
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      try {
-        val q = xf(stream)
-          .writeStream.format("memory").queryName(name)
-          .outputMode(mode)
-          .option("checkpointLocation", ckpt)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    }
-    s.table(name)
+    val q = xf(stream)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(mode)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // memory-sink tables register in the session that ran the query
+    ns.table(name)
   }
-  private val streamConfLock = new Object
 
   private def e13(s: SparkSession, d: String): DataFrame =
     runStreamed(s, d, "e13", "complete")(

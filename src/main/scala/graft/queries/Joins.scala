@@ -269,8 +269,7 @@ object Joins extends QueryModule {
     */
   private def x11(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val scratch = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_x11_orders").getAbsolutePath
+    val scratch = graft.util.Scratch.dir("x11_orders")
     Tables.orders(s, d)
       .withColumn("yr", year($"o_orderdate"))
       .write.mode("overwrite").partitionBy("yr").parquet(scratch)

@@ -17,8 +17,9 @@ import graft.sources.Xlsx.W
   * deterministic inline fixture that graft.Verify also dumps to parquet
   * — the DuckDB oracles recompute the same sniff/extract from the same
   * bytes via hex-string arithmetic (hash-checked, not rows>0). The
-  * pixel-decode operators stay spec-only (their decoder is an explicit
-  * stub — no codecs in this container; MultimodalSpec covers them).
+  * pixel path is real too: m10 encodes grayscale PNGs, decodes them
+  * through the JDK's ImageIO codec, and hash-matches the features
+  * against a DuckDB recompute over the raw generator pixels.
   */
 object Media extends QueryModule {
 
@@ -112,8 +113,7 @@ object Media extends QueryModule {
       .toDF("file", "sheet", "sheet_idx", "row_idx", "col_idx", "value")
   }
 
-  private def xlsxDir: String =
-    new java.io.File(sys.props("java.io.tmpdir"), "graft_xlsx").getAbsolutePath
+  private def xlsxDir: String = graft.util.Scratch.dir("xlsx")
 
   /** m03 — full binary scan: write real workbooks, read them back
     * through the zip+XML connector, surface the long cell shape. The
@@ -170,8 +170,7 @@ object Media extends QueryModule {
       .toDF("file", "page", "line_no", "text")
   }
 
-  private def pdfDir: String =
-    new java.io.File(sys.props("java.io.tmpdir"), "graft_pdf").getAbsolutePath
+  private def pdfDir: String = graft.util.Scratch.dir("pdf")
 
   /** m05 — full binary page-text scan through the Flate+Tj parser;
     * oracle replays the expected lines (same certification pattern as
@@ -239,8 +238,7 @@ object Media extends QueryModule {
       .toDF("file", "page", "x", "y", "text")
   }
 
-  private def pdfPosDir: String =
-    new java.io.File(sys.props("java.io.tmpdir"), "graft_pdf_pos").getAbsolutePath
+  private def pdfPosDir: String = graft.util.Scratch.dir("pdf_pos")
 
   /** m07 — fixed-area table-region scan over real positioned bytes
     * (the reference's tabula `read_pdf(area=..)`, test_uploadPDF.py:
@@ -265,8 +263,7 @@ object Media extends QueryModule {
     */
   private def m08(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val dir = new java.io.File(sys.props("java.io.tmpdir"), "graft_orc_docs")
-      .getAbsolutePath
+    val dir = graft.util.Scratch.dir("orc_docs")
     graft.sources.Tables.documents(s, d).write.mode("overwrite").orc(dir)
     s.read.orc(dir)
       .withColumn("digest",
@@ -300,8 +297,7 @@ object Media extends QueryModule {
     */
   private def m09(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val base = new java.io.File(sys.props("java.io.tmpdir"), "graft_m09")
-      .getAbsolutePath
+    val base = graft.util.Scratch.dir("m09")
     val orders = graft.sources.Tables.orders(s, d)
     orders.select($"o_orderkey", $"o_custkey")
       .write.mode("overwrite").parquet(s"$base/gen=1")
@@ -332,7 +328,62 @@ object Media extends QueryModule {
        FROM orders
        ORDER BY gen"""
 
+  /** Raw frame-0 pixels of the synthetic media corpus, straight from
+    * the generator formula — the codec under test (PNG encode + ImageIO
+    * decode) never touches these rows; m10's oracle recomputes the
+    * features from them in DuckDB. */
+  def pixelsExpected(s: SparkSession): DataFrame = {
+    import s.implicits._
+    (for {
+      id <- 0L until 12L
+      w = 8 + (id % 5).toInt
+      h = 6 + (id % 3).toInt
+      i <- 0 until w * h
+    } yield (id, w.toLong, h.toLong, i.toLong,
+      Multimodal.syntheticPixel(id, i).toLong))
+      .toDF("media_id", "width", "height", "px_idx", "value")
+  }
+
+  /** m10 — REAL pixel decode: grayscale-PNG payloads (filmstrip PNGs
+    * for video rows) decoded through `javax.imageio.ImageIO` inside the
+    * batched `mapPartitions`, reduced to per-image frame-0 features
+    * (mean / max / 4-bucket histogram). The oracle recomputes the same
+    * features in DuckDB from the raw generator pixels, so a hash match
+    * certifies the full encode -> JDK codec -> feature path bit-exactly
+    * (PNG gray 8-bit is lossless). Scale: decode is map-side per
+    * payload; only the few feature columns ever shuffle (|media| rows).
+    */
+  private def m10(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Multimodal.imageFeatures(Multimodal.syntheticMedia(s, 12)).toDF()
+      .select($"media_id",
+        $"width".cast("long").as("width"),
+        $"height".cast("long").as("height"),
+        $"mean_intensity",
+        $"max_intensity".cast("long").as("max_intensity"),
+        element_at($"histogram", 1).as("h0"),
+        element_at($"histogram", 2).as("h1"),
+        element_at($"histogram", 3).as("h2"),
+        element_at($"histogram", 4).as("h3"))
+      .orderBy("media_id")
+  }
+  // exact-division mean: (double)sum / (double)count in both engines —
+  // one IEEE op over exact integers, bit-identical across engines
+  private val m10Sql =
+    """SELECT media_id,
+         CAST(max(width) AS BIGINT) AS width,
+         CAST(max(height) AS BIGINT) AS height,
+         CAST(sum(value) AS DOUBLE) / count(*) AS mean_intensity,
+         CAST(max(value) AS BIGINT) AS max_intensity,
+         CAST(sum(CASE WHEN value < 64 THEN 1 ELSE 0 END) AS BIGINT) AS h0,
+         CAST(sum(CASE WHEN value >= 64 AND value < 128 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+         CAST(sum(CASE WHEN value >= 128 AND value < 192 THEN 1 ELSE 0 END) AS BIGINT) AS h2,
+         CAST(sum(CASE WHEN value >= 192 THEN 1 ELSE 0 END) AS BIGINT) AS h3
+       FROM read_parquet('__FIXTURES__/pixels_expected/*.parquet')
+       GROUP BY media_id ORDER BY media_id"""
+
   val queries: Map[String, QueryFn] = Map(
+    "m10_pixel_decode" -> m10 _,
     "m09_schema_evolution" -> m09 _,
     "m08_orc_roundtrip" -> m08 _,
     "m01_format_sniff" -> m01 _,
@@ -409,6 +460,7 @@ object Media extends QueryModule {
        ORDER BY file, page, row_idx, col_idx"""
 
   val oracle: Map[String, String] = Map(
+    "m10_pixel_decode" -> m10Sql,
     "m09_schema_evolution" -> m09Sql,
     "m08_orc_roundtrip" -> m08Sql,
     "m01_format_sniff" -> m01Sql,

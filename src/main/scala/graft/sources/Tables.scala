@@ -28,10 +28,19 @@ object Tables {
     * groups the guard makes this a passthrough, so the helper never
     * costs a shuffle at the 100 TB scale it exists to protect. Callers
     * are the operators whose per-row compute dominates scan cost;
-    * scan-bound relational queries keep the scan's native layout. */
+    * scan-bound relational queries keep the scan's native layout.
+    *
+    * The guard reads `inputFiles` (driver-side file listing off the
+    * logical plan) rather than `df.rdd.getNumPartitions`: `.rdd` forces
+    * a full physical-planning pass per call, and split-count probing
+    * made the plan shape depend on `maxPartitionBytes` at call time. A
+    * production table has >= cores files, so the guard is a passthrough
+    * there by construction; only few-file test layouts take the
+    * round-robin branch (SourcesSpec pins both branches). */
   def spread(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    val nFiles = df.inputFiles.length
+    if (nFiles > 0 && nFiles < p) df.repartition(p) else df
   }
 
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")

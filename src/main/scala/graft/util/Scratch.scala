@@ -1,0 +1,32 @@
+package graft.util
+
+import java.nio.file.{Files, Path}
+
+/** Per-JVM scratch space for operators that stage intermediate files
+  * (partitioned rewrites, format round-trips, binary fixtures).
+  *
+  * A FIXED path under `java.io.tmpdir` is a race: overwrite-mode writes
+  * delete-and-rewrite the directory, so two concurrent JVMs (bench +
+  * sbt test, or two users on a shared host) sharing the name would pull
+  * files out from under each other mid-scan — and stale subdirs from
+  * older layouts would silently pollute a mergeSchema read. A per-JVM
+  * random root isolates processes while keeping paths stable WITHIN a
+  * process, so fixture writers stay idempotent and per-run caches still
+  * hit. On a cluster the analog is a job-scoped staging prefix on
+  * shared storage.
+  */
+object Scratch {
+  private lazy val root: Path = {
+    val p = Files.createTempDirectory("graft_scratch_")
+    p.toFile.deleteOnExit()
+    p
+  }
+
+  /** A named scratch directory under this JVM's private root (created
+    * if absent; same name → same path within the process). */
+  def dir(name: String): String = {
+    val d = root.resolve(name)
+    Files.createDirectories(d)
+    d.toAbsolutePath.toString
+  }
+}

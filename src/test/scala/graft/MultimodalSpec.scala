@@ -12,6 +12,33 @@ class MultimodalSpec extends SparkSpec {
     assert(schema("meta").dataType.typeName == "struct")
   }
 
+  test("PNG encode -> ImageIO decode is an exact pixel round-trip") {
+    for ((w, h) <- Seq((1, 1), (8, 6), (13, 27), (64, 3))) {
+      val px = Array.tabulate(w * h)(i => ((i * 97 + w * 31 + h) & 0xff).toByte)
+      val bytes = Multimodal.encodeGrayPng(w, h, px)
+      // the fabricated PNG is ALSO a valid subject for the codegen'd
+      // header extractors — one fixture, two independent readers
+      val (dw, dh, got) = Multimodal.decodeImage(bytes)
+      assert((dw, dh) == ((w, h)), s"dims survive ${w}x$h")
+      assert(got.toSeq == px.map(_ & 0xff).toSeq, s"pixels survive ${w}x$h")
+    }
+  }
+
+  test("IHDR extractors agree with ImageIO on real encoded PNGs") {
+    import spark.implicits._
+    val bytes = Multimodal.encodeGrayPng(19, 7,
+      Array.tabulate(19 * 7)(_.toByte))
+    val row = Seq((1L, bytes)).toDF("media_id", "content")
+      .select(Multimodal.sniffFormat(col("content")).as("fmt"),
+        Multimodal.pngWidth(col("content")).as("w"),
+        Multimodal.pngHeight(col("content")).as("h"),
+        Multimodal.pngBitDepth(col("content")).as("d"),
+        Multimodal.pngColorType(col("content")).as("c"))
+      .head()
+    assert(row.getString(0) == "png")
+    assert((row.getInt(1), row.getInt(2), row.getInt(3), row.getInt(4)) == ((19, 7, 8, 0)))
+  }
+
   test("feature extraction is deterministic and bounded") {
     val media = Multimodal.syntheticMedia(spark, 50)
     val f1 = Multimodal.imageFeatures(media).collect().sortBy(_.media_id)
@@ -63,7 +90,8 @@ class MultimodalSpec extends SparkSpec {
 
   test("decode partitioning caps rows per partition; features drop the payload") {
     val media = Multimodal.syntheticMedia(spark, 100)
-    val parted = Multimodal.partitionForDecode(media, maxRowsPerPartition = 10)
+    val parted = Multimodal.partitionForDecode(media, maxRowsPerPartition = 10,
+      rowCount = 100)
     assert(parted.rdd.getNumPartitions >= 10)
     val feats = Multimodal.imageFeatures(parted).toDF()
     assert(!feats.columns.contains("content"), "binary must not flow downstream")

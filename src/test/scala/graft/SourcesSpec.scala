@@ -103,6 +103,21 @@ class SourcesSpec extends SparkSpec {
     assert(SourceCatalog.discover(spark, Seq(metaSrc), "zzzz-absent").isEmpty)
   }
 
+  test("spread takes the round-robin branch on few-file scans, passthrough otherwise") {
+    val p = spark.sparkContext.defaultParallelism
+    val src = Tables.orders(spark, sfDir).select(col("o_orderkey"))
+    src.coalesce(1).write.mode("overwrite").parquet(s"$tmp/spread_few")
+    src.repartition(p + 1).write.mode("overwrite").parquet(s"$tmp/spread_many")
+    // guard is driver metadata only (inputFiles) — both branches pinned
+    // by object identity, independent of maxPartitionBytes or machine
+    val few = spark.read.parquet(s"$tmp/spread_few")
+    assert(!(Tables.spread(few) eq few), "single-file scan must round-robin")
+    val many = spark.read.parquet(s"$tmp/spread_many")
+    assert(Tables.spread(many) eq many, ">= parallelism files must pass through")
+    // the repartition must not change results
+    assert(Tables.spread(few).exceptAll(few).count() == 0)
+  }
+
   test("FAILFAST csv read rejects schema drift loudly") {
     val schema = StructType(Seq(
       StructField("o_orderkey", LongType),
