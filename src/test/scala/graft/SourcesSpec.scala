@@ -118,6 +118,35 @@ class SourcesSpec extends SparkSpec {
     assert(Tables.spread(few).exceptAll(few).count() == 0)
   }
 
+  test("jdbc sink: key-scoped delete-then-insert is idempotent per statement") {
+    import spark.implicits._
+    // embedded Derby, in-memory: the JDK-resident stand-in for the
+    // reference's MySQL store — same JDBC semantics, zero network
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    val key = Seq("kode", "tahun")
+    val props = new java.util.Properties
+    // Derby can't =-compare its default CLOB mapping for strings; pin
+    // key-able types at table creation (standard Spark JDBC option)
+    props.setProperty("createTableColumnTypes", "kode VARCHAR(32), item VARCHAR(64)")
+    def load(rows: Seq[(String, Int, String, Double)]): Unit =
+      Sources.upsertJdbc(rows.toDF("kode", "tahun", "item", "nilai"),
+        url, "fakta", key, props)
+    def snapshot(): Set[(String, Int, String, Double)] =
+      spark.read.jdbc(url, "fakta", new java.util.Properties)
+        .as[(String, Int, String, Double)].collect().toSet
+    val stmtA = Seq(("TLKM", 2023, "aset", 100.5), ("TLKM", 2023, "kas", 40.0))
+    val stmtB = Seq(("BBRI", 2023, "aset", 77.25))
+    load(stmtA)                         // first load creates the table
+    load(stmtB)                         // a second statement
+    assert(snapshot() == (stmtA ++ stmtB).toSet)
+    load(stmtA)                         // double load must be a no-op
+    assert(snapshot() == (stmtA ++ stmtB).toSet, "re-load duplicated rows")
+    val revisedA = Seq(("TLKM", 2023, "aset", 999.0))
+    load(revisedA)                      // revision replaces ONLY its key
+    assert(snapshot() == (revisedA ++ stmtB).toSet,
+      "revision must replace the statement and leave others untouched")
+  }
+
   test("FAILFAST csv read rejects schema drift loudly") {
     val schema = StructType(Seq(
       StructField("o_orderkey", LongType),
