@@ -34,6 +34,8 @@ object Verify {
         .coalesce(1).write.mode("overwrite").parquet(s"$fixDir/pdf_pos_expected")
       graft.queries.Media.pixelsExpected(spark)
         .coalesce(1).write.mode("overwrite").parquet(s"$fixDir/pixels_expected")
+      graft.queries.Media.audioExpected(spark)
+        .coalesce(1).write.mode("overwrite").parquet(s"$fixDir/audio_expected")
     }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -649,16 +649,34 @@ object Dedup extends QueryModule {
     * corpus with an id and a vector column — sign-plane buckets prune
     * the pair space, the exact cosine check runs in-bucket only.
     * `planes` sizes the bucket count (2^planes) to the corpus; d05 is
-    * the planes=4 instantiation the oracle checks. */
+    * the planes=4 instantiation the oracle checks.
+    *
+    * `multiProbe` is the recall lever for HIGH plane counts (s08's
+    * construction applied to the pair problem): one side of the join
+    * additionally probes its `planes` Hamming-1 neighbor cells, so a
+    * true pair split by exactly one hyperplane is still found. The
+    * probing is ASYMMETRIC — only the left side explodes, the right
+    * stays at its home bucket — so each qualifying pair matches exactly
+    * once (same-bucket via flip=0, one-bit-apart via the left's single
+    * matching flip) and the candidate space is (planes+1) x n^2 /
+    * 2^planes: a linear factor buying back the recall the exponential
+    * shrink costs. Precision is untouched — every candidate still
+    * passes the exact cosine check. */
   def embeddingNearDupPairs(emb: DataFrame, id: Column, vec: Column,
-      threshold: Double, planes: Int = 4): DataFrame = {
+      threshold: Double, planes: Int = 4, multiProbe: Boolean = false): DataFrame = {
     val e = emb.select(id.as("vec_id"), vec.cast("array<double>").as("v"))
       .withColumn("bucket", signBucket(col("v"), planes))
+    val probe =
+      if (!multiProbe) e.withColumn("cell", col("bucket"))
+      else e.withColumn("flip",
+          explode(array((lit(0L) +: (0 until planes).map(i => lit(1L << i))): _*)))
+        .withColumn("cell", col("bucket").bitwiseXOR(col("flip")))
+        .drop("flip")
     // native codegen'd expression on the hot pair loop (same fold
     // order/values as the higher-order-function form — see
     // graft.functions.CosineSimilarity)
-    e.as("a").join(e.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+    probe.as("a").join(e.as("b"),
+        col("a.cell") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .withColumn("cos", graft.functions.CosineSimilarity.cosineSim(col("a.v"), col("b.v")))
       // threshold on the ROUNDED value: the two engines' accumulation
       // orders may differ in the last ulp, and an unrounded >= would

@@ -62,10 +62,12 @@ object Multimodal extends Serializable {
 
   private val PngSignature = "89504E470D0A1A0A"
 
-  /** Magic-byte format sniff: png / jpeg / unknown. */
+  /** Magic-byte format sniff: png / jpeg / wav / unknown. */
   def sniffFormat(bin: Column): Column =
     when(upper(hex(substring(bin, 1, 8))) === PngSignature, "png")
       .when(upper(hex(substring(bin, 1, 3))) === "FFD8FF", "jpeg")
+      .when(upper(hex(substring(bin, 1, 4))) === "52494646" && // "RIFF"
+            upper(hex(substring(bin, 9, 4))) === "57415645", "wav") // "WAVE"
       .otherwise("unknown")
 
   /** PNG IHDR fields at fixed offsets (signature 1-8, chunk length
@@ -156,6 +158,96 @@ object Multimodal extends Serializable {
     require(dw == w && dh % h == 0 && (frame + 1) * h <= dh,
       s"decoded ${dw}x$dh incompatible with frame $frame of ${w}x$h")
     java.util.Arrays.copyOfRange(px, frame * w * h, (frame + 1) * w * h)
+  }
+
+  // ---- REAL audio path (JDK codec: javax.sound.sampled) -------------
+
+  case class AudioFeatures(media_id: Long, sample_rate: Long,
+      n_samples: Long, duration_ms: Long, max_amp: Long, min_amp: Long,
+      sum_abs: Long, energy: Long)
+
+  /** The deterministic sample generator (seeded by media_id) — the
+    * INPUT definition shared by the synthetic audio corpus and the m11
+    * oracle's raw-sample dump (range [-32768, 32767]). */
+  def syntheticSample(id: Long, i: Int): Int =
+    ((((id * 2654435761L + i * 104729L) >>> 15) & 0xffff) - 32768).toInt
+
+  /** Real 16-bit mono PCM WAV encoder (RIFF + fmt + data, all
+    * little-endian). PCM is uncompressed, so encode -> AudioSystem
+    * decode is an exact sample round-trip. */
+  def encodePcmWav(sampleRate: Int, samples: Array[Int]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)                       // PCM
+      .putShort(1)                       // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2)            // byte rate
+      .putShort(2)                       // block align
+      .putShort(16)                      // bits per sample
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(v => bb.putShort(v.toShort))
+    bb.array()
+  }
+
+  /** Real audio decode through the JDK's built-in WAV codec
+    * (`javax.sound.sampled.AudioSystem`): returns (sampleRate, signed
+    * 16-bit samples). The rate comes from the parsed fmt chunk, the
+    * samples from the data chunk — both certified by m11's oracle. */
+  def decodePcm(content: Array[Byte]): (Int, Array[Int]) = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(content))
+    val fmt = in.getFormat
+    require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+      !fmt.isBigEndian, s"expected 16-bit mono LE PCM, got $fmt")
+    val bytes = in.readAllBytes()
+    in.close()
+    val out = new Array[Int](bytes.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = ((bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff))
+      i += 1
+    }
+    (fmt.getSampleRate.toInt, out)
+  }
+
+  /** Deterministic synthetic audio corpus: real PCM WAV payloads,
+    * varying lengths, metadata consistent with the encoded bytes. */
+  def syntheticAudio(spark: SparkSession, n: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n).map { id =>
+      val rate = 8000
+      val nSamples = 400 + (id % 5).toInt * 100
+      val samples = Array.tabulate(nSamples)(i => syntheticSample(id, i))
+      MediaRow(id, encodePcmWav(rate, samples),
+        MediaMeta("audio", 0, 0, rate, nSamples * 1000L / rate))
+    }
+  }
+
+  /** Batched audio feature extraction — same shape as `imageFeatures`:
+    * decode map-side, only integer features ever shuffle. Integer
+    * features (sum |v|, sum v^2, extrema) keep the oracle comparison
+    * exact — no float accumulation order to disagree on. */
+  def audioFeatures(audio: Dataset[MediaRow]): Dataset[AudioFeatures] = {
+    import audio.sparkSession.implicits._
+    audio.mapPartitions { rows =>
+      rows.map { r =>
+        val (rate, xs) = decodePcm(r.content)
+        var mx = Int.MinValue; var mn = Int.MaxValue
+        var sumAbs = 0L; var energy = 0L
+        xs.foreach { v =>
+          if (v > mx) mx = v
+          if (v < mn) mn = v
+          sumAbs += math.abs(v)
+          energy += v.toLong * v
+        }
+        AudioFeatures(r.media_id, rate, xs.length,
+          xs.length * 1000L / rate, mx, mn, sumAbs, energy)
+      }
+    }
   }
 
   /** Batched feature extraction: one pass per partition, decoder

@@ -382,7 +382,47 @@ object Media extends QueryModule {
        FROM read_parquet('__FIXTURES__/pixels_expected/*.parquet')
        GROUP BY media_id ORDER BY media_id"""
 
+  /** Raw samples of the synthetic audio corpus, straight from the
+    * generator — the WAV codec never touches these rows. */
+  def audioExpected(s: SparkSession): DataFrame = {
+    import s.implicits._
+    (for {
+      id <- 0L until 12L
+      n = 400 + (id % 5).toInt * 100
+      i <- 0 until n
+    } yield (id, 8000L, i.toLong, Multimodal.syntheticSample(id, i).toLong))
+      .toDF("media_id", "sample_rate", "idx", "value")
+  }
+
+  /** m11 — REAL audio decode: 16-bit mono PCM WAV payloads decoded
+    * through `javax.sound.sampled.AudioSystem` (the JDK's built-in WAV
+    * codec) inside the batched `mapPartitions`, reduced to per-clip
+    * integer features (sample count, duration, extrema, sum |v|, sum
+    * v^2). The oracle recomputes the same features from the raw
+    * generator samples, so a hash match certifies the RIFF encode ->
+    * JDK codec -> feature path exactly — including the fmt-chunk
+    * sample rate, which the decode reads from the bytes, not the
+    * metadata struct. Scale: like m10, decode is map-side per payload;
+    * only |clips| feature rows shuffle. */
+  private def m11(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Multimodal.audioFeatures(Multimodal.syntheticAudio(s, 12)).toDF()
+      .orderBy("media_id")
+  }
+  private val m11Sql =
+    """SELECT media_id,
+         CAST(max(sample_rate) AS BIGINT) AS sample_rate,
+         CAST(count(*) AS BIGINT) AS n_samples,
+         CAST(count(*) * 1000 // max(sample_rate) AS BIGINT) AS duration_ms,
+         CAST(max(value) AS BIGINT) AS max_amp,
+         CAST(min(value) AS BIGINT) AS min_amp,
+         CAST(sum(abs(value)) AS BIGINT) AS sum_abs,
+         CAST(sum(value * value) AS BIGINT) AS energy
+       FROM read_parquet('__FIXTURES__/audio_expected/*.parquet')
+       GROUP BY media_id ORDER BY media_id"""
+
   val queries: Map[String, QueryFn] = Map(
+    "m11_audio_decode" -> m11 _,
     "m10_pixel_decode" -> m10 _,
     "m09_schema_evolution" -> m09 _,
     "m08_orc_roundtrip" -> m08 _,
@@ -460,6 +500,7 @@ object Media extends QueryModule {
        ORDER BY file, page, row_idx, col_idx"""
 
   val oracle: Map[String, String] = Map(
+    "m11_audio_decode" -> m11Sql,
     "m10_pixel_decode" -> m10Sql,
     "m09_schema_evolution" -> m09Sql,
     "m08_orc_roundtrip" -> m08Sql,

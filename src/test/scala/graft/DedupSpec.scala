@@ -122,6 +122,24 @@ class DedupSpec extends SparkSpec {
     assert(p6.subsetOf(p4), "planes=6 pairs must be a subset of planes=4 pairs")
   }
 
+  test("multi-probe recovers recall lost to high plane counts, never precision") {
+    import spark.implicits._
+    val e = graft.sources.Tables.embeddings(spark, sfDir)
+    def pairs(planes: Int, probe: Boolean): Set[(Long, Long)] =
+      Dedup.embeddingNearDupPairs(e, $"vec_id", $"embedding",
+          threshold = 0.4, planes = planes, multiProbe = probe)
+        .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    // ground truth: exhaustive threshold pairs (no bucketing at all)
+    val all = Dedup.embeddingNearDupPairs(e, $"vec_id", $"embedding",
+        threshold = 0.4, planes = 1, multiProbe = true)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val plain = pairs(6, probe = false)
+    val probed = pairs(6, probe = true)
+    assert(plain.subsetOf(probed), "flip=0 keeps every same-bucket pair")
+    assert(probed.subsetOf(all), "every probed pair passes the exact check")
+    assert(probed.size >= plain.size)
+  }
+
   test("public API: nearDupPairs and connectedComponents work on a caller's own schema") {
     import spark.implicits._
     // column names deliberately NOT doc_id/text — the public surface

@@ -39,6 +39,20 @@ class MultimodalSpec extends SparkSpec {
     assert((row.getInt(1), row.getInt(2), row.getInt(3), row.getInt(4)) == ((19, 7, 8, 0)))
   }
 
+  test("WAV encode -> AudioSystem decode is an exact sample round-trip") {
+    for ((rate, n) <- Seq((8000, 1), (8000, 400), (44100, 777))) {
+      val xs = Array.tabulate(n)(i => ((i * 2713 + rate) % 65536) - 32768)
+      val (gotRate, got) = Multimodal.decodePcm(Multimodal.encodePcmWav(rate, xs))
+      assert(gotRate == rate, "fmt-chunk sample rate survives")
+      assert(got.toSeq == xs.toSeq, s"samples survive n=$n")
+    }
+    // the encoded bytes also satisfy the codegen'd sniffer
+    import spark.implicits._
+    val fmt = Seq(Tuple1(Multimodal.encodePcmWav(8000, Array(0, 1, -1))))
+      .toDF("content").select(Multimodal.sniffFormat(col("content"))).head.getString(0)
+    assert(fmt == "wav")
+  }
+
   test("feature extraction is deterministic and bounded") {
     val media = Multimodal.syntheticMedia(spark, 50)
     val f1 = Multimodal.imageFeatures(media).collect().sortBy(_.media_id)
