@@ -24,10 +24,12 @@ import graft.sources.Xlsx.W
 object Media extends QueryModule {
 
   /** Deterministic mixed-format corpus: PNG headers with varying IHDR
-    * fields, JPEG magic-byte payloads, and non-image junk. */
+    * fields, JPEG magic-byte payloads, non-image junk, a real WAV, and
+    * a RIFF-but-not-WAVE payload (the sniffer must check BOTH magic
+    * regions, not just the RIFF prefix). */
   def fixture(s: SparkSession): DataFrame = {
     import s.implicits._
-    (0L until 12L).map { id =>
+    ((0L until 12L).map { id =>
       val bytes: Array[Byte] = (id % 3) match {
         case 0 =>
           val v = (id / 3).toInt
@@ -40,7 +42,10 @@ object Media extends QueryModule {
           s"not-an-image-$id".getBytes("US-ASCII")
       }
       (id, bytes)
-    }.toDF("media_id", "content")
+    } ++ Seq(
+      12L -> Multimodal.encodePcmWav(8000, Array(0, 100, -100, 32767, -32768)),
+      13L -> ("RIFF" + "junk-not-wave").getBytes("US-ASCII"),
+    )).toDF("media_id", "content")
   }
 
   /** m01 — magic-byte format sniff per payload. */
@@ -441,6 +446,8 @@ object Media extends QueryModule {
     """SELECT media_id,
          CASE WHEN substr(hex(content), 1, 16) = '89504E470D0A1A0A' THEN 'png'
               WHEN substr(hex(content), 1, 6) = 'FFD8FF' THEN 'jpeg'
+              WHEN substr(hex(content), 1, 8) = '52494646'
+               AND substr(hex(content), 17, 8) = '57415645' THEN 'wav'
               ELSE 'unknown' END AS format
        FROM read_parquet('__FIXTURES__/media/*.parquet')
        ORDER BY media_id"""
