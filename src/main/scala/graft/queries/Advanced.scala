@@ -203,17 +203,31 @@ object Advanced extends QueryModule {
        WHERE big_value IS NOT NULL OR err_kind IS NOT NULL"""
 
   /** v09 — approximate distinct (HLL++): sketch-based cardinality per
-    * status. No oracle (DuckDB's sketch differs); AdvancedSpec bounds
-    * the error against the exact count — the scale story is the point:
-    * fixed-size sketch state vs a full distinct shuffle. */
+    * status — the scale story is fixed-size sketch state vs a full
+    * distinct shuffle. The raw estimate can't be oracled (DuckDB's
+    * sketch differs), so the query outputs the PROPERTY instead: the
+    * exact count (hash-matched against DuckDB's) plus `err_ok`, the
+    * sketch landing within 2.5x its configured rsd of that exact count
+    * — the oracle asserts TRUE, so a drifting sketch fails the gate.
+    * HLL registers merge by max (commutative/associative), so the
+    * estimate is partitioning-independent and the check deterministic.
+    * AdvancedSpec additionally bounds the numeric error. */
   private def v09(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.orders(s, d)
       .groupBy($"o_orderstatus")
-      .agg(approx_count_distinct($"o_custkey", 0.02).as("approx_customers"),
+      .agg(approx_count_distinct($"o_custkey", 0.02).as("approx"),
         countDistinct($"o_custkey").as("exact_customers"))
+      .withColumn("err_ok",
+        abs($"approx" - $"exact_customers") <= $"exact_customers" * 0.05)
+      .select($"o_orderstatus", $"exact_customers", $"err_ok")
       .orderBy($"o_orderstatus")
   }
+  private val v09Sql =
+    """SELECT o_orderstatus,
+         count(DISTINCT o_custkey) AS exact_customers,
+         TRUE AS err_ok
+       FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
 
   /** v10 — v05 again through the custom TopKPerKey LogicalPlan /
     * SparkStrategy / physical operator (graft.plans.TopKPerKeyPlan):
@@ -389,5 +403,6 @@ object Advanced extends QueryModule {
     "v06_upsert_merge" -> v06Sql,
     "v07_source_discovery" -> v07Sql,
     "v08_drop_null_rows" -> v08Sql,
+    "v09_approx_distinct" -> v09Sql,
   )
 }
