@@ -280,4 +280,22 @@ object EventStreams extends Serializable {
         if (streaming) GroupStateTimeout.EventTimeTimeout()
         else GroupStateTimeout.NoTimeout())(fn)
   }
+
+  /** Streaming -> RDBMS serving layer: attach a key-scoped idempotent
+    * JDBC upsert (graft.sources.Sources.upsertJdbc) as a foreachBatch
+    * sink. Structured Streaming guarantees at-least-once foreachBatch
+    * execution; delete-then-insert on the key columns makes a REPLAYED
+    * micro-batch a clean no-op, so the composition is effectively
+    * exactly-once per key — the standard pattern for serving aggregates
+    * out of a stream into a relational store (the reference's MySQL
+    * table, fed continuously instead of per upload). Call `.start()` on
+    * the returned writer (plus trigger/checkpoint options). */
+  def jdbcUpsertSink(stream: DataFrame, url: String, table: String,
+      keyCols: Seq[String],
+      props: java.util.Properties = new java.util.Properties):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.sources.Sources.upsertJdbc(batch.toDF(), url, table, keyCols, props)
+    }
 }
