@@ -36,6 +36,8 @@ object Verify {
         .coalesce(1).write.mode("overwrite").parquet(s"$fixDir/pixels_expected")
       graft.queries.Media.audioExpected(spark)
         .coalesce(1).write.mode("overwrite").parquet(s"$fixDir/audio_expected")
+      graft.queries.Media.framePixelsExpected(spark)
+        .coalesce(1).write.mode("overwrite").parquet(s"$fixDir/frame_pixels_expected")
     }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

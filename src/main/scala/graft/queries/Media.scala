@@ -387,6 +387,43 @@ object Media extends QueryModule {
        FROM read_parquet('__FIXTURES__/pixels_expected/*.parquet')
        GROUP BY media_id ORDER BY media_id"""
 
+  /** Raw pixels of EVERY frame of the synthetic corpus's video rows,
+    * straight from the generator — certifies the filmstrip frame
+    * slicing, which pixelsExpected (frame 0 only) cannot. */
+  def framePixelsExpected(s: SparkSession): DataFrame = {
+    import s.implicits._
+    (for {
+      id <- 0L until 12L
+      if id % 4 == 0
+      w = 8 + (id % 5).toInt
+      h = 6 + (id % 3).toInt
+      f <- 0 until 4
+      i <- 0 until w * h
+    } yield (id, f.toLong, i.toLong,
+      Multimodal.syntheticPixel(id, f * w * h + i).toLong))
+      .toDF("media_id", "frame", "px_idx", "value")
+  }
+
+  /** m12 — video FRAME SAMPLING under the gate: every stride-2 frame of
+    * the filmstrip PNGs decoded through ImageIO and reduced to its mean
+    * intensity; the oracle recomputes the same means from the raw
+    * generator pixels of those frames. A hash match certifies the frame
+    * band arithmetic (frame f = scanline rows f*h..(f+1)*h) — the part
+    * of the video path m10's frame-0 check never touches. */
+  private def m12(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Multimodal.sampleFrames(Multimodal.syntheticMedia(s, 12), stride = 2).toDF()
+      .select($"media_id", $"frame_no".cast("long").as("frame_no"),
+        $"mean_intensity")
+      .orderBy("media_id", "frame_no")
+  }
+  private val m12Sql =
+    """SELECT media_id, CAST(frame AS BIGINT) AS frame_no,
+         CAST(sum(value) AS DOUBLE) / count(*) AS mean_intensity
+       FROM read_parquet('__FIXTURES__/frame_pixels_expected/*.parquet')
+       WHERE frame % 2 = 0
+       GROUP BY media_id, frame ORDER BY media_id, frame"""
+
   /** Raw samples of the synthetic audio corpus, straight from the
     * generator — the WAV codec never touches these rows. */
   def audioExpected(s: SparkSession): DataFrame = {
@@ -427,6 +464,7 @@ object Media extends QueryModule {
        GROUP BY media_id ORDER BY media_id"""
 
   val queries: Map[String, QueryFn] = Map(
+    "m12_frame_sample" -> m12 _,
     "m11_audio_decode" -> m11 _,
     "m10_pixel_decode" -> m10 _,
     "m09_schema_evolution" -> m09 _,
@@ -507,6 +545,7 @@ object Media extends QueryModule {
        ORDER BY file, page, row_idx, col_idx"""
 
   val oracle: Map[String, String] = Map(
+    "m12_frame_sample" -> m12Sql,
     "m11_audio_decode" -> m11Sql,
     "m10_pixel_decode" -> m10Sql,
     "m09_schema_evolution" -> m09Sql,
