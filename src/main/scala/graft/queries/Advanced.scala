@@ -259,7 +259,12 @@ object Advanced extends QueryModule {
     * fixtures on every run, so the query is self-contained and the
     * DuckDB oracle reads the very same files.
     */
-  private val catalogDir = "/tmp/graft_catalog_fixture"
+  // per-JVM scratch (see graft.util.Scratch): the fixed /tmp name this
+  // replaced raced concurrent JVMs' overwrite-mode rewrites. The oracle
+  // SQL interpolates the same per-JVM path, and the Scratch root
+  // survives JVM exit (deleteOnExit only removes an empty root), so the
+  // driver's later DuckDB pass still reads the files Verify wrote.
+  private val catalogDir = graft.util.Scratch.dir("catalog_fixture")
   private def v11(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val (raw, meta, _) = Pipelines.fixture(s)

@@ -94,7 +94,7 @@ class SourcesSpec extends SparkSpec {
     assert(row.getLong(1) == 11L, "both filings' Neraca rows")
     // the fixture dir now exists — probe the csv source directly
     val metaSrc = graft.sources.CatalogSource("meta_csv",
-      "/tmp/graft_catalog_fixture/meta_csv", "csv", StructType(Seq(
+      graft.util.Scratch.dir("catalog_fixture") + "/meta_csv", "csv", StructType(Seq(
         StructField("filing_id", StringType), StructField("key", StringType),
         StructField("value", StringType))))
     import graft.sources.SourceCatalog
