@@ -206,8 +206,7 @@ object Joins extends QueryModule {
     * amortize-the-shuffle pattern for repeated big-big joins. */
   private def x09(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val scratch = new java.io.File(
-      sys.props("java.io.tmpdir"), "graft_x09").getAbsolutePath
+    val scratch = graft.util.Scratch.dir("x09")
     graft.ops.ScaleOps.writeBucketedAt(
       Tables.orders(s, d).select($"o_custkey", $"o_totalprice"),
       "graft_x09_orders", "o_custkey", 8, s"$scratch/orders")
