@@ -514,13 +514,14 @@ object Dedup extends QueryModule {
     * (doc, word) groups, so the old (doc_id, word) pre-aggregation
     * shuffle bought nothing; hash-partial-agg combines the 60 vote
     * columns map-side and the exchange carries |docs| rows of longs.
-    * Persisted per slot (unless the caller persists a derived table
-    * instead): each consumer feeds it into a self-join (d04: sigs x
+    * Persisted when a slot is given (callers that persist a DERIVED
+    * table instead, like d09's exploded block table, pass None — the
+    * slot is then genuinely unowned here): each consumer feeds it into a self-join (d04: sigs x
     * bucket counts; d09: block x block), and Spark re-executes the
     * whole explode+vote pipeline per branch without it (measured
     * ~2 s/branch at sf0.1). */
-  private def simhashSigs(s: SparkSession, d: String, bits: Int, slot: String,
-      persist: Boolean = true): DataFrame = {
+  private def simhashSigs(s: SparkSession, d: String, bits: Int,
+      persistSlot: Option[String]): DataFrame = {
     import s.implicits._
     val occ = Tables.documents(s, d)
       .select($"doc_id", explode(split($"text", " ")).as("word"))
@@ -532,7 +533,7 @@ object Dedup extends QueryModule {
         (0 until bits).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce(_ + _))
       .select($"doc_id", $"simhash")
-    if (persist) swapPersist(slot, sigs) else sigs
+    persistSlot.fold(sigs)(swapPersist(_, sigs))
   }
 
   /** The matching DuckDB signature pipeline (wc → bits → sigs CTEs). */
@@ -554,7 +555,7 @@ object Dedup extends QueryModule {
 
   private def d04(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val sig = simhashSigs(s, d, 16, "simhash")
+    val sig = simhashSigs(s, d, 16, Some("simhash"))
     val buckets = sig.groupBy($"simhash").agg(count(lit(1)).as("bucket_size"))
     sig.join(buckets, "simhash")
       .select($"doc_id", $"simhash", $"bucket_size")
@@ -588,7 +589,7 @@ object Dedup extends QueryModule {
     // under the eager count(), including under load (round 5's two
     // contended driver benches put the recompute races top-2)
     val blocks = swapPersist("simhash60",
-      simhashSigs(s, d, 60, "simhash60", persist = false)
+      simhashSigs(s, d, 60, persistSlot = None)
         .select($"doc_id", $"simhash", explode(sequence(lit(0), lit(3))).as("b"))
         .withColumn("bk", expr("(simhash >> (b * 15)) & 32767")))
     val left = blocks.select($"b", $"bk", $"doc_id".as("doc_a"), $"simhash".as("sig_a"))
@@ -637,12 +638,18 @@ object Dedup extends QueryModule {
     * when running many planes.
     */
   /** Sign-bit LSH bucket over the first `planes` dimensions of an
-    * array<double> column (dim 1 is the most significant bit). */
+    * array<double> column (dim 1 is the most significant bit). A vector
+    * shorter than `planes` fails LOUDLY (assert_true): element_at past
+    * the end would otherwise null the bucket and every join on it —
+    * an operator told to grow planes with the corpus must not degrade
+    * to silently-empty output when planes outgrows the embedding dim. */
   def signBucket(v: Column, planes: Int): Column = {
     require(planes >= 1 && planes <= 62, s"planes must be in [1, 62], got $planes")
-    (0 until planes).map(i =>
+    val bucket = (0 until planes).map(i =>
       (element_at(v, i + 1) >= 0).cast("long") * lit(1L << (planes - 1 - i)))
       .reduce(_ + _)
+    when(assert_true(size(v) >= planes,
+      lit(s"signBucket: vector dimension < planes=$planes")).isNull, bucket)
   }
 
   /** PUBLIC operator: embedding-cosine near-duplicate pairs for any

@@ -210,8 +210,7 @@ object Advanced extends QueryModule {
     * sketch landing within 2.5x its configured rsd of that exact count
     * — the oracle asserts TRUE, so a drifting sketch fails the gate.
     * HLL registers merge by max (commutative/associative), so the
-    * estimate is partitioning-independent and the check deterministic.
-    * AdvancedSpec additionally bounds the numeric error. */
+    * estimate is partitioning-independent and the check deterministic. */
   private def v09(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.orders(s, d)

@@ -441,6 +441,10 @@ object Eventing extends QueryModule {
         java.nio.file.Files.setLastModifiedTime(target,
           java.nio.file.attribute.FileTime.fromMillis(
             System.currentTimeMillis() + (i + 1) * 3600_000L))
+        // the side dir only held the moved part file + commit markers —
+        // drop it so repeated runs don't accumulate temp dirs
+        side.toFile.listFiles().foreach(_.delete())
+        java.nio.file.Files.deleteIfExists(side)
       }
     }
     // the job runs on an ISOLATED session (own SQLConf, shared context

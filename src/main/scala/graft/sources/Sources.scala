@@ -85,28 +85,42 @@ object Sources {
     * directory-partition-key analog, never row-level), while the
     * INSERT is Spark's parallel per-partition JDBC write. The append
     * also creates the table on first load. Column identifiers are
-    * ANSI-quoted ("col") to match how Spark's JDBC writer creates
-    * them; the table name passes through as given, like Spark's.
-    * Spec'd against embedded Derby (SourcesSpec); the container has no
-    * network, so no live MySQL test exists — semantics are
-    * driver-independent JDBC.
+    * quoted through Spark's own `JdbcDialects` registry, so the DELETE
+    * quotes exactly like the writer that created the table (double
+    * quotes on Derby/Postgres, backticks on MySQL); the table name
+    * passes through as given, like Spark's. Key values must be
+    * non-null (`k = ?` cannot match NULL, which would silently break
+    * idempotence — rejected loudly instead), and `df` is evaluated
+    * twice (key collect + append), so it must be deterministic — true
+    * of any batch a sink should be fed. Spec'd against embedded Derby
+    * (SourcesSpec); the container has no network, so no live MySQL
+    * test exists.
     */
   def upsertJdbc(df: DataFrame, url: String, table: String,
       keyCols: Seq[String],
       props: java.util.Properties = new java.util.Properties): Unit = {
     require(keyCols.nonEmpty, "upsertJdbc needs at least one key column")
+    val dialect = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
     val keys = df.selectExpr(keyCols: _*).distinct().collect()
+    keys.foreach { row =>
+      require(keyCols.indices.forall(!row.isNullAt(_)),
+        s"upsertJdbc: null key value in $row — NULL never matches `col = ?`, " +
+          "so null-keyed rows would duplicate on every re-load")
+    }
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
-      // metadata probe instead of swallowing SQLExceptions: Derby (and
-      // most engines) fold unquoted identifiers to upper case
-      val meta = conn.getMetaData
-      val exists = Seq(table, table.toUpperCase, table.toLowerCase).exists { t =>
-        val rs = meta.getTables(null, null, t, null)
-        try rs.next() finally rs.close()
-      }
+      // existence probe by a zero-row SELECT, not DatabaseMetaData
+      // .getTables: the metadata API treats '_'/'%' as pattern
+      // wildcards and never matches schema-qualified names
+      val exists =
+        try {
+          val st = conn.createStatement()
+          try { st.executeQuery(s"SELECT 1 FROM $table WHERE 1=0").close(); true }
+          finally st.close()
+        } catch { case _: java.sql.SQLException => false }
       if (exists && keys.nonEmpty) {
-        val where = keyCols.map(k => s""""$k" = ?""").mkString(" AND ")
+        val where = keyCols.map(k => s"${dialect.quoteIdentifier(k)} = ?")
+          .mkString(" AND ")
         val st = conn.prepareStatement(s"DELETE FROM $table WHERE $where")
         try {
           keys.foreach { row =>

@@ -40,7 +40,13 @@ object Tables {
   def spread(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
     val nFiles = df.inputFiles.length
-    if (nFiles > 0 && nFiles < p) df.repartition(p) else df
+    // non-file-backed plans (in-memory, JDBC, views) report zero input
+    // files; for those, fall back to the physical partition count so
+    // the skew guard still fires — the .rdd planning cost only applies
+    // off the hot file-scan path
+    if (nFiles == 0) {
+      if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    } else if (nFiles < p) df.repartition(p) else df
   }
 
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")

@@ -17,9 +17,31 @@ import java.nio.file.{Files, Path}
   */
 object Scratch {
   private lazy val root: Path = {
+    gcStaleRoots()
     val p = Files.createTempDirectory("graft_scratch_")
     p.toFile.deleteOnExit()
     p
+  }
+
+  /** Bound /tmp growth across runs: the populated root intentionally
+    * survives JVM exit (a later out-of-process oracle pass may still
+    * read its files — deleteOnExit only removes an empty dir), so each
+    * NEW process best-effort deletes sibling roots older than 6 hours.
+    * Recent roots stay; concurrent JVMs' live roots are far younger
+    * than the cutoff. */
+  private def gcStaleRoots(): Unit =
+    try {
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+      val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
+      Option(tmp.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("graft_scratch_")
+          && f.lastModified() < cutoff)
+        .foreach(deleteRecursively)
+    } catch { case _: Exception => () } // GC is best-effort, never fatal
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
   }
 
   /** A named scratch directory under this JVM's private root (created
