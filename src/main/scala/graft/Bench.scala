@@ -44,12 +44,44 @@ object Bench {
       "lineitem", "events", "documents", "embeddings").foreach { t =>
       spark.read.parquet(s"$sfDir/$t.parquet").count()
     }
+    // Per-query stage/CPU attribution: wall time alone cannot
+    // distinguish co-tenant contention (wall up, CPU flat, stages flat)
+    // from a plan regression that recomputes a DAG (stages AND CPU up).
+    // One listener on the shared context counts completed stages and
+    // sums executor CPU (ns) and run (ms) time between per-query
+    // resets; isolated newSession()s (the streaming harness) share the
+    // context, so their jobs are captured too.
+    val qm = new org.apache.spark.scheduler.SparkListener {
+      val stages = new java.util.concurrent.atomic.AtomicLong
+      val cpuNs = new java.util.concurrent.atomic.AtomicLong
+      val runMs = new java.util.concurrent.atomic.AtomicLong
+      val lastEvent = new java.util.concurrent.atomic.AtomicLong(System.nanoTime())
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        stages.incrementAndGet()
+        val m = e.stageInfo.taskMetrics
+        if (m != null) { cpuNs.addAndGet(m.executorCpuTime); runMs.addAndGet(m.executorRunTime) }
+        lastEvent.set(System.nanoTime())
+      }
+      def reset(): Unit = { stages.set(0); cpuNs.set(0); runMs.set(0) }
+    }
+    spark.sparkContext.addSparkListener(qm)
+    // the listener bus is async: wait until it has been quiet for 150 ms
+    // (cap 2 s) so a query's trailing stage events don't bleed into the
+    // next query's counters
+    def drainListener(): Unit = {
+      val t0 = System.nanoTime()
+      while (System.nanoTime() - qm.lastEvent.get() < 150000000L &&
+             System.nanoTime() - t0 < 2000000000L) Thread.sleep(20)
+    }
     var failed = List.empty[String]
     // optional args = query-name filter (substring match) for focused
     // local profiling; the driver passes no args and benches everything
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => args.isEmpty || args.exists(name.contains) }
     val results = selected.map { case (name, fn) =>
+      drainListener()
+      qm.reset()
       val t0 = System.nanoTime()
       // noop-format write fully evaluates every output column (a count()
       // would let Catalyst prune final projections out of the timing)
@@ -61,37 +93,46 @@ object Bench {
           false
         }
       val sec = (System.nanoTime() - t0) / 1e9
+      drainListener()
+      val (nStages, cpuMs, runMs) =
+        (qm.stages.get(), qm.cpuNs.get() / 1000000L, qm.runMs.get())
       // drop any persisted blocks a query left behind so the next
       // query's timing is isolated (a leaked cache slot otherwise
       // shrinks the execution-memory pool for every later query)
       spark.catalog.clearCache()
       // failures stay visible: negative elapsed + the failed list below
-      name -> (if (ok) sec else -sec)
+      name -> ((if (ok) sec else -sec, nStages, cpuMs, runMs))
     }.toMap
     // Locale.ROOT: a comma-decimal default locale would emit "1,234"
     // and break both JSON outputs
     def j(v: Double) = String.format(java.util.Locale.ROOT, "%.3f",
       Double.box(v))
-    val total = results.values.filter(_ > 0).sum
+    val total = results.values.map(_._1).filter(_ > 0).sum
     val fullFailedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // cap the PRINTED failure list — a mass failure must not push the
     // JSON line's head out of the driver's ~2000-char capture window
     // (bench_full.json keeps the complete list)
     val failedJson = failed.sorted.take(20).map("\"" + _ + "\"").mkString("[", ",", "]")
-    val sorted = results.toSeq.sortBy(-_._2)
+    val sorted = results.toSeq.sortBy(-_._2._1)
     // full per-query detail goes to a file; the printed line must stay
     // SHORT — the driver captures only the final ~2000 chars of output,
     // and a 104-entry map (~4.4 KB) pushed the JSON line's start out of
     // that window every round (BENCH_r01..r03 all record parsed:null).
     val fullJson = sorted
-      .map { case (k, v) => s"\"$k\":${j(v)}" }
+      .map { case (k, (v, st, cpu, run)) =>
+        s"""\"$k\":{"sec":${j(v)},"stages":$st,"cpu_ms":$cpu,"run_ms":$run}""" }
       .mkString(s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${results.size},"queries":{""",
         ",", s"""},"failed":$fullFailedJson,"sf":"$sfDir"}""")
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       fullJson.getBytes("UTF-8"))
-    val top = sorted.take(25)
-      .map { case (k, v) => s"\"$k\":${j(v)}" }.mkString(",")
-    println(s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${results.size},"queries":{$top},"failed":$failedJson,"sf":"$sfDir"}""")
+    // printed line: top-20 wall times, plus the [stages, cpu_ms, run_ms]
+    // triple for the same 20 — enough to discriminate contention from
+    // recompute on every slow query while staying inside the capture
+    // window (bench_full.json has the triple for all queries)
+    val top20 = sorted.take(20)
+    val top = top20.map { case (k, (v, _, _, _)) => s"\"$k\":${j(v)}" }.mkString(",")
+    val topM = top20.map { case (k, (_, st, cpu, run)) => s"\"$k\":[$st,$cpu,$run]" }.mkString(",")
+    println(s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${results.size},"queries":{$top},"m":{$topM},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

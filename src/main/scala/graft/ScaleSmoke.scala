@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.Dedup
+import graft.sources.Tables
+
+/** One-decade scale smoke for the dedup/similarity families: derives a
+  * 10x corpus (sf1) from the sf0.1 test data, runs the headline
+  * operators at both scales, and records the quantities the scaladocs'
+  * scale arguments actually rest on — CANDIDATE-PAIR COUNTS per LSH
+  * family, not just wall time (wall is co-tenant-noisy on this machine;
+  * candidate growth is the bucketing math itself).
+  *
+  * The 10x derivation keeps within-shard structure identical to sf0.1
+  * while making shards mutually dissimilar, so the expected reading is
+  * sharp:
+  *  - documents: shard k prefixes every token with "s<k>" — every
+  *    shingle/word hash changes, so cross-shard text similarity is
+  *    exactly zero and each shard reproduces sf0.1's pair structure.
+  *    Linear-candidate families (banded minhash, simhash blocks) must
+  *    therefore come out ~10x sf0.1; a superlinear reading would mean
+  *    the banding math is wrong.
+  *  - embeddings: shard k applies a deterministic +-1 sign flip per
+  *    dimension (an orthogonal diagonal map — within-shard cosines are
+  *    EXACTLY preserved, cross-shard cosines scrambled). Sign-plane
+  *    bucketing at a FIXED plane count concentrates 10x vectors into
+  *    the same 2^planes cells, so its candidate count must grow ~100x:
+  *    the measured knee that forces `planes` to GROW with the corpus
+  *    (Dedup.signBucket scaladoc) — and the planes=8 count alongside it
+  *    shows the knob working.
+  *
+  * Usage: runMain graft.ScaleSmoke [sf0.1Dir] [sf1OutDir]
+  * Writes scale_sf1.json (consumed into BASELINE.md).
+  */
+object ScaleSmoke {
+
+  private val copies = 10
+  private val idStride = 10000000L
+
+  /** Deterministic +-1 mask for shard k (k=0 is identity). */
+  private def signMask(k: Int, dims: Int): Seq[Float] =
+    (0 until dims).map { i =>
+      if (k == 0) 1.0f
+      else if (((k * 2654435761L + i * 40503L) >> 7 & 1L) == 1L) -1.0f else 1.0f
+    }
+
+  private def buildSf1(spark: SparkSession, src: String, out: String): Unit = {
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val docShards = (0 until copies).map { k =>
+      val text =
+        if (k == 0) col("text")
+        else concat_ws(" ", transform(split(col("text"), " "),
+          w => concat(lit(s"s$k"), w)))
+      docs.select(
+        (col("doc_id") + lit(k * idStride)).as("doc_id"),
+        text.as("text"), col("lang"), col("source"), col("n_chars"))
+    }
+    docShards.reduce(_ unionByName _)
+      .repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val dims = emb.select(size(col("embedding"))).first().getInt(0)
+    val embShards = (0 until copies).map { k =>
+      val mask = array(signMask(k, dims).map(lit): _*)
+      emb.select(
+        (col("vec_id") + lit(k * idStride)).as("vec_id"),
+        zip_with(col("embedding"), mask, (x, m) => (x * m).cast("float")).as("embedding"),
+        col("label"))
+    }
+    embShards.reduce(_ unionByName _)
+      .repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+  }
+
+  /** sum over buckets of C(n,2) for the sign-plane embedding LSH. */
+  private def embeddingCandidates(s: SparkSession, d: String, planes: Int): Long =
+    Tables.embeddings(s, d)
+      .select(Dedup.signBucket(col("embedding").cast("array<double>"), planes).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") * (col("n") - 1) / 2).as("c"))
+      .first().getLong(0)
+
+  /** Distinct banded-minhash candidate pairs (what d03/d06 feed the
+    * exact verifier). */
+  private def minhashCandidates(s: SparkSession, d: String): Long = {
+    import s.implicits._
+    Dedup.bandCandidates(Dedup.minhashBands(
+      Dedup.shingleHashes(Tables.documents(s, d), $"doc_id", $"text"), "smokemh"))
+      .count()
+  }
+
+  /** Simhash 4x15-bit block-join candidate rows (pre-verification,
+    * pre-pair-dedup — the join volume d09 actually pays). */
+  private def simhashCandidates(s: SparkSession, d: String): Long = {
+    import s.implicits._
+    val sig = Dedup.simhashSigs(s, d, 60, None)
+      .select($"doc_id", explode(array((0 until 4).map(lit): _*)).as("b"),
+        $"simhash")
+      .withColumn("bk", expr("(simhash >> (b * 15)) & 32767"))
+      .select($"b", $"bk")
+    sig.groupBy($"b", $"bk").agg(count(lit(1)).as("n"))
+      .agg(sum($"n" * ($"n" - 1) / 2).as("c"))
+      .first().getLong(0)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = if (args.length > 1) args(1) else
+      graft.util.Scratch.dir("sf1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    buildSf1(spark, src, out)
+
+    val names = Seq("d01_exact_dedup", "d03_minhash_lsh", "d05_embedding_neardup",
+      "d06_lsh_verified_neardup", "d07_neardup_clusters", "d09_simhash_verified",
+      "d10_decontaminate", "d11_multiprobe_neardup", "s02_batch_knn", "s07_kmeans")
+      .filter(SparkEntry.queries.contains)
+    def j(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val dirs = Seq("sf0.1" -> src, "sf1" -> out)
+    val sections = dirs.map { case (tag, dir) =>
+      val perQuery = names.map { n =>
+        val t0 = System.nanoTime()
+        val rows = SparkEntry.queries(n)(spark, dir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        s""""$n":{"sec":${j(sec)},"rows":$rows}"""
+      }
+      val cands = Seq(
+        s""""minhash_band_pairs":${minhashCandidates(spark, dir)}""",
+        s""""simhash_block_pairs":${simhashCandidates(spark, dir)}""",
+        s""""sign4_bucket_pairs":${embeddingCandidates(spark, dir, 4)}""",
+        s""""sign8_bucket_pairs":${embeddingCandidates(spark, dir, 8)}""")
+      spark.catalog.clearCache()
+      s""""$tag":{"queries":{${perQuery.mkString(",")}},"candidates":{${cands.mkString(",")}}}"""
+    }
+    val json = s"""{${sections.mkString(",")},"copies":$copies}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("scale_sf1.json"),
+      json.getBytes("UTF-8"))
+    println(json)
+    spark.stop()
+  }
+}

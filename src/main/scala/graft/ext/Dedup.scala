@@ -220,7 +220,7 @@ object Dedup extends QueryModule {
     * signature table is consumed by up to 5 downstream branches (3 band
     * joins + both pair sides) and Spark does not share self-join
     * subplans. */
-  private def minhashBands(sh: DataFrame, slot: String): DataFrame = {
+  private[graft] def minhashBands(sh: DataFrame, slot: String): DataFrame = {
     val minCols = seedsList.map { i =>
       min((lit(permA(i)) * (col("sh") % 1073741824L) + lit(permB(i))) % 1000000007L).as(s"mh$i")
     }
@@ -233,7 +233,7 @@ object Dedup extends QueryModule {
 
   /** LSH candidate pairs: docs sharing any of the 3 band hashes. An
     * equi-join per band — the all-pairs space is never materialized. */
-  private def bandCandidates(withBands: DataFrame): DataFrame =
+  private[graft] def bandCandidates(withBands: DataFrame): DataFrame =
     (0 until 3).map { b =>
       val x = withBands.select(col("doc_id").as("doc_a"), col(s"bh$b").as("bh"))
       val y = withBands.select(col("doc_id").as("doc_b"), col(s"bh$b").as("bh"))
@@ -520,7 +520,7 @@ object Dedup extends QueryModule {
     * bucket counts; d09: block x block), and Spark re-executes the
     * whole explode+vote pipeline per branch without it (measured
     * ~2 s/branch at sf0.1). */
-  private def simhashSigs(s: SparkSession, d: String, bits: Int,
+  private[graft] def simhashSigs(s: SparkSession, d: String, bits: Int,
       persistSlot: Option[String]): DataFrame = {
     import s.implicits._
     val occ = Tables.documents(s, d)
@@ -639,17 +639,22 @@ object Dedup extends QueryModule {
     */
   /** Sign-bit LSH bucket over the first `planes` dimensions of an
     * array<double> column (dim 1 is the most significant bit). A vector
-    * shorter than `planes` fails LOUDLY (assert_true): element_at past
-    * the end would otherwise null the bucket and every join on it —
-    * an operator told to grow planes with the corpus must not degrade
-    * to silently-empty output when planes outgrows the embedding dim. */
+    * shorter than `planes`, or one with a NULL among the probed
+    * elements, fails LOUDLY (assert_true): either would otherwise null
+    * the bucket and silently drop the row from every join on it — an
+    * operator told to grow planes with the corpus must not degrade to
+    * silently-empty output on short or corrupt embeddings. */
   def signBucket(v: Column, planes: Int): Column = {
     require(planes >= 1 && planes <= 62, s"planes must be in [1, 62], got $planes")
     val bucket = (0 until planes).map(i =>
       (element_at(v, i + 1) >= 0).cast("long") * lit(1L << (planes - 1 - i)))
       .reduce(_ + _)
-    when(assert_true(size(v) >= planes,
-      lit(s"signBucket: vector dimension < planes=$planes")).isNull, bucket)
+    // bucket.isNotNull covers NULL probed elements (any null element
+    // nulls the sum); size(v) on a NULL vector is -1, so both corrupt
+    // shapes hit the same loud failure
+    when(assert_true(size(v) >= planes && bucket.isNotNull,
+      lit(s"signBucket: vector dimension < planes=$planes or NULL element in first $planes dims")).isNull,
+      bucket)
   }
 
   /** PUBLIC operator: embedding-cosine near-duplicate pairs for any
@@ -695,9 +700,11 @@ object Dedup extends QueryModule {
 
   private def d05(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    embeddingNearDupPairs(Tables.embeddings(s, d), $"vec_id", $"embedding",
-      threshold = 0.4, planes = 4)
-      .orderBy($"vec_a", $"vec_b")
+    // sortedSmall, not orderBy: the result is gate-sized but the
+    // bucket-join + cosine DAG is the expensive part, and orderBy's
+    // range-bounds sampling job would execute it a second time
+    sortedSmall(embeddingNearDupPairs(Tables.embeddings(s, d), $"vec_id",
+      $"embedding", threshold = 0.4, planes = 4), $"vec_a", $"vec_b")
   }
   private val d05Sql =
     """WITH e AS (
@@ -708,6 +715,37 @@ object Dedup extends QueryModule {
        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
        FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+       ORDER BY vec_a, vec_b"""
+
+  /** d11 — the multi-probe recall lever of d05 under the gate: the same
+    * public operator at planes=8 (finer buckets — the setting the
+    * scaladoc says must GROW with the corpus) with `multiProbe = true`,
+    * so pairs split by exactly one of the eight hyperplanes are still
+    * found via the Hamming-1 neighbor-cell probes. The oracle expresses
+    * the asymmetric probing directly: the left side cross-joins the 9
+    * XOR masks {0, 1, 2, ..., 128}, the right stays at its home bucket.
+    */
+  private def d11(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    sortedSmall(embeddingNearDupPairs(Tables.embeddings(s, d), $"vec_id",
+      $"embedding", threshold = 0.4, planes = 8, multiProbe = true),
+      $"vec_a", $"vec_b")
+  }
+  private val d11Sql =
+    """WITH e AS (
+         SELECT vec_id, embedding::DOUBLE[] AS v,
+           CAST(v[1] >= 0 AS BIGINT) * 128 + CAST(v[2] >= 0 AS BIGINT) * 64 +
+           CAST(v[3] >= 0 AS BIGINT) * 32 + CAST(v[4] >= 0 AS BIGINT) * 16 +
+           CAST(v[5] >= 0 AS BIGINT) * 8 + CAST(v[6] >= 0 AS BIGINT) * 4 +
+           CAST(v[7] >= 0 AS BIGINT) * 2 + CAST(v[8] >= 0 AS BIGINT) AS bucket
+         FROM embeddings),
+       probe AS (
+         SELECT vec_id, v, xor(bucket, f) AS cell
+         FROM e, unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS t(f))
+       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+       FROM probe a JOIN e b ON a.cell = b.bucket AND a.vec_id < b.vec_id
        WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
        ORDER BY vec_a, vec_b"""
 
@@ -836,6 +874,7 @@ object Dedup extends QueryModule {
     "d05_embedding_neardup" -> d05 _,
     "d06_lsh_verified_neardup" -> d06 _,
     "d07_neardup_clusters" -> d07 _,
+    "d11_multiprobe_neardup" -> d11 _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -849,5 +888,6 @@ object Dedup extends QueryModule {
     "d05_embedding_neardup" -> d05Sql,
     "d06_lsh_verified_neardup" -> d06Sql,
     "d07_neardup_clusters" -> d07Sql,
+    "d11_multiprobe_neardup" -> d11Sql,
   )
 }

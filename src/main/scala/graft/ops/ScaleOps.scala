@@ -29,6 +29,21 @@ object ScaleOps {
     * by a deterministic hash of `leftUnique` (any well-distributed left
     * column). `right` is replicated n times — use for dimension-sized
     * right sides where the duplication is cheap relative to the skew.
+    *
+    * SKEW REMEDY ORDERING at scale: reach for AQE's skew join FIRST
+    * (`spark.sql.adaptive.skewJoin.enabled`, on by default with AQE):
+    * `OptimizeSkewedJoin` splits an oversized post-shuffle partition
+    * into multiple reader tasks — slicing the hot partition's map
+    * outputs and duplicating the matching partition of the other side —
+    * so even a SINGLE hot key parallelizes under a sort-merge or
+    * shuffled-hash join with zero code change, and only when runtime
+    * sizes actually show skew (ScaleOpsSpec pins the split firing).
+    * Salt manually only where AQE cannot act: (a) the skewed side of an
+    * outer join whose rows must not be duplicated on the stream side,
+    * (b) skew under an AGGREGATION rather than a join (AQE splits join
+    * partitions, not hash-aggregate keys — pre-aggregate on
+    * (key, salt) then re-aggregate on key), or (c) when a fixed n-way
+    * layout must be reused deterministically across several stages.
     */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       leftUnique: String, n: Int): DataFrame = {

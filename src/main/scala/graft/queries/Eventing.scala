@@ -438,13 +438,24 @@ object Eventing extends QueryModule {
           .getOrElse(sys.error("heartbeat write produced no parquet part"))
         val target = stage.resolve(s"zz_heartbeat_$i.parquet")
         java.nio.file.Files.move(parquetPart.toPath, target)
+        // fixed +1h plus i seconds, NOT +(i+1) hours: FileStreamSource
+        // drops files older than latestSeenTimestamp - maxFileAge, so a
+        // per-heartbeat hour offset would push the real data files out
+        // of the age window if the heartbeat count ever grew — cap the
+        // future skew at one hour regardless of i (order between
+        // heartbeats comes from the seconds term)
         java.nio.file.Files.setLastModifiedTime(target,
           java.nio.file.attribute.FileTime.fromMillis(
-            System.currentTimeMillis() + (i + 1) * 3600_000L))
-        // the side dir only held the moved part file + commit markers —
-        // drop it so repeated runs don't accumulate temp dirs
-        side.toFile.listFiles().foreach(_.delete())
-        java.nio.file.Files.deleteIfExists(side)
+            System.currentTimeMillis() + 3600_000L + (i + 1) * 1000L))
+        // the side dir held the moved part file + commit markers, and
+        // the committer may leave a _temporary SUBDIR — delete
+        // recursively (best-effort) so a leftover subdir doesn't throw
+        // DirectoryNotEmptyException and fail the query
+        def rmrf(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rmrf)
+          f.delete()
+        }
+        rmrf(side.toFile)
       }
     }
     // the job runs on an ISOLATED session (own SQLConf, shared context
@@ -454,8 +465,13 @@ object Eventing extends QueryModule {
     // no set/restore locking is needed at all.
     val ns = s.newSession()
     ns.conf.set("spark.sql.shuffle.partitions", "8")
+    // maxFileAge pinned explicitly: the sentinel heartbeats carry
+    // future mtimes, and the default 7-day window is measured from the
+    // LATEST seen timestamp — make the age window a stated property of
+    // the harness rather than an interaction of default and skew
     val streamRead = ns.readStream.schema(schema)
     val stream = (if (sentinel) streamRead.option("maxFilesPerTrigger", 1)
+                    .option("maxFileAge", "30d")
                   else streamRead).parquet(stage.toString)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     // per-microbatch fixed cost is dominated by STATE STORE instances:

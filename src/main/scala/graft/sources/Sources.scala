@@ -95,13 +95,27 @@ object Sources {
     * of any batch a sink should be fed. Spec'd against embedded Derby
     * (SourcesSpec); the container has no network, so no live MySQL
     * test exists.
+    *
+    * `maxKeys` fences the driver-side collect: a caller that passes a
+    * ROW-LEVEL key would otherwise silently degrade the sink to an
+    * O(rows) driver collect + per-row DELETE batch. The probe collects
+    * at most maxKeys+1 tuples (never the full key set) and fails
+    * loudly past the bound — raise it only for a key you can argue is
+    * partition-shaped.
     */
   def upsertJdbc(df: DataFrame, url: String, table: String,
       keyCols: Seq[String],
-      props: java.util.Properties = new java.util.Properties): Unit = {
+      props: java.util.Properties = new java.util.Properties,
+      maxKeys: Int = 10000): Unit = {
     require(keyCols.nonEmpty, "upsertJdbc needs at least one key column")
     val dialect = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
-    val keys = df.selectExpr(keyCols: _*).distinct().collect()
+    // limit(maxKeys + 1): the overflow check needs one witness row past
+    // the bound, not the whole (possibly row-level) key set on the driver
+    val keys = df.selectExpr(keyCols: _*).distinct().limit(maxKeys + 1).collect()
+    require(keys.length <= maxKeys,
+      s"upsertJdbc: more than $maxKeys distinct key tuples for ${keyCols.mkString(",")} — " +
+        "the key must be statement-shaped (low-cardinality, a partition-key " +
+        "analog), not row-level; raise maxKeys only if the DELETE fan-out is intended")
     keys.foreach { row =>
       require(keyCols.indices.forall(!row.isNullAt(_)),
         s"upsertJdbc: null key value in $row — NULL never matches `col = ?`, " +
@@ -111,13 +125,23 @@ object Sources {
     try {
       // existence probe by a zero-row SELECT, not DatabaseMetaData
       // .getTables: the metadata API treats '_'/'%' as pattern
-      // wildcards and never matches schema-qualified names
+      // wildcards and never matches schema-qualified names. Only a
+      // table-not-found SQLState means "absent" — any other failure
+      // (lock timeout, permissions, dead connection) must FAIL the
+      // load, not silently skip the DELETE and append duplicates.
+      val notFoundStates = Set(
+        "42S02", // MySQL / SQL-92: base table or view not found
+        "42X05", // Derby: table/view does not exist
+        "42P01") // Postgres: undefined_table
       val exists =
         try {
           val st = conn.createStatement()
           try { st.executeQuery(s"SELECT 1 FROM $table WHERE 1=0").close(); true }
           finally st.close()
-        } catch { case _: java.sql.SQLException => false }
+        } catch {
+          case e: java.sql.SQLException
+              if e.getSQLState != null && notFoundStates(e.getSQLState) => false
+        }
       if (exists && keys.nonEmpty) {
         val where = keyCols.map(k => s"${dialect.quoteIdentifier(k)} = ?")
           .mkString(" AND ")

@@ -30,13 +30,20 @@ object Tables {
     * are the operators whose per-row compute dominates scan cost;
     * scan-bound relational queries keep the scan's native layout.
     *
-    * The guard reads `inputFiles` (driver-side file listing off the
-    * logical plan) rather than `df.rdd.getNumPartitions`: `.rdd` forces
-    * a full physical-planning pass per call, and split-count probing
-    * made the plan shape depend on `maxPartitionBytes` at call time. A
-    * production table has >= cores files, so the guard is a passthrough
-    * there by construction; only few-file test layouts take the
-    * round-robin branch (SourcesSpec pins both branches). */
+    * The guard decides from TOTAL SCAN BYTES first (driver-side stats
+    * off the file index — no planning pass): parquet splits by byte
+    * ranges capped at `maxPartitionBytes`, so total bytes >= cores x
+    * maxPartitionBytes GUARANTEES >= cores scan tasks — true for a
+    * production table whether it is many files or one many-row-group
+    * file, so the 100 TB path is a deterministic, probe-free
+    * passthrough. Neither file count nor byte total alone is safe on
+    * the small side (many tiny files can pack into few partitions via
+    * maxSplitBytes/openCostInBytes; one small file is one task no
+    * matter the conf), so only small-bytes layouts pay a one-off
+    * `.rdd` physical-planning probe of the real partition count —
+    * cheap exactly where it happens, on test-sized scans. SourcesSpec
+    * pins the round-robin, passthrough, and packed-tiny-files
+    * branches. */
   def spread(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
     val nFiles = df.inputFiles.length
@@ -46,7 +53,15 @@ object Tables {
     // off the hot file-scan path
     if (nFiles == 0) {
       if (df.rdd.getNumPartitions < p) df.repartition(p) else df
-    } else if (nFiles < p) df.repartition(p) else df
+    } else {
+      val maxPart = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+        df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes",
+          s"${128L * 1024 * 1024}"))
+      val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      if (bytes >= BigInt(p) * maxPart) df // >= p byte-range splits, guaranteed
+      else if (df.rdd.getNumPartitions < p) df.repartition(p)
+      else df
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")

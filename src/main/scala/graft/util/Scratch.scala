@@ -45,10 +45,17 @@ object Scratch {
   }
 
   /** A named scratch directory under this JVM's private root (created
-    * if absent; same name → same path within the process). */
+    * if absent; same name → same path within the process). Each call
+    * touches the root's mtime: a directory's mtime only moves when
+    * DIRECT children change, so a JVM alive past the 6-hour GC cutoff
+    * (all its subdirs created early) would otherwise have its scratch
+    * deleted out from under it by any newly started graft process. */
   def dir(name: String): String = {
     val d = root.resolve(name)
     Files.createDirectories(d)
+    try Files.setLastModifiedTime(root,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+    catch { case _: Exception => () } // heartbeat is best-effort
     d.toAbsolutePath.toString
   }
 }

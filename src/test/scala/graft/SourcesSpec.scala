@@ -108,12 +108,17 @@ class SourcesSpec extends SparkSpec {
     val src = Tables.orders(spark, sfDir).select(col("o_orderkey"))
     src.coalesce(1).write.mode("overwrite").parquet(s"$tmp/spread_few")
     src.repartition(p + 1).write.mode("overwrite").parquet(s"$tmp/spread_many")
-    // guard is driver metadata only (inputFiles) — both branches pinned
-    // by object identity, independent of maxPartitionBytes or machine
     val few = spark.read.parquet(s"$tmp/spread_few")
     assert(!(Tables.spread(few) eq few), "single-file scan must round-robin")
-    val many = spark.read.parquet(s"$tmp/spread_many")
-    assert(Tables.spread(many) eq many, ">= parallelism files must pass through")
+    // the production passthrough is the BYTES guarantee: total >= p x
+    // maxPartitionBytes means >= p byte-range splits with no probe at
+    // all — pinned by object identity under a lowered maxPartitionBytes
+    // (test files are KBs; the ratio is what the branch keys on)
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.files.maxPartitionBytes", "1k")
+    val many = s2.read.parquet(s"$tmp/spread_many")
+    assert(Tables.spread(many) eq many,
+      "bytes >= parallelism x maxPartitionBytes must pass through probe-free")
     // the repartition must not change results
     assert(Tables.spread(few).exceptAll(few).count() == 0)
   }
@@ -145,6 +150,50 @@ class SourcesSpec extends SparkSpec {
     load(revisedA)                      // revision replaces ONLY its key
     assert(snapshot() == (revisedA ++ stmtB).toSet,
       "revision must replace the statement and leave others untouched")
+  }
+
+  test("jdbc sink: row-level key fails loudly at the maxKeys fence") {
+    import spark.implicits._
+    val url = "jdbc:derby:memory:graftdb_fence;create=true"
+    val rows = (1 to 50).map(i => (s"K$i", 2023, "aset", 1.0))
+    val e = intercept[IllegalArgumentException] {
+      Sources.upsertJdbc(rows.toDF("kode", "tahun", "item", "nilai"),
+        url, "fakta_fence", Seq("kode", "tahun"), maxKeys = 10)
+    }
+    assert(e.getMessage.contains("statement-shaped"), e.getMessage)
+  }
+
+  test("jdbc sink: a non-table-missing probe failure fails the load, not the idempotence") {
+    import spark.implicits._
+    val url = "jdbc:derby:memory:graftdb_probe;create=true"
+    // a syntactically invalid table name makes the existence probe throw
+    // a NON-not-found SQLState (Derby 42X01 syntax error); swallowing it
+    // would skip the DELETE and silently duplicate on re-load — the sink
+    // must rethrow instead of degrading to a plain append
+    intercept[java.sql.SQLException] {
+      Sources.upsertJdbc(Seq(("TLKM", 2023, "aset", 1.0))
+          .toDF("kode", "tahun", "item", "nilai"),
+        url, "fakta WHERE", Seq("kode", "tahun"))
+    }
+  }
+
+  test("spread catches many tiny files packed below parallelism") {
+    // isolated session: zero open cost + minPartitionNum=1 makes the
+    // packer collapse the tiny files into one scan task — the layout the
+    // skew guard exists for, invisible to a file-count-only check
+    val s = spark.newSession()
+    s.conf.set("spark.sql.files.openCostInBytes", "0")
+    s.conf.set("spark.sql.files.minPartitionNum", "1")
+    val p = s.sparkContext.defaultParallelism
+    Tables.orders(spark, sfDir).select(col("o_orderkey")).limit(200)
+      .repartition(p + 1).write.mode("overwrite").parquet(s"$tmp/spread_tiny")
+    val tiny = s.read.parquet(s"$tmp/spread_tiny")
+    assert(tiny.rdd.getNumPartitions < p,
+      s"precondition: expected the packer to collapse ${p + 1} tiny files")
+    val spreadDf = Tables.spread(tiny)
+    assert(!(spreadDf eq tiny), "packed tiny-file scan must round-robin")
+    assert(spreadDf.rdd.getNumPartitions >= p)
+    assert(spreadDf.exceptAll(tiny).count() == 0)
   }
 
   test("FAILFAST csv read rejects schema drift loudly") {
