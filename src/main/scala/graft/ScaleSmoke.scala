@@ -76,7 +76,7 @@ object ScaleSmoke {
     Tables.embeddings(s, d)
       .select(Dedup.signBucket(col("embedding").cast("array<double>"), planes).as("b"))
       .groupBy(col("b")).agg(count(lit(1)).as("n"))
-      .agg(sum(col("n") * (col("n") - 1) / 2).as("c"))
+      .agg((sum(col("n") * (col("n") - 1)) / 2).cast("long").as("c"))
       .first().getLong(0)
 
   /** Distinct banded-minhash candidate pairs (what d03/d06 feed the
@@ -98,7 +98,7 @@ object ScaleSmoke {
       .withColumn("bk", expr("(simhash >> (b * 15)) & 32767"))
       .select($"b", $"bk")
     sig.groupBy($"b", $"bk").agg(count(lit(1)).as("n"))
-      .agg(sum($"n" * ($"n" - 1) / 2).as("c"))
+      .agg((sum($"n" * ($"n" - 1)) / 2).cast("long").as("c"))
       .first().getLong(0)
   }
 

@@ -466,7 +466,65 @@ object TextAnalysis extends QueryModule {
        FROM canon JOIN keepers USING (h)
        GROUP BY source ORDER BY source"""
 
+  /** a12 — PII DETECT + SCRUB: the redaction pass a training corpus
+    * runs before text reaches a model — find emails / phone numbers /
+    * IPv4 addresses, count them per document (the audit trail), and
+    * emit a digest of the scrubbed text (the proof the redaction
+    * actually happened, hash-checked end to end by the gate). The
+    * synthetic corpus carries no PII, so the query first INJECTS
+    * deterministic PII derived from doc_id — the oracle computes the
+    * identical injection, so what the gate certifies is the
+    * detection+scrub path, not the fixture. Everything is per-row
+    * map-side regex work (codegen'd regexp_count/regexp_replace, no
+    * UDF); at 100 TB this is one scan, zero shuffles before the
+    * gate-sized ORDER BY. Patterns are written in the RE2-compatible
+    * subset (\d, \b, classes) so Spark's Java regex and DuckDB's RE2
+    * agree by construction.
+    */
+  private val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phonePat = "\\+62 8\\d{2}-\\d{4}-\\d{4}"
+  private val ipv4Pat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private def a12(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pii = Tables.documents(s, d).select($"doc_id", concat(
+      $"text",
+      when($"doc_id" % 3 === 0,
+        concat(lit(" contact u"), $"doc_id".cast("string"),
+          lit("@mail.example.com"))).otherwise(""),
+      when($"doc_id" % 5 === 0,
+        concat(lit(" call +62 812-"), ($"doc_id" % 1000 + 4000).cast("string"),
+          lit("-"), ($"doc_id" % 2000 + 7000).cast("string"))).otherwise(""),
+      when($"doc_id" % 7 === 0,
+        concat(lit(" src 10."), ($"doc_id" % 250).cast("string"),
+          lit(".3.44"))).otherwise("")).as("t"))
+    pii.select($"doc_id",
+        regexp_count($"t", lit(emailPat)).cast("long").as("n_emails"),
+        regexp_count($"t", lit(phonePat)).cast("long").as("n_phones"),
+        regexp_count($"t", lit(ipv4Pat)).cast("long").as("n_ips"),
+        md5(regexp_replace(regexp_replace(regexp_replace($"t",
+          emailPat, "[EMAIL]"), phonePat, "[PHONE]"), ipv4Pat, "[IP]"))
+          .as("clean_md5"))
+      .orderBy($"doc_id")
+  }
+  private val a12Sql =
+    s"""WITH pii AS (
+         SELECT doc_id, text
+           || CASE WHEN doc_id % 3 = 0 THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@mail.example.com' ELSE '' END
+           || CASE WHEN doc_id % 5 = 0 THEN ' call +62 812-' || CAST(doc_id % 1000 + 4000 AS VARCHAR) || '-' || CAST(doc_id % 2000 + 7000 AS VARCHAR) ELSE '' END
+           || CASE WHEN doc_id % 7 = 0 THEN ' src 10.' || CAST(doc_id % 250 AS VARCHAR) || '.3.44' ELSE '' END
+           AS t
+         FROM documents)
+       SELECT doc_id,
+         CAST(len(regexp_extract_all(t, '$emailPat')) AS BIGINT) AS n_emails,
+         CAST(len(regexp_extract_all(t, '$phonePat')) AS BIGINT) AS n_phones,
+         CAST(len(regexp_extract_all(t, '$ipv4Pat')) AS BIGINT) AS n_ips,
+         md5(regexp_replace(regexp_replace(regexp_replace(t,
+           '$emailPat', '[EMAIL]', 'g'), '$phonePat', '[PHONE]', 'g'),
+           '$ipv4Pat', '[IP]', 'g')) AS clean_md5
+       FROM pii ORDER BY doc_id"""
+
   val queries: Map[String, QueryFn] = Map(
+    "a12_pii_scrub" -> a12 _,
     "a11_dup_report" -> a11 _,
     "a10_unigram_logprob" -> a10 _,
     "a01_language_id" -> a01 _,
@@ -481,6 +539,7 @@ object TextAnalysis extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "a12_pii_scrub" -> a12Sql,
     "a11_dup_report" -> a11Sql,
     "a10_unigram_logprob" -> a10Sql,
     "a01_language_id" -> a01Sql,

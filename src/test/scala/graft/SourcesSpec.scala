@@ -196,6 +196,31 @@ class SourcesSpec extends SparkSpec {
     assert(spreadDf.exceptAll(tiny).count() == 0)
   }
 
+  test("spread passes through a single file with many row groups") {
+    // production tables are often ONE large file with thousands of row
+    // groups — parquet splits it by byte range at row-group granularity,
+    // so it parallelizes fine and spread must NOT shuffle it. File count
+    // is 1 here, the exact layout a file-count-only check would wrongly
+    // round-robin; the bytes guard keys on total scan bytes instead.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.files.maxPartitionBytes", "64k")
+    val p = s.sparkContext.defaultParallelism
+    // tiny parquet.block.size forces a row-group flush every ~64 KB, so
+    // the single file carries many row groups like a production file
+    spark.range(0, 50000)
+      .select(col("id"), md5(col("id").cast("string")).as("pad"))
+      .coalesce(1).write.mode("overwrite")
+      .option("parquet.block.size", 64 * 1024)
+      .option("parquet.page.size", 8 * 1024)
+      .parquet(s"$tmp/spread_rowgroups")
+    val one = s.read.parquet(s"$tmp/spread_rowgroups")
+    assert(one.inputFiles.length == 1, "precondition: a single file")
+    assert(one.rdd.getNumPartitions >= p,
+      "precondition: the one file must split into >= parallelism scan tasks")
+    assert(Tables.spread(one) eq one,
+      "a many-row-group single file must pass through untouched")
+  }
+
   test("FAILFAST csv read rejects schema drift loudly") {
     val schema = StructType(Seq(
       StructField("o_orderkey", LongType),

