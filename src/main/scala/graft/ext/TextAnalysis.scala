@@ -523,7 +523,68 @@ object TextAnalysis extends QueryModule {
            '$ipv4Pat', '[IP]', 'g')) AS clean_md5
        FROM pii ORDER BY doc_id"""
 
+  /** a13 — SEQUENCE PACKING layout (concat-and-chunk): the training
+    * layout that concatenates the corpus token stream in a fixed
+    * document order and slices it into fixed-budget sequences
+    * (budget=512 here), letting documents straddle boundaries. Per doc:
+    * token count, global token start offset, and the first/last
+    * sequence it occupies — exactly the routing table a packing job
+    * needs to ship each doc's tokens to its sequence shards. The
+    * global exclusive prefix sum is the scale hazard (a
+    * single-partition ORDER BY window serializes the corpus); computed
+    * with w09's two-pass range formulation instead — doc_id range
+    * bounds (approxQuantile), per-range token totals (a |ranges|-row
+    * aggregate) prefix-summed into broadcast offsets, then the
+    * per-range cumsum runs in parallel. Bounds only balance work: any
+    * doc_id-monotone bucketing yields identical offsets, so sampling
+    * error cannot affect the result. The oracle recomputes it with the
+    * plain single-window formulation.
+    */
+  private def a13(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val budget = 512L
+    val toks = Tables.documents(s, d)
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n_tok"))
+    val bounds = toks.stat
+      .approxQuantile("doc_id", (1 until 16).map(_ / 16.0).toArray, 0.001)
+      .distinct.sorted
+    val boundsCol = array(bounds.map(lit).toIndexedSeq: _*)
+    val bucketed = toks.withColumn("bkt",
+      aggregate(boundsCol, lit(0), (acc, b) => acc + ($"doc_id" > b).cast("int")))
+    val counts = bucketed.groupBy($"bkt").agg(sum($"n_tok").as("btok"))
+    // |ranges| rows — the only single-partition window is over ~16 rows
+    val wB = Window.orderBy($"bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts.withColumn("off", coalesce(sum($"btok").over(wB), lit(0L)))
+      .select($"bkt", $"off")
+    val wL = Window.partitionBy($"bkt").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed.join(broadcast(offsets), "bkt")
+      .withColumn("tok_start", $"off" + coalesce(sum($"n_tok").over(wL), lit(0L)))
+      .withColumn("seq_first", expr(s"tok_start div $budget"))
+      .withColumn("seq_last", expr(s"(tok_start + n_tok - 1) div $budget"))
+      .withColumn("n_seqs", $"seq_last" - $"seq_first" + lit(1L))
+      .select($"doc_id", $"n_tok", $"tok_start", $"seq_first", $"seq_last", $"n_seqs")
+      .orderBy($"doc_id")
+  }
+  private val a13Sql =
+    """WITH toks AS (
+         SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+         FROM documents),
+       cum AS (
+         SELECT doc_id, n_tok,
+           CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS tok_start
+         FROM toks)
+       SELECT doc_id, n_tok, tok_start,
+         tok_start // 512 AS seq_first,
+         (tok_start + n_tok - 1) // 512 AS seq_last,
+         (tok_start + n_tok - 1) // 512 - tok_start // 512 + 1 AS n_seqs
+       FROM cum ORDER BY doc_id"""
+
   val queries: Map[String, QueryFn] = Map(
+    "a13_sequence_packing" -> a13 _,
     "a12_pii_scrub" -> a12 _,
     "a11_dup_report" -> a11 _,
     "a10_unigram_logprob" -> a10 _,
@@ -539,6 +600,7 @@ object TextAnalysis extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "a13_sequence_packing" -> a13Sql,
     "a12_pii_scrub" -> a12Sql,
     "a11_dup_report" -> a11Sql,
     "a10_unigram_logprob" -> a10Sql,

@@ -42,6 +42,32 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("property: hierarchical union-find matches brute-force components on random graphs") {
+    val edgeGen = Gen.nonEmptyListOf(
+      Gen.zip(Gen.choose(0L, 40L), Gen.choose(0L, 40L)).suchThat(p => p._1 != p._2))
+    forAll(edgeGen, cases = 5) { edges: List[(Long, Long)] =>
+      import spark.implicits._
+      // driver-side reference: repeated relabel-to-min until fixpoint
+      var lbl = edges.flatMap(e => Seq(e._1, e._2)).distinct.map(n => n -> n).toMap
+      var changed = true
+      while (changed) {
+        changed = false
+        edges.foreach { case (a, b) =>
+          val m = math.min(lbl(a), lbl(b))
+          if (lbl(a) != m || lbl(b) != m) { lbl += a -> m; lbl += b -> m; changed = true }
+        }
+        // propagate through chains: relabel every node to its label's label
+        val next = lbl.map { case (n, l) => n -> lbl.getOrElse(l, l) }
+        if (next != lbl) { lbl = next; changed = true }
+      }
+      val expect = lbl.toSeq.sorted
+      val got = graft.ext.Dedup
+        .connectedComponents(edges.toDF("src", "dst"), col("src"), col("dst"))
+        .as[(Long, Long)].collect().toSeq.sorted
+      assert(got == expect, s"edges=$edges")
+    }
+  }
+
   test("property: anti-join load gate is idempotent for any overlap") {
     forAll2(
       Gen.nonEmptyListOf(Gen.choose(1, 20)),

@@ -87,6 +87,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(touched.count() > 0, "fixture must inject some PII")
   }
 
+  test("a13 two-pass packing offsets equal the single-window cumsum and tile the token stream") {
+    import org.apache.spark.sql.expressions.Window
+    val df = TextAnalysis.queries("a13_sequence_packing")(spark, sfDir)
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("nt"))
+    val w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    val naive = docs.withColumn("ts2", coalesce(sum("nt").over(w), lit(0L)))
+    val joined = df.join(naive, "doc_id")
+    assert(joined.filter(col("tok_start") =!= col("ts2")).count() == 0,
+      "range-bucketed two-pass offsets must equal the global window")
+    // the docs tile the stream exactly: each starts where the previous ended
+    val wNext = Window.orderBy("doc_id")
+    val tiled = df.withColumn("next_start", lead("tok_start", 1).over(wNext))
+    assert(tiled.filter(col("next_start").isNotNull &&
+      col("next_start") =!= col("tok_start") + col("n_tok")).count() == 0)
+    assert(df.filter(col("n_seqs") < 1 || col("seq_last") < col("seq_first")).count() == 0)
+  }
+
   test("a04 fingerprint is position-sensitive: the ' dup' twins do NOT collide") {
     val df = TextAnalysis.queries("a04_fingerprint")(spark, sfDir)
     // exact copies would collide; the planted near-dups differ by a
