@@ -90,6 +90,19 @@ class PlanAuditSpec extends SparkSpec {
       s"s07 must not plan any Window operator:\n$plan")
   }
 
+  test("a13's corpus cumsum window is range-partitioned (global window only over the count table)") {
+    // the per-doc prefix sum must run under partitionBy(bkt) — an
+    // unpartitioned window over the token stream serializes the corpus;
+    // the only global window allowed is over the ~16-row range counts
+    val plan = planOf(graft.ext.TextAnalysis.queries("a13_sequence_packing")(spark, sfDir))
+    val corpusWindows = plan.linesIterator
+      .filter(l => l.contains("Window") && l.contains("n_tok"))
+    corpusWindows.foreach { l =>
+      assert(l.contains("], [bkt"),
+        s"a13's corpus window must be partitioned by the range bucket:\n$l")
+    }
+  }
+
   test("hot scan families stay inside WholeStageCodegen (no interpreted hot path)") {
     Seq("q01_pricing_summary", "q06_scan_filter_agg", "t02_predicates",
       "a02_quality_score", "e08_histogram").foreach { q =>
