@@ -79,6 +79,25 @@ object ScaleSmoke {
       .agg((sum(col("n") * (col("n") - 1)) / 2).cast("long").as("c"))
       .first().getLong(0)
 
+  /** Multi-probe join volume at `planes`: the probe side carries home +
+    * `planes` Hamming-1 cells per vector, so the bucket join pays
+    * sum over cells of n_probe(c) x n_home(c) rows — the quantity the
+    * recall lever actually costs. The home-bucket pair count alone
+    * (embeddingCandidates) understates multi-probe cost ~(planes+1)x. */
+  private def multiProbeJoinRows(s: SparkSession, d: String, planes: Int): Long = {
+    val e = Tables.embeddings(s, d)
+      .select(Dedup.signBucket(col("embedding").cast("array<double>"), planes)
+        .as("bucket"))
+    val home = e.groupBy(col("bucket")).agg(count(lit(1)).as("nh"))
+    val probe = e.withColumn("flip",
+        explode(array((lit(0L) +: (0 until planes).map(i => lit(1L << i))): _*)))
+      .select(col("bucket").bitwiseXOR(col("flip")).as("cell"))
+      .groupBy(col("cell")).agg(count(lit(1)).as("np"))
+    probe.join(home, probe("cell") === home("bucket"))
+      .agg(sum(col("np") * col("nh")).cast("long").as("c"))
+      .first().getLong(0)
+  }
+
   /** Distinct banded-minhash candidate pairs (what d03/d06 feed the
     * exact verifier). */
   private def minhashCandidates(s: SparkSession, d: String): Long = {
@@ -131,7 +150,13 @@ object ScaleSmoke {
         s""""minhash_band_pairs":${minhashCandidates(spark, dir)}""",
         s""""simhash_block_pairs":${simhashCandidates(spark, dir)}""",
         s""""sign4_bucket_pairs":${embeddingCandidates(spark, dir, 4)}""",
-        s""""sign8_bucket_pairs":${embeddingCandidates(spark, dir, 8)}""")
+        s""""sign8_bucket_pairs":${embeddingCandidates(spark, dir, 8)}""",
+        s""""sign8_multiprobe_join_rows":${multiProbeJoinRows(spark, dir, 8)}""",
+        s""""sign8_noprobe_result_pairs":${
+          import spark.implicits._
+          Dedup.embeddingNearDupPairs(Tables.embeddings(spark, dir),
+            $"vec_id", $"embedding", threshold = 0.4, planes = 8,
+            multiProbe = false).count()}""")
       spark.catalog.clearCache()
       s""""$tag":{"queries":{${perQuery.mkString(",")}},"candidates":{${cands.mkString(",")}}}"""
     }

@@ -451,11 +451,7 @@ object Eventing extends QueryModule {
         // the committer may leave a _temporary SUBDIR — delete
         // recursively (best-effort) so a leftover subdir doesn't throw
         // DirectoryNotEmptyException and fail the query
-        def rmrf(f: java.io.File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(rmrf)
-          f.delete()
-        }
-        rmrf(side.toFile)
+        graft.util.Scratch.deleteRecursively(side.toFile)
       }
     }
     // the job runs on an ISOLATED session (own SQLConf, shared context

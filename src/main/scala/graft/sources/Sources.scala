@@ -130,17 +130,30 @@ object Sources {
       // (lock timeout, permissions, dead connection) must FAIL the
       // load, not silently skip the DELETE and append duplicates.
       val notFoundStates = Set(
-        "42S02", // MySQL / SQL-92: base table or view not found
+        "42S02", // MySQL / SQL-92 ODBC: base table or view not found
         "42X05", // Derby: table/view does not exist
-        "42P01") // Postgres: undefined_table
+        "42P01", // Postgres: undefined_table
+        "S0002") // SQL Server (mssql-jdbc): invalid object name
+      def isNotFound(e: java.sql.SQLException): Boolean = {
+        val state = e.getSQLState
+        (state != null && notFoundStates(state)) ||
+        // Oracle reports missing tables under the generic syntax class
+        // 42000; the ORA code is the discriminating signal
+        (state == "42000" && e.getMessage != null &&
+          e.getMessage.contains("ORA-00942"))
+      }
+      // A dialect whose not-found signature isn't classified here fails
+      // the FIRST load loudly (extend the classifier or pre-create the
+      // table) — the deliberate trade: a loud first-load failure is
+      // recoverable, silently skipping the DELETE and appending
+      // duplicates is not.
       val exists =
         try {
           val st = conn.createStatement()
           try { st.executeQuery(s"SELECT 1 FROM $table WHERE 1=0").close(); true }
           finally st.close()
         } catch {
-          case e: java.sql.SQLException
-              if e.getSQLState != null && notFoundStates(e.getSQLState) => false
+          case e: java.sql.SQLException if isNotFound(e) => false
         }
       if (exists && keys.nonEmpty) {
         val where = keyCols.map(k => s"${dialect.quoteIdentifier(k)} = ?")

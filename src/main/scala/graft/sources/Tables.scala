@@ -33,10 +33,12 @@ object Tables {
     * The guard decides from TOTAL SCAN BYTES first (driver-side stats
     * off the file index — no planning pass): parquet splits by byte
     * ranges capped at `maxPartitionBytes`, so total bytes >= cores x
-    * maxPartitionBytes GUARANTEES >= cores scan tasks — true for a
-    * production table whether it is many files or one many-row-group
-    * file, so the 100 TB path is a deterministic, probe-free
-    * passthrough. Neither file count nor byte total alone is safe on
+    * maxPartitionBytes guarantees >= cores byte-range splits; a sampled
+    * footer read (see `estimatedRowGroups`) then confirms enough row
+    * groups exist to make those splits non-empty — covering the
+    * giant-row-group writer whose midpoints land in few splits. With
+    * both checks passing, the 100 TB path is a passthrough costing one
+    * driver-side footer read. Neither file count nor byte total alone is safe on
     * the small side (many tiny files can pack into few partitions via
     * maxSplitBytes/openCostInBytes; one small file is one task no
     * matter the conf), so only small-bytes layouts pay a one-off
@@ -58,11 +60,36 @@ object Tables {
         df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes",
           s"${128L * 1024 * 1024}"))
       val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-      if (bytes >= BigInt(p) * maxPart) df // >= p byte-range splits, guaranteed
+      // bytes >= p x maxPartitionBytes guarantees >= p byte-range
+      // SPLITS — but a split only does work if a row-group MIDPOINT
+      // lands in it, so a writer using row groups larger than
+      // maxPartitionBytes (foreign writers default up to 1 GB) still
+      // starves the scan. One driver-side footer read of the first
+      // file (KBs, cheaper than a planning probe) estimates total row
+      // groups; only when even that says "fewer row groups than cores"
+      // does the big-bytes branch repartition.
+      if (bytes >= BigInt(p) * maxPart) {
+        if (estimatedRowGroups(df, nFiles) >= p) df else df.repartition(p)
+      }
       else if (df.rdd.getNumPartitions < p) df.repartition(p)
       else df
     }
   }
+
+  /** Total-row-group estimate from ONE sampled parquet footer
+    * (rowGroups(first file) x nFiles — footers of a 100 TB table are a
+    * job of their own, and uniform writers dominate in practice). For
+    * non-parquet file sources (csv/json — line-split, no row-group
+    * starvation possible) the footer read fails and the estimate is
+    * "plenty", preserving passthrough. */
+  private def estimatedRowGroups(df: DataFrame, nFiles: Int): Long =
+    try {
+      val first = new org.apache.hadoop.fs.Path(df.inputFiles.head)
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(first, df.sparkSession.sessionState.newHadoopConf())
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRowGroups.size.toLong * nFiles finally r.close()
+    } catch { case _: Exception => Long.MaxValue }
 
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")

@@ -20,15 +20,30 @@ object Scratch {
     gcStaleRoots()
     val p = Files.createTempDirectory("graft_scratch_")
     p.toFile.deleteOnExit()
+    // heartbeat daemon: a long-lived JVM whose dir() calls all happened
+    // at startup (paths cached in vals) would age past the sibling GC
+    // cutoff even though it is alive — keep the root's mtime fresh
+    // independently of call patterns. Daemon thread, so it never holds
+    // the JVM open.
+    val t = new java.util.Timer("graft-scratch-heartbeat", true)
+    t.schedule(new java.util.TimerTask {
+      override def run(): Unit = touch(p)
+    }, heartbeatMs, heartbeatMs)
     p
   }
+  private val heartbeatMs = 30L * 60 * 1000
+
+  private def touch(p: Path): Unit =
+    try Files.setLastModifiedTime(p,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+    catch { case _: Exception => () } // heartbeat is best-effort
 
   /** Bound /tmp growth across runs: the populated root intentionally
     * survives JVM exit (a later out-of-process oracle pass may still
     * read its files — deleteOnExit only removes an empty dir), so each
     * NEW process best-effort deletes sibling roots older than 6 hours.
-    * Recent roots stay; concurrent JVMs' live roots are far younger
-    * than the cutoff. */
+    * Recent roots stay; concurrent JVMs' live roots are kept young by
+    * the dir()-call touch plus the 30-minute heartbeat daemon. */
   private def gcStaleRoots(): Unit =
     try {
       val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
@@ -36,26 +51,25 @@ object Scratch {
       Option(tmp.listFiles()).getOrElse(Array.empty)
         .filter(f => f.isDirectory && f.getName.startsWith("graft_scratch_")
           && f.lastModified() < cutoff)
-        .foreach(deleteRecursively)
+        .foreach(f => deleteRecursively(f))
     } catch { case _: Exception => () } // GC is best-effort, never fatal
 
-  private def deleteRecursively(f: java.io.File): Unit = {
+  /** Best-effort recursive delete (also the shared cleanup helper for
+    * operators that stage their own side dirs — keep ONE copy of this
+    * logic). */
+  def deleteRecursively(f: java.io.File): Unit = {
     Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
     f.delete()
   }
 
   /** A named scratch directory under this JVM's private root (created
     * if absent; same name → same path within the process). Each call
-    * touches the root's mtime: a directory's mtime only moves when
-    * DIRECT children change, so a JVM alive past the 6-hour GC cutoff
-    * (all its subdirs created early) would otherwise have its scratch
-    * deleted out from under it by any newly started graft process. */
+    * also touches the root's mtime — with the heartbeat daemon this is
+    * belt-and-braces against the sibling 6-hour GC. */
   def dir(name: String): String = {
     val d = root.resolve(name)
     Files.createDirectories(d)
-    try Files.setLastModifiedTime(root,
-      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
-    catch { case _: Exception => () } // heartbeat is best-effort
+    touch(root)
     d.toAbsolutePath.toString
   }
 }

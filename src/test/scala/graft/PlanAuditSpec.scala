@@ -96,7 +96,9 @@ class PlanAuditSpec extends SparkSpec {
     // the only global window allowed is over the ~16-row range counts
     val plan = planOf(graft.ext.TextAnalysis.queries("a13_sequence_packing")(spark, sfDir))
     val corpusWindows = plan.linesIterator
-      .filter(l => l.contains("Window") && l.contains("n_tok"))
+      .filter(l => l.contains("Window") && l.contains("n_tok")).toList
+    assert(corpusWindows.nonEmpty,
+      s"audit went vacuous — no Window line mentions n_tok; plan shape changed:\n$plan")
     corpusWindows.foreach { l =>
       assert(l.contains("], [bkt"),
         s"a13's corpus window must be partitioned by the range bucket:\n$l")

@@ -221,6 +221,25 @@ class SourcesSpec extends SparkSpec {
       "a many-row-group single file must pass through untouched")
   }
 
+  test("spread repartitions a big-bytes scan whose row groups exceed maxPartitionBytes") {
+    // byte math alone promises >= p splits, but a task only works if a
+    // row-group midpoint lands in its range: one file with ONE row
+    // group (default 128 MB block size) under a tiny maxPartitionBytes
+    // is the starved layout the sampled-footer check must catch
+    val s = spark.newSession()
+    s.conf.set("spark.sql.files.maxPartitionBytes", "1k")
+    val p = s.sparkContext.defaultParallelism
+    spark.range(0, 50000)
+      .select(col("id"), md5(col("id").cast("string")).as("pad"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/spread_bigrg")
+    val one = s.read.parquet(s"$tmp/spread_bigrg")
+    assert(one.inputFiles.length == 1, "precondition: a single file")
+    val out = Tables.spread(one)
+    assert(!(out eq one), "a single-row-group big-bytes scan must round-robin")
+    assert(out.rdd.getNumPartitions >= p)
+    assert(out.exceptAll(one).count() == 0)
+  }
+
   test("FAILFAST csv read rejects schema drift loudly") {
     val schema = StructType(Seq(
       StructField("o_orderkey", LongType),
