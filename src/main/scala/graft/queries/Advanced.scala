@@ -380,7 +380,44 @@ object Advanced extends QueryModule {
          FROM orders GROUP BY o_custkey)
        ORDER BY o_custkey"""
 
+  /** v13 — approximate percentile (GK sketch): the percentile tool
+    * that holds at 100 TB — the exact form needs a full per-group
+    * sort, `approx_percentile` keeps a fixed-size mergeable sketch
+    * with a hard RANK-error bound (n/accuracy). Oracled by the v09
+    * property pattern: the EXACT interpolated percentiles hash-match
+    * DuckDB's quantile_cont, and the sketch's pick is checked against
+    * its own guarantee — the fraction of group rows at or below the
+    * approx median must sit within 10x the configured rank error of
+    * 0.5 (a value-error bound would be wrong: GK guarantees rank, not
+    * value). A drifting sketch flips err_ok and fails the gate.
+    */
+  private def v13(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ord = Tables.orders(s, d).select($"o_orderpriority", $"o_totalprice")
+    val agg = ord.groupBy($"o_orderpriority")
+      .agg(percentile_approx($"o_totalprice", lit(0.5), lit(1000)).as("ap50"),
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.95)").as("p95"),
+        count(lit(1)).as("n"))
+    ord.join(broadcast(agg), "o_orderpriority")
+      .groupBy($"o_orderpriority")
+      .agg(round(first($"p50"), 6).as("p50"),
+        round(first($"p95"), 6).as("p95"),
+        first($"n").as("n"),
+        (abs(sum(($"o_totalprice" <= $"ap50").cast("long")) / first($"n") - 0.5)
+          <= 0.01).as("err_ok"))
+      .orderBy($"o_orderpriority")
+  }
+  private val v13Sql =
+    """SELECT o_orderpriority,
+         round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+         round(quantile_cont(o_totalprice, 0.95), 6) AS p95,
+         CAST(count(*) AS BIGINT) AS n,
+         TRUE AS err_ok
+       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+
   val queries: Map[String, QueryFn] = Map(
+    "v13_approx_percentile" -> v13 _,
     "v12_incremental_agg" -> v12 _,
     "v01_percentiles" -> v01 _,
     "v10_topk_custom_plan" -> v10 _,
@@ -396,6 +433,7 @@ object Advanced extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "v13_approx_percentile" -> v13Sql,
     "v12_incremental_agg" -> v12Sql,
     "v01_percentiles" -> v01Sql,
     "v10_topk_custom_plan" -> v05Sql,

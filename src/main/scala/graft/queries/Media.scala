@@ -463,7 +463,47 @@ object Media extends QueryModule {
        FROM read_parquet('__FIXTURES__/audio_expected/*.parquet')
        GROUP BY media_id ORDER BY media_id"""
 
+  /** m13 — parquet compression-codec matrix round-trip: the same table
+    * written under each production codec (gzip, lz4, snappy, zstd) and
+    * read back to an identical per-codec content digest (m08's
+    * md5-derived row hash, summed). Codec choice is a first-order knob
+    * at 100 TB (scan speed vs storage); this certifies the engine
+    * writes and reads every codec bit-exactly — the oracle computes
+    * the digest once from the originals and emits one identical row
+    * per codec, because codecs must be invisible to content, and the
+    * gate proves they are.
+    */
+  private def m13(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val codecs = Seq("gzip", "lz4", "snappy", "zstd")
+    codecs.map { c =>
+      val dir = graft.util.Scratch.dir(s"codec_$c")
+      graft.sources.Tables.documents(s, d)
+        .write.mode("overwrite").option("compression", c).parquet(dir)
+      s.read.parquet(dir)
+        .withColumn("digest",
+          conv(substring(md5(concat_ws("|",
+            $"doc_id", $"text", $"lang", $"source", $"n_chars")), 1, 15), 16, 10)
+            .cast("long") % 1000000007L)
+        .agg(count(lit(1)).as("n_docs"), sum($"digest").as("digest_sum"))
+        .withColumn("codec", lit(c))
+    }.reduce(_ unionByName _)
+      .select($"codec", $"n_docs", $"digest_sum")
+      .orderBy($"codec")
+  }
+  private val m13Sql =
+    """WITH digest AS (
+         SELECT count(*) AS n_docs,
+           CAST(sum(('0x' || substr(md5(
+               doc_id || '|' || text || '|' || lang || '|' || source || '|' || n_chars),
+             1, 15))::BIGINT % 1000000007) AS BIGINT) AS digest_sum
+         FROM documents)
+       SELECT codec, n_docs, digest_sum
+       FROM digest, (VALUES ('gzip'), ('lz4'), ('snappy'), ('zstd')) AS c(codec)
+       ORDER BY codec"""
+
   val queries: Map[String, QueryFn] = Map(
+    "m13_codec_matrix" -> m13 _,
     "m12_frame_sample" -> m12 _,
     "m11_audio_decode" -> m11 _,
     "m10_pixel_decode" -> m10 _,
@@ -545,6 +585,7 @@ object Media extends QueryModule {
        ORDER BY file, page, row_idx, col_idx"""
 
   val oracle: Map[String, String] = Map(
+    "m13_codec_matrix" -> m13Sql,
     "m12_frame_sample" -> m12Sql,
     "m11_audio_decode" -> m11Sql,
     "m10_pixel_decode" -> m10Sql,
