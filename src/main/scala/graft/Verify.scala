@@ -38,6 +38,10 @@ object Verify {
         .coalesce(1).write.mode("overwrite").parquet(s"$fixDir/audio_expected")
       graft.queries.Media.framePixelsExpected(spark)
         .coalesce(1).write.mode("overwrite").parquet(s"$fixDir/frame_pixels_expected")
+      // raw TEXT (not parquet): the m14 oracle re-parses these bytes
+      // with DuckDB's own CSV reader, independent of Spark's parser
+      graft.queries.Media.csvRawFixture(spark)
+        .coalesce(1).write.mode("overwrite").text(s"$fixDir/csv_raw")
     }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -416,7 +416,51 @@ object Advanced extends QueryModule {
          TRUE AS err_ok
        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
 
+  /** v14 — SCD2 dimension build (ops/Dimensions.scd2): the per-customer
+    * order-priority history collapsed into validity intervals, the
+    * warehouse pattern for tracking entity state over time (the
+    * reference re-probes entity metadata per filing; a dimension keeps
+    * the history). Same-day observations resolve latest-wins by
+    * o_orderkey; consecutive equal states merge. One hash exchange on
+    * o_custkey for the whole build — see the scd2 scaladoc for the
+    * 100 TB argument. Oracle replays the interval construction with
+    * DuckDB windows (IS DISTINCT FROM = the struct `<=>`).
+    */
+  private def v14(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.ops.Dimensions.scd2(
+      Tables.orders(s, d)
+        .select($"o_custkey", $"o_orderdate", $"o_orderpriority", $"o_orderkey"),
+      keys = Seq("o_custkey"), ts = "o_orderdate",
+      attrs = Seq("o_orderpriority"), tieBreak = Seq("o_orderkey"))
+      .withColumn("valid_from", to_date($"valid_from"))
+      .withColumn("valid_to", to_date($"valid_to"))
+      .orderBy($"o_custkey", $"valid_from")
+  }
+  private val v14Sql =
+    """WITH latest AS (
+         SELECT o_custkey, o_orderdate, o_orderpriority,
+           row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                              ORDER BY o_orderkey DESC) AS rn
+         FROM orders),
+       changes AS (
+         SELECT o_custkey, o_orderdate, o_orderpriority,
+           lag(o_orderpriority) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate) AS prev
+         FROM latest WHERE rn = 1),
+       kept AS (
+         SELECT o_custkey, o_orderdate, o_orderpriority FROM changes
+         WHERE prev IS DISTINCT FROM o_orderpriority)
+       SELECT o_custkey, o_orderpriority,
+         CAST(o_orderdate AS DATE) AS valid_from,
+         CAST(lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate) AS DATE) AS valid_to,
+         (lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate)) IS NULL AS is_current
+       FROM kept ORDER BY o_custkey, valid_from"""
+
   val queries: Map[String, QueryFn] = Map(
+    "v14_scd2_dimension" -> v14 _,
     "v13_approx_percentile" -> v13 _,
     "v12_incremental_agg" -> v12 _,
     "v01_percentiles" -> v01 _,
@@ -433,6 +477,7 @@ object Advanced extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "v14_scd2_dimension" -> v14Sql,
     "v13_approx_percentile" -> v13Sql,
     "v12_incremental_agg" -> v12Sql,
     "v01_percentiles" -> v01Sql,

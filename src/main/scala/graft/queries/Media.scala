@@ -502,7 +502,78 @@ object Media extends QueryModule {
        FROM digest, (VALUES ('gzip'), ('lz4'), ('snappy'), ('zstd')) AS c(codec)
        ORDER BY codec"""
 
+  /** RFC4180-shaped CSV with deliberately malformed rows: a non-numeric
+    * key, a short row, and an over-long row, among good rows exercising
+    * empty fields, quoted commas, doubled-quote escapes, scientific
+    * notation, negatives, and non-ASCII text. One string per physical
+    * line; the header is element 0. Shared verbatim by the m14 reader
+    * (via scratch) and the Verify fixture dump (via text files), so
+    * Spark's PERMISSIVE parser and DuckDB's CSV reader parse
+    * byte-identical input independently. */
+  val csvRawLines: Seq[String] = Seq(
+    "id,amount,note",
+    "1,10.5,alpha",
+    "2,,beta",
+    "3,3.25,\"hello, world\"",
+    "4,1.5,\"say \"\"hi\"\"\"",
+    "oops,2.0,badid",
+    "5,2.75",
+    "6,4.0,gamma,extra",
+    "7,1.5e2,sci",
+    "8,-7.25,neg",
+    "9,0.5,unicode ✓",
+  )
+
+  def csvRawFixture(s: SparkSession): DataFrame = {
+    import s.implicits._
+    csvRawLines.toDF("value")
+  }
+
+  /** Parsed CSV schema plus the corrupt-record capture column; shared
+    * by m14 and the spec that pins exactly which raw lines are
+    * quarantined. */
+  def readCsvPermissive(s: SparkSession): DataFrame = {
+    val dir = new java.io.File(graft.util.Scratch.dir("csv_raw"))
+    java.nio.file.Files.write(new java.io.File(dir, "raw.csv").toPath,
+      (csvRawLines.mkString("\n") + "\n").getBytes("UTF-8"))
+    s.read
+      .schema("id BIGINT, amount DOUBLE, note STRING, _corrupt_record STRING")
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      // doubled-quote escaping (RFC4180), matching DuckDB — Spark's
+      // default escape is backslash
+      .option("escape", "\"")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(dir.getAbsolutePath)
+  }
+
+  /** m14 — malformed-CSV ingest robustness: web-scale CSV always has
+    * bad rows, and at 100 TB the parser must quarantine them row-by-row
+    * inside the scan (PERMISSIVE + corrupt-record column), never fail
+    * the job or silently skew the data. The oracle is genuinely
+    * independent: DuckDB's own CSV parser reads the identical bytes
+    * with ignore_errors and must agree on exactly which rows are good
+    * and every parsed value — two unrelated parser implementations
+    * converging on the same RFC4180 reading. The quarantined rows
+    * themselves are pinned by IngestSpec (DuckDB drops rather than
+    * captures them, so they are spec-gated, not oracle-gated).
+    */
+  private def m14(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    readCsvPermissive(s)
+      .filter($"_corrupt_record".isNull)
+      .select($"id", $"amount", $"note")
+      .orderBy($"id")
+  }
+  private val m14Sql =
+    """SELECT id, amount, note
+       FROM read_csv('__FIXTURES__/csv_raw/*.txt', header=true,
+         columns={'id': 'BIGINT', 'amount': 'DOUBLE', 'note': 'VARCHAR'},
+         ignore_errors=true)
+       ORDER BY id"""
+
   val queries: Map[String, QueryFn] = Map(
+    "m14_csv_malformed" -> m14 _,
     "m13_codec_matrix" -> m13 _,
     "m12_frame_sample" -> m12 _,
     "m11_audio_decode" -> m11 _,
@@ -585,6 +656,7 @@ object Media extends QueryModule {
        ORDER BY file, page, row_idx, col_idx"""
 
   val oracle: Map[String, String] = Map(
+    "m14_csv_malformed" -> m14Sql,
     "m13_codec_matrix" -> m13Sql,
     "m12_frame_sample" -> m12Sql,
     "m11_audio_decode" -> m11Sql,

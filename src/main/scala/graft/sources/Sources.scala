@@ -63,6 +63,40 @@ object Sources {
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
+  /** Parquet small-files compaction: rewrite `inDir` into `outDir` with
+    * output files sized to ~`targetFileBytes` each. Streaming ingest
+    * (one file per micro-batch per partition) and over-parallel writers
+    * leave thousands of KB-sized files whose per-file open cost
+    * dominates scans at 100 TB; compaction is the standing repair. The
+    * output file count comes from the ACTUAL on-disk byte total (file
+    * listing, not in-memory size guesses — parquet's compression makes
+    * plan-stats estimates wrong by whatever the codec earned).
+    *
+    * When the file count shrinks (the normal case) the rewrite is a
+    * `coalesce` — a NARROW dependency, no shuffle: each output task
+    * concatenates whole input splits, so compaction moves bytes exactly
+    * once. File sizes stay even only as even as the inputs, which is
+    * the right trade — `repartition`'s round-robin balance would
+    * shuffle the full table. Growing the file count (splitting
+    * oversized files) does need the shuffle and gets it. On a cluster,
+    * run per partition-directory so each compaction job stays
+    * dimension-sized; returns (filesBefore, filesAfter, bytes).
+    */
+  def compactParquet(spark: SparkSession, inDir: String, outDir: String,
+                     targetFileBytes: Long): (Int, Int, Long) = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val fs = new org.apache.hadoop.fs.Path(inDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(inDir))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val totalBytes = files.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val df = spark.read.parquet(inDir)
+    val sized = if (nOut < files.length) df.coalesce(nOut) else df.repartition(nOut)
+    sized.write.mode("overwrite").parquet(outDir)
+    (files.length, nOut, totalBytes)
+  }
+
   /** The fact-table statement key (FIXTURES.md B5): the sink partitions
     * by it, making the reference's "is this statement already loaded"
     * probe a directory-existence check instead of a table scan. */

@@ -240,6 +240,37 @@ class SourcesSpec extends SparkSpec {
     assert(out.exceptAll(one).count() == 0)
   }
 
+  test("compaction shrinks a small-files layout to the byte-target count") {
+    val docs = Tables.documents(spark, sfDir)
+    docs.repartition(48).write.mode("overwrite").parquet(s"$tmp/compact_in")
+    val inBytes = new java.io.File(s"$tmp/compact_in").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val target = inBytes / 3 + 1
+    val (before, after, bytes) =
+      Sources.compactParquet(spark, s"$tmp/compact_in", s"$tmp/compact_out", target)
+    assert(before == 48 && bytes == inBytes)
+    assert(after == 3, s"expected ceil(bytes/target)=3 outputs, got $after")
+    val outFiles = new java.io.File(s"$tmp/compact_out").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(outFiles.length == 3, "on-disk file count matches the plan")
+    val back = spark.read.parquet(s"$tmp/compact_out")
+    assert(back.exceptAll(docs).count() == 0 && docs.exceptAll(back).count() == 0)
+  }
+
+  test("compaction splits an oversized single file when the target demands it") {
+    val docs = Tables.documents(spark, sfDir)
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$tmp/split_in")
+    val oneBytes = new java.io.File(s"$tmp/split_in").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val (before, after, _) = Sources.compactParquet(
+      spark, s"$tmp/split_in", s"$tmp/split_out", oneBytes / 4 + 1)
+    assert(before == 1 && after == 4)
+    assert(new java.io.File(s"$tmp/split_out").listFiles()
+      .count(_.getName.endsWith(".parquet")) == 4)
+    val back = spark.read.parquet(s"$tmp/split_out")
+    assert(back.exceptAll(docs).count() == 0 && docs.exceptAll(back).count() == 0)
+  }
+
   test("FAILFAST csv read rejects schema drift loudly") {
     val schema = StructType(Seq(
       StructField("o_orderkey", LongType),
