@@ -530,7 +530,54 @@ object Similarity extends QueryModule {
        LEFT JOIN ivf2 USING (probe_id, neighbor_id)
        GROUP BY e.probe_id ORDER BY e.probe_id"""
 
+  /** s11 — ranking-quality metrics for the ANN index: recall (s10)
+    * says WHETHER the true neighbors were found; MRR and NDCG@3 say
+    * how well they were ORDERED — the numbers a retrieval stack is
+    * actually tuned on. Ground truth is the exact top-3 (s02) with
+    * graded relevance 3/2/1 by exact rank; the system under test is
+    * the nprobe=2 IVF ranking (s06). Per probe: MRR = 1/rank of the
+    * first true neighbor in the IVF list; NDCG = DCG of the IVF
+    * ordering over those gains, against the constant ideal DCG (every
+    * probe has exactly 3 relevant items by construction). One
+    * broadcast-sized join of two tiny top-k tables — the metrics
+    * layer adds no corpus-scale work, so it can run on every index
+    * build at 100 TB. The idcg denominator is spelled as the same
+    * closed form on both sides so the oracle is float-identical.
+    */
+  private def s11(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val idcg = expr("3.0/log2(2.0) + 2.0/log2(3.0) + 1.0/log2(4.0)")
+    val exact = s02(s, d).select($"probe_id", $"neighbor_id",
+      (lit(4L) - $"rank").cast("double").as("rel"))
+    val approx = s06(s, d).select($"probe_id", $"neighbor_id",
+      $"rank".as("arank"))
+    approx.join(exact, Seq("probe_id", "neighbor_id"), "left")
+      .groupBy($"probe_id")
+      .agg(
+        round(coalesce(max(when($"rel".isNotNull, lit(1.0) / $"arank")),
+          lit(0.0)), 6).as("mrr"),
+        round(sum(coalesce($"rel" / log2($"arank" + 1), lit(0.0))) / idcg, 6)
+          .as("ndcg"),
+        sum(when($"rel".isNotNull, 1L).otherwise(0L)).as("hits"))
+      .orderBy($"probe_id")
+  }
+  private lazy val s11Sql =
+    s"""WITH exact AS (
+         SELECT probe_id, neighbor_id, CAST(4 - rank AS DOUBLE) AS rel
+         FROM ($s02Sql)),
+       approx AS (
+         SELECT probe_id, neighbor_id, rank AS arank FROM ($s06Sql))
+       SELECT probe_id,
+         round(COALESCE(max(CASE WHEN rel IS NOT NULL
+             THEN CAST(1.0 AS DOUBLE) / arank END), CAST(0.0 AS DOUBLE)), 6) AS mrr,
+         round(sum(COALESCE(rel / log2(arank + 1), CAST(0.0 AS DOUBLE)))
+           / (3.0/log2(2.0) + 2.0/log2(3.0) + 1.0/log2(4.0)), 6) AS ndcg,
+         CAST(sum(CASE WHEN rel IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits
+       FROM approx LEFT JOIN exact USING (probe_id, neighbor_id)
+       GROUP BY probe_id ORDER BY probe_id"""
+
   val queries: Map[String, QueryFn] = Map(
+    "s11_ranking_metrics" -> s11 _,
     "s10_ann_recall" -> s10 _,
     "s09_range_search" -> s09 _,
     "s08_lsh_ann" -> s08 _,
@@ -544,6 +591,7 @@ object Similarity extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "s11_ranking_metrics" -> s11Sql,
     "s10_ann_recall" -> s10Sql,
     "s09_range_search" -> s09Sql,
     "s08_lsh_ann" -> s08Sql,

@@ -583,7 +583,81 @@ object TextAnalysis extends QueryModule {
          (tok_start + n_tok - 1) // 512 - tok_start // 512 + 1 AS n_seqs
        FROM cum ORDER BY doc_id"""
 
+  /** a14 — temperature-based source mixing: the corpus-composition op
+    * of multilingual/multi-source training (mT5/LLaMA style). Raw
+    * source shares are flattened by exponent 1/τ (τ=2 ⇒ sampling
+    * weight √n_s, since the shared total cancels from the ratio), the
+    * per-source sampling probability is w_s/Σw, and the actual draw is
+    * the deterministic md5 Bernoulli of e09 at rate min(1, B·p_s/n_s)
+    * — reproducible across runs and engines, no RNG state. Everything
+    * except the per-doc hash filter runs on the |sources|-row count
+    * table (broadcast both ways); the corpus is scanned once and only
+    * filtered, so at 100 TB the op costs one scan regardless of the
+    * mixing math. Oracle replays weights, targets, AND the sampled
+    * counts from the identical hash on identical bytes.
+    */
+  private def a14(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val budget = 200.0
+    // the fixture's sources are uniform, which would make ANY exponent
+    // a no-op; a skewed 8:4:2:2 tier (exact integer arithmetic, so the
+    // oracle groups identically) actually exercises the flattening
+    val docs = Tables.documents(s, d)
+      .withColumn("source",
+        when($"doc_id" % 16 < 8, "tier_a")
+          .when($"doc_id" % 16 < 12, "tier_b")
+          .when($"doc_id" % 16 < 14, "tier_c")
+          .otherwise("tier_d"))
+    val counts = docs.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+    val probs = counts.crossJoin(broadcast(
+        counts.agg(sum(sqrt($"n_docs".cast("double"))).as("w_sum"))))
+      .withColumn("prob", sqrt($"n_docs".cast("double")) / $"w_sum")
+      .withColumn("rate",
+        least(lit(1.0), lit(budget) * $"prob" / $"n_docs".cast("double")))
+    val sampled = docs.select($"source", $"doc_id")
+      .join(broadcast(probs.select($"source", $"rate")), "source")
+      .filter(conv(substring(md5(concat(lit("mix:"), $"doc_id")), 1, 15), 16, 10)
+        .cast("long") % 1000000L < $"rate" * 1000000.0)
+      .groupBy($"source").agg(count(lit(1)).as("n_sampled"))
+    probs.join(sampled, Seq("source"), "left")
+      .select($"source", $"n_docs",
+        round($"prob", 6).as("prob"),
+        round(lit(budget) * $"prob").cast("long").as("target"),
+        coalesce($"n_sampled", lit(0L)).as("n_sampled"))
+      .orderBy($"source")
+  }
+  private val a14Sql =
+    """WITH docs AS (
+         SELECT doc_id,
+           CASE WHEN doc_id % 16 < 8 THEN 'tier_a'
+                WHEN doc_id % 16 < 12 THEN 'tier_b'
+                WHEN doc_id % 16 < 14 THEN 'tier_c'
+                ELSE 'tier_d' END AS source
+         FROM documents),
+       counts AS (
+         SELECT source, count(*) AS n_docs FROM docs GROUP BY source),
+       w AS (SELECT sum(sqrt(CAST(n_docs AS DOUBLE))) AS w_sum FROM counts),
+       probs AS (
+         SELECT source, n_docs,
+           sqrt(CAST(n_docs AS DOUBLE)) / w_sum AS prob,
+           least(CAST(1.0 AS DOUBLE),
+             200.0 * (sqrt(CAST(n_docs AS DOUBLE)) / w_sum)
+               / CAST(n_docs AS DOUBLE)) AS rate
+         FROM counts, w),
+       sampled AS (
+         SELECT d.source, count(*) AS n_sampled
+         FROM docs d JOIN probs p ON d.source = p.source
+         WHERE CAST('0x' || substr(md5('mix:' || doc_id), 1, 15) AS BIGINT)
+                 % 1000000 < rate * 1000000.0
+         GROUP BY d.source)
+       SELECT p.source, p.n_docs, round(p.prob, 6) AS prob,
+         CAST(round(200.0 * p.prob) AS BIGINT) AS target,
+         COALESCE(n_sampled, CAST(0 AS BIGINT)) AS n_sampled
+       FROM probs p LEFT JOIN sampled USING (source)
+       ORDER BY p.source"""
+
   val queries: Map[String, QueryFn] = Map(
+    "a14_source_mixing" -> a14 _,
     "a13_sequence_packing" -> a13 _,
     "a12_pii_scrub" -> a12 _,
     "a11_dup_report" -> a11 _,
@@ -600,6 +674,7 @@ object TextAnalysis extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "a14_source_mixing" -> a14Sql,
     "a13_sequence_packing" -> a13Sql,
     "a12_pii_scrub" -> a12Sql,
     "a11_dup_report" -> a11Sql,

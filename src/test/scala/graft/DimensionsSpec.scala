@@ -37,6 +37,40 @@ class DimensionsSpec extends SparkSpec {
     ))
   }
 
+  test("property: scd2 matches a driver-side reference on random change streams") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    val rowGen = Gen.zip(Gen.choose(1L, 4L), Gen.choose(1, 6),
+      Gen.option(Gen.oneOf("A", "B", "C")))
+    val streamGen = Gen.nonEmptyListOf(rowGen)
+    (1 to 5).foreach { i =>
+      val rows = streamGen
+        .pureApply(Gen.Parameters.default.withSize(40), Seed(i.toLong))
+        .zipWithIndex.map { case ((k, t, v), seq) => (k, t, v, seq.toLong) }
+
+      // driver-side reference: per key, sort by (t, seq desc), keep the
+      // first row of each t (tiebreak winner), drop consecutive equal
+      // states, then zip each row with the next change's t
+      val expected = rows.groupBy(_._1).toSeq.flatMap { case (k, rs) =>
+        val dedup = rs.sortBy(r => (r._2, -r._4)).distinctBy(_._2)
+        val kept = dedup.foldLeft(List.empty[(Int, Option[String])]) {
+          case (acc, (_, t, v, _)) =>
+            if (acc.headOption.exists(_._2 == v)) acc else (t, v) :: acc
+        }.reverse
+        kept.zipAll(kept.drop(1).map(c => Some(c._1)), (0, None), None)
+          .map { case ((from, v), to) => (k, v, from, to, to.isEmpty) }
+      }.sortBy(r => (r._1, r._3))
+
+      val got = Dimensions.scd2(rows.toDF("k", "t", "v", "seq"),
+          Seq("k"), "t", Seq("v"), Seq("seq"))
+        .orderBy($"k", $"valid_from")
+        .as[(Long, Option[String], Int, Option[Int], Boolean)]
+        .collect().toSeq
+      assert(got == expected, s"case $i: $rows")
+    }
+  }
+
   test("scd2 plans one hash exchange on the key, no global window") {
     import spark.implicits._
     val changes = Seq((1L, 1, "A", 1L)).toDF("k", "t", "v", "seq")
