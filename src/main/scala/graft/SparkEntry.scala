@@ -18,6 +18,7 @@ object SparkEntry {
     Joins,
     Windows,
     Eventing,
+    Graph,
     TextOps,
     Dedup,
     Similarity,

@@ -1,0 +1,51 @@
+package graft
+
+import graft.queries.Graph
+
+class GraphSpec extends SparkSpec {
+
+  private lazy val ranks = Graph.queries("g01_pagerank")(spark, sfDir).cache()
+
+  test("g01 conserves damped mass within integer-truncation loss") {
+    import spark.implicits._
+    // Symmetric bipartite graph: no dangling nodes, so total mass stays
+    // n * 1e6 micro-units minus only the per-edge/per-node integer
+    // truncation (< 101 units per node per iteration — div by ow, the
+    // 85/100 scale, and the contribution sums each truncate < 1 unit
+    // per term, bounded by max degree ~100 here).
+    val n = ranks.count()
+    val total = ranks.agg(org.apache.spark.sql.functions.sum($"rank"))
+      .as[Long].head()
+    assert(total <= n * 1000000L, s"mass created: $total > ${n * 1000000L}")
+    assert(total >= (n * 1000000L * 99) / 100, s"mass lost >1%: $total")
+  }
+
+  test("g01 ranks every node exactly once with positive rank") {
+    import spark.implicits._
+    val dup = ranks.groupBy($"kind", $"key")
+      .count().filter($"count" > 1).count()
+    assert(dup == 0)
+    assert(ranks.filter($"rank" < 150000L).count() == 0,
+      "damping floor: every node gets at least the teleport mass")
+  }
+
+  test("g01 plan: edges cached once, no cartesian, corpus join only in build") {
+    val exec = Graph.queries("g01_pagerank")(spark, sfDir)
+      .queryExecution.executedPlan
+    assert(exec.toString.contains("InMemoryTableScan"),
+      "iterations must read the persisted edge table, not rebuild it")
+    assert(!exec.toString.contains("CartesianProduct"))
+    // The lineitem-orders build join must sit behind the persisted edge
+    // table, never once per iteration. InMemoryTableScan's explain
+    // string prints the cached child plan (scan text appears but does
+    // not re-execute), so string-match is a false positive here —
+    // traverse the executed tree instead: collect does not descend
+    // into InMemoryRelation.cachedPlan, so any file scan it finds is a
+    // genuine per-iteration corpus re-read.
+    val liveScans = exec.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(liveScans.isEmpty,
+      s"corpus scan leaked past the persisted edge build: $liveScans")
+  }
+}

@@ -22,7 +22,9 @@ class PlanAuditSpec extends SparkSpec {
     "a10_unigram_logprob" /* 1-row broadcast of the corpus token total */,
     "s09_range_search" /* broadcast probe set x corpus, filter in-scan */,
     "w12_gap_fill" /* calendar axis x broadcast distinct-type set */,
-    "s10_ann_recall" /* composes s02/s03/s06's broadcast-probe joins */)
+    "s10_ann_recall" /* composes s02/s03/s06's broadcast-probe joins */,
+    "s11_ranking_metrics" /* composes the same IVF broadcast-probe path */,
+    "a14_source_mixing" /* 1-row broadcast of the global weight sum */)
 
   test("no query plans a CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>
