@@ -118,9 +118,12 @@ object Bench {
     // SHORT — the driver captures only the final ~2000 chars of output,
     // and a 104-entry map (~4.4 KB) pushed the JSON line's start out of
     // that window every round (BENCH_r01..r03 all record parsed:null).
+    // failures emit sec clamped to 0 plus an explicit "err" flag — a
+    // negative elapsed read as a measurement and skewed summed totals
     val fullJson = sorted
       .map { case (k, (v, st, cpu, run)) =>
-        s"""\"$k\":{"sec":${j(v)},"stages":$st,"cpu_ms":$cpu,"run_ms":$run}""" }
+        val errField = if (v < 0) ""","err":true""" else ""
+        s"""\"$k\":{"sec":${j(math.max(v, 0))},"stages":$st,"cpu_ms":$cpu,"run_ms":$run$errField}""" }
       .mkString(s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${results.size},"queries":{""",
         ",", s"""},"failed":$fullFailedJson,"sf":"$sfDir"}""")
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
@@ -130,7 +133,7 @@ object Bench {
     // recompute on every slow query while staying inside the capture
     // window (bench_full.json has the triple for all queries)
     val top20 = sorted.take(20)
-    val top = top20.map { case (k, (v, _, _, _)) => s"\"$k\":${j(v)}" }.mkString(",")
+    val top = top20.map { case (k, (v, _, _, _)) => s"\"$k\":${j(math.max(v, 0))}" }.mkString(",")
     val topM = top20.map { case (k, (_, st, cpu, run)) => s"\"$k\":[$st,$cpu,$run]" }.mkString(",")
     println(s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${results.size},"queries":{$top},"m":{$topM},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()

@@ -43,11 +43,16 @@ object Verify {
       graft.queries.Media.csvRawFixture(spark)
         .coalesce(1).write.mode("overwrite").text(s"$fixDir/csv_raw")
     }
+    // failures are recorded explicitly (stderr + _errors.json below), so
+    // an all-pass correctness report can't silently cover fewer queries
+    // than the suite defines
+    var errors = List.empty[(String, String)]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors ::= name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -66,6 +71,14 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("__FIXTURES__", fixDir))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // name starts with '_' so the driver's result-dir scan skips it; the
+    // summary line makes a partial run loud even if the file is ignored
+    val errJson = errors.sortBy(_._1)
+      .map { case (n, m) => s"${q(n)}: ${q(m)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
+    println(s"[verify] ${SparkEntry.queries.size - errors.size}/" +
+      s"${SparkEntry.queries.size} queries dumped; failed: " +
+      errors.map(_._1).sorted.mkString("[", ",", "]"))
     spark.stop()
   }
 }

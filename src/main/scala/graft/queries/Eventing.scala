@@ -412,7 +412,17 @@ object Eventing extends QueryModule {
           .map { case (tpe, uid) =>
             Row.fromSeq(schema.fields.map { f =>
               (f.name, f.dataType) match {
-                case ("ts", _) => 4102444800000000000L + i * 86400000000000L // 2100-01-01 (+1 day) in nanos
+                // 2100-01-01 (+1 day per heartbeat) in whichever physical
+                // type this testdata generation gives ts (see
+                // Tables.normalizeTs): raw nanos for the legacy
+                // TIMESTAMP(NANOS) layout, LocalDateTime for native
+                // micros read as TIMESTAMP_NTZ
+                case ("ts", org.apache.spark.sql.types.LongType) =>
+                  4102444800000000000L + i * 86400000000000L
+                case ("ts", org.apache.spark.sql.types.TimestampNTZType) =>
+                  java.time.LocalDateTime.of(2100, 1, 1 + i, 0, 0)
+                case ("ts", _) =>
+                  java.time.Instant.parse(f"2100-01-0${1 + i}T00:00:00Z")
                 case ("event_id", _) => uid
                 case ("user_id", _) => uid
                 case ("event_type", _) => tpe
@@ -469,7 +479,7 @@ object Eventing extends QueryModule {
     val stream = (if (sentinel) streamRead.option("maxFilesPerTrigger", 1)
                     .option("maxFileAge", "30d")
                   else streamRead).parquet(stage.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .transform(graft.sources.Tables.normalizeTs)
     // per-microbatch fixed cost is dominated by STATE STORE instances:
     // one per shuffle partition per stateful operator per batch (an
     // outer join runs 4 stores/partition; at 32 partitions x 3 batches

@@ -98,19 +98,37 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark's reader rejects;
-    * read it as raw nanos (legacy.parquet.nanosAsLong — set at session
-    * build time by GraftSession, NOT mutated here: a reader must not have
-    * config side effects) and surface a proper TimestampType column
-    * truncated to micros. DuckDB oracle SQL must not depend on
-    * sub-microsecond precision (event spacing is seconds, so nothing does).
-    */
-  def events(s: SparkSession, d: String): DataFrame = {
-    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "events.parquet needs spark.sql.legacy.parquet.nanosAsLong=true; " +
-        "build the session with GraftSession.builder")
-    table(s, d, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  /** `events.ts` has shipped in two physical layouts across testdata
+    * generations: parquet TIMESTAMP(NANOS) — which Spark's vectorized
+    * reader rejects unless `legacy.parquet.nanosAsLong` surfaces it as a
+    * raw long (set at session build time by GraftSession; a reader must
+    * not mutate config as a side effect) — and native TIMESTAMP(MICROS)
+    * with isAdjustedToUTC=false, which Spark reads as TIMESTAMP_NTZ.
+    * `normalizeTs` dispatches on the OBSERVED column type rather than
+    * assuming a layout, so the engine reads both generations and always
+    * surfaces the same logical schema: a session-TZ TimestampType `ts`
+    * truncated to micros. The session runs in UTC (GraftSession), so the
+    * NTZ→LTZ cast is a pure relabeling of the same instant and the DuckDB
+    * oracle (which reads the naive micros directly) hashes identically.
+    * DuckDB oracle SQL must not depend on sub-microsecond precision
+    * (event spacing is seconds, so nothing does). */
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeTs(table(s, d, "events"))
+
+  /** Normalize an events-shaped frame's `ts` to TimestampType regardless
+    * of which physical layout it was read from. Shared by the batch
+    * loader and the streaming harness (queries/Eventing.runStreamed),
+    * whose file-stream source reads the same files. */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType => // legacy TIMESTAMP(NANOS) read as raw nanos
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => // native micros, naive — relabel in UTC
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => df
+      case other => sys.error(s"events.ts has unsupported type $other")
+    }
   }
   /** Documents feed per-row-compute-heavy operators (shingling, simhash
     * votes, marker regexes) almost exclusively — spread at the source so
