@@ -35,4 +35,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // ONE JVM, so executor+driver memory share this heap — 8g left heavy
   // shuffle queries GC-thrashing and contaminated every later timing
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 143 queries x dozens of whole-stage-codegen classes each: the JVM
+  // default 240 MB code cache fills mid-suite, the JIT silently stops
+  // compiling, and later queries run partially interpreted (the same
+  // shingle stage measured 17 s CPU early in a session vs 77 s late)
+  "-XX:ReservedCodeCacheSize=1g",
 )

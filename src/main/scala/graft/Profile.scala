@@ -14,6 +14,22 @@ object Profile {
     spark.range(1000000L).selectExpr("sum(id)")
       .write.mode("overwrite").format("noop").save()
     val reps = sys.env.getOrElse("PROFILE_REPS", "3").toInt
+    // PROFILE_STAGES=1: per-stage cpu/tasks/rows dump — attributes a
+    // query's cost to individual stages (callSite names the operator)
+    if (sys.env.get("PROFILE_STAGES").contains("1"))
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = e.stageInfo
+          val m = si.taskMetrics
+          println(f"[stage] id=${si.stageId}%4d tasks=${si.numTasks}%4d " +
+            f"cpu=${if (m == null) 0L else m.executorCpuTime / 1000000L}%6d ms " +
+            f"in=${if (m == null) 0L else m.inputMetrics.recordsRead}%9d " +
+            f"sh_r=${if (m == null) 0L else m.shuffleReadMetrics.recordsRead}%9d " +
+            f"sh_w=${if (m == null) 0L else m.shuffleWriteMetrics.recordsWritten}%9d  " +
+            si.details.linesIterator.find(_.contains("graft")).getOrElse(si.name.takeWhile(_ != '\n')).trim.take(100))
+        }
+      })
     args.foreach { name =>
       val fn = SparkEntry.queries(name)
       (1 to reps).foreach { r =>

@@ -51,7 +51,17 @@ object Dedup extends QueryModule {
     // cores; every branch then reads blocks.
     cached.count()
     val prev = persistSlots.put(slot, cached)
-    if (prev != null && (prev ne cached)) prev.unpersist(blocking = false)
+    // CacheManager keys entries by LOGICAL PLAN, not DataFrame identity:
+    // when the same query re-instantiates the same pipeline (bench runs
+    // d06 then d07, both building the identical shingle table), the
+    // previous slot-holder's plan EQUALS the new one, and unpersisting
+    // it would evict the cache materialized two lines up — measured as
+    // d07 re-running the whole candidate pipeline ~7x (286 s CPU vs
+    // 40 s) whenever it followed d06 in one session. Only release a
+    // previous table whose plan is a genuinely different cache entry.
+    if (prev != null && (prev ne cached) &&
+        !prev.queryExecution.analyzed.sameResult(cached.queryExecution.analyzed))
+      prev.unpersist(blocking = false)
     cached
   }
 

@@ -40,7 +40,13 @@ object NotesEnrichment {
   @volatile private var factUSlot: DataFrame = null
   private def swapPersist(df: DataFrame): DataFrame = synchronized {
     val cached = df.persist()
-    if (factUSlot != null && (factUSlot ne cached)) factUSlot.unpersist(blocking = false)
+    // plan-equality guard (see Dedup.swapPersist): cache entries are
+    // keyed by logical plan, and a repeat invocation re-instantiates the
+    // same plan — unpersisting the previous holder would evict the entry
+    // just registered above and every join branch would recompute
+    if (factUSlot != null && (factUSlot ne cached) &&
+        !factUSlot.queryExecution.analyzed.sameResult(cached.queryExecution.analyzed))
+      factUSlot.unpersist(blocking = false)
     factUSlot = cached
     cached
   }

@@ -40,7 +40,12 @@ object Graph extends QueryModule {
     val cached = df.persist()
     cached.count()
     val prev = edgeSlot.getAndSet(cached)
-    if (prev != null && (prev ne cached)) prev.unpersist(blocking = false)
+    // plan-equality guard, same reason as Dedup.swapPersist: the cache
+    // entry is keyed by logical plan, so unpersisting an equal-plan
+    // previous table would evict the cache just built above
+    if (prev != null && (prev ne cached) &&
+        !prev.queryExecution.analyzed.sameResult(cached.queryExecution.analyzed))
+      prev.unpersist(blocking = false)
     cached
   }
 
