@@ -873,8 +873,96 @@ object Dedup extends QueryModule {
        FROM shared s JOIN sizes z ON z.doc_id = s.doc_id
        ORDER BY s.doc_id"""
 
+  /** PUBLIC operator: INCREMENTAL near-dup — verified near-duplicate
+    * pairs between a NEW ingest batch and the corpus (new×old and
+    * new×new), never old×old. This is the steady-state shape of a
+    * production dedup pipeline: the corpus was already deduped when it
+    * was ingested, so each arriving batch only needs checking against
+    * band-matching documents, and the candidate join is sized by the
+    * BATCH's band keys — Θ(batch), not Θ(corpus²). Here the corpus
+    * signatures are rebuilt per call because the gate is stateless; in
+    * production they are a persisted table keyed by (band, band_hash)
+    * that the batch probes (d10's broadcast discipline applies when the
+    * batch is benchmark-sized).
+    *
+    * Same banding and exact-Jaccard verification as `nearDupPairs`, so
+    * the result is exactly that operator's pairs restricted to those
+    * touching a new document. */
+  def incrementalNearDupPairs(docs: DataFrame, id: Column, text: Column,
+      isNew: Column, threshold: Double, slot: String = "incr"): DataFrame = {
+    val flags = docs.select(id.as("doc_id"), isNew.cast("boolean").as("is_new"))
+    val sh = swapPersist(s"${slot}sh", shingleHashes(docs, id, text))
+    val bands = minhashBands(sh, s"${slot}mh")
+    // batch side: band table restricted to new docs (a doc-keyed join
+    // against the flag projection — both sides are |docs|-sized and
+    // co-keyed; no content moves)
+    val bNew = bands.join(flags.filter(col("is_new")), "doc_id")
+    val cand = (0 until 3).map { b =>
+      val x = bNew.select(col("doc_id").as("na"), col(s"bh$b").as("bh"))
+      val y = bands.select(col("doc_id").as("nb"), col(s"bh$b").as("bh"))
+      // normalize (min, max) so a new×new pair found from either side
+      // collapses in the single distinct
+      x.join(y, Seq("bh")).filter(col("na") =!= col("nb"))
+        .select(least(col("na"), col("nb")).as("doc_a"),
+          greatest(col("na"), col("nb")).as("doc_b"))
+    }.reduce(_ unionByName _).distinct()
+    val shArr = sh.groupBy(col("doc_id")).agg(collect_list(col("sh")).as("arr"))
+      .withColumn("n", size(col("arr")).cast("long"))
+    cand
+      .join(shArr.select(col("doc_id").as("doc_a"), col("arr").as("arr_a"), col("n").as("na")), "doc_a")
+      .join(shArr.select(col("doc_id").as("doc_b"), col("arr").as("arr_b"), col("n").as("nb")), "doc_b")
+      .withColumn("n_inter", size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
+      .withColumn("jaccard", round(col("n_inter") / (col("na") + col("nb") - col("n_inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** d12 — incremental ingest dedup under the gate: the deterministic
+    * doc_id % 3 == 2 slice stands in for the newly arrived batch; the
+    * oracle expresses the one-sided banded candidate join directly. */
+  private def d12(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    sortedSmall(incrementalNearDupPairs(Tables.documents(s, d), $"doc_id",
+      $"text", $"doc_id" % 3 === 2, 0.6, "d12"), $"doc_a", $"doc_b")
+  }
+  private lazy val d12Sql =
+    s"""WITH sh0 AS ($shinglesSql),
+       sh AS (SELECT doc_id,
+         CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS sh FROM sh0),
+       hb AS (SELECT doc_id, sh % 1073741824 AS hb FROM sh),
+       mh AS (
+         SELECT doc_id, seed, min(${permCase("hb")}) AS mh
+         FROM hb, unnest(generate_series(0, 11)) AS t(seed)
+         GROUP BY doc_id, seed),
+       bands AS (
+         SELECT doc_id, CAST(seed // 4 AS INT) AS band,
+           md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY seed)) AS band_hash
+         FROM mh GROUP BY 1, 2),
+       cand AS (
+         SELECT DISTINCT least(x.doc_id, y.doc_id) AS doc_a,
+           greatest(x.doc_id, y.doc_id) AS doc_b
+         FROM bands x JOIN bands y
+           ON x.band = y.band AND x.band_hash = y.band_hash
+           AND x.doc_id <> y.doc_id
+         WHERE x.doc_id % 3 = 2),
+       sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       inter AS (
+         SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+         FROM cand c
+         JOIN sh a ON a.doc_id = c.doc_a
+         JOIN sh b ON b.doc_id = c.doc_b AND a.sh = b.sh
+         GROUP BY 1, 2)
+       SELECT doc_a, doc_b,
+         round(n_inter / (sa.n + sb.n - n_inter), 6) AS jaccard
+       FROM inter
+       JOIN sizes sa ON sa.doc_id = doc_a
+       JOIN sizes sb ON sb.doc_id = doc_b
+       WHERE round(n_inter / (sa.n + sb.n - n_inter), 6) >= 0.6
+       ORDER BY doc_a, doc_b"""
+
   val queries: Map[String, QueryFn] = Map(
     "d10_decontaminate" -> d10 _,
+    "d12_incremental_neardup" -> d12 _,
     "d01_exact_dedup" -> d01 _,
     "d08_chunk_dedup" -> d08 _,
     "d09_simhash_verified" -> d09 _,
@@ -889,6 +977,7 @@ object Dedup extends QueryModule {
 
   val oracle: Map[String, String] = Map(
     "d10_decontaminate" -> d10Sql,
+    "d12_incremental_neardup" -> d12Sql,
     "d01_exact_dedup" -> d01Sql,
     "d08_chunk_dedup" -> d08Sql,
     "d09_simhash_verified" -> d09Sql,

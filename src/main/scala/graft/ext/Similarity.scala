@@ -39,6 +39,21 @@ object Similarity extends QueryModule {
     dot / (sqrt(na) * sqrt(nb))
   }
 
+  /** One cached table per slot, previous entry released on the next
+    * call — Dedup.swapPersist's pattern including the plan-equality
+    * guard (cache entries are keyed by logical plan; unpersisting an
+    * equal-plan previous holder would evict the entry just built). */
+  private val persistSlots = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def swapPersist(slot: String, df: DataFrame): DataFrame = {
+    val cached = df.persist()
+    cached.count()
+    val prev = persistSlots.put(slot, cached)
+    if (prev != null && (prev ne cached) &&
+        !prev.queryExecution.analyzed.sameResult(cached.queryExecution.analyzed))
+      prev.unpersist(blocking = false)
+    cached
+  }
+
   /** PUBLIC operator: exact cosine top-k of a corpus against a 1-row
     * query-vector DataFrame (broadcast; TakeOrderedAndProject keeps the
     * scan single-pass with only k survivors). `query` must have one
@@ -329,7 +344,10 @@ object Similarity extends QueryModule {
     * more iterations are the same two stages repeated. Embedding
     * clustering is the corpus-curation workhorse (topic balancing,
     * domain mixing, semantic dedup seeding). */
-  private def s07(s: SparkSession, d: String): DataFrame = {
+  /** The two-Lloyd-pass k=8 assignment of s07 as a reusable table:
+    * (vec_id, v, cl, cc). s07 aggregates it per cluster; s12 keys the
+    * semantic-dedup pair check by it. */
+  private def kmeansAssignments(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, d)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
@@ -368,6 +386,11 @@ object Similarity extends QueryModule {
       .agg(transform(array_sort(collect_list(struct($"p", $"cx"))),
         c => c.getField("cx")).as("cv"))
     assign(cent1)
+  }
+
+  private def s07(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    kmeansAssignments(s, d)
       .groupBy($"cl".as("cluster"))
       .agg(count(lit(1)).as("n_members"), round(avg($"cc"), 6).as("avg_cos"))
       .orderBy($"cluster")
@@ -399,6 +422,77 @@ object Similarity extends QueryModule {
        SELECT cl AS cluster, count(*) AS n_members,
          round(avg(cc), 6) AS avg_cos
        FROM a2 GROUP BY cl ORDER BY cluster"""
+
+  /** s12 — SEMANTIC dedup (the SemDeDup recipe): k-means clustering
+    * bounds the quadratic cosine near-dup check to WITHIN-cluster pairs.
+    * The assignment is s07's two-Lloyd-pass pipeline (one corpus scan +
+    * broadcast centroids per pass); the pair space shrinks from n² to
+    * Σ n_c² — with k grown proportionally to the corpus, per-cluster
+    * membership stays bounded and the check stays linear overall. A
+    * vector is DROPPED when a smaller-id member of its own cluster sits
+    * within cosine >= 0.4 (keep-lowest-id, the d01/d07 representative
+    * discipline). Output: per-cluster members, drops, and drop rate.
+    *
+    * Scale notes: the in-cluster self-join keys on the cluster id, so
+    * one cluster's pairs land in one task's hash partition — a skewed
+    * (oversized) cluster is the known failure mode; remedies are more
+    * centroids or AQE skew-split (x08/ScaleOps discipline). The
+    * assignment table is persisted: it feeds both join sides and the
+    * member rollup, and Spark does not share self-join subplans. */
+  private def s12(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val a2 = swapPersist("s12a",
+      kmeansAssignments(s, d).select($"vec_id", $"v", $"cl"))
+    val dropped = a2.select($"cl", $"vec_id".as("ia"), $"v".as("va"))
+      .join(a2.select($"cl", $"vec_id".as("ib"), $"v".as("vb")), Seq("cl"))
+      .filter($"ia" < $"ib")
+      .withColumn("cos", graft.functions.CosineSimilarity.cosineSim($"va", $"vb"))
+      .filter(round($"cos", 6) >= 0.4)
+      .select($"cl", $"ib").distinct()
+      .groupBy($"cl").agg(count(lit(1)).as("n_dropped"))
+    a2.groupBy($"cl").agg(count(lit(1)).as("n_members"))
+      .join(dropped, Seq("cl"), "left")
+      .select($"cl".as("cluster"), $"n_members",
+        coalesce($"n_dropped", lit(0L)).as("n_dropped"),
+        round(coalesce($"n_dropped", lit(0L)) / $"n_members", 6).as("drop_rate"))
+      .orderBy($"cluster")
+  }
+  private lazy val s12Sql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       seeds AS (SELECT vec_id AS cl, v AS cv FROM e WHERE vec_id < 8),
+       a1 AS (
+         SELECT vec_id, v, cl FROM (
+           SELECT e.vec_id, e.v, s.cl,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY round(list_cosine_similarity(e.v, s.cv), 9) DESC, s.cl) AS rn
+           FROM e CROSS JOIN seeds s)
+         WHERE rn = 1),
+       cent1 AS (
+         SELECT cl, list(cx ORDER BY p) AS cv FROM (
+           SELECT cl, p, avg(x) AS cx FROM (
+             SELECT cl, i AS p, v[i] AS x
+             FROM a1, unnest(generate_series(1, len(v))) AS t(i))
+           GROUP BY cl, p)
+         GROUP BY cl),
+       a2 AS (
+         SELECT vec_id, v, cl FROM (
+           SELECT e.vec_id, e.v, c.cl,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY round(list_cosine_similarity(e.v, c.cv), 9) DESC, c.cl) AS rn
+           FROM e CROSS JOIN cent1 c)
+         WHERE rn = 1),
+       drops AS (
+         SELECT cl, count(*) AS n_dropped FROM (
+           SELECT DISTINCT a.cl, b.vec_id
+           FROM a2 a JOIN a2 b ON a.cl = b.cl AND a.vec_id < b.vec_id
+           WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4)
+         GROUP BY cl),
+       members AS (SELECT cl, count(*) AS n_members FROM a2 GROUP BY cl)
+       SELECT m.cl AS cluster, n_members,
+         coalesce(n_dropped, CAST(0 AS BIGINT)) AS n_dropped,
+         round(coalesce(n_dropped, CAST(0 AS BIGINT)) / n_members, 6) AS drop_rate
+       FROM members m LEFT JOIN drops d ON d.cl = m.cl
+       ORDER BY cluster"""
 
   /** s08 — LSH-bucketed ANN with MULTI-PROBE (the hash-based
     * alternative to s03's IVF): corpus vectors bucket by the sign bits
@@ -578,6 +672,7 @@ object Similarity extends QueryModule {
 
   val queries: Map[String, QueryFn] = Map(
     "s11_ranking_metrics" -> s11 _,
+    "s12_semantic_dedup" -> s12 _,
     "s10_ann_recall" -> s10 _,
     "s09_range_search" -> s09 _,
     "s08_lsh_ann" -> s08 _,
@@ -592,6 +687,7 @@ object Similarity extends QueryModule {
 
   val oracle: Map[String, String] = Map(
     "s11_ranking_metrics" -> s11Sql,
+    "s12_semantic_dedup" -> s12Sql,
     "s10_ann_recall" -> s10Sql,
     "s09_range_search" -> s09Sql,
     "s08_lsh_ann" -> s08Sql,

@@ -165,4 +165,18 @@ class DedupSpec extends SparkSpec {
     assert(groups(102L) == 2L, "102 and 104 collapse to one exact group")
     assert(groups(101L) == 1L && groups(103L) == 1L)
   }
+
+  test("d12 incremental pairs = full near-dup pairs restricted to the new batch") {
+    import spark.implicits._
+    // same banding, same verification, one-sided candidate join — so the
+    // incremental result must equal the full operator's pairs filtered
+    // to those touching a doc_id % 3 == 2 document, nothing more or less
+    val full = Dedup.queries("d06_lsh_verified_neardup")(spark, sfDir)
+      .filter($"doc_a" % 3 === 2 || $"doc_b" % 3 === 2)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val incr = Dedup.queries("d12_incremental_neardup")(spark, sfDir)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(incr == full, s"diff: ${(incr diff full) ++ (full diff incr)}")
+    assert(incr.nonEmpty, "the test corpus plants near-dups in every slice")
+  }
 }

@@ -48,4 +48,28 @@ class GraphSpec extends SparkSpec {
     assert(liveScans.isEmpty,
       s"corpus scan leaked past the persisted edge build: $liveScans")
   }
+
+  test("g02 components: sizes sum to subgraph nodes, splits consistent, rep is min") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Graph.queries("g02_components")(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_customers") + r.getAs[Long]("n_suppliers") ==
+        r.getAs[Long]("n_nodes"), "kind split partitions each component")
+      // an edge always links a customer to a supplier, so no component
+      // is single-kind
+      assert(r.getAs[Long]("n_customers") > 0 && r.getAs[Long]("n_suppliers") > 0)
+    }
+    // total nodes = distinct endpoints of the strong subgraph
+    val pairs = graft.sources.Tables.lineitem(spark, sfDir)
+      .join(graft.sources.Tables.orders(spark, sfDir), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_custkey", $"l_suppkey").agg(count(lit(1)).as("w"))
+      .filter($"w" >= 4)
+    val nNodes = pairs.select($"o_custkey").distinct().count() +
+      pairs.select($"l_suppkey").distinct().count()
+    assert(df.agg(sum($"n_nodes")).head.getLong(0) == nNodes,
+      "every strong-subgraph node labeled exactly once")
+  }
 }

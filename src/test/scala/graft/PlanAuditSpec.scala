@@ -17,6 +17,7 @@ class PlanAuditSpec extends SparkSpec {
     "s03_ivf_ann", "s02_batch_knn" /* broadcast probe set x corpus */,
     "s05_quantized_cosine", "s06_ivf_nprobe",
     "s07_kmeans" /* k broadcast centroids x corpus, per Lloyd pass */,
+    "s12_semantic_dedup" /* same k-means assignment pipeline as s07 */,
     "w09_distributed_rank" /* 1-row broadcast of the total count */,
     "e10_funnel" /* three 1-row stage counts cross-joined */,
     "a10_unigram_logprob" /* 1-row broadcast of the corpus token total */,

@@ -109,6 +109,27 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("s12 semantic dedup: membership agrees with s07, drops bounded and consistent") {
+    import org.apache.spark.sql.functions.{col, sum}
+    val s12 = Similarity.queries("s12_semantic_dedup")(spark, sfDir)
+    val s07 = Similarity.queries("s07_kmeans")(spark, sfDir)
+    // the pair check must not change the clustering: per-cluster member
+    // counts are exactly s07's
+    val m12 = s12.select(col("cluster"), col("n_members")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m07 = s07.select(col("cluster"), col("n_members")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m12 == m07, "s12 clusters must be s07's assignment")
+    s12.collect().foreach { r =>
+      val (m, d, rate) = (r.getAs[Long]("n_members"),
+        r.getAs[Long]("n_dropped"), r.getAs[Double]("drop_rate"))
+      assert(d >= 0 && d < m, "keep-lowest-id always keeps at least one")
+      assert(math.abs(rate - d.toDouble / m) < 1e-6)
+    }
+    val dropped = s12.agg(sum(col("n_dropped"))).head.getLong(0)
+    assert(dropped > 0, "the corpus plants in-cluster near-dups")
+  }
+
   test("s01 brute-force top-k plans as TakeOrderedAndProject with a broadcast query side") {
     val plan = planOf(Similarity.queries("s01_cosine_topk")(spark, sfDir))
     assert(plan.contains("TakeOrderedAndProject"), plan)
