@@ -121,6 +121,25 @@ object ScaleSmoke {
       .first().getLong(0)
   }
 
+  /** Distinct one-sided (batch×corpus) banded candidates for a 1-in-`mod`
+    * ingest batch — the quantity behind d12's Θ(batch) claim. Against
+    * `minhash_band_pairs` (the full two-sided count) a 1% batch should
+    * cost ~2% of the full candidate volume (either endpoint may be the
+    * batch doc), at BOTH scales — the incremental shape stays linear in
+    * the batch however big the corpus grows. */
+  private def incrementalCandidates(s: SparkSession, d: String, mod: Long): Long = {
+    import s.implicits._
+    val bands = Dedup.minhashBands(
+      Dedup.shingleHashes(Tables.documents(s, d), $"doc_id", $"text"), "smokeincr")
+    (0 until 3).map { b =>
+      val x = bands.filter($"doc_id" % mod === 7)
+        .select($"doc_id".as("na"), col(s"bh$b").as("bh"))
+      val y = bands.select($"doc_id".as("nb"), col(s"bh$b").as("bh"))
+      x.join(y, Seq("bh")).filter($"na" =!= $"nb")
+        .select(least($"na", $"nb").as("a"), greatest($"na", $"nb").as("b"))
+    }.reduce(_ unionByName _).distinct().count()
+  }
+
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = if (args.length > 1) args(1) else
@@ -134,7 +153,8 @@ object ScaleSmoke {
 
     val names = Seq("d01_exact_dedup", "d03_minhash_lsh", "d05_embedding_neardup",
       "d06_lsh_verified_neardup", "d07_neardup_clusters", "d09_simhash_verified",
-      "d10_decontaminate", "d11_multiprobe_neardup", "s02_batch_knn", "s07_kmeans")
+      "d10_decontaminate", "d11_multiprobe_neardup", "d12_incremental_neardup",
+      "s02_batch_knn", "s07_kmeans", "s12_semantic_dedup")
       .filter(SparkEntry.queries.contains)
     def j(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val dirs = Seq("sf0.1" -> src, "sf1" -> out)
@@ -148,6 +168,7 @@ object ScaleSmoke {
       }
       val cands = Seq(
         s""""minhash_band_pairs":${minhashCandidates(spark, dir)}""",
+        s""""incremental_band_pairs_1pct":${incrementalCandidates(spark, dir, 100L)}""",
         s""""simhash_block_pairs":${simhashCandidates(spark, dir)}""",
         s""""sign4_bucket_pairs":${embeddingCandidates(spark, dir, 4)}""",
         s""""sign8_bucket_pairs":${embeddingCandidates(spark, dir, 8)}""",
