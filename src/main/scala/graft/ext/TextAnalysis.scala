@@ -656,8 +656,59 @@ object TextAnalysis extends QueryModule {
        FROM probs p LEFT JOIN sampled USING (source)
        ORDER BY p.source"""
 
+  /** a15 — hashed-feature LINEAR quality classifier (the fastText-style
+    * learned filter every corpus pipeline runs after the heuristic
+    * gates; CCNet/LLaMA use exactly this shape). Tokens hash into
+    * D=1024 feature buckets, the model is a weight per bucket, and the
+    * doc score is the sigmoid of the mean token weight. The weights
+    * here are a deterministic public FORMULA standing in for trained
+    * parameters — w(i) = ((i·2654435761) mod 2048 − 1024)/2048 — so the
+    * oracle replays the model exactly; swapping in trained weights
+    * changes a lookup, not the plan.
+    *
+    * Numerics discipline (the g01 integer-micro-unit pattern): the KEEP
+    * decision compares the INTEGER weight sum to zero — order-
+    * independent, bit-identical in any engine — and floating point
+    * appears only in the reported sigmoid, rounded to 1e-6. Scale: the
+    * whole op is one map-side pass over the corpus scan (hash, gather,
+    * sum per doc) plus a |docs|-row rollup; a trained weight table at
+    * D=2^20 would ride along as one broadcast array. */
+  private def a15(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = split($"text", " ")
+    // integer token weight: bucket = h60(tok) % 1024, then the weight
+    // formula, all in exact BIGINT arithmetic (max |operand| ~ 2.7e12)
+    val wInt = (t: Column) =>
+      (conv(substring(md5(t), 1, 15), 16, 10).cast("long") % 1024L) *
+        2654435761L % 2048L - 1024L
+    Tables.documents(s, d)
+      .select($"doc_id",
+        aggregate(transform(toks, wInt), lit(0L), (acc, x) => acc + x).as("sum_w"),
+        size(toks).cast("long").as("n_toks"))
+      .select($"doc_id",
+        round(lit(1.0) / (lit(1.0) +
+          exp(-$"sum_w" / (lit(2048.0) * $"n_toks"))), 6).as("score"),
+        ($"sum_w" >= 0).as("keep"))
+      .orderBy($"doc_id")
+  }
+  private val a15Sql =
+    """WITH f AS (
+         SELECT doc_id,
+           (CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 1024)
+             * 2654435761 % 2048 - 1024 AS w
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+               FROM documents)),
+       sc AS (
+         SELECT doc_id, sum(w) AS sum_w, count(*) AS n_toks
+         FROM f GROUP BY doc_id)
+       SELECT doc_id,
+         round(1.0 / (1.0 + exp(-sum_w / (2048.0 * n_toks))), 6) AS score,
+         sum_w >= 0 AS keep
+       FROM sc ORDER BY doc_id"""
+
   val queries: Map[String, QueryFn] = Map(
     "a14_source_mixing" -> a14 _,
+    "a15_classifier_score" -> a15 _,
     "a13_sequence_packing" -> a13 _,
     "a12_pii_scrub" -> a12 _,
     "a11_dup_report" -> a11 _,
@@ -675,6 +726,7 @@ object TextAnalysis extends QueryModule {
 
   val oracle: Map[String, String] = Map(
     "a14_source_mixing" -> a14Sql,
+    "a15_classifier_score" -> a15Sql,
     "a13_sequence_packing" -> a13Sql,
     "a12_pii_scrub" -> a12Sql,
     "a11_dup_report" -> a11Sql,

@@ -117,4 +117,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(groups.filter(col("nd") =!= col("n")).count() == 0,
       "same fingerprint must mean same text at this corpus size")
   }
+
+  test("a15 classifier: scores in (0,1), keep agrees with the integer decision, both classes present") {
+    val df = TextAnalysis.queries("a15_classifier_score")(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.length ==
+      graft.sources.Tables.documents(spark, sfDir).count(), "one score per doc")
+    rows.foreach { r =>
+      val (score, keep) = (r.getAs[Double]("score"), r.getAs[Boolean]("keep"))
+      assert(score > 0.0 && score < 1.0, "sigmoid range")
+      // keep is the exact integer sum_w >= 0 decision; the reported score
+      // is its rounded sigmoid, so the two must agree up to rounding
+      if (keep) assert(score >= 0.5 - 1e-6) else assert(score <= 0.5 + 1e-6)
+    }
+    val nKeep = rows.count(_.getAs[Boolean]("keep"))
+    assert(nKeep > 0 && nKeep < rows.length,
+      "a hash-random model splits the corpus into both classes")
+  }
 }
