@@ -279,4 +279,35 @@ class SourcesSpec extends SparkSpec {
     val bad = Sources.csv(spark, s"$tmp/orders_csv", schema)
     intercept[Exception] { bad.collect() }
   }
+
+  test("normalizeTs dispatches on the observed ts layout (nanos-long, NTZ, LTZ, other)") {
+    import spark.implicits._
+    // 2021-01-01T00:00:01Z in each physical layout the events table has
+    // shipped as across testdata generations
+    val micros = 1609459201000000L
+    // legacy TIMESTAMP(NANOS) read as raw long via nanosAsLong
+    val fromLong = Tables.normalizeTs(
+      Seq((1L, micros * 1000L)).toDF("event_id", "ts"))
+    assert(fromLong.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    assert(fromLong.select(unix_micros(col("ts"))).head.getLong(0) == micros,
+      "nanos truncate to micros")
+    // native micros read as TIMESTAMP_NTZ: the UTC session makes the
+    // relabel to TimestampType preserve the instant exactly
+    val ntz = Seq(1L).toDF("event_id").select(col("event_id"),
+      timestamp_micros(lit(micros)).cast(
+        org.apache.spark.sql.types.TimestampNTZType).as("ts"))
+    val fromNtz = Tables.normalizeTs(ntz)
+    assert(fromNtz.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    assert(fromNtz.select(unix_micros(col("ts"))).head.getLong(0) == micros)
+    // already-TimestampType passes through untouched
+    val ltz = Seq(1L).toDF("event_id")
+      .select(col("event_id"), timestamp_micros(lit(micros)).as("ts"))
+    assert(Tables.normalizeTs(ltz) eq ltz)
+    // anything else fails loudly rather than miscomputing downstream
+    intercept[RuntimeException] {
+      Tables.normalizeTs(Seq((1L, "2021-01-01")).toDF("event_id", "ts"))
+    }
+  }
 }
