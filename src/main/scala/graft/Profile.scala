@@ -32,6 +32,20 @@ object Profile {
       })
     args.foreach { name =>
       val fn = SparkEntry.queries(name)
+      // PROFILE_EXPLAIN=1: initial formatted plan; =2: the FINAL
+      // adaptive plan (executes the query first, so codegen spans and
+      // AQE decisions show as they actually ran)
+      if (sys.env.get("PROFILE_EXPLAIN").contains("1"))
+        println(s"=== $name ===\n" + fn(spark, sfDir)
+          .queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+      if (sys.env.get("PROFILE_EXPLAIN").contains("2")) {
+        val df = fn(spark, sfDir)
+        // drive the df's OWN executedPlan (a writer would build a fresh
+        // QueryExecution and this plan would never finalize)
+        df.queryExecution.executedPlan.execute().count()
+        println(s"=== $name (final) ===\n" + df.queryExecution.executedPlan)
+      }
       (1 to reps).foreach { r =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.mode("overwrite").format("noop").save()
