@@ -241,6 +241,28 @@ object Dedup extends QueryModule {
           (0 until 4).map(r => col(s"mh${b * 4 + r}").cast("string")): _*)))))
   }
 
+  /** Per-document minhash signature ROW for the streaming near-dup
+    * operator (streaming/EventStreams.nearDupStream): (doc_id,
+    * sh: distinct shingle hashes, bh0..bh2 band hashes) — the same
+    * shingle / permutation / band constants as `minhashBands`, computed
+    * as per-row array expressions with no aggregation, so a stream
+    * carries a document's whole signature on one row and the online
+    * operator's pairs are hash-identical to the batch d06 oracle.
+    * Documents with no 3-shingle (under 3 tokens) are filtered — they
+    * produce no signature rows in the batch pipeline either. */
+  private[graft] def docSignatures(docs: DataFrame, id: Column,
+      text: Column): DataFrame = {
+    val mh = (i: Int) => array_min(transform(col("hb"),
+      x => (lit(permA(i)) * x + lit(permB(i))) % 1000000007L))
+    docs.select(id.as("doc_id"),
+        array_distinct(transform(shingleArr(text), s => h60(s))).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("hb", transform(col("sh"), x => x % 1073741824L))
+      .select(col("doc_id") +: col("sh") +:
+        (0 until 3).map(b => md5(concat_ws(",",
+          (0 until 4).map(r => mh(b * 4 + r).cast("string")): _*)).as(s"bh$b")): _*)
+  }
+
   /** LSH candidate pairs: docs sharing any of the 3 band hashes. An
     * equi-join per band — the all-pairs space is never materialized. */
   private[graft] def bandCandidates(withBands: DataFrame): DataFrame =
@@ -402,7 +424,9 @@ object Dedup extends QueryModule {
          JOIN sizes sb ON sb.doc_id = doc_b
          WHERE round(n_inter / (sa.n + sb.n - n_inter), 6) >= 0.6)"""
 
-  private lazy val d06Sql =
+  /** Shared with the streaming face (e20), whose online pairs must
+    * hash-match this exact batch chain. */
+  private[graft] lazy val d06Sql =
     s"""WITH $d06Ctes
        SELECT doc_a, doc_b, jaccard FROM pairs ORDER BY doc_a, doc_b"""
 

@@ -653,8 +653,51 @@ object Eventing extends QueryModule {
                FROM events GROUP BY 1, 2))
        WHERE rank <= 3 ORDER BY hour, rank"""
 
+  /** e20 — ONLINE near-dup detection under the gate: the documents
+    * table replayed as a file stream through
+    * `EventStreams.nearDupStream` (per-band-bucket signature state on
+    * flatMapGroupsWithState, first-agreeing-band exactly-once
+    * emission), certified against the BATCH d06 oracle — the online
+    * operator must find exactly the pairs the offline pipeline finds,
+    * pair-for-pair and hash-for-hash. This is the ingest-time dedup
+    * gate of a production corpus: a document is checked against every
+    * band-matching signature already seen, the moment it arrives. */
+  private def e20(s: SparkSession, d: String): DataFrame = {
+    val name = s"e20_mem_${streamRunId.incrementAndGet()}"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_e20_ckpt").toString
+    val schema = s.read.parquet(s"$d/documents.parquet").schema
+    val stage = java.nio.file.Files.createTempDirectory("graft_e20_src")
+    val src = java.nio.file.Paths.get(s"$d/documents.parquet")
+    val target = stage.resolve("documents_1.parquet")
+    try java.nio.file.Files.createSymbolicLink(target, src)
+    catch { case _: Exception => java.nio.file.Files.copy(src, target) }
+    // isolated session: state-store count scales with shuffle
+    // partitions (runStreamed's sizing note applies)
+    val ns = s.newSession()
+    ns.conf.set("spark.sql.shuffle.partitions", "8")
+    // split-starved scan, streaming face: the staged single-row-group
+    // file reads as ONE task and Tables.spread can't probe a streaming
+    // plan — one cheap round-robin shuffle of the raw (doc_id, text)
+    // rows spreads the per-doc shingle+minhash compute across cores
+    // before the stateful stage's own exchange (measured 10.7 s -> ~4 s
+    // at sf0.1)
+    val stream = ns.readStream.schema(schema).parquet(stage.toString)
+      .repartition(s.sparkContext.defaultParallelism)
+    val sigs = graft.ext.Dedup.docSignatures(stream,
+      col("doc_id"), col("text"))
+    val q = graft.streaming.EventStreams.nearDupStream(sigs, 0.6)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ns.table(name).orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val queries: Map[String, QueryFn] = Map(
     "e19_trending_topk" -> e19 _,
+    "e20_stream_neardup" -> e20 _,
     "e18_markov_transitions" -> e18 _,
     "e17_stream_outer_join" -> e17 _,
     "e16_stream_dedup" -> e16 _,
@@ -677,6 +720,8 @@ object Eventing extends QueryModule {
 
   val oracle: Map[String, String] = Map(
     "e19_trending_topk" -> e19Sql,
+    // the online operator is certified against the BATCH near-dup chain
+    "e20_stream_neardup" -> graft.ext.Dedup.d06Sql,
     "e18_markov_transitions" -> e18Sql,
     "e17_stream_outer_join" -> e17Sql,
     "e16_stream_dedup" -> e16Sql,

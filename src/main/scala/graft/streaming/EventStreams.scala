@@ -281,6 +281,95 @@ object EventStreams extends Serializable {
         else GroupStateTimeout.NoTimeout())(fn)
   }
 
+  /** One exploded (band, band_hash) probe row of a document's minhash
+    * signature — the unit the online near-dup operator keys its state
+    * by. Carries ALL three band hashes so first-agreeing-band emission
+    * needs no second stateful pass. */
+  case class DocSig(band: Int, bh: String, doc_id: Long,
+      bh0: String, bh1: String, bh2: String, sh: Array[Long])
+
+  /** A signature retained in a bucket's state store. */
+  case class StoredSig(doc_id: Long, bh0: String, bh1: String,
+      bh2: String, sh: Array[Long])
+
+  /** Verified near-dup pair, emitted the moment the later document
+    * arrives. */
+  case class NearPair(doc_a: Long, doc_b: Long, jaccard: Double)
+
+  /** ONLINE near-duplicate detection — the streaming face of
+    * `ext.Dedup.nearDupPairs`: documents arrive as a stream, each keeps
+    * its minhash signature in the state store of every band bucket it
+    * hashes into, and a verified pair (exact Jaccard over the stored
+    * shingle-hash sets >= threshold) is emitted THE MOMENT the later
+    * document arrives — the shape of an ingest pipeline that rejects
+    * near-duplicates before they ever land in the corpus.
+    *
+    * Exactly-once across buckets without a second stateful dedup pass:
+    * a pair sharing several bands would be found in several groups, so
+    * a group emits only when ITS band is the FIRST band the two
+    * signatures agree on (d09's first-agreeing-block discipline — a
+    * pure map-side decision, since every row carries all three band
+    * hashes). Rows within a micro-batch are processed in doc_id order,
+    * so output is independent of how the source chops batches.
+    *
+    * Input: `Dedup.docSignatures` columns (doc_id, sh, bh0..bh2) from
+    * a streaming source. State: one signature list per occupied
+    * (band, band_hash) bucket — the certification harness runs a
+    * bounded corpus with NoTimeout; a production deployment adds a
+    * processing-time timeout sized to its ingest horizon the same way
+    * funnelize does. The arithmetic (shingle hashing, permutations,
+    * band hashes, HALF_UP rounding) is bit-identical to the batch
+    * pipeline, so the online pairs hash-match d06's DuckDB oracle. */
+  def nearDupStream(sigs: DataFrame, threshold: Double): Dataset[NearPair] = {
+    implicit val sigEnc: Encoder[DocSig] = ExpressionEncoder()
+    implicit val stEnc: Encoder[List[StoredSig]] = ExpressionEncoder()
+    implicit val outEnc: Encoder[NearPair] = ExpressionEncoder()
+    implicit val keyEnc: Encoder[(Int, String)] = ExpressionEncoder()
+    import org.apache.spark.sql.functions._
+
+    def fn(key: (Int, String), rows: Iterator[DocSig],
+        state: GroupState[List[StoredSig]]): Iterator[NearPair] = {
+      val have = scala.collection.mutable.ArrayBuffer[StoredSig]()
+      have ++= state.getOption.getOrElse(Nil)
+      val out = scala.collection.mutable.ArrayBuffer[NearPair]()
+      rows.toArray.sortBy(_.doc_id).foreach { d =>
+        val dset = d.sh.toSet
+        have.foreach { s =>
+          val first =
+            if (s.bh0 == d.bh0) 0
+            else if (s.bh1 == d.bh1) 1
+            else if (s.bh2 == d.bh2) 2
+            else -1
+          if (first == key._1) {
+            val inter = s.sh.count(dset.contains)
+            val jac = inter.toDouble / (s.sh.length + d.sh.length - inter)
+            // Spark round(): HALF_UP over BigDecimal.valueOf's decimal
+            // form — match it exactly so the oracle's threshold filter
+            // agrees on boundary pairs
+            val r = java.math.BigDecimal.valueOf(jac)
+              .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+            if (r >= threshold)
+              out += NearPair(math.min(s.doc_id, d.doc_id),
+                math.max(s.doc_id, d.doc_id), r)
+          }
+        }
+        have += StoredSig(d.doc_id, d.bh0, d.bh1, d.bh2, d.sh)
+      }
+      state.update(have.toList)
+      out.iterator
+    }
+
+    sigs.select(explode(array((0 until 3).map(b =>
+        struct(lit(b).as("band"), col(s"bh$b").as("bh"))): _*)).as("bk"),
+        col("doc_id"), col("bh0"), col("bh1"), col("bh2"), col("sh"))
+      .select(col("bk.band").as("band"), col("bk.bh").as("bh"),
+        col("doc_id"), col("bh0"), col("bh1"), col("bh2"), col("sh"))
+      .as[DocSig]
+      .groupByKey(s => (s.band, s.bh))
+      .flatMapGroupsWithState[List[StoredSig], NearPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
+  }
+
   /** Streaming -> RDBMS serving layer: attach a key-scoped idempotent
     * JDBC upsert (graft.sources.Sources.upsertJdbc) as a foreachBatch
     * sink. Structured Streaming guarantees at-least-once foreachBatch

@@ -269,4 +269,41 @@ class StreamingSpec extends SparkSpec {
       assert(got == Set((1L, "new", 1.0), (2L, "paid", 20.0), (3L, "new", 3.0)))
     } finally query.stop()
   }
+
+  test("online near-dup emits a pair when the LATER doc arrives, across micro-batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val sigs = graft.ext.Dedup.docSignatures(
+      input.toDF().toDF("doc_id", "text"), col("doc_id"), col("text"))
+    val query = EventStreams.nearDupStream(sigs, 0.6)
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+      val other = (1 to 30).map(i => s"zz$i").mkString(" ")
+      // batch 1: two unrelated docs -> no pairs, signatures in state
+      input.addData((101L, base), (103L, other))
+      query.processAllAvailable()
+      assert(spark.table("neardup_out").count() == 0)
+      // batch 2: a near-dup of 101 arrives -> the pair emits NOW, from
+      // state persisted across batches, exactly once despite the two
+      // docs sharing all three bands' buckets
+      input.addData((102L, base + " extra"))
+      query.processAllAvailable()
+      val got = spark.table("neardup_out")
+        .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSeq
+      assert(got == Seq((101L, 102L)), s"got $got")
+      // batch 3: an exact copy of 102 pairs with BOTH seen docs
+      input.addData((104L, base + " extra"))
+      query.processAllAvailable()
+      val all = spark.table("neardup_out")
+        .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+      assert(all == Set((101L, 102L), (101L, 104L), (102L, 104L)), s"got $all")
+      val jac104 = spark.table("neardup_out")
+        .filter($"doc_a" === 102L && $"doc_b" === 104L)
+        .select($"jaccard").head.getDouble(0)
+      assert(jac104 == 1.0, "exact copy pairs at jaccard 1")
+    } finally query.stop()
+  }
 }
