@@ -4,7 +4,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val Array(sfDir, outDir) = args.take(2)
+    // optional extra args: query-name substrings for focused local runs
+    // (the driver always passes exactly two args and dumps everything)
+    val filters = args.drop(2)
+    def selected(name: String): Boolean =
+      filters.isEmpty || filters.exists(name.contains)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
       .config("spark.ui.enabled", "false")
@@ -47,7 +52,7 @@ object Verify {
     // an all-pass correctness report can't silently cover fewer queries
     // than the suite defines
     var errors = List.empty[(String, String)]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -76,9 +81,10 @@ object Verify {
     val errJson = errors.sortBy(_._1)
       .map { case (n, m) => s"${q(n)}: ${q(m)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
-    println(s"[verify] ${SparkEntry.queries.size - errors.size}/" +
-      s"${SparkEntry.queries.size} queries dumped; failed: " +
-      errors.map(_._1).sorted.mkString("[", ",", "]"))
+    val nSel = SparkEntry.queries.count(q => selected(q._1))
+    println(s"[verify] ${nSel - errors.size}/$nSel queries dumped" +
+      (if (filters.nonEmpty) s" (filtered from ${SparkEntry.queries.size})" else "") +
+      s"; failed: " + errors.map(_._1).sorted.mkString("[", ",", "]"))
     spark.stop()
   }
 }

@@ -363,20 +363,66 @@ object Eventing extends QueryModule {
     * Structured Streaming job (file source, AvailableNow trigger,
     * memory sink) and return the sink table. Shared by e13/e14. */
   private def runStreamed(s: SparkSession, d: String, prefix: String,
-      mode: String, copies: Int = 1, sentinel: Boolean = false)(
+      mode: String, copies: Int = 1, sentinel: Boolean = false,
+      lateSplit: Boolean = false)(
       xf: DataFrame => DataFrame): DataFrame = {
     val name = s"${prefix}_mem_${streamRunId.incrementAndGet()}"
     val ckpt = java.nio.file.Files.createTempDirectory(s"graft_${prefix}_ckpt").toString
     // file stream source needs an explicit schema; reuse the batch
     // footer's (ts arrives as nanos-long, normalized the same way as
-    // Tables.events)
-    val schema = s.read.parquet(s"$d/events.parquet").schema
+    // Tables.events) — except under lateSplit, which restages the rows
+    // through Spark and therefore reads back the NORMALIZED layout
+    val schema =
+      if (lateSplit) graft.sources.Tables.events(s, d).schema
+      else s.read.parquet(s"$d/events.parquet").schema
     // the file stream source requires a DIRECTORY; the test table is a
     // bare file, so expose it through a linked staging dir (symlink —
     // zero-copy; plain copy as the cross-filesystem fallback). In
     // production the source would already be a directory of files.
     val stage = java.nio.file.Files.createTempDirectory(s"graft_${prefix}_src")
     val src = java.nio.file.Paths.get(s"$d/events.parquet")
+    if (lateSplit) {
+      // LATE-ARRIVAL staging: the table is split into an on-time file
+      // and a day-long slice (15-16 days before the corpus max) that
+      // arrives one micro-batch AFTER it — the "delayed upstream
+      // partition replayed hours later" incident. By the time the late
+      // file arrives, batch 1 has advanced the watermark to max - 2h,
+      // which is days past every late row's window, so the watermark
+      // must drop all of them — e21's oracle is the batch aggregate
+      // WITHOUT the late slice. Explicit mtimes order the two files
+      // under FileStreamSource's mtime-sorted, maxFilesPerTrigger=1
+      // delivery (same mechanism as the sentinel heartbeats below).
+      val ev = graft.sources.Tables.events(s, d)
+      val m = ev.agg(max(col("ts")).as("m")).collect()(0).getTimestamp(0)
+      val lateLo = java.sql.Timestamp.from(m.toInstant.minusSeconds(16L * 86400))
+      val lateHi = java.sql.Timestamp.from(m.toInstant.minusSeconds(15L * 86400))
+      val isLate = col("ts") >= lit(lateLo) && col("ts") < lit(lateHi)
+      // the EMPTY spacer batch is load-bearing: since SPARK-39931 a
+      // micro-batch filters late input with the PREVIOUS batch's
+      // watermark (eventTimeWatermarkForLateEvents) and evicts with the
+      // current one — a late file landing in the very next batch after
+      // the data that advanced the watermark is still admitted
+      // (measured: without the spacer, every "late" row merged and the
+      // result equaled the no-drop aggregate). One empty file between
+      // them rolls the advanced watermark into the late-filter role, so
+      // the replayed slice genuinely tests the drop path.
+      Seq(("aa_ontime", ev.filter(!isLate), 0L),
+          ("ab_gap", ev.filter(lit(false)), 5000L),
+          ("ac_late", ev.filter(isLate), 10000L)).foreach {
+        case (fname, df, mtimeOff) =>
+          val side = java.nio.file.Files.createTempDirectory(s"graft_${prefix}_split")
+          df.coalesce(1).write.mode("overwrite").parquet(side.toString)
+          val part = side.toFile.listFiles()
+            .find(_.getName.endsWith(".parquet"))
+            .getOrElse(sys.error("late-split write produced no parquet part"))
+          val target = stage.resolve(s"$fname.parquet")
+          java.nio.file.Files.move(part.toPath, target)
+          java.nio.file.Files.setLastModifiedTime(target,
+            java.nio.file.attribute.FileTime.fromMillis(
+              System.currentTimeMillis() + mtimeOff))
+          graft.util.Scratch.deleteRecursively(side.toFile)
+      }
+    } else
     // copies > 1 stages the SAME table under several file names — the
     // stream then genuinely delivers every row that many times, which
     // is how e16 feeds real duplicates to the dedup operator
@@ -695,7 +741,36 @@ object Eventing extends QueryModule {
     ns.table(name).orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** e21 — WATERMARK LATE-DATA SEMANTICS under the oracle: the events
+    * table split so a full day-long slice (15-16 days before the corpus
+    * max) arrives one micro-batch AFTER everything else — the classic
+    * "delayed upstream partition finally replayed" incident. Batch 1
+    * advances the watermark to max - 2h; the replayed slice is days
+    * behind it, so the tumbling aggregation must DROP every late row
+    * (never resurrect closed windows) while the on-time rows aggregate
+    * normally. Append mode with sentinel heartbeats to flush the tail
+    * windows; the DuckDB oracle is the batch aggregate WITHOUT the late
+    * slice — a hash match certifies both planes of the watermark
+    * contract: on-time completeness and late-data rejection. This is
+    * the semantic e13 (complete mode, nothing droppable) cannot see. */
+  private def e21(s: SparkSession, d: String): DataFrame =
+    runStreamed(s, d, "e21", "append", sentinel = true, lateSplit = true)(
+      graft.streaming.EventStreams.tumblingStream)
+      // heartbeat windows live in 2100; real windows end by 2024 —
+      // the year guard drops only sentinel output
+      .filter(col("win_start") < lit("2099-01-01").cast("timestamp"))
+      .orderBy(col("win_start"), col("event_type"))
+
+  private val e21Sql =
+    """WITH mx AS (SELECT max(ts) AS m FROM events)
+       SELECT time_bucket(INTERVAL 1 HOUR, ts) AS win_start, event_type,
+         count(*) AS n, round(sum(value), 2) AS sum_value
+       FROM events, mx
+       WHERE NOT (ts >= m - INTERVAL 16 DAY AND ts < m - INTERVAL 15 DAY)
+       GROUP BY 1, 2 ORDER BY win_start, event_type"""
+
   val queries: Map[String, QueryFn] = Map(
+    "e21_late_data" -> e21 _,
     "e19_trending_topk" -> e19 _,
     "e20_stream_neardup" -> e20 _,
     "e18_markov_transitions" -> e18 _,
@@ -719,6 +794,7 @@ object Eventing extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "e21_late_data" -> e21Sql,
     "e19_trending_topk" -> e19Sql,
     // the online operator is certified against the BATCH near-dup chain
     "e20_stream_neardup" -> graft.ext.Dedup.d06Sql,

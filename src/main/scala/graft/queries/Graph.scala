@@ -182,12 +182,87 @@ object Graph extends QueryModule {
        FROM labels GROUP BY lbl
        ORDER BY n_nodes DESC, rep_kind, rep_key"""
 
+  /** g03 — TRIANGLE COUNT + global clustering coefficient over the
+    * supplier co-trading 5-NN graph. Graph build: suppliers are linked
+    * when they serve common customers; each supplier keeps only its 5
+    * strongest co-suppliers (most shared customers, ties by id) via the
+    * TopKPerKey operator — the kNN-graph construction that bounds
+    * every node's degree by design, which is exactly what makes
+    * triangle counting tractable at scale (the 3-way edge join's
+    * fan-out is degree-bounded, never hub-quadratic; on a graph with
+    * unbounded degrees you'd orient edges low→high degree first for
+    * the same effect). Triangles: edges oriented a<b, wedge join on
+    * the shared middle node, closing-edge semi-check — each triangle
+    * counted exactly once because a<b<c holds along the chain. Wedge
+    * count Σ d(d-1)/2 and 3·tri/wedges stay in integer arithmetic
+    * until the single final division, so both engines agree exactly.
+    */
+  private def g03(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey".as("c"), $"l_suppkey".as("sup")).distinct()
+    val co = pairs.as("a").join(pairs.as("b"),
+        $"a.c" === $"b.c" && $"a.sup" =!= $"b.sup")
+      .groupBy($"a.sup".as("s1"), $"b.sup".as("s2"))
+      .agg(count(lit(1)).as("shared"))
+    val top = graft.plans.TopKPerKey.topKPerKey(co, 5,
+      Seq($"s1"), Seq($"shared".desc, $"s2"))
+    val edges = swapPersist(
+      top.select(least($"s1", $"s2").as("a"), greatest($"s1", $"s2").as("b"))
+        .distinct())
+    val deg = edges.select($"a".as("n")).unionAll(edges.select($"b".as("n")))
+      .groupBy($"n").agg(count(lit(1)).as("dg"))
+    val wedges = deg.agg(sum(expr("dg * (dg - 1) div 2")).as("n_wedges"),
+      count(lit(1)).as("n_nodes"))
+    // edges is node-degree-sized (5-NN): broadcast both join sides so
+    // the wedge enumeration and the closing-edge check are map-side
+    val tri = edges.as("e1")
+      .join(broadcast(edges.as("e2")), $"e1.b" === $"e2.a")
+      .join(broadcast(edges.as("e3")),
+        $"e3.a" === $"e1.a" && $"e3.b" === $"e2.b")
+      .agg(count(lit(1)).as("n_triangles"))
+    val nEdges = edges.agg(count(lit(1)).as("n_edges"))
+    wedges.crossJoin(broadcast(nEdges)).crossJoin(broadcast(tri))
+      .select($"n_nodes", $"n_edges", $"n_wedges", $"n_triangles",
+        round(lit(3.0) * $"n_triangles" / $"n_wedges", 6).as("clustering"))
+  }
+  private val g03Sql =
+    """WITH pairs AS (
+         SELECT o_custkey AS c, l_suppkey AS sup
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),
+       co AS (
+         SELECT a.sup AS s1, b.sup AS s2, count(*) AS shared
+         FROM pairs a JOIN pairs b ON a.c = b.c AND a.sup <> b.sup
+         GROUP BY 1, 2),
+       ranked AS (
+         SELECT s1, s2, row_number() OVER (
+           PARTITION BY s1 ORDER BY shared DESC, s2) AS rk FROM co),
+       edges AS (
+         SELECT DISTINCT least(s1, s2) AS a, greatest(s1, s2) AS b
+         FROM ranked WHERE rk <= 5),
+       deg AS (SELECT n, count(*) AS dg
+               FROM (SELECT a AS n FROM edges UNION ALL SELECT b FROM edges)
+               GROUP BY n),
+       tri AS (SELECT e1.a FROM edges e1
+               JOIN edges e2 ON e1.b = e2.a
+               JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b)
+       SELECT (SELECT count(*) FROM deg) AS n_nodes,
+         (SELECT count(*) FROM edges) AS n_edges,
+         (SELECT CAST(sum((dg * (dg - 1)) // 2) AS BIGINT) FROM deg) AS n_wedges,
+         (SELECT count(*) FROM tri) AS n_triangles,
+         round(3.0 * (SELECT count(*) FROM tri) /
+               (SELECT CAST(sum((dg * (dg - 1)) // 2) AS BIGINT) FROM deg),
+           6) AS clustering"""
+
   val queries: Map[String, QueryFn] = Map(
     "g01_pagerank" -> g01 _,
     "g02_components" -> g02 _,
+    "g03_triangles" -> g03 _,
   )
   val oracle: Map[String, String] = Map(
     "g01_pagerank" -> g01Sql,
     "g02_components" -> g02Sql,
+    "g03_triangles" -> g03Sql,
   )
 }

@@ -290,7 +290,63 @@ object Joins extends QueryModule {
        FROM orders WHERE year(o_orderdate) >= 1997
        GROUP BY 1 ORDER BY yr"""
 
+  /** x12 — Z-ORDER clustering (ScaleOps.zorderKey2 as a driver query):
+    * the fact table keyed by the Morton interleave of (partkey, suppkey)
+    * and bucketed into 64 equi-width z-ranges — each bucket's min/max
+    * over BOTH dimensions shows the rectangle that bucket would pin as
+    * file-level stats under `ScaleOps.zorderWrite` (ZorderSpec measures
+    * the actual file-skipping win on a written layout: a probe on either
+    * dimension overlaps few z-clustered files vs all files of a
+    * single-column sort). The oracle recomputes the bit interleave with
+    * DuckDB's integer ops, certifying the morton arithmetic bit-for-bit.
+    * Equi-WIDTH (z >> 26), not equi-height (ntile), keeps the bucket id
+    * a pure map-side expression — no global sort, no sampled ranges —
+    * so the layout decision scales embarrassingly at 100 TB. */
+  private def x12(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+      .select($"l_partkey", $"l_suppkey", $"l_quantity")
+    // normalize each dim to the full 16-bit range by its observed max
+    // (integer arithmetic — deterministic at any SF; min-max skipping
+    // needs only ORDER, so the lossy rescale is free fidelity-wise);
+    // the 2-row stats side rides along as a broadcast
+    val mx = li.agg(max($"l_partkey").as("maxp"), max($"l_suppkey").as("maxs"))
+    li.crossJoin(broadcast(mx))
+      .withColumn("z", graft.ops.ScaleOps.zorderKey2(
+        expr("(l_partkey * 65535) div maxp"), expr("(l_suppkey * 65535) div maxs")))
+      .groupBy(shiftright($"z", 26).as("zbucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min($"l_partkey").as("min_part"), max($"l_partkey").as("max_part"),
+        min($"l_suppkey").as("min_supp"), max($"l_suppkey").as("max_supp"),
+        round(sum($"l_quantity"), 2).as("sum_qty"))
+      .orderBy($"zbucket")
+  }
+  private val x12Sql =
+    """WITH mx AS (SELECT max(l_partkey) AS maxp, max(l_suppkey) AS maxs
+                   FROM lineitem),
+       b AS (
+         SELECT (l_partkey * 65535) // maxp AS dx,
+                (l_suppkey * 65535) // maxs AS dy,
+                l_partkey, l_suppkey, l_quantity
+         FROM lineitem, mx),
+       s1 AS (SELECT *, ((dx | (dx << 8)) & 16711935) AS xa,
+                        ((dy | (dy << 8)) & 16711935) AS ya FROM b),
+       s2 AS (SELECT *, ((xa | (xa << 4)) & 252645135) AS xb,
+                        ((ya | (ya << 4)) & 252645135) AS yb FROM s1),
+       s3 AS (SELECT *, ((xb | (xb << 2)) & 858993459) AS xc,
+                        ((yb | (yb << 2)) & 858993459) AS yc FROM s2),
+       s4 AS (SELECT *, ((xc | (xc << 1)) & 1431655765) AS xd,
+                        ((yc | (yc << 1)) & 1431655765) AS yd FROM s3),
+       z AS (SELECT l_partkey, l_suppkey, l_quantity,
+               (xd | (yd << 1)) AS z FROM s4)
+       SELECT z >> 26 AS zbucket, count(*) AS n_rows,
+         min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+         min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp,
+         round(sum(l_quantity), 2) AS sum_qty
+       FROM z GROUP BY 1 ORDER BY zbucket"""
+
   val queries: Map[String, QueryFn] = Map(
+    "x12_zorder_cluster" -> x12 _,
     "x11_dynamic_pruning" -> x11 _,
     "x01_outer_distribution" -> x01 _,
     "x10_bloom_prejoin" -> x10 _,
@@ -305,6 +361,7 @@ object Joins extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "x12_zorder_cluster" -> x12Sql,
     "x11_dynamic_pruning" -> x11Sql,
     "x01_outer_distribution" -> x01Sql,
     "x10_bloom_prejoin" -> x10Sql,

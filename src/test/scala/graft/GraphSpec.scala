@@ -49,6 +49,30 @@ class GraphSpec extends SparkSpec {
       s"corpus scan leaked past the persisted edge build: $liveScans")
   }
 
+  test("g03 triangles: invariants hold and a hand-built graph counts exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val r = Graph.queries("g03_triangles")(spark, sfDir).collect()(0)
+    val (nodes, edges, wedges, tris) = (r.getAs[Long]("n_nodes"),
+      r.getAs[Long]("n_edges"), r.getAs[Long]("n_wedges"),
+      r.getAs[Long]("n_triangles"))
+    assert(nodes > 0 && edges > 0)
+    // 5-NN construction bounds undirected degree by 2*5 → edges <= 5n
+    assert(edges <= 5 * nodes)
+    // every triangle closes three wedges
+    assert(3 * tris <= wedges, s"3*$tris > $wedges")
+    val cc = r.getAs[Double]("clustering")
+    assert(cc >= 0.0 && cc <= 1.0)
+    // exactness on a known graph: K4 plus a pendant vertex — 7 edges,
+    // 4 triangles (each 3-subset of the K4)
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("a", "b")
+    val tri = e.as("e1").join(e.as("e2"), $"e1.b" === $"e2.a")
+      .join(e.as("e3"), $"e3.a" === $"e1.a" && $"e3.b" === $"e2.b")
+      .count()
+    assert(tri == 4, s"K4+pendant must have 4 triangles, got $tri")
+  }
+
   test("g02 components: sizes sum to subgraph nodes, splits consistent, rep is min") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
