@@ -670,7 +670,109 @@ object Similarity extends QueryModule {
        FROM approx LEFT JOIN exact USING (probe_id, neighbor_id)
        GROUP BY probe_id ORDER BY probe_id"""
 
+  /** s13 — PRODUCT QUANTIZATION with ADC (asymmetric distance
+    * computation) + exact re-rank: the memory-layout ANN index behind
+    * IVF-PQ systems, expressed relationally. The 64-dim vectors
+    * compress to EIGHT 8-bit codes (one per 8-dim subspace — 64x
+    * smaller than float64); a query scores a code via a 256-entry
+    * lookup table per subspace built ONCE per query, so scoring the
+    * whole corpus is 8 table probes per vector — never a 64-dim dot
+    * product. The codebook here is the analytic sign codebook
+    * (centroid component ±c_i with c_i the corpus mean |x_i|) rather
+    * than trained k-means — deterministic, so the DuckDB oracle can
+    * rebuild it bit-for-bit; the ADC machinery (encode, LUT build,
+    * probe-join, shortlist, exact re-rank) is exactly the production
+    * shape, and swapping in trained centroids changes only the
+    * codebook CTE. All profile/LUT/ADC arithmetic is integer
+    * micro-units (g01's determinism discipline): sums commute, so both
+    * engines agree regardless of aggregation order. Scale: codes are
+    * built map-side in one pass; the 2048-row LUT broadcasts; ADC is a
+    * broadcast-join + integer sum; only the 40-row shortlist ever pays
+    * an exact cosine. */
+  private def s13(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = swapPersist("s13e", Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .filter(array_max(transform($"v", x => abs(x))) > 0))
+    // per-dim magnitude profile: S_i in integer micro-units, c_i = S_i/(n*1e6)
+    val stats = e.select(posexplode($"v").as(Seq("i", "x")))
+      .groupBy($"i")
+      .agg(sum(expr("CAST(round(abs(x) * 1000000) AS BIGINT)")).as("si"),
+        count(lit(1)).as("n"))
+    val q = e.filter($"vec_id" === 0).select($"v".as("qv"))
+    // query-side weight per dim: w_i = round(q_i * c_i * 1e9) — the
+    // factor an agreeing sign bit contributes to the ADC score
+    val wtab = stats.crossJoin(broadcast(q))
+      .select($"i", expr(
+        "CAST(round((element_at(qv, i + 1) * (si / (n * 1000000.0))) * 1000000000.0) AS BIGINT)")
+        .as("wi"))
+    // the ADC lookup table: score of code c in subspace s = sum_j ±w_{s*8+j}
+    val lut = s.range(0, 2048)
+      .select(floor($"id" / 256).cast("long").as("sp"),
+        ($"id" % 256).cast("long").as("code"))
+      .crossJoin(s.range(0, 8).select($"id".cast("long").as("j")))
+      .withColumn("i", ($"sp" * 8 + $"j").cast("int"))
+      .join(broadcast(wtab), "i")
+      .withColumn("t", when(
+        expr("shiftright(code, CAST(j AS INT)) & 1") === 1L, $"wi")
+        .otherwise(-$"wi"))
+      .groupBy($"sp", $"code").agg(sum($"t").as("wsc"))
+    // encode: 8 sign bits per subspace, packed little-endian — the
+    // 8-byte compressed representation a PQ index stores per vector
+    val codes = e.filter($"vec_id" =!= 0)
+      .select($"vec_id", expr(
+        """transform(sequence(0, 7), s -> aggregate(sequence(0, 7), 0L,
+           (acc, j) -> acc + IF(element_at(v, s * 8 + j + 1) > 0,
+                                shiftleft(1L, CAST(j AS INT)), 0L)))""").as("codes"))
+    val adc = codes.select($"vec_id", posexplode($"codes").as(Seq("sp", "code")))
+      .join(broadcast(lut), Seq("sp", "code"))
+      .groupBy($"vec_id").agg(sum($"wsc").as("adc"))
+    val short = adc.orderBy($"adc".desc, $"vec_id").limit(40)
+    short.join(e, "vec_id").crossJoin(broadcast(q))
+      .withColumn("cos", cosine($"v", $"qv"))
+      .select($"vec_id", round($"adc" / 1e9, 6).as("adc_score"),
+        round($"cos", 6).as("cos_sim"))
+      .orderBy(round($"cos", 9).desc, $"vec_id")
+      .limit(10)
+  }
+  private val s13Sql =
+    """WITH e AS (
+         SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         WHERE list_max(list_transform(embedding::DOUBLE[], y -> abs(y))) > 0),
+       nn AS (SELECT count(*) AS n FROM e),
+       stats AS (
+         SELECT i, sum(CAST(round(abs(v[i + 1]) * 1000000) AS BIGINT)) AS si
+         FROM e, generate_series(0, 63) t(i) GROUP BY i),
+       q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       w AS (
+         SELECT i, CAST(round((qv[i + 1] * (si / (n * 1000000.0))) * 1000000000.0) AS BIGINT) AS wi
+         FROM stats, q, nn),
+       lutj AS (
+         SELECT sp, code, j,
+           CASE WHEN (code >> j) & 1 = 1 THEN wi ELSE -wi END AS t
+         FROM generate_series(0, 7) s(sp), generate_series(0, 255) c(code),
+              generate_series(0, 7) jj(j), w
+         WHERE w.i = sp * 8 + j),
+       lut AS (SELECT sp, code, CAST(sum(t) AS BIGINT) AS wsc
+               FROM lutj GROUP BY 1, 2),
+       codes AS (
+         SELECT vec_id, sp,
+           CAST(sum(CASE WHEN v[sp * 8 + j + 1] > 0 THEN (1 << j) ELSE 0 END) AS BIGINT) AS code
+         FROM e, generate_series(0, 7) s(sp), generate_series(0, 7) jj(j)
+         WHERE vec_id <> 0 GROUP BY 1, 2),
+       adc AS (
+         SELECT vec_id, CAST(sum(wsc) AS BIGINT) AS adc
+         FROM codes JOIN lut ON codes.sp = lut.sp AND codes.code = lut.code
+         GROUP BY vec_id),
+       short AS (SELECT vec_id, adc FROM adc ORDER BY adc DESC, vec_id LIMIT 40)
+       SELECT s.vec_id, round(s.adc / 1000000000.0, 6) AS adc_score,
+         round(list_cosine_similarity(e.v, q.qv), 6) AS cos_sim
+       FROM short s JOIN e ON e.vec_id = s.vec_id, q
+       ORDER BY round(list_cosine_similarity(e.v, q.qv), 9) DESC, s.vec_id
+       LIMIT 10"""
+
   val queries: Map[String, QueryFn] = Map(
+    "s13_pq_adc" -> s13 _,
     "s11_ranking_metrics" -> s11 _,
     "s12_semantic_dedup" -> s12 _,
     "s10_ann_recall" -> s10 _,
@@ -686,6 +788,7 @@ object Similarity extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "s13_pq_adc" -> s13Sql,
     "s11_ranking_metrics" -> s11Sql,
     "s12_semantic_dedup" -> s12Sql,
     "s10_ann_recall" -> s10Sql,

@@ -74,6 +74,21 @@ class SimilaritySpec extends SparkSpec {
       "symmetric int8 quantization of 64-dim vectors must track cosine closely")
   }
 
+  test("s13 PQ-ADC shortlist recalls most of the exact top-10") {
+    import spark.implicits._
+    val pq = Similarity.queries("s13_pq_adc")(spark, sfDir)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(!pq.contains(0L), "the probe must not match itself")
+    assert(pq.size == 10)
+    val exact = Similarity.queries("s01_cosine_topk")(spark, sfDir)
+      .select($"vec_id").as[Long].collect().toSet
+    // 8-byte codes + 40-deep shortlist should recover most of the true
+    // top-10; below half overlap the ADC scoring would be broken, not
+    // merely approximate
+    assert((pq & exact).size >= 5,
+      s"PQ recall collapsed: ${(pq & exact).size}/10 vs exact")
+  }
+
   test("s03 IVF searches only the assigned cell") {
     val df = Similarity.queries("s03_ivf_ann")(spark, sfDir)
     val labels = graft.sources.Tables.embeddings(spark, sfDir)
