@@ -459,7 +459,58 @@ object Advanced extends QueryModule {
                                   ORDER BY o_orderdate)) IS NULL AS is_current
        FROM kept ORDER BY o_custkey, valid_from"""
 
+  /** v15 — COUNT-MIN SKETCH heavy hitters: per-user event frequencies
+    * estimated from a 3x512 counter grid (three pairwise-independent
+    * affine hashes), heavy hitters selected BY THE SKETCH ESTIMATE,
+    * exact counts carried alongside so the one-sided error
+    * (est >= exact, AdvancedSpec pins it) is part of the checked
+    * result. WHY at scale: the sketch is 1536 integers of mergeable
+    * state NO MATTER the key cardinality — the frequency-tracking
+    * shape for unbounded key domains (IPs, URLs, doc fingerprints)
+    * where an exact groupBy's state grows with distinct keys. Counter
+    * updates are commutative sums, so the sketch is
+    * partitioning-independent and bit-deterministic; the hashes are
+    * plain affine mod-prime arithmetic BOTH engines evaluate
+    * identically (a Murmur-based hash would fork the oracle).
+    */
+  private def v15(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val A = Seq(1000003L, 1000033L, 1000037L)
+    val B = Seq(12289L, 24593L, 49157L)
+    val P = 1000000007L
+    val W = 512L
+    def buckets(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      array((0 until 3).map { k =>
+      struct(lit(k).as("k"), ((key * A(k) + B(k)) % P % W).as("b"))
+    }: _*)
+    val rows = Tables.events(s, d).select($"user_id")
+    val counters = rows.select(explode(buckets($"user_id")).as("h"))
+      .groupBy($"h.k".as("k"), $"h.b".as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val users = rows.groupBy($"user_id").agg(count(lit(1)).as("exact_n"))
+    users.select($"user_id", $"exact_n", explode(buckets($"user_id")).as("h"))
+      .select($"user_id", $"exact_n", $"h.k".as("k"), $"h.b".as("b"))
+      .join(broadcast(counters), Seq("k", "b"))
+      .groupBy($"user_id", $"exact_n").agg(min($"cnt").as("cms_est"))
+      .orderBy($"cms_est".desc, $"user_id")
+      .limit(20)
+  }
+  private val v15Sql =
+    """WITH ks AS (SELECT * FROM (VALUES (0, 1000003, 12289),
+                     (1, 1000033, 24593), (2, 1000037, 49157)) t(k, a, b)),
+       counters AS (
+         SELECT k, ((user_id * a + b) % 1000000007) % 512 AS b, count(*) AS cnt
+         FROM events, ks GROUP BY 1, 2),
+       users AS (SELECT user_id, count(*) AS exact_n FROM events GROUP BY 1)
+       SELECT u.user_id, u.exact_n, CAST(min(cnt) AS BIGINT) AS cms_est
+       FROM users u, ks, counters c
+       WHERE c.k = ks.k
+         AND c.b = ((u.user_id * ks.a + ks.b) % 1000000007) % 512
+       GROUP BY 1, 2
+       ORDER BY cms_est DESC, u.user_id LIMIT 20"""
+
   val queries: Map[String, QueryFn] = Map(
+    "v15_countmin_topk" -> v15 _,
     "v14_scd2_dimension" -> v14 _,
     "v13_approx_percentile" -> v13 _,
     "v12_incremental_agg" -> v12 _,
@@ -477,6 +528,7 @@ object Advanced extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "v15_countmin_topk" -> v15Sql,
     "v14_scd2_dimension" -> v14Sql,
     "v13_approx_percentile" -> v13Sql,
     "v12_incremental_agg" -> v12Sql,

@@ -26,6 +26,15 @@ class AdvancedSpec extends SparkSpec {
     assert(!plan.contains("Window"), "the Aggregator path must not fall back to a window")
   }
 
+  test("v15 count-min estimate is one-sided: est >= exact on every hitter") {
+    val df = Advanced.queries("v15_countmin_topk")(spark, sfDir)
+    assert(df.filter(col("cms_est") < col("exact_n")).count() == 0,
+      "a count-min sketch can only OVERestimate")
+    // 3x512 counters against sf0.001's key cardinality: collisions are
+    // rare enough that the top hitter should be estimated exactly
+    assert(df.limit(1).filter(col("cms_est") === col("exact_n")).count() == 1)
+  }
+
   test("v09 sketch error stays inside the oracled bound on every row") {
     val rows = Advanced.queries("v09_approx_distinct")(spark, sfDir).collect()
     assert(rows.nonEmpty)
