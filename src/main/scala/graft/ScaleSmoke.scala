@@ -154,7 +154,7 @@ object ScaleSmoke {
     val names = Seq("d01_exact_dedup", "d03_minhash_lsh", "d05_embedding_neardup",
       "d06_lsh_verified_neardup", "d07_neardup_clusters", "d09_simhash_verified",
       "d10_decontaminate", "d11_multiprobe_neardup", "d12_incremental_neardup",
-      "s02_batch_knn", "s07_kmeans", "s12_semantic_dedup")
+      "s02_batch_knn", "s07_kmeans", "s12_semantic_dedup", "s13_pq_adc")
       .filter(SparkEntry.queries.contains)
     def j(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val dirs = Seq("sf0.1" -> src, "sf1" -> out)

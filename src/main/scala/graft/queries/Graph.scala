@@ -255,14 +255,99 @@ object Graph extends QueryModule {
                (SELECT CAST(sum((dg * (dg - 1)) // 2) AS BIGINT) FROM deg),
            6) AS clustering"""
 
+  /** g04 — LABEL PROPAGATION communities over the supplier co-trading
+    * 5-NN graph (g03's edge set): three synchronous rounds where every
+    * node adopts its neighbors' MOST FREQUENT label, ties broken by
+    * smallest label — the classic near-linear community detector, and
+    * a different decomposition than g02's connectivity (LPA subdivides
+    * dense components along neighborhood structure). Determinism:
+    * synchronous rounds (all nodes update from the same snapshot) plus
+    * the total tie-break order make every round a pure function of the
+    * previous labeling, so the unrolled DuckDB oracle agrees exactly.
+    * Scale: each round is one join of the degree-bounded edge list to
+    * the node-sized label table plus a (node, label) count — the same
+    * per-iteration cost envelope as g01, with the label table
+    * broadcast while node counts allow and hash-partitioned beyond.
+    */
+  private def g04(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cosup = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey".as("c"), $"l_suppkey".as("sup")).distinct()
+    val co = cosup.as("a").join(cosup.as("b"),
+        $"a.c" === $"b.c" && $"a.sup" =!= $"b.sup")
+      .groupBy($"a.sup".as("s1"), $"b.sup".as("s2"))
+      .agg(count(lit(1)).as("shared"))
+    val top = graft.plans.TopKPerKey.topKPerKey(co, 5,
+      Seq($"s1"), Seq($"shared".desc, $"s2"))
+    val und = top.select(least($"s1", $"s2").as("a"), greatest($"s1", $"s2").as("b"))
+      .distinct()
+    // both directions so each node sees its full neighborhood
+    val edges = swapPersist(
+      und.select($"a".as("src"), $"b".as("dst"))
+        .unionAll(und.select($"b".as("src"), $"a".as("dst"))))
+    var lbl = edges.select($"src".as("node")).distinct()
+      .withColumn("lbl", $"node")
+    for (_ <- 1 to 3) {
+      val counts = edges.join(broadcast(lbl), edges("dst") === lbl("node"))
+        .groupBy(edges("src").as("n"), $"lbl")
+        .agg(count(lit(1)).as("cnt"))
+      lbl = graft.plans.TopKPerKey.topKPerKey(counts, 1,
+        Seq($"n"), Seq($"cnt".desc, $"lbl"))
+        .select($"n".as("node"), $"lbl")
+    }
+    sortedSmall(
+      lbl.groupBy($"lbl".as("community")).agg(count(lit(1)).as("n_members")),
+      $"n_members".desc, $"community")
+  }
+  private val g04Sql =
+    """WITH pairs AS (
+         SELECT o_custkey AS c, l_suppkey AS sup
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),
+       co AS (
+         SELECT a.sup AS s1, b.sup AS s2, count(*) AS shared
+         FROM pairs a JOIN pairs b ON a.c = b.c AND a.sup <> b.sup
+         GROUP BY 1, 2),
+       ranked AS (
+         SELECT s1, s2, row_number() OVER (
+           PARTITION BY s1 ORDER BY shared DESC, s2) AS rk FROM co),
+       und AS (
+         SELECT DISTINCT least(s1, s2) AS a, greatest(s1, s2) AS b
+         FROM ranked WHERE rk <= 5),
+       edges AS (SELECT a AS src, b AS dst FROM und
+                 UNION ALL SELECT b, a FROM und),
+       l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
+       l1 AS (SELECT node, lbl FROM (
+                SELECT e.src AS node, l.lbl,
+                  row_number() OVER (PARTITION BY e.src
+                    ORDER BY count(*) DESC, l.lbl) AS rn
+                FROM edges e JOIN l0 l ON e.dst = l.node
+                GROUP BY e.src, l.lbl) WHERE rn = 1),
+       l2 AS (SELECT node, lbl FROM (
+                SELECT e.src AS node, l.lbl,
+                  row_number() OVER (PARTITION BY e.src
+                    ORDER BY count(*) DESC, l.lbl) AS rn
+                FROM edges e JOIN l1 l ON e.dst = l.node
+                GROUP BY e.src, l.lbl) WHERE rn = 1),
+       l3 AS (SELECT node, lbl FROM (
+                SELECT e.src AS node, l.lbl,
+                  row_number() OVER (PARTITION BY e.src
+                    ORDER BY count(*) DESC, l.lbl) AS rn
+                FROM edges e JOIN l2 l ON e.dst = l.node
+                GROUP BY e.src, l.lbl) WHERE rn = 1)
+       SELECT lbl AS community, count(*) AS n_members
+       FROM l3 GROUP BY lbl ORDER BY n_members DESC, community"""
+
   val queries: Map[String, QueryFn] = Map(
     "g01_pagerank" -> g01 _,
     "g02_components" -> g02 _,
     "g03_triangles" -> g03 _,
+    "g04_label_propagation" -> g04 _,
   )
   val oracle: Map[String, String] = Map(
     "g01_pagerank" -> g01Sql,
     "g02_components" -> g02Sql,
     "g03_triangles" -> g03Sql,
+    "g04_label_propagation" -> g04Sql,
   )
 }

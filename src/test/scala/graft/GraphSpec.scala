@@ -73,6 +73,17 @@ class GraphSpec extends SparkSpec {
     assert(tri == 4, s"K4+pendant must have 4 triangles, got $tri")
   }
 
+  test("g04 label propagation: community sizes partition the 5-NN graph's nodes") {
+    import org.apache.spark.sql.functions._
+    val comm = Graph.queries("g04_label_propagation")(spark, sfDir)
+    val tri = Graph.queries("g03_triangles")(spark, sfDir).collect()(0)
+    val totalMembers = comm.agg(sum(col("n_members"))).head.getLong(0)
+    assert(totalMembers == tri.getAs[Long]("n_nodes"),
+      "every node of the shared 5-NN edge set gets exactly one label")
+    assert(comm.count() >= 1 &&
+      comm.count() <= totalMembers, "labels must coarsen, not invent nodes")
+  }
+
   test("g02 components: sizes sum to subgraph nodes, splits consistent, rep is min") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
