@@ -197,20 +197,31 @@ object Graph extends QueryModule {
     * count Σ d(d-1)/2 and 3·tri/wedges stay in integer arithmetic
     * until the single final division, so both engines agree exactly.
     */
-  private def g03(s: SparkSession, d: String): DataFrame = {
+  /** Undirected 5-NN co-trading edges (a < b), shared by g03/g04: each
+    * supplier keeps its 5 strongest co-suppliers by shared-customer
+    * count (ties by id). The per-customer pair enumeration joins with
+    * `a.sup < b.sup` — HALF the rows of the naive `<>` product — and
+    * mirrors the counted half afterward (co-occurrence is symmetric),
+    * so the expensive stage pays C(k,2) per customer, not k². */
+  private def coTradingEdges(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val pairs = Tables.lineitem(s, d)
       .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
       .select($"o_custkey".as("c"), $"l_suppkey".as("sup")).distinct()
-    val co = pairs.as("a").join(pairs.as("b"),
-        $"a.c" === $"b.c" && $"a.sup" =!= $"b.sup")
+    val half = pairs.as("a").join(pairs.as("b"),
+        $"a.c" === $"b.c" && $"a.sup" < $"b.sup")
       .groupBy($"a.sup".as("s1"), $"b.sup".as("s2"))
       .agg(count(lit(1)).as("shared"))
+    val co = half.unionAll(half.select($"s2".as("s1"), $"s1".as("s2"), $"shared"))
     val top = graft.plans.TopKPerKey.topKPerKey(co, 5,
       Seq($"s1"), Seq($"shared".desc, $"s2"))
-    val edges = swapPersist(
-      top.select(least($"s1", $"s2").as("a"), greatest($"s1", $"s2").as("b"))
-        .distinct())
+    top.select(least($"s1", $"s2").as("a"), greatest($"s1", $"s2").as("b"))
+      .distinct()
+  }
+
+  private def g03(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val edges = swapPersist(coTradingEdges(s, d))
     val deg = edges.select($"a".as("n")).unionAll(edges.select($"b".as("n")))
       .groupBy($"n").agg(count(lit(1)).as("dg"))
     val wedges = deg.agg(sum(expr("dg * (dg - 1) div 2")).as("n_wedges"),
@@ -271,17 +282,7 @@ object Graph extends QueryModule {
     */
   private def g04(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val cosup = Tables.lineitem(s, d)
-      .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
-      .select($"o_custkey".as("c"), $"l_suppkey".as("sup")).distinct()
-    val co = cosup.as("a").join(cosup.as("b"),
-        $"a.c" === $"b.c" && $"a.sup" =!= $"b.sup")
-      .groupBy($"a.sup".as("s1"), $"b.sup".as("s2"))
-      .agg(count(lit(1)).as("shared"))
-    val top = graft.plans.TopKPerKey.topKPerKey(co, 5,
-      Seq($"s1"), Seq($"shared".desc, $"s2"))
-    val und = top.select(least($"s1", $"s2").as("a"), greatest($"s1", $"s2").as("b"))
-      .distinct()
+    val und = coTradingEdges(s, d)
     // both directions so each node sees its full neighborhood
     val edges = swapPersist(
       und.select($"a".as("src"), $"b".as("dst"))
