@@ -25,7 +25,10 @@ class PlanAuditSpec extends SparkSpec {
     "w12_gap_fill" /* calendar axis x broadcast distinct-type set */,
     "s10_ann_recall" /* composes s02/s03/s06's broadcast-probe joins */,
     "s11_ranking_metrics" /* composes the same IVF broadcast-probe path */,
-    "a14_source_mixing" /* 1-row broadcast of the global weight sum */)
+    "a14_source_mixing" /* 1-row broadcast of the global weight sum */,
+    "x12_zorder_cluster" /* 1-row broadcast of the dim maxima */,
+    "g03_triangles" /* 1-row broadcast edge/wedge/triangle aggregates */,
+    "s13_pq_adc" /* 1-row broadcast query vector x dim stats / shortlist */)
 
   test("no query plans a CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>
