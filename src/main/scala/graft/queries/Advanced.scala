@@ -509,7 +509,48 @@ object Advanced extends QueryModule {
        GROUP BY 1, 2
        ORDER BY cms_est DESC, u.user_id LIMIT 20"""
 
+  /** v16 — CDC LOG COMPACTION (merge-on-read apply): a change log of
+    * keyed upsert/delete operations collapsed to final table state —
+    * last version wins per key, a final delete removes the key. The
+    * log is derived deterministically from lineitem (key = orderkey,
+    * version = linenumber, delete when returnflag = 'R'). The apply is
+    * ONE hash aggregation via max-of-struct with the version leading
+    * (argmax without a window sort — at 100 TB the per-key row_number
+    * formulation pays a sort per shuffle partition; the struct-max is
+    * a map-side-combinable aggregate), then a filter on the surviving
+    * op. This is the Debezium/Delta merge-on-read compaction shape.
+    */
+  private def v16(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val log = Tables.lineitem(s, d).select(
+      $"l_orderkey".as("key"), $"l_linenumber".as("version"),
+      $"l_returnflag".as("rf"), $"l_linestatus".as("status"),
+      $"l_quantity".as("qty"))
+    // (key, version) is NOT unique in this synthetic log — the struct
+    // max's lexicographic order (version, rf, status, qty) IS the
+    // total version order, and the oracle mirrors it term for term
+    val last = log.groupBy($"key")
+      .agg(max(struct($"version", $"rf", $"status", $"qty")).as("fin"))
+    last.filter($"fin.rf" =!= "R")
+      .groupBy($"fin.status".as("status"))
+      .agg(count(lit(1)).as("n_keys"),
+        round(sum($"fin.qty"), 2).as("sum_qty"))
+      .orderBy($"status")
+  }
+  private val v16Sql =
+    """WITH last AS (
+         SELECT l_orderkey, l_returnflag, l_linestatus, l_quantity,
+           row_number() OVER (PARTITION BY l_orderkey
+             ORDER BY l_linenumber DESC, l_returnflag DESC,
+                      l_linestatus DESC, l_quantity DESC) AS rn
+         FROM lineitem)
+       SELECT l_linestatus AS status, count(*) AS n_keys,
+         round(sum(l_quantity), 2) AS sum_qty
+       FROM last WHERE rn = 1 AND l_returnflag <> 'R'
+       GROUP BY 1 ORDER BY status"""
+
   val queries: Map[String, QueryFn] = Map(
+    "v16_cdc_compaction" -> v16 _,
     "v15_countmin_topk" -> v15 _,
     "v14_scd2_dimension" -> v14 _,
     "v13_approx_percentile" -> v13 _,
@@ -528,6 +569,7 @@ object Advanced extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "v16_cdc_compaction" -> v16Sql,
     "v15_countmin_topk" -> v15Sql,
     "v14_scd2_dimension" -> v14Sql,
     "v13_approx_percentile" -> v13Sql,

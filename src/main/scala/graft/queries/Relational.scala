@@ -455,7 +455,90 @@ object Relational extends QueryModule {
          AND o_custkey NOT IN (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
        ORDER BY o_orderkey"""
 
+  /** q21 — TPC-H Q21 shape (suppliers who kept orders waiting): for
+    * each multi-supplier order, find the supplier whose lines were the
+    * ONLY delayed ones (shipdate > orderdate + 90 days) — the classic
+    * EXISTS + NOT EXISTS double-correlation, rewritten as two
+    * order-level aggregates joined back (the form Catalyst plans as
+    * hash joins; the correlated original would be a per-row subquery).
+    * Scale: one fact shuffle on l_orderkey computes both the per-
+    * (order, supplier) delay flag and the per-order supplier/delay
+    * counts; everything after is order-cardinality.
+    */
+  private def q21(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+      .select($"l_orderkey", $"l_suppkey",
+        ($"l_shipdate".cast("date") >
+          date_add($"o_orderdate".cast("date"), 90)).as("delayed"))
+    val perSupp = li.groupBy($"l_orderkey", $"l_suppkey")
+      .agg(max($"delayed").as("supp_delayed"))
+    val perOrder = perSupp.groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("n_supp"),
+        sum($"supp_delayed".cast("long")).as("n_delayed"))
+    val waiting = perSupp.filter($"supp_delayed")
+      .join(perOrder.filter($"n_supp" >= 2 && $"n_delayed" === 1), "l_orderkey")
+    waiting.groupBy($"l_suppkey")
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(s, d)), $"l_suppkey" === $"s_suppkey")
+      .select($"s_name", $"numwait")
+      .orderBy($"numwait".desc, $"s_name")
+      .limit(20)
+  }
+  private val q21Sql =
+    """WITH li AS (
+         SELECT l_orderkey, l_suppkey,
+           CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + INTERVAL 90 DAY AS delayed
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       per_supp AS (
+         SELECT l_orderkey, l_suppkey, max(delayed) AS supp_delayed
+         FROM li GROUP BY 1, 2),
+       per_order AS (
+         SELECT l_orderkey, count(*) AS n_supp,
+           sum(CASE WHEN supp_delayed THEN 1 ELSE 0 END) AS n_delayed
+         FROM per_supp GROUP BY 1)
+       SELECT s_name, count(*) AS numwait
+       FROM per_supp
+       JOIN per_order USING (l_orderkey)
+       JOIN supplier ON l_suppkey = s_suppkey
+       WHERE supp_delayed AND n_supp >= 2 AND n_delayed = 1
+       GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20"""
+
+  /** q22 — TPC-H Q22 shape (promising idle customers): customers whose
+    * balance beats the average POSITIVE balance and who placed no
+    * order in the latest year (1998), rolled up by nation. The
+    * global-average scalar broadcasts; the "no recent orders" test is
+    * a left anti-join (never NOT IN's null-trap); output is
+    * nation-cardinality.
+    */
+  private def q22(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, d)
+    val avgBal = cust.filter($"c_acctbal" > 0)
+      .agg(avg($"c_acctbal").as("avg_bal"))
+    val idle = cust.crossJoin(broadcast(avgBal))
+      .filter($"c_acctbal" > $"avg_bal")
+      .join(Tables.orders(s, d).filter(year($"o_orderdate") === 1998)
+          .select($"o_custkey").distinct(),
+        $"c_custkey" === $"o_custkey", "left_anti")
+    idle.groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_custs"),
+        round(sum($"c_acctbal"), 2).as("total_bal"))
+      .orderBy($"c_nationkey")
+  }
+  private val q22Sql =
+    """SELECT c_nationkey, count(*) AS n_custs,
+         round(sum(c_acctbal), 2) AS total_bal
+       FROM customer
+       WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+         AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                               WHERE year(o_orderdate) = 1998)
+       GROUP BY c_nationkey ORDER BY c_nationkey"""
+
   val queries: Map[String, QueryFn] = Map(
+    "q21_waiting_suppliers" -> q21 _,
+    "q22_idle_customers" -> q22 _,
     "q01_pricing_summary" -> q01 _,
     "q02_topk_orders" -> q02 _,
     "q03_shipping_priority" -> q03 _,
@@ -479,6 +562,8 @@ object Relational extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q21_waiting_suppliers" -> q21Sql,
+    "q22_idle_customers" -> q22Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_topk_orders" -> q02Sql,
     "q03_shipping_priority" -> q03Sql,

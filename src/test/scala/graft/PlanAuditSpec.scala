@@ -28,7 +28,8 @@ class PlanAuditSpec extends SparkSpec {
     "a14_source_mixing" /* 1-row broadcast of the global weight sum */,
     "x12_zorder_cluster" /* 1-row broadcast of the dim maxima */,
     "g03_triangles" /* 1-row broadcast edge/wedge/triangle aggregates */,
-    "s13_pq_adc" /* 1-row broadcast query vector x dim stats / shortlist */)
+    "s13_pq_adc" /* 1-row broadcast query vector x dim stats / shortlist */,
+    "q22_idle_customers" /* 1-row broadcast of the global average balance */)
 
   test("no query plans a CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>
