@@ -769,7 +769,31 @@ object Eventing extends QueryModule {
        WHERE NOT (ts >= m - INTERVAL 16 DAY AND ts < m - INTERVAL 15 DAY)
        GROUP BY 1, 2 ORDER BY win_start, event_type"""
 
+  /** e22 — STREAM-STATIC ENRICHMENT under the oracle: the unbounded
+    * event stream joined per-micro-batch to a bounded user→tier
+    * dimension (`EventStreams.enrichedTierCounts` — the broadcast
+    * rides along each batch, no stream-side state for the join), then
+    * hourly tier rollups. The dimension derives deterministically from
+    * the corpus (tier = user_id mod 3), so the DuckDB oracle replays
+    * the same enrichment relationally. Complete mode for the same
+    * reason as e13. This was the one streaming public surface whose
+    * certification was spec-only; now the enrich-at-ingest shape —
+    * THE standard dimension join at 100 TB/day — sits under the gate. */
+  private def e22(s: SparkSession, d: String): DataFrame = {
+    val tiers = Tables.events(s, d).select(col("user_id")).distinct()
+      .withColumn("tier", concat(lit("T"), (col("user_id") % 3).cast("string")))
+    runStreamed(s, d, "e22", "complete")(
+      ev => graft.streaming.EventStreams.enrichedTierCounts(ev, tiers))
+      .orderBy(col("window_start"), col("tier"))
+  }
+  private val e22Sql =
+    """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+         'T' || CAST(user_id % 3 AS VARCHAR) AS tier,
+         count(*) AS n_events, round(sum(value), 2) AS tier_value
+       FROM events GROUP BY 1, 2 ORDER BY window_start, tier"""
+
   val queries: Map[String, QueryFn] = Map(
+    "e22_stream_enrich" -> e22 _,
     "e21_late_data" -> e21 _,
     "e19_trending_topk" -> e19 _,
     "e20_stream_neardup" -> e20 _,
@@ -794,6 +818,7 @@ object Eventing extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "e22_stream_enrich" -> e22Sql,
     "e21_late_data" -> e21Sql,
     "e19_trending_topk" -> e19Sql,
     // the online operator is certified against the BATCH near-dup chain
