@@ -533,6 +533,68 @@ object Dedup extends QueryModule {
        FROM labels l JOIN clusters c ON c.lbl = l.lbl
        ORDER BY doc_id"""
 
+  /** d13 — LEAKAGE-FREE train/val split: every near-dup CLUSTER (d07's
+    * components; unpaired docs are their own singleton cluster) is
+    * assigned wholly to train or val by a deterministic hash of its
+    * label (~10% val) — the split discipline that keeps eval honest:
+    * splitting by DOCUMENT leaks near-duplicates of training examples
+    * into the eval set, which inflates every metric computed on it.
+    * The output carries `n_leaky_pairs` — verified near-dup pairs
+    * straddling the split — so the invariant the operator exists for
+    * (zero, by construction) is part of the oracle-checked result, not
+    * an unexercised claim. Scale: the split adds one left join and a
+    * map-side hash to d07's clustering; nothing new shuffles.
+    */
+  private def d13(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val lab = swapPersist("d13l",
+      connectedComponents(d06Pairs(s, d), $"doc_a", $"doc_b"))
+    val assign = swapPersist("d13a", Tables.documents(s, d).select($"doc_id")
+      .join(lab.select($"node".as("doc_id"), $"lbl"), Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce($"lbl", $"doc_id"))
+      .withColumn("split",
+        when(h60(concat(lit("split:"), $"cluster".cast("string"))) % 10 === 0,
+          "val").otherwise("train"))
+      .select($"doc_id", $"cluster", $"split"))
+    val leaky = d06Pairs(s, d)
+      .join(assign.select($"doc_id".as("doc_a"), $"split".as("sa")), "doc_a")
+      .join(assign.select($"doc_id".as("doc_b"), $"split".as("sb")), "doc_b")
+      .filter($"sa" =!= $"sb")
+      .agg(count(lit(1)).as("n_leaky_pairs"))
+    assign.groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"cluster").as("n_clusters"))
+      .crossJoin(broadcast(leaky))
+      .orderBy($"split")
+  }
+  private lazy val d13Sql =
+    s"""WITH RECURSIVE $d06Ctes,
+       edges AS (
+         SELECT doc_a AS src, doc_b AS dst FROM pairs
+         UNION ALL SELECT doc_b, doc_a FROM pairs),
+       reach(node, lbl) AS (
+         SELECT DISTINCT src, src FROM edges
+         UNION
+         SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+       labels AS (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node),
+       assign AS (
+         SELECT d.doc_id, coalesce(l.lbl, d.doc_id) AS cluster,
+           CASE WHEN CAST('0x' || substr(md5('split:' ||
+                  CAST(coalesce(l.lbl, d.doc_id) AS VARCHAR)), 1, 15) AS BIGINT)
+                  % 10 = 0
+                THEN 'val' ELSE 'train' END AS split
+         FROM (SELECT doc_id FROM documents) d
+         LEFT JOIN labels l ON l.node = d.doc_id),
+       leaky AS (
+         SELECT count(*) AS n FROM pairs p
+         JOIN assign a ON p.doc_a = a.doc_id
+         JOIN assign b ON p.doc_b = b.doc_id
+         WHERE a.split <> b.split)
+       SELECT split, count(*) AS n_docs,
+         count(DISTINCT cluster) AS n_clusters,
+         (SELECT n FROM leaky) AS n_leaky_pairs
+       FROM assign GROUP BY split ORDER BY split"""
+
   /** d04 — SimHash fingerprints: word-frequency weighted bit votes;
     * identical signatures form a dedup bucket. The signature WIDTH is
     * the tuning knob: d04 runs the 16-bit coarse-sieve configuration
@@ -997,6 +1059,7 @@ object Dedup extends QueryModule {
     "d06_lsh_verified_neardup" -> d06 _,
     "d07_neardup_clusters" -> d07 _,
     "d11_multiprobe_neardup" -> d11 _,
+    "d13_leakage_free_split" -> d13 _,
   )
 
   val oracle: Map[String, String] = Map(
@@ -1012,5 +1075,6 @@ object Dedup extends QueryModule {
     "d06_lsh_verified_neardup" -> d06Sql,
     "d07_neardup_clusters" -> d07Sql,
     "d11_multiprobe_neardup" -> d11Sql,
+    "d13_leakage_free_split" -> d13Sql,
   )
 }
