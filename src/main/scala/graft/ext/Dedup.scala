@@ -547,8 +547,11 @@ object Dedup extends QueryModule {
     */
   private def d13(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // the pair pipeline feeds BOTH the clustering and the straddle
+    // check — persist it once or the whole LSH+verify DAG runs twice
+    val pairs = swapPersist("d13p", d06Pairs(s, d))
     val lab = swapPersist("d13l",
-      connectedComponents(d06Pairs(s, d), $"doc_a", $"doc_b"))
+      connectedComponents(pairs, $"doc_a", $"doc_b"))
     val assign = swapPersist("d13a", Tables.documents(s, d).select($"doc_id")
       .join(lab.select($"node".as("doc_id"), $"lbl"), Seq("doc_id"), "left")
       .withColumn("cluster", coalesce($"lbl", $"doc_id"))
@@ -556,7 +559,7 @@ object Dedup extends QueryModule {
         when(h60(concat(lit("split:"), $"cluster".cast("string"))) % 10 === 0,
           "val").otherwise("train"))
       .select($"doc_id", $"cluster", $"split"))
-    val leaky = d06Pairs(s, d)
+    val leaky = pairs
       .join(assign.select($"doc_id".as("doc_a"), $"split".as("sa")), "doc_a")
       .join(assign.select($"doc_id".as("doc_b"), $"split".as("sb")), "doc_b")
       .filter($"sa" =!= $"sb")

@@ -166,6 +166,17 @@ class DedupSpec extends SparkSpec {
     assert(groups(101L) == 1L && groups(103L) == 1L)
   }
 
+  test("d13 split is leakage-free and partitions the corpus") {
+    import org.apache.spark.sql.functions._
+    val df = graft.ext.Dedup.queries("d13_leakage_free_split")(spark, sfDir)
+    val rows = df.collect()
+    rows.foreach(r => assert(r.getAs[Long]("n_leaky_pairs") == 0,
+      "a near-dup pair must never straddle the split"))
+    val nDocs = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(nDocs == graft.sources.Tables.documents(spark, sfDir).count(),
+      "every document lands in exactly one split")
+  }
+
   test("d12 incremental pairs = full near-dup pairs restricted to the new batch") {
     import spark.implicits._
     // same banding, same verification, one-sided candidate join — so the
