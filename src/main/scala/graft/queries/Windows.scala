@@ -380,7 +380,89 @@ object Windows extends QueryModule {
            AS n_last_hour
        FROM events ORDER BY event_id"""
 
+  /** w14 — LINEAR INTERPOLATION over time-series gaps (w12's dense
+    * axis, upgraded from zero-fill to value estimation): hourly value
+    * sums per event type, with missing hours filled by the straight
+    * line between the nearest known points (edges carry the single
+    * known neighbor). The carry windows are the ignore-nulls
+    * last/first over the calendar-sized axis — each partition is one
+    * type's hour series, so the sort is calendar-sized however big the
+    * corpus; the only full-data pass is the hourly aggregate. Both
+    * engines compute the interpolation in the same expression order on
+    * the same rounded base series, so the gate checks the arithmetic
+    * exactly.
+    */
+  private def w14(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hourly = Tables.events(s, d)
+      .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+      .agg(round(sum($"value"), 2).as("v"))
+    val span = Tables.events(s, d)
+      .agg(date_trunc("hour", min($"ts")).as("h0"),
+        date_trunc("hour", max($"ts")).as("h1"))
+    val axis = span.select(explode(
+      sequence($"h0", $"h1", expr("INTERVAL '1' HOUR"))).as("hour"))
+    val types = Tables.events(s, d).select($"event_type").distinct()
+    val grid = axis.crossJoin(broadcast(types))
+      .join(hourly, Seq("hour", "event_type"), "left")
+    val known = when($"v".isNotNull, struct($"hour", $"v"))
+    val wPrev = Window.partitionBy($"event_type").orderBy($"hour")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy($"event_type").orderBy($"hour")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    grid
+      .withColumn("p", last(known, ignoreNulls = true).over(wPrev))
+      .withColumn("nx", first(known, ignoreNulls = true).over(wNext))
+      .withColumn("v_interp", round(
+        when($"v".isNotNull, $"v")
+          .when($"p".isNull, $"nx.v")
+          .when($"nx".isNull, $"p.v")
+          .otherwise($"p.v" + ($"nx.v" - $"p.v") *
+            ((unix_micros($"hour") - unix_micros($"p.hour")).cast("double") /
+             (unix_micros($"nx.hour") - unix_micros($"p.hour")).cast("double"))),
+        4))
+      .select($"hour", $"event_type", $"v_interp", $"v".isNull.as("filled"))
+      .orderBy($"hour", $"event_type")
+  }
+  private val w14Sql =
+    """WITH span AS (
+         SELECT date_trunc('hour', min(ts)) AS h0, date_trunc('hour', max(ts)) AS h1
+         FROM events),
+       axis AS (
+         SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM span),
+       types AS (SELECT DISTINCT event_type FROM events),
+       hourly AS (
+         SELECT date_trunc('hour', ts) AS hour, event_type,
+           round(sum(value), 2) AS v
+         FROM events GROUP BY 1, 2),
+       grid AS (
+         SELECT a.hour, t.event_type, v
+         FROM axis a CROSS JOIN types t
+         LEFT JOIN hourly h ON h.hour = a.hour AND h.event_type = t.event_type),
+       carried AS (
+         SELECT hour, event_type, v,
+           last_value(v IGNORE NULLS) OVER wp AS pv,
+           last_value(CASE WHEN v IS NOT NULL THEN hour END IGNORE NULLS) OVER wp AS ph,
+           first_value(v IGNORE NULLS) OVER wn AS nv,
+           first_value(CASE WHEN v IS NOT NULL THEN hour END IGNORE NULLS) OVER wn AS nh
+         FROM grid
+         WINDOW wp AS (PARTITION BY event_type ORDER BY hour
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                wn AS (PARTITION BY event_type ORDER BY hour
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+       SELECT hour, event_type,
+         round(CASE WHEN v IS NOT NULL THEN v
+                    WHEN pv IS NULL THEN nv
+                    WHEN nv IS NULL THEN pv
+                    ELSE pv + (nv - pv) *
+                      (CAST(epoch_us(hour) - epoch_us(ph) AS DOUBLE) /
+                       CAST(epoch_us(nh) - epoch_us(ph) AS DOUBLE))
+               END, 4) AS v_interp,
+         v IS NULL AS filled
+       FROM carried ORDER BY hour, event_type"""
+
   val queries: Map[String, QueryFn] = Map(
+    "w14_interpolate" -> w14 _,
     "w13_range_frame" -> w13 _,
     "w12_gap_fill" -> w12 _,
     "w11_topk_rewrite" -> w11 _,
@@ -397,6 +479,7 @@ object Windows extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "w14_interpolate" -> w14Sql,
     "w13_range_frame" -> w13Sql,
     "w12_gap_fill" -> w12Sql,
     "w11_topk_rewrite" -> w11Sql,
