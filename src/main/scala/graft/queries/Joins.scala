@@ -345,7 +345,35 @@ object Joins extends QueryModule {
          round(sum(l_quantity), 2) AS sum_qty
        FROM z GROUP BY 1 ORDER BY zbucket"""
 
+  /** x13 — TIME ZONE semantics: the same UTC event stream rolled up by
+    * LOCAL calendar date in three zones (UTC, a half-hour-offset zone,
+    * a negative-offset zone) — the grouping every geo-distributed
+    * dashboard needs and the one naive date_trunc silently gets wrong.
+    * The conversion is IANA-rule arithmetic on both engines
+    * (from_utc_timestamp vs timezone(zone, timezone('UTC', ts))), and
+    * the inner timezone('UTC', ...) pins the oracle's interpretation
+    * of the naive timestamps regardless of the DuckDB session zone.
+    * Map-side expression; one (zone, date) aggregate shuffle. */
+  private def x13(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .withColumn("zone", explode(array(
+        lit("UTC"), lit("Asia/Kolkata"), lit("America/New_York"))))
+      .withColumn("local_date", to_date(from_utc_timestamp($"ts", $"zone")))
+      .groupBy($"zone", $"local_date")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+      .orderBy($"zone", $"local_date")
+  }
+  private val x13Sql =
+    """SELECT zone,
+         CAST(timezone(zone, timezone('UTC', ts)) AS DATE) AS local_date,
+         count(*) AS n, round(sum(value), 2) AS sum_value
+       FROM events,
+         (VALUES ('UTC'), ('Asia/Kolkata'), ('America/New_York')) z(zone)
+       GROUP BY 1, 2 ORDER BY zone, local_date"""
+
   val queries: Map[String, QueryFn] = Map(
+    "x13_timezone_rollup" -> x13 _,
     "x12_zorder_cluster" -> x12 _,
     "x11_dynamic_pruning" -> x11 _,
     "x01_outer_distribution" -> x01 _,
@@ -361,6 +389,7 @@ object Joins extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "x13_timezone_rollup" -> x13Sql,
     "x12_zorder_cluster" -> x12Sql,
     "x11_dynamic_pruning" -> x11Sql,
     "x01_outer_distribution" -> x01Sql,
