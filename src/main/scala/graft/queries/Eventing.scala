@@ -792,7 +792,54 @@ object Eventing extends QueryModule {
          count(*) AS n_events, round(sum(value), 2) AS tier_value
        FROM events GROUP BY 1, 2 ORDER BY window_start, tier"""
 
+  /** e23 — streaming → RDBMS SERVING LAYER under the oracle: the
+    * events stream aggregated per type in complete mode and served
+    * through `EventStreams.jdbcUpsertSink` (foreachBatch + key-scoped
+    * delete-then-insert) into an embedded Derby table — the
+    * reference's MySQL serving pattern (mainTesting.py:49-79), fed by
+    * a stream instead of per upload. The query RESULT is the table
+    * read back over JDBC, so the DuckDB gate certifies the entire
+    * path: stream → stateful agg → idempotent upsert → relational
+    * store → read-back. At-least-once foreachBatch + per-key
+    * replacement composes to exactly-once per key (StreamingSpec
+    * replays a batch to prove it); here the gate proves the VALUES
+    * that land. The in-memory Derby instance is per-invocation
+    * (run-id-suffixed) and lives until JVM exit — serving-table-sized,
+    * not corpus-sized. */
+  private def e23(s: SparkSession, d: String): DataFrame = {
+    val runId = streamRunId.incrementAndGet()
+    val url = s"jdbc:derby:memory:graft_e23_$runId;create=true"
+    val table = "tier_totals"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_e23_ckpt").toString
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    val stage = java.nio.file.Files.createTempDirectory("graft_e23_src")
+    val src = java.nio.file.Paths.get(s"$d/events.parquet")
+    val target = stage.resolve("events_1.parquet")
+    try java.nio.file.Files.createSymbolicLink(target, src)
+    catch { case _: Exception => java.nio.file.Files.copy(src, target) }
+    val ns = s.newSession()
+    ns.conf.set("spark.sql.shuffle.partitions", "8")
+    val stream = ns.readStream.schema(schema).parquet(stage.toString)
+      .transform(graft.sources.Tables.normalizeTs)
+    val agg = stream.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+    val q = graft.streaming.EventStreams
+      .jdbcUpsertSink(agg, url, table, Seq("event_type"))
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.jdbc(url, table, new java.util.Properties)
+      .select(col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("event_type"))
+  }
+  private val e23Sql =
+    """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+       FROM events GROUP BY 1 ORDER BY event_type"""
+
   val queries: Map[String, QueryFn] = Map(
+    "e23_jdbc_serving" -> e23 _,
     "e22_stream_enrich" -> e22 _,
     "e21_late_data" -> e21 _,
     "e19_trending_topk" -> e19 _,
@@ -818,6 +865,7 @@ object Eventing extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "e23_jdbc_serving" -> e23Sql,
     "e22_stream_enrich" -> e22Sql,
     "e21_late_data" -> e21Sql,
     "e19_trending_topk" -> e19Sql,
