@@ -372,7 +372,38 @@ object Joins extends QueryModule {
          (VALUES ('UTC'), ('Asia/Kolkata'), ('America/New_York')) z(zone)
        GROUP BY 1, 2 ORDER BY zone, local_date"""
 
+  /** x14 — SALTED TWO-PHASE AGGREGATION: the skew remedy for
+    * AGGREGATION keys, which AQE cannot split (OptimizeSkewedJoin
+    * slices join partitions, not hash-aggregate groups — the case (b)
+    * documented on ScaleOps.saltedJoin). A 3-value group key at 100 TB
+    * means 3 reduce tasks own the whole final merge; pre-aggregating
+    * on (key, salt-of-a-unique-column) spreads phase one across
+    * 16 × |keys| partitions and the phase-two merge touches only
+    * |keys| × 16 partial rows. Sums and counts re-aggregate exactly
+    * (commutative monoids); AVG is carried as sum/count, never
+    * averaged-of-averages. The oracle is the PLAIN aggregate — the
+    * gate itself proves the rewrite result-invariant, like x08's salt.
+    */
+  private def x14(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pre = Tables.lineitem(s, d)
+      .groupBy($"l_returnflag", pmod(hash($"l_orderkey"), lit(16)).as("_salt"))
+      .agg(count(lit(1)).as("pn"), sum($"l_quantity").as("pq"),
+        sum($"l_extendedprice").as("pp"))
+    pre.groupBy($"l_returnflag")
+      .agg(sum($"pn").as("n_lines"),
+        round(sum($"pq"), 2).as("sum_qty"),
+        round(sum($"pp") / sum($"pn"), 4).as("avg_price"))
+      .orderBy($"l_returnflag")
+  }
+  private val x14Sql =
+    """SELECT l_returnflag, count(*) AS n_lines,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice) / count(*), 4) AS avg_price
+       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
   val queries: Map[String, QueryFn] = Map(
+    "x14_salted_agg" -> x14 _,
     "x13_timezone_rollup" -> x13 _,
     "x12_zorder_cluster" -> x12 _,
     "x11_dynamic_pruning" -> x11 _,
@@ -389,6 +420,7 @@ object Joins extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "x14_salted_agg" -> x14Sql,
     "x13_timezone_rollup" -> x13Sql,
     "x12_zorder_cluster" -> x12Sql,
     "x11_dynamic_pruning" -> x11Sql,
