@@ -410,17 +410,32 @@ object Windows extends QueryModule {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wNext = Window.partitionBy($"event_type").orderBy($"hour")
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // Interpolation in INTEGER cent·microsecond space (the g01/s13
+    // determinism discipline): a double formulation hit the classic
+    // cross-engine round() midpoint split — Spark rounds the shortest
+    // decimal form of the double (10.63375 → 10.6338) where DuckDB
+    // rounds its binary value (10.633749999… → 10.6337). Here the
+    // line value is the exact rational (pc·DT + (nc−pc)·dt) / DT in
+    // cents, rounded HALF-UP to 1e-4 units by explicit integer
+    // arithmetic ((200n + D) div 2D, valid for the non-negative sums
+    // this series carries), so both engines produce the identical
+    // 1e-4-unit integer and the final /1e4 double is bit-equal.
     grid
       .withColumn("p", last(known, ignoreNulls = true).over(wPrev))
       .withColumn("nx", first(known, ignoreNulls = true).over(wNext))
-      .withColumn("v_interp", round(
+      .withColumn("v_interp",
         when($"v".isNotNull, $"v")
           .when($"p".isNull, $"nx.v")
           .when($"nx".isNull, $"p.v")
-          .otherwise($"p.v" + ($"nx.v" - $"p.v") *
-            ((unix_micros($"hour") - unix_micros($"p.hour")).cast("double") /
-             (unix_micros($"nx.hour") - unix_micros($"p.hour")).cast("double"))),
-        4))
+          .otherwise(expr(
+            """CAST((200 * (CAST(round(p.v * 100) AS BIGINT)
+               |         * (unix_micros(nx.hour) - unix_micros(p.hour))
+               |       + (CAST(round(nx.v * 100) AS BIGINT)
+               |          - CAST(round(p.v * 100) AS BIGINT))
+               |         * (unix_micros(hour) - unix_micros(p.hour)))
+               |      + (unix_micros(nx.hour) - unix_micros(p.hour)))
+               |  div (2 * (unix_micros(nx.hour) - unix_micros(p.hour)))
+               |  AS DOUBLE) / 10000.0""".stripMargin)))
       .select($"hour", $"event_type", $"v_interp", $"v".isNull.as("filled"))
       .orderBy($"hour", $"event_type")
   }
@@ -451,13 +466,18 @@ object Windows extends QueryModule {
                 wn AS (PARTITION BY event_type ORDER BY hour
                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
        SELECT hour, event_type,
-         round(CASE WHEN v IS NOT NULL THEN v
-                    WHEN pv IS NULL THEN nv
-                    WHEN nv IS NULL THEN pv
-                    ELSE pv + (nv - pv) *
-                      (CAST(epoch_us(hour) - epoch_us(ph) AS DOUBLE) /
-                       CAST(epoch_us(nh) - epoch_us(ph) AS DOUBLE))
-               END, 4) AS v_interp,
+         CASE WHEN v IS NOT NULL THEN v
+              WHEN pv IS NULL THEN nv
+              WHEN nv IS NULL THEN pv
+              ELSE CAST((200 * (CAST(round(pv * 100) AS BIGINT)
+                                  * (epoch_us(nh) - epoch_us(ph))
+                                + (CAST(round(nv * 100) AS BIGINT)
+                                   - CAST(round(pv * 100) AS BIGINT))
+                                  * (epoch_us(hour) - epoch_us(ph)))
+                         + (epoch_us(nh) - epoch_us(ph)))
+                     // (2 * (epoch_us(nh) - epoch_us(ph)))
+                     AS DOUBLE) / 10000.0
+         END AS v_interp,
          v IS NULL AS filled
        FROM carried ORDER BY hour, event_type"""
 

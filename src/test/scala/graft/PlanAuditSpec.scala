@@ -23,13 +23,15 @@ class PlanAuditSpec extends SparkSpec {
     "a10_unigram_logprob" /* 1-row broadcast of the corpus token total */,
     "s09_range_search" /* broadcast probe set x corpus, filter in-scan */,
     "w12_gap_fill" /* calendar axis x broadcast distinct-type set */,
+    "w14_interpolate" /* same calendar axis x broadcast types as w12 */,
     "s10_ann_recall" /* composes s02/s03/s06's broadcast-probe joins */,
     "s11_ranking_metrics" /* composes the same IVF broadcast-probe path */,
     "a14_source_mixing" /* 1-row broadcast of the global weight sum */,
     "x12_zorder_cluster" /* 1-row broadcast of the dim maxima */,
     "g03_triangles" /* 1-row broadcast edge/wedge/triangle aggregates */,
     "s13_pq_adc" /* 1-row broadcast query vector x dim stats / shortlist */,
-    "q22_idle_customers" /* 1-row broadcast of the global average balance */)
+    "q22_idle_customers" /* 1-row broadcast of the global average balance */,
+    "d13_leakage_free_split" /* 1-row broadcast of the leaky-pair count */)
 
   test("no query plans a CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>
