@@ -771,7 +771,132 @@ object Similarity extends QueryModule {
        ORDER BY round(list_cosine_similarity(e.v, q.qv), 9) DESC, s.vec_id
        LIMIT 10"""
 
+  /** s14 — IVF-PQ: the two index structures composed exactly as
+    * production ANN systems ship them (FAISS's IndexIVFPQ shape) —
+    * the coarse quantizer (s03's centroid cells, nprobe = 2) prunes
+    * the corpus to the probed cells' members, the product-quantization
+    * codes (s13's 8-byte sign codes + per-query ADC lookup tables)
+    * score those members WITHOUT touching their full vectors, a
+    * 20-deep shortlist pays the only exact cosines. At 100 TB the
+    * scan reads |corpus|/|cells| × nprobe code rows of 8 bytes each —
+    * both axes of the cost (fraction scanned, bytes per row) cut
+    * independently, which is why this composition, not either index
+    * alone, is the production default. Everything reuses the already-
+    * oracled parts: cell assignment is s03's, codes/LUT are s13's,
+    * so the composed oracle is their CTE chains joined.
+    */
+  private def s14(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = swapPersist("s14e", Tables.embeddings(s, d)
+      .select($"vec_id", $"label", $"embedding".cast("array<double>").as("v"))
+      .filter(array_max(transform($"v", x => abs(x))) > 0))
+    // coarse quantizer: label centroids; the probe searches its 2
+    // nearest cells (s03/s06's assignment, single probe = vec 0)
+    val cent = e.select($"label", posexplode($"v").as(Seq("p", "x")))
+      .groupBy($"label", $"p").agg(avg($"x").as("cx"))
+      .groupBy($"label")
+      .agg(transform(array_sort(collect_list(struct($"p", $"cx"))),
+        c => c.getField("cx")).as("cv"))
+    val q = e.filter($"vec_id" === 0).select($"v".as("qv"))
+    val wAssign = Window.orderBy(round($"ccos", 9).desc, $"label")
+    val cells = cent.crossJoin(broadcast(q))
+      .withColumn("ccos", cosine($"qv", $"cv"))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter($"arn" <= 2)
+      .select($"label".as("cell"))
+    // PQ plane: s13's corpus dim-stats, query weights, 2048-entry LUT
+    val stats = e.select(posexplode($"v").as(Seq("i", "x")))
+      .groupBy($"i")
+      .agg(sum(expr("CAST(round(abs(x) * 1000000) AS BIGINT)")).as("si"),
+        count(lit(1)).as("n"))
+    val wtab = stats.crossJoin(broadcast(q))
+      .select($"i", expr(
+        "CAST(round((element_at(qv, i + 1) * (si / (n * 1000000.0))) * 1000000000.0) AS BIGINT)")
+        .as("wi"))
+    val lut = s.range(0, 2048)
+      .select(floor($"id" / 256).cast("long").as("sp"),
+        ($"id" % 256).cast("long").as("code"))
+      .crossJoin(s.range(0, 8).select($"id".cast("long").as("j")))
+      .withColumn("i", ($"sp" * 8 + $"j").cast("int"))
+      .join(broadcast(wtab), "i")
+      .withColumn("t", when(
+        expr("shiftright(code, CAST(j AS INT)) & 1") === 1L, $"wi")
+        .otherwise(-$"wi"))
+      .groupBy($"sp", $"code").agg(sum($"t").as("wsc"))
+    // ADC over the PROBED CELLS' members only — the IVF/PQ composition
+    val members = e.filter($"vec_id" =!= 0)
+      .join(broadcast(cells), $"label" === $"cell")
+    val codes = members.select($"vec_id", expr(
+      """transform(sequence(0, 7), s -> aggregate(sequence(0, 7), 0L,
+         (acc, j) -> acc + IF(element_at(v, s * 8 + j + 1) > 0,
+                              shiftleft(1L, CAST(j AS INT)), 0L)))""").as("codes"))
+    val adc = codes.select($"vec_id", posexplode($"codes").as(Seq("sp", "code")))
+      .join(broadcast(lut), Seq("sp", "code"))
+      .groupBy($"vec_id").agg(sum($"wsc").as("adc"))
+    val short = adc.orderBy($"adc".desc, $"vec_id").limit(20)
+    short.join(e, "vec_id").crossJoin(broadcast(q))
+      .withColumn("cos", cosine($"v", $"qv"))
+      .select($"vec_id", $"label".as("cell"),
+        round($"adc" / 1e9, 6).as("adc_score"), round($"cos", 6).as("cos_sim"))
+      .orderBy(round($"cos", 9).desc, $"vec_id")
+      .limit(10)
+  }
+  private val s14Sql =
+    """WITH e AS (
+         SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+         WHERE list_max(list_transform(embedding::DOUBLE[], y -> abs(y))) > 0),
+       cent AS (
+         SELECT label, list(cx ORDER BY p) AS cv FROM (
+           SELECT label, p, avg(x) AS cx FROM (
+             SELECT label, i AS p, v[i] AS x
+             FROM e, unnest(generate_series(1, len(v))) AS t(i))
+           GROUP BY label, p)
+         GROUP BY label),
+       q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       cells AS (
+         SELECT label AS cell FROM (
+           SELECT c.label,
+             row_number() OVER (ORDER BY
+               round(list_cosine_similarity(q.qv, c.cv), 9) DESC, c.label) AS arn
+           FROM cent c, q)
+         WHERE arn <= 2),
+       nn AS (SELECT count(*) AS n FROM e),
+       stats AS (
+         SELECT i, sum(CAST(round(abs(v[i + 1]) * 1000000) AS BIGINT)) AS si
+         FROM e, generate_series(0, 63) t(i) GROUP BY i),
+       w AS (
+         SELECT i, CAST(round((qv[i + 1] * (si / (n * 1000000.0))) * 1000000000.0) AS BIGINT) AS wi
+         FROM stats, q, nn),
+       lutj AS (
+         SELECT sp, code, j,
+           CASE WHEN (code >> j) & 1 = 1 THEN wi ELSE -wi END AS t
+         FROM generate_series(0, 7) s(sp), generate_series(0, 255) c(code),
+              generate_series(0, 7) jj(j), w
+         WHERE w.i = sp * 8 + j),
+       lut AS (SELECT sp, code, CAST(sum(t) AS BIGINT) AS wsc
+               FROM lutj GROUP BY 1, 2),
+       members AS (
+         SELECT e.* FROM e JOIN cells ON e.label = cells.cell
+         WHERE vec_id <> 0),
+       codes AS (
+         SELECT vec_id, sp,
+           CAST(sum(CASE WHEN v[sp * 8 + j + 1] > 0 THEN (1 << j) ELSE 0 END) AS BIGINT) AS code
+         FROM members, generate_series(0, 7) s(sp), generate_series(0, 7) jj(j)
+         GROUP BY 1, 2),
+       adc AS (
+         SELECT vec_id, CAST(sum(wsc) AS BIGINT) AS adc
+         FROM codes JOIN lut ON codes.sp = lut.sp AND codes.code = lut.code
+         GROUP BY vec_id),
+       short AS (SELECT vec_id, adc FROM adc ORDER BY adc DESC, vec_id LIMIT 20)
+       SELECT s.vec_id, e.label AS cell,
+         round(s.adc / 1000000000.0, 6) AS adc_score,
+         round(list_cosine_similarity(e.v, q.qv), 6) AS cos_sim
+       FROM short s JOIN e ON e.vec_id = s.vec_id, q
+       ORDER BY round(list_cosine_similarity(e.v, q.qv), 9) DESC, s.vec_id
+       LIMIT 10"""
+
   val queries: Map[String, QueryFn] = Map(
+    "s14_ivfpq" -> s14 _,
     "s13_pq_adc" -> s13 _,
     "s11_ranking_metrics" -> s11 _,
     "s12_semantic_dedup" -> s12 _,
@@ -788,6 +913,7 @@ object Similarity extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "s14_ivfpq" -> s14Sql,
     "s13_pq_adc" -> s13Sql,
     "s11_ranking_metrics" -> s11Sql,
     "s12_semantic_dedup" -> s12Sql,

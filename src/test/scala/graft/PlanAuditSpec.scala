@@ -30,6 +30,7 @@ class PlanAuditSpec extends SparkSpec {
     "x12_zorder_cluster" /* 1-row broadcast of the dim maxima */,
     "g03_triangles" /* 1-row broadcast edge/wedge/triangle aggregates */,
     "s13_pq_adc" /* 1-row broadcast query vector x dim stats / shortlist */,
+    "s14_ivfpq" /* same broadcast query-vector composition as s03+s13 */,
     "q22_idle_customers" /* 1-row broadcast of the global average balance */,
     "d13_leakage_free_split" /* 1-row broadcast of the leaky-pair count */)
 
