@@ -364,7 +364,7 @@ object Eventing extends QueryModule {
     * memory sink) and return the sink table. Shared by e13/e14. */
   private def runStreamed(s: SparkSession, d: String, prefix: String,
       mode: String, copies: Int = 1, sentinel: Boolean = false,
-      lateSplit: Boolean = false)(
+      lateSplit: Boolean = false, oneFilePerTrigger: Boolean = false)(
       xf: DataFrame => DataFrame): DataFrame = {
     val name = s"${prefix}_mem_${streamRunId.incrementAndGet()}"
     val ckpt = java.nio.file.Files.createTempDirectory(s"graft_${prefix}_ckpt").toString
@@ -522,8 +522,9 @@ object Eventing extends QueryModule {
     // LATEST seen timestamp — make the age window a stated property of
     // the harness rather than an interaction of default and skew
     val streamRead = ns.readStream.schema(schema)
-    val stream = (if (sentinel) streamRead.option("maxFilesPerTrigger", 1)
-                    .option("maxFileAge", "30d")
+    val stream = (if (sentinel || oneFilePerTrigger)
+                    streamRead.option("maxFilesPerTrigger", 1)
+                      .option("maxFileAge", "30d")
                   else streamRead).parquet(stage.toString)
       .transform(graft.sources.Tables.normalizeTs)
     // per-microbatch fixed cost is dominated by STATE STORE instances:
@@ -838,7 +839,35 @@ object Eventing extends QueryModule {
     """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
        FROM events GROUP BY 1 ORDER BY event_type"""
 
+  /** e24 — UPDATE output mode under the oracle: the third output mode,
+    * certified through its defining behavior — a group emits EVERY
+    * micro-batch it changes in, not once at watermark close (append)
+    * nor the whole table each batch (complete). The source is staged
+    * as one file per micro-batch (copies=2 of the table via
+    * maxFilesPerTrigger=1 — two batches, so every group updates
+    * twice), and the memory sink accumulates ALL partial emissions.
+    * Counts are monotone, so the LAST emission per group equals its
+    * MAX — the max-fold over the sink must equal the batch aggregate
+    * over the doubled input, which is exactly what the oracle checks.
+    * A sink that missed an update, or an engine that re-emitted stale
+    * state, breaks the fold. */
+  private def e24(s: SparkSession, d: String): DataFrame =
+    runStreamed(s, d, "e24", "update", copies = 2, oneFilePerTrigger = true)(ev =>
+      ev.withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("win_start"), col("event_type"), col("n")))
+      .groupBy(col("win_start"), col("event_type"))
+      .agg(max(col("n")).as("n"))
+      .orderBy(col("win_start"), col("event_type"))
+
+  private val e24Sql =
+    """SELECT time_bucket(INTERVAL 1 HOUR, ts) AS win_start, event_type,
+         2 * count(*) AS n
+       FROM events GROUP BY 1, 2 ORDER BY win_start, event_type"""
+
   val queries: Map[String, QueryFn] = Map(
+    "e24_update_mode" -> e24 _,
     "e23_jdbc_serving" -> e23 _,
     "e22_stream_enrich" -> e22 _,
     "e21_late_data" -> e21 _,
@@ -865,6 +894,7 @@ object Eventing extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "e24_update_mode" -> e24Sql,
     "e23_jdbc_serving" -> e23Sql,
     "e22_stream_enrich" -> e22Sql,
     "e21_late_data" -> e21Sql,
