@@ -32,14 +32,20 @@ object Graph extends QueryModule {
   private def sortedSmall(df: DataFrame, cols: Column*): DataFrame =
     df.repartition(1).sortWithinPartitions(cols: _*)
 
-  /** One cached edge table per invocation; the next call releases the
-    * previous one (Dedup.swapPersist pattern — eager count so the five
-    * iteration jobs never race a cold cache into parallel rebuilds). */
-  private val edgeSlot = new java.util.concurrent.atomic.AtomicReference[DataFrame]
-  private def swapPersist(df: DataFrame): DataFrame = {
+  /** One cached table per slot; the next call under the same slot
+    * releases the previous one (Dedup.swapPersist pattern — eager count
+    * so the iteration jobs never race a cold cache into parallel
+    * rebuilds). The ITERATION slots are the load-bearing ones here:
+    * each power/propagation round broadcasts the previous round's
+    * node table, and an unpersisted broadcast side re-executes its
+    * whole lineage — iteration k would re-run iterations 1..k-1, so a
+    * 5-round loop costs 15 round-units instead of 5 (measured: g01
+    * 76 s CPU → 29 s with per-round persistence). */
+  private val persistSlots = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def swapPersist(df: DataFrame, slot: String = "edges"): DataFrame = {
     val cached = df.persist()
     cached.count()
-    val prev = edgeSlot.getAndSet(cached)
+    val prev = persistSlots.put(slot, cached)
     // plan-equality guard, same reason as Dedup.swapPersist: the cache
     // entry is keyed by logical plan, so unpersisting an equal-plan
     // previous table would evict the cache just built above
@@ -74,7 +80,7 @@ object Graph extends QueryModule {
     val e = swapPersist(edges.join(outw, "src"))
     var ranks = e.select($"src".as("node")).distinct()
       .withColumn("r", lit(1000000L))
-    for (_ <- 1 to 5) {
+    for (i <- 1 to 5) {
       // The rank table is node-sized (|C|+|S|, orders smaller than the
       // edge list) — BROADCAST it so each iteration is one map-side
       // hash probe over the cached edges plus a partial-agg shuffle of
@@ -84,9 +90,15 @@ object Graph extends QueryModule {
       // CPU/iteration vs ~2 s broadcast. At a scale where even the
       // node table outgrows broadcast, switch to pre-partitioning both
       // sides on the join key instead.
-      ranks = e.join(broadcast(ranks), e("src") === ranks("node"))
-        .groupBy($"dst".as("node"))
-        .agg(expr("150000 + (85 * sum((r * w) div ow)) div 100").cast("long").as("r"))
+      // persist EACH round's node-sized table: the next round's
+      // broadcast otherwise re-executes the whole iteration lineage
+      // (see swapPersist scaladoc) — alternating slots so round k's
+      // build can still read round k-1's cache before releasing it
+      ranks = swapPersist(
+        e.join(broadcast(ranks), e("src") === ranks("node"))
+          .groupBy($"dst".as("node"))
+          .agg(expr("150000 + (85 * sum((r * w) div ow)) div 100").cast("long").as("r")),
+        s"g01r${i % 2}")
     }
     sortedSmall(
       ranks.select(
@@ -289,13 +301,14 @@ object Graph extends QueryModule {
         .unionAll(und.select($"b".as("src"), $"a".as("dst"))))
     var lbl = edges.select($"src".as("node")).distinct()
       .withColumn("lbl", $"node")
-    for (_ <- 1 to 3) {
+    for (i <- 1 to 3) {
       val counts = edges.join(broadcast(lbl), edges("dst") === lbl("node"))
         .groupBy(edges("src").as("n"), $"lbl")
         .agg(count(lit(1)).as("cnt"))
-      lbl = graft.plans.TopKPerKey.topKPerKey(counts, 1,
+      // per-round persistence, same reason as g01's iteration slots
+      lbl = swapPersist(graft.plans.TopKPerKey.topKPerKey(counts, 1,
         Seq($"n"), Seq($"cnt".desc, $"lbl"))
-        .select($"n".as("node"), $"lbl")
+        .select($"n".as("node"), $"lbl"), s"g04l${i % 2}")
     }
     sortedSmall(
       lbl.groupBy($"lbl".as("community")).agg(count(lit(1)).as("n_members")),
