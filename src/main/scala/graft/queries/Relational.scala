@@ -536,7 +536,45 @@ object Relational extends QueryModule {
                                WHERE year(o_orderdate) = 1998)
        GROUP BY c_nationkey ORDER BY c_nationkey"""
 
+  /** q23 — UNPIVOT (melt): wide measure columns rotated to long
+    * (measure, value) rows through the native `Dataset.unpivot` API —
+    * the inverse of q15/q16's pivots and the exact wide→long
+    * normalization the reference performs on financial statements
+    * (SURVEY §1's long-format fact model). Unpivot is a map-side
+    * expression (Spark plans an Expand), so the rotation adds zero
+    * shuffles; the aggregate after it is the usual one exchange.
+    */
+  private def q23(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .select($"l_orderkey", $"l_quantity", $"l_extendedprice",
+        $"l_discount", $"l_tax")
+      .unpivot(
+        ids = Array($"l_orderkey"),
+        values = Array($"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax"),
+        variableColumnName = "measure",
+        valueColumnName = "value")
+      .groupBy($"measure")
+      .agg(count(lit(1)).as("n"),
+        round(sum($"value"), 2).as("total"),
+        round(avg($"value"), 6).as("mean"))
+      .orderBy($"measure")
+  }
+  private val q23Sql =
+    """SELECT measure, count(*) AS n, round(sum(value), 2) AS total,
+         round(avg(value), 6) AS mean
+       FROM (
+         SELECT l_orderkey, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, 'l_extendedprice', l_extendedprice FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, 'l_discount', l_discount FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, 'l_tax', l_tax FROM lineitem)
+       GROUP BY measure ORDER BY measure"""
+
   val queries: Map[String, QueryFn] = Map(
+    "q23_unpivot" -> q23 _,
     "q21_waiting_suppliers" -> q21 _,
     "q22_idle_customers" -> q22 _,
     "q01_pricing_summary" -> q01 _,
@@ -562,6 +600,7 @@ object Relational extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "q23_unpivot" -> q23Sql,
     "q21_waiting_suppliers" -> q21Sql,
     "q22_idle_customers" -> q22Sql,
     "q01_pricing_summary" -> q01Sql,
