@@ -900,6 +900,100 @@ object Dedup extends QueryModule {
          FROM chunks c LEFT JOIN shared s USING (ch))
        GROUP BY doc_id ORDER BY doc_id"""
 
+  /** d14 — CONTENT-DEFINED CHUNKING dedup (the rsync/LBFS/backup-dedup
+    * boundary trick applied to corpus boilerplate): d08's fixed
+    * 16-token windows miss a shared span the moment one document
+    * inserts a single token before it (every later window shifts);
+    * here a chunk boundary falls AFTER token i wherever the rolling
+    * 4-gram hash ending at i lands in 1/16 of hash space, so
+    * boundaries are a function of LOCAL CONTENT, not position —
+    * identical spans produce identical chunks at any offset, which is
+    * what makes the shared-chunk join shift-robust. Expected chunk
+    * length is the 16-token reciprocal of the boundary probability.
+    * Scale design: boundary detection, chunk assembly, and hashing are
+    * all HIGHER-ORDER ARRAY EXPRESSIONS inside the scan stage (no
+    * token-level explode, no window over token rows — the per-token
+    * state never leaves the row); the only thing shuffled is the
+    * (doc_id, 60-bit chunk hash) pair stream, d01's exact footprint.
+    * The rollup mirrors d08 so the two chunking disciplines are
+    * directly comparable under the gate.
+    */
+  /** Public CDC surface of d14: per-doc chunk stats for the caller's
+    * own corpus (docId, text columns). See the d14 scaladoc for the
+    * boundary discipline and scale design. */
+  def cdcChunkStats(docs: DataFrame, docId: Column, text: Column): DataFrame = {
+    import docs.sparkSession.implicits._
+    val base = docs.select(docId.as("doc_id"), text.as("text"))
+      .withColumn("toks", split($"text", " "))
+      .withColumn("n", size($"toks"))
+      // boundary positions i in 4..n-1 (never after the last token —
+      // the tail chunk closes at n); guarded because Spark's sequence
+      // DESCENDS when start > stop where DuckDB's generate_series is
+      // empty
+      .withColumn("bp",
+        when($"n" >= 5,
+          filter(sequence(lit(4), $"n" - 1),
+            i => h60(concat_ws(" ", slice($"toks", i - 3, lit(4)))) % 16 === 0))
+        .otherwise(array().cast("array<int>")))
+      .withColumn("starts", concat(array(lit(0)), $"bp"))
+      .withColumn("ends", concat($"bp", array($"n")))
+      .withColumn("chunks",
+        transform(sequence(lit(1), size($"bp") + 1), j => struct(
+          h60(concat_ws(" ", slice($"toks",
+            element_at($"starts", j) + 1,
+            element_at($"ends", j) - element_at($"starts", j)))).as("ch"),
+          (element_at($"ends", j) - element_at($"starts", j))
+            .cast("long").as("ctok"))))
+    val chunks = base.select($"doc_id", explode($"chunks").as("c"))
+      .select($"doc_id", $"c.ch".as("ch"), $"c.ctok".as("ctok"))
+    val shared = chunks.groupBy($"ch")
+      .agg(countDistinct($"doc_id").as("nd"))
+      .filter($"nd" > 1)
+      .select($"ch", lit(true).as("is_shared"))
+    chunks.join(shared, Seq("ch"), "left")
+      .withColumn("sh", coalesce($"is_shared", lit(false)))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when($"sh", 1L).otherwise(0L)).as("n_shared"),
+        sum(when($"sh", 0L).otherwise($"ctok")).as("tokens_kept"),
+        (sum($"ctok").cast("double") / count(lit(1))).as("mean_ctok"))
+      .orderBy($"doc_id")
+  }
+  private def d14(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    cdcChunkStats(Tables.documents(s, d), $"doc_id", $"text")
+  }
+  private val d14Sql =
+    """WITH t AS (
+         SELECT doc_id, string_split(text, ' ') AS l,
+           len(string_split(text, ' ')) AS n FROM documents),
+       b AS (
+         SELECT doc_id, l, n,
+           CASE WHEN n >= 5 THEN list_filter(generate_series(4, n - 1),
+             i -> CAST('0x' || substr(md5(array_to_string(
+                    list_slice(l, i - 3, i), ' ')), 1, 15) AS BIGINT)
+                  % 16 = 0)
+           ELSE CAST([] AS BIGINT[]) END AS bp
+         FROM t),
+       ck AS (
+         SELECT doc_id,
+           array_to_string(list_slice(l,
+             1 + list_prepend(CAST(0 AS BIGINT), bp)[j],
+             list_append(bp, CAST(n AS BIGINT))[j]), ' ') AS ch,
+           list_append(bp, CAST(n AS BIGINT))[j]
+             - list_prepend(CAST(0 AS BIGINT), bp)[j] AS ctok
+         FROM b, unnest(generate_series(1, len(bp) + 1)) AS u(j)),
+       shared AS (
+         SELECT ch FROM ck GROUP BY ch HAVING count(DISTINCT doc_id) > 1)
+       SELECT doc_id, count(*) AS n_chunks,
+         CAST(sum(CASE WHEN sh THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+         CAST(sum(CASE WHEN sh THEN 0 ELSE ctok END) AS BIGINT) AS tokens_kept,
+         CAST(sum(ctok) AS DOUBLE) / count(*) AS mean_ctok
+       FROM (
+         SELECT c.doc_id, c.ctok, s.ch IS NOT NULL AS sh
+         FROM ck c LEFT JOIN shared s USING (ch))
+       GROUP BY doc_id ORDER BY doc_id"""
+
   /** d10 — train/eval DECONTAMINATION: the benchmark-leakage check every
     * training-data pipeline runs before a model ever sees the corpus
     * (the GPT-3/PaLM n-gram overlap methodology, here at 8 tokens). The
@@ -1054,6 +1148,7 @@ object Dedup extends QueryModule {
     "d12_incremental_neardup" -> d12 _,
     "d01_exact_dedup" -> d01 _,
     "d08_chunk_dedup" -> d08 _,
+    "d14_cdc_chunks" -> d14 _,
     "d09_simhash_verified" -> d09 _,
     "d02_ngram_jaccard" -> d02 _,
     "d03_minhash_lsh" -> d03 _,
@@ -1070,6 +1165,7 @@ object Dedup extends QueryModule {
     "d12_incremental_neardup" -> d12Sql,
     "d01_exact_dedup" -> d01Sql,
     "d08_chunk_dedup" -> d08Sql,
+    "d14_cdc_chunks" -> d14Sql,
     "d09_simhash_verified" -> d09Sql,
     "d02_ngram_jaccard" -> d02Sql,
     "d03_minhash_lsh" -> d03Sql,

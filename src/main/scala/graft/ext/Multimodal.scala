@@ -287,6 +287,49 @@ object Multimodal extends Serializable {
     }
   }
 
+  case class ResizedBlock(media_id: Long, by: Int, bx: Int, n_px: Int,
+      px_sum: Long, px_avg: Int)
+
+  /** Image RESIZE by box averaging (the standard antialiased downsample
+    * for thumbnailing / model-input normalization): each `factor`×
+    * `factor` pixel block of frame 0 collapses to its rounded mean.
+    * Edge blocks are ragged (dimensions need not divide by `factor`);
+    * the mean is computed over the pixels a block actually covers, the
+    * rounding is explicit half-up INTEGER arithmetic ((2·sum + n) div
+    * 2n) so the resized raster is a pure function of the input pixels —
+    * what lets m15 hash-match a DuckDB recompute from the raw pixel
+    * fixture. Output is one row per OUTPUT pixel (sum and count ride
+    * along so the oracle can verify the aggregation itself, not just
+    * the rounded byte). Scale: decode + reduce are map-side per
+    * payload; the payload never shuffles, and output size is input
+    * pixels / factor² — resize is a data-REDUCING operator, so it
+    * belongs before any wide stage in a media pipeline. */
+  def resizeBox(media: Dataset[MediaRow], factor: Int): Dataset[ResizedBlock] = {
+    import media.sparkSession.implicits._
+    media.flatMap { r =>
+      val w = r.meta.width; val h = r.meta.height
+      val px = grayFrame(decodeImage(r.content), w, h, 0)
+      val ow = (w + factor - 1) / factor
+      val oh = (h + factor - 1) / factor
+      for {
+        by <- 0 until oh
+        bx <- 0 until ow
+      } yield {
+        var sum = 0L; var n = 0
+        var y = by * factor
+        while (y < math.min((by + 1) * factor, h)) {
+          var x = bx * factor
+          while (x < math.min((bx + 1) * factor, w)) {
+            sum += px(y * w + x); n += 1; x += 1
+          }
+          y += 1
+        }
+        ResizedBlock(r.media_id, by, bx, n, sum,
+          ((2 * sum + n) / (2 * n)).toInt)
+      }
+    }
+  }
+
   /** Size-aware repartition before a heavy decode: payload bytes bound
     * memory, so cap rows per partition explicitly rather than relying
     * on input-split sizing. `rowCount` comes from the caller (catalog

@@ -352,16 +352,95 @@ object Graph extends QueryModule {
        SELECT lbl AS community, count(*) AS n_members
        FROM l3 GROUP BY lbl ORDER BY n_members DESC, community"""
 
+  /** g05 — K-HOP REACHABILITY (frontier BFS) over the supplier
+    * co-trading 5-NN graph: from a deterministic seed set (every 50th
+    * supplier id present in the graph), how many suppliers are within
+    * 1, 2, 3 hops — the "blast radius" question behind supply-chain
+    * risk and influence-propagation analyses. Frontier form: each round
+    * joins ONLY the new frontier (not the whole visited set) to the
+    * degree-bounded edge list, anti-joins the visited set, and tags the
+    * hop level — so per-round cost is |frontier|·k̄, and the visited
+    * table is the only thing that grows. That is the textbook
+    * distributed BFS shape: at 100 TB the edge list is hash-partitioned
+    * once (persisted here), frontiers are node-sized and broadcast while
+    * they fit, and hop count bounds total work regardless of graph
+    * diameter. Output: per-hop node counts plus per-node min-hop rows
+    * for the seed-reachable subgraph (gate-sized by the 5-NN degree
+    * bound). Determinism: min-hop is unique per node (BFS level), no
+    * ties to break.
+    */
+  private def g05(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val und = coTradingEdges(s, d)
+    val edges = swapPersist(
+      und.select($"a".as("src"), $"b".as("dst"))
+        .unionAll(und.select($"b".as("src"), $"a".as("dst"))), "g05e")
+    val nodes = edges.select($"src".as("node")).distinct()
+    var visited = nodes.filter($"node" % 50 === 0)
+      .withColumn("hops", lit(0L))
+    var frontier = visited
+    for (i <- 1 to 3) {
+      // neighbors of the CURRENT frontier only, minus everything seen:
+      // left_anti on visited keeps each node's FIRST (minimal) level
+      frontier = swapPersist(
+        edges.join(broadcast(frontier.select($"node")),
+            edges("src") === col("node"))
+          .select($"dst".as("node")).distinct()
+          .join(visited.select($"node").as("v"), Seq("node"), "left_anti")
+          .withColumn("hops", lit(i.toLong)),
+        s"g05f${i % 2}")
+      visited = swapPersist(visited.unionAll(frontier), s"g05v${i % 2}")
+    }
+    sortedSmall(visited, $"hops", $"node")
+  }
+  private val g05Sql =
+    """WITH pairs AS (
+         SELECT o_custkey AS c, l_suppkey AS sup
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),
+       co AS (
+         SELECT a.sup AS s1, b.sup AS s2, count(*) AS shared
+         FROM pairs a JOIN pairs b ON a.c = b.c AND a.sup <> b.sup
+         GROUP BY 1, 2),
+       ranked AS (
+         SELECT s1, s2, row_number() OVER (
+           PARTITION BY s1 ORDER BY shared DESC, s2) AS rk FROM co),
+       und AS (
+         SELECT DISTINCT least(s1, s2) AS a, greatest(s1, s2) AS b
+         FROM ranked WHERE rk <= 5),
+       edges AS (SELECT a AS src, b AS dst FROM und
+                 UNION ALL SELECT b, a FROM und),
+       f0 AS (SELECT DISTINCT src AS node FROM edges WHERE src % 50 = 0),
+       f1 AS (SELECT DISTINCT e.dst AS node FROM edges e
+              JOIN f0 ON e.src = f0.node
+              WHERE e.dst NOT IN (SELECT node FROM f0)),
+       f2 AS (SELECT DISTINCT e.dst AS node FROM edges e
+              JOIN f1 ON e.src = f1.node
+              WHERE e.dst NOT IN (SELECT node FROM f0)
+                AND e.dst NOT IN (SELECT node FROM f1)),
+       f3 AS (SELECT DISTINCT e.dst AS node FROM edges e
+              JOIN f2 ON e.src = f2.node
+              WHERE e.dst NOT IN (SELECT node FROM f0)
+                AND e.dst NOT IN (SELECT node FROM f1)
+                AND e.dst NOT IN (SELECT node FROM f2))
+       SELECT node, hops FROM (
+         SELECT node, CAST(0 AS BIGINT) AS hops FROM f0
+         UNION ALL SELECT node, 1 FROM f1
+         UNION ALL SELECT node, 2 FROM f2
+         UNION ALL SELECT node, 3 FROM f3)
+       ORDER BY hops, node"""
+
   val queries: Map[String, QueryFn] = Map(
     "g01_pagerank" -> g01 _,
     "g02_components" -> g02 _,
     "g03_triangles" -> g03 _,
     "g04_label_propagation" -> g04 _,
+    "g05_khop_reach" -> g05 _,
   )
   val oracle: Map[String, String] = Map(
     "g01_pagerank" -> g01Sql,
     "g02_components" -> g02Sql,
     "g03_triangles" -> g03Sql,
     "g04_label_propagation" -> g04Sql,
+    "g05_khop_reach" -> g05Sql,
   )
 }

@@ -572,7 +572,35 @@ object Media extends QueryModule {
          ignore_errors=true)
        ORDER BY id"""
 
+  /** m15 — image RESIZE under the gate: every synthetic payload decoded
+    * through the REAL ImageIO codec and box-downsampled 2× (ragged edge
+    * blocks included — widths 8..12 and heights 6..8 exercise both even
+    * and odd dims), one row per output pixel with the block sum/count
+    * and the rounded mean. The oracle recomputes the identical blocks
+    * in DuckDB from the raw generator pixels (y = idx//w, x = idx%w,
+    * block = (y//2, x//2); same explicit half-up integer rounding), so
+    * a hash match certifies the decode -> box-reduce -> round path
+    * exactly. See Multimodal.resizeBox for the scale rationale (resize
+    * is map-side and data-reducing — it belongs before wide stages). */
+  private def m15(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Multimodal.resizeBox(Multimodal.syntheticMedia(s, 12), factor = 2).toDF()
+      .select($"media_id", $"by".cast("long").as("blk_y"),
+        $"bx".cast("long").as("blk_x"), $"n_px".cast("long").as("n_px"),
+        $"px_sum", $"px_avg".cast("long").as("px_avg"))
+      .orderBy($"media_id", $"blk_y", $"blk_x")
+  }
+  private val m15Sql =
+    """SELECT media_id, (px_idx // width) // 2 AS blk_y,
+         (px_idx % width) // 2 AS blk_x,
+         count(*) AS n_px, CAST(sum(value) AS BIGINT) AS px_sum,
+         CAST((2 * sum(value) + count(*)) // (2 * count(*)) AS BIGINT) AS px_avg
+       FROM read_parquet('__FIXTURES__/pixels_expected/*.parquet')
+       GROUP BY media_id, blk_y, blk_x
+       ORDER BY media_id, blk_y, blk_x"""
+
   val queries: Map[String, QueryFn] = Map(
+    "m15_image_resize" -> m15 _,
     "m14_csv_malformed" -> m14 _,
     "m13_codec_matrix" -> m13 _,
     "m12_frame_sample" -> m12 _,
@@ -656,6 +684,7 @@ object Media extends QueryModule {
        ORDER BY file, page, row_idx, col_idx"""
 
   val oracle: Map[String, String] = Map(
+    "m15_image_resize" -> m15Sql,
     "m14_csv_malformed" -> m14Sql,
     "m13_codec_matrix" -> m13Sql,
     "m12_frame_sample" -> m12Sql,

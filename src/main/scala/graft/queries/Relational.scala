@@ -573,10 +573,66 @@ object Relational extends QueryModule {
          SELECT l_orderkey, 'l_tax', l_tax FROM lineitem)
        GROUP BY measure ORDER BY measure"""
 
+  /** q24 — GLOBAL VALUE-SHARE threshold (the TPC-H Q11 shape): parts
+    * whose revenue from a nation subset exceeds a FRACTION OF THE
+    * GLOBAL TOTAL — a correlated scalar aggregate over the whole fact
+    * table. Distributed form: the global total is ONE scalar row,
+    * computed by reusing the per-part aggregate (no second fact-table
+    * pass) and broadcast into every partition via a crossJoin — the
+    * scalar-subquery pattern that at 100 TB costs one extra
+    * all-to-one-row reduction instead of a second corpus scan or a
+    * shuffle. Revenue stays in exact integer cents until the final
+    * display division, so the > comparison is integer-exact in both
+    * engines (no float threshold flapping on the boundary part). */
+  private def q24(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sup = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d).filter($"n_name".isin(
+        "NATION_1", "NATION_2", "NATION_3"))), $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey")
+    val byPart = Tables.lineitem(s, d)
+      .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"l_partkey".as("partkey"))
+      .agg(sum(round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100)
+        .cast("long")).as("cents"))
+    // byPart feeds BOTH the scalar total and the final filter; persist
+    // (eager, |parts|-sized) so the fact-table scan+join+agg runs once —
+    // unpersisted, the broadcast-total stage re-executes the whole DAG
+    byPart.persist().count()
+    val total = byPart.agg(sum($"cents").as("total_cents"))
+    byPart.crossJoin(broadcast(total))
+      // threshold: part's share > 0.05% of the subset's global revenue
+      // — integer comparison: cents * 10000 > 5 * total_cents
+      .filter($"cents" * 10000L > lit(5L) * $"total_cents")
+      .select($"partkey", $"cents",
+        round($"cents".cast("double") / 100.0, 2).as("revenue"),
+        round($"cents" * lit(1000000L).cast("double") / $"total_cents", 2)
+          .as("share_ppm"))
+      .orderBy($"cents".desc, $"partkey")
+  }
+  private val q24Sql =
+    """WITH sup AS (
+         SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')),
+       by_part AS (
+         SELECT l_partkey AS partkey,
+           CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+             AS BIGINT)) AS BIGINT) AS cents
+         FROM lineitem JOIN sup ON l_suppkey = s_suppkey
+         GROUP BY l_partkey),
+       total AS (SELECT CAST(sum(cents) AS BIGINT) AS total_cents FROM by_part)
+       SELECT partkey, cents,
+         round(CAST(cents AS DOUBLE) / 100.0, 2) AS revenue,
+         round(CAST(cents * 1000000 AS DOUBLE) / total_cents, 2) AS share_ppm
+       FROM by_part, total
+       WHERE cents * 10000 > 5 * total_cents
+       ORDER BY cents DESC, partkey"""
+
   val queries: Map[String, QueryFn] = Map(
     "q23_unpivot" -> q23 _,
     "q21_waiting_suppliers" -> q21 _,
     "q22_idle_customers" -> q22 _,
+    "q24_value_share" -> q24 _,
     "q01_pricing_summary" -> q01 _,
     "q02_topk_orders" -> q02 _,
     "q03_shipping_priority" -> q03 _,
@@ -603,6 +659,7 @@ object Relational extends QueryModule {
     "q23_unpivot" -> q23Sql,
     "q21_waiting_suppliers" -> q21Sql,
     "q22_idle_customers" -> q22Sql,
+    "q24_value_share" -> q24Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_topk_orders" -> q02Sql,
     "q03_shipping_priority" -> q03Sql,

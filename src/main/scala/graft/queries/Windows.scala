@@ -481,7 +481,85 @@ object Windows extends QueryModule {
          v IS NULL AS filled
        FROM carried ORDER BY hour, event_type"""
 
+  /** w15 — EXPONENTIAL MOVING AVERAGE over each customer's daily spend
+    * (the trend-smoothing pass behind anomaly detection and
+    * forecasting features). EWMA is a recursion (s_t = α·x_t +
+    * (1−α)·s_{t−1}) no SQL window expresses directly; with α = 1/2 the
+    * unrolled weights are powers of two, so an 8-point truncated EWMA
+    * is a FINITE weighted sum whose numerator and denominator are
+    * exact BIGINTs: num = Σ_{k=0..7} cents_{t−k}·2^{7−k} over the lags
+    * that exist, den = Σ of the same 2^{7−k} — the truncation error
+    * (≤ 1/256 of mass) is the standard warm-up convention. One
+    * partitioned window, eight lag() reads sharing a single sort —
+    * partitioned by customer, so at 100 TB it parallelizes per key
+    * with no global sort (w08/w09 cover the global case). The division
+    * is ONE IEEE op over two exact integers — bit-identical across
+    * engines, the g01/w14 determinism discipline. */
+  private def w15(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.orders(s, d)
+      .groupBy($"o_custkey".as("custkey"),
+        // cast to DATE: DuckDB's date_trunc('day') yields DATE, Spark's
+        // a midnight timestamp — align the physical type for the gate
+        date_trunc("day", $"o_orderdate").cast("date").as("day"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+    val w = Window.partitionBy($"custkey").orderBy($"day")
+    val num = (0 to 7).map(k =>
+        coalesce(lag($"cents", k).over(w), lit(0L)) * lit(1L << (7 - k)))
+      .reduce(_ + _)
+    val den = (0 to 7).map(k =>
+        when(lag($"cents", k).over(w).isNotNull, lit(1L << (7 - k)))
+          .otherwise(lit(0L)))
+      .reduce(_ + _)
+    daily
+      .withColumn("ewma_num", num)
+      .withColumn("ewma_den", den)
+      .withColumn("ewma_cents",
+        ($"ewma_num".cast("double") / $"ewma_den".cast("double")))
+      .select($"custkey", $"day", $"cents", $"ewma_num", $"ewma_den",
+        $"ewma_cents")
+      .orderBy($"custkey", $"day")
+  }
+  private val w15Sql =
+    """WITH daily AS (
+         SELECT o_custkey AS custkey, date_trunc('day', o_orderdate) AS day,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM orders GROUP BY 1, 2),
+       lagged AS (
+         SELECT custkey, day, cents,
+           lag(cents, 1) OVER w AS c1, lag(cents, 2) OVER w AS c2,
+           lag(cents, 3) OVER w AS c3, lag(cents, 4) OVER w AS c4,
+           lag(cents, 5) OVER w AS c5, lag(cents, 6) OVER w AS c6,
+           lag(cents, 7) OVER w AS c7
+         FROM daily
+         WINDOW w AS (PARTITION BY custkey ORDER BY day))
+       SELECT custkey, day, cents,
+         CAST(128 * cents + 64 * coalesce(c1, 0) + 32 * coalesce(c2, 0)
+            + 16 * coalesce(c3, 0) + 8 * coalesce(c4, 0)
+            + 4 * coalesce(c5, 0) + 2 * coalesce(c6, 0)
+            + coalesce(c7, 0) AS BIGINT) AS ewma_num,
+         CAST(128 + CASE WHEN c1 IS NULL THEN 0 ELSE 64 END
+            + CASE WHEN c2 IS NULL THEN 0 ELSE 32 END
+            + CASE WHEN c3 IS NULL THEN 0 ELSE 16 END
+            + CASE WHEN c4 IS NULL THEN 0 ELSE 8 END
+            + CASE WHEN c5 IS NULL THEN 0 ELSE 4 END
+            + CASE WHEN c6 IS NULL THEN 0 ELSE 2 END
+            + CASE WHEN c7 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS ewma_den,
+         CAST(128 * cents + 64 * coalesce(c1, 0) + 32 * coalesce(c2, 0)
+            + 16 * coalesce(c3, 0) + 8 * coalesce(c4, 0)
+            + 4 * coalesce(c5, 0) + 2 * coalesce(c6, 0)
+            + coalesce(c7, 0) AS DOUBLE)
+         / CAST(128 + CASE WHEN c1 IS NULL THEN 0 ELSE 64 END
+            + CASE WHEN c2 IS NULL THEN 0 ELSE 32 END
+            + CASE WHEN c3 IS NULL THEN 0 ELSE 16 END
+            + CASE WHEN c4 IS NULL THEN 0 ELSE 8 END
+            + CASE WHEN c5 IS NULL THEN 0 ELSE 4 END
+            + CASE WHEN c6 IS NULL THEN 0 ELSE 2 END
+            + CASE WHEN c7 IS NULL THEN 0 ELSE 1 END AS DOUBLE) AS ewma_cents
+       FROM lagged ORDER BY custkey, day"""
+
   val queries: Map[String, QueryFn] = Map(
+    "w15_ewma" -> w15 _,
     "w14_interpolate" -> w14 _,
     "w13_range_frame" -> w13 _,
     "w12_gap_fill" -> w12 _,
@@ -499,6 +577,7 @@ object Windows extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "w15_ewma" -> w15Sql,
     "w14_interpolate" -> w14Sql,
     "w13_range_frame" -> w13Sql,
     "w12_gap_fill" -> w12Sql,

@@ -177,6 +177,34 @@ class DedupSpec extends SparkSpec {
       "every document lands in exactly one split")
   }
 
+  test("d14 CDC chunking is shift-robust where aligned chunking is not") {
+    import spark.implicits._
+    // the motivating property: a 60-token shared span is still detected
+    // after one document shifts it by a single leading token, because
+    // chunk boundaries derive from local content, not absolute position
+    val span = (1 to 60).map(i => s"tok${i * 7 % 53}x").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta epsilon $span"),
+      (2L, s"zzz $span"), // same span, shifted by a different prefix
+      (3L, "totally unrelated words only here " +
+        (1 to 40).map(i => s"uniq$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val stats = Dedup.cdcChunkStats(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shared"), r.getAs[Long]("n_chunks"))).toMap
+    assert(stats(1L)._1 >= 1 && stats(2L)._1 >= 1,
+      s"shifted shared span must still produce shared chunks: $stats")
+    assert(stats(3L)._1 == 0, "unrelated doc shares nothing")
+    // chunking is a partition of the tokens: Σ chunk lengths = n
+    docs.select($"doc_id", size(split($"text", " ")).cast("long").as("n"))
+      .join(Dedup.cdcChunkStats(docs, col("doc_id"), col("text")), "doc_id")
+      .collect().foreach { r =>
+        assert(r.getAs[Double]("mean_ctok") * r.getAs[Long]("n_chunks")
+          == r.getAs[Long]("n").toDouble,
+          "mean chunk length x chunk count must equal the token count")
+      }
+  }
+
   test("d12 incremental pairs = full near-dup pairs restricted to the new batch") {
     import spark.implicits._
     // same banding, same verification, one-sided candidate join — so the

@@ -84,6 +84,37 @@ class GraphSpec extends SparkSpec {
       comm.count() <= totalMembers, "labels must coarsen, not invent nodes")
   }
 
+  test("g05 BFS levels are minimal distances over the co-trading graph") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Graph.queries("g05_khop_reach")(spark, sfDir)
+    val rows = df.as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val hopOf = rows.toMap
+    // hop 0 is exactly the seed rule; each node appears once
+    assert(rows.count(_._2 == 0L) == rows.count(r => r._1 % 50 == 0 && hopOf(r._1) == 0))
+    assert(rows.map(_._1).distinct.length == rows.length, "one min-hop per node")
+    rows.filter(_._2 == 0L).foreach(r => assert(r._1 % 50 == 0, s"seed rule: $r"))
+    // BFS level property against an independently built edge map: every
+    // hop-k node has a neighbor at k-1 and none at < k-1
+    val pairs = graft.sources.Tables.lineitem(spark, sfDir)
+      .join(graft.sources.Tables.orders(spark, sfDir), $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey".as("c"), $"l_suppkey".as("sup")).distinct()
+    val co = pairs.as("a").join(pairs.as("b"), $"a.c" === $"b.c" && $"a.sup" =!= $"b.sup")
+      .groupBy($"a.sup".as("s1"), $"b.sup".as("s2")).agg(count(lit(1)).as("shared"))
+    val top = co.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"s1")
+          .orderBy($"shared".desc, $"s2"))).filter($"rk" <= 5)
+    val adj = top.select(least($"s1", $"s2").as("a"), greatest($"s1", $"s2").as("b"))
+      .distinct().as[(Long, Long)].collect()
+      .flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    rows.filter(_._2 > 0L).foreach { case (n, hp) =>
+      val nb = adj(n).map(m => hopOf.getOrElse(m, Long.MaxValue))
+      assert(nb.min == hp - 1, s"node $n at hop $hp must have min-neighbor hop ${hp - 1}")
+    }
+  }
+
   test("g02 components: sizes sum to subgraph nodes, splits consistent, rep is min") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

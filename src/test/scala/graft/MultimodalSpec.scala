@@ -24,6 +24,33 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resizeBox factor=1 is the identity raster; factor=2 box means check out") {
+    val media = Multimodal.syntheticMedia(spark, 6)
+    // factor=1: every block is one pixel, avg == sum == pixel value
+    val id1 = Multimodal.resizeBox(media, 1).collect()
+    id1.foreach { b =>
+      assert(b.n_px == 1 && b.px_sum == b.px_avg.toLong,
+        s"factor-1 resize must be the identity: $b")
+    }
+    // factor=2 hand-check against the generator formula for one image
+    val w = 8 + (1 % 5); val h = 6 + (1 % 3) // id=1 -> 9x7 (ragged both dims)
+    val px = Array.tabulate(w * h)(i => Multimodal.syntheticPixel(1L, i))
+    val got = Multimodal.resizeBox(media, 2).filter(_.media_id == 1L)
+      .collect().map(b => (b.by, b.bx) -> b).toMap
+    assert(got.size == ((h + 1) / 2) * ((w + 1) / 2), "output grid dims")
+    for (by <- 0 until (h + 1) / 2; bx <- 0 until (w + 1) / 2) {
+      val cells = for {
+        y <- by * 2 until math.min(by * 2 + 2, h)
+        x <- bx * 2 until math.min(bx * 2 + 2, w)
+      } yield px(y * w + x)
+      val b = got((by, bx))
+      assert(b.n_px == cells.size && b.px_sum == cells.map(_.toLong).sum,
+        s"block ($by,$bx) sums")
+      assert(b.px_avg == ((2 * cells.map(_.toLong).sum + cells.size) /
+        (2 * cells.size)).toInt, s"block ($by,$bx) half-up rounding")
+    }
+  }
+
   test("IHDR extractors agree with ImageIO on real encoded PNGs") {
     import spark.implicits._
     val bytes = Multimodal.encodeGrayPng(19, 7,

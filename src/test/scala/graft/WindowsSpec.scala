@@ -69,6 +69,31 @@ class WindowsSpec extends SparkSpec {
       "fill must add zeros, never rows that change the mass")
   }
 
+  test("w15 ewma: warm-up denominators, bounds, and an exact hand trace") {
+    import spark.implicits._
+    val df = Windows.queries("w15_ewma")(spark, sfDir).cache()
+    // denominator follows the warm-up schedule: 128, 192, 224, ... 255
+    val dens = df.select("ewma_den").distinct().as[Long].collect().toSet
+    assert(dens.subsetOf(Set(128L, 192L, 224L, 240L, 248L, 252L, 254L, 255L)),
+      s"ewma_den must be a truncated geometric sum: $dens")
+    // the reported double is the single-division quotient (tolerance:
+    // (num/den)*den re-rounds, so compare the division itself)
+    val viol = df.filter(abs(col("ewma_cents") -
+        col("ewma_num") / col("ewma_den")) > 1e-9).count()
+    assert(viol == 0, "ewma = num/den")
+    // hand trace: ONE customer's first points (warm-up recursion)
+    val firstCust = df.select(min("custkey")).as[Long].head()
+    val one = df.filter(col("custkey") === firstCust).orderBy("day").limit(3)
+      .select("cents", "ewma_num", "ewma_den").as[(Long, Long, Long)].collect()
+    val c0 = one(0)._1
+    assert(one(0)._2 == 128 * c0 && one(0)._3 == 128)
+    if (one.length > 1) {
+      val c1 = one(1)._1
+      assert(one(1)._2 == 128 * c1 + 64 * c0 && one(1)._3 == 192)
+    }
+    df.unpersist()
+  }
+
   test("w13 range frame: every event counts at least itself") {
     import org.apache.spark.sql.functions._
     val df = Windows.queries("w13_range_frame")(spark, sfDir)
