@@ -128,6 +128,13 @@ object Bench {
         ",", s"""},"failed":$fullFailedJson,"sf":"$sfDir"}""")
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       fullJson.getBytes("UTF-8"))
+    // per-scale-factor copy: headline totals are only comparable within
+    // one SF, so baselines are kept in SF-keyed files (bench_full.json
+    // stays as the "latest run" the driver reads)
+    val sfLabel = new java.io.File(sfDir).getName
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"bench_full_$sfLabel.json"),
+      fullJson.getBytes("UTF-8"))
     // printed line: top-20 wall times, plus the [stages, cpu_ms, run_ms]
     // triple for the same 20 — enough to discriminate contention from
     // recompute on every slow query while staying inside the capture

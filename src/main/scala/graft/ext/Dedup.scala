@@ -918,34 +918,63 @@ object Dedup extends QueryModule {
     * The rollup mirrors d08 so the two chunking disciplines are
     * directly comparable under the gate.
     */
+  /** JVM twin of `h60` (same md5 → first 15 hex chars → BIGINT), for
+    * per-partition imperative paths that would otherwise pay the
+    * INTERPRETED higher-order-function evaluator. Identical output to
+    * the Column form — DedupSpec pins the equivalence. */
+  private[graft] def h60jvm(md: java.security.MessageDigest, s: String): Long = {
+    md.reset()
+    val dig = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // first 15 hex chars = 7.5 bytes: 7 full bytes + the high nibble
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (dig(i) & 0xffL); i += 1 }
+    (v << 4) | ((dig(7) & 0xf0L) >> 4)
+  }
+
   /** Public CDC surface of d14: per-doc chunk stats for the caller's
-    * own corpus (docId, text columns). See the d14 scaladoc for the
-    * boundary discipline and scale design. */
+    * own corpus (docId, text columns; ids must cast to BIGINT). See
+    * the d14 scaladoc for the boundary discipline and scale design.
+    *
+    * The chunker is a single mapPartitions pass, not array
+    * expressions: higher-order lambdas (transform/filter) run on the
+    * INTERPRETED evaluator, and Catalyst's CollapseProject inlines the
+    * boundary-array expression into every per-chunk element_at — the
+    * measured result was O(chunks · tokens) md5 evaluations per
+    * document (127 s at sf0.1). The imperative pass hashes each 4-gram
+    * and each chunk exactly once (O(tokens)), stays map-side, and
+    * still ships only (doc_id, 60-bit hash, length) to the shuffle. */
   def cdcChunkStats(docs: DataFrame, docId: Column, text: Column): DataFrame = {
     import docs.sparkSession.implicits._
-    val base = docs.select(docId.as("doc_id"), text.as("text"))
-      .withColumn("toks", split($"text", " "))
-      .withColumn("n", size($"toks"))
-      // boundary positions i in 4..n-1 (never after the last token —
-      // the tail chunk closes at n); guarded because Spark's sequence
-      // DESCENDS when start > stop where DuckDB's generate_series is
-      // empty
-      .withColumn("bp",
-        when($"n" >= 5,
-          filter(sequence(lit(4), $"n" - 1),
-            i => h60(concat_ws(" ", slice($"toks", i - 3, lit(4)))) % 16 === 0))
-        .otherwise(array().cast("array<int>")))
-      .withColumn("starts", concat(array(lit(0)), $"bp"))
-      .withColumn("ends", concat($"bp", array($"n")))
-      .withColumn("chunks",
-        transform(sequence(lit(1), size($"bp") + 1), j => struct(
-          h60(concat_ws(" ", slice($"toks",
-            element_at($"starts", j) + 1,
-            element_at($"ends", j) - element_at($"starts", j)))).as("ch"),
-          (element_at($"ends", j) - element_at($"starts", j))
-            .cast("long").as("ctok"))))
-    val chunks = base.select($"doc_id", explode($"chunks").as("c"))
-      .select($"doc_id", $"c.ch".as("ch"), $"c.ctok".as("ctok"))
+    val chunks = docs.select(docId.cast("long").as("doc_id"), text.as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, t) =>
+          // split(" ", -1): keep trailing empties — the semantics of
+          // Spark's split() and DuckDB's string_split the oracle uses
+          val toks = t.split(" ", -1)
+          val n = toks.length
+          // boundary AFTER 1-based token i, i in 4..n-1: rolling
+          // 4-gram (tokens i-3..i = indices i-4..i-1) in 1/16 of space
+          val bounds = new scala.collection.mutable.ArrayBuffer[Int](n / 8 + 2)
+          bounds += 0
+          var i = 4
+          while (i <= n - 1) {
+            val sb = new java.lang.StringBuilder(64)
+            sb.append(toks(i - 4)).append(' ').append(toks(i - 3)).append(' ')
+              .append(toks(i - 2)).append(' ').append(toks(i - 1))
+            if ((h60jvm(md, sb.toString) & 15L) == 0L) bounds += i
+            i += 1
+          }
+          bounds += n
+          (1 until bounds.length).iterator.map { j =>
+            val s0 = bounds(j - 1); val e0 = bounds(j)
+            (id, h60jvm(md, toks.slice(s0, e0).mkString(" ")),
+              (e0 - s0).toLong)
+          }
+        }
+      }.toDF("doc_id", "ch", "ctok")
     val shared = chunks.groupBy($"ch")
       .agg(countDistinct($"doc_id").as("nd"))
       .filter($"nd" > 1)

@@ -376,22 +376,28 @@ object Graph extends QueryModule {
       und.select($"a".as("src"), $"b".as("dst"))
         .unionAll(und.select($"b".as("src"), $"a".as("dst"))), "g05e")
     val nodes = edges.select($"src".as("node")).distinct()
-    var visited = nodes.filter($"node" % 50 === 0)
-      .withColumn("hops", lit(0L))
-    var frontier = visited
+    // UNIQUE slot per level (not alternating): the visited union below
+    // references every previous frontier, so releasing level k-2 when
+    // level k materializes would force its broadcast to re-derive the
+    // whole BFS lineage; three node-sized caches are trivial memory
+    var frontier = swapPersist(
+      nodes.filter($"node" % 50 === 0).withColumn("hops", lit(0L)), "g05f0")
+    val levels = scala.collection.mutable.ArrayBuffer(frontier)
     for (i <- 1 to 3) {
       // neighbors of the CURRENT frontier only, minus everything seen:
-      // left_anti on visited keeps each node's FIRST (minimal) level
+      // left_anti on the visited union keeps each node's FIRST
+      // (minimal) level; the union reads only cached levels
+      val visited = levels.map(_.select($"node")).reduce(_ unionAll _)
       frontier = swapPersist(
         edges.join(broadcast(frontier.select($"node")),
             edges("src") === col("node"))
           .select($"dst".as("node")).distinct()
-          .join(visited.select($"node").as("v"), Seq("node"), "left_anti")
+          .join(visited, Seq("node"), "left_anti")
           .withColumn("hops", lit(i.toLong)),
-        s"g05f${i % 2}")
-      visited = swapPersist(visited.unionAll(frontier), s"g05v${i % 2}")
+        s"g05f$i")
+      levels += frontier
     }
-    sortedSmall(visited, $"hops", $"node")
+    sortedSmall(levels.reduce(_ unionAll _), $"hops", $"node")
   }
   private val g05Sql =
     """WITH pairs AS (

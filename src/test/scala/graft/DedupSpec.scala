@@ -177,6 +177,19 @@ class DedupSpec extends SparkSpec {
       "every document lands in exactly one split")
   }
 
+  test("h60jvm equals the Column-side h60 (md5 -> 15 hex chars -> BIGINT)") {
+    import spark.implicits._
+    val samples = Seq("", "a", "tok1 tok2 tok3 tok4", "Ünïcode ☃ text",
+      (1 to 50).map("w" + _).mkString(" "))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expected = samples.toDF("s")
+      .selectExpr("CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)")
+      .as[Long].collect()
+    samples.zip(expected).foreach { case (s, e) =>
+      assert(Dedup.h60jvm(md, s) == e, s"h60 twin diverges on '$s'")
+    }
+  }
+
   test("d14 CDC chunking is shift-robust where aligned chunking is not") {
     import spark.implicits._
     // the motivating property: a 60-token shared span is still detected

@@ -32,7 +32,30 @@ class PlanAuditSpec extends SparkSpec {
     "s13_pq_adc" /* 1-row broadcast query vector x dim stats / shortlist */,
     "s14_ivfpq" /* same broadcast query-vector composition as s03+s13 */,
     "q22_idle_customers" /* 1-row broadcast of the global average balance */,
-    "d13_leakage_free_split" /* 1-row broadcast of the leaky-pair count */)
+    "d13_leakage_free_split" /* 1-row broadcast of the leaky-pair count */,
+    "q24_value_share" /* 1-row broadcast of the global revenue total */)
+
+  test("q24 reuses the persisted per-part aggregate for the scalar total") {
+    val plan = planOf(SparkEntry.queries("q24_value_share")(spark, sfDir))
+    assert(plan.contains("InMemoryTableScan"),
+      s"q24 must read the cached by-part aggregate, not recompute it:\n$plan")
+  }
+
+  test("g05 reads per-round persisted frontiers (no quadratic BFS lineage)") {
+    // the frontier joins themselves live inside the cached rounds; the
+    // final plan must therefore be cache reads, not a re-derivation of
+    // the whole iteration DAG (the g01 lesson: an unpersisted round k
+    // re-executes rounds 1..k-1)
+    val plan = planOf(SparkEntry.queries("g05_khop_reach")(spark, sfDir))
+    assert(plan.sliding("InMemoryTableScan".length).count(_ == "InMemoryTableScan") >= 4,
+      s"g05 must read all four persisted BFS levels:\n${plan.take(2000)}")
+    // cached nodes PRINT their (already-materialized) lineage, so scan
+    // the plan only ABOVE the first cache node: nothing but the final
+    // sort/union may live there
+    val top = plan.take(math.max(0, plan.indexOf("InMemoryRelation")))
+    assert(!top.contains("SortMergeJoin") && !top.contains("FileScan"),
+      s"final g05 plan re-derives the BFS instead of reading caches:\n$top")
+  }
 
   test("no query plans a CartesianProduct") {
     SparkEntry.queries.foreach { case (name, fn) =>
