@@ -123,17 +123,19 @@ object Eventing extends QueryModule {
     */
   private def e05(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val ev = Tables.events(s, d).filter($"event_type".isin("purchase", "error"))
-      .withColumn("is_probe", when($"event_type" === "purchase", 1).otherwise(0))
-    val w = Window.partitionBy($"user_id")
-      .orderBy($"ts", $"is_probe", $"event_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ev.withColumn("last_err",
-        max(when($"event_type" === "error",
-          struct(unix_micros($"ts").as("t"), $"event_id".as("id"), $"value".as("v")))).over(w))
-      .filter($"is_probe" === 1)
+    // thin instantiation of the PUBLIC operator (ops/TemporalJoins):
+    // payload order (event_id, value) keeps the original tiebreak —
+    // ties on ts resolve to the largest error event_id
+    val ev = Tables.events(s, d)
+    val probe = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"value", $"ts")
+    val build = ev.filter($"event_type" === "error")
+      .select($"user_id", $"ts", $"event_id", $"value")
+    graft.ops.TemporalJoins.asofJoin(probe, build, Seq("user_id"),
+        "ts", "ts", Seq("event_id", "value"))
       .select($"event_id", $"user_id", round($"value", 2).as("purchase_value"),
-        $"last_err.v".as("last_error_value"), $"last_err.id".as("last_error_event"))
+        $"asof_value".as("last_error_value"),
+        $"asof_event_id".as("last_error_event"))
       .orderBy($"event_id")
   }
   private val e05Sql =
@@ -154,10 +156,9 @@ object Eventing extends QueryModule {
     val signups = ev.filter($"event_type" === "signup")
       .select($"event_id".as("s_event_id"), $"user_id".as("s_user_id"), $"ts".as("s_ts"))
     val follow = ev.select($"event_id".as("f_event_id"), $"user_id".as("f_user_id"), $"ts".as("f_ts"))
-    signups.join(follow,
-        $"s_user_id" === $"f_user_id" &&
-        $"f_ts" > $"s_ts" &&
-        $"f_ts" <= $"s_ts" + expr("INTERVAL 1 HOUR"), "left")
+    graft.ops.TemporalJoins.rangeJoin(signups, follow,
+        Seq("s_user_id" -> "f_user_id"), "s_ts", "f_ts",
+        expr("INTERVAL 0 HOUR"), expr("INTERVAL 1 HOUR"), "left")
       .groupBy($"s_event_id", $"s_user_id")
       .agg(count($"f_event_id").as("n_followups"))
       .orderBy($"s_event_id")
