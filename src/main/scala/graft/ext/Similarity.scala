@@ -895,7 +895,124 @@ object Similarity extends QueryModule {
        ORDER BY round(list_cosine_similarity(e.v, q.qv), 9) DESC, s.vec_id
        LIMIT 10"""
 
+  /** s15 — MAXIMAL MARGINAL RELEVANCE re-ranking (Carbonell-Goldstein):
+    * the diversity-aware final stage of a retrieval stack. From the
+    * top-20 cosine shortlist for the query vector, select 5 results
+    * iteratively by argmax of 0.7·sim(q,d) − 0.3·max_{s∈S} sim(d,s) —
+    * each pick is penalized by its similarity to what is ALREADY
+    * selected, so near-duplicate hits can't crowd the result list (the
+    * retrieval-time face of the near-dup problem d05/s12 solve at
+    * corpus build time). Scale: the corpus pays only the shortlist
+    * scan (one broadcast-query pass, TopK); the O(k·shortlist)
+    * iteration runs on gate-sized cached tables — this is the
+    * standard decomposition, MMR is always post-retrieval. Ties break
+    * by vec_id under the round-to-9 ordering discipline (s01's), and
+    * each round is persisted so round k never re-derives rounds <k.
+    */
+  /** PUBLIC operator: MMR selection over a shortlist DataFrame with
+    * columns (vec_id, v: array<double>, simq). Returns k rows
+    * (mmr_rank, vec_id, v, simq, mmr), rank order = selection order.
+    * See s15 for semantics; rounds are persisted (slot-prefixed by
+    * `slot`) so round r never re-derives rounds <r. */
+  def mmrRerank(cand0: DataFrame, k: Int, relWeight: Double,
+      divWeight: Double, slot: String = "mmr"): DataFrame = {
+    // both weights are EXPLICIT literals (never 1.0 - relWeight: the
+    // float subtraction 1.0 - 0.7 is not the literal 0.3 an oracle
+    // writes, and the ordering discipline assumes bit-equal scores)
+    val cand = swapPersist(s"${slot}c", cand0)
+    var selected = swapPersist(s"${slot}r1",
+      cand.orderBy(round(col("simq"), 9).desc, col("vec_id")).limit(1)
+        .select(lit(1L).as("mmr_rank"), col("vec_id"), col("v"), col("simq"),
+          (col("simq") * relWeight).as("mmr")))
+    for (r <- 2 to k) {
+      val selV = selected.select(col("vec_id").as("sid"), col("v").as("sv"))
+      val next = cand
+        .join(broadcast(selV.select(col("sid"))),
+          col("vec_id") === col("sid"), "left_anti")
+        .crossJoin(broadcast(selV))
+        .withColumn("ps", cosine(col("v"), col("sv")))
+        .groupBy(col("vec_id"))
+        .agg(first(col("v")).as("v"), first(col("simq")).as("simq"),
+          max(col("ps")).as("maxsim"))
+        .withColumn("mmr",
+          col("simq") * relWeight - col("maxsim") * divWeight)
+        .orderBy(round(col("mmr"), 9).desc, col("vec_id")).limit(1)
+        .select(lit(r.toLong).as("mmr_rank"), col("vec_id"), col("v"),
+          col("simq"), col("mmr"))
+      selected = swapPersist(s"$slot$r", selected.unionAll(next))
+    }
+    selected
+  }
+
+  private def s15(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val q = e.filter($"vec_id" === 0).select($"v".as("qv"))
+    val shortlist = e.filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("simq", cosine($"v", $"qv"))
+      .orderBy(round($"simq", 9).desc, $"vec_id")
+      .limit(20)
+      .select($"vec_id", $"v", $"simq")
+    mmrRerank(shortlist, 5, 0.7, 0.3, "s15")
+      .select($"mmr_rank", $"vec_id",
+        round($"simq", 6).as("sim_query"), round($"mmr", 6).as("mmr_score"))
+      .orderBy($"mmr_rank")
+  }
+  private val s15Sql =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       cand AS (
+         SELECT vec_id, v, list_cosine_similarity(v, qv) AS simq
+         FROM e, q WHERE vec_id <> 0
+         ORDER BY round(list_cosine_similarity(v, qv), 9) DESC, vec_id
+         LIMIT 20),
+       r1 AS (SELECT CAST(1 AS BIGINT) AS mmr_rank, vec_id, v, simq,
+                0.7 * simq AS mmr
+              FROM cand ORDER BY round(simq, 9) DESC, vec_id LIMIT 1),
+       r2 AS (SELECT CAST(2 AS BIGINT) AS mmr_rank, c.vec_id, c.v, c.simq,
+                0.7 * c.simq - 0.3 * max(list_cosine_similarity(c.v, s.v)) AS mmr
+              FROM cand c, r1 s
+              WHERE c.vec_id NOT IN (SELECT vec_id FROM r1)
+              GROUP BY c.vec_id, c.v, c.simq
+              ORDER BY round(0.7 * c.simq
+                - 0.3 * max(list_cosine_similarity(c.v, s.v)), 9) DESC,
+                c.vec_id LIMIT 1),
+       s2 AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2),
+       r3 AS (SELECT CAST(3 AS BIGINT) AS mmr_rank, c.vec_id, c.v, c.simq,
+                0.7 * c.simq - 0.3 * max(list_cosine_similarity(c.v, s.v)) AS mmr
+              FROM cand c, s2 s
+              WHERE c.vec_id NOT IN (SELECT vec_id FROM s2)
+              GROUP BY c.vec_id, c.v, c.simq
+              ORDER BY round(0.7 * c.simq
+                - 0.3 * max(list_cosine_similarity(c.v, s.v)), 9) DESC,
+                c.vec_id LIMIT 1),
+       s3 AS (SELECT * FROM s2 UNION ALL SELECT * FROM r3),
+       r4 AS (SELECT CAST(4 AS BIGINT) AS mmr_rank, c.vec_id, c.v, c.simq,
+                0.7 * c.simq - 0.3 * max(list_cosine_similarity(c.v, s.v)) AS mmr
+              FROM cand c, s3 s
+              WHERE c.vec_id NOT IN (SELECT vec_id FROM s3)
+              GROUP BY c.vec_id, c.v, c.simq
+              ORDER BY round(0.7 * c.simq
+                - 0.3 * max(list_cosine_similarity(c.v, s.v)), 9) DESC,
+                c.vec_id LIMIT 1),
+       s4 AS (SELECT * FROM s3 UNION ALL SELECT * FROM r4),
+       r5 AS (SELECT CAST(5 AS BIGINT) AS mmr_rank, c.vec_id, c.v, c.simq,
+                0.7 * c.simq - 0.3 * max(list_cosine_similarity(c.v, s.v)) AS mmr
+              FROM cand c, s4 s
+              WHERE c.vec_id NOT IN (SELECT vec_id FROM s4)
+              GROUP BY c.vec_id, c.v, c.simq
+              ORDER BY round(0.7 * c.simq
+                - 0.3 * max(list_cosine_similarity(c.v, s.v)), 9) DESC,
+                c.vec_id LIMIT 1)
+       SELECT mmr_rank, vec_id, round(simq, 6) AS sim_query,
+         round(mmr, 6) AS mmr_score
+       FROM (SELECT * FROM s4 UNION ALL SELECT * FROM r5)
+       ORDER BY mmr_rank"""
+
   val queries: Map[String, QueryFn] = Map(
+    "s15_mmr_rerank" -> s15 _,
     "s14_ivfpq" -> s14 _,
     "s13_pq_adc" -> s13 _,
     "s11_ranking_metrics" -> s11 _,
@@ -913,6 +1030,7 @@ object Similarity extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "s15_mmr_rerank" -> s15Sql,
     "s14_ivfpq" -> s14Sql,
     "s13_pq_adc" -> s13Sql,
     "s11_ranking_metrics" -> s11Sql,

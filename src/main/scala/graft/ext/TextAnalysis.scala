@@ -706,7 +706,73 @@ object TextAnalysis extends QueryModule {
          sum_w >= 0 AS keep
        FROM sc ORDER BY doc_id"""
 
+  /** a16 — INTERPOLATED BIGRAM language-model scoring (the Jelinek-
+    * Mercer form of a10: P(w2|w1) = 0.75·c(w1w2)/c(w1·) + 0.25·c(w2)/N,
+    * with c(w1·) the bigram-start count so the conditional sums to 1).
+    * Bigram perplexity separates "plausible words in implausible order"
+    * — word salad, shuffled boilerplate, MT artifacts — from the
+    * vocabulary-level outliers a10 already catches; the interpolation
+    * weight keeps unseen bigrams finite, the standard smoothing before
+    * Kneser-Ney. Scale: bigrams pair map-side via arrays_zip of two
+    * shifted slices (codegen, no higher-order lambda); both LM tables
+    * are vocabulary-shaped (Zipf-small) and broadcast — at a vocabulary
+    * too large for broadcast the join degrades gracefully to shuffle on
+    * the bigram key, still |tokens| not |tokens|². Two corpus scans
+    * total, same envelope as a10.
+    */
+  private def a16(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, d).withColumn("toks", split($"text", " "))
+    val big = toks
+      .select($"doc_id", explode(arrays_zip(
+        slice($"toks", lit(1), size($"toks") - 1),
+        slice($"toks", lit(2), size($"toks") - 1))).as("bg"))
+      .select($"doc_id", $"bg".getField("0").as("w1"),
+        $"bg".getField("1").as("w2"))
+      .filter($"w1" =!= "" && $"w2" =!= "")
+    val uni = toks.select(explode($"toks").as("word")).filter($"word" =!= "")
+      .groupBy($"word").agg(count(lit(1)).as("cu"))
+    val n = uni.agg(sum($"cu").as("n_total"))
+    val cb = big.groupBy($"w1", $"w2").agg(count(lit(1)).as("cb"))
+    val cw1 = big.groupBy($"w1").agg(count(lit(1)).as("cw1"))
+    big
+      .join(broadcast(cb), Seq("w1", "w2"))
+      .join(broadcast(cw1), Seq("w1"))
+      .join(broadcast(uni.withColumnRenamed("word", "w2")), Seq("w2"))
+      .crossJoin(broadcast(n))
+      .withColumn("logp",
+        log(lit(0.75) * $"cb" / $"cw1" + lit(0.25) * $"cu" / $"n_total"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg($"logp"), 4).as("avg_logp"),
+        round(exp(-avg($"logp")), 2).as("ppl"))
+      .orderBy($"doc_id")
+  }
+  private val a16Sql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+       big AS (
+         SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+         FROM t, unnest(generate_series(1, len(l) - 1)) AS u(i)
+         WHERE l[i] <> '' AND l[i + 1] <> ''),
+       uni AS (
+         SELECT word, count(*) AS cu
+         FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         WHERE word <> '' GROUP BY word),
+       n AS (SELECT CAST(sum(cu) AS BIGINT) AS n_total FROM uni),
+       cb AS (SELECT w1, w2, count(*) AS cb FROM big GROUP BY w1, w2),
+       cw1 AS (SELECT w1, count(*) AS cw1 FROM big GROUP BY w1)
+       SELECT doc_id, count(*) AS n_bigrams,
+         round(avg(ln(0.75 * CAST(cb AS DOUBLE) / cw1
+                    + 0.25 * CAST(cu AS DOUBLE) / n_total)), 4) AS avg_logp,
+         round(exp(-avg(ln(0.75 * CAST(cb AS DOUBLE) / cw1
+                         + 0.25 * CAST(cu AS DOUBLE) / n_total))), 2) AS ppl
+       FROM big
+       JOIN cb USING (w1, w2) JOIN cw1 USING (w1)
+       JOIN uni ON big.w2 = uni.word, n
+       GROUP BY doc_id ORDER BY doc_id"""
+
   val queries: Map[String, QueryFn] = Map(
+    "a16_bigram_logprob" -> a16 _,
     "a14_source_mixing" -> a14 _,
     "a15_classifier_score" -> a15 _,
     "a13_sequence_packing" -> a13 _,
@@ -725,6 +791,7 @@ object TextAnalysis extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "a16_bigram_logprob" -> a16Sql,
     "a14_source_mixing" -> a14Sql,
     "a15_classifier_score" -> a15Sql,
     "a13_sequence_packing" -> a13Sql,

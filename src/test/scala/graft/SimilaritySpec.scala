@@ -169,6 +169,24 @@ class SimilaritySpec extends SparkSpec {
       "self is excluded, nearest others ranked")
   }
 
+  test("mmrRerank trades relevance for diversity: the near-dup of #1 loses its #2 spot") {
+    import spark.implicits._
+    // a (id 1) is most query-similar; a' (id 2) is a near-copy of a and
+    // the SECOND most query-similar; b (id 3) is less relevant but
+    // orthogonal-ish. Plain top-2 = {a, a'}; MMR's diversity penalty on
+    // a' (sim(a,a') ~ 1) must promote b to rank 2.
+    val cand = Seq(
+      (1L, Seq(1.0, 0.0, 0.1), 0.95),
+      (2L, Seq(1.0, 0.01, 0.1), 0.94),
+      (3L, Seq(0.1, 1.0, 0.0), 0.80)
+    ).toDF("vec_id", "v", "simq")
+    val picks = Similarity.mmrRerank(cand, 3, 0.7, 0.3, "spec")
+      .orderBy("mmr_rank")
+      .select("vec_id").as[Long].collect().toSeq
+    assert(picks == Seq(1L, 3L, 2L),
+      s"diversity penalty must demote the near-duplicate: $picks")
+  }
+
   test("s10 recall is monotonically non-decreasing in nprobe") {
     // nprobe=2 searches a superset of nprobe=1's cell, so per probe its
     // hit count can never be lower — the invariant that makes nprobe a
