@@ -1023,6 +1023,100 @@ object Dedup extends QueryModule {
          FROM ck c LEFT JOIN shared s USING (ch))
        GROUP BY doc_id ORDER BY doc_id"""
 
+  /** d15 — EXACT-SUBSTRING overlap length bracketing (the other half of
+    * the Lee et al. "Deduplicating Training Data" recipe: near-dup ops
+    * ask "are these documents similar", this asks "how LONG a verbatim
+    * token run does a document share with anyone"). Doubling widths
+    * {8,16,32,64}, stride-1 windows: if a doc's longest shared run is
+    * L, every width w ≤ L has a shared window and no width > L does, so
+    * max-shared-width brackets L within 2× at 4·|tokens| hash cost —
+    * the cheap distributed stand-in for a suffix-array pass. Windows
+    * hash map-side in the same single-pass imperative discipline as
+    * d14 (no interpreted lambdas), deduped per doc before the shuffle,
+    * so the wide exchange carries ≤ 4·|tokens| (doc, w, 60-bit hash)
+    * rows. Per-width shared sets are distinct-count aggregates — d01's
+    * shuffle footprint, four times.
+    */
+  /** Public surface of d15: per-doc longest-shared-run bracket for the
+    * caller's corpus (ids must cast to BIGINT). Widths must be
+    * ascending; see d15 for semantics. */
+  def substringRunStats(docs: DataFrame, docId: Column, text: Column,
+      widths: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
+    import docs.sparkSession.implicits._
+    val w8 = widths.head
+    val wins = docs
+      .select(docId.cast("long").as("doc_id"), text.as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, t) =>
+          val toks = t.split(" ", -1)
+          widths.iterator.flatMap { w =>
+            if (toks.length < w) Iterator.empty
+            else {
+              val seen = new scala.collection.mutable.HashSet[Long]
+              (0 to toks.length - w).iterator.flatMap { i =>
+                val h = h60jvm(md, toks.slice(i, i + w).mkString(" "))
+                if (seen.add(h)) Iterator.single((id, w, h))
+                else Iterator.empty
+              }
+            }
+          }
+        }
+      }.toDF("doc_id", "w", "ch")
+    val shared = wins.groupBy($"w", $"ch")
+      .agg(countDistinct($"doc_id").as("nd"))
+      .filter($"nd" > 1)
+      .select($"w", $"ch", lit(true).as("is_sh"))
+    wins.join(shared, Seq("w", "ch"), "left")
+      .withColumn("sh", coalesce($"is_sh", lit(false)))
+      .groupBy($"doc_id")
+      .agg(coalesce(max(when($"sh", $"w")), lit(0)).cast("long")
+          .as("max_shared_run"),
+        sum(when($"w" === w8, 1L).otherwise(0L)).as("n_windows_w8"),
+        sum(when($"w" === w8 && $"sh", 1L).otherwise(0L)).as("n_shared_w8"))
+      .orderBy($"doc_id")
+  }
+  private def d15(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    substringRunStats(Tables.documents(s, d), $"doc_id", $"text")
+  }
+  // window identity by TEXT here vs 60-bit hash in the engine — the
+  // same no-collision assumption every hashed join in this module
+  // documents (d08's oracle sets the precedent)
+  private val d15Sql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+       wins AS (
+         SELECT DISTINCT doc_id, 8 AS w,
+           array_to_string(list_slice(l, i, i + 7), ' ') AS ch
+         FROM t, unnest(generate_series(1, len(l) - 7)) AS u(i)
+         UNION ALL
+         SELECT DISTINCT doc_id, 16,
+           array_to_string(list_slice(l, i, i + 15), ' ')
+         FROM t, unnest(generate_series(1, len(l) - 15)) AS u(i)
+         UNION ALL
+         SELECT DISTINCT doc_id, 32,
+           array_to_string(list_slice(l, i, i + 31), ' ')
+         FROM t, unnest(generate_series(1, len(l) - 31)) AS u(i)
+         UNION ALL
+         SELECT DISTINCT doc_id, 64,
+           array_to_string(list_slice(l, i, i + 63), ' ')
+         FROM t, unnest(generate_series(1, len(l) - 63)) AS u(i)),
+       shared AS (
+         SELECT w, ch FROM wins GROUP BY w, ch
+         HAVING count(DISTINCT doc_id) > 1)
+       SELECT doc_id,
+         CAST(coalesce(max(CASE WHEN sh THEN w END), 0) AS BIGINT)
+           AS max_shared_run,
+         CAST(sum(CASE WHEN w = 8 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_windows_w8,
+         CAST(sum(CASE WHEN w = 8 AND sh THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_shared_w8
+       FROM (
+         SELECT v.doc_id, v.w, s.ch IS NOT NULL AS sh
+         FROM wins v LEFT JOIN shared s ON v.w = s.w AND v.ch = s.ch)
+       GROUP BY doc_id ORDER BY doc_id"""
+
   /** d10 — train/eval DECONTAMINATION: the benchmark-leakage check every
     * training-data pipeline runs before a model ever sees the corpus
     * (the GPT-3/PaLM n-gram overlap methodology, here at 8 tokens). The
@@ -1178,6 +1272,7 @@ object Dedup extends QueryModule {
     "d01_exact_dedup" -> d01 _,
     "d08_chunk_dedup" -> d08 _,
     "d14_cdc_chunks" -> d14 _,
+    "d15_substring_runs" -> d15 _,
     "d09_simhash_verified" -> d09 _,
     "d02_ngram_jaccard" -> d02 _,
     "d03_minhash_lsh" -> d03 _,
@@ -1195,6 +1290,7 @@ object Dedup extends QueryModule {
     "d01_exact_dedup" -> d01Sql,
     "d08_chunk_dedup" -> d08Sql,
     "d14_cdc_chunks" -> d14Sql,
+    "d15_substring_runs" -> d15Sql,
     "d09_simhash_verified" -> d09Sql,
     "d02_ngram_jaccard" -> d02Sql,
     "d03_minhash_lsh" -> d03Sql,

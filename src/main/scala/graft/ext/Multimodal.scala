@@ -250,6 +250,39 @@ object Multimodal extends Serializable {
     }
   }
 
+  case class AudioFrame(media_id: Long, frame_no: Int, n_samples: Int,
+      max_amp: Int, sum_abs: Long, energy: Long, zero_crossings: Int)
+
+  /** Fixed-length audio FRAME windowing (the feature grid VAD /
+    * speech-detection pipelines score): each clip splits into
+    * `frameLen`-sample frames (tail ragged), one row per frame with
+    * integer features — extrema, Σ|v|, Σv², and the ZERO-CROSSING
+    * count (sign flips between consecutive samples within the frame),
+    * the classic cheap periodicity signal clip-level m11 cannot see.
+    * Decode + windowing are map-side per payload (flatMap, payload
+    * never retained); integer features keep the oracle exact. */
+  def audioFrames(audio: Dataset[MediaRow], frameLen: Int): Dataset[AudioFrame] = {
+    import audio.sparkSession.implicits._
+    audio.flatMap { r =>
+      val (_, xs) = decodePcm(r.content)
+      (0 until (xs.length + frameLen - 1) / frameLen).map { f =>
+        val s0 = f * frameLen
+        val e0 = math.min(s0 + frameLen, xs.length)
+        var mx = Int.MinValue; var sumAbs = 0L; var energy = 0L; var zc = 0
+        var i = s0
+        while (i < e0) {
+          val v = xs(i)
+          if (v > mx) mx = v
+          sumAbs += math.abs(v)
+          energy += v.toLong * v
+          if (i > s0 && ((v >= 0) != (xs(i - 1) >= 0))) zc += 1
+          i += 1
+        }
+        AudioFrame(r.media_id, f, e0 - s0, mx, sumAbs, energy, zc)
+      }
+    }
+  }
+
   /** Batched feature extraction: one pass per partition, decoder
     * "session" initialized once per partition (the expensive part for
     * real codecs), features only — the binary never leaves the map. */

@@ -599,7 +599,41 @@ object Media extends QueryModule {
        GROUP BY media_id, blk_y, blk_x
        ORDER BY media_id, blk_y, blk_x"""
 
+  /** m16 — audio FRAME WINDOWING under the gate: every WAV payload
+    * decoded through the real JDK codec and split into 100-sample
+    * frames with per-frame integer features including ZERO CROSSINGS
+    * (the VAD-style periodicity signal). The oracle recomputes the
+    * identical frames from the raw generator samples — frame = idx
+    * div 100, crossings via a lag window within each clip — so a hash
+    * match certifies the codec -> window -> feature path exactly.
+    * Complements m11 (clip-level) the way m12 complements m10. */
+  private def m16(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Multimodal.audioFrames(Multimodal.syntheticAudio(s, 12), frameLen = 100)
+      .toDF()
+      .select($"media_id", $"frame_no".cast("long").as("frame_no"),
+        $"n_samples".cast("long").as("n_samples"),
+        $"max_amp".cast("long").as("max_amp"), $"sum_abs", $"energy",
+        $"zero_crossings".cast("long").as("zero_crossings"))
+      .orderBy($"media_id", $"frame_no")
+  }
+  private val m16Sql =
+    """WITH s AS (
+         SELECT media_id, idx, value, idx // 100 AS frame_no,
+           lag(value) OVER (PARTITION BY media_id ORDER BY idx) AS prev
+         FROM read_parquet('__FIXTURES__/audio_expected/*.parquet'))
+       SELECT media_id, frame_no, count(*) AS n_samples,
+         CAST(max(value) AS BIGINT) AS max_amp,
+         CAST(sum(abs(value)) AS BIGINT) AS sum_abs,
+         CAST(sum(value * value) AS BIGINT) AS energy,
+         CAST(sum(CASE WHEN idx % 100 <> 0 AND prev IS NOT NULL
+                        AND ((value >= 0) <> (prev >= 0))
+                  THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+       FROM s GROUP BY media_id, frame_no
+       ORDER BY media_id, frame_no"""
+
   val queries: Map[String, QueryFn] = Map(
+    "m16_audio_frames" -> m16 _,
     "m15_image_resize" -> m15 _,
     "m14_csv_malformed" -> m14 _,
     "m13_codec_matrix" -> m13 _,
@@ -684,6 +718,7 @@ object Media extends QueryModule {
        ORDER BY file, page, row_idx, col_idx"""
 
   val oracle: Map[String, String] = Map(
+    "m16_audio_frames" -> m16Sql,
     "m15_image_resize" -> m15Sql,
     "m14_csv_malformed" -> m14Sql,
     "m13_codec_matrix" -> m13Sql,

@@ -218,6 +218,27 @@ class DedupSpec extends SparkSpec {
       }
   }
 
+  test("d15 substring-run bracket: planted runs land in the right width bucket") {
+    import spark.implicits._
+    def words(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val run40 = words("shared", 40)   // 40-token verbatim run
+    val run10 = words("small", 10)    // 10-token verbatim run
+    val docs = Seq(
+      (1L, s"${words("a", 20)} $run40 ${words("b", 15)}"),
+      (2L, s"${words("c", 7)} $run40"),
+      (3L, s"${words("d", 25)} $run10 ${words("e", 9)}"),
+      (4L, s"$run10 ${words("f", 30)}"),
+      (5L, words("lonely", 70))
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringRunStats(docs, col("doc_id"), col("text"))
+      .select("doc_id", "max_shared_run").as[(Long, Long)].collect().toMap
+    // 40-token run: widths 8/16/32 fit inside it, 64 does not -> 32
+    assert(got(1L) == 32L && got(2L) == 32L, s"40-run brackets to 32: $got")
+    // 10-token run: only width 8 fits -> 8
+    assert(got(3L) == 8L && got(4L) == 8L, s"10-run brackets to 8: $got")
+    assert(got(5L) == 0L, "unique doc shares nothing")
+  }
+
   test("d12 incremental pairs = full near-dup pairs restricted to the new batch") {
     import spark.implicits._
     // same banding, same verification, one-sided candidate join — so the
