@@ -93,13 +93,24 @@ object Dedup extends QueryModule {
     * with fewer than 3 tokens yield an empty array — without the guard,
     * sequence(1, size-2) turns DESCENDING for size<3 and element_at
     * throws on index 0 (the DuckDB generate_series is simply empty). */
-  private def shingleArr(text: Column): Column = {
-    val toks = split(text, " ")
+  private def shingleArr(text: Column): Column =
+    shingleArrFromToks(split(text, " "))
+
+  /** Same, over a BOUND token-array column. The distinction is the hot
+    * path's whole cost model: `transform`'s lambda is interpreted (no
+    * codegen for higher-order functions), and an expression nested in
+    * the lambda body is re-evaluated on EVERY element — with `toks` =
+    * `split(text)` inline, the three `element_at`s re-split the
+    * document ~3x per shingle (~280 splits/doc, measured 40+ s CPU at
+    * sf0.1 for a job whose real work is ~5 s). Callers project the
+    * token array into a column first so the lambda sees a bound
+    * attribute and `split` runs once per row; the optimizer keeps that
+    * Project below the Generate (verified on the optimized plan). */
+  private def shingleArrFromToks(toks: Column): Column =
     when(size(toks) >= 3,
       transform(sequence(lit(1), size(toks) - 2), i =>
         concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
       .otherwise(array())
-  }
 
   /** Distinct (doc_id, 60-bit shingle hash) pairs. The hash is applied
     * MAP-SIDE, before the distinct: deduping on the ~90-byte shingle
@@ -113,7 +124,8 @@ object Dedup extends QueryModule {
     * any corpus with an id and a text column — the shared front end of
     * the Jaccard/minhash family. */
   def shingleHashes(docs: DataFrame, id: Column, text: Column): DataFrame =
-    docs.select(id.as("doc_id"), explode(shingleArr(text)).as("shs"))
+    docs.select(id.as("doc_id"), split(text, " ").as("toks"))
+      .select(col("doc_id"), explode(shingleArrFromToks(col("toks"))).as("shs"))
       .select(col("doc_id"), h60(col("shs")).as("sh"))
       .distinct()
 
@@ -131,7 +143,8 @@ object Dedup extends QueryModule {
   private def shinglesRaw(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, d)
-      .select($"doc_id", explode(shingleArr($"text")).as("shs"))
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .select($"doc_id", explode(shingleArrFromToks($"toks")).as("shs"))
       .select($"doc_id", h60($"shs").as("sh"))
   }
 
@@ -254,8 +267,9 @@ object Dedup extends QueryModule {
       text: Column): DataFrame = {
     val mh = (i: Int) => array_min(transform(col("hb"),
       x => (lit(permA(i)) * x + lit(permB(i))) % 1000000007L))
-    docs.select(id.as("doc_id"),
-        array_distinct(transform(shingleArr(text), s => h60(s))).as("sh"))
+    docs.select(id.as("doc_id"), split(text, " ").as("toks"))
+      .select(col("doc_id"),
+        array_distinct(transform(shingleArrFromToks(col("toks")), s => h60(s))).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("hb", transform(col("sh"), x => x % 1073741824L))
       .select(col("doc_id") +: col("sh") +:
@@ -373,8 +387,13 @@ object Dedup extends QueryModule {
     // re-aggregated |pairs x shingles| rows; this shuffles |docs| rows
     // of one array column and nothing else. Same n_inter (arrays are
     // distinct by construction), same jaccard arithmetic, same oracle.
-    val shArr = sh.groupBy(col("doc_id")).agg(collect_list(col("sh")).as("arr"))
-      .withColumn("n", size(col("arr")).cast("long"))
+    // persisted: the per-doc array table feeds BOTH join sides (doc_a
+    // and doc_b) — unpersisted, each side re-runs the groupBy's full
+    // shuffle of the cached shingle table (measured as two extra
+    // ~118k-row exchanges and 2.5-5 s CPU inside d13 at sf0.1)
+    val shArr = swapPersist(s"${slot}arr",
+      sh.groupBy(col("doc_id")).agg(collect_list(col("sh")).as("arr"))
+        .withColumn("n", size(col("arr")).cast("long")))
     cand
       .join(shArr.select(col("doc_id").as("doc_a"), col("arr").as("arr_a"), col("n").as("na")), "doc_a")
       .join(shArr.select(col("doc_id").as("doc_b"), col("arr").as("arr_b"), col("n").as("nb")), "doc_b")
@@ -1136,18 +1155,20 @@ object Dedup extends QueryModule {
     */
   private def d10(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val toks = split($"text", " ")
     // persisted: the gram table feeds THREE consumers (the broadcast
     // eval-gram build is its own job, plus the final plan's sizes and
     // probe branches) — unpersisted, the explode+md5+distinct DAG
     // re-executed once per consumer (measured 3x the pipeline cost,
     // the slowest query of round 5 at 59 s driver-side; ~1/3 of that
-    // with the cache)
+    // with the cache). toks is BOUND in its own projection so the
+    // interpreted gram lambda doesn't re-split the document per
+    // element (shingleArrFromToks rationale).
     val grams = swapPersist("d10", Tables.documents(s, d)
+      .select($"doc_id", split($"text", " ").as("toks"))
       .select($"doc_id", explode(
-        when(size(toks) >= 8,
-          transform(sequence(lit(1), size(toks) - 7), i =>
-            array_join(slice(toks, i, lit(8)), " ")))
+        when(size($"toks") >= 8,
+          transform(sequence(lit(1), size($"toks") - 7), i =>
+            array_join(slice($"toks", i, lit(8)), " ")))
           .otherwise(array())).as("g8"))
       .select($"doc_id", h60($"g8").as("g"))
       .distinct())
@@ -1212,8 +1233,13 @@ object Dedup extends QueryModule {
         .select(least(col("na"), col("nb")).as("doc_a"),
           greatest(col("na"), col("nb")).as("doc_b"))
     }.reduce(_ unionByName _).distinct()
-    val shArr = sh.groupBy(col("doc_id")).agg(collect_list(col("sh")).as("arr"))
-      .withColumn("n", size(col("arr")).cast("long"))
+    // persisted: the per-doc array table feeds BOTH join sides (doc_a
+    // and doc_b) — unpersisted, each side re-runs the groupBy's full
+    // shuffle of the cached shingle table (measured as two extra
+    // ~118k-row exchanges and 2.5-5 s CPU inside d13 at sf0.1)
+    val shArr = swapPersist(s"${slot}arr",
+      sh.groupBy(col("doc_id")).agg(collect_list(col("sh")).as("arr"))
+        .withColumn("n", size(col("arr")).cast("long")))
     cand
       .join(shArr.select(col("doc_id").as("doc_a"), col("arr").as("arr_a"), col("n").as("na")), "doc_a")
       .join(shArr.select(col("doc_id").as("doc_b"), col("arr").as("arr_b"), col("n").as("nb")), "doc_b")
