@@ -43,6 +43,8 @@ object Verify {
         .coalesce(1).write.mode("overwrite").parquet(s"$fixDir/audio_expected")
       graft.queries.Media.framePixelsExpected(spark)
         .coalesce(1).write.mode("overwrite").parquet(s"$fixDir/frame_pixels_expected")
+      graft.queries.Media.tarExpected(spark)
+        .coalesce(1).write.mode("overwrite").parquet(s"$fixDir/tar_expected")
       // raw TEXT (not parquet): the m14 oracle re-parses these bytes
       // with DuckDB's own CSV reader, independent of Spark's parser
       graft.queries.Media.csvRawFixture(spark)

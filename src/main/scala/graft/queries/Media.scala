@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ext.Multimodal
-import graft.sources.Xlsx
+import graft.sources.{Tar, Xlsx}
 import graft.sources.Xlsx.W
 
 /** Driver-visible binary-column queries (north-star multimodal
@@ -632,7 +632,97 @@ object Media extends QueryModule {
        FROM s GROUP BY media_id, frame_no
        ORDER BY media_id, frame_no"""
 
+  // ---- WebDataset-style tar shards (sources/Tar) --------------------
+
+  /** Deterministic shard corpus for the tar connector: two shards of
+    * `<sample_key>.<part>` members (the WebDataset layout) covering a
+    * multi-part sample, a payload spanning multiple 512-byte blocks,
+    * an empty member, and a key whose parts differ across shards. */
+  def tarFixtureData: Seq[(Long, Seq[(String, Array[Byte])])] = {
+    def txt(id: Long): Array[Byte] =
+      (s"sample $id text " + ("x" * (id.toInt % 5 + 1))).getBytes("US-ASCII")
+    def cls(id: Long): Array[Byte] = s"${id % 3}".getBytes("US-ASCII")
+    Seq(
+      0L -> Seq(
+        "000000.txt" -> txt(0), "000000.cls" -> cls(0),
+        "000001.txt" -> txt(1), "000001.cls" -> cls(1),
+        "000001.json" -> """{"k":1}""".getBytes("US-ASCII")),
+      1L -> Seq(
+        "000002.txt" -> txt(2),
+        "000002.bin" -> Array.tabulate(700)(i => ((i * 37 + 11) & 0xff).toByte),
+        "000003.txt" -> Array.emptyByteArray,
+        "000003.cls" -> cls(3)))
+  }
+
+  /** Shard rows as the query side sees them: real ustar bytes. */
+  def tarShards(s: SparkSession): DataFrame = {
+    import s.implicits._
+    tarFixtureData.map { case (id, ms) => (id, Tar.write(ms)) }
+      .toDF("shard_id", "tar")
+  }
+
+  /** Parser-independent expected member table (oracle side): derived
+    * from the generator member list directly — never through
+    * Tar.parse — so the oracle certifies the writer->parser round
+    * trip against intent, not against itself. */
+  def tarExpected(s: SparkSession): DataFrame = {
+    import s.implicits._
+    tarFixtureData.flatMap { case (id, ms) =>
+      ms.map { case (name, payload) =>
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        val sha = md.digest(payload).map(b => f"$b%02x").mkString
+        (id, name, payload.length.toLong, sha)
+      }
+    }.toDF("shard_id", "name", "n_bytes", "sha")
+  }
+
+  /** m17 — tar shard MEMBER EXTRACTION: parse each shard's ustar bytes
+    * (checksum-verified), emit per-member metadata + SHA-256, and
+    * derive the WebDataset sample key / part from the member name.
+    * Payloads are dropped map-side right after hashing — nothing
+    * binary survives to the ORDER BY exchange. */
+  private def m17(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tar.members(tarShards(s), $"shard_id", $"tar").toDF()
+      .select($"shard_id", $"name", col("size").as("n_bytes"),
+        sha2($"payload", 256).as("sha"),
+        substring_index($"name", ".", 1).as("sample_key"),
+        substring_index($"name", ".", -1).as("part"))
+      .orderBy($"shard_id", $"name")
+  }
+  private val m17Sql =
+    """SELECT shard_id, name, n_bytes, sha,
+         split_part(name, '.', 1) AS sample_key,
+         split_part(name, '.', 2) AS part
+       FROM read_parquet('__FIXTURES__/tar_expected/*.parquet')
+       ORDER BY shard_id, name"""
+
+  /** m18 — WebDataset SAMPLE ASSEMBLY: group a shard's members by
+    * sample key into one row per training sample (part count, total
+    * bytes, sorted part list) — the unit a multimodal loader consumes.
+    * The groupBy key is (shard, key): samples never span shards, so at
+    * scale this aggregation is shard-local by construction. */
+  private def m18(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tar.members(tarShards(s), $"shard_id", $"tar").toDF()
+      .select($"shard_id", substring_index($"name", ".", 1).as("sample_key"),
+        substring_index($"name", ".", -1).as("part"), col("size").as("n_bytes"))
+      .groupBy($"shard_id", $"sample_key")
+      .agg(count(lit(1)).as("n_parts"), sum($"n_bytes").as("total_bytes"),
+        array_join(sort_array(collect_list($"part")), ",").as("parts"))
+      .orderBy($"shard_id", $"sample_key")
+  }
+  private val m18Sql =
+    """SELECT shard_id, split_part(name, '.', 1) AS sample_key,
+         count(*) AS n_parts, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+         string_agg(split_part(name, '.', 2), ','
+           ORDER BY split_part(name, '.', 2)) AS parts
+       FROM read_parquet('__FIXTURES__/tar_expected/*.parquet')
+       GROUP BY 1, 2 ORDER BY shard_id, sample_key"""
+
   val queries: Map[String, QueryFn] = Map(
+    "m18_tar_samples" -> m18 _,
+    "m17_tar_members" -> m17 _,
     "m16_audio_frames" -> m16 _,
     "m15_image_resize" -> m15 _,
     "m14_csv_malformed" -> m14 _,
@@ -718,6 +808,8 @@ object Media extends QueryModule {
        ORDER BY file, page, row_idx, col_idx"""
 
   val oracle: Map[String, String] = Map(
+    "m18_tar_samples" -> m18Sql,
+    "m17_tar_members" -> m17Sql,
     "m16_audio_frames" -> m16Sql,
     "m15_image_resize" -> m15Sql,
     "m14_csv_malformed" -> m14Sql,
