@@ -435,7 +435,56 @@ object Graph extends QueryModule {
          UNION ALL SELECT node, 3 FROM f3)
        ORDER BY hops, node"""
 
+  /** g06 — components via LARGE-STAR/SMALL-STAR rounds (the published
+    * MapReduce CC algorithm; `Dedup.starComponents`) on g02's strong
+    * subgraph, emitting per-NODE membership rows — the same labels the
+    * union-find path produces (GraphSpec asserts equality), certified
+    * here by an independent recursive-CTE oracle. This is the path to
+    * run when single-component node sets outgrow one task: each round
+    * is two edge-sized shuffles and per-task memory is O(1) in
+    * component size. */
+  private def g06(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_custkey".as("c"), $"l_suppkey".as("sup"))
+      .agg(count(lit(1)).as("w"))
+      .filter($"w" >= 4)
+    val edges = pairs.select(($"c" * 2).as("src"), ($"sup" * 2 + 1).as("dst"))
+    val lab = graft.ext.Dedup.starComponents(edges, $"src", $"dst")
+    val sizes = lab.groupBy($"lbl").agg(count(lit(1)).as("n_nodes"))
+    sortedSmall(
+      lab.join(sizes, "lbl").select(
+        when($"node" % 2 === 0, "customer").otherwise("supplier").as("kind"),
+        expr("node div 2").as("key"),
+        when($"lbl" % 2 === 0, "customer").otherwise("supplier").as("rep_kind"),
+        expr("lbl div 2").as("rep_key"),
+        $"n_nodes"),
+      $"kind", $"key")
+  }
+  private val g06Sql =
+    """WITH RECURSIVE pairs AS (
+         SELECT o_custkey AS c, l_suppkey AS s, count(*) AS w
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1, 2 HAVING count(*) >= 4),
+       edges AS (
+         SELECT 2*c AS src, 2*s+1 AS dst FROM pairs
+         UNION ALL SELECT 2*s+1, 2*c FROM pairs),
+       reach(node, lbl) AS (
+         SELECT DISTINCT src, src FROM edges
+         UNION
+         SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+       labels AS (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node),
+       sizes AS (SELECT lbl, count(*) AS n_nodes FROM labels GROUP BY lbl)
+       SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+         node // 2 AS key,
+         CASE WHEN l.lbl % 2 = 0 THEN 'customer' ELSE 'supplier' END AS rep_kind,
+         l.lbl // 2 AS rep_key, n_nodes
+       FROM labels l JOIN sizes z ON z.lbl = l.lbl
+       ORDER BY kind, key"""
+
   val queries: Map[String, QueryFn] = Map(
+    "g06_star_components" -> g06 _,
     "g01_pagerank" -> g01 _,
     "g02_components" -> g02 _,
     "g03_triangles" -> g03 _,
@@ -443,6 +492,7 @@ object Graph extends QueryModule {
     "g05_khop_reach" -> g05 _,
   )
   val oracle: Map[String, String] = Map(
+    "g06_star_components" -> g06Sql,
     "g01_pagerank" -> g01Sql,
     "g02_components" -> g02Sql,
     "g03_triangles" -> g03Sql,

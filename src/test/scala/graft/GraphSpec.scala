@@ -138,4 +138,42 @@ class GraphSpec extends SparkSpec {
     assert(df.agg(sum($"n_nodes")).head.getLong(0) == nNodes,
       "every strong-subgraph node labeled exactly once")
   }
+
+  test("starComponents == connectedComponents on adversarial shapes") {
+    import spark.implicits._
+    import graft.ext.Dedup
+    // chain (worst case for star rounds), clique, two-node pair,
+    // reversed/duplicated edges, self loop, star already converged
+    val shapes: Seq[(String, Seq[(Long, Long)])] = Seq(
+      "chain" -> (1L to 19L).map(i => (i, i + 1)),
+      "revchain" -> (1L to 19L).map(i => (i + 1, i)),
+      "clique" -> (for (a <- 1L to 8L; b <- 1L to 8L if a < b) yield (a, b)),
+      "pairs" -> Seq((10L, 2L), (30L, 40L), (5L, 5L), (40L, 30L)),
+      "star" -> (2L to 9L).map(i => (1L, i)),
+      "mixed" -> Seq((1L, 2L), (3L, 2L), (7L, 8L), (9L, 8L), (7L, 9L),
+        (100L, 50L), (50L, 25L), (25L, 12L)))
+    shapes.foreach { case (name, edges) =>
+      val df = edges.toDF("src", "dst")
+      val uf = Dedup.connectedComponents(df, $"src", $"dst")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val star = Dedup.starComponents(df, $"src", $"dst")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // union-find registers self-loop nodes; star drops u==v edges,
+      // so compare on the star domain plus assert the difference is
+      // exactly the isolated self-loop nodes
+      val onlyUf = uf.keySet -- star.keySet
+      assert(onlyUf.forall(n => uf(n) == n && edges.contains((n, n))),
+        s"$name: domains differ beyond self-loop isolates: $onlyUf")
+      star.foreach { case (n, l) =>
+        assert(uf(n) == l, s"$name: node $n star=$l uf=${uf(n)}")
+      }
+    }
+  }
+
+  test("starComponents handles an empty edge set") {
+    import spark.implicits._
+    import graft.ext.Dedup
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Dedup.starComponents(empty, $"src", $"dst").count() == 0L)
+  }
 }
