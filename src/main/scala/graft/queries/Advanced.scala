@@ -549,7 +549,53 @@ object Advanced extends QueryModule {
        FROM last WHERE rn = 1 AND l_returnflag <> 'R'
        GROUP BY 1 ORDER BY status"""
 
+  /** v17 — small-file COMPACTION PLANNER: the 100 TB housekeeping op
+    * every partitioned lake needs. The "file listing" is derived
+    * deterministically from events — one file per (event_type, day)
+    * with its byte size — and the planner bin-packs each type's files,
+    * in day order, into compaction groups of ~256 KB target size:
+    * bin = bytes-before-this-file div target, i.e. a file starts a new
+    * group when the running total crosses the target. That is ONE
+    * partitioned window cumsum — per event_type, so at real scale the
+    * plan parallelizes per partition key and never globally sorts the
+    * listing; the output (group spans + sizes) is exactly what a
+    * rewrite job consumes. Greedy start-offset binning is the
+    * deterministic standard (bins can overshoot by at most one file).
+    */
+  private def v17(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val files = Tables.events(s, d)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg((sum(octet_length($"props")) + lit(16L) * count(lit(1))).as("bytes"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"day")
+      .rowsBetween(Long.MinValue, 0)
+    val target = 262144L
+    files
+      .withColumn("cum", sum($"bytes").over(w))
+      .withColumn("bin", expr(s"(cum - bytes) div $target"))
+      .groupBy($"event_type", $"bin")
+      .agg(count(lit(1)).as("n_files"), sum($"bytes").as("total_bytes"),
+        min($"day").as("first_day"), max($"day").as("last_day"))
+      .orderBy($"event_type", $"bin")
+  }
+  private val v17Sql =
+    """WITH files AS (
+         SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(sum(strlen(props)) + 16 * count(*) AS BIGINT) AS bytes
+         FROM events GROUP BY 1, 2),
+       binned AS (
+         SELECT event_type, day, bytes,
+           CAST((CAST(sum(bytes) OVER (PARTITION BY event_type ORDER BY day)
+                 AS BIGINT) - bytes) // 262144 AS BIGINT) AS bin
+         FROM files)
+       SELECT event_type, bin, count(*) AS n_files,
+         CAST(sum(bytes) AS BIGINT) AS total_bytes,
+         min(day) AS first_day, max(day) AS last_day
+       FROM binned GROUP BY 1, 2 ORDER BY event_type, bin"""
+
   val queries: Map[String, QueryFn] = Map(
+    "v17_compaction_plan" -> v17 _,
     "v16_cdc_compaction" -> v16 _,
     "v15_countmin_topk" -> v15 _,
     "v14_scd2_dimension" -> v14 _,
@@ -569,6 +615,7 @@ object Advanced extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "v17_compaction_plan" -> v17Sql,
     "v16_cdc_compaction" -> v16Sql,
     "v15_countmin_topk" -> v15Sql,
     "v14_scd2_dimension" -> v14Sql,

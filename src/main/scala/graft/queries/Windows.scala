@@ -558,7 +558,63 @@ object Windows extends QueryModule {
             + CASE WHEN c7 IS NULL THEN 0 ELSE 1 END AS DOUBLE) AS ewma_cents
        FROM lagged ORDER BY custkey, day"""
 
+  /** w16 — ROLLING Z-SCORE anomaly flags over each customer's daily
+    * spend (the detection pass w15's smoothing feeds): each day is
+    * scored against the trailing 8-day window (current day EXCLUDED —
+    * a point must not normalize itself). All moments stay in exact
+    * BIGINT cent arithmetic: with frame count n, sum s1, sum of
+    * squares s2, the population z-score is algebraically
+    * (n·x − s1) / sqrt(n·(n·s2 − s1²)) — numerator and the two radical
+    * factors are exact integers (bounded ~1e17, no overflow), so the
+    * only IEEE ops are one sqrt and one division, bit-identical across
+    * engines (the w15/g01 determinism discipline). Days with fewer
+    * than 4 priors or zero variance are unscored warm-up, filtered.
+    * Partitioned by customer — parallel per key at any scale, no
+    * global sort. Flag at |z| > 2. */
+  private def w16(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.orders(s, d)
+      .groupBy($"o_custkey".as("custkey"),
+        date_trunc("day", $"o_orderdate").cast("date").as("day"))
+      .agg(sum(round($"o_totalprice" * 100).cast("long")).as("cents"))
+    val w = Window.partitionBy($"custkey").orderBy($"day")
+      .rowsBetween(-8, -1)
+    daily
+      .withColumn("n", count($"cents").over(w))
+      .withColumn("s1", sum($"cents").over(w))
+      .withColumn("s2", sum($"cents" * $"cents").over(w))
+      .filter($"n" >= 4 && $"n" * $"s2" > $"s1" * $"s1")
+      .withColumn("z",
+        ($"n" * $"cents" - $"s1").cast("double") /
+          sqrt(($"n" * ($"n" * $"s2" - $"s1" * $"s1")).cast("double")))
+      .select($"custkey", $"day", $"cents", $"n".as("n_prior"),
+        round($"z", 6).as("z"), (abs($"z") > 2.0).as("is_anomaly"))
+      .orderBy($"custkey", $"day")
+  }
+  private val w16Sql =
+    """WITH daily AS (
+         SELECT o_custkey AS custkey, date_trunc('day', o_orderdate) AS day,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM orders GROUP BY 1, 2),
+       m AS (
+         SELECT custkey, day, cents,
+           count(cents) OVER w AS n,
+           sum(cents) OVER w AS s1,
+           sum(cents * cents) OVER w AS s2
+         FROM daily
+         WINDOW w AS (PARTITION BY custkey ORDER BY day
+                      ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)),
+       scored AS (
+         SELECT custkey, day, cents, n AS n_prior,
+           CAST(n * cents - s1 AS DOUBLE)
+             / sqrt(CAST(n * (n * s2 - s1 * s1) AS DOUBLE)) AS z
+         FROM m WHERE n >= 4 AND n * s2 > s1 * s1)
+       SELECT custkey, day, cents, n_prior, round(z, 6) AS z,
+         abs(z) > 2.0 AS is_anomaly
+       FROM scored ORDER BY custkey, day"""
+
   val queries: Map[String, QueryFn] = Map(
+    "w16_zscore_anomaly" -> w16 _,
     "w15_ewma" -> w15 _,
     "w14_interpolate" -> w14 _,
     "w13_range_frame" -> w13 _,
@@ -577,6 +633,7 @@ object Windows extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "w16_zscore_anomaly" -> w16Sql,
     "w15_ewma" -> w15Sql,
     "w14_interpolate" -> w14Sql,
     "w13_range_frame" -> w13Sql,
