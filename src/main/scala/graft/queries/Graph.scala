@@ -220,10 +220,15 @@ object Graph extends QueryModule {
     val pairs = Tables.lineitem(s, d)
       .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
       .select($"o_custkey".as("c"), $"l_suppkey".as("sup")).distinct()
-    val half = pairs.as("a").join(pairs.as("b"),
+    // half is PERSISTED before mirroring: the unionAll references it in
+    // both branches, and unpersisted each branch re-runs the whole
+    // C(k,2) pair-enumeration join (the single most expensive stage of
+    // every co-trading consumer — ~4.2M pair rows at sf0.1, executed
+    // twice for one exchange's worth of output)
+    val half = swapPersist(pairs.as("a").join(pairs.as("b"),
         $"a.c" === $"b.c" && $"a.sup" < $"b.sup")
       .groupBy($"a.sup".as("s1"), $"b.sup".as("s2"))
-      .agg(count(lit(1)).as("shared"))
+      .agg(count(lit(1)).as("shared")), "cohalf")
     val co = half.unionAll(half.select($"s2".as("s1"), $"s1".as("s2"), $"shared"))
     val top = graft.plans.TopKPerKey.topKPerKey(co, 5,
       Seq($"s1"), Seq($"shared".desc, $"s2"))
