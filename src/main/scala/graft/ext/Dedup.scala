@@ -1369,7 +1369,70 @@ object Dedup extends QueryModule {
        WHERE round(n_inter / (sa.n + sb.n - n_inter), 6) >= 0.6
        ORDER BY doc_a, doc_b"""
 
+  /** d16 — CONTAINMENT near-superset detection: ordered pairs where
+    * |A∩B| / |A| >= 0.8 — document A is (nearly) CONTAINED in B. This
+    * is the dup class Jaccard misses by construction: a short document
+    * quoted wholesale inside a long one has tiny Jaccard (the union is
+    * dominated by B) but containment ~1, and training corpora are full
+    * of it (quote inclusion, boilerplate wrapping, article + digest).
+    * Scale shape: candidates come from a DF-CAPPED inverted index —
+    * shingles appearing in more than 64 documents are dropped from the
+    * CANDIDATE join only (stop-shingle capping, the standard lever
+    * that bounds the index self-join's per-key fan-out at scale;
+    * df<=64 caps each posting list's pair contribution at ~64² rows) —
+    * then the EXACT check runs on the full uncapped shingle arrays
+    * map-side (array_intersect on the persisted per-doc arrays), so
+    * the reported containment is exact; only candidate RECALL depends
+    * on the cap, and a pair sharing nothing but stop-shingles is not a
+    * containment pair at any threshold worth reporting. */
+  private def d16(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = swapPersist("d16sh", shingles(s, d))
+    val rare = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+      .filter($"df" <= 64).select($"sh")
+    val kept = sh.join(rare, "sh")
+    val cand = kept.select($"sh", $"doc_id".as("doc_a"))
+      .join(kept.select($"sh", $"doc_id".as("doc_b")), "sh")
+      .filter($"doc_a" =!= $"doc_b")
+      .select($"doc_a", $"doc_b").distinct()
+    val shArr = swapPersist("d16arr",
+      sh.groupBy($"doc_id").agg(collect_list($"sh").as("arr"))
+        .withColumn("n", size($"arr").cast("long")))
+    cand
+      .join(shArr.select($"doc_id".as("doc_a"), $"arr".as("arr_a"), $"n".as("na")), "doc_a")
+      .join(shArr.select($"doc_id".as("doc_b"), $"arr".as("arr_b")), "doc_b")
+      .withColumn("n_inter", size(array_intersect($"arr_a", $"arr_b")).cast("long"))
+      .withColumn("containment", round($"n_inter" / $"na", 6))
+      .filter($"containment" >= 0.8)
+      .select($"doc_a".as("contained_doc"), $"doc_b".as("container_doc"),
+        $"n_inter", $"na".as("n_contained"), $"containment")
+      .orderBy($"contained_doc", $"container_doc")
+  }
+  private lazy val d16Sql =
+    s"""WITH sh0 AS ($shinglesSql),
+       sh AS (SELECT doc_id,
+         CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS sh FROM sh0),
+       rare AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 64),
+       kept AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare r ON r.sh = s.sh),
+       cand AS (
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM kept a JOIN kept b
+           ON a.sh = b.sh AND a.doc_id <> b.doc_id),
+       sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       inter AS (
+         SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+         FROM cand c
+         JOIN sh a ON a.doc_id = c.doc_a
+         JOIN sh b ON b.doc_id = c.doc_b AND a.sh = b.sh
+         GROUP BY 1, 2)
+       SELECT doc_a AS contained_doc, doc_b AS container_doc, n_inter,
+         sa.n AS n_contained, round(n_inter / sa.n, 6) AS containment
+       FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+       WHERE round(n_inter / sa.n, 6) >= 0.8
+       ORDER BY contained_doc, container_doc"""
+
   val queries: Map[String, QueryFn] = Map(
+    "d16_containment" -> d16 _,
     "d10_decontaminate" -> d10 _,
     "d12_incremental_neardup" -> d12 _,
     "d01_exact_dedup" -> d01 _,
@@ -1388,6 +1451,7 @@ object Dedup extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "d16_containment" -> d16Sql,
     "d10_decontaminate" -> d10Sql,
     "d12_incremental_neardup" -> d12Sql,
     "d01_exact_dedup" -> d01Sql,

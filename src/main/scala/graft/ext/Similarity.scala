@@ -992,6 +992,49 @@ object Similarity extends QueryModule {
       .toDF("mmr_rank", "vec_id", "v", "simq", "mmr")
   }
 
+  /** s16 — FILTERED ANN (pre-filter form): top-k cosine restricted to
+    * vectors whose joined document row passes a metadata predicate
+    * (lang = 'en'). The predicate is applied BEFORE any distance
+    * computes — the lang filter pushes into the documents parquet scan
+    * and the co-keyed join prunes the candidate set first, so the
+    * expensive arithmetic only ever touches qualifying vectors.
+    * (The alternative, post-filtering an unfiltered index's top-k,
+    * under-fills k whenever the filter is selective — the classic
+    * filtered-vector-search pitfall; with a pre-filter k is exact by
+    * construction.) At IVF scale the same shape holds: predicate join
+    * against the posting lists before ADC/cosine scoring. */
+  private def s16(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val q = e.filter($"vec_id" === 0).select($"v".as("qv"))
+    val meta = Tables.documents(s, d)
+      .filter($"lang" === "en")
+      .select($"doc_id".as("vec_id"), $"lang")
+    e.filter($"vec_id" =!= 0)
+      .join(meta, "vec_id")
+      .crossJoin(broadcast(q))
+      .withColumn("cos", cosine($"v", $"qv"))
+      .select($"vec_id", $"lang", round($"cos", 6).as("cos_sim"),
+        round($"cos", 9).as("ord"))
+      .orderBy($"ord".desc, $"vec_id")
+      .limit(10)
+      .drop($"ord")
+  }
+  private val s16Sql =
+    """SELECT vec_id, lang, cos_sim FROM (
+         SELECT e.vec_id, d.lang,
+           round(list_cosine_similarity(e.v, q.qv), 6) AS cos_sim,
+           round(list_cosine_similarity(e.v, q.qv), 9) AS ord
+         FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE vec_id <> 0) e
+         JOIN (SELECT doc_id, lang FROM documents WHERE lang = 'en') d
+           ON d.doc_id = e.vec_id
+         CROSS JOIN (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                     WHERE vec_id = 0) q
+         ORDER BY ord DESC, e.vec_id LIMIT 10)
+       ORDER BY ord DESC, vec_id"""
+
   private def s15(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, d)
@@ -1060,6 +1103,7 @@ object Similarity extends QueryModule {
        ORDER BY mmr_rank"""
 
   val queries: Map[String, QueryFn] = Map(
+    "s16_filtered_ann" -> s16 _,
     "s15_mmr_rerank" -> s15 _,
     "s14_ivfpq" -> s14 _,
     "s13_pq_adc" -> s13 _,
@@ -1078,6 +1122,7 @@ object Similarity extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "s16_filtered_ann" -> s16Sql,
     "s15_mmr_rerank" -> s15Sql,
     "s14_ivfpq" -> s14Sql,
     "s13_pq_adc" -> s13Sql,
