@@ -1431,7 +1431,42 @@ object Dedup extends QueryModule {
        WHERE round(n_inter / sa.n, 6) >= 0.8
        ORDER BY contained_doc, container_doc"""
 
+  /** d17 — CROSS-SOURCE LEAKAGE MATRIX: the provenance rollup of the
+    * verified near-dup pairs (d06) — for every unordered source pair,
+    * how many near-dup pairs straddle it and how similar they are.
+    * This is the report that tells a corpus owner WHERE duplication
+    * comes from (two crawls of the same site, a mirror feed, a dataset
+    * repackaged inside another) and which source pair to deduplicate
+    * against which — the aggregate view over the same pipeline whose
+    * row-level faces are d06 (pairs), d07 (clusters), d13 (split
+    * hygiene). Scale: two doc-keyed joins against the |docs|-sized
+    * metadata projection and a matrix-sized aggregate; nothing beyond
+    * d06's own cost. */
+  private def d17(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val src = Tables.documents(s, d).select($"doc_id", $"source")
+    d06Pairs(s, d)
+      .join(src.select($"doc_id".as("doc_a"), $"source".as("sa")), "doc_a")
+      .join(src.select($"doc_id".as("doc_b"), $"source".as("sb")), "doc_b")
+      .select(least($"sa", $"sb").as("source_a"),
+        greatest($"sa", $"sb").as("source_b"), $"jaccard")
+      .groupBy($"source_a", $"source_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg($"jaccard"), 6).as("mean_jaccard"))
+      .orderBy($"source_a", $"source_b")
+  }
+  private lazy val d17Sql =
+    s"""WITH $d06Ctes
+       SELECT least(da.source, db.source) AS source_a,
+         greatest(da.source, db.source) AS source_b,
+         count(*) AS n_pairs, round(avg(jaccard), 6) AS mean_jaccard
+       FROM pairs p
+       JOIN documents da ON da.doc_id = p.doc_a
+       JOIN documents db ON db.doc_id = p.doc_b
+       GROUP BY 1, 2 ORDER BY source_a, source_b"""
+
   val queries: Map[String, QueryFn] = Map(
+    "d17_cross_source_leakage" -> d17 _,
     "d16_containment" -> d16 _,
     "d10_decontaminate" -> d10 _,
     "d12_incremental_neardup" -> d12 _,
@@ -1451,6 +1486,7 @@ object Dedup extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "d17_cross_source_leakage" -> d17Sql,
     "d16_containment" -> d16Sql,
     "d10_decontaminate" -> d10Sql,
     "d12_incremental_neardup" -> d12Sql,

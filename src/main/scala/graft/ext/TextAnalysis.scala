@@ -771,7 +771,80 @@ object TextAnalysis extends QueryModule {
        JOIN uni ON big.w2 = uni.word, n
        GROUP BY doc_id ORDER BY doc_id"""
 
+  /** a17 — PERPLEXITY BUCKETS (the published CCNet curation shape):
+    * every document scored under the corpus unigram LM (a10's score,
+    * identical arithmetic), then split into head / middle / tail
+    * TERCILES of the score distribution, reported per source. Head
+    * (most fluent) feeds training as-is, middle gets a second look,
+    * tail is dropped or down-sampled — the standard quality-mixing
+    * recipe. Bucketing is RANK-based (ntile over the rounded score
+    * with doc_id tie-break), not threshold-based: an exact-percentile
+    * threshold computed in two engines can land within float noise of
+    * a document's score and flip its bucket, while ntile's row-number
+    * arithmetic over the same total order is engine-exact. The ntile
+    * needs a global sort of |docs| score rows (score-sized, not
+    * text-sized); at extreme scale swap in sampled thresholds and a
+    * map-side comparison, same downstream contract. */
+  private def a17(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(s, d)
+      .select($"doc_id", explode(split($"text", " ")).as("word"))
+      .filter($"word" =!= "")
+    val lm = tok.groupBy($"word").agg(count(lit(1)).as("cnt"))
+    val n = tok.agg(count(lit(1)).as("n_total"))
+    val scored = tok.join(broadcast(lm), "word")
+      .crossJoin(broadcast(n))
+      .withColumn("logp", log($"cnt" / $"n_total"))
+      .groupBy($"doc_id")
+      .agg(round(avg($"logp"), 4).as("avg_logp"))
+    val w = Window.orderBy($"avg_logp".desc, $"doc_id")
+    // second-level stats in EXACT integer ten-thousandths: the mean of
+    // already-rounded doubles can land exactly on a round-4 boundary
+    // and the engines' float division splits it (two cells flipped by
+    // 1e-4 at sf0.01); integer div of exact e4 units cannot
+    scored
+      .withColumn("bucket_no", ntile(3).over(w).cast("long"))
+      .withColumn("logp_e4", round($"avg_logp" * 10000).cast("long"))
+      .join(Tables.documents(s, d).select($"doc_id", $"source"), "doc_id")
+      .groupBy($"bucket_no", $"source")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(logp_e4) div count(1)").as("mean_logp_e4"))
+      .select($"bucket_no",
+        when($"bucket_no" === 1, "head").when($"bucket_no" === 2, "middle")
+          .otherwise("tail").as("bucket"),
+        $"source", $"n_docs", $"mean_logp_e4")
+      .orderBy($"bucket_no", $"source")
+  }
+  private val a17Sql =
+    """WITH tok AS (
+         SELECT doc_id, word FROM (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           FROM documents)
+         WHERE word <> ''),
+       lm AS (SELECT word, count(*) AS cnt FROM tok GROUP BY word),
+       n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM lm),
+       scored AS (
+         SELECT doc_id,
+           round(avg(ln(CAST(cnt AS DOUBLE) / n_total)), 4) AS avg_logp
+         FROM tok JOIN lm USING (word), n
+         GROUP BY doc_id),
+       bucketed AS (
+         SELECT s.doc_id, avg_logp,
+           ntile(3) OVER (ORDER BY avg_logp DESC, s.doc_id) AS bucket_no
+         FROM scored s)
+       SELECT bucket_no,
+         CASE bucket_no WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+              ELSE 'tail' END AS bucket,
+         d.source, count(*) AS n_docs,
+         CAST(sum(CAST(round(avg_logp * 10000) AS BIGINT)) // count(*)
+              AS BIGINT) AS mean_logp_e4
+       FROM bucketed b JOIN documents d ON d.doc_id = b.doc_id
+       GROUP BY bucket_no, d.source
+       ORDER BY bucket_no, d.source"""
+
   val queries: Map[String, QueryFn] = Map(
+    "a17_perplexity_buckets" -> a17 _,
     "a16_bigram_logprob" -> a16 _,
     "a14_source_mixing" -> a14 _,
     "a15_classifier_score" -> a15 _,
@@ -791,6 +864,7 @@ object TextAnalysis extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "a17_perplexity_buckets" -> a17Sql,
     "a16_bigram_logprob" -> a16Sql,
     "a14_source_mixing" -> a14Sql,
     "a15_classifier_score" -> a15Sql,
