@@ -33,7 +33,11 @@ class PlanAuditSpec extends SparkSpec {
     "s14_ivfpq" /* same broadcast query-vector composition as s03+s13 */,
     "q22_idle_customers" /* 1-row broadcast of the global average balance */,
     "d13_leakage_free_split" /* 1-row broadcast of the leaky-pair count */,
-    "q24_value_share" /* 1-row broadcast of the global revenue total */)
+    "q24_value_share" /* 1-row broadcast of the global revenue total */,
+    "a16_bigram_logprob" /* 1-row broadcast of the corpus token total */,
+    "a17_perplexity_buckets" /* same 1-row total as a10's LM scoring */,
+    "s15_mmr_rerank" /* 1-row broadcast query vector x corpus shortlist */,
+    "s16_filtered_ann" /* 1-row broadcast query vector x filtered corpus */)
 
   test("q24 reuses the persisted per-part aggregate for the scalar total") {
     val plan = planOf(SparkEntry.queries("q24_value_share")(spark, sfDir))
