@@ -594,7 +594,74 @@ object Advanced extends QueryModule {
          min(day) AS first_day, max(day) AS last_day
        FROM binned GROUP BY 1, 2 ORDER BY event_type, bin"""
 
+  /** v18 — DATA-QUALITY CONSTRAINT AUDIT (the Deequ-shaped check suite
+    * every production ingest runs before publishing a table): declared
+    * constraints evaluated to one verdict row each — size, column
+    * completeness, key uniqueness, value range, categorical domain,
+    * and referential integrity. Each metric is an exact integer or a
+    * single division of exact integers (rounded for display), so the
+    * verdicts are engine-exact. Scale: one aggregate pass over the
+    * fact table covers the column metrics; uniqueness is one distinct
+    * count on the key pair; the FK check is a broadcast-able anti-join
+    * against the dimension — nothing scans the fact table more than
+    * three times however many constraints ride the same pass. */
+  private def v18(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+    val base = li.agg(
+      count(lit(1)).as("n"),
+      sum($"l_shipdate".isNull.cast("long")).as("null_ship"),
+      min($"l_quantity").as("min_qty"), max($"l_quantity").as("max_qty"),
+      sum((!$"l_returnflag".isin("A", "N", "R")).cast("long")).as("bad_rf"))
+    val uniq = li.select($"l_orderkey", $"l_linenumber").distinct()
+      .agg(count(lit(1)).as("n_distinct"))
+    val fk = Tables.orders(s, d).join(Tables.customer(s, d),
+        $"o_custkey" === $"c_custkey", "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    val r = base.crossJoin(uniq).crossJoin(fk)
+    r.select(lit("size_nonempty").as("check_name"),
+        $"n".cast("double").as("metric"), ($"n" > 0).as("passed"))
+      .unionAll(r.select(lit("completeness_l_shipdate"),
+        round(($"n" - $"null_ship") / $"n", 6), $"null_ship" === 0))
+      .unionAll(r.select(lit("uniqueness_orderkey_linenumber"),
+        round($"n_distinct" / $"n", 6), $"n_distinct" === $"n"))
+      .unionAll(r.select(lit("range_quantity_1_50"),
+        $"max_qty".cast("double"), $"min_qty" >= 1 && $"max_qty" <= 50))
+      .unionAll(r.select(lit("domain_returnflag"),
+        $"bad_rf".cast("double"), $"bad_rf" === 0))
+      .unionAll(r.select(lit("fk_orders_customer"),
+        $"n_orphans".cast("double"), $"n_orphans" === 0))
+      .orderBy($"check_name")
+  }
+  private val v18Sql =
+    """WITH base AS (
+         SELECT count(*) AS n,
+           sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS null_ship,
+           min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+           sum(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS bad_rf
+         FROM lineitem),
+       uniq AS (SELECT count(*) AS n_distinct FROM
+         (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)),
+       fk AS (SELECT count(*) AS n_orphans FROM orders
+              WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+       r AS (SELECT * FROM base, uniq, fk)
+       SELECT check_name, metric, passed FROM (
+         SELECT 'size_nonempty' AS check_name, CAST(n AS DOUBLE) AS metric,
+           n > 0 AS passed FROM r
+         UNION ALL SELECT 'completeness_l_shipdate',
+           round(CAST(n - null_ship AS DOUBLE) / n, 6), null_ship = 0 FROM r
+         UNION ALL SELECT 'uniqueness_orderkey_linenumber',
+           round(CAST(n_distinct AS DOUBLE) / n, 6), n_distinct = n FROM r
+         UNION ALL SELECT 'range_quantity_1_50',
+           CAST(max_qty AS DOUBLE), min_qty >= 1 AND max_qty <= 50 FROM r
+         UNION ALL SELECT 'domain_returnflag',
+           CAST(bad_rf AS DOUBLE), bad_rf = 0 FROM r
+         UNION ALL SELECT 'fk_orders_customer',
+           CAST(n_orphans AS DOUBLE), n_orphans = 0 FROM r)
+       ORDER BY check_name"""
+
   val queries: Map[String, QueryFn] = Map(
+    "v18_quality_constraints" -> v18 _,
     "v17_compaction_plan" -> v17 _,
     "v16_cdc_compaction" -> v16 _,
     "v15_countmin_topk" -> v15 _,
@@ -615,6 +682,7 @@ object Advanced extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "v18_quality_constraints" -> v18Sql,
     "v17_compaction_plan" -> v17Sql,
     "v16_cdc_compaction" -> v16Sql,
     "v15_countmin_topk" -> v15Sql,
