@@ -867,7 +867,45 @@ object Eventing extends QueryModule {
          2 * count(*) AS n
        FROM events GROUP BY 1, 2 ORDER BY win_start, event_type"""
 
+  /** e25 — ONLINE ANOMALY DETECTION under the oracle: the per-user
+    * rolling z-score state machine (`EventStreams.zscoreStream`,
+    * w16's streaming face) run as a real flatMapGroupsWithState job
+    * over the events file source. The DuckDB oracle is the batch
+    * window formulation (8-PRECEDING-to-1-PRECEDING frame per user in
+    * exact cent arithmetic) — a hash match certifies that the
+    * streaming state walk reproduces the batch window semantics score
+    * for score, the property an online detector exists to hold. */
+  private def e25(s: SparkSession, d: String): DataFrame =
+    runStreamed(s, d, "e25", "append")(
+      graft.streaming.EventStreams.zscoreStream)
+      .select(col("user_id"), col("event_id"), col("cents"),
+        col("n_prior"), round(col("z"), 6).as("z"), col("is_anomaly"))
+      .orderBy(col("user_id"), col("event_id"))
+
+  private val e25Sql =
+    """WITH e AS (
+         SELECT user_id, event_id, ts,
+           CAST(round(value * 100) AS BIGINT) AS cents
+         FROM events),
+       m AS (
+         SELECT user_id, event_id, cents,
+           count(cents) OVER w AS n,
+           CAST(sum(cents) OVER w AS BIGINT) AS s1,
+           CAST(sum(cents * cents) OVER w AS BIGINT) AS s2
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)),
+       scored AS (
+         SELECT user_id, event_id, cents, n AS n_prior,
+           CAST(n * cents - s1 AS DOUBLE)
+             / sqrt(CAST(n * (n * s2 - s1 * s1) AS DOUBLE)) AS z
+         FROM m WHERE n >= 4 AND n * s2 > s1 * s1)
+       SELECT user_id, event_id, cents, n_prior, round(z, 6) AS z,
+         abs(z) > 2.0 AS is_anomaly
+       FROM scored ORDER BY user_id, event_id"""
+
   val queries: Map[String, QueryFn] = Map(
+    "e25_stream_anomaly" -> e25 _,
     "e24_update_mode" -> e24 _,
     "e23_jdbc_serving" -> e23 _,
     "e22_stream_enrich" -> e22 _,
@@ -895,6 +933,7 @@ object Eventing extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "e25_stream_anomaly" -> e25Sql,
     "e24_update_mode" -> e24Sql,
     "e23_jdbc_serving" -> e23Sql,
     "e22_stream_enrich" -> e22Sql,

@@ -370,6 +370,60 @@ object EventStreams extends Serializable {
         OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
   }
 
+  /** One scored event from the rolling z-score detector. */
+  case class ZOut(user_id: Long, event_id: Long, cents: Long,
+      n_prior: Long, z: Double, is_anomaly: Boolean)
+
+  /** ONLINE ANOMALY DETECTION: per-user rolling z-score over event
+    * values (the streaming face of the batch w16 operator) on
+    * flatMapGroupsWithState. State per user is the last <=8 event
+    * values in cent units — O(1) per key. Arithmetic is EXACTLY
+    * w16's: with trailing count n, sum s1, sum of squares s2 (all
+    * exact BIGINTs), z = (n·x − s1) / sqrt(n·(n·s2 − s1²)) — one IEEE
+    * sqrt + one division, so the streaming scores hash-match the
+    * batch window oracle bit for bit. Events within a micro-batch are
+    * processed in (ts, event_id) order per user; across batches the
+    * state carries the trailing window forward, which is exact when
+    * batches respect event-time order per key (the bounded gate run
+    * is one batch; a production deployment fronts this with the
+    * watermark-buffered reorder stage every event-time state machine
+    * needs). */
+  def zscoreStream(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val s = events.sparkSession
+    import s.implicits._
+    val fn = (uid: Long, it: Iterator[(Long, Long, Long, Long)],
+        state: GroupState[List[Long]]) => {
+      // (user_id, event_id, tsMicros, cents) sorted by event time
+      val sorted = it.toVector.sortBy(r => (r._3, r._2))
+      var window = state.getOption.getOrElse(Nil) // oldest-first, <=8
+      val out = Vector.newBuilder[ZOut]
+      sorted.foreach { case (_, eid, _, x) =>
+        val n = window.length.toLong
+        if (n >= 4) {
+          var s1 = 0L; var s2 = 0L
+          window.foreach { c => s1 += c; s2 += c * c }
+          if (n * s2 > s1 * s1) {
+            val z = (n * x - s1).toDouble /
+              math.sqrt((n * (n * s2 - s1 * s1)).toDouble)
+            out += ZOut(uid, eid, x, n, z, math.abs(z) > 2.0)
+          }
+        }
+        window = (window :+ x).takeRight(8)
+      }
+      state.update(window)
+      out.result().iterator
+    }
+    events.select(col("user_id").cast("long"), col("event_id").cast("long"),
+        unix_micros(col("ts")).as("us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[(Long, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[List[Long], ZOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
+      .toDF()
+  }
+
   /** Streaming -> RDBMS serving layer: attach a key-scoped idempotent
     * JDBC upsert (graft.sources.Sources.upsertJdbc) as a foreachBatch
     * sink. Structured Streaming guarantees at-least-once foreachBatch
