@@ -140,6 +140,28 @@ object ScaleSmoke {
     }.reduce(_ unionByName _).distinct().count()
   }
 
+  /** Ordered candidate pairs from d16's DF-capped containment index.
+    * The sf1 shards are token-prefixed (cross-shard hash spaces are
+    * disjoint), so posting-list document frequencies are unchanged
+    * within each shard and the capped index must come out ~10x linear
+    * — superlinear growth here would mean the stop-shingle cap is not
+    * actually bounding per-key fan-out. */
+  private def containmentCandidates(s: SparkSession, d: String): Long = {
+    import s.implicits._
+    val sh = Dedup.shingleHashes(Tables.documents(s, d), $"doc_id", $"text")
+      .persist()
+    sh.count()
+    val rare = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+      .filter($"df" <= 64).select($"sh")
+    val kept = sh.join(rare, "sh")
+    val n = kept.select($"sh", $"doc_id".as("doc_a"))
+      .join(kept.select($"sh", $"doc_id".as("doc_b")), "sh")
+      .filter($"doc_a" =!= $"doc_b")
+      .select($"doc_a", $"doc_b").distinct().count()
+    sh.unpersist(blocking = false)
+    n
+  }
+
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = if (args.length > 1) args(1) else
@@ -154,6 +176,7 @@ object ScaleSmoke {
     val names = Seq("d01_exact_dedup", "d03_minhash_lsh", "d05_embedding_neardup",
       "d06_lsh_verified_neardup", "d07_neardup_clusters", "d09_simhash_verified",
       "d10_decontaminate", "d11_multiprobe_neardup", "d12_incremental_neardup",
+      "d16_containment",
       "s02_batch_knn", "s07_kmeans", "s12_semantic_dedup", "s13_pq_adc")
       .filter(SparkEntry.queries.contains)
     def j(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -170,6 +193,7 @@ object ScaleSmoke {
         s""""minhash_band_pairs":${minhashCandidates(spark, dir)}""",
         s""""incremental_band_pairs_1pct":${incrementalCandidates(spark, dir, 100L)}""",
         s""""simhash_block_pairs":${simhashCandidates(spark, dir)}""",
+        s""""containment_capped_pairs":${containmentCandidates(spark, dir)}""",
         s""""sign4_bucket_pairs":${embeddingCandidates(spark, dir, 4)}""",
         s""""sign8_bucket_pairs":${embeddingCandidates(spark, dir, 8)}""",
         s""""sign8_multiprobe_join_rows":${multiProbeJoinRows(spark, dir, 8)}""",

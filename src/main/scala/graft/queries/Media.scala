@@ -720,7 +720,51 @@ object Media extends QueryModule {
        FROM read_parquet('__FIXTURES__/tar_expected/*.parquet')
        GROUP BY 1, 2 ORDER BY shard_id, sample_key"""
 
+  /** m19 — WebDataset EXPORT: the write side of m17's read path. The
+    * documents corpus is sharded (doc_id div 100 — deterministic and
+    * co-locatable), each shard's members sorted by id and packed into
+    * a REAL ustar archive in one mapGroups task; the emitted row
+    * carries the member count, payload bytes, the ARCHIVE byte size,
+    * and a parse-back integrity bit. The oracle recomputes the exact
+    * tar framing law — 512·(members + Σ⌈len/512⌉) + 1024 — from the
+    * raw documents, so a framing bug (padding, trailer, header count)
+    * breaks the hash even though DuckDB never builds a tar. Scale:
+    * shard assembly is one groupBy exchange of (shard, text) rows;
+    * each archive is built and discarded task-side (only its length
+    * survives) — the real export would write the bytes to object
+    * storage from the same task. */
+  private def m19(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(expr("doc_id div 100").as("shard_id"), $"doc_id", $"text")
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .mapGroups { (sid, it) =>
+        val members = it.toSeq.sortBy(_._2).map { case (_, id, text) =>
+          (f"$id%09d.txt", text.getBytes("UTF-8"))
+        }
+        val tar = Tar.write(members)
+        val reparsed = Tar.parse(sid, tar).toSeq
+        val ok = reparsed.map(_.name) == members.map(_._1) &&
+          reparsed.zip(members).forall { case (m, (_, p)) =>
+            java.util.Arrays.equals(m.payload, p) }
+        (sid, members.size.toLong,
+          members.map(_._2.length.toLong).sum, tar.length.toLong, ok)
+      }
+      .toDF("shard_id", "n_members", "payload_bytes", "tar_bytes",
+        "round_trip_ok")
+      .orderBy($"shard_id")
+  }
+  private val m19Sql =
+    """SELECT doc_id // 100 AS shard_id, count(*) AS n_members,
+         CAST(sum(strlen(text)) AS BIGINT) AS payload_bytes,
+         CAST(512 * (count(*) + sum((strlen(text) + 511) // 512)) + 1024
+              AS BIGINT) AS tar_bytes,
+         TRUE AS round_trip_ok
+       FROM documents GROUP BY 1 ORDER BY shard_id"""
+
   val queries: Map[String, QueryFn] = Map(
+    "m19_tar_export" -> m19 _,
     "m18_tar_samples" -> m18 _,
     "m17_tar_members" -> m17 _,
     "m16_audio_frames" -> m16 _,
@@ -808,6 +852,7 @@ object Media extends QueryModule {
        ORDER BY file, page, row_idx, col_idx"""
 
   val oracle: Map[String, String] = Map(
+    "m19_tar_export" -> m19Sql,
     "m18_tar_samples" -> m18Sql,
     "m17_tar_members" -> m17Sql,
     "m16_audio_frames" -> m16Sql,
