@@ -1390,11 +1390,35 @@ object Dedup extends QueryModule {
     val sh = swapPersist("d16sh", shingles(s, d))
     val rare = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
       .filter($"df" <= 64).select($"sh")
-    val kept = sh.join(rare, "sh")
-    val cand = kept.select($"sh", $"doc_id".as("doc_a"))
+    val kept = swapPersist("d16k", sh.join(rare, "sh"))
+    // COUNT-FILTERED candidates (the PPJoin-family idea), not the raw
+    // distinct index join: the capped index emits ~2.3M candidate
+    // pairs at sf0.1 (10x linear at sf1 — the cap math holds, the
+    // ScaleSmoke records it), and dragging two ~100-element shingle
+    // arrays through every candidate made the exact-check join the
+    // whole cost (measured 84 s at sf1 for 5120 result rows). The
+    // shared-capped-shingle COUNT rides out of the same index join as
+    // a 16-byte aggregation instead, and prunes exactly: with stop_A
+    // = |A|'s capped-out shingles, true shared <= c_capped + stop_A,
+    // so c_capped*10 < na*8 - stop_A*10 proves containment < 0.8 —
+    // no false negatives, integer arithmetic, result-invariant (the
+    // oracle computes the unpruned form and must agree). Arrays are
+    // joined only for survivors.
+    val candCnt = kept.select($"sh", $"doc_id".as("doc_a"))
       .join(kept.select($"sh", $"doc_id".as("doc_b")), "sh")
       .filter($"doc_a" =!= $"doc_b")
-      .select($"doc_a", $"doc_b").distinct()
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("c_capped"))
+    val docStats = swapPersist("d16st",
+      sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+        .join(kept.groupBy($"doc_id").agg(count(lit(1)).as("n_kept")),
+          Seq("doc_id"), "left")
+        .select($"doc_id", $"n",
+          ($"n" - coalesce($"n_kept", lit(0L))).as("n_stop")))
+    val cand = candCnt
+      .join(docStats.select($"doc_id".as("doc_a"),
+        $"n".as("na_pre"), $"n_stop".as("stop_a")), "doc_a")
+      .filter($"c_capped" * 10 >= $"na_pre" * 8 - $"stop_a" * 10)
+      .select($"doc_a", $"doc_b")
     val shArr = swapPersist("d16arr",
       sh.groupBy($"doc_id").agg(collect_list($"sh").as("arr"))
         .withColumn("n", size($"arr").cast("long")))

@@ -735,7 +735,7 @@ object Media extends QueryModule {
     * storage from the same task. */
   private def m19(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, d)
+    graft.sources.Tables.documents(s, d)
       .select(expr("doc_id div 100").as("shard_id"), $"doc_id", $"text")
       .as[(Long, Long, String)]
       .groupByKey(_._1)
