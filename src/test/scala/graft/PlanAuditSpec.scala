@@ -37,7 +37,8 @@ class PlanAuditSpec extends SparkSpec {
     "a16_bigram_logprob" /* 1-row broadcast of the corpus token total */,
     "a17_perplexity_buckets" /* same 1-row total as a10's LM scoring */,
     "s15_mmr_rerank" /* 1-row broadcast query vector x corpus shortlist */,
-    "s16_filtered_ann" /* 1-row broadcast query vector x filtered corpus */)
+    "s16_filtered_ann" /* 1-row broadcast query vector x filtered corpus */,
+    "v18_quality_constraints" /* three 1-row metric frames cross-joined */)
 
   test("q24 reuses the persisted per-part aggregate for the scalar total") {
     val plan = planOf(SparkEntry.queries("q24_value_share")(spark, sfDir))
