@@ -1489,7 +1489,93 @@ object Dedup extends QueryModule {
        JOIN documents db ON db.doc_id = p.doc_b
        GROUP BY 1, 2 ORDER BY source_a, source_b"""
 
+  /** d18 — END-TO-END CORPUS BUILD: the whole training-data pipeline
+    * as ONE gated query — the composition the engine exists for.
+    * Stage order is the production order and each stage's drop count
+    * rides in the checked result:
+    *   1. EXACT dedup (d01's canonical-hash groups — only the min
+    *      doc_id of each group survives);
+    *   2. NEAR-DUP collapse (d07's clusters over the verified d06
+    *      pairs — only the cluster representative, min doc_id,
+    *      survives; unpaired docs are their own representative);
+    *   3. QUALITY gate (>= 30 whitespace tokens — the length floor
+    *      every published curation recipe starts from).
+    * Output: one row per source with the post-pipeline kept count,
+    * total kept tokens, and the per-stage drop accounting (how many
+    * of the source's docs each stage removed) — the numbers a corpus
+    * owner actually reviews before a training run. Scale: stages 1-2
+    * reuse the d01/d06/d07 machinery unchanged (their scale stories
+    * apply verbatim); the gates and rollup are one map-side pass +
+    * one matrix-sized aggregate. */
+  private def d18(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val canonGroups = docs
+      .withColumn("h", sha2(regexp_replace($"text", "( dup)+$", ""), 256))
+      .groupBy($"h").agg(min($"doc_id").as("kept_doc"))
+      .select($"kept_doc")
+    val lab = swapPersist("d18l",
+      connectedComponents(d06Pairs(s, d), $"doc_a", $"doc_b"))
+    val staged = docs
+      .join(canonGroups.select($"kept_doc".as("doc_id"),
+        lit(true).as("exact_kept")), Seq("doc_id"), "left")
+      .join(lab.select($"node".as("doc_id"),
+        ($"node" === $"lbl").as("rep")), Seq("doc_id"), "left")
+      .withColumn("exact_ok", coalesce($"exact_kept", lit(false)))
+      .withColumn("neardup_ok", coalesce($"rep", lit(true)))
+      .withColumn("n_tok", size(split($"text", " ")).cast("long"))
+      .withColumn("quality_ok", $"n_tok" >= 30)
+    staged.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((!$"exact_ok").cast("long")).as("n_exact_dropped"),
+        sum(($"exact_ok" && !$"neardup_ok").cast("long")).as("n_neardup_dropped"),
+        sum(($"exact_ok" && $"neardup_ok" && !$"quality_ok").cast("long"))
+          .as("n_quality_dropped"),
+        sum(($"exact_ok" && $"neardup_ok" && $"quality_ok").cast("long"))
+          .as("n_kept"),
+        sum(when($"exact_ok" && $"neardup_ok" && $"quality_ok", $"n_tok")
+          .otherwise(0L)).as("n_tokens_kept"))
+      .orderBy($"source")
+  }
+  private lazy val d18Sql =
+    s"""WITH RECURSIVE $d06Ctes,
+       edges AS (
+         SELECT doc_a AS src, doc_b AS dst FROM pairs
+         UNION ALL SELECT doc_b, doc_a FROM pairs),
+       reach(node, lbl) AS (
+         SELECT DISTINCT src, src FROM edges
+         UNION
+         SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node),
+       labels AS (SELECT node, min(lbl) AS lbl FROM reach GROUP BY node),
+       canon AS (
+         SELECT min(doc_id) AS kept_doc
+         FROM (SELECT doc_id,
+                 sha256(regexp_replace(text, '( dup)+$$', '')) AS h
+               FROM documents)
+         GROUP BY h),
+       staged AS (
+         SELECT d.source,
+           (d.doc_id IN (SELECT kept_doc FROM canon)) AS exact_ok,
+           coalesce(l.node = l.lbl, TRUE) AS neardup_ok,
+           len(string_split(d.text, ' ')) AS n_tok,
+           len(string_split(d.text, ' ')) >= 30 AS quality_ok
+         FROM documents d LEFT JOIN labels l ON l.node = d.doc_id)
+       SELECT source, count(*) AS n_docs,
+         CAST(sum(CASE WHEN NOT exact_ok THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_exact_dropped,
+         CAST(sum(CASE WHEN exact_ok AND NOT neardup_ok THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_neardup_dropped,
+         CAST(sum(CASE WHEN exact_ok AND neardup_ok AND NOT quality_ok
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_dropped,
+         CAST(sum(CASE WHEN exact_ok AND neardup_ok AND quality_ok
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         CAST(sum(CASE WHEN exact_ok AND neardup_ok AND quality_ok
+                  THEN CAST(n_tok AS BIGINT) ELSE 0 END) AS BIGINT)
+           AS n_tokens_kept
+       FROM staged GROUP BY source ORDER BY source"""
+
   val queries: Map[String, QueryFn] = Map(
+    "d18_corpus_build" -> d18 _,
     "d17_cross_source_leakage" -> d17 _,
     "d16_containment" -> d16 _,
     "d10_decontaminate" -> d10 _,
@@ -1510,6 +1596,7 @@ object Dedup extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "d18_corpus_build" -> d18Sql,
     "d17_cross_source_leakage" -> d17Sql,
     "d16_containment" -> d16Sql,
     "d10_decontaminate" -> d10Sql,
