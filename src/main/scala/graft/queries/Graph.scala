@@ -259,14 +259,14 @@ object Graph extends QueryModule {
     """WITH pairs AS (
          SELECT o_custkey AS c, l_suppkey AS sup
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),
-       co AS (
+       co AS MATERIALIZED (
          SELECT a.sup AS s1, b.sup AS s2, count(*) AS shared
          FROM pairs a JOIN pairs b ON a.c = b.c AND a.sup <> b.sup
          GROUP BY 1, 2),
        ranked AS (
          SELECT s1, s2, row_number() OVER (
            PARTITION BY s1 ORDER BY shared DESC, s2) AS rk FROM co),
-       edges AS (
+       edges AS MATERIALIZED (
          SELECT DISTINCT least(s1, s2) AS a, greatest(s1, s2) AS b
          FROM ranked WHERE rk <= 5),
        deg AS (SELECT n, count(*) AS dg
@@ -323,17 +323,17 @@ object Graph extends QueryModule {
     """WITH pairs AS (
          SELECT o_custkey AS c, l_suppkey AS sup
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),
-       co AS (
+       co AS MATERIALIZED (
          SELECT a.sup AS s1, b.sup AS s2, count(*) AS shared
          FROM pairs a JOIN pairs b ON a.c = b.c AND a.sup <> b.sup
          GROUP BY 1, 2),
        ranked AS (
          SELECT s1, s2, row_number() OVER (
            PARTITION BY s1 ORDER BY shared DESC, s2) AS rk FROM co),
-       und AS (
+       und AS MATERIALIZED (
          SELECT DISTINCT least(s1, s2) AS a, greatest(s1, s2) AS b
          FROM ranked WHERE rk <= 5),
-       edges AS (SELECT a AS src, b AS dst FROM und
+       edges AS MATERIALIZED (SELECT a AS src, b AS dst FROM und
                  UNION ALL SELECT b, a FROM und),
        l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM edges),
        l1 AS (SELECT node, lbl FROM (
@@ -408,17 +408,17 @@ object Graph extends QueryModule {
     """WITH pairs AS (
          SELECT o_custkey AS c, l_suppkey AS sup
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),
-       co AS (
+       co AS MATERIALIZED (
          SELECT a.sup AS s1, b.sup AS s2, count(*) AS shared
          FROM pairs a JOIN pairs b ON a.c = b.c AND a.sup <> b.sup
          GROUP BY 1, 2),
        ranked AS (
          SELECT s1, s2, row_number() OVER (
            PARTITION BY s1 ORDER BY shared DESC, s2) AS rk FROM co),
-       und AS (
+       und AS MATERIALIZED (
          SELECT DISTINCT least(s1, s2) AS a, greatest(s1, s2) AS b
          FROM ranked WHERE rk <= 5),
-       edges AS (SELECT a AS src, b AS dst FROM und
+       edges AS MATERIALIZED (SELECT a AS src, b AS dst FROM und
                  UNION ALL SELECT b, a FROM und),
        f0 AS (SELECT DISTINCT src AS node FROM edges WHERE src % 50 = 0),
        f1 AS (SELECT DISTINCT e.dst AS node FROM edges e
