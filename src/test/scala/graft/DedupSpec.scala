@@ -252,4 +252,25 @@ class DedupSpec extends SparkSpec {
     assert(incr == full, s"diff: ${(incr diff full) ++ (full diff incr)}")
     assert(incr.nonEmpty, "the test corpus plants near-dups in every slice")
   }
+
+  test("d18 corpus build: stage drops partition every source's documents exactly") {
+    import spark.implicits._
+    val rows = Dedup.queries("d18_corpus_build")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      val parts = Seq("n_exact_dropped", "n_neardup_dropped",
+        "n_quality_dropped", "n_kept").map(r.getAs[Long])
+      assert(parts.sum == n,
+        s"${r.getAs[String]("source")}: stages must partition $n docs, got $parts")
+      assert(parts.forall(_ >= 0))
+    }
+    // the pipeline must actually bite. (Only the exact stage is
+    // asserted individually: at sf0.001 every planted near-dup is ALSO
+    // an exact dup after canonicalization, so stage 1 claims them all
+    // and stage 2 legitimately drops zero — the stage-ORDER property,
+    // not a gap. The oracle checks both counts exactly at every SF.)
+    assert(rows.map(_.getAs[Long]("n_exact_dropped")).sum > 0)
+    assert(rows.map(_.getAs[Long]("n_kept")).sum > 0)
+  }
 }
