@@ -599,7 +599,16 @@ object Dedup extends QueryModule {
       e.unpersist(blocking = false)
       e = next
     }
-    // converged star forest: every parent is a root
+    // converged star forest: every parent is a root. The final
+    // checkpoint (possibly the initial one, when the input was already
+    // converged) outlives this call — the caller's action reads its
+    // blocks — so it is registered in a slot and released by the NEXT
+    // invocation, the same lifecycle swapPersist gives the cached
+    // tables (each checkpoint is a distinct LogicalRDD, so no
+    // plan-equality guard is needed here).
+    val prevFinal = persistSlots.put("starFinal", e)
+    if (prevFinal != null && (prevFinal ne e))
+      prevFinal.unpersist(blocking = false)
     e.select($"u".as("node"), $"v".as("lbl"))
       .unionAll(e.select($"v".as("node"), $"v".as("lbl")).distinct())
   }
@@ -1399,11 +1408,14 @@ object Dedup extends QueryModule {
     // whole cost (measured 84 s at sf1 for 5120 result rows). The
     // shared-capped-shingle COUNT rides out of the same index join as
     // a 16-byte aggregation instead, and prunes exactly: with stop_A
-    // = |A|'s capped-out shingles, true shared <= c_capped + stop_A,
-    // so c_capped*10 < na*8 - stop_A*10 proves containment < 0.8 —
-    // no false negatives, integer arithmetic, result-invariant (the
-    // oracle computes the unpruned form and must agree). Arrays are
-    // joined only for survivors.
+    // = |A|'s capped-out shingles, true shared <= c_capped + stop_A.
+    // The reported predicate is round(n_inter/na, 6) >= 0.8, which
+    // also admits raw containment in [0.7999995, 0.8) — so the prune
+    // bound is the ROUNDED threshold (shared*1e7 >= na*7999995, i.e.
+    // containment >= 0.79999950), not the bare 0.8: no false negatives
+    // for ANY na, integer arithmetic, result-invariant (the oracle
+    // computes the unpruned form and must agree). Arrays are joined
+    // only for survivors.
     val candCnt = kept.select($"sh", $"doc_id".as("doc_a"))
       .join(kept.select($"sh", $"doc_id".as("doc_b")), "sh")
       .filter($"doc_a" =!= $"doc_b")
@@ -1417,7 +1429,7 @@ object Dedup extends QueryModule {
     val cand = candCnt
       .join(docStats.select($"doc_id".as("doc_a"),
         $"n".as("na_pre"), $"n_stop".as("stop_a")), "doc_a")
-      .filter($"c_capped" * 10 >= $"na_pre" * 8 - $"stop_a" * 10)
+      .filter(($"c_capped" + $"stop_a") * 10000000L >= $"na_pre" * 7999995L)
       .select($"doc_a", $"doc_b")
     val shArr = swapPersist("d16arr",
       sh.groupBy($"doc_id").agg(collect_list($"sh").as("arr"))

@@ -940,9 +940,17 @@ object Similarity extends QueryModule {
       .mapPartitions { it =>
         // vec_id sort makes the pass order-independent of the shuffle
         val cand = it.toArray.sortBy(_._1)
+        // Spark's round() passes non-finite through (BigDecimal.valueOf
+        // would throw); NaN/Inf keys then order via `gt` below
         def r9(x: Double): Double =
-          java.math.BigDecimal.valueOf(x)
+          if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+          else java.math.BigDecimal.valueOf(x)
             .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+        // orderBy(desc) semantics: NaN sorts GREATEST (Spark and DuckDB
+        // agree) — Double.compare gives exactly that total order, where
+        // a bare `>` would make a NaN key lose every comparison
+        def gt(a: Double, b: Double): Boolean =
+          java.lang.Double.compare(a, b) > 0
         def cos(a: Seq[Double], b: Seq[Double]): Double = {
           var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
           while (i < a.length) {
@@ -962,12 +970,14 @@ object Similarity extends QueryModule {
           var i = 0
           while (i < n) {
             if (!taken(i)) {
-              val mmr =
-                if (r == 1) cand(i)._3 * relWeight
-                else cand(i)._3 * relWeight - maxsim(i) * divWeight
-              val key = r9(mmr)
+              // round 1 ranks on the UNWEIGHTED r9(simq) — the key the
+              // distributed formulation (and the s15 oracle's r1 CTE)
+              // uses; the weight touches only the emitted score
+              val key =
+                if (r == 1) r9(cand(i)._3)
+                else r9(cand(i)._3 * relWeight - maxsim(i) * divWeight)
               // vec_id-ascending tie-break is the sort order of `cand`
-              if (best < 0 || key > bestKey) { best = i; bestKey = key }
+              if (best < 0 || gt(key, bestKey)) { best = i; bestKey = key }
             }
             i += 1
           }

@@ -18,6 +18,25 @@ import graft.sources.Tables
   */
 object TextAnalysis extends QueryModule {
 
+  /** Self-cleaning persist (the Dedup/Graph slot pattern): a17's scored
+    * table is read twice — once by the approxQuantile bounds pass, once
+    * by the ranking query — and the query function cannot unpersist
+    * before the caller's action runs, so each invocation releases the
+    * PREVIOUS invocation's cache under the same slot. Eager count so
+    * parallel downstream branches never race a cold cache into
+    * simultaneous rebuilds; plan-equality guard because CacheManager
+    * keys entries by logical plan, not DataFrame identity. */
+  private val persistSlots = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def swapPersist(slot: String, df: DataFrame): DataFrame = {
+    val cached = df.persist()
+    cached.count()
+    val prev = persistSlots.put(slot, cached)
+    if (prev != null && (prev ne cached) &&
+        !prev.queryExecution.analyzed.sameResult(cached.queryExecution.analyzed))
+      prev.unpersist(blocking = false)
+    cached
+  }
+
   /** Marker-word lists per language (n-gram-heuristic stand-in; the
     * fixture vocabulary is shared so the *mechanism* — count marker
     * hits per language, argmax with deterministic tie-break — is the
@@ -777,34 +796,81 @@ object TextAnalysis extends QueryModule {
     * TERCILES of the score distribution, reported per source. Head
     * (most fluent) feeds training as-is, middle gets a second look,
     * tail is dropped or down-sampled — the standard quality-mixing
-    * recipe. Bucketing is RANK-based (ntile over the rounded score
+    * recipe. Bucketing is RANK-based (terciles over the rounded score
     * with doc_id tie-break), not threshold-based: an exact-percentile
     * threshold computed in two engines can land within float noise of
-    * a document's score and flip its bucket, while ntile's row-number
-    * arithmetic over the same total order is engine-exact. The ntile
-    * needs a global sort of |docs| score rows (score-sized, not
-    * text-sized); at extreme scale swap in sampled thresholds and a
-    * map-side comparison, same downstream contract. */
+    * a document's score and flip its bucket, while row-number
+    * arithmetic over the same total order is engine-exact.
+    *
+    * The rank is computed with w09's two-pass range-partitioned
+    * formulation, never a single-partition window over the corpus:
+    * pass 0 samples score range bounds (approxQuantile — ANY
+    * score-monotone bucketing yields IDENTICAL ranks; bounds only
+    * balance work, so sampling error cannot affect the result), pass 1
+    * prefix-sums per-range counts into broadcast rank offsets (a
+    * window over |ranges| rows, not |docs|), pass 2 ranks within each
+    * range in parallel. (avg_logp DESC, doc_id) is a total order with
+    * no ties, so rank = row_number and ntile(3) is closed-form in
+    * (rn, n). `a17Ntile` keeps the readable global-window twin;
+    * TextAnalysisSpec asserts row equality, PlanAuditSpec pins the
+    * absence of an unpartitioned corpus window here. */
   private def a17(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
+    // scored is read twice (bounds pass + ranking query): persist it
+    val scored = swapPersist("a17scored", a17Scored(s, d))
+    val bounds = scored.stat
+      .approxQuantile("avg_logp", (1 until 32).map(_ / 32.0).toArray, 0.001)
+      .distinct.sorted
+    val boundsCol = array(bounds.map(lit).toIndexedSeq: _*)
+    // range id = #bounds strictly ABOVE the score: monotone in the
+    // DESCENDING rank order, so every range's rows rank entirely
+    // before the next range's
+    val bucketed = scored.withColumn("bkt",
+      aggregate(boundsCol, lit(0), (acc, b) => acc + ($"avg_logp" < b).cast("int")))
+    val counts = bucketed.groupBy($"bkt").agg(count(lit(1)).as("cnt"))
+    val wB = Window.orderBy($"bkt").rowsBetween(Window.unboundedPreceding, -1)
+    // |ranges| rows — this single-partition window is over ~32 rows
+    val offsets = counts
+      .withColumn("off", coalesce(sum($"cnt").over(wB), lit(0L)))
+    val total = counts.agg(sum($"cnt").as("n"))
+    val wL = Window.partitionBy($"bkt").orderBy($"avg_logp".desc, $"doc_id")
+    val ranked = bucketed.join(broadcast(offsets), "bkt")
+      .withColumn("rn", $"off" + row_number().over(wL))
+      .crossJoin(broadcast(total))
+      .withColumn("q", expr("n div 3")).withColumn("r", $"n" % 3)
+      // ntile(3): first r tiles hold q+1 rows, the rest q (w09's law)
+      .withColumn("bucket_no", expr(
+        """CAST(CASE WHEN rn <= r * (q + 1) THEN (rn + q) div (q + 1)
+                     ELSE r + (rn - r * (q + 1) + q - 1) div q END AS BIGINT)"""))
+      .select($"doc_id", $"avg_logp", $"bucket_no")
+    a17Report(s, d, ranked)
+  }
+
+  /** The per-doc LM score table a17's two formulations share. */
+  private def a17Scored(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val tok = Tables.documents(s, d)
       .select($"doc_id", explode(split($"text", " ")).as("word"))
       .filter($"word" =!= "")
     val lm = tok.groupBy($"word").agg(count(lit(1)).as("cnt"))
     val n = tok.agg(count(lit(1)).as("n_total"))
-    val scored = tok.join(broadcast(lm), "word")
+    tok.join(broadcast(lm), "word")
       .crossJoin(broadcast(n))
       .withColumn("logp", log($"cnt" / $"n_total"))
       .groupBy($"doc_id")
       .agg(round(avg($"logp"), 4).as("avg_logp"))
-    val w = Window.orderBy($"avg_logp".desc, $"doc_id")
-    // second-level stats in EXACT integer ten-thousandths: the mean of
-    // already-rounded doubles can land exactly on a round-4 boundary
-    // and the engines' float division splits it (two cells flipped by
-    // 1e-4 at sf0.01); integer div of exact e4 units cannot
-    scored
-      .withColumn("bucket_no", ntile(3).over(w).cast("long"))
+  }
+
+  /** Shared tail: per-(bucket, source) stats off a (doc_id, avg_logp,
+    * bucket_no) table. Second-level stats in EXACT integer
+    * ten-thousandths: the mean of already-rounded doubles can land
+    * exactly on a round-4 boundary and the engines' float division
+    * splits it (two cells flipped by 1e-4 at sf0.01); integer div of
+    * exact e4 units cannot. */
+  private def a17Report(s: SparkSession, d: String, ranked: DataFrame): DataFrame = {
+    import s.implicits._
+    ranked
       .withColumn("logp_e4", round($"avg_logp" * 10000).cast("long"))
       .join(Tables.documents(s, d).select($"doc_id", $"source"), "doc_id")
       .groupBy($"bucket_no", $"source")
@@ -815,6 +881,18 @@ object TextAnalysis extends QueryModule {
           .otherwise("tail").as("bucket"),
         $"source", $"n_docs", $"mean_logp_e4")
       .orderBy($"bucket_no", $"source")
+  }
+
+  /** The single-partition ntile twin of a17 — the readable baseline the
+    * oracle SQL mirrors term-for-term; TextAnalysisSpec asserts it
+    * row-equals the range-partitioned production path (the w08/w09
+    * relationship). Never registered as a driver query. */
+  private[graft] def a17Ntile(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy($"avg_logp".desc, $"doc_id")
+    a17Report(s, d,
+      a17Scored(s, d).withColumn("bucket_no", ntile(3).over(w).cast("long")))
   }
   private val a17Sql =
     """WITH tok AS (

@@ -650,6 +650,10 @@ object Media extends QueryModule {
       1L -> Seq(
         "000002.txt" -> txt(2),
         "000002.bin" -> Array.tabulate(700)(i => ((i * 37 + 11) & 0xff).toByte),
+        // multi-dot part: WebDataset's part is everything after the
+        // FIRST dot, so this member's part is "seg.json", not "json" —
+        // the case that catches a last-segment derivation
+        "000002.seg.json" -> """{"s":2}""".getBytes("US-ASCII"),
         "000003.txt" -> Array.emptyByteArray,
         "000003.cls" -> cls(3)))
   }
@@ -687,13 +691,17 @@ object Media extends QueryModule {
       .select($"shard_id", $"name", col("size").as("n_bytes"),
         sha2($"payload", 256).as("sha"),
         substring_index($"name", ".", 1).as("sample_key"),
-        substring_index($"name", ".", -1).as("part"))
+        // WebDataset part = everything after the FIRST dot ("seg.json"
+        // for a multi-dot member), empty when the name has no dot
+        when(instr($"name", ".") === 0, lit(""))
+          .otherwise(expr("substring(name, instr(name, '.') + 1)")).as("part"))
       .orderBy($"shard_id", $"name")
   }
   private val m17Sql =
     """SELECT shard_id, name, n_bytes, sha,
          split_part(name, '.', 1) AS sample_key,
-         split_part(name, '.', 2) AS part
+         CASE WHEN instr(name, '.') = 0 THEN ''
+              ELSE substring(name, instr(name, '.') + 1) END AS part
        FROM read_parquet('__FIXTURES__/tar_expected/*.parquet')
        ORDER BY shard_id, name"""
 
@@ -706,7 +714,10 @@ object Media extends QueryModule {
     import s.implicits._
     Tar.members(tarShards(s), $"shard_id", $"tar").toDF()
       .select($"shard_id", substring_index($"name", ".", 1).as("sample_key"),
-        substring_index($"name", ".", -1).as("part"), col("size").as("n_bytes"))
+        // part = after the FIRST dot, same convention as m17
+        when(instr($"name", ".") === 0, lit(""))
+          .otherwise(expr("substring(name, instr(name, '.') + 1)")).as("part"),
+        col("size").as("n_bytes"))
       .groupBy($"shard_id", $"sample_key")
       .agg(count(lit(1)).as("n_parts"), sum($"n_bytes").as("total_bytes"),
         array_join(sort_array(collect_list($"part")), ",").as("parts"))
@@ -715,8 +726,10 @@ object Media extends QueryModule {
   private val m18Sql =
     """SELECT shard_id, split_part(name, '.', 1) AS sample_key,
          count(*) AS n_parts, CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
-         string_agg(split_part(name, '.', 2), ','
-           ORDER BY split_part(name, '.', 2)) AS parts
+         string_agg(CASE WHEN instr(name, '.') = 0 THEN ''
+                         ELSE substring(name, instr(name, '.') + 1) END, ','
+           ORDER BY CASE WHEN instr(name, '.') = 0 THEN ''
+                         ELSE substring(name, instr(name, '.') + 1) END) AS parts
        FROM read_parquet('__FIXTURES__/tar_expected/*.parquet')
        GROUP BY 1, 2 ORDER BY shard_id, sample_key"""
 

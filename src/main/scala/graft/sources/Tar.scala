@@ -123,11 +123,20 @@ object Tar {
           s"tar checksum mismatch in shard $shardId at offset $off " +
             s"(stored $stored, computed $sum)")
         val typeflag = tar(off + 156)
-        val dataOff = off + 512
-        if ((typeflag == '0' || typeflag == 0) && dataOff + size <= tar.length)
+        val dataOff = off.toLong + 512
+        // a checksum-valid header whose declared size runs past the
+        // buffer is a truncated/corrupt shard — fail loudly (same
+        // contract as the checksum), never silently skip the member or
+        // let the 512-rounding overflow Int into a garbage offset
+        require(dataOff + size <= tar.length,
+          s"tar member '$name' in shard $shardId declares $size bytes at " +
+            s"offset $dataOff beyond the ${tar.length}-byte shard — truncated archive")
+        if (typeflag == '0' || typeflag == 0)
           out += Member(shardId, name, size,
-            java.util.Arrays.copyOfRange(tar, dataOff, (dataOff + size).toInt))
-        off = dataOff + (((size + 511) / 512) * 512).toInt
+            java.util.Arrays.copyOfRange(tar, dataOff.toInt, (dataOff + size).toInt))
+        // Long throughout; the require above bounds the result (≤ length
+        // + 511), so the single toInt cannot overflow
+        off = (dataOff + ((size + 511) / 512) * 512).toInt
       }
     }
     out.result().iterator

@@ -143,6 +143,23 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("a17's per-doc rank window is range-partitioned (global window only over the count table)") {
+    // the per-doc row_number must run under partitionBy(bkt) — an
+    // unpartitioned window over the score rows serializes the corpus
+    // (billions of one-row-per-document records at 100 TB through one
+    // task); the only global window allowed is over the ~32-row range
+    // counts, which never mention avg_logp
+    val plan = planOf(graft.ext.TextAnalysis.queries("a17_perplexity_buckets")(spark, sfDir))
+    val corpusWindows = plan.linesIterator
+      .filter(l => l.contains("Window") && l.contains("avg_logp")).toList
+    assert(corpusWindows.nonEmpty,
+      s"audit went vacuous — no Window line mentions avg_logp; plan shape changed:\n$plan")
+    corpusWindows.foreach { l =>
+      assert(l.contains("], [bkt"),
+        s"a17's corpus window must be partitioned by the range bucket:\n$l")
+    }
+  }
+
   test("hot scan families stay inside WholeStageCodegen (no interpreted hot path)") {
     Seq("q01_pricing_summary", "q06_scan_filter_agg", "t02_predicates",
       "a02_quality_score", "e08_histogram").foreach { q =>

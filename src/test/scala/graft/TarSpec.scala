@@ -69,6 +69,15 @@ class TarSpec extends SparkSpec {
     assert(e.getMessage.contains("checksum"))
   }
 
+  test("truncated member data fails loudly instead of skipping the member") {
+    val bytes = Tar.write(members)
+    // keep the first (checksum-valid) header plus a partial data block:
+    // the declared 9-byte payload now runs past the buffer
+    val cut = java.util.Arrays.copyOfRange(bytes, 0, 512 + 4)
+    val e = intercept[IllegalArgumentException] { Tar.parse(1L, cut).toSeq }
+    assert(e.getMessage.contains("truncated"))
+  }
+
   test("m17/m18 fixture: members distribute over shards, no payload past the hash") {
     val df = Tar.members(Media.tarShards(spark), col("shard_id"), col("tar"))
       .toDF()

@@ -28,6 +28,15 @@ class TextAnalysisSpec extends SparkSpec {
     assert(counts == counts.sortBy(-_), "top-20 must be in descending count order")
   }
 
+  test("a17 range-partitioned terciles row-equal the ntile twin (w08/w09 law)") {
+    // the production path must be a pure re-formulation: sampled range
+    // bounds only BALANCE work, they can never move a row's bucket
+    val fast = TextAnalysis.queries("a17_perplexity_buckets")(spark, sfDir)
+      .collect().toSeq
+    val slow = TextAnalysis.a17Ntile(spark, sfDir).collect().toSeq
+    assert(fast == slow)
+  }
+
   test("every text-analysis query runs; oracle SQL exists for each") {
     TextAnalysis.queries.foreach { case (name, fn) =>
       assert(fn(spark, sfDir).columns.nonEmpty, name)
