@@ -660,7 +660,62 @@ object Advanced extends QueryModule {
            CAST(n_orphans AS DOUBLE), n_orphans = 0 FROM r)
        ORDER BY check_name"""
 
+  /** v19 — durable KEY-SCOPED MERGE on parquet (`Sources.mergeParquet`
+    * under the oracle gate): a target table (per-customer spend through
+    * 1997) is loaded, then a 1998 update batch merges in — customers
+    * whose 1998 orders include an URGENT one are DELETED (tombstone),
+    * the rest have their row REPLACED by the 1998 figures, new
+    * customers insert. The output is the final ON-DISK table state
+    * read back, so the oracle (which recomputes the merged state
+    * relationally) certifies the storage-layer merge end-to-end:
+    * bucket pruning, tombstone removal, emptied-directory cleanup,
+    * dynamic partition overwrite. This is the reference's
+    * update-then-insert upsert (mainTesting.py:130-149) as a durable
+    * table operation rather than a recompute (v06's form). State is
+    * reset before each run, so the query is a pure function of the
+    * inputs; double-merge idempotence is spec'd in SourcesSpec. */
+  private def v19(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = graft.util.Scratch.dir(
+      "v19_merge_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+    val ord = Tables.orders(s, d)
+    val target = ord.filter(year($"o_orderdate") <= 1997)
+      .groupBy($"o_custkey")
+      .agg(round(sum($"o_totalprice"), 2).as("spend"),
+        count(lit(1)).as("n_orders"))
+    val updates = ord.filter(year($"o_orderdate") === 1998)
+      .groupBy($"o_custkey")
+      .agg(round(sum($"o_totalprice"), 2).as("spend"),
+        count(lit(1)).as("n_orders"),
+        (min($"o_orderpriority") === "1-URGENT").as("del"))
+    graft.util.Scratch.deleteRecursively(new java.io.File(dir))
+    graft.sources.Sources.mergeParquet(s, dir,
+      target.withColumn("del", lit(false)), Seq("o_custkey"), Some("del"))
+    graft.sources.Sources.mergeParquet(s, dir,
+      updates, Seq("o_custkey"), Some("del"))
+    s.read.parquet(dir)
+      .select($"o_custkey", $"spend", $"n_orders")
+      .orderBy($"o_custkey")
+  }
+  private val v19Sql =
+    """WITH target AS (
+         SELECT o_custkey, round(sum(o_totalprice), 2) AS spend,
+           count(*) AS n_orders
+         FROM orders WHERE year(o_orderdate) <= 1997 GROUP BY 1),
+       upd AS (
+         SELECT o_custkey, round(sum(o_totalprice), 2) AS spend,
+           count(*) AS n_orders,
+           min(o_orderpriority) = '1-URGENT' AS del
+         FROM orders WHERE year(o_orderdate) = 1998 GROUP BY 1)
+       SELECT o_custkey, spend, n_orders FROM (
+         SELECT o_custkey, spend, n_orders FROM target
+         WHERE o_custkey NOT IN (SELECT o_custkey FROM upd)
+         UNION ALL
+         SELECT o_custkey, spend, n_orders FROM upd WHERE NOT del)
+       ORDER BY o_custkey"""
+
   val queries: Map[String, QueryFn] = Map(
+    "v19_merge_parquet" -> v19 _,
     "v18_quality_constraints" -> v18 _,
     "v17_compaction_plan" -> v17 _,
     "v16_cdc_compaction" -> v16 _,
@@ -682,6 +737,7 @@ object Advanced extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "v19_merge_parquet" -> v19Sql,
     "v18_quality_constraints" -> v18Sql,
     "v17_compaction_plan" -> v17Sql,
     "v16_cdc_compaction" -> v16Sql,

@@ -209,12 +209,21 @@ object Graph extends QueryModule {
     * count Σ d(d-1)/2 and 3·tri/wedges stay in integer arithmetic
     * until the single final division, so both engines agree exactly.
     */
-  /** Undirected 5-NN co-trading edges (a < b), shared by g03/g04: each
-    * supplier keeps its 5 strongest co-suppliers by shared-customer
-    * count (ties by id). The per-customer pair enumeration joins with
-    * `a.sup < b.sup` — HALF the rows of the naive `<>` product — and
-    * mirrors the counted half afterward (co-occurrence is symmetric),
-    * so the expensive stage pays C(k,2) per customer, not k². */
+  /** Undirected 5-NN co-trading edges (a < b), shared by g03/g04/g05:
+    * each supplier keeps its 5 strongest co-suppliers by
+    * shared-customer count (ties by id). The per-customer pair
+    * enumeration joins with `a.sup < b.sup` — HALF the rows of the
+    * naive `<>` product — and mirrors the counted half afterward
+    * (co-occurrence is symmetric), so the expensive stage pays C(k,2)
+    * per customer, not k².
+    *
+    * BOTH the half-pair table and the final 5-NN edge set are held in
+    * explicit persist slots: every g03/g04/g05 run in a session builds
+    * the identical plan, so the swapPersist plan-equality guard turns
+    * the second and third builds into cache reads — one C(k,2)
+    * enumeration and one TopKPerKey pass per session, not three
+    * (previously only the half-pair stage was shared, and only by
+    * plan-equality luck inside each query's own slot). */
   private def coTradingEdges(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val pairs = Tables.lineitem(s, d)
@@ -232,13 +241,15 @@ object Graph extends QueryModule {
     val co = half.unionAll(half.select($"s2".as("s1"), $"s1".as("s2"), $"shared"))
     val top = graft.plans.TopKPerKey.topKPerKey(co, 5,
       Seq($"s1"), Seq($"shared".desc, $"s2"))
-    top.select(least($"s1", $"s2").as("a"), greatest($"s1", $"s2").as("b"))
-      .distinct()
+    swapPersist(
+      top.select(least($"s1", $"s2").as("a"), greatest($"s1", $"s2").as("b"))
+        .distinct(),
+      "coedges")
   }
 
   private def g03(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val edges = swapPersist(coTradingEdges(s, d))
+    val edges = coTradingEdges(s, d)
     val deg = edges.select($"a".as("n")).unionAll(edges.select($"b".as("n")))
       .groupBy($"n").agg(count(lit(1)).as("dg"))
     val wedges = deg.agg(sum(expr("dg * (dg - 1) div 2")).as("n_wedges"),

@@ -107,6 +107,112 @@ object Sources {
   def writeFact(fact: DataFrame, path: String): Unit =
     upsertPartitioned(fact, path, factPartitionKey)
 
+  /** Key-scoped MERGE (upsert + delete) on a durable parquet table —
+    * the reference's update-then-insert load (mainTesting.py:130-149)
+    * generalized from statement-partition replacement (`writeFact`) to
+    * ROW-level keys, with v16's delete-tombstone semantics: matched
+    * keys are replaced by their update row, unmatched update rows
+    * insert, tombstoned keys (deleteCol true) are removed, and every
+    * other row in the table is untouched — physically, not just
+    * logically.
+    *
+    * Layout contract: the table is directory-partitioned by `kb`, a
+    * key-hash bucket (pmod(xxhash64(key), numBuckets)). That is what
+    * makes the merge KEY-SCOPED at 100 TB: the update batch's distinct
+    * buckets are a <= numBuckets driver list, the current-state read
+    * prunes to exactly those directories (PartitionFilters at listing
+    * time — asserted in SourcesSpec), and the rewrite touches only
+    * them via dynamic partition overwrite. A merge of a 1k-row batch
+    * into a 100 TB table reads and rewrites ~min(1k, numBuckets)
+    * buckets, never the table. Size numBuckets so one bucket ≈ one
+    * comfortable task (table_bytes / numBuckets ≲ 1 GB); more buckets
+    * = finer merge scope but more files.
+    *
+    * The merged rows for the affected buckets are STAGED to a sibling
+    * directory first, then copied into the target: Spark (correctly)
+    * refuses a write whose plan reads the path being overwritten, and
+    * the staging pass is what makes the rewrite restart-safe — a
+    * failure before the final job leaves the target untouched, a
+    * failure during it leaves non-committed partitions at their old
+    * content (parquet committer semantics, same contract as
+    * `upsertPartitioned`). Cost: affected-bucket bytes move twice;
+    * that is the price of atomicity without a table format's
+    * transaction log (Delta/Iceberg pay it as copy-on-write too).
+    *
+    * A bucket whose rows are ALL deleted by the batch produces no
+    * staged rows, so dynamic overwrite would leave its old directory
+    * in place — those directories are deleted explicitly (the emptied
+    * set is read from the tiny staged table, never recomputed).
+    *
+    * Contracts, all checked loudly: update keys must be non-null
+    * (NULL never equi-matches, so null-keyed rows would duplicate on
+    * re-merge — same rule as `upsertJdbc`) and unique within the batch
+    * (two updates for one key have no deterministic winner; compact
+    * the log first — v16's struct-max does exactly that). Single
+    * writer per table, as with any format-less lake write. Re-merging
+    * the same batch is idempotent (spec'd in SourcesSpec).
+    */
+  def mergeParquet(spark: SparkSession, path: String, updates: DataFrame,
+      keyCols: Seq[String], deleteCol: Option[String] = None,
+      numBuckets: Int = 64, stagingDir: Option[String] = None): Unit = {
+    import org.apache.spark.sql.functions._
+    require(keyCols.nonEmpty, "mergeParquet needs at least one key column")
+    require(numBuckets > 0, "numBuckets must be positive")
+    val kb = "kb"
+    require(!updates.columns.contains(kb),
+      s"updates must not carry a '$kb' column — it is the table's bucket key")
+    deleteCol.foreach(c => require(updates.columns.contains(c),
+      s"deleteCol '$c' not in updates schema ${updates.columns.mkString(",")}"))
+    val bucket = pmod(xxhash64(keyCols.map(col): _*), lit(numBuckets.toLong)).cast("int")
+    // one batch-sized aggregate validates both contracts (null keys /
+    // duplicate keys) before anything durable moves
+    val bad = updates.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1 || keyCols.map(col(_).isNull).reduce(_ || _))
+      .limit(1).collect()
+    require(bad.isEmpty,
+      s"mergeParquet: null or duplicate key ${bad.headOption.getOrElse("")} in the " +
+        s"update batch for (${keyCols.mkString(",")}) — keys must be unique and " +
+        "non-null; compact a versioned log first (the v16 struct-max shape)")
+    val dataCols = updates.columns.filterNot(c => deleteCol.contains(c)).toSeq
+    val upserts = deleteCol
+      .map(c => updates.filter(!coalesce(col(c), lit(false))))
+      .getOrElse(updates)
+      .select(dataCols.map(col): _*)
+    val hc = spark.sparkContext.hadoopConfiguration
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(hc)
+    if (!fs.exists(target) || fs.listStatus(target).isEmpty) {
+      // first load: the whole batch is an insert
+      upserts.withColumn(kb, bucket)
+        .write.mode("overwrite").partitionBy(kb).parquet(path)
+      return
+    }
+    val affected = updates.select(bucket.as(kb)).distinct()
+      .collect().map(_.getInt(0)).sorted // <= numBuckets rows on the driver
+    if (affected.isEmpty) return
+    val cur = spark.read.parquet(path)
+      .filter(col(kb).isin(affected.map(Int.box).toIndexedSeq: _*))
+    val survivors = cur
+      .join(updates.select(keyCols.map(col): _*), keyCols, "left_anti")
+    val merged = survivors.select((dataCols :+ kb).map(col): _*)
+      .unionByName(upserts.withColumn(kb, bucket))
+    val stage = stagingDir.getOrElse(path.stripSuffix("/") + "_staging")
+    merged.write.mode("overwrite").parquet(stage)
+    val staged = spark.read.parquet(stage)
+    val stagedBuckets = staged.select(col(kb)).distinct()
+      .collect().map(_.getInt(0)).toSet
+    staged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(kb).parquet(path)
+    // buckets the batch emptied entirely: no staged rows → dynamic
+    // overwrite left the old directory — remove it
+    affected.filterNot(stagedBuckets).foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(target, s"$kb=$b"), true)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+  }
+
   /** JDBC row sink with the same key-scoped idempotence contract as
     * `writeFact` (the reference's durable store is a MySQL table it
     * DELETEs-then-INSERTs per statement key, mainTesting.py:49-79,

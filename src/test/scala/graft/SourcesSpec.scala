@@ -86,6 +86,96 @@ class SourcesSpec extends SparkSpec {
       .head.getAs[Double]("nilai") == 1e13, "revised partition must be replaced")
   }
 
+  test("mergeParquet: upsert + tombstone semantics, key-scoped rewrite, idempotent") {
+    import spark.implicits._
+    val path = s"$tmp/merge_tbl"
+    graft.util.Scratch.deleteRecursively(new java.io.File(path))
+    // 8 buckets over long keys 1..40: every bucket populated
+    val t0 = (1L to 40L).map(k => (k, s"v$k", k * 10))
+      .toDF("k", "name", "amt").withColumn("del", lit(false))
+    Sources.mergeParquet(spark, path, t0, Seq("k"), Some("del"), numBuckets = 8)
+    assert(spark.read.parquet(path).count() == 40)
+    // batch: replace k=1 (new amt), delete k=2, insert k=100
+    val batch = Seq((1L, "v1b", 999L, false), (2L, "x", 0L, true),
+      (100L, "v100", 1000L, false)).toDF("k", "name", "amt", "del")
+    Sources.mergeParquet(spark, path, batch, Seq("k"), Some("del"), numBuckets = 8)
+    def state() = spark.read.parquet(path).select("k", "name", "amt")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val s1 = state()
+    assert(s1.size == 40, "40 - 1 delete + 1 insert")
+    assert(s1((1L, "v1b", 999L)), "matched key replaced")
+    assert(!s1.exists(_._1 == 2L), "tombstoned key removed")
+    assert(s1((100L, "v100", 1000L)), "unmatched key inserted")
+    assert(s1((3L, "v3", 30L)), "untouched key intact")
+    // idempotence: the same batch again is a no-op
+    Sources.mergeParquet(spark, path, batch, Seq("k"), Some("del"), numBuckets = 8)
+    assert(state() == s1, "double merge must be a clean replace")
+    // bucket layout holds: dirs are kb=N and most survive untouched
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(_.getPath.getName.startsWith("kb=")).map(_.getPath.getName).toSet
+    assert(dirs.size >= 5, s"bucket layout missing: $dirs")
+  }
+
+  test("mergeParquet: current-state read prunes to the affected buckets only") {
+    import spark.implicits._
+    val path = s"$tmp/merge_prune"
+    graft.util.Scratch.deleteRecursively(new java.io.File(path))
+    val t0 = (1L to 64L).map(k => (k, k)).toDF("k", "v").withColumn("del", lit(false))
+    Sources.mergeParquet(spark, path, t0, Seq("k"), Some("del"), numBuckets = 8)
+    // the plan shape mergeParquet builds internally: filter on kb isin
+    val affected = Seq(5L).toDF("k").select(
+      pmod(xxhash64(col("k")), lit(8L)).cast("int").as("kb"))
+      .collect().map(_.getInt(0))
+    val cur = spark.read.parquet(path)
+      .filter(col("kb").isin(affected.map(Int.box).toIndexedSeq: _*))
+    val plan = cur.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters:") && plan.contains("kb"),
+      s"bucket filter must prune at listing time:\n$plan")
+  }
+
+  test("mergeParquet: a batch that empties a bucket removes its directory") {
+    import spark.implicits._
+    val path = s"$tmp/merge_empty"
+    graft.util.Scratch.deleteRecursively(new java.io.File(path))
+    // single bucket per key group: numBuckets=2 so keys split cleanly
+    val t0 = (1L to 10L).map(k => (k, k)).toDF("k", "v").withColumn("del", lit(false))
+    Sources.mergeParquet(spark, path, t0, Seq("k"), Some("del"), numBuckets = 2)
+    // delete EVERY key in bucket of k (pmod(xxhash64(k),2)) = 0
+    val b0keys = (1L to 10L).filter { k =>
+      Seq(k).toDF("k").select(pmod(xxhash64(col("k")), lit(2L)))
+        .head().getLong(0) == 0L
+    }
+    assert(b0keys.nonEmpty && b0keys.size < 10, "fixture must split buckets")
+    val killAll = b0keys.map(k => (k, k, true)).toDF("k", "v", "del")
+    Sources.mergeParquet(spark, path, killAll, Seq("k"), Some("del"), numBuckets = 2)
+    val left = spark.read.parquet(path).select("k").collect().map(_.getLong(0)).toSet
+    assert(left == (1L to 10L).toSet -- b0keys, "only the other bucket survives")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path, "kb=0")),
+      "emptied bucket directory must be deleted, not left stale")
+  }
+
+  test("mergeParquet: null or duplicate update keys fail loudly") {
+    import spark.implicits._
+    val path = s"$tmp/merge_bad"
+    graft.util.Scratch.deleteRecursively(new java.io.File(path))
+    val t0 = Seq((1L, 1L)).toDF("k", "v").withColumn("del", lit(false))
+    Sources.mergeParquet(spark, path, t0, Seq("k"), Some("del"))
+    val dup = Seq((5L, 1L, false), (5L, 2L, false)).toDF("k", "v", "del")
+    val e1 = intercept[IllegalArgumentException] {
+      Sources.mergeParquet(spark, path, dup, Seq("k"), Some("del"))
+    }
+    assert(e1.getMessage.contains("duplicate"))
+    val nul = Seq((Option.empty[Long], 1L, false)).toDF("k", "v", "del")
+    val e2 = intercept[IllegalArgumentException] {
+      Sources.mergeParquet(spark, path, nul, Seq("k"), Some("del"))
+    }
+    assert(e2.getMessage.contains("null"))
+  }
+
   test("source catalog: discovery skips non-matching sources and counts hits") {
     // 'neraca' is absent from the first source (meta_csv) and present in
     // the second (raw_json): first-match-in-order must return raw_json
