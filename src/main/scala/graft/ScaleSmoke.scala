@@ -45,7 +45,37 @@ object ScaleSmoke {
       else if (((k * 2654435761L + i * 40503L) >> 7 & 1L) == 1L) -1.0f else 1.0f
     }
 
+  /** Shard-replicate a relational table: k copies with every id column
+    * offset by k·idStride, so each shard reproduces sf0.1's join
+    * structure exactly (orders-per-customer, lineitems-per-order,
+    * degree distributions) while shards stay disjoint — the TPC-H
+    * scaling convention (row counts grow with SF, per-key structure
+    * does not). idStride is divisible by every modulus the query suite
+    * seeds with (g05's node % 50, d12's doc_id % 100), so deterministic
+    * seed sets replicate per shard instead of collapsing onto shard 0. */
+  private def shardTable(spark: SparkSession, src: String, out: String,
+      table: String, idCols: Seq[String]): Unit = {
+    val t = spark.read.parquet(s"$src/$table.parquet")
+    (0 until copies).map { k =>
+      idCols.foldLeft(t)((df, c) => df.withColumn(c, col(c) + lit(k * idStride)))
+    }.reduce(_ unionByName _)
+      .repartition(32).write.mode("overwrite").parquet(s"$out/$table.parquet")
+  }
+
   private def buildSf1(spark: SparkSession, src: String, out: String): Unit = {
+    // fixed dimensions stay single-copy (nation/region cardinality does
+    // not scale with SF); every fact/dim keyed table shard-replicates
+    Seq("region", "nation").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+    shardTable(spark, src, out, "customer", Seq("c_custkey"))
+    shardTable(spark, src, out, "supplier", Seq("s_suppkey"))
+    shardTable(spark, src, out, "part", Seq("p_partkey"))
+    shardTable(spark, src, out, "orders", Seq("o_orderkey", "o_custkey"))
+    shardTable(spark, src, out, "lineitem",
+      Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    shardTable(spark, src, out, "events", Seq("event_id", "user_id"))
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val docShards = (0 until copies).map { k =>
       val text =

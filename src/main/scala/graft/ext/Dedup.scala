@@ -1393,7 +1393,18 @@ object Dedup extends QueryModule {
     * map-side (array_intersect on the persisted per-doc arrays), so
     * the reported containment is exact; only candidate RECALL depends
     * on the cap, and a pair sharing nothing but stop-shingles is not a
-    * containment pair at any threshold worth reporting. */
+    * containment pair at any threshold worth reporting.
+    *
+    * MEASURED recall vs cap (StudyBench cap sweep, study_r9.json; this
+    * corpus's max shingle df is 25, so caps of 4/8/16 emulate corpora
+    * ~6x/3x/1.5x denser relative to DF-64): cap 16 reports 512/512
+    * pairs (perfect recall, and the count filter passes exactly the
+    * 512 true pairs), cap 8 reports 504/512 (98.4%, with the looser
+    * stop-count bound admitting 71k candidates), cap 4 collapses to
+    * 122/512 (24%). Rule: keep the cap >= ~2/3 of the true max df of
+    * the containment-relevant vocabulary; lowering it degrades recall
+    * AND the count-filter's precision simultaneously (stop_a inflates
+    * the admission bound). */
   private def d16(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val sh = swapPersist("d16sh", shingles(s, d))

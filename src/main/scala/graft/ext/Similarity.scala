@@ -1012,7 +1012,24 @@ object Similarity extends QueryModule {
     * under-fills k whenever the filter is selective — the classic
     * filtered-vector-search pitfall; with a pre-filter k is exact by
     * construction.) At IVF scale the same shape holds: predicate join
-    * against the posting lists before ADC/cosine scoring. */
+    * against the posting lists before ADC/cosine scoring.
+    *
+    * nprobe guidance when the pre-filter meets an IVF index built on
+    * the UNFILTERED corpus (MEASURED, StudyBench ann_filter_study in
+    * study_r9.json — recall@10 vs exact-over-survivors, 8 cells):
+    * recall is governed almost entirely by nprobe, not selectivity
+    * (nprobe=8 ≡ full scan here: 0.90/0.87/0.85/0.75 across
+    * selectivities 1/2 → 1/100, vs 0.07-0.13 at nprobe=1), because the
+    * filter empties cells the centroids still route probes into while
+    * the true neighbors of a filtered query spread across cells the
+    * coarse quantizer ranks low. Rule: once expected
+    * survivors-per-probed-cell (|survivors|·nprobe/|cells|) approaches
+    * k, IVF is no longer pruning anything useful — at survivors ≈ k·
+    * |cells| switch to brute force over the survivor set (it is now
+    * CHEAPER than probing: at 1/100 selectivity the full survivor scan
+    * is 19 vectors). Production filtered-ANN therefore pre-filters,
+    * COUNTS the survivor set (one cheap agg), and picks scan-vs-IVF
+    * per query from that count. */
   private def s16(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val e = Tables.embeddings(s, d)
