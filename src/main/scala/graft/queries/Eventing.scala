@@ -360,6 +360,33 @@ object Eventing extends QueryModule {
     * here is what upgrades "converges modulo unclosed tail windows"
     * to a total equality the hash gate can check.
     */
+  /** Link a source TABLE into a file-stream staging dir under `name`.
+    * The driver testdata ships each table as a bare parquet FILE;
+    * Spark-written derivations (the sf1 scale corpus) are DIRECTORIES
+    * of part files. FileStreamSource does not enumerate through a
+    * symlinked subdirectory — a directory staged as one link streams
+    * ZERO files, and silently: the query "succeeds" over an empty
+    * source (caught when e23's read-back found no Derby table at sf1,
+    * i.e. zero micro-batches had run). So a directory table is staged
+    * as one link per part file; mtime order is the TARGET file's (the
+    * source follows links), which predates any heartbeat's explicit
+    * future mtime. Symlinks keep staging zero-copy; plain copy is the
+    * cross-filesystem fallback. */
+  private def stageLinks(stage: java.nio.file.Path, src: java.nio.file.Path,
+      name: String): Unit = {
+    def link(target: java.nio.file.Path, from: java.nio.file.Path): Unit =
+      try java.nio.file.Files.createSymbolicLink(target, from)
+      catch { case _: Exception => java.nio.file.Files.copy(from, target) }
+    if (java.nio.file.Files.isDirectory(src)) {
+      val parts = Option(src.toFile.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isFile && f.getName.endsWith(".parquet")).sortBy(_.getName)
+      require(parts.nonEmpty, s"no parquet part files under $src")
+      parts.zipWithIndex.foreach { case (p, i) =>
+        link(stage.resolve(f"${name}_part$i%04d.parquet"), p.toPath)
+      }
+    } else link(stage.resolve(s"$name.parquet"), src)
+  }
+
   /** Run a streaming transform over the events table as a REAL
     * Structured Streaming job (file source, AvailableNow trigger,
     * memory sink) and return the sink table. Shared by e13/e14. */
@@ -427,11 +454,7 @@ object Eventing extends QueryModule {
     // copies > 1 stages the SAME table under several file names — the
     // stream then genuinely delivers every row that many times, which
     // is how e16 feeds real duplicates to the dedup operator
-    (1 to copies).foreach { i =>
-      val target = stage.resolve(s"events_$i.parquet")
-      try java.nio.file.Files.createSymbolicLink(target, src)
-      catch { case _: Exception => java.nio.file.Files.copy(src, target) }
-    }
+    (1 to copies).foreach { i => stageLinks(stage, src, s"events_$i") }
     // watermark-gated output (outer-join nulls, final windows) only
     // emits once event time provably passes it; a bounded file source
     // ends before that proof exists for the tail. Stage far-future
@@ -716,9 +739,7 @@ object Eventing extends QueryModule {
     val schema = s.read.parquet(s"$d/documents.parquet").schema
     val stage = java.nio.file.Files.createTempDirectory("graft_e20_src")
     val src = java.nio.file.Paths.get(s"$d/documents.parquet")
-    val target = stage.resolve("documents_1.parquet")
-    try java.nio.file.Files.createSymbolicLink(target, src)
-    catch { case _: Exception => java.nio.file.Files.copy(src, target) }
+    stageLinks(stage, src, "documents_1")
     // isolated session: state-store count scales with shuffle
     // partitions (runStreamed's sizing note applies)
     val ns = s.newSession()
@@ -816,9 +837,7 @@ object Eventing extends QueryModule {
     val schema = s.read.parquet(s"$d/events.parquet").schema
     val stage = java.nio.file.Files.createTempDirectory("graft_e23_src")
     val src = java.nio.file.Paths.get(s"$d/events.parquet")
-    val target = stage.resolve("events_1.parquet")
-    try java.nio.file.Files.createSymbolicLink(target, src)
-    catch { case _: Exception => java.nio.file.Files.copy(src, target) }
+    stageLinks(stage, src, "events_1")
     val ns = s.newSession()
     ns.conf.set("spark.sql.shuffle.partitions", "8")
     val stream = ns.readStream.schema(schema).parquet(stage.toString)

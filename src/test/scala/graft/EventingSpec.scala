@@ -12,6 +12,28 @@ class EventingSpec extends SparkSpec {
     assert(Eventing.queries.keySet == Eventing.oracle.keySet)
   }
 
+  test("streaming harness stages a DIRECTORY-layout table identically to the bare-file layout") {
+    // the driver testdata ships events.parquet as one bare FILE; any
+    // Spark-written derivation (the sf1 scale corpus) is a DIRECTORY
+    // of part files. FileStreamSource does not enumerate through a
+    // symlinked subdirectory, so before the per-part staging fix a
+    // directory table streamed ZERO files — silently: e13 returned an
+    // empty aggregate and e23 failed only at read-back (no Derby table
+    // was ever created). Both paths must now agree with the bare-file
+    // run bit-for-bit.
+    val root = java.nio.file.Files.createTempDirectory("graft-dirlayout").toString
+    graft.sources.Tables.events(spark, sfDir)
+      .repartition(3) // a genuine multi-part directory
+      .write.mode("overwrite").parquet(s"$root/events.parquet")
+    for (q <- Seq("e13_stream_tumbling", "e23_jdbc_serving")) {
+      val fromDir = Eventing.queries(q)(spark, root).collect().toSeq
+      val fromFile = Eventing.queries(q)(spark, sfDir).collect().toSeq
+      assert(fromDir.nonEmpty, s"$q streamed zero rows from the directory layout")
+      assert(fromDir == fromFile, q)
+    }
+    graft.util.Scratch.deleteRecursively(new java.io.File(root))
+  }
+
   test("e16 streaming dedup over a doubled source equals the distinct batch table") {
     import org.apache.spark.sql.functions._
     val streamed = Eventing.queries("e16_stream_dedup")(spark, sfDir).collect()
