@@ -35,9 +35,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // ONE JVM, so executor+driver memory share this heap — 8g left heavy
   // shuffle queries GC-thrashing and contaminated every later timing
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-  // 143 queries x dozens of whole-stage-codegen classes each: the JVM
+  // 189 queries x dozens of whole-stage-codegen classes each: the JVM
   // default 240 MB code cache fills mid-suite, the JIT silently stops
   // compiling, and later queries run partially interpreted (the same
-  // shingle stage measured 17 s CPU early in a session vs 77 s late)
-  "-XX:ReservedCodeCacheSize=1g",
+  // shingle stage measured 17 s CPU early in a session vs 77 s late).
+  // Raised 1g -> 2g in round 9: at 189 queries the 1g cache refilled
+  // near the v-family and v09's HLL aggregate ran 8.8x its isolated
+  // CPU (475 s in-suite vs 54 s alone, identical stage counts) —
+  // same signature, later onset. A long-lived cluster executor JVM
+  // serving a large query mix wants the same headroom.
+  "-XX:ReservedCodeCacheSize=2g",
 )
