@@ -348,6 +348,25 @@ object Eventing extends QueryModule {
 
   private val streamRunId = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Per-(JVM, input dir) single-file rewrite of the events table, for
+    * the maxFilesPerTrigger=1 staging paths (e17/e24): built by the
+    * first run, linked by every later copy/run — the one-batch-per-copy
+    * staging costs one normalization pass per input dir, not one per
+    * query. */
+  private val coalescedEventsByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def coalescedEvents(s: SparkSession, d: String): String =
+    coalescedEventsByDir.computeIfAbsent(d, _ => {
+      val side = graft.util.Scratch.dir(
+        "evt1_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+      graft.sources.Tables.events(s, d).coalesce(1)
+        .write.mode("overwrite").parquet(side)
+      new java.io.File(side).listFiles()
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error("coalesced events write produced no parquet part"))
+        .getAbsolutePath
+    })
+
   /** e13 — the STREAMING plane under the driver's oracle: the exact
     * streaming transform (`EventStreams.tumblingStream` — watermarked
     * tumbling agg) executed as a real Structured Streaming job over the
@@ -398,10 +417,12 @@ object Eventing extends QueryModule {
     val ckpt = java.nio.file.Files.createTempDirectory(s"graft_${prefix}_ckpt").toString
     // file stream source needs an explicit schema; reuse the batch
     // footer's (ts arrives as nanos-long, normalized the same way as
-    // Tables.events) — except under lateSplit, which restages the rows
-    // through Spark and therefore reads back the NORMALIZED layout
+    // Tables.events) — except under lateSplit and the coalesced
+    // maxFilesPerTrigger=1 paths, which restage the rows through Spark
+    // and therefore read back the NORMALIZED layout
     val schema =
-      if (lateSplit) graft.sources.Tables.events(s, d).schema
+      if (lateSplit || sentinel || oneFilePerTrigger)
+        graft.sources.Tables.events(s, d).schema
       else s.read.parquet(s"$d/events.parquet").schema
     // the file stream source requires a DIRECTORY; the test table is a
     // bare file, so expose it through a linked staging dir (symlink —
@@ -449,6 +470,26 @@ object Eventing extends QueryModule {
             java.nio.file.attribute.FileTime.fromMillis(
               System.currentTimeMillis() + mtimeOff))
           graft.util.Scratch.deleteRecursively(side.toFile)
+      }
+    } else if (sentinel || oneFilePerTrigger) {
+      // the maxFilesPerTrigger=1 paths pay a full state-store lifecycle
+      // per staged FILE: at sf1 the events table is a directory of ~32
+      // part files, so per-part staging turned a 3-batch certification
+      // into ~34 micro-batches of pure per-batch overhead (measured:
+      // e17 31 s wall on 6.8 s CPU). Stage each copy as ONE coalesced
+      // file — written once per (JVM, input dir), linked per copy — so
+      // the stream runs one data batch per copy plus the heartbeat
+      // batches. The coalesce is harness STAGING, not the query plan:
+      // production streams read whatever file sizing the upstream
+      // writer chose, and maxFilesPerTrigger=1 exists here only to
+      // sequence the heartbeat/copy batches. Copy order between equal
+      // mtimes is immaterial (identical content); all data mtimes
+      // predate the heartbeats' explicit +1h.
+      val one = java.nio.file.Paths.get(coalescedEvents(s, d))
+      (1 to copies).foreach { i =>
+        val t = stage.resolve(s"events_$i.parquet")
+        try java.nio.file.Files.createSymbolicLink(t, one)
+        catch { case _: Exception => java.nio.file.Files.copy(one, t) }
       }
     } else
     // copies > 1 stages the SAME table under several file names — the

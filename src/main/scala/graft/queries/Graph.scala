@@ -250,6 +250,20 @@ object Graph extends QueryModule {
     swapPersist(s.read.parquet(path), "coedges")
   }
 
+  /** MEASURED NEGATIVE RESULT — do not "optimize" this into an
+    * imperative kernel. A mapPartitions wedge-enumeration kernel
+    * (repartition by customer, dedupe supplier lists in-task, count
+    * pairs into a packed-long hash map, emit per-task partials) was
+    * built and benched at sf1: 5,861 s CPU with LongMap's default
+    * index fn (its `k ^ (k >>> 32)` pre-fold collapses packed
+    * small-id pair keys onto ~|id-range| hash slots), still 1,931 s
+    * CPU after an invertible splitmix64 key mix — vs 580 s CPU /
+    * 26 s wall for THIS declarative form. The kernel loses because
+    * the pair-key space (C(10k suppliers, 2) ≈ 50M) is within 10×
+    * of the 125M increments, so map-side combining removes little,
+    * and every emitted partial pays Scala boxing + encoder costs
+    * that Tungsten's codegen'd SMJ + UnsafeRow partial hash agg
+    * never pays. Whole-stage codegen IS the fast kernel here. */
   private def buildCoTradingEdges(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val pairs = Tables.lineitem(s, d)
