@@ -921,7 +921,46 @@ object TextAnalysis extends QueryModule {
        GROUP BY bucket_no, d.source
        ORDER BY bucket_no, d.source"""
 
+  /** a18 — EXACT quota sampling: exactly k docs per (lang, source)
+    * stratum (fewer when the stratum is smaller than k), chosen by
+    * deterministic salted-hash rank — the quota-ed construction for
+    * eval/calibration subsets, where a08's rate-based draw (right in
+    * EXPECTATION only) doesn't cut it. The selection runs on the
+    * `TopKPerKey` custom plan: per-task bounded heaps keep k
+    * candidates per stratum, so one exchange moves O(k·|strata|)
+    * survivor rows — never a per-stratum sort, never the corpus. The
+    * oracle is the window formulation (row_number per stratum ≤ k);
+    * equality also re-certifies the custom SparkPlan against an
+    * independent engine on a second input shape (w11/v10 cover the
+    * relational tables). At 100 TB: the heap pass is map-side over
+    * whatever partitioning the scan has; quota, strata arity and the
+    * salt are the only knobs. */
+  private def a18(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = 5
+    val docs = Tables.documents(s, d)
+      .withColumn("h",
+        conv(substring(md5(concat(lit("quota:"), $"doc_id")), 1, 15), 16, 10)
+          .cast("long"))
+    val picked = graft.plans.TopKPerKey.topKPerKey(
+      docs.select($"lang", $"source", $"h", $"doc_id"), k,
+      Seq($"lang", $"source"), Seq($"h", $"doc_id"))
+    picked.select($"lang", $"source", $"doc_id", $"h")
+      .orderBy($"lang", $"source", $"h", $"doc_id")
+  }
+  private val a18Sql =
+    """SELECT lang, source, doc_id, h FROM (
+         SELECT lang, source, doc_id, h,
+           row_number() OVER (PARTITION BY lang, source
+                              ORDER BY h, doc_id) AS rn
+         FROM (SELECT lang, source, doc_id,
+                 ('0x' || substr(md5('quota:' || doc_id), 1, 15))::BIGINT AS h
+               FROM documents))
+       WHERE rn <= 5
+       ORDER BY lang, source, h, doc_id"""
+
   val queries: Map[String, QueryFn] = Map(
+    "a18_quota_sample" -> a18 _,
     "a17_perplexity_buckets" -> a17 _,
     "a16_bigram_logprob" -> a16 _,
     "a14_source_mixing" -> a14 _,
@@ -942,6 +981,7 @@ object TextAnalysis extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "a18_quota_sample" -> a18Sql,
     "a17_perplexity_buckets" -> a17Sql,
     "a16_bigram_logprob" -> a16Sql,
     "a14_source_mixing" -> a14Sql,

@@ -714,7 +714,90 @@ object Advanced extends QueryModule {
          SELECT o_custkey, spend, n_orders FROM upd WHERE NOT del)
        ORDER BY o_custkey"""
 
+  /** v20 — versioned table TIME TRAVEL (`VersionedTable` under the
+    * oracle gate): a base load (per-customer spend through 1997) plus
+    * two 20-key "corrections" commits — the top-40 customers by 1998
+    * spend, split top-20 / next-20, each batch replacing matched
+    * customers with their 1998 figures, INSERTING 1998-only customers,
+    * and tombstoning those whose 1998 orders include an URGENT one —
+    * and the output reads ALL THREE versions back via snapshot reads.
+    * The oracle recomputes each state relationally (chained), so it
+    * certifies the whole log-structured lifecycle end-to-end: manifest
+    * commits, bucket-scoped rewrites, owner-map pruning, and that
+    * earlier versions are UNTOUCHED by later merges. Storage-layer
+    * laws the oracle can't see (vacuum, schema widening, single-writer
+    * commit, emptied buckets) are spec'd in VersionedTableSpec.
+    * Scale: the 20-key batches are the point — each merge reads and
+    * rewrites ≤ 20 of the 64 key-hash buckets no matter the table
+    * size (the batch is rank-selected, so it stays 20 keys at every
+    * SF), and each snapshot read is one tiny JSON plus bucket-pruned
+    * scans of the live commit dirs. The top-40 selection itself is
+    * orderBy+limit — TakeOrderedAndProject, no global window. */
+  private def v20(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = graft.util.Scratch.dir(
+      "v20_vtab_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+    graft.util.Scratch.deleteRecursively(new java.io.File(dir))
+    val ord = Tables.orders(s, d)
+    val t0 = ord.filter(year($"o_orderdate") <= 1997)
+      .groupBy($"o_custkey")
+      .agg(round(sum($"o_totalprice"), 2).as("spend"),
+        count(lit(1)).as("n_orders"))
+    val top40 = ord.filter(year($"o_orderdate") === 1998)
+      .groupBy($"o_custkey")
+      .agg(round(sum($"o_totalprice"), 2).as("spend"),
+        count(lit(1)).as("n_orders"),
+        (min($"o_orderpriority") === "1-URGENT").as("del"))
+      .orderBy($"spend".desc, $"o_custkey").limit(40)
+      // rank within 40 collected-size rows — a window over a LIMIT, not
+      // over the corpus
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy($"spend".desc, $"o_custkey")))
+    graft.sources.VersionedTable.merge(s, dir, t0, Seq("o_custkey"))
+    graft.sources.VersionedTable.merge(s, dir,
+      top40.filter($"rk" <= 20).drop("rk"), Seq("o_custkey"), Some("del"))
+    graft.sources.VersionedTable.merge(s, dir,
+      top40.filter($"rk" > 20).drop("rk"), Seq("o_custkey"), Some("del"))
+    (0L to 2L).map { v =>
+      graft.sources.VersionedTable.read(s, dir, Some(v))
+        .select(lit(v).as("version"), $"o_custkey", $"spend", $"n_orders")
+    }.reduce(_ unionByName _).orderBy($"version", $"o_custkey")
+  }
+  private val v20Sql =
+    """WITH t0 AS (
+         SELECT o_custkey, round(sum(o_totalprice), 2) AS spend,
+           count(*) AS n_orders
+         FROM orders WHERE year(o_orderdate) <= 1997 GROUP BY 1),
+       ranked AS (
+         SELECT o_custkey, spend, n_orders, del,
+           row_number() OVER (ORDER BY spend DESC, o_custkey) AS rk
+         FROM (
+           SELECT o_custkey, round(sum(o_totalprice), 2) AS spend,
+             count(*) AS n_orders,
+             min(o_orderpriority) = '1-URGENT' AS del
+           FROM orders WHERE year(o_orderdate) = 1998 GROUP BY 1)),
+       u1 AS (SELECT * FROM ranked WHERE rk <= 20),
+       u2 AS (SELECT * FROM ranked WHERE rk > 20 AND rk <= 40),
+       s1 AS (
+         SELECT o_custkey, spend, n_orders FROM t0
+         WHERE o_custkey NOT IN (SELECT o_custkey FROM u1)
+         UNION ALL
+         SELECT o_custkey, spend, n_orders FROM u1 WHERE NOT del),
+       s2 AS (
+         SELECT o_custkey, spend, n_orders FROM s1
+         WHERE o_custkey NOT IN (SELECT o_custkey FROM u2)
+         UNION ALL
+         SELECT o_custkey, spend, n_orders FROM u2 WHERE NOT del)
+       SELECT CAST(0 AS BIGINT) AS version, o_custkey, spend, n_orders FROM t0
+       UNION ALL
+       SELECT CAST(1 AS BIGINT), o_custkey, spend, n_orders FROM s1
+       UNION ALL
+       SELECT CAST(2 AS BIGINT), o_custkey, spend, n_orders FROM s2
+       ORDER BY version, o_custkey"""
+
   val queries: Map[String, QueryFn] = Map(
+    "v20_time_travel" -> v20 _,
     "v19_merge_parquet" -> v19 _,
     "v18_quality_constraints" -> v18 _,
     "v17_compaction_plan" -> v17 _,
@@ -737,6 +820,7 @@ object Advanced extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "v20_time_travel" -> v20Sql,
     "v19_merge_parquet" -> v19Sql,
     "v18_quality_constraints" -> v18Sql,
     "v17_compaction_plan" -> v17Sql,

@@ -964,7 +964,91 @@ object Eventing extends QueryModule {
          abs(z) > 2.0 AS is_anomaly
        FROM scored ORDER BY user_id, event_id"""
 
+  /** e26 — streaming CDC MERGE into the versioned table: the events
+    * table staged as three CHRONOLOGICAL slices (days 1-10 / 11-20 /
+    * 21+ of the corpus month, ascending mtimes, one micro-batch each),
+    * and every micro-batch foreachBatch-merges its per-user LAST event
+    * (argmax by ts then event_id — the v03 struct-max shape) into a
+    * `VersionedTable`, tombstoning users whose latest event is an
+    * `error`. This is the standard production shape for maintaining a
+    * serving table from an event log — readStream → foreachBatch →
+    * MERGE — and the output is the FINAL DURABLE TABLE read back, so
+    * the oracle (global per-user argmax over the batch table, errors
+    * excluded) certifies stream → merge → storage end-to-end: three
+    * manifest commits, replace/insert/tombstone per batch, and that
+    * sequential batch merges of time-ordered slices compose to the
+    * global last-state. Correctness of the composition needs only the
+    * slices' ts-disjointness: the last slice containing a user carries
+    * that user's global-latest event, and later merges never touch the
+    * user. Scale: each batch's update set is user-dimension-sized
+    * (map-side argmax partial agg), and each merge rewrites only the
+    * touched key-hash buckets. */
+  private def e26(s: SparkSession, d: String): DataFrame = {
+    val prefix = "e26"
+    val ev = graft.sources.Tables.events(s, d)
+    val schema = ev.schema // restaged through Spark → normalized layout
+    val stage = java.nio.file.Files.createTempDirectory(s"graft_${prefix}_src")
+    Seq(("aa_d01", dayofmonth(col("ts")) <= 10, 0L),
+        ("ab_d11", dayofmonth(col("ts")) > 10 && dayofmonth(col("ts")) <= 20, 5000L),
+        ("ac_d21", dayofmonth(col("ts")) > 20, 10000L)).foreach {
+      case (fname, pred, mtimeOff) =>
+        val side = java.nio.file.Files.createTempDirectory(s"graft_${prefix}_split")
+        ev.filter(pred).coalesce(1).write.mode("overwrite").parquet(side.toString)
+        val part = side.toFile.listFiles()
+          .find(_.getName.endsWith(".parquet"))
+          .getOrElse(sys.error("cdc split write produced no parquet part"))
+        val target = stage.resolve(s"$fname.parquet")
+        java.nio.file.Files.move(part.toPath, target)
+        java.nio.file.Files.setLastModifiedTime(target,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() + mtimeOff))
+        graft.util.Scratch.deleteRecursively(side.toFile)
+    }
+    val table = graft.util.Scratch.dir(
+      s"${prefix}_vtab_${streamRunId.incrementAndGet()}")
+    val ckpt = java.nio.file.Files.createTempDirectory(s"graft_${prefix}_ckpt").toString
+    val ns = s.newSession()
+    ns.conf.set("spark.sql.shuffle.partitions", "8")
+    // explicit function VAL picks the Scala foreachBatch overload (the
+    // (DataFrame, Long) => Unit vs VoidFunction2 ambiguity)
+    val applyBatch: (DataFrame, Long) => Unit = (batch, _) => {
+      val upd = batch.groupBy(col("user_id"))
+        .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+          col("value"))).as("last"))
+        .select(col("user_id"),
+          col("last.ts").as("last_ts"),
+          col("last.event_id").as("last_event_id"),
+          col("last.event_type").as("last_type"),
+          col("last.value").as("last_value"))
+        .withColumn("del", col("last_type") === "error")
+      graft.sources.VersionedTable.merge(batch.sparkSession, table, upd,
+        Seq("user_id"), Some("del"), numBuckets = 16)
+      ()
+    }
+    val q = ns.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stage.toString)
+      .transform(graft.sources.Tables.normalizeTs)
+      .writeStream
+      .foreachBatch(applyBatch)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.sources.VersionedTable.read(s, table).orderBy(col("user_id"))
+  }
+
+  private val e26Sql =
+    """SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+         event_type AS last_type, value AS last_value
+       FROM (SELECT *, row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+             FROM events)
+       WHERE rn = 1 AND event_type <> 'error'
+       ORDER BY user_id"""
+
   val queries: Map[String, QueryFn] = Map(
+    "e26_stream_cdc_merge" -> e26 _,
     "e25_stream_anomaly" -> e25 _,
     "e24_update_mode" -> e24 _,
     "e23_jdbc_serving" -> e23 _,
@@ -993,6 +1077,7 @@ object Eventing extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "e26_stream_cdc_merge" -> e26Sql,
     "e25_stream_anomaly" -> e25Sql,
     "e24_update_mode" -> e24Sql,
     "e23_jdbc_serving" -> e23Sql,

@@ -1,0 +1,276 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** A minimal versioned copy-on-write table on parquet: `mergeParquet`'s
+  * key-scoped MERGE (Sources.scala) generalized from "one durable
+  * state" to an append-only MANIFEST LOG with snapshot (time-travel)
+  * reads and vacuum — the durability contract the reference's
+  * update-then-insert load (mainTesting.py:130-149, 693-761) implies,
+  * completed with the audit/rollback half that a real warehouse needs.
+  *
+  * Layout:
+  * {{{
+  *   table/
+  *     _log/00000000.json     one manifest per committed version
+  *     d00000000_ab12cd34/    immutable commit dir, kb=<bucket>/part-*
+  *     d00000001_9f00e1c2/
+  * }}}
+  *
+  * Every data directory is written exactly once and never modified; a
+  * manifest maps each key-hash bucket (`kb = pmod(xxhash64(keys), B)`,
+  * the same bucketing as `mergeParquet`) to the ONE commit dir that
+  * owns its current rows. A merge therefore:
+  *   1. reads only the affected buckets (manifest-driven file pruning
+  *      plus kb partition pruning inside each commit dir),
+  *   2. writes survivors ∪ upserts for those buckets to a NEW dir,
+  *   3. commits a manifest whose owner map points the affected buckets
+  *      at the new dir and every other bucket wherever it already was.
+  * A merge of a 1k-row batch into a 100 TB table moves ~min(1k, B)
+  * buckets of data and one tiny JSON — never the table — and readers
+  * of any existing version are untouched (their files are immutable).
+  *
+  * Commit atomicity is create-with-overwrite=false on the manifest
+  * path — the same put-if-absent primitive Delta's log relies on.
+  * Single writer per table (two racing writers fail loudly on the
+  * manifest create, and the loser's orphan data dir is swept by the
+  * next vacuum). Readers resolve a version by reading one small JSON;
+  * a reader pinned to version v keeps working through any number of
+  * later merges, and through vacuum as long as v is retained.
+  *
+  * Deliberately NOT here (use Delta/Iceberg when these matter):
+  * concurrent-writer conflict resolution, file-level column stats,
+  * schema enforcement beyond union-by-name widening, streaming CDF.
+  * The semantics a user of this engine needs — snapshot isolation,
+  * time travel, key-scoped merge cost, vacuum — are all present and
+  * spec'd (VersionedTableSpec), and v20 puts the whole lifecycle
+  * under the DuckDB oracle gate.
+  */
+object VersionedTable {
+  /** Bucket column name — an internal layout column, never part of the
+    * user schema (reads drop it; updates must not carry it). */
+  val KB = "kb"
+  private val LOG = "_log"
+
+  final case class Snapshot(version: Long, numBuckets: Int,
+      keyCols: Seq[String], schema: StructType, owners: Map[Int, String])
+
+  private def fsOf(spark: SparkSession, path: String): (FileSystem, HPath) = {
+    val p = new HPath(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def manifestPath(root: HPath, v: Long): HPath =
+    new HPath(new HPath(root, LOG), f"$v%08d.json")
+
+  /** Committed versions, ascending (vacuumed versions are absent). */
+  def versions(spark: SparkSession, path: String): Seq[Long] = {
+    val (fs, root) = fsOf(spark, path)
+    val log = new HPath(root, LOG)
+    if (!fs.exists(log)) Seq.empty
+    else fs.listStatus(log).toSeq.map(_.getPath.getName)
+      .filter(_.endsWith(".json"))
+      .map(_.stripSuffix(".json").toLong).sorted
+  }
+
+  def snapshot(spark: SparkSession, path: String,
+      asOf: Option[Long] = None): Snapshot = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no versioned table at $path (no $LOG/ manifests)")
+    val v = asOf.getOrElse(vs.max)
+    require(vs.contains(v),
+      s"version $v of $path does not exist (available: ${vs.mkString(", ")}" +
+        " — a vacuumed version is gone for good)")
+    val (fs, root) = fsOf(spark, path)
+    val in = fs.open(manifestPath(root, v))
+    val bytes =
+      try { val o = new java.io.ByteArrayOutputStream(); in.transferTo(o); o.toByteArray }
+      finally in.close()
+    val m = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bytes)
+    require(m != null && m.has("owners"),
+      s"manifest for version $v of $path is unreadable — a crashed commit; " +
+        "delete the manifest file to roll back to the previous version")
+    val owners = {
+      val it = m.get("owners").fields()
+      val b = Map.newBuilder[Int, String]
+      while (it.hasNext) { val e = it.next(); b += (e.getKey.toInt -> e.getValue.asText()) }
+      b.result()
+    }
+    val keys = {
+      val a = m.get("keyCols")
+      (0 until a.size()).map(a.get(_).asText())
+    }
+    Snapshot(m.get("version").asLong(), m.get("numBuckets").asInt(), keys,
+      DataType.fromJson(m.get("schema").asText()).asInstanceOf[StructType], owners)
+  }
+
+  /** Read the table as of `asOf` (latest when None). The result drops
+    * the internal bucket column; one scan per live commit dir, pruned
+    * to the buckets that dir still owns. */
+  def read(spark: SparkSession, path: String,
+      asOf: Option[Long] = None): DataFrame =
+    readBuckets(spark, path, snapshot(spark, path, asOf), None)
+
+  private def readBuckets(spark: SparkSession, path: String, sn: Snapshot,
+      buckets: Option[Set[Int]]): DataFrame = {
+    val byDir = sn.owners.toSeq
+      .filter { case (b, _) => buckets.forall(_.contains(b)) }
+      .groupMap(_._2)(_._1)
+    if (byDir.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sn.schema)
+    else byDir.toSeq.sortBy(_._1).map { case (dir, bs) =>
+      // kb is a directory-partition column inside each commit dir, so
+      // the isin prunes at file listing; select(schema columns) rather
+      // than drop(KB) so every branch aligns for the union even across
+      // schema-widening commits
+      spark.read.parquet(s"$path/$dir")
+        .filter(col(KB).isin(bs.map(Int.box).toIndexedSeq: _*))
+        .drop(KB)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  private def listBuckets(fs: FileSystem, dir: HPath): Seq[Int] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith(s"$KB=")).map(_.stripPrefix(s"$KB=").toInt)
+
+  private def writeManifest(fs: FileSystem, root: HPath, v: Long,
+      numBuckets: Int, keyCols: Seq[String], schema: StructType,
+      owners: Map[Int, String]): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.createObjectNode()
+    node.put("version", v)
+    node.put("numBuckets", numBuckets)
+    val ka = node.putArray("keyCols")
+    keyCols.foreach(ka.add)
+    node.put("schema", schema.json)
+    val on = node.putObject("owners")
+    owners.toSeq.sortBy(_._1).foreach { case (b, d) => on.put(b.toString, d) }
+    fs.mkdirs(new HPath(root, LOG))
+    // overwrite=false IS the commit: a concurrent writer (or a re-run
+    // of a crashed one) fails here, before any reader can see v
+    val out = fs.create(manifestPath(root, v), false)
+    try out.write(mapper.writeValueAsBytes(node)) finally out.close()
+  }
+
+  /** Key-scoped MERGE committing a NEW version; returns it. Matched
+    * keys are replaced, unmatched update rows insert, tombstoned keys
+    * (`deleteCol` true) are removed; all other rows' files are not
+    * even read. Contracts (all checked loudly, same as `mergeParquet`):
+    * update keys unique and non-null within the batch; no `kb` column
+    * in the updates; `numBuckets`/`keyCols` fixed at table creation;
+    * single writer. The updates DataFrame is evaluated more than once
+    * (bucket collect + write), so it must be deterministic. */
+  def merge(spark: SparkSession, path: String, updates: DataFrame,
+      keyCols: Seq[String], deleteCol: Option[String] = None,
+      numBuckets: Int = 64): Long = {
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    require(numBuckets > 0, "numBuckets must be positive")
+    require(!updates.columns.contains(KB),
+      s"updates must not carry a '$KB' column — it is the table's bucket key")
+    deleteCol.foreach(c => require(updates.columns.contains(c),
+      s"deleteCol '$c' not in updates schema ${updates.columns.mkString(",")}"))
+    val bucket =
+      pmod(xxhash64(keyCols.map(col): _*), lit(numBuckets.toLong)).cast("int")
+    val bad = updates.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1 || keyCols.map(col(_).isNull).reduce(_ || _))
+      .limit(1).collect()
+    require(bad.isEmpty,
+      s"merge: null or duplicate key ${bad.headOption.getOrElse("")} in the " +
+        s"update batch for (${keyCols.mkString(",")}) — keys must be unique " +
+        "and non-null; compact a versioned log first (the v16 struct-max shape)")
+    val dataCols = updates.columns.filterNot(c => deleteCol.contains(c)).toSeq
+    val upserts = deleteCol
+      .map(c => updates.filter(!coalesce(col(c), lit(false))))
+      .getOrElse(updates)
+      .select(dataCols.map(col): _*)
+    val (fs, root) = fsOf(spark, path)
+    val vs = versions(spark, path)
+    val v = if (vs.isEmpty) 0L else {
+      val sn = snapshot(spark, path, None)
+      require(sn.numBuckets == numBuckets,
+        s"table $path was created with numBuckets=${sn.numBuckets}, " +
+          s"merge called with $numBuckets — bucketing is fixed at creation")
+      require(sn.keyCols == keyCols,
+        s"table $path is keyed by (${sn.keyCols.mkString(",")}), " +
+          s"merge called with (${keyCols.mkString(",")})")
+      sn.version + 1
+    }
+    val dir = f"d$v%08d_" + java.util.UUID.randomUUID().toString.take(8)
+    val (merged, owners) =
+      if (vs.isEmpty) (upserts, Map.empty[Int, String])
+      else {
+        val sn = snapshot(spark, path, None)
+        val affected = updates.select(bucket.as(KB)).distinct()
+          .collect().map(_.getInt(0)).toSet // <= numBuckets ints on the driver
+        if (affected.isEmpty) return sn.version // empty batch: no-op
+        val cur = readBuckets(spark, path, sn, Some(affected))
+        val survivors =
+          cur.join(updates.select(keyCols.map(col): _*), keyCols, "left_anti")
+        (survivors.unionByName(upserts, allowMissingColumns = true),
+          sn.owners -- affected)
+      }
+    // mode("error"): the dir is version-unique, anything there is a bug
+    merged.withColumn(KB, bucket)
+      .write.mode("error").partitionBy(KB).parquet(s"$path/$dir")
+    val staged = listBuckets(fs, new HPath(root, dir))
+    writeManifest(fs, root, v, numBuckets, keyCols,
+      merged.schema, owners ++ staged.map(_ -> dir))
+    v
+  }
+
+  /** Rewrite every live bucket into ONE new commit dir and commit the
+    * result as a new version — the defrag counterpart of merge. After
+    * N merges a snapshot's read fans out to up to N commit dirs (one
+    * union branch each); compact returns that to one scan without
+    * changing content (asserted row-identical in VersionedTableSpec).
+    * Earlier versions keep reading their old dirs until vacuumed, so
+    * compaction is as non-disruptive as any other commit. This is the
+    * whole-table generalization of v17's small-file compaction
+    * PLANNING: here the rewrite actually runs, under the same
+    * immutable-commit contract as merge. */
+  def compact(spark: SparkSession, path: String): Long = {
+    val sn = snapshot(spark, path, None)
+    val v = sn.version + 1
+    val dir = f"d$v%08d_" + java.util.UUID.randomUUID().toString.take(8)
+    val bucket = pmod(xxhash64(sn.keyCols.map(col): _*),
+      lit(sn.numBuckets.toLong)).cast("int")
+    val cur = readBuckets(spark, path, sn, None)
+    val (fs, root) = fsOf(spark, path)
+    cur.withColumn(KB, bucket)
+      .write.mode("error").partitionBy(KB).parquet(s"$path/$dir")
+    val staged = listBuckets(fs, new HPath(root, dir))
+    writeManifest(fs, root, v, sn.numBuckets, sn.keyCols, cur.schema,
+      staged.map(_ -> dir).toMap)
+    v
+  }
+
+  /** Drop all but the newest `retainLast` versions and delete every
+    * data directory no retained manifest references; returns the
+    * removed directory names. Manifests go first, then data — a crash
+    * in between leaves unreferenced dirs that the next vacuum sweeps.
+    * A reader pinned to a vacuumed version fails loudly at `snapshot`
+    * (and a long-lived DataFrame over vacuumed files fails at scan —
+    * the standard time-travel retention trade, same as Delta VACUUM). */
+  def vacuum(spark: SparkSession, path: String,
+      retainLast: Int = 1): Seq[String] = {
+    require(retainLast >= 1, "must retain at least the current version")
+    val (fs, root) = fsOf(spark, path)
+    val vs = versions(spark, path)
+    val kept = vs.takeRight(retainLast)
+    val referenced = kept
+      .flatMap(v => snapshot(spark, path, Some(v)).owners.values).toSet
+    vs.dropRight(retainLast)
+      .foreach(v => fs.delete(manifestPath(root, v), false))
+    val removable = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName != LOG)
+      .map(_.getPath.getName)
+      .filterNot(referenced)
+    removable.foreach(d => fs.delete(new HPath(root, d), true))
+    removable.sorted
+  }
+}

@@ -1,0 +1,199 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.VersionedTable
+
+/** Lifecycle laws for the versioned copy-on-write table (time travel,
+  * snapshot isolation, vacuum, single-writer commit). The end-to-end
+  * merge arithmetic itself is oracle-gated by v20; these specs pin the
+  * storage semantics the oracle can't see. */
+class VersionedTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(name: String): String = {
+    val d = graft.util.Scratch.dir(s"vtab_spec_$name")
+    graft.util.Scratch.deleteRecursively(new java.io.File(d))
+    d
+  }
+
+  private def state(path: String, asOf: Option[Long] = None): Set[(Long, String)] =
+    VersionedTable.read(spark, path, asOf)
+      .select($"k", $"v").as[(Long, String)].collect().toSet
+
+  test("merge lifecycle: insert, replace, delete, insert — and every version stays readable") {
+    val dir = freshDir("lifecycle")
+    val v0 = VersionedTable.merge(spark, dir,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), Seq("k"), numBuckets = 4)
+    assert(v0 === 0L)
+    val v1 = VersionedTable.merge(spark, dir,
+      Seq((2L, "B", false), (3L, "", true), (4L, "d", false))
+        .toDF("k", "v", "del"),
+      Seq("k"), deleteCol = Some("del"), numBuckets = 4)
+    assert(v1 === 1L)
+    assert(VersionedTable.versions(spark, dir) === Seq(0L, 1L))
+    // snapshot isolation: version 0 is byte-identical after the merge
+    assert(state(dir, Some(0L)) === Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(state(dir, Some(1L)) === Set((1L, "a"), (2L, "B"), (4L, "d")))
+    assert(state(dir) === state(dir, Some(1L)))
+  }
+
+  test("re-merging the same batch commits a new version with identical content") {
+    val dir = freshDir("remerge")
+    val batch0 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val batch1 = Seq((2L, "B", false), (1L, "", true)).toDF("k", "v", "del")
+    VersionedTable.merge(spark, dir, batch0, Seq("k"), numBuckets = 4)
+    VersionedTable.merge(spark, dir, batch1, Seq("k"), Some("del"), numBuckets = 4)
+    VersionedTable.merge(spark, dir, batch1, Seq("k"), Some("del"), numBuckets = 4)
+    assert(state(dir, Some(1L)) === Set((2L, "B")))
+    assert(state(dir, Some(2L)) === state(dir, Some(1L)))
+  }
+
+  test("a bucket emptied by deletes loses its owner and never resurrects old rows") {
+    val dir = freshDir("emptied")
+    // numBuckets=1: every key in one bucket, so deleting all keys
+    // empties the only bucket
+    VersionedTable.merge(spark, dir,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), Seq("k"), numBuckets = 1)
+    VersionedTable.merge(spark, dir,
+      Seq((1L, "", true), (2L, "", true)).toDF("k", "v", "del"),
+      Seq("k"), Some("del"), numBuckets = 1)
+    assert(state(dir) === Set.empty)
+    // and the empty state still carries the schema (read doesn't blow up)
+    assert(VersionedTable.read(spark, dir).columns.toSeq === Seq("k", "v"))
+    // inserting again works on top of the empty state
+    VersionedTable.merge(spark, dir,
+      Seq((9L, "z")).toDF("k", "v"), Seq("k"), numBuckets = 1)
+    assert(state(dir) === Set((9L, "z")))
+  }
+
+  test("schema widening: later commits may add columns; old versions keep their schema") {
+    val dir = freshDir("widen")
+    VersionedTable.merge(spark, dir,
+      Seq((1L, "a")).toDF("k", "v"), Seq("k"), numBuckets = 2)
+    VersionedTable.merge(spark, dir,
+      Seq((2L, "b", 7L)).toDF("k", "v", "extra"), Seq("k"), numBuckets = 2)
+    assert(VersionedTable.read(spark, dir, Some(0L)).columns.toSeq === Seq("k", "v"))
+    val latest = VersionedTable.read(spark, dir)
+      .select($"k", $"v", $"extra").as[(Long, String, Option[Long])]
+      .collect().toSet
+    assert(latest === Set((1L, "a", None), (2L, "b", Some(7L))))
+  }
+
+  test("vacuum drops old versions and their unreferenced data dirs; retained reads survive") {
+    val dir = freshDir("vacuum")
+    VersionedTable.merge(spark, dir, Seq((1L, "a")).toDF("k", "v"), Seq("k"), numBuckets = 1)
+    VersionedTable.merge(spark, dir, Seq((1L, "b", false)).toDF("k", "v", "del"),
+      Seq("k"), Some("del"), numBuckets = 1)
+    VersionedTable.merge(spark, dir, Seq((1L, "c", false)).toDF("k", "v", "del"),
+      Seq("k"), Some("del"), numBuckets = 1)
+    val removed = VersionedTable.vacuum(spark, dir, retainLast = 1)
+    // v0's and v1's commit dirs are unreferenced by v2 (numBuckets=1 —
+    // each commit rewrote the single bucket)
+    assert(removed.size === 2)
+    assert(VersionedTable.versions(spark, dir) === Seq(2L))
+    assert(state(dir) === Set((1L, "c")))
+    val e = intercept[IllegalArgumentException] { VersionedTable.read(spark, dir, Some(0L)) }
+    assert(e.getMessage.contains("vacuumed"))
+    // data dirs on disk = exactly the referenced one plus _log
+    val left = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(left.count(_ != "_log") === 1)
+  }
+
+  test("vacuum keeps a dir still referenced by an older RETAINED version") {
+    val dir = freshDir("vacuum_shared")
+    // bucket 0 and bucket 1 written at v0; v1 touches only one bucket,
+    // so v0's dir is still referenced by v1's manifest and must survive
+    // a retainLast=1 vacuum
+    VersionedTable.merge(spark, dir,
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v"),
+      Seq("k"), numBuckets = 8)
+    VersionedTable.merge(spark, dir, Seq((1L, "A", false)).toDF("k", "v", "del"),
+      Seq("k"), Some("del"), numBuckets = 8)
+    val removed = VersionedTable.vacuum(spark, dir, retainLast = 1)
+    assert(removed.isEmpty) // v0's dir still owns the untouched buckets
+    assert(state(dir) === Set((1L, "A"), (2L, "b"), (3L, "c"), (4L, "d")))
+  }
+
+  test("contracts fail loudly: duplicate keys, null keys, kb column, bucketing drift, second writer") {
+    val dir = freshDir("contracts")
+    intercept[IllegalArgumentException] {
+      VersionedTable.merge(spark, dir,
+        Seq((1L, "a"), (1L, "b")).toDF("k", "v"), Seq("k"), numBuckets = 4)
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.merge(spark, dir,
+        Seq((Option.empty[Long], "a")).toDF("k", "v"), Seq("k"), numBuckets = 4)
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.merge(spark, dir,
+        Seq((1L, 0)).toDF("k", "kb"), Seq("k"), numBuckets = 4)
+    }
+    VersionedTable.merge(spark, dir, Seq((1L, "a")).toDF("k", "v"), Seq("k"), numBuckets = 4)
+    intercept[IllegalArgumentException] {
+      VersionedTable.merge(spark, dir, Seq((2L, "b")).toDF("k", "v"), Seq("k"), numBuckets = 8)
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.merge(spark, dir, Seq((2L, "b")).toDF("k", "v"), Seq("v"), numBuckets = 4)
+    }
+    // a second writer racing to the same version: simulate by
+    // pre-creating the next manifest — the merge must fail on the
+    // put-if-absent commit, not silently overwrite
+    val next = new java.io.File(dir, "_log/00000001.json")
+    val w = new java.io.FileWriter(next); w.write("{}"); w.close()
+    intercept[Exception] {
+      VersionedTable.merge(spark, dir, Seq((2L, "b")).toDF("k", "v"), Seq("k"), numBuckets = 4)
+    }
+  }
+
+  test("an empty update batch is a no-op, not a new version") {
+    val dir = freshDir("noop")
+    VersionedTable.merge(spark, dir, Seq((1L, "a")).toDF("k", "v"), Seq("k"), numBuckets = 4)
+    val v = VersionedTable.merge(spark, dir,
+      Seq.empty[(Long, String)].toDF("k", "v"), Seq("k"), numBuckets = 4)
+    assert(v === 0L)
+    assert(VersionedTable.versions(spark, dir) === Seq(0L))
+  }
+
+  test("compact collapses the live snapshot to one commit dir without changing content") {
+    val dir = freshDir("compact")
+    VersionedTable.merge(spark, dir,
+      (1L to 32L).map(i => (i, s"v$i")).toDF("k", "v"), Seq("k"), numBuckets = 8)
+    VersionedTable.merge(spark, dir, Seq((3L, "V3", false), (99L, "new", false))
+      .toDF("k", "v", "del"), Seq("k"), Some("del"), numBuckets = 8)
+    VersionedTable.merge(spark, dir, Seq((7L, "", true)).toDF("k", "v", "del"),
+      Seq("k"), Some("del"), numBuckets = 8)
+    val before = state(dir)
+    assert(VersionedTable.snapshot(spark, dir).owners.values.toSet.size > 1)
+    val v = VersionedTable.compact(spark, dir)
+    assert(v === 3L)
+    assert(state(dir) === before)
+    assert(VersionedTable.snapshot(spark, dir).owners.values.toSet.size === 1)
+    // pre-compaction versions still read until vacuumed; then only the
+    // compacted dir survives on disk
+    assert(state(dir, Some(1L)).contains((3L, "V3")))
+    VersionedTable.vacuum(spark, dir, retainLast = 1)
+    val left = new java.io.File(dir).listFiles().map(_.getName).filter(_ != "_log")
+    assert(left.length === 1)
+    assert(state(dir) === before)
+  }
+
+  test("merge reads only the affected buckets (manifest-level pruning)") {
+    val dir = freshDir("pruning")
+    VersionedTable.merge(spark, dir,
+      (1L to 64L).map(i => (i, s"v$i")).toDF("k", "v"), Seq("k"), numBuckets = 16)
+    // one-key update: the staged commit dir must contain exactly the
+    // key's bucket — proof the rewrite was scoped to it
+    VersionedTable.merge(spark, dir, Seq((7L, "V7", false)).toDF("k", "v", "del"),
+      Seq("k"), Some("del"), numBuckets = 16)
+    val sn = VersionedTable.snapshot(spark, dir)
+    val newDir = sn.owners.values.toSet
+      .find(_.startsWith("d00000001_")).get
+    val staged = new java.io.File(s"$dir/$newDir").listFiles()
+      .map(_.getName).filter(_.startsWith("kb=")).toSeq
+    assert(staged.size === 1)
+    // and the merged state is intact
+    val got = VersionedTable.read(spark, dir)
+      .select($"k", $"v").as[(Long, String)].collect().toMap
+    assert(got(7L) === "V7" && got(8L) === "v8" && got.size === 64)
+  }
+}
