@@ -433,22 +433,42 @@ object Similarity extends QueryModule {
     * within cosine >= 0.4 (keep-lowest-id, the d01/d07 representative
     * discipline). Output: per-cluster members, drops, and drop rate.
     *
-    * Scale notes: the in-cluster self-join keys on the cluster id, so
-    * one cluster's pairs land in one task's hash partition — a skewed
-    * (oversized) cluster is the known failure mode; remedies are more
-    * centroids or AQE skew-split (x08/ScaleOps discipline). The
-    * assignment table is persisted: it feeds both join sides and the
-    * member rollup, and Spark does not share self-join subplans. */
+    * Scale notes: a bare self-join keyed on the cluster id alone puts
+    * one cluster's whole pair space in ONE task's hash partition — with
+    * k=8 clusters the job runs 8 tasks no matter how many cores exist
+    * (measured: 12 s wall on 76 s CPU at sf1). AQE's skew split can't
+    * help: its trigger is partition BYTES, and these partitions are
+    * byte-small but compute-quadratic. So the pair space is tiled
+    * deterministically: members hash into B=8 blocks (pmod(vec_id, B)),
+    * and the join keys on (cl, bi, bj) over the B(B+1)/2 ordered block
+    * pairs — each row replicated B+1 times total across the two sides
+    * (row in block b serves as the left of pairs (b, b..B-1) and the
+    * right of (0..b, b)), giving 8·36 = 288 independent join cells.
+    * The tiling is result-invariant for any B: a cross-block pair
+    * appears in exactly one cell, a same-block pair once under the
+    * ia<ib filter, and the dropped member is greatest(ia, ib) either
+    * way. At 100 TB, B grows with the per-cluster population so each
+    * cell stays task-sized — the same knob the scaladoc's k (more
+    * centroids) turns, but without re-clustering. The assignment table
+    * is persisted: it feeds both join sides and the member rollup, and
+    * Spark does not share self-join subplans. */
   private def s12(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    val B = 8
     val a2 = swapPersist("s12a",
-      kmeansAssignments(s, d).select($"vec_id", $"v", $"cl"))
-    val dropped = a2.select($"cl", $"vec_id".as("ia"), $"v".as("va"))
-      .join(a2.select($"cl", $"vec_id".as("ib"), $"v".as("vb")), Seq("cl"))
-      .filter($"ia" < $"ib")
+      kmeansAssignments(s, d).select($"vec_id", $"v", $"cl")
+        .withColumn("blk", pmod($"vec_id", lit(B)).cast("int")))
+    val aSide = a2
+      .withColumn("bj", explode(sequence($"blk", lit(B - 1))))
+      .select($"cl", $"blk".as("bi"), $"bj", $"vec_id".as("ia"), $"v".as("va"))
+    val bSide = a2
+      .withColumn("bi", explode(sequence(lit(0), $"blk")))
+      .select($"cl", $"bi", $"blk".as("bj"), $"vec_id".as("ib"), $"v".as("vb"))
+    val dropped = aSide.join(bSide, Seq("cl", "bi", "bj"))
+      .filter($"bi" < $"bj" || $"ia" < $"ib")
       .withColumn("cos", graft.functions.CosineSimilarity.cosineSim($"va", $"vb"))
       .filter(round($"cos", 6) >= 0.4)
-      .select($"cl", $"ib").distinct()
+      .select($"cl", greatest($"ia", $"ib").as("ib")).distinct()
       .groupBy($"cl").agg(count(lit(1)).as("n_dropped"))
     a2.groupBy($"cl").agg(count(lit(1)).as("n_members"))
       .join(dropped, Seq("cl"), "left")
