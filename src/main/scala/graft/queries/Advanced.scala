@@ -796,7 +796,127 @@ object Advanced extends QueryModule {
        SELECT CAST(2 AS BIGINT), o_custkey, spend, n_orders FROM s2
        ORDER BY version, o_custkey"""
 
+  /** v21 — versioned-table CHANGE FEED + RESTORE under the oracle
+    * gate: the v20 lifecycle (base load, two 20-key correction merges)
+    * plus an O(manifest) `restore(0)` rollback, with
+    * `VersionedTable.changes` replayed across every consecutive
+    * version pair. Step 1/2 certify the feed over real merges (inserts,
+    * replacements, tombstones); step 3 diffs ACROSS the restore commit
+    * and must equal the exact inverse of the cumulative corrections —
+    * which certifies restore's owner-map rollback through the same
+    * relational oracle (it recomputes each diff from the raw tables
+    * with full-outer key logic; IS DISTINCT FROM mirrors the engine's
+    * null-safe struct comparison). Scale: each feed reads only the
+    * buckets whose owner changed between the two manifests — ≤ the
+    * merge's key count, never the table — and the restore moved zero
+    * bytes. Updated keys emit update_pre + update_post (the Delta CDF
+    * shape), so a downstream consumer can replay either side. */
+  private def v21(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = graft.util.Scratch.dir(
+      "v21_cdf_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+    graft.util.Scratch.deleteRecursively(new java.io.File(dir))
+    val ord = Tables.orders(s, d)
+    val t0 = ord.filter(year($"o_orderdate") <= 1997)
+      .groupBy($"o_custkey")
+      .agg(round(sum($"o_totalprice"), 2).as("spend"),
+        count(lit(1)).as("n_orders"))
+    val top40 = ord.filter(year($"o_orderdate") === 1998)
+      .groupBy($"o_custkey")
+      .agg(round(sum($"o_totalprice"), 2).as("spend"),
+        count(lit(1)).as("n_orders"),
+        (min($"o_orderpriority") === "1-URGENT").as("del"))
+      .orderBy($"spend".desc, $"o_custkey").limit(40)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy($"spend".desc, $"o_custkey")))
+    graft.sources.VersionedTable.merge(s, dir, t0, Seq("o_custkey"))
+    graft.sources.VersionedTable.merge(s, dir,
+      top40.filter($"rk" <= 20).drop("rk"), Seq("o_custkey"), Some("del"))
+    graft.sources.VersionedTable.merge(s, dir,
+      top40.filter($"rk" > 20).drop("rk"), Seq("o_custkey"), Some("del"))
+    graft.sources.VersionedTable.restore(s, dir, 0L) // commits version 3
+    (0 until 3).map { i =>
+      graft.sources.VersionedTable.changes(s, dir, i.toLong, i + 1L)
+        .withColumn("step", lit(i + 1))
+    }.reduce(_ unionByName _)
+      .select($"step", $"change", $"o_custkey", $"spend", $"n_orders")
+      .orderBy($"step", $"o_custkey", $"change")
+  }
+  private val v21Sql =
+    """WITH t0 AS (
+         SELECT o_custkey, round(sum(o_totalprice), 2) AS spend,
+           count(*) AS n_orders
+         FROM orders WHERE year(o_orderdate) <= 1997 GROUP BY 1),
+       ranked AS (
+         SELECT o_custkey, spend, n_orders, del,
+           row_number() OVER (ORDER BY spend DESC, o_custkey) AS rk
+         FROM (
+           SELECT o_custkey, round(sum(o_totalprice), 2) AS spend,
+             count(*) AS n_orders,
+             min(o_orderpriority) = '1-URGENT' AS del
+           FROM orders WHERE year(o_orderdate) = 1998 GROUP BY 1)),
+       u1 AS (SELECT * FROM ranked WHERE rk <= 20),
+       u2 AS (SELECT * FROM ranked WHERE rk > 20 AND rk <= 40),
+       s1 AS (
+         SELECT o_custkey, spend, n_orders FROM t0
+         WHERE o_custkey NOT IN (SELECT o_custkey FROM u1)
+         UNION ALL
+         SELECT o_custkey, spend, n_orders FROM u1 WHERE NOT del),
+       s2 AS (
+         SELECT o_custkey, spend, n_orders FROM s1
+         WHERE o_custkey NOT IN (SELECT o_custkey FROM u2)
+         UNION ALL
+         SELECT o_custkey, spend, n_orders FROM u2 WHERE NOT del),
+       d1 AS (
+         SELECT 1 AS step, 'insert' AS change, b.* FROM s1 b
+         WHERE b.o_custkey NOT IN (SELECT o_custkey FROM t0)
+         UNION ALL
+         SELECT 1, 'delete', a.* FROM t0 a
+         WHERE a.o_custkey NOT IN (SELECT o_custkey FROM s1)
+         UNION ALL
+         SELECT 1, 'update_pre', a.* FROM t0 a JOIN s1 b USING (o_custkey)
+         WHERE a.spend IS DISTINCT FROM b.spend
+            OR a.n_orders IS DISTINCT FROM b.n_orders
+         UNION ALL
+         SELECT 1, 'update_post', b.* FROM t0 a JOIN s1 b USING (o_custkey)
+         WHERE a.spend IS DISTINCT FROM b.spend
+            OR a.n_orders IS DISTINCT FROM b.n_orders),
+       d2 AS (
+         SELECT 2 AS step, 'insert' AS change, b.* FROM s2 b
+         WHERE b.o_custkey NOT IN (SELECT o_custkey FROM s1)
+         UNION ALL
+         SELECT 2, 'delete', a.* FROM s1 a
+         WHERE a.o_custkey NOT IN (SELECT o_custkey FROM s2)
+         UNION ALL
+         SELECT 2, 'update_pre', a.* FROM s1 a JOIN s2 b USING (o_custkey)
+         WHERE a.spend IS DISTINCT FROM b.spend
+            OR a.n_orders IS DISTINCT FROM b.n_orders
+         UNION ALL
+         SELECT 2, 'update_post', b.* FROM s1 a JOIN s2 b USING (o_custkey)
+         WHERE a.spend IS DISTINCT FROM b.spend
+            OR a.n_orders IS DISTINCT FROM b.n_orders),
+       d3 AS (
+         SELECT 3 AS step, 'insert' AS change, b.* FROM t0 b
+         WHERE b.o_custkey NOT IN (SELECT o_custkey FROM s2)
+         UNION ALL
+         SELECT 3, 'delete', a.* FROM s2 a
+         WHERE a.o_custkey NOT IN (SELECT o_custkey FROM t0)
+         UNION ALL
+         SELECT 3, 'update_pre', a.* FROM s2 a JOIN t0 b USING (o_custkey)
+         WHERE a.spend IS DISTINCT FROM b.spend
+            OR a.n_orders IS DISTINCT FROM b.n_orders
+         UNION ALL
+         SELECT 3, 'update_post', b.* FROM s2 a JOIN t0 b USING (o_custkey)
+         WHERE a.spend IS DISTINCT FROM b.spend
+            OR a.n_orders IS DISTINCT FROM b.n_orders)
+       SELECT step, change, o_custkey, spend, n_orders
+       FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2
+             UNION ALL SELECT * FROM d3)
+       ORDER BY step, o_custkey, change"""
+
   val queries: Map[String, QueryFn] = Map(
+    "v21_change_feed" -> v21 _,
     "v20_time_travel" -> v20 _,
     "v19_merge_parquet" -> v19 _,
     "v18_quality_constraints" -> v18 _,
@@ -820,6 +940,7 @@ object Advanced extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "v21_change_feed" -> v21Sql,
     "v20_time_travel" -> v20Sql,
     "v19_merge_parquet" -> v19Sql,
     "v18_quality_constraints" -> v18Sql,

@@ -223,6 +223,91 @@ object VersionedTable {
     v
   }
 
+  /** Row-level CHANGE FEED between two committed versions — what a
+    * downstream consumer replays to catch up from `fromV` to `toV`
+    * without rescanning the table. Returns one row per inserted or
+    * deleted key and TWO rows per updated key (`update_pre` with the
+    * old values, `update_post` with the new — the Delta CDF shape), a
+    * `change` column first, key columns next, then the union of both
+    * versions' data columns (a column absent at one version reads null
+    * there, matching that version's own snapshot read).
+    *
+    * Scale: the manifest makes the diff cheap — a bucket whose owner
+    * dir is IDENTICAL in both manifests cannot differ (commit dirs are
+    * immutable), so only buckets whose owner changed are read, from
+    * each side, and the full-outer key join runs over those buckets
+    * alone. After a 1k-key merge into a 100 TB table, the change feed
+    * reads ~min(1k, B) buckets twice — never the table. Content-equal
+    * rows inside a rewritten bucket (survivors copied by the merge)
+    * are dropped by a null-safe struct comparison, so the feed is the
+    * TRUE row diff, not "whatever the rewrite touched". A compact
+    * rewrites every bucket, so a feed across it degrades to a full
+    * (still correct, empty) diff — run feeds between data commits, or
+    * from a pre-compaction version, as Delta users do. */
+  def changes(spark: SparkSession, path: String,
+      fromV: Long, toV: Long): DataFrame = {
+    val snF = snapshot(spark, path, Some(fromV))
+    val snT = snapshot(spark, path, Some(toV))
+    val keys = snT.keyCols
+    val changed = (snF.owners.keySet ++ snT.owners.keySet)
+      .filter(b => snF.owners.get(b) != snT.owners.get(b))
+    // union of both versions' data columns; a type change between
+    // versions has no single read schema, so it fails loudly
+    val dataCols = (snF.schema.fields ++ snT.schema.fields)
+      .filterNot(f => keys.contains(f.name))
+      .foldLeft(Vector.empty[(String, DataType)]) { case (acc, f) =>
+        acc.find(_._1 == f.name) match {
+          case Some((_, t0)) =>
+            require(t0 == f.dataType, s"column ${f.name} changed type " +
+              s"$t0 -> ${f.dataType} between versions $fromV and $toV")
+            acc
+          case None => acc :+ (f.name -> f.dataType)
+        }
+      }
+    def side(sn: Snapshot, alias: String): DataFrame = {
+      val df = readBuckets(spark, path, sn, Some(changed))
+      val have = df.columns.toSet
+      val row = struct(dataCols.map { case (n, t) =>
+        (if (have(n)) col(n) else lit(null).cast(t)).as(n) }: _*)
+      df.select(keys.map(col) :+ row.as(alias): _*)
+    }
+    val rowT = StructType(dataCols.map { case (n, t) =>
+      org.apache.spark.sql.types.StructField(n, t) })
+    val joined = side(snF, "pre").join(side(snT, "post"), keys, "full_outer")
+    // explode skips a null array, so unchanged keys emit nothing
+    val cases = when(col("pre").isNull,
+        array(struct(lit("insert").as("change"), col("post").as("row"))))
+      .when(col("post").isNull,
+        array(struct(lit("delete").as("change"), col("pre").as("row"))))
+      .when(!(col("pre") <=> col("post")), array(
+        struct(lit("update_pre").as("change"), col("pre").as("row")),
+        struct(lit("update_post").as("change"), col("post").as("row"))))
+      .otherwise(lit(null).cast(org.apache.spark.sql.types.ArrayType(
+        StructType(Seq(
+          org.apache.spark.sql.types.StructField("change",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("row", rowT))))))
+    joined.select(keys.map(col) :+ explode(cases).as("c"): _*)
+      .select(Seq(col("c.change").as("change")) ++ keys.map(col) ++
+        dataCols.map { case (n, _) => col(s"c.row.$n").as(n) }: _*)
+  }
+
+  /** ROLL BACK to version `v` by committing a new version whose owner
+    * map (and schema) are `v`'s — a pure manifest write, zero data
+    * movement, because every dir `v` referenced is immutable and still
+    * present while `v` is retained. O(1) rollback on a table of any
+    * size; history is preserved (the bad versions stay readable for
+    * forensics until vacuumed), exactly Delta's RESTORE semantics. */
+  def restore(spark: SparkSession, path: String, v: Long): Long = {
+    val target = snapshot(spark, path, Some(v))
+    val cur = snapshot(spark, path, None)
+    val nv = cur.version + 1
+    val (fs, root) = fsOf(spark, path)
+    writeManifest(fs, root, nv, cur.numBuckets, cur.keyCols,
+      target.schema, target.owners)
+    nv
+  }
+
   /** Rewrite every live bucket into ONE new commit dir and commit the
     * result as a new version — the defrag counterpart of merge. After
     * N merges a snapshot's read fans out to up to N commit dirs (one

@@ -177,6 +177,88 @@ class VersionedTableSpec extends SparkSpec {
     assert(state(dir) === before)
   }
 
+  test("change feed classifies inserts/deletes/updates; rewrites without row changes feed nothing") {
+    val dir = freshDir("cdf")
+    VersionedTable.merge(spark, dir,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), Seq("k"), numBuckets = 4)
+    val batch1 = Seq((2L, "B", false), (3L, "", true), (4L, "d", false))
+      .toDF("k", "v", "del")
+    VersionedTable.merge(spark, dir, batch1, Seq("k"), Some("del"), numBuckets = 4)
+    val feed = VersionedTable.changes(spark, dir, 0L, 1L)
+      .select($"change", $"k", $"v").as[(String, Long, String)].collect().toSet
+    // key 1 shares rewritten buckets but its row is content-equal: no feed row
+    assert(feed === Set(
+      ("update_pre", 2L, "b"), ("update_post", 2L, "B"),
+      ("delete", 3L, "c"), ("insert", 4L, "d")))
+    // an identical re-merge rewrites buckets but changes no rows
+    VersionedTable.merge(spark, dir, batch1, Seq("k"), Some("del"), numBuckets = 4)
+    assert(VersionedTable.changes(spark, dir, 1L, 2L).isEmpty)
+    // compact rewrites EVERY bucket; the feed across it is still empty
+    VersionedTable.compact(spark, dir)
+    assert(VersionedTable.changes(spark, dir, 2L, 3L).isEmpty)
+    // and the multi-version feed composes: 0→2 equals 0→1 here
+    val feed02 = VersionedTable.changes(spark, dir, 0L, 2L)
+      .select($"change", $"k", $"v").as[(String, Long, String)].collect().toSet
+    assert(feed02 === feed)
+  }
+
+  test("change feed across a schema-widening commit null-fills the absent column on the old side") {
+    val dir = freshDir("cdf_widen")
+    VersionedTable.merge(spark, dir, Seq((1L, "a")).toDF("k", "v"), Seq("k"), numBuckets = 2)
+    VersionedTable.merge(spark, dir,
+      Seq((1L, "a", 7L)).toDF("k", "v", "extra"), Seq("k"), numBuckets = 2)
+    val feed = VersionedTable.changes(spark, dir, 0L, 1L)
+      .select($"change", $"k", $"v", $"extra")
+      .as[(String, Long, String, Option[Long])].collect().toSet
+    assert(feed === Set(
+      ("update_pre", 1L, "a", None), ("update_post", 1L, "a", Some(7L))))
+  }
+
+  test("restore rolls back by manifest alone: no data dir written, history intact, feed inverts") {
+    val dir = freshDir("restore")
+    VersionedTable.merge(spark, dir,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), Seq("k"), numBuckets = 4)
+    VersionedTable.merge(spark, dir,
+      Seq((1L, "A", false), (2L, "", true), (3L, "c", false)).toDF("k", "v", "del"),
+      Seq("k"), Some("del"), numBuckets = 4)
+    def dataDirs = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_ != "_log").toSet
+    val before = dataDirs
+    val v = VersionedTable.restore(spark, dir, 0L)
+    assert(v === 2L)
+    assert(dataDirs === before) // zero data movement
+    assert(state(dir) === state(dir, Some(0L)))
+    assert(state(dir, Some(1L)) === Set((1L, "A"), (3L, "c"))) // history intact
+    // the feed across the restore is the exact inverse of the 0→1 feed
+    val fwd = VersionedTable.changes(spark, dir, 0L, 1L)
+      .select($"change", $"k", $"v").as[(String, Long, String)].collect().toSet
+    val back = VersionedTable.changes(spark, dir, 1L, 2L)
+      .select($"change", $"k", $"v").as[(String, Long, String)].collect().toSet
+    val inverse = fwd.map {
+      case ("insert", k, x) => ("delete", k, x)
+      case ("delete", k, x) => ("insert", k, x)
+      case ("update_pre", k, x) => ("update_post", k, x)
+      case ("update_post", k, x) => ("update_pre", k, x)
+    }
+    assert(back === inverse)
+    // a vacuum that keeps the restored version keeps its (old) dirs
+    VersionedTable.vacuum(spark, dir, retainLast = 1)
+    assert(state(dir) === Set((1L, "a"), (2L, "b")))
+  }
+
+  test("a type-changed column is rejected at the write boundary, so feeds never see one") {
+    val dir = freshDir("cdf_type")
+    VersionedTable.merge(spark, dir, Seq((1L, 1L)).toDF("k", "v"), Seq("k"), numBuckets = 2)
+    // the survivors ∪ upserts union type-checks at analysis: widening
+    // may ADD columns but never retype one — which is what guarantees
+    // changes()' single read schema exists (its own type require is
+    // defense against hand-edited manifests)
+    intercept[Exception] {
+      VersionedTable.merge(spark, dir, Seq((2L, "s")).toDF("k", "v"), Seq("k"), numBuckets = 2)
+    }
+    assert(VersionedTable.versions(spark, dir) === Seq(0L))
+  }
+
   test("merge reads only the affected buckets (manifest-level pruning)") {
     val dir = freshDir("pruning")
     VersionedTable.merge(spark, dir,
