@@ -28,9 +28,21 @@ object Graph extends QueryModule {
 
   /** Gate-sized deterministic order without orderBy's range-sampling
     * job re-executing the unpersisted DAG (same rationale as
-    * Dedup.sortedSmall). */
+    * Dedup.sortedSmall). For COMPONENT/ROLLUP-sized results only
+    * (g02/g04: one row per community), where one partition is the
+    * right plan at any scale. */
   private def sortedSmall(df: DataFrame, cols: Column*): DataFrame =
     df.repartition(1).sortWithinPartitions(cols: _*)
+
+  /** Deterministic total order for PER-NODE outputs (g01/g05/g06: one
+    * row per node — node-table-sized, which at 100× does NOT fit one
+    * task): a plain orderBy, i.e. a range exchange that spreads the
+    * sort across the cluster (the w09 discipline). The range-sampling
+    * job is affordable here because every input is a persisted
+    * iteration slot or a cheap derivation of one, so sampling re-reads
+    * cache instead of re-running the iteration DAG. */
+  private def sortedWide(df: DataFrame, cols: Column*): DataFrame =
+    df.orderBy(cols: _*)
 
   /** One cached table per slot; the next call under the same slot
     * releases the previous one (Dedup.swapPersist pattern — eager count
@@ -100,7 +112,7 @@ object Graph extends QueryModule {
           .agg(expr("150000 + (85 * sum((r * w) div ow)) div 100").cast("long").as("r")),
         s"g01r${i % 2}")
     }
-    sortedSmall(
+    sortedWide(
       ranks.select(
         when($"node" % 2 === 0, "customer").otherwise("supplier").as("kind"),
         expr("node div 2").as("key"),
@@ -451,7 +463,7 @@ object Graph extends QueryModule {
         s"g05f$i")
       levels += frontier
     }
-    sortedSmall(levels.reduce(_ unionAll _), $"hops", $"node")
+    sortedWide(levels.reduce(_ unionAll _), $"hops", $"node")
   }
   private val g05Sql =
     """WITH pairs AS (
@@ -507,7 +519,7 @@ object Graph extends QueryModule {
     val edges = pairs.select(($"c" * 2).as("src"), ($"sup" * 2 + 1).as("dst"))
     val lab = graft.ext.Dedup.starComponents(edges, $"src", $"dst")
     val sizes = lab.groupBy($"lbl").agg(count(lit(1)).as("n_nodes"))
-    sortedSmall(
+    sortedWide(
       lab.join(sizes, "lbl").select(
         when($"node" % 2 === 0, "customer").otherwise("supplier").as("kind"),
         expr("node div 2").as("key"),
