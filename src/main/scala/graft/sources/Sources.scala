@@ -164,53 +164,82 @@ object Sources {
     deleteCol.foreach(c => require(updates.columns.contains(c),
       s"deleteCol '$c' not in updates schema ${updates.columns.mkString(",")}"))
     val bucket = pmod(xxhash64(keyCols.map(col): _*), lit(numBuckets.toLong)).cast("int")
-    // one batch-sized aggregate validates both contracts (null keys /
-    // duplicate keys) before anything durable moves
-    val bad = updates.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") > 1 || keyCols.map(col(_).isNull).reduce(_ || _))
-      .limit(1).collect()
-    require(bad.isEmpty,
-      s"mergeParquet: null or duplicate key ${bad.headOption.getOrElse("")} in the " +
-        s"update batch for (${keyCols.mkString(",")}) — keys must be unique and " +
-        "non-null; compact a versioned log first (the v16 struct-max shape)")
-    val dataCols = updates.columns.filterNot(c => deleteCol.contains(c)).toSeq
-    val upserts = deleteCol
-      .map(c => updates.filter(!coalesce(col(c), lit(false))))
-      .getOrElse(updates)
-      .select(dataCols.map(col): _*)
-    val hc = spark.sparkContext.hadoopConfiguration
-    val target = new org.apache.hadoop.fs.Path(path)
-    val fs = target.getFileSystem(hc)
-    if (!fs.exists(target) || fs.listStatus(target).isEmpty) {
-      // first load: the whole batch is an insert
-      upserts.withColumn(kb, bucket)
-        .write.mode("overwrite").partitionBy(kb).parquet(path)
-      return
-    }
-    val affected = updates.select(bucket.as(kb)).distinct()
-      .collect().map(_.getInt(0)).sorted // <= numBuckets rows on the driver
-    if (affected.isEmpty) return
-    val cur = spark.read.parquet(path)
-      .filter(col(kb).isin(affected.map(Int.box).toIndexedSeq: _*))
-    val survivors = cur
-      .join(updates.select(keyCols.map(col): _*), keyCols, "left_anti")
-    val merged = survivors.select((dataCols :+ kb).map(col): _*)
-      .unionByName(upserts.withColumn(kb, bucket))
-    val stage = stagingDir.getOrElse(path.stripSuffix("/") + "_staging")
-    merged.write.mode("overwrite").parquet(stage)
-    val staged = spark.read.parquet(stage)
-    val stagedBuckets = staged.select(col(kb)).distinct()
-      .collect().map(_.getInt(0)).toSet
-    staged.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(kb).parquet(path)
-    // buckets the batch emptied entirely: no staged rows → dynamic
-    // overwrite left the old directory — remove it
-    affected.filterNot(stagedBuckets).foreach { b =>
-      fs.delete(new org.apache.hadoop.fs.Path(target, s"$kb=$b"), true)
-    }
-    fs.delete(new org.apache.hadoop.fs.Path(stage), true)
+    // the update plan feeds the contract check, the anti-join, and the
+    // write — persist it so an expensive upstream (typically a fact
+    // aggregate) runs once, not once per consumer
+    val u = updates.persist()
+    try {
+      // ONE batch-sized aggregate validates both contracts (null keys /
+      // duplicate keys) AND collects the affected bucket set, before
+      // anything durable moves; the offending-key lookup re-runs only
+      // on the failure path
+      val stats = u.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("n"))
+        .agg(max(col("n")).as("maxn"),
+          max(keyCols.map(col(_).isNull).reduce(_ || _).cast("int")).as("anynull"),
+          collect_set(bucket).as("bks"))
+        .collect()(0)
+      if (!stats.isNullAt(0) && (stats.getLong(0) > 1 || stats.getInt(1) > 0)) {
+        val bad = u.groupBy(keyCols.map(col): _*)
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1 || keyCols.map(col(_).isNull).reduce(_ || _))
+          .limit(1).collect()
+        throw new IllegalArgumentException(
+          s"mergeParquet: null or duplicate key ${bad.headOption.getOrElse("")} in the " +
+            s"update batch for (${keyCols.mkString(",")}) — keys must be unique and " +
+            "non-null; compact a versioned log first (the v16 struct-max shape)")
+      }
+      val dataCols = u.columns.filterNot(c => deleteCol.contains(c)).toSeq
+      val upserts = deleteCol
+        .map(c => u.filter(!coalesce(col(c), lit(false))))
+        .getOrElse(u)
+        .select(dataCols.map(col): _*)
+      val hc = spark.sparkContext.hadoopConfiguration
+      val target = new org.apache.hadoop.fs.Path(path)
+      val fs = target.getFileSystem(hc)
+      if (!fs.exists(target) || fs.listStatus(target).isEmpty) {
+        // first load: the whole batch is an insert; one file per bucket
+        // (without the pre-write shuffle a B-bucket load from T tasks
+        // writes up to B×T files, taxing every later bucket-pruned read)
+        upserts.withColumn(kb, bucket)
+          .repartition(col(kb))
+          .write.mode("overwrite").partitionBy(kb).parquet(path)
+        return
+      }
+      val affected =
+        (if (stats.isNullAt(2)) Seq.empty[Int] else stats.getSeq[Int](2)).sorted
+      if (affected.isEmpty) return
+      val cur = spark.read.parquet(path)
+        .filter(col(kb).isin(affected.map(Int.box).toIndexedSeq: _*))
+      val survivors = cur
+        .join(u.select(keyCols.map(col): _*), keyCols, "left_anti")
+      val merged = survivors.select((dataCols :+ kb).map(col): _*)
+        .unionByName(upserts.withColumn(kb, bucket))
+      val stage = stagingDir.getOrElse(path.stripSuffix("/") + "_staging")
+      // the staging pass is bucket-partitioned too: the emptied-bucket
+      // set falls out of a directory listing (no extra job), and the
+      // final copy reads a layout identical to the target's
+      merged.repartition(col(kb))
+        .write.mode("overwrite").partitionBy(kb).parquet(stage)
+      val stagePath = new org.apache.hadoop.fs.Path(stage)
+      val stagedBuckets = fs.listStatus(stagePath).toSeq
+        .map(_.getPath.getName).filter(_.startsWith(s"$kb="))
+        .map(_.stripPrefix(s"$kb=").toInt).toSet
+      // a batch that empties EVERY affected bucket stages zero
+      // partitions (nothing to copy — and a partitioned read of an
+      // empty dir cannot even infer a schema); the delete below is the
+      // whole effect then
+      if (stagedBuckets.nonEmpty)
+        spark.read.parquet(stage).write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(kb).parquet(path)
+      // buckets the batch emptied entirely: no staged rows → dynamic
+      // overwrite left the old directory — remove it
+      affected.filterNot(stagedBuckets).foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(target, s"$kb=$b"), true)
+      }
+      fs.delete(stagePath, true)
+    } finally u.unpersist(blocking = false)
   }
 
   /** JDBC row sink with the same key-scoped idempotence contract as

@@ -162,8 +162,21 @@ object VersionedTable {
     * even read. Contracts (all checked loudly, same as `mergeParquet`):
     * update keys unique and non-null within the batch; no `kb` column
     * in the updates; `numBuckets`/`keyCols` fixed at table creation;
-    * single writer. The updates DataFrame is evaluated more than once
-    * (bucket collect + write), so it must be deterministic. */
+    * single writer.
+    *
+    * Execution shape (each item measured at the sf1 gate): the caller's
+    * `updates` plan is PERSISTED for the duration of the merge — it
+    * feeds the contract check, the survivors anti-join, and the write,
+    * and an uncached plan re-runs its whole upstream (often an
+    * aggregate of a fact table) once per consumer. The contract check
+    * and the affected-bucket collect are ONE aggregation job (the
+    * offending-key lookup runs only on the failure path). The commit
+    * write repartitions by bucket first, so each bucket is exactly one
+    * file regardless of upstream task layout — without it a B-bucket
+    * commit from T tasks writes up to B×T files, and every later
+    * bucket-pruned read pays the file-count. A pathologically hot
+    * bucket serializing through one write task is the signal to raise
+    * numBuckets (the same knob that scopes merge cost). */
   def merge(spark: SparkSession, path: String, updates: DataFrame,
       keyCols: Seq[String], deleteCol: Option[String] = None,
       numBuckets: Int = 64): Long = {
@@ -175,52 +188,67 @@ object VersionedTable {
       s"deleteCol '$c' not in updates schema ${updates.columns.mkString(",")}"))
     val bucket =
       pmod(xxhash64(keyCols.map(col): _*), lit(numBuckets.toLong)).cast("int")
-    val bad = updates.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") > 1 || keyCols.map(col(_).isNull).reduce(_ || _))
-      .limit(1).collect()
-    require(bad.isEmpty,
-      s"merge: null or duplicate key ${bad.headOption.getOrElse("")} in the " +
-        s"update batch for (${keyCols.mkString(",")}) — keys must be unique " +
-        "and non-null; compact a versioned log first (the v16 struct-max shape)")
-    val dataCols = updates.columns.filterNot(c => deleteCol.contains(c)).toSeq
-    val upserts = deleteCol
-      .map(c => updates.filter(!coalesce(col(c), lit(false))))
-      .getOrElse(updates)
-      .select(dataCols.map(col): _*)
-    val (fs, root) = fsOf(spark, path)
-    val vs = versions(spark, path)
-    val v = if (vs.isEmpty) 0L else {
-      val sn = snapshot(spark, path, None)
-      require(sn.numBuckets == numBuckets,
-        s"table $path was created with numBuckets=${sn.numBuckets}, " +
-          s"merge called with $numBuckets — bucketing is fixed at creation")
-      require(sn.keyCols == keyCols,
-        s"table $path is keyed by (${sn.keyCols.mkString(",")}), " +
-          s"merge called with (${keyCols.mkString(",")})")
-      sn.version + 1
-    }
-    val dir = f"d$v%08d_" + java.util.UUID.randomUUID().toString.take(8)
-    val (merged, owners) =
-      if (vs.isEmpty) (upserts, Map.empty[Int, String])
-      else {
-        val sn = snapshot(spark, path, None)
-        val affected = updates.select(bucket.as(KB)).distinct()
-          .collect().map(_.getInt(0)).toSet // <= numBuckets ints on the driver
-        if (affected.isEmpty) return sn.version // empty batch: no-op
-        val cur = readBuckets(spark, path, sn, Some(affected))
-        val survivors =
-          cur.join(updates.select(keyCols.map(col): _*), keyCols, "left_anti")
-        (survivors.unionByName(upserts, allowMissingColumns = true),
-          sn.owners -- affected)
+    val u = updates.persist()
+    try {
+      // one job: per-key multiplicity, null keys, and the affected
+      // bucket set together
+      val stats = u.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("n"))
+        .agg(max(col("n")).as("maxn"),
+          max(keyCols.map(col(_).isNull).reduce(_ || _).cast("int")).as("anynull"),
+          collect_set(bucket).as("bks"))
+        .collect()(0)
+      if (!stats.isNullAt(0) && (stats.getLong(0) > 1 || stats.getInt(1) > 0)) {
+        val bad = u.groupBy(keyCols.map(col): _*)
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1 || keyCols.map(col(_).isNull).reduce(_ || _))
+          .limit(1).collect()
+        throw new IllegalArgumentException(
+          s"merge: null or duplicate key ${bad.headOption.getOrElse("")} in the " +
+            s"update batch for (${keyCols.mkString(",")}) — keys must be unique " +
+            "and non-null; compact a versioned log first (the v16 struct-max shape)")
       }
-    // mode("error"): the dir is version-unique, anything there is a bug
-    merged.withColumn(KB, bucket)
-      .write.mode("error").partitionBy(KB).parquet(s"$path/$dir")
-    val staged = listBuckets(fs, new HPath(root, dir))
-    writeManifest(fs, root, v, numBuckets, keyCols,
-      merged.schema, owners ++ staged.map(_ -> dir))
-    v
+      val affected =
+        if (stats.isNullAt(2)) Set.empty[Int]
+        else stats.getSeq[Int](2).toSet // <= numBuckets ints on the driver
+      val dataCols = u.columns.filterNot(c => deleteCol.contains(c)).toSeq
+      val upserts = deleteCol
+        .map(c => u.filter(!coalesce(col(c), lit(false))))
+        .getOrElse(u)
+        .select(dataCols.map(col): _*)
+      val (fs, root) = fsOf(spark, path)
+      val vs = versions(spark, path)
+      val v = if (vs.isEmpty) 0L else {
+        val sn = snapshot(spark, path, None)
+        require(sn.numBuckets == numBuckets,
+          s"table $path was created with numBuckets=${sn.numBuckets}, " +
+            s"merge called with $numBuckets — bucketing is fixed at creation")
+        require(sn.keyCols == keyCols,
+          s"table $path is keyed by (${sn.keyCols.mkString(",")}), " +
+            s"merge called with (${keyCols.mkString(",")})")
+        sn.version + 1
+      }
+      val dir = f"d$v%08d_" + java.util.UUID.randomUUID().toString.take(8)
+      val (merged, owners) =
+        if (vs.isEmpty) (upserts, Map.empty[Int, String])
+        else {
+          val sn = snapshot(spark, path, None)
+          if (affected.isEmpty) return sn.version // empty batch: no-op
+          val cur = readBuckets(spark, path, sn, Some(affected))
+          val survivors =
+            cur.join(u.select(keyCols.map(col): _*), keyCols, "left_anti")
+          (survivors.unionByName(upserts, allowMissingColumns = true),
+            sn.owners -- affected)
+        }
+      // mode("error"): the dir is version-unique, anything there is a bug
+      merged.withColumn(KB, bucket)
+        .repartition(col(KB))
+        .write.mode("error").partitionBy(KB).parquet(s"$path/$dir")
+      val staged = listBuckets(fs, new HPath(root, dir))
+      writeManifest(fs, root, v, numBuckets, keyCols,
+        merged.schema, owners ++ staged.map(_ -> dir))
+      v
+    } finally u.unpersist(blocking = false)
   }
 
   /** Row-level CHANGE FEED between two committed versions — what a
@@ -326,7 +354,9 @@ object VersionedTable {
       lit(sn.numBuckets.toLong)).cast("int")
     val cur = readBuckets(spark, path, sn, None)
     val (fs, root) = fsOf(spark, path)
+    // one file per bucket, same rationale as merge's pre-write shuffle
     cur.withColumn(KB, bucket)
+      .repartition(col(KB))
       .write.mode("error").partitionBy(KB).parquet(s"$path/$dir")
     val staged = listBuckets(fs, new HPath(root, dir))
     writeManifest(fs, root, v, sn.numBuckets, sn.keyCols, cur.schema,
