@@ -251,6 +251,28 @@ object VersionedTable {
     } finally u.unpersist(blocking = false)
   }
 
+  /** Key-scoped POINT READ — the serving-path lookup: rows of the
+    * requested keys at a version, reading only those keys' buckets.
+    * `keys` must carry exactly the table's key columns; the result is
+    * a semi-join of the bucket-pruned scan against the (broadcast-
+    * sized) key batch. On a 100 TB table a k-key lookup reads
+    * ~min(k, B) buckets — with merge's one-file-per-bucket layout,
+    * ~min(k, B) files — never the table. */
+  def lookup(spark: SparkSession, path: String, keys: DataFrame,
+      asOf: Option[Long] = None): DataFrame = {
+    val sn = snapshot(spark, path, asOf)
+    require(keys.columns.sorted.toSeq == sn.keyCols.sorted,
+      s"lookup keys must be exactly (${sn.keyCols.mkString(",")}); " +
+        s"got (${keys.columns.mkString(",")})")
+    val bucket = pmod(xxhash64(sn.keyCols.map(col): _*),
+      lit(sn.numBuckets.toLong)).cast("int")
+    val wanted = keys.select(bucket.as(KB)).distinct()
+      .collect().map(_.getInt(0)).toSet
+    readBuckets(spark, path, sn, Some(wanted))
+      .join(broadcast(keys.select(sn.keyCols.map(col): _*)),
+        sn.keyCols, "left_semi")
+  }
+
   /** Row-level CHANGE FEED between two committed versions — what a
     * downstream consumer replays to catch up from `fromV` to `toV`
     * without rescanning the table. Returns one row per inserted or

@@ -259,6 +259,59 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.versions(spark, dir) === Seq(0L))
   }
 
+  private def filesScanned(df: org.apache.spark.sql.DataFrame): Int = {
+    df.collect() // force AQE to finalize the plan
+    var plan = df.queryExecution.executedPlan
+    def leaves(p: org.apache.spark.sql.execution.SparkPlan): Seq[Int] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        leaves(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        leaves(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        leaves(r.child)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        Seq(s.selectedPartitions.totalNumberOfFiles.toInt)
+      case other => other.children.flatMap(leaves) ++
+        other.subqueries.flatMap(leaves)
+    }
+    leaves(plan).sum
+  }
+
+  test("change feed and lookup read only the differing/requested buckets, one file each") {
+    val dir = freshDir("prune_feed")
+    // v0: 64 keys over 16 buckets; v1 touches exactly one key
+    VersionedTable.merge(spark, dir,
+      (1L to 64L).map(i => (i, s"v$i")).toDF("k", "v"), Seq("k"), numBuckets = 16)
+    VersionedTable.merge(spark, dir, Seq((7L, "V7", false)).toDF("k", "v", "del"),
+      Seq("k"), Some("del"), numBuckets = 16)
+    // merge writes ONE file per bucket: v0's commit dir has 16 single-file
+    // bucket dirs (the layout claim behind the pruning arithmetic below)
+    val sn0 = VersionedTable.snapshot(spark, dir, Some(0L))
+    val d0 = sn0.owners.values.head
+    new java.io.File(s"$dir/$d0").listFiles().filter(_.getName.startsWith("kb="))
+      .foreach { b =>
+        assert(b.listFiles().count(_.getName.endsWith(".parquet")) === 1,
+          s"bucket dir ${b.getName} should hold exactly one file")
+      }
+    // the 0→1 feed reads key 7's bucket from each side: exactly 2 files
+    val feed = VersionedTable.changes(spark, dir, 0L, 1L)
+    assert(feed.select($"change", $"k", $"v").as[(String, Long, String)]
+      .collect().toSet === Set(("update_pre", 7L, "v7"), ("update_post", 7L, "V7")))
+    assert(filesScanned(feed) === 2)
+    // a 2-key lookup reads at most 2 bucket files (1 if they collide)
+    val got = VersionedTable.lookup(spark, dir, Seq(7L, 8L).toDF("k"))
+    assert(got.select($"k", $"v").as[(Long, String)].collect().toSet ===
+      Set((7L, "V7"), (8L, "v8")))
+    assert(filesScanned(got) <= 2)
+    // pinned to v0 it serves the old row
+    val old = VersionedTable.lookup(spark, dir, Seq(7L).toDF("k"), Some(0L))
+    assert(old.select($"v").as[String].collect().toSeq === Seq("v7"))
+    // wrong key columns fail loudly
+    intercept[IllegalArgumentException] {
+      VersionedTable.lookup(spark, dir, Seq(1L).toDF("wrong"))
+    }
+  }
+
   test("merge reads only the affected buckets (manifest-level pruning)") {
     val dir = freshDir("pruning")
     VersionedTable.merge(spark, dir,
