@@ -915,7 +915,112 @@ object Advanced extends QueryModule {
              UNION ALL SELECT * FROM d3)
        ORDER BY step, o_custkey, change"""
 
+  /** v22 — INCREMENTAL VIEW MAINTENANCE from the change feed
+    * (`VersionedTable.maintain` under the oracle gate): the v20/v21
+    * lifecycle (base load, two 20-key correction merges) feeds a
+    * materialized spend-band rollup — `band = cents div 500000`,
+    * customers and total spend per band — that is maintained version
+    * to version by applying each step's CDF diff with signed weights
+    * (the IVM counting algorithm), never by re-reading the table. The
+    * output stacks the version-0 view (computed directly, once) with
+    * the MAINTAINED views at versions 1 and 2; the oracle recomputes
+    * every band rollup from each version's relational state, so a
+    * hash match certifies maintained == recomputed through inserts,
+    * replacements, and tombstones — the invariant that lets a 100 TB
+    * warehouse refresh its dashboards from merge-batch-sized feeds
+    * instead of full snapshot scans. Money is exact integer cents
+    * before any aggregation (v12's discipline), so the equality is
+    * bit-level: every delete cancels exactly what its insert added.
+    * The band key is derived integer division on the exact cents —
+    * an update that moves a customer across bands emits −1 in the old
+    * band and +1 in the new one from the same update_pre/update_post
+    * pair. */
+  private def v22(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = graft.util.Scratch.dir(
+      "v22_ivm_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+    graft.util.Scratch.deleteRecursively(new java.io.File(dir))
+    val ord = Tables.orders(s, d)
+    val t0 = ord.filter(year($"o_orderdate") <= 1997)
+      .groupBy($"o_custkey")
+      .agg(round(sum($"o_totalprice"), 2).as("spend"),
+        count(lit(1)).as("n_orders"))
+    val top40 = ord.filter(year($"o_orderdate") === 1998)
+      .groupBy($"o_custkey")
+      .agg(round(sum($"o_totalprice"), 2).as("spend"),
+        count(lit(1)).as("n_orders"),
+        (min($"o_orderpriority") === "1-URGENT").as("del"))
+      .orderBy($"spend".desc, $"o_custkey").limit(40)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy($"spend".desc, $"o_custkey")))
+    graft.sources.VersionedTable.merge(s, dir, t0, Seq("o_custkey"))
+    graft.sources.VersionedTable.merge(s, dir,
+      top40.filter($"rk" <= 20).drop("rk"), Seq("o_custkey"), Some("del"))
+    graft.sources.VersionedTable.merge(s, dir,
+      top40.filter($"rk" > 20).drop("rk"), Seq("o_custkey"), Some("del"))
+    def banded(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("cents", expr("cast(round(spend * 100) as bigint)"))
+      .withColumn("band", expr("cents div 500000"))
+    var view = banded(graft.sources.VersionedTable.read(s, dir, Some(0L)))
+      .groupBy($"band")
+      .agg(count(lit(1)).as("n_customers"), sum($"cents").as("cents"))
+    val states = Seq.newBuilder[org.apache.spark.sql.DataFrame]
+    states += view.withColumn("version", lit(0L))
+    for (v <- 1L to 2L) {
+      val feed = banded(graft.sources.VersionedTable.changes(s, dir, v - 1, v))
+      view = graft.sources.VersionedTable.maintain(
+        view, feed, Seq("band"), "n_customers", Seq("cents"))
+      states += view.withColumn("version", lit(v))
+    }
+    states.result().reduce(_ unionByName _)
+      .select($"version", $"band", $"n_customers",
+        ($"cents" / 100.0).as("total_spend"))
+      .orderBy($"version", $"band")
+  }
+  private val v22Sql =
+    """WITH t0 AS (
+         SELECT o_custkey, round(sum(o_totalprice), 2) AS spend,
+           count(*) AS n_orders
+         FROM orders WHERE year(o_orderdate) <= 1997 GROUP BY 1),
+       ranked AS (
+         SELECT o_custkey, spend, n_orders, del,
+           row_number() OVER (ORDER BY spend DESC, o_custkey) AS rk
+         FROM (
+           SELECT o_custkey, round(sum(o_totalprice), 2) AS spend,
+             count(*) AS n_orders,
+             min(o_orderpriority) = '1-URGENT' AS del
+           FROM orders WHERE year(o_orderdate) = 1998 GROUP BY 1)),
+       u1 AS (SELECT * FROM ranked WHERE rk <= 20),
+       u2 AS (SELECT * FROM ranked WHERE rk > 20 AND rk <= 40),
+       s1 AS (
+         SELECT o_custkey, spend FROM t0
+         WHERE o_custkey NOT IN (SELECT o_custkey FROM u1)
+         UNION ALL
+         SELECT o_custkey, spend FROM u1 WHERE NOT del),
+       s2 AS (
+         SELECT o_custkey, spend FROM s1
+         WHERE o_custkey NOT IN (SELECT o_custkey FROM u2)
+         UNION ALL
+         SELECT o_custkey, spend FROM u2 WHERE NOT del),
+       b0 AS (SELECT CAST(round(spend * 100) AS BIGINT) AS cents FROM t0),
+       b1 AS (SELECT CAST(round(spend * 100) AS BIGINT) AS cents FROM s1),
+       b2 AS (SELECT CAST(round(spend * 100) AS BIGINT) AS cents FROM s2)
+       SELECT version, band, n_customers, cents / 100.0 AS total_spend
+       FROM (
+         SELECT CAST(0 AS BIGINT) AS version, cents // 500000 AS band,
+           count(*) AS n_customers, sum(cents) AS cents
+         FROM b0 GROUP BY 1, 2
+         UNION ALL
+         SELECT CAST(1 AS BIGINT), cents // 500000,
+           count(*), sum(cents) FROM b1 GROUP BY 1, 2
+         UNION ALL
+         SELECT CAST(2 AS BIGINT), cents // 500000,
+           count(*), sum(cents) FROM b2 GROUP BY 1, 2)
+       ORDER BY version, band"""
+
   val queries: Map[String, QueryFn] = Map(
+    "v22_view_maintenance" -> v22 _,
     "v21_change_feed" -> v21 _,
     "v20_time_travel" -> v20 _,
     "v19_merge_parquet" -> v19 _,
@@ -940,6 +1045,7 @@ object Advanced extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "v22_view_maintenance" -> v22Sql,
     "v21_change_feed" -> v21Sql,
     "v20_time_travel" -> v20Sql,
     "v19_merge_parquet" -> v19Sql,

@@ -342,6 +342,51 @@ object VersionedTable {
         dataCols.map { case (n, _) => col(s"c.row.$n").as(n) }: _*)
   }
 
+  /** INCREMENTAL VIEW MAINTENANCE (the counting algorithm) over a
+    * change feed in this table's CDF shape: refresh a materialized
+    * count/sum aggregate from the row DIFF instead of recomputing it
+    * from the snapshot. Each feed row carries a signed weight — +1 for
+    * `insert`/`update_post`, −1 for `delete`/`update_pre` — so the
+    * per-group delta is a plain aggregation of the feed, and the
+    * refreshed view is `view ⊎ delta` re-aggregated, dropping groups
+    * whose multiplicity support reaches zero. Cost is
+    * Θ(|delta| + |view|) — at 100 TB the feed is merge-batch-sized and
+    * the view is groups-sized, so maintenance never touches the table;
+    * the recompute it replaces is a full snapshot scan per refresh.
+    * Requirements, stated not assumed: `countCol` must be a COUNT
+    * (multiplicity) column and `sumCols` SUM columns — min/max and
+    * other non-subtractable aggregates cannot be maintained from a
+    * diff (a deleted max needs the runner-up) and belong to the
+    * recompute path. With integer-exact sum columns the maintained
+    * view is BIT-IDENTICAL to the recompute (addition is associative
+    * and every delete cancels exactly what its insert added) — that
+    * equality is the oracle gate for v22_view_maintenance and the
+    * band-emptying law in VersionedTableSpec.
+    *
+    * `feed` must carry `change` plus the view's group keys and sum
+    * columns (project/derive them from the raw feed first — e.g. a
+    * band key computed from a payload column). Updates that leave a
+    * row's group and measures unchanged cancel out by construction.
+    */
+  def maintain(view: DataFrame, feed: DataFrame, keys: Seq[String],
+      countCol: String, sumCols: Seq[String]): DataFrame = {
+    val w = when(col("change").isin("insert", "update_post"), lit(1L))
+      .otherwise(lit(-1L))
+    val deltaAggs = sum(col("_w")).as(countCol) +:
+      sumCols.map(c => sum(col("_w") * col(c)).as(c))
+    val delta = feed.withColumn("_w", w)
+      .groupBy(keys.map(col): _*)
+      .agg(deltaAggs.head, deltaAggs.tail: _*)
+    val outCols = (keys :+ countCol) ++ sumCols
+    val mergeAggs = sum(col(countCol)).as(countCol) +:
+      sumCols.map(c => sum(col(c)).as(c))
+    view.select(outCols.map(col): _*)
+      .unionByName(delta.select(outCols.map(col): _*))
+      .groupBy(keys.map(col): _*)
+      .agg(mergeAggs.head, mergeAggs.tail: _*)
+      .filter(col(countCol) > 0)
+  }
+
   /** ROLL BACK to version `v` by committing a new version whose owner
     * map (and schema) are `v`'s — a pure manifest write, zero data
     * movement, because every dir `v` referenced is immutable and still

@@ -202,6 +202,35 @@ class VersionedTableSpec extends SparkSpec {
     assert(feed02 === feed)
   }
 
+  test("maintain: feed-driven view refresh equals recompute; an emptied group vanishes") {
+    val dir = freshDir("maintain")
+    VersionedTable.merge(spark, dir,
+      Seq((1L, "g1", 10L), (2L, "g1", 20L), (3L, "g2", 30L),
+        (4L, "g2", 40L), (5L, "g3", 50L)).toDF("k", "grp", "amt"),
+      Seq("k"), numBuckets = 4)
+    // one batch exercising every maintenance shape at once: a
+    // cross-group update (2: g1→g2 — the update_pre/update_post pair
+    // must land −1 in g1 and +1 in g2), a same-group amount update
+    // (4), a delete that EMPTIES its group (5 was g3's only row), a
+    // no-op rewrite (3, identical values — must feed nothing), and an
+    // insert (6)
+    VersionedTable.merge(spark, dir,
+      Seq((2L, "g2", 25L, false), (3L, "g2", 30L, false),
+        (4L, "g2", 45L, false), (5L, "g3", 0L, true),
+        (6L, "g1", 60L, false)).toDF("k", "grp", "amt", "del"),
+      Seq("k"), deleteCol = Some("del"), numBuckets = 4)
+    def viewOf(asOf: Long) = VersionedTable.read(spark, dir, Some(asOf))
+      .groupBy($"grp").agg(count(lit(1)).as("n"), sum($"amt").as("amt"))
+    val maintained = VersionedTable.maintain(
+      viewOf(0L), VersionedTable.changes(spark, dir, 0L, 1L),
+      Seq("grp"), "n", Seq("amt"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"grp", $"n", $"amt").as[(String, Long, Long)].collect().toSet
+    assert(rows(maintained) === rows(viewOf(1L)))
+    assert(rows(maintained) ===
+      Set(("g1", 2L, 70L), ("g2", 3L, 100L))) // g3 emptied out
+  }
+
   test("change feed across a schema-widening commit null-fills the absent column on the old side") {
     val dir = freshDir("cdf_widen")
     VersionedTable.merge(spark, dir, Seq((1L, "a")).toDF("k", "v"), Seq("k"), numBuckets = 2)
