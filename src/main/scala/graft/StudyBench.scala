@@ -169,7 +169,70 @@ object StudyBench {
     s""""containment_cap_sweep_$tag":{${rows.mkString(",")}}"""
   }
 
-  // ---- 3. filtered-ANN recall vs selectivity --------------------------
+  // ---- 3. IVM: maintain-from-feed vs recompute-from-snapshot ---------
+
+  /** v22's cost claim, measured: a 1.5M-row versioned table (one row
+    * per sf1 order, keyed by o_orderkey) serves a priority×month
+    * rollup. A 1k-key correction merge lands; the view then refreshes
+    * two ways — `VersionedTable.maintain` over the change feed
+    * (reads the ~2 rewritten buckets at each of 2 versions) vs a full
+    * recompute over the new snapshot (reads all 64 buckets). Both
+    * results are asserted identical; the study records wall seconds
+    * AND rows read by each path, because at this table size the wall
+    * gap understates the claim — the input-size ratio (feed rows :
+    * table rows) is what scales to 100 TB, where the recompute path
+    * rescans the table and the maintain path still reads one merge
+    * batch's buckets. */
+  private def ivmStudy(s: SparkSession, d: String): String = {
+    import graft.sources.VersionedTable
+    val dir = graft.util.Scratch.dir("study_ivm")
+    graft.util.Scratch.deleteRecursively(new java.io.File(dir))
+    val base = s.read.parquet(s"$d/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderpriority").as("prio"),
+        expr("cast(date_format(o_orderdate, 'yyyy-MM') as string)").as("ym"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+    VersionedTable.merge(s, dir, base, Seq("o_orderkey"))
+    val tableRows = VersionedTable.read(s, dir).count()
+    // the correction batch: 1k keys get a new price (moves sum, keeps
+    // count), 100 of them change priority (moves rows across groups)
+    val batch = VersionedTable.read(s, dir)
+      .filter(col("o_orderkey") % 1500 === 7).limit(1000)
+      .withColumn("cents", col("cents") + 12345L)
+      .withColumn("prio",
+        when(col("o_orderkey") % 15000 === 7, lit("0-RESTATED"))
+          .otherwise(col("prio")))
+    VersionedTable.merge(s, dir, batch, Seq("o_orderkey"))
+    def rollup(df: DataFrame): DataFrame = df.groupBy(col("prio"), col("ym"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+    val view0 = rollup(VersionedTable.read(s, dir, Some(0L)))
+      .persist()
+    view0.count() // the standing view a warehouse already holds
+    val (feedRows, feedSec) = time {
+      VersionedTable.changes(s, dir, 0L, 1L).count()
+    }
+    val (maintained, maintainSec) = time {
+      val r = VersionedTable.maintain(view0,
+        VersionedTable.changes(s, dir, 0L, 1L),
+        Seq("prio", "ym"), "n", Seq("cents"))
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getLong(2), r.getLong(3))).toSet
+      r
+    }
+    val (recomputed, recomputeSec) = time {
+      rollup(VersionedTable.read(s, dir, Some(1L)))
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getLong(2), r.getLong(3))).toSet
+    }
+    require(maintained == recomputed,
+      "maintained view must equal the snapshot recompute bit-for-bit")
+    view0.unpersist(blocking = false)
+    s""""ivm_study_sf1":{"table_rows":$tableRows,"feed_rows":$feedRows,
+       |"view_groups":${recomputed.size},"feed_scan_sec":${j(feedSec)},
+       |"maintain_sec":${j(maintainSec)},"recompute_sec":${j(recomputeSec)}}"""
+      .stripMargin.replace("\n", "")
+  }
+
+  // ---- 4. filtered-ANN recall vs selectivity --------------------------
 
   /** Pre-filtered IVF vs pre-filtered exact, the s16 shape: the index
     * (cells = label, centroid = full-corpus cell mean) is built BEFORE
@@ -236,23 +299,39 @@ object StudyBench {
   }
 
   def main(args: Array[String]): Unit = {
-    val sf01 = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val sf1 = if (args.length > 1) Some(args(1)) else None
+    val pos = args.filterNot(_.startsWith("only="))
+    val sf01 = pos.headOption.getOrElse("/root/testdata/sf0.1")
+    val sf1 = if (pos.length > 1) Some(pos(1)) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // optional 3rd arg `only=a,b` reruns just the named studies; their
+    // sections REPLACE the matching keys in an existing study_r9.json
+    // and every other previously measured section is kept verbatim —
+    // adding a study never silently re-times the older ones
+    val only = args.find(_.startsWith("only="))
+      .map(_.stripPrefix("only=").split(",").toSet)
+    def want(name: String) = only.forall(_.contains(name))
     val parts = Seq.newBuilder[String]
-    parts += containmentSweep(spark, "sf01", sf01)
-    parts += annFilterStudy(spark, sf01)
+    if (want("containment")) parts += containmentSweep(spark, "sf01", sf01)
+    if (want("ann")) parts += annFilterStudy(spark, sf01)
     sf1.foreach { d =>
-      parts += containmentSweep(spark, "sf1", d)
-      parts += skewStudy(spark, d)
+      if (want("containment")) parts += containmentSweep(spark, "sf1", d)
+      if (want("skew")) parts += skewStudy(spark, d)
+      if (want("ivm")) parts += ivmStudy(spark, d)
     }
-    val json = s"{${parts.result().mkString(",")}}"
-    java.nio.file.Files.write(java.nio.file.Paths.get("study_r9.json"),
-      json.getBytes("UTF-8"))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val out = java.nio.file.Paths.get("study_r9.json")
+    val merged = mapper.createObjectNode()
+    if (java.nio.file.Files.exists(out))
+      merged.setAll(mapper.readTree(java.nio.file.Files.readAllBytes(out))
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode])
+    merged.setAll(mapper.readTree(s"{${parts.result().mkString(",")}}")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode])
+    val json = mapper.writeValueAsString(merged)
+    java.nio.file.Files.write(out, json.getBytes("UTF-8"))
     println(json)
     spark.stop()
   }
