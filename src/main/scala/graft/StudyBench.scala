@@ -174,15 +174,15 @@ object StudyBench {
   /** v22's cost claim, measured: a 1.5M-row versioned table (one row
     * per sf1 order, keyed by o_orderkey) serves a priority×month
     * rollup. A 1k-key correction merge lands; the view then refreshes
-    * two ways — `VersionedTable.maintain` over the change feed
-    * (reads the ~2 rewritten buckets at each of 2 versions) vs a full
-    * recompute over the new snapshot (reads all 64 buckets). Both
-    * results are asserted identical; the study records wall seconds
-    * AND rows read by each path, because at this table size the wall
-    * gap understates the claim — the input-size ratio (feed rows :
-    * table rows) is what scales to 100 TB, where the recompute path
-    * rescans the table and the maintain path still reads one merge
-    * batch's buckets. */
+    * two ways — `VersionedTable.maintain` over the change feed vs a
+    * full recompute over the new snapshot — asserted identical. The
+    * feed is timed on BOTH of changes()' paths, because they are the
+    * point: the batch's keys scatter over all 64 buckets, so the
+    * DERIVED feed (owner-diff) rereads ~the whole table at each of 2
+    * versions and loses to the recompute it is supposed to replace,
+    * while the MATERIALIZED feed (the _cdc the merge wrote) reads 2k
+    * rows however the keys scatter — the only refresh input that
+    * stays merge-batch-sized at 100 TB. */
   private def ivmStudy(s: SparkSession, d: String): String = {
     import graft.sources.VersionedTable
     val dir = graft.util.Scratch.dir("study_ivm")
@@ -210,6 +210,9 @@ object StudyBench {
     val (feedRows, feedSec) = time {
       VersionedTable.changes(s, dir, 0L, 1L).count()
     }
+    val (_, feedDerivedSec) = time {
+      VersionedTable.changes(s, dir, 0L, 1L, materialized = false).count()
+    }
     val (maintained, maintainSec) = time {
       val r = VersionedTable.maintain(view0,
         VersionedTable.changes(s, dir, 0L, 1L),
@@ -228,6 +231,7 @@ object StudyBench {
     view0.unpersist(blocking = false)
     s""""ivm_study_sf1":{"table_rows":$tableRows,"feed_rows":$feedRows,
        |"view_groups":${recomputed.size},"feed_scan_sec":${j(feedSec)},
+       |"feed_scan_derived_sec":${j(feedDerivedSec)},
        |"maintain_sec":${j(maintainSec)},"recompute_sec":${j(recomputeSec)}}"""
       .stripMargin.replace("\n", "")
   }

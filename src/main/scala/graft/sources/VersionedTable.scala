@@ -18,6 +18,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *     _log/00000000.json     one manifest per committed version
   *     d00000000_ab12cd34/    immutable commit dir, kb=<bucket>/part-*
   *     d00000001_9f00e1c2/
+  *       _cdc/                that commit's materialized row diff
   * }}}
   *
   * Every data directory is written exactly once and never modified; a
@@ -55,8 +56,14 @@ object VersionedTable {
   val KB = "kb"
   private val LOG = "_log"
 
+  /** `cdc`, when present, is (relative dir, feed schema) of this
+    * version's MATERIALIZED change feed — the Θ(batch) row diff its
+    * commit wrote next to the data (see `merge`). Absent on manifests
+    * written before feeds existed and on `restore` commits, whose diff
+    * is only available derived. */
   final case class Snapshot(version: Long, numBuckets: Int,
-      keyCols: Seq[String], schema: StructType, owners: Map[Int, String])
+      keyCols: Seq[String], schema: StructType, owners: Map[Int, String],
+      cdc: Option[(String, StructType)] = None)
 
   private def fsOf(spark: SparkSession, path: String): (FileSystem, HPath) = {
     val p = new HPath(path)
@@ -103,8 +110,14 @@ object VersionedTable {
       val a = m.get("keyCols")
       (0 until a.size()).map(a.get(_).asText())
     }
+    val cdc =
+      if (m.has("cdcDir"))
+        Some((m.get("cdcDir").asText(),
+          DataType.fromJson(m.get("cdcSchema").asText()).asInstanceOf[StructType]))
+      else None
     Snapshot(m.get("version").asLong(), m.get("numBuckets").asInt(), keys,
-      DataType.fromJson(m.get("schema").asText()).asInstanceOf[StructType], owners)
+      DataType.fromJson(m.get("schema").asText()).asInstanceOf[StructType],
+      owners, cdc)
   }
 
   /** Read the table as of `asOf` (latest when None). The result drops
@@ -139,7 +152,8 @@ object VersionedTable {
 
   private def writeManifest(fs: FileSystem, root: HPath, v: Long,
       numBuckets: Int, keyCols: Seq[String], schema: StructType,
-      owners: Map[Int, String]): Unit = {
+      owners: Map[Int, String],
+      cdc: Option[(String, StructType)] = None): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.createObjectNode()
     node.put("version", v)
@@ -147,6 +161,9 @@ object VersionedTable {
     val ka = node.putArray("keyCols")
     keyCols.foreach(ka.add)
     node.put("schema", schema.json)
+    cdc.foreach { case (d, s) =>
+      node.put("cdcDir", d); node.put("cdcSchema", s.json)
+    }
     val on = node.putObject("owners")
     owners.toSeq.sortBy(_._1).foreach { case (b, d) => on.put(b.toString, d) }
     fs.mkdirs(new HPath(root, LOG))
@@ -229,24 +246,47 @@ object VersionedTable {
         sn.version + 1
       }
       val dir = f"d$v%08d_" + java.util.UUID.randomUUID().toString.take(8)
-      val (merged, owners) =
-        if (vs.isEmpty) (upserts, Map.empty[Int, String])
+      val (merged, owners, feed) =
+        if (vs.isEmpty)
+          // table creation has no "before" to diff against: no feed
+          // (version 0 never appears as the TO side of a changes range)
+          (upserts, Map.empty[Int, String], None: Option[DataFrame])
         else {
           val sn = snapshot(spark, path, None)
           if (affected.isEmpty) return sn.version // empty batch: no-op
           val cur = readBuckets(spark, path, sn, Some(affected))
           val survivors =
             cur.join(u.select(keyCols.map(col): _*), keyCols, "left_anti")
+          // the commit's Θ(batch) row diff, materialized alongside the
+          // data (Delta CDF's _change_data): pre = the batch keys'
+          // current rows (one more bucket-pruned scan, row-pruned by
+          // the semi join — cheaper at scale than persisting the
+          // affected buckets just to avoid it), post = the upserts;
+          // no-op rewrites cancel in classifyDiff. This is what makes
+          // changes()/maintain() batch-sized however the keys scatter.
+          val pre =
+            cur.join(u.select(keyCols.map(col): _*), keyCols, "left_semi")
+          val dataCols = unionDataCols(
+            cur.schema.fields ++ upserts.schema.fields, keyCols,
+            s"between table $path and the update batch")
           (survivors.unionByName(upserts, allowMissingColumns = true),
-            sn.owners -- affected)
+            sn.owners -- affected,
+            Some(rowDiff(pre, upserts, keyCols, dataCols)))
         }
       // mode("error"): the dir is version-unique, anything there is a bug
       merged.withColumn(KB, bucket)
         .repartition(col(KB))
         .write.mode("error").partitionBy(KB).parquet(s"$path/$dir")
+      // feed before manifest: the manifest IS the commit, so a crash
+      // between the two leaves an orphan dir for vacuum, never a
+      // committed version with a missing feed
+      val cdc = feed.map { f =>
+        f.write.mode("error").parquet(s"$path/$dir/_cdc")
+        (s"$dir/_cdc", f.schema)
+      }
       val staged = listBuckets(fs, new HPath(root, dir))
       writeManifest(fs, root, v, numBuckets, keyCols,
-        merged.schema, owners ++ staged.map(_ -> dir))
+        merged.schema, owners ++ staged.map(_ -> dir), cdc)
       v
     } finally u.unpersist(blocking = false)
   }
@@ -273,6 +313,69 @@ object VersionedTable {
         sn.keyCols, "left_semi")
   }
 
+  /** Union of `fields` minus the key columns, first occurrence wins;
+    * a name seen twice with different types fails loudly (`ctx` names
+    * the boundary in the message) — a retyped column has no single
+    * feed schema. */
+  private def unionDataCols(fields: Seq[org.apache.spark.sql.types.StructField],
+      keys: Seq[String], ctx: String): Vector[(String, DataType)] =
+    fields.filterNot(f => keys.contains(f.name))
+      .foldLeft(Vector.empty[(String, DataType)]) { case (acc, f) =>
+        acc.find(_._1 == f.name) match {
+          case Some((_, t0)) =>
+            require(t0 == f.dataType,
+              s"column ${f.name} changed type $t0 -> ${f.dataType} $ctx")
+            acc
+          case None => acc :+ (f.name -> f.dataType)
+        }
+      }
+
+  /** Project `df` to (keys, `alias` = struct of `dataCols`), null-
+    * casting columns the frame doesn't carry — the alignment that lets
+    * two schema-widened sides compare null-safely as one struct. */
+  private def sideOf(df: DataFrame, alias: String, keys: Seq[String],
+      dataCols: Seq[(String, DataType)]): DataFrame = {
+    val have = df.columns.toSet
+    val row = struct(dataCols.map { case (n, t) =>
+      (if (have(n)) col(n) else lit(null).cast(t)).as(n) }: _*)
+    df.select(keys.map(col) :+ row.as(alias): _*)
+  }
+
+  /** Classify (keys, pre, post) rows into CDF rows: equal (null-safe,
+    * INCLUDING both-absent — an insert that was deleted again inside
+    * the range) emits nothing; one-sided emits insert/delete; a
+    * differing pair emits update_pre + update_post. Shared by the
+    * derived diff, the merge-time materialization, and the
+    * multi-commit collapse, so all three agree bit-for-bit. */
+  private def classifyDiff(prePost: DataFrame, keys: Seq[String],
+      dataCols: Seq[(String, DataType)]): DataFrame = {
+    val rowT = StructType(dataCols.map { case (n, t) =>
+      org.apache.spark.sql.types.StructField(n, t) })
+    val arrT = org.apache.spark.sql.types.ArrayType(StructType(Seq(
+      org.apache.spark.sql.types.StructField("change",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("row", rowT))))
+    // explode skips a null array, so unchanged keys emit nothing
+    val cases = when(col("pre") <=> col("post"), lit(null).cast(arrT))
+      .when(col("pre").isNull,
+        array(struct(lit("insert").as("change"), col("post").as("row"))))
+      .when(col("post").isNull,
+        array(struct(lit("delete").as("change"), col("pre").as("row"))))
+      .otherwise(array(
+        struct(lit("update_pre").as("change"), col("pre").as("row")),
+        struct(lit("update_post").as("change"), col("post").as("row"))))
+    prePost.select(keys.map(col) :+ explode(cases).as("c"): _*)
+      .select(Seq(col("c.change").as("change")) ++ keys.map(col) ++
+        dataCols.map { case (n, _) => col(s"c.row.$n").as(n) }: _*)
+  }
+
+  private def rowDiff(pre: DataFrame, post: DataFrame, keys: Seq[String],
+      dataCols: Seq[(String, DataType)]): DataFrame =
+    classifyDiff(
+      sideOf(pre, "pre", keys, dataCols)
+        .join(sideOf(post, "post", keys, dataCols), keys, "full_outer"),
+      keys, dataCols)
+
   /** Row-level CHANGE FEED between two committed versions — what a
     * downstream consumer replays to catch up from `fromV` to `toV`
     * without rescanning the table. Returns one row per inserted or
@@ -282,64 +385,100 @@ object VersionedTable {
     * versions' data columns (a column absent at one version reads null
     * there, matching that version's own snapshot read).
     *
-    * Scale: the manifest makes the diff cheap — a bucket whose owner
-    * dir is IDENTICAL in both manifests cannot differ (commit dirs are
-    * immutable), so only buckets whose owner changed are read, from
-    * each side, and the full-outer key join runs over those buckets
-    * alone. After a 1k-key merge into a 100 TB table, the change feed
-    * reads ~min(1k, B) buckets twice — never the table. Content-equal
-    * rows inside a rewritten bucket (survivors copied by the merge)
-    * are dropped by a null-safe struct comparison, so the feed is the
-    * TRUE row diff, not "whatever the rewrite touched". A compact
-    * rewrites every bucket, so a feed across it degrades to a full
-    * (still correct, empty) diff — run feeds between data commits, or
-    * from a pre-compaction version, as Delta users do. */
+    * Scale — two paths, one contract:
+    *   - MATERIALIZED (default): every merge writes its Θ(batch) row
+    *     diff next to the commit (`<dir>/_cdc`, Delta CDF's
+    *     _change_data), so when every version in (fromV, toV] carries
+    *     one, the feed READS ONLY THE FEEDS — batch-sized, independent
+    *     of how the batch's keys scatter over buckets. A multi-commit
+    *     range collapses per key to the true fromV→toV diff (first
+    *     pre vs last post; a value updated away and back, or inserted
+    *     and deleted, emits nothing), so the contract is identical to
+    *     the derived diff — asserted row-for-row in VersionedTableSpec
+    *     and via v21's oracle.
+    *   - DERIVED (fallback, or `materialized = false`): a bucket whose
+    *     owner dir is IDENTICAL in both manifests cannot differ
+    *     (commit dirs are immutable), so only buckets whose owner
+    *     changed are read, from each side, and the full-outer key join
+    *     runs over those buckets alone. Content-equal rows inside a
+    *     rewritten bucket are dropped by a null-safe struct
+    *     comparison. This is the only path across a `restore` (its
+    *     diff is someone else's inverse, not a batch) or a vacuumed
+    *     gap — and the regime where it hurts is exactly what the
+    *     materialized path removes: a key-SCATTERED 1k-row batch marks
+    *     every bucket changed, so the derived feed rereads ~the table
+    *     twice, while the materialized feed reads 1k rows (measured in
+    *     study_r9.json `ivm_study_sf1`).
+    * A compact commit carries an EMPTY materialized feed, so feeds
+    * across compaction are free on the default path. */
   def changes(spark: SparkSession, path: String,
-      fromV: Long, toV: Long): DataFrame = {
+      fromV: Long, toV: Long, materialized: Boolean = true): DataFrame = {
+    require(fromV < toV, s"changes needs fromV < toV, got $fromV >= $toV")
     val snF = snapshot(spark, path, Some(fromV))
     val snT = snapshot(spark, path, Some(toV))
     val keys = snT.keyCols
-    val changed = (snF.owners.keySet ++ snT.owners.keySet)
-      .filter(b => snF.owners.get(b) != snT.owners.get(b))
-    // union of both versions' data columns; a type change between
-    // versions has no single read schema, so it fails loudly
-    val dataCols = (snF.schema.fields ++ snT.schema.fields)
-      .filterNot(f => keys.contains(f.name))
-      .foldLeft(Vector.empty[(String, DataType)]) { case (acc, f) =>
-        acc.find(_._1 == f.name) match {
-          case Some((_, t0)) =>
-            require(t0 == f.dataType, s"column ${f.name} changed type " +
-              s"$t0 -> ${f.dataType} between versions $fromV and $toV")
-            acc
-          case None => acc :+ (f.name -> f.dataType)
-        }
+    val vs = versions(spark, path).toSet
+    val feeds: Seq[Option[(Long, String, StructType)]] =
+      if (!materialized) Seq(None)
+      else (fromV + 1 to toV).map { v =>
+        if (!vs.contains(v)) None
+        else snapshot(spark, path, Some(v)).cdc.map(c => (v, c._1, c._2))
       }
-    def side(sn: Snapshot, alias: String): DataFrame = {
-      val df = readBuckets(spark, path, sn, Some(changed))
-      val have = df.columns.toSet
-      val row = struct(dataCols.map { case (n, t) =>
-        (if (have(n)) col(n) else lit(null).cast(t)).as(n) }: _*)
-      df.select(keys.map(col) :+ row.as(alias): _*)
+    if (feeds.forall(_.isDefined)) {
+      val fs = feeds.flatten
+      val dataCols = unionDataCols(
+        fs.flatMap(_._3.fields).filterNot(_.name == "change"), keys,
+        s"between the feeds of versions $fromV and $toV")
+      def readFeed(v: Long, dir: String, sch: StructType): DataFrame =
+        spark.read.schema(sch).parquet(s"$path/$dir")
+      if (fs.size == 1) {
+        // one commit: its feed IS the diff — no collapse, no shuffle
+        val (v, dir, sch) = fs.head
+        val df = readFeed(v, dir, sch)
+        df.select(Seq(col("change")) ++ keys.map(col) ++ dataCols.map {
+          case (n, t) => (if (df.columns.contains(n)) col(n)
+            else lit(null).cast(t)).as(n) }: _*)
+      } else {
+        // collapse per key: order events by (version, pre-before-post);
+        // the range's pre is the FIRST event's pre side (absent if it
+        // was an insert), its post the LAST event's post side (absent
+        // if it was a delete) — then reclassify, which also cancels
+        // round-trips (update away and back ⇒ pre <=> post ⇒ nothing)
+        val all = fs.map { case (v, dir, sch) =>
+          val df = readFeed(v, dir, sch)
+          val have = df.columns.toSet
+          val row = struct(dataCols.map { case (n, t) =>
+            (if (have(n)) col(n) else lit(null).cast(t)).as(n) }: _*)
+          df.select(keys.map(col) ++
+            Seq(col("change"), row.as("row"), lit(v).as("_v")): _*)
+        }.reduce(_ unionByName _)
+        val ord = col("_v") * 2 +
+          when(col("change").isin("insert", "update_post"), 1L).otherwise(0L)
+        val keyed = all.select(
+          keys.map(col) ++
+            Seq(struct(col("change"), col("row")).as("e"),
+              ord.as("_ord")): _*)
+        val g = keyed.groupBy(keys.map(col): _*)
+          .agg(min_by(col("e"), col("_ord")).as("f"),
+            max_by(col("e"), col("_ord")).as("l"))
+        val pre = when(col("f.change").isin("update_pre", "delete"),
+          col("f.row"))
+        val post = when(col("l.change").isin("update_post", "insert"),
+          col("l.row"))
+        classifyDiff(
+          g.select(keys.map(col) ++ Seq(pre.as("pre"), post.as("post")): _*),
+          keys, dataCols)
+      }
+    } else {
+      val changed = (snF.owners.keySet ++ snT.owners.keySet)
+        .filter(b => snF.owners.get(b) != snT.owners.get(b))
+      // union of both versions' data columns; a type change between
+      // versions has no single read schema, so it fails loudly
+      val dataCols = unionDataCols(snF.schema.fields ++ snT.schema.fields,
+        keys, s"between versions $fromV and $toV")
+      rowDiff(readBuckets(spark, path, snF, Some(changed)),
+        readBuckets(spark, path, snT, Some(changed)), keys, dataCols)
     }
-    val rowT = StructType(dataCols.map { case (n, t) =>
-      org.apache.spark.sql.types.StructField(n, t) })
-    val joined = side(snF, "pre").join(side(snT, "post"), keys, "full_outer")
-    // explode skips a null array, so unchanged keys emit nothing
-    val cases = when(col("pre").isNull,
-        array(struct(lit("insert").as("change"), col("post").as("row"))))
-      .when(col("post").isNull,
-        array(struct(lit("delete").as("change"), col("pre").as("row"))))
-      .when(!(col("pre") <=> col("post")), array(
-        struct(lit("update_pre").as("change"), col("pre").as("row")),
-        struct(lit("update_post").as("change"), col("post").as("row"))))
-      .otherwise(lit(null).cast(org.apache.spark.sql.types.ArrayType(
-        StructType(Seq(
-          org.apache.spark.sql.types.StructField("change",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("row", rowT))))))
-    joined.select(keys.map(col) :+ explode(cases).as("c"): _*)
-      .select(Seq(col("c.change").as("change")) ++ keys.map(col) ++
-        dataCols.map { case (n, _) => col(s"c.row.$n").as(n) }: _*)
   }
 
   /** INCREMENTAL VIEW MAINTENANCE (the counting algorithm) over a
@@ -425,9 +564,20 @@ object VersionedTable {
     cur.withColumn(KB, bucket)
       .repartition(col(KB))
       .write.mode("error").partitionBy(KB).parquet(s"$path/$dir")
+    // a compact changes no rows: commit an EMPTY materialized feed so
+    // changes() across it stays on the batch-sized path instead of
+    // falling back to a full two-sided rescan (every owner changed)
+    val dataCols = unionDataCols(sn.schema.fields, sn.keyCols, "at compact")
+    val feedSchema = StructType(
+      org.apache.spark.sql.types.StructField("change",
+        org.apache.spark.sql.types.StringType) +:
+      (sn.keyCols.map(k => sn.schema(k)) ++ dataCols.map { case (n, t) =>
+        org.apache.spark.sql.types.StructField(n, t) }))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], feedSchema)
+      .write.mode("error").parquet(s"$path/$dir/_cdc")
     val staged = listBuckets(fs, new HPath(root, dir))
     writeManifest(fs, root, v, sn.numBuckets, sn.keyCols, cur.schema,
-      staged.map(_ -> dir).toMap)
+      staged.map(_ -> dir).toMap, Some((s"$dir/_cdc", feedSchema)))
     v
   }
 
@@ -444,8 +594,13 @@ object VersionedTable {
     val (fs, root) = fsOf(spark, path)
     val vs = versions(spark, path)
     val kept = vs.takeRight(retainLast)
-    val referenced = kept
-      .flatMap(v => snapshot(spark, path, Some(v)).owners.values).toSet
+    // a dir stays if a retained manifest points any bucket at it OR
+    // hosts that manifest's materialized feed (a version whose buckets
+    // were all overwritten later still owes its retained feed)
+    val referenced = kept.flatMap { v =>
+      val sn = snapshot(spark, path, Some(v))
+      sn.owners.values.toSeq ++ sn.cdc.map(_._1.takeWhile(_ != '/')).toSeq
+    }.toSet
     vs.dropRight(retainLast)
       .foreach(v => fs.delete(manifestPath(root, v), false))
     val removable = fs.listStatus(root).toSeq

@@ -231,16 +231,68 @@ class VersionedTableSpec extends SparkSpec {
       Set(("g1", 2L, 70L), ("g2", 3L, 100L))) // g3 emptied out
   }
 
+  test("materialized and derived change feeds agree, including multi-commit collapse") {
+    val dir = freshDir("cdf_paths")
+    VersionedTable.merge(spark, dir,
+      (1L to 6L).map(i => (i, s"a$i")).toDF("k", "v"), Seq("k"), numBuckets = 4)
+    // v1: update (1, 4), delete (2), no-op rewrite (3), insert (7)
+    VersionedTable.merge(spark, dir,
+      Seq((1L, "B1", false), (2L, "", true), (3L, "a3", false),
+        (4L, "B4", false), (7L, "g", false)).toDF("k", "v", "del"),
+      Seq("k"), Some("del"), numBuckets = 4)
+    // v2: update 1 BACK to a1 (round-trip), delete 4 (update-then-
+    // delete), delete 7 (insert-then-delete), update (5), insert (8)
+    VersionedTable.merge(spark, dir,
+      Seq((1L, "a1", false), (4L, "", true), (7L, "", true),
+        (5L, "B5", false), (8L, "h", false)).toDF("k", "v", "del"),
+      Seq("k"), Some("del"), numBuckets = 4)
+    def feed(from: Long, to: Long, m: Boolean): Set[(String, Long, String)] =
+      VersionedTable.changes(spark, dir, from, to, materialized = m)
+        .select($"change", $"k", $"v").as[(String, Long, String)]
+        .collect().toSet
+    for ((f, t) <- Seq((0L, 1L), (1L, 2L), (0L, 2L)))
+      assert(feed(f, t, m = true) === feed(f, t, m = false),
+        s"paths diverge on $f->$t")
+    // the collapsed 0→2 diff: round-trips and insert-then-delete emit
+    // nothing; update-then-delete emits a delete with the FROM value
+    assert(feed(0L, 2L, m = true) === Set(
+      ("delete", 2L, "a2"), ("delete", 4L, "a4"),
+      ("update_pre", 5L, "a5"), ("update_post", 5L, "B5"),
+      ("insert", 8L, "h")))
+  }
+
+  test("vacuum keeps a dir whose buckets were overwritten but whose feed a retained version owns") {
+    val dir = freshDir("vacuum_cdc")
+    // numBuckets=1: each merge rewrites the only bucket, so v1's dir
+    // is owner-unreferenced the moment v2 commits — but v1's manifest
+    // (retained below) still points at v1's _cdc
+    VersionedTable.merge(spark, dir, Seq((1L, "a")).toDF("k", "v"),
+      Seq("k"), numBuckets = 1)
+    VersionedTable.merge(spark, dir, Seq((1L, "b", false)).toDF("k", "v", "del"),
+      Seq("k"), Some("del"), numBuckets = 1)
+    VersionedTable.merge(spark, dir, Seq((1L, "c", false)).toDF("k", "v", "del"),
+      Seq("k"), Some("del"), numBuckets = 1)
+    VersionedTable.vacuum(spark, dir, retainLast = 2)
+    val feed = VersionedTable.changes(spark, dir, 1L, 2L)
+    assert(feed.select($"change", $"k", $"v").as[(String, Long, String)]
+      .collect().toSet ===
+      Set(("update_pre", 1L, "b"), ("update_post", 1L, "c")))
+    assert(scannedFiles(feed).forall(_.contains("/_cdc/")))
+  }
+
   test("change feed across a schema-widening commit null-fills the absent column on the old side") {
     val dir = freshDir("cdf_widen")
     VersionedTable.merge(spark, dir, Seq((1L, "a")).toDF("k", "v"), Seq("k"), numBuckets = 2)
     VersionedTable.merge(spark, dir,
       Seq((1L, "a", 7L)).toDF("k", "v", "extra"), Seq("k"), numBuckets = 2)
-    val feed = VersionedTable.changes(spark, dir, 0L, 1L)
-      .select($"change", $"k", $"v", $"extra")
-      .as[(String, Long, String, Option[Long])].collect().toSet
-    assert(feed === Set(
-      ("update_pre", 1L, "a", None), ("update_post", 1L, "a", Some(7L))))
+    for (m <- Seq(true, false)) {
+      val feed = VersionedTable.changes(spark, dir, 0L, 1L, materialized = m)
+        .select($"change", $"k", $"v", $"extra")
+        .as[(String, Long, String, Option[Long])].collect().toSet
+      assert(feed === Set(
+        ("update_pre", 1L, "a", None), ("update_post", 1L, "a", Some(7L))),
+        s"materialized=$m")
+    }
   }
 
   test("restore rolls back by manifest alone: no data dir written, history intact, feed inverts") {
@@ -288,10 +340,10 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.versions(spark, dir) === Seq(0L))
   }
 
-  private def filesScanned(df: org.apache.spark.sql.DataFrame): Int = {
+  private def scannedFiles(df: org.apache.spark.sql.DataFrame): Seq[String] = {
     df.collect() // force AQE to finalize the plan
-    var plan = df.queryExecution.executedPlan
-    def leaves(p: org.apache.spark.sql.execution.SparkPlan): Seq[Int] = p match {
+    val plan = df.queryExecution.executedPlan
+    def leaves(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = p match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
         leaves(a.executedPlan)
       case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
@@ -299,12 +351,15 @@ class VersionedTableSpec extends SparkSpec {
       case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
         leaves(r.child)
       case s: org.apache.spark.sql.execution.FileSourceScanExec =>
-        Seq(s.selectedPartitions.totalNumberOfFiles.toInt)
+        s.selectedPartitions.toPartitionArray.toSeq.map(_.urlEncodedPath)
       case other => other.children.flatMap(leaves) ++
         other.subqueries.flatMap(leaves)
     }
-    leaves(plan).sum
+    leaves(plan)
   }
+
+  private def filesScanned(df: org.apache.spark.sql.DataFrame): Int =
+    scannedFiles(df).size
 
   test("change feed and lookup read only the differing/requested buckets, one file each") {
     val dir = freshDir("prune_feed")
@@ -322,11 +377,18 @@ class VersionedTableSpec extends SparkSpec {
         assert(b.listFiles().count(_.getName.endsWith(".parquet")) === 1,
           s"bucket dir ${b.getName} should hold exactly one file")
       }
-    // the 0→1 feed reads key 7's bucket from each side: exactly 2 files
+    // the default 0→1 feed reads ONLY v1's batch-sized _cdc files —
+    // no bucket data however the batch's keys scatter
     val feed = VersionedTable.changes(spark, dir, 0L, 1L)
     assert(feed.select($"change", $"k", $"v").as[(String, Long, String)]
       .collect().toSet === Set(("update_pre", 7L, "v7"), ("update_post", 7L, "V7")))
-    assert(filesScanned(feed) === 2)
+    val feedFiles = scannedFiles(feed)
+    assert(feedFiles.nonEmpty && feedFiles.forall(_.contains("/_cdc/")))
+    // the derived path reads key 7's bucket from each side: exactly 2
+    val derived = VersionedTable.changes(spark, dir, 0L, 1L, materialized = false)
+    assert(derived.select($"change", $"k", $"v").as[(String, Long, String)]
+      .collect().toSet === Set(("update_pre", 7L, "v7"), ("update_post", 7L, "V7")))
+    assert(filesScanned(derived) === 2)
     // a 2-key lookup reads at most 2 bucket files (1 if they collide)
     val got = VersionedTable.lookup(spark, dir, Seq(7L, 8L).toDF("k"))
     assert(got.select($"k", $"v").as[(Long, String)].collect().toSet ===
