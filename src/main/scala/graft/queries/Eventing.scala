@@ -1047,7 +1047,97 @@ object Eventing extends QueryModule {
        WHERE rn = 1 AND event_type <> 'error'
        ORDER BY user_id"""
 
+  /** e27 — streaming CONSUMPTION of the versioned table's published
+    * change feed (the downstream half of the CDC loop e26 opens): the
+    * serving table is built by three chronological batch MERGEs of
+    * per-user last state (e26's slices and argmax shape — v0 creation,
+    * then two correction commits that replace, insert, and tombstone),
+    * and a `VersionedTable.changeFeedStream` consumer maintains a
+    * per-event-type rollup (users, total cents) from the PUBLISHED
+    * feeds alone: bootstrap from the v0 snapshot, then one `maintain`
+    * application per micro-batch (maxFilesPerTrigger=1 forces several),
+    * never re-reading the table. The oracle recomputes the rollup
+    * relationally from the final state, so a hash match certifies
+    * merge → _cdc materialization → post-commit publication → file-
+    * source stream → IVM maintenance, end to end. Batching is free to
+    * split or combine versions because `maintain`'s counting algebra
+    * is linear — the per-version equality law is in
+    * VersionedTableSpec. Scale: each micro-batch is merge-batch-sized
+    * whatever the table's size, and the rollup view is groups-sized —
+    * this is the dashboard-refresh path that never rescans 100 TB. */
+  private def e27(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val table = graft.util.Scratch.dir(
+      s"e27_vtab_${streamRunId.incrementAndGet()}")
+    graft.util.Scratch.deleteRecursively(new java.io.File(table))
+    def slice(pred: Column): DataFrame = ev.filter(pred)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+        col("value"))).as("last"))
+      .select(col("user_id"),
+        col("last.ts").as("last_ts"),
+        col("last.event_id").as("last_event_id"),
+        col("last.event_type").as("last_type"),
+        col("last.value").as("last_value"))
+      .withColumn("del", col("last_type") === "error")
+    Seq(dayofmonth(col("ts")) <= 10,
+        dayofmonth(col("ts")) > 10 && dayofmonth(col("ts")) <= 20,
+        dayofmonth(col("ts")) > 20)
+      .foreach(p => graft.sources.VersionedTable.merge(s, table, slice(p),
+        Seq("user_id"), Some("del"), numBuckets = 16))
+    def rollup(df: DataFrame): DataFrame = df
+      .withColumn("cents", expr("cast(round(last_value * 100) as bigint)"))
+      .groupBy(col("last_type"))
+      .agg(count(lit(1)).as("n_users"), sum(col("cents")).as("cents"))
+    // the standing view a dashboard holds: v0 state, computed once;
+    // groups-sized, so driver-side rows are the honest representation
+    var view = rollup(graft.sources.VersionedTable.read(s, table, Some(0L)))
+      .select($"last_type", $"n_users", $"cents")
+      .as[(String, Long, Long)].collect().toSeq
+    val ckpt =
+      java.nio.file.Files.createTempDirectory("graft_e27_ckpt").toString
+    val ns = s.newSession()
+    ns.conf.set("spark.sql.shuffle.partitions", "8")
+    val applyBatch: (DataFrame, Long) => Unit = (batch, _) => {
+      val ss = batch.sparkSession
+      val viewDf = ss.createDataFrame(view).toDF("last_type", "n_users", "cents")
+      val feed = batch
+        .withColumn("cents", expr("cast(round(last_value * 100) as bigint)"))
+        .select(col("change"), col("last_type"), col("cents"))
+      view = graft.sources.VersionedTable.maintain(
+          viewDf, feed, Seq("last_type"), "n_users", Seq("cents"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+      ()
+    }
+    val q = graft.sources.VersionedTable
+      .changeFeedStream(ns, table, Map("maxFilesPerTrigger" -> "1"))
+      .writeStream
+      .foreachBatch(applyBatch)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.createDataFrame(view).toDF("last_type", "n_users", "cents")
+      .select(col("last_type"), col("n_users"),
+        (col("cents") / 100.0).as("total_value"))
+      .orderBy(col("last_type"))
+  }
+
+  private val e27Sql =
+    """WITH final AS (
+         SELECT user_id, event_type, value
+         FROM (SELECT *, row_number() OVER (
+                 PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+               FROM events)
+         WHERE rn = 1 AND event_type <> 'error')
+       SELECT event_type AS last_type, count(*) AS n_users,
+         sum(cast(round(value * 100) as bigint)) / 100.0 AS total_value
+       FROM final GROUP BY 1 ORDER BY 1"""
+
   val queries: Map[String, QueryFn] = Map(
+    "e27_stream_feed_maintain" -> e27 _,
     "e26_stream_cdc_merge" -> e26 _,
     "e25_stream_anomaly" -> e25 _,
     "e24_update_mode" -> e24 _,
@@ -1077,6 +1167,7 @@ object Eventing extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "e27_stream_feed_maintain" -> e27Sql,
     "e26_stream_cdc_merge" -> e26Sql,
     "e25_stream_anomaly" -> e25Sql,
     "e24_update_mode" -> e24Sql,

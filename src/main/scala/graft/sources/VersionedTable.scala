@@ -19,6 +19,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *     d00000000_ab12cd34/    immutable commit dir, kb=<bucket>/part-*
   *     d00000001_9f00e1c2/
   *       _cdc/                that commit's materialized row diff
+  *     _feed/commit_version=1/  published copy of _cdc (streaming)
   * }}}
   *
   * Every data directory is written exactly once and never modified; a
@@ -43,8 +44,10 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * later merges, and through vacuum as long as v is retained.
   *
   * Deliberately NOT here (use Delta/Iceberg when these matter):
-  * concurrent-writer conflict resolution, file-level column stats,
-  * schema enforcement beyond union-by-name widening, streaming CDF.
+  * concurrent-writer conflict resolution, file-level column stats
+  * (pointless under hash bucketing — non-key min/max spans every
+  * bucket; x12's z-order study is the clustering answer), schema
+  * enforcement beyond union-by-name widening.
   * The semantics a user of this engine needs — snapshot isolation,
   * time travel, key-scoped merge cost, vacuum — are all present and
   * spec'd (VersionedTableSpec), and v20 puts the whole lifecycle
@@ -55,6 +58,7 @@ object VersionedTable {
     * user schema (reads drop it; updates must not carry it). */
   val KB = "kb"
   private val LOG = "_log"
+  private val FEED = "_feed"
 
   /** `cdc`, when present, is (relative dir, feed schema) of this
     * version's MATERIALIZED change feed — the Θ(batch) row diff its
@@ -287,6 +291,9 @@ object VersionedTable {
       val staged = listBuckets(fs, new HPath(root, dir))
       writeManifest(fs, root, v, numBuckets, keyCols,
         merged.schema, owners ++ staged.map(_ -> dir), cdc)
+      // post-commit publication sweep: this version's feed plus any
+      // predecessor's a crash left committed-but-unpublished
+      publishFeeds(spark, path)
       v
     } finally u.unpersist(blocking = false)
   }
@@ -526,6 +533,103 @@ object VersionedTable {
       .filter(col(countCol) > 0)
   }
 
+  /** PUBLISH committed feeds for streaming: copy every committed
+    * version's `_cdc` files to `_feed/v=<version>/` (staged dir +
+    * rename, so a partially copied feed is never visible under the
+    * `v=` glob). Returns the versions published by THIS call.
+    *
+    * Publication is the streaming half of the crash-safety story. The
+    * `_cdc` copy is written BEFORE the manifest (so a committed
+    * version always has its transactional feed), which means a
+    * crashed, never-committed merge can leave an orphan `_cdc` — a
+    * file-source stream globbing commit dirs would replay changes
+    * that never happened. The published copy inverts the ordering:
+    * it is written only AFTER the version is observed committed, so
+    * `published ⇒ committed` and a stream over `_feed` can never see
+    * a phantom change. The crash window on THIS side (committed but
+    * not yet published) is self-healing: every `merge` ends with a
+    * `publishFeeds` sweep, so the next writer publishes any
+    * predecessor's missing feed and the stream sees it late, never
+    * wrong. Idempotent and safe to call any time (a concurrent
+    * publisher losing the rename race is fine — the winner's copy is
+    * byte-identical, from the same immutable `_cdc`).
+    *
+    * NOT in the published stream: `restore` commits (their diff is
+    * derived, never materialized — a rollback invalidates downstream
+    * state wholesale; consumers re-sync from a snapshot plus
+    * `changes(materialized = false)`), and version 0 (creation has no
+    * before-state; consumers bootstrap from `read(asOf = Some(0))`
+    * and stream feeds with `v >= 1`). */
+  def publishFeeds(spark: SparkSession, path: String): Seq[Long] = {
+    val (fs, root) = fsOf(spark, path)
+    val feedRoot = new HPath(root, FEED)
+    versions(spark, path).flatMap { v =>
+      snapshot(spark, path, Some(v)).cdc.flatMap { case (cdcDir, _) =>
+        val dst = new HPath(feedRoot, s"commit_version=$v")
+        if (fs.exists(dst)) None
+        else {
+          val src = new HPath(root, cdcDir)
+          val stage = new HPath(feedRoot,
+            f".stage_v${v}_" + java.util.UUID.randomUUID().toString.take(8))
+          fs.mkdirs(stage)
+          val parts =
+            if (fs.exists(src)) fs.listStatus(src).toSeq
+              .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+            else Seq.empty
+          parts.foreach { p =>
+            org.apache.hadoop.fs.FileUtil.copy(fs, p.getPath,
+              fs, new HPath(stage, p.getPath.getName),
+              false, spark.sparkContext.hadoopConfiguration)
+          }
+          if (fs.rename(stage, dst)) Some(v)
+          else { // lost a concurrent-publish race: same bytes won
+            fs.delete(stage, true)
+            require(fs.exists(dst), s"publishing feed v=$v of $path failed")
+            None
+          }
+        }
+      }
+    }
+  }
+
+  /** STREAMING READ of the published change feed — the downstream
+    * half of the CDC loop (`readStream` over `_feed`, the battle-
+    * tested file source: new `v=` dirs are discovered per micro-batch,
+    * exactly-once via the stream's own checkpoint). Each row is one
+    * CDF change with its commit version in `commit_version` (the
+    * publish layout's partition column, so it costs no storage); a
+    * consumer bootstraps from `read(asOf = Some(v0))` and processes
+    * rows with `commit_version > v0`.
+    * Because `maintain`'s counting algebra is linear, a micro-batch
+    * that spans several versions (or splits one) refreshes a view to
+    * exactly the same rows as per-version application — e27 certifies
+    * the whole loop (merge → publish → stream → maintain) against the
+    * relational oracle. Schema is the LATEST materialized feed's (the
+    * file-source constraint: restart the stream after a widening
+    * commit to pick up new columns); `restore` commits publish
+    * nothing — see `publishFeeds`. */
+  def changeFeedStream(spark: SparkSession, path: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val vs = versions(spark, path)
+    val feedSchema = vs.reverse.iterator
+      .map(v => snapshot(spark, path, Some(v)).cdc)
+      .collectFirst { case Some((_, s)) => s }
+      .getOrElse(throw new IllegalArgumentException(
+        s"$path has no materialized feed to stream (only creation/" +
+          "restore commits so far)"))
+    require(!feedSchema.fieldNames.contains("commit_version"),
+      "the table has a 'commit_version' column, which collides with " +
+        "the feed stream's version column")
+    publishFeeds(spark, path) // heal before the source lists files
+    // commit_version arrives as the publish layout's partition column
+    spark.readStream
+      .schema(StructType(feedSchema.fields :+
+        org.apache.spark.sql.types.StructField("commit_version",
+          org.apache.spark.sql.types.LongType)))
+      .options(options)
+      .parquet(s"$path/$FEED")
+  }
+
   /** ROLL BACK to version `v` by committing a new version whose owner
     * map (and schema) are `v`'s — a pure manifest write, zero data
     * movement, because every dir `v` referenced is immutable and still
@@ -578,6 +682,7 @@ object VersionedTable {
     val staged = listBuckets(fs, new HPath(root, dir))
     writeManifest(fs, root, v, sn.numBuckets, sn.keyCols, cur.schema,
       staged.map(_ -> dir).toMap, Some((s"$dir/_cdc", feedSchema)))
+    publishFeeds(spark, path)
     v
   }
 
@@ -604,10 +709,24 @@ object VersionedTable {
     vs.dropRight(retainLast)
       .foreach(v => fs.delete(manifestPath(root, v), false))
     val removable = fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName != LOG)
+      .filter(s => s.isDirectory &&
+        s.getPath.getName != LOG && s.getPath.getName != FEED)
       .map(_.getPath.getName)
       .filterNot(referenced)
     removable.foreach(d => fs.delete(new HPath(root, d), true))
+    // published feeds of dropped versions go too, plus any stage dir
+    // a crashed publisher abandoned
+    val feedRoot = new HPath(root, FEED)
+    if (fs.exists(feedRoot)) {
+      val keptV = kept.toSet
+      fs.listStatus(feedRoot).toSeq.foreach { s =>
+        val n = s.getPath.getName
+        val keep = n.startsWith("commit_version=") &&
+          n.stripPrefix("commit_version=").toLongOption
+            .exists(keptV.contains)
+        if (!keep) fs.delete(s.getPath, true)
+      }
+    }
     removable.sorted
   }
 }

@@ -94,9 +94,12 @@ class VersionedTableSpec extends SparkSpec {
     assert(state(dir) === Set((1L, "c")))
     val e = intercept[IllegalArgumentException] { VersionedTable.read(spark, dir, Some(0L)) }
     assert(e.getMessage.contains("vacuumed"))
-    // data dirs on disk = exactly the referenced one plus _log
+    // data dirs on disk = exactly the referenced one plus _log/_feed
     val left = new java.io.File(dir).listFiles().map(_.getName).toSet
-    assert(left.count(_ != "_log") === 1)
+    assert(left.count(n => n != "_log" && n != "_feed") === 1)
+    // and only the retained version's published feed survives
+    assert(new java.io.File(dir, "_feed").listFiles()
+      .map(_.getName).toSet === Set("commit_version=2"))
   }
 
   test("vacuum keeps a dir still referenced by an older RETAINED version") {
@@ -172,7 +175,8 @@ class VersionedTableSpec extends SparkSpec {
     // compacted dir survives on disk
     assert(state(dir, Some(1L)).contains((3L, "V3")))
     VersionedTable.vacuum(spark, dir, retainLast = 1)
-    val left = new java.io.File(dir).listFiles().map(_.getName).filter(_ != "_log")
+    val left = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(n => n != "_log" && n != "_feed")
     assert(left.length === 1)
     assert(state(dir) === before)
   }
@@ -278,6 +282,56 @@ class VersionedTableSpec extends SparkSpec {
       .collect().toSet ===
       Set(("update_pre", 1L, "b"), ("update_post", 1L, "c")))
     assert(scannedFiles(feed).forall(_.contains("/_cdc/")))
+  }
+
+  test("published feed streams every committed merge exactly once, heals, skips creation/restore") {
+    val dir = freshDir("feed_stream")
+    VersionedTable.merge(spark, dir,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), Seq("k"), numBuckets = 4)
+    VersionedTable.merge(spark, dir,
+      Seq((2L, "B", false), (3L, "", true), (4L, "d", false)).toDF("k", "v", "del"),
+      Seq("k"), Some("del"), numBuckets = 4)
+    VersionedTable.merge(spark, dir,
+      Seq((5L, "e", false)).toDF("k", "v", "del"),
+      Seq("k"), Some("del"), numBuckets = 4)
+    def published = Option(new java.io.File(dir, "_feed").listFiles())
+      .map(_.map(_.getName).toSet).getOrElse(Set.empty[String])
+    // creation (v0) publishes nothing — consumers bootstrap from the
+    // v0 snapshot; each merge published its own feed at commit time
+    assert(published === Set("commit_version=1", "commit_version=2"))
+    // healing: a lost publish dir is republished by the next merge
+    graft.util.Scratch.deleteRecursively(new java.io.File(dir, "_feed/commit_version=2"))
+    VersionedTable.merge(spark, dir,
+      Seq((6L, "f", false)).toDF("k", "v", "del"),
+      Seq("k"), Some("del"), numBuckets = 4)
+    assert(published ===
+      Set("commit_version=1", "commit_version=2", "commit_version=3"))
+    // a restore commit publishes nothing (derived-only diff)
+    VersionedTable.restore(spark, dir, 0L)
+    VersionedTable.publishFeeds(spark, dir)
+    assert(!published.contains("commit_version=4"))
+    // the stream over _feed = the per-version feeds, version-stamped
+    val got = scala.collection.mutable.Set.empty[(Long, String, Long, String)]
+    val collectBatch: (org.apache.spark.sql.DataFrame, Long) => Unit =
+      (b, _) => {
+        got.synchronized { got ++= b
+          .select($"commit_version", $"change", $"k", $"v")
+          .as[(Long, String, Long, String)].collect() }
+        ()
+      }
+    val q = VersionedTable.changeFeedStream(spark, dir).writeStream
+      .foreachBatch(collectBatch)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("feed_stream_ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val expected = (1L to 3L).flatMap { v =>
+      VersionedTable.changes(spark, dir, v - 1, v)
+        .select(lit(v), $"change", $"k", $"v")
+        .as[(Long, String, Long, String)].collect()
+    }.toSet
+    assert(got.toSet === expected)
   }
 
   test("change feed across a schema-widening commit null-fills the absent column on the old side") {
