@@ -284,8 +284,14 @@ object VersionedTable {
       // feed before manifest: the manifest IS the commit, so a crash
       // between the two leaves an orphan dir for vacuum, never a
       // committed version with a missing feed
+      // REBALANCE, not the join's raw task layout: a batch-sized feed
+      // from a 32-partition exchange otherwise lands as 32 near-empty
+      // files, and every later feed read (changes(), the published
+      // stream's per-file micro-batches, the publish copy itself) pays
+      // the file count. AQE sizes the rebalance output — one file for
+      // small feeds, target-size splits for huge ones.
       val cdc = feed.map { f =>
-        f.write.mode("error").parquet(s"$path/$dir/_cdc")
+        f.hint("rebalance").write.mode("error").parquet(s"$path/$dir/_cdc")
         (s"$dir/_cdc", f.schema)
       }
       val staged = listBuckets(fs, new HPath(root, dir))
