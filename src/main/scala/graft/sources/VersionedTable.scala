@@ -647,7 +647,10 @@ object VersionedTable {
     val cur = snapshot(spark, path, None)
     val nv = cur.version + 1
     val (fs, root) = fsOf(spark, path)
-    writeManifest(fs, root, nv, cur.numBuckets, cur.keyCols,
+    // the TARGET's layout, not the current one: its owner dirs are
+    // hashed with its bucket count — restoring across a rebucket must
+    // restore the bucketing too, or lookups would prune wrong buckets
+    writeManifest(fs, root, nv, target.numBuckets, target.keyCols,
       target.schema, target.owners)
     nv
   }
@@ -662,21 +665,49 @@ object VersionedTable {
     * whole-table generalization of v17's small-file compaction
     * PLANNING: here the rewrite actually runs, under the same
     * immutable-commit contract as merge. */
-  def compact(spark: SparkSession, path: String): Long = {
+  def compact(spark: SparkSession, path: String): Long =
+    rewriteAll(spark, path, None)
+
+  /** RE-BUCKET the table to `newNumBuckets` — the migration for a
+    * table that outgrew (or over-provisioned) its creation-time
+    * bucket count, which is the knob scoping merge rewrite cost,
+    * lookup fan-in, and per-bucket write parallelism. A full rewrite
+    * commit under the same immutable contract as compact: earlier
+    * versions keep their layout (and reads) until vacuumed, content
+    * is unchanged (asserted row-identical in VersionedTableSpec), and
+    * later merges must pass the NEW count — the old one fails loudly
+    * at the existing bucketing-drift contract. This is deliberately
+    * Θ(table): hash bucketing admits no incremental split that keeps
+    * `key hash → one bucket` true for both counts at once (doubling
+    * tricks pin you to powers of two and still rewrite half the
+    * rows), so the honest operator is one planned rewrite, run like
+    * any compaction window. */
+  def rebucket(spark: SparkSession, path: String,
+      newNumBuckets: Int): Long = {
+    require(newNumBuckets > 0, "newNumBuckets must be positive")
+    rewriteAll(spark, path, Some(newNumBuckets))
+  }
+
+  /** Shared full-rewrite commit: every live row into ONE new commit
+    * dir, bucketed by `newB` (compact keeps the current count). */
+  private def rewriteAll(spark: SparkSession, path: String,
+      newB: Option[Int]): Long = {
     val sn = snapshot(spark, path, None)
+    val b = newB.getOrElse(sn.numBuckets)
     val v = sn.version + 1
     val dir = f"d$v%08d_" + java.util.UUID.randomUUID().toString.take(8)
     val bucket = pmod(xxhash64(sn.keyCols.map(col): _*),
-      lit(sn.numBuckets.toLong)).cast("int")
+      lit(b.toLong)).cast("int")
     val cur = readBuckets(spark, path, sn, None)
     val (fs, root) = fsOf(spark, path)
     // one file per bucket, same rationale as merge's pre-write shuffle
     cur.withColumn(KB, bucket)
       .repartition(col(KB))
       .write.mode("error").partitionBy(KB).parquet(s"$path/$dir")
-    // a compact changes no rows: commit an EMPTY materialized feed so
-    // changes() across it stays on the batch-sized path instead of
-    // falling back to a full two-sided rescan (every owner changed)
+    // a layout rewrite changes no rows: commit an EMPTY materialized
+    // feed so changes() across it stays on the batch-sized path
+    // instead of falling back to a full two-sided rescan (every owner
+    // changed)
     val dataCols = unionDataCols(sn.schema.fields, sn.keyCols, "at compact")
     val feedSchema = StructType(
       org.apache.spark.sql.types.StructField("change",
@@ -686,7 +717,7 @@ object VersionedTable {
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], feedSchema)
       .write.mode("error").parquet(s"$path/$dir/_cdc")
     val staged = listBuckets(fs, new HPath(root, dir))
-    writeManifest(fs, root, v, sn.numBuckets, sn.keyCols, cur.schema,
+    writeManifest(fs, root, v, b, sn.keyCols, cur.schema,
       staged.map(_ -> dir).toMap, Some((s"$dir/_cdc", feedSchema)))
     publishFeeds(spark, path)
     v

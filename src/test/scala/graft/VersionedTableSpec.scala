@@ -181,6 +181,50 @@ class VersionedTableSpec extends SparkSpec {
     assert(state(dir) === before)
   }
 
+  test("rebucket migrates the layout: content identical, new count enforced, feeds stay cheap, restore crosses back") {
+    val dir = freshDir("rebucket")
+    VersionedTable.merge(spark, dir,
+      (1L to 64L).map(i => (i, s"v$i")).toDF("k", "v"), Seq("k"), numBuckets = 4)
+    VersionedTable.merge(spark, dir, Seq((7L, "V7", false)).toDF("k", "v", "del"),
+      Seq("k"), Some("del"), numBuckets = 4)
+    val before = state(dir)
+    val v = VersionedTable.rebucket(spark, dir, 16)
+    assert(v === 2L)
+    assert(state(dir) === before) // content unchanged
+    assert(VersionedTable.snapshot(spark, dir).numBuckets === 16)
+    // the rewrite actually re-keyed the layout: one dir per NON-EMPTY
+    // new bucket (a 64-key set can leave a 16-bucket layout with a
+    // hash-empty bucket, so compare against the recomputed bucket set)
+    val expectBuckets = (1L to 64L).toDF("k")
+      .select(pmod(xxhash64($"k"), lit(16L)).cast("int").as("b"))
+      .distinct().as[Int].collect().toSet
+    assert(expectBuckets.size > 4)
+    val newDir = VersionedTable.snapshot(spark, dir).owners.values.head
+    assert(new java.io.File(s"$dir/$newDir").listFiles()
+      .filter(_.getName.startsWith("kb="))
+      .map(_.getName.stripPrefix("kb=").toInt).toSet === expectBuckets)
+    // a feed across the rebucket is empty on the cheap path
+    assert(VersionedTable.changes(spark, dir, 1L, 2L).isEmpty)
+    // merges must speak the new count; the old one fails loudly
+    intercept[IllegalArgumentException] {
+      VersionedTable.merge(spark, dir, Seq((1L, "x")).toDF("k", "v"),
+        Seq("k"), numBuckets = 4)
+    }
+    VersionedTable.merge(spark, dir, Seq((1L, "X", false)).toDF("k", "v", "del"),
+      Seq("k"), Some("del"), numBuckets = 16)
+    assert(state(dir) === before - ((1L, "v1")) + ((1L, "X")))
+    // lookups prune correctly in the new layout
+    assert(VersionedTable.lookup(spark, dir, Seq(7L).toDF("k"))
+      .select($"v").as[String].collect().toSeq === Seq("V7"))
+    // restore to a PRE-rebucket version restores its bucketing too —
+    // its owner dirs are hashed with the old count
+    VersionedTable.restore(spark, dir, 1L)
+    assert(VersionedTable.snapshot(spark, dir).numBuckets === 4)
+    assert(state(dir) === before)
+    assert(VersionedTable.lookup(spark, dir, Seq(7L).toDF("k"))
+      .select($"v").as[String].collect().toSeq === Seq("V7"))
+  }
+
   test("change feed classifies inserts/deletes/updates; rewrites without row changes feed nothing") {
     val dir = freshDir("cdf")
     VersionedTable.merge(spark, dir,
