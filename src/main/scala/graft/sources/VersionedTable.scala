@@ -242,8 +242,9 @@ object VersionedTable {
       val v = if (vs.isEmpty) 0L else {
         val sn = snapshot(spark, path, None)
         require(sn.numBuckets == numBuckets,
-          s"table $path was created with numBuckets=${sn.numBuckets}, " +
-            s"merge called with $numBuckets — bucketing is fixed at creation")
+          s"table $path currently has numBuckets=${sn.numBuckets}, " +
+            s"merge called with $numBuckets — pass the current count " +
+            "(change it with rebucket)")
         require(sn.keyCols == keyCols,
           s"table $path is keyed by (${sn.keyCols.mkString(",")}), " +
             s"merge called with (${keyCols.mkString(",")})")
@@ -270,11 +271,15 @@ object VersionedTable {
           // changes()/maintain() batch-sized however the keys scatter.
           val pre =
             cur.join(u.select(keyCols.map(col): _*), keyCols, "left_semi")
-          val dataCols = unionDataCols(
-            cur.schema.fields ++ upserts.schema.fields, keyCols,
-            s"between table $path and the update batch")
-          (survivors.unionByName(upserts, allowMissingColumns = true),
-            sn.owners -- affected,
+          val merged =
+            survivors.unionByName(upserts, allowMissingColumns = true)
+          // feed types come from the MERGED schema — unionByName may
+          // WIDEN coercible types (int batch into a long column), and
+          // the diff must compare both sides in the committed types,
+          // not reject a merge the write itself accepts
+          val dataCols =
+            unionDataCols(merged.schema.fields, keyCols, "after the merge")
+          (merged, sn.owners -- affected,
             Some(rowDiff(pre, upserts, keyCols, dataCols)))
         }
       // mode("error"): the dir is version-unique, anything there is a bug
@@ -298,8 +303,17 @@ object VersionedTable {
       writeManifest(fs, root, v, numBuckets, keyCols,
         merged.schema, owners ++ staged.map(_ -> dir), cdc)
       // post-commit publication sweep: this version's feed plus any
-      // predecessor's a crash left committed-but-unpublished
-      publishFeeds(spark, path)
+      // predecessor's a crash left committed-but-unpublished. The
+      // commit is already durable, so a transient publish failure must
+      // not make the merge LOOK failed (a retry would commit a phantom
+      // version) — the next sweep heals it, which is the same
+      // guarantee a crash here gets
+      try publishFeeds(spark, path)
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"[VersionedTable] feed publication for $path deferred " +
+            s"(version $v committed; next merge/publishFeeds heals): $e")
+      }
       v
     } finally u.unpersist(blocking = false)
   }
@@ -330,29 +344,54 @@ object VersionedTable {
     * a name seen twice with different types fails loudly (`ctx` names
     * the boundary in the message) — a retyped column has no single
     * feed schema. */
+  /** Widest common type for a column seen with two types — the same
+    * lattice `unionByName` widens along for the integral/fractional
+    * numerics a merge batch realistically drifts on. None = no single
+    * feed type exists (reject loudly). */
+  private def widen(a: DataType, b: DataType): Option[DataType] = {
+    import org.apache.spark.sql.types._
+    val ints: Seq[DataType] = Seq(ByteType, ShortType, IntegerType, LongType)
+    val fracs: Seq[DataType] = Seq(FloatType, DoubleType)
+    if (a == b) Some(a)
+    else if (ints.contains(a) && ints.contains(b))
+      Some(ints(math.max(ints.indexOf(a), ints.indexOf(b))))
+    else if (fracs.contains(a) && fracs.contains(b))
+      Some(fracs(math.max(fracs.indexOf(a), fracs.indexOf(b))))
+    else None
+  }
+
   private def unionDataCols(fields: Seq[org.apache.spark.sql.types.StructField],
       keys: Seq[String], ctx: String): Vector[(String, DataType)] =
     fields.filterNot(f => keys.contains(f.name))
       .foldLeft(Vector.empty[(String, DataType)]) { case (acc, f) =>
-        acc.find(_._1 == f.name) match {
-          case Some((_, t0)) =>
-            require(t0 == f.dataType,
-              s"column ${f.name} changed type $t0 -> ${f.dataType} $ctx")
-            acc
-          case None => acc :+ (f.name -> f.dataType)
+        acc.indexWhere(_._1 == f.name) match {
+          case -1 => acc :+ (f.name -> f.dataType)
+          case i =>
+            val t0 = acc(i)._2
+            val w = widen(t0, f.dataType).getOrElse(throw
+              new IllegalArgumentException(
+                s"column ${f.name} changed type $t0 -> ${f.dataType} $ctx"))
+            acc.updated(i, (f.name, w))
         }
       }
 
-  /** Project `df` to (keys, `alias` = struct of `dataCols`), null-
-    * casting columns the frame doesn't carry — the alignment that lets
-    * two schema-widened sides compare null-safely as one struct. */
-  private def sideOf(df: DataFrame, alias: String, keys: Seq[String],
-      dataCols: Seq[(String, DataType)]): DataFrame = {
+  /** The single column-alignment rule every diff path shares: a column
+    * the frame carries is CAST to the agreed feed type (a widened
+    * numeric compares in the widened type), an absent one reads null —
+    * keeping the materialized, derived, and collapsed paths
+    * bit-identical by construction. */
+  private def aligned(df: DataFrame,
+      dataCols: Seq[(String, DataType)]): Seq[Column] = {
     val have = df.columns.toSet
-    val row = struct(dataCols.map { case (n, t) =>
-      (if (have(n)) col(n) else lit(null).cast(t)).as(n) }: _*)
-    df.select(keys.map(col) :+ row.as(alias): _*)
+    dataCols.map { case (n, t) =>
+      (if (have(n)) col(n).cast(t) else lit(null).cast(t)).as(n) }
   }
+
+  /** Project `df` to (keys, `alias` = struct of `dataCols`), aligned. */
+  private def sideOf(df: DataFrame, alias: String, keys: Seq[String],
+      dataCols: Seq[(String, DataType)]): DataFrame =
+    df.select(keys.map(col) :+
+      struct(aligned(df, dataCols): _*).as(alias): _*)
 
   /** Classify (keys, pre, post) rows into CDF rows: equal (null-safe,
     * INCLUDING both-absent — an insert that was deleted again inside
@@ -427,7 +466,6 @@ object VersionedTable {
   def changes(spark: SparkSession, path: String,
       fromV: Long, toV: Long, materialized: Boolean = true): DataFrame = {
     require(fromV < toV, s"changes needs fromV < toV, got $fromV >= $toV")
-    val snF = snapshot(spark, path, Some(fromV))
     val snT = snapshot(spark, path, Some(toV))
     val keys = snT.keyCols
     val vs = versions(spark, path).toSet
@@ -437,6 +475,10 @@ object VersionedTable {
         if (!vs.contains(v)) None
         else snapshot(spark, path, Some(v)).cdc.map(c => (v, c._1, c._2))
       }
+    // the materialized path never opens fromV itself — the feeds carry
+    // the before-state — so a consumer can catch up FROM a vacuumed
+    // version as long as every later step's feed is retained; only the
+    // derived fallback (which must rescan fromV's buckets) requires it
     if (feeds.forall(_.isDefined)) {
       val fs = feeds.flatten
       val dataCols = unionDataCols(
@@ -448,9 +490,8 @@ object VersionedTable {
         // one commit: its feed IS the diff — no collapse, no shuffle
         val (v, dir, sch) = fs.head
         val df = readFeed(v, dir, sch)
-        df.select(Seq(col("change")) ++ keys.map(col) ++ dataCols.map {
-          case (n, t) => (if (df.columns.contains(n)) col(n)
-            else lit(null).cast(t)).as(n) }: _*)
+        df.select(Seq(col("change")) ++ keys.map(col) ++
+          aligned(df, dataCols): _*)
       } else {
         // collapse per key: order events by (version, pre-before-post);
         // the range's pre is the FIRST event's pre side (absent if it
@@ -459,11 +500,9 @@ object VersionedTable {
         // round-trips (update away and back ⇒ pre <=> post ⇒ nothing)
         val all = fs.map { case (v, dir, sch) =>
           val df = readFeed(v, dir, sch)
-          val have = df.columns.toSet
-          val row = struct(dataCols.map { case (n, t) =>
-            (if (have(n)) col(n) else lit(null).cast(t)).as(n) }: _*)
           df.select(keys.map(col) ++
-            Seq(col("change"), row.as("row"), lit(v).as("_v")): _*)
+            Seq(col("change"), struct(aligned(df, dataCols): _*).as("row"),
+              lit(v).as("_v")): _*)
         }.reduce(_ unionByName _)
         val ord = col("_v") * 2 +
           when(col("change").isin("insert", "update_post"), 1L).otherwise(0L)
@@ -483,6 +522,7 @@ object VersionedTable {
           keys, dataCols)
       }
     } else {
+      val snF = snapshot(spark, path, Some(fromV))
       val changed = (snF.owners.keySet ++ snT.owners.keySet)
         .filter(b => snF.owners.get(b) != snT.owners.get(b))
       // union of both versions' data columns; a type change between
@@ -565,11 +605,20 @@ object VersionedTable {
     * state wholesale; consumers re-sync from a snapshot plus
     * `changes(materialized = false)`), and version 0 (creation has no
     * before-state; consumers bootstrap from `read(asOf = Some(0))`
-    * and stream feeds with `v >= 1`). */
+    * and stream feeds with `commit_version >= 1`). */
   def publishFeeds(spark: SparkSession, path: String): Seq[Long] = {
     val (fs, root) = fsOf(spark, path)
     val feedRoot = new HPath(root, FEED)
-    versions(spark, path).flatMap { v =>
+    // one _feed listing up front, then manifests opened only for the
+    // UNPUBLISHED versions (normally just the one that triggered the
+    // sweep) — a long-retained history must not make every commit pay
+    // an O(versions) manifest re-read
+    val already: Set[Long] =
+      if (!fs.exists(feedRoot)) Set.empty
+      else fs.listStatus(feedRoot).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("commit_version="))
+        .map(_.stripPrefix("commit_version=").toLong).toSet
+    versions(spark, path).filterNot(already).flatMap { v =>
       snapshot(spark, path, Some(v)).cdc.flatMap { case (cdcDir, _) =>
         val dst = new HPath(feedRoot, s"commit_version=$v")
         if (fs.exists(dst)) None
@@ -719,7 +768,12 @@ object VersionedTable {
     val staged = listBuckets(fs, new HPath(root, dir))
     writeManifest(fs, root, v, b, sn.keyCols, cur.schema,
       staged.map(_ -> dir).toMap, Some((s"$dir/_cdc", feedSchema)))
-    publishFeeds(spark, path)
+    try publishFeeds(spark, path)
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(
+        s"[VersionedTable] feed publication for $path deferred " +
+          s"(version $v committed; next merge/publishFeeds heals): $e")
+    }
     v
   }
 

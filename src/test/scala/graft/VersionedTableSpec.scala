@@ -378,6 +378,49 @@ class VersionedTableSpec extends SparkSpec {
     assert(got.toSet === expected)
   }
 
+  test("a batch with a coercibly-narrower column type widens through merge AND feed") {
+    val dir = freshDir("coerce")
+    VersionedTable.merge(spark, dir,
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "amt"), Seq("k"), numBuckets = 2)
+    // the batch carries amt as INT; unionByName widens the write, so
+    // the feed must diff in the widened type instead of rejecting a
+    // merge the write itself accepts
+    VersionedTable.merge(spark, dir,
+      Seq((2L, 25), (3L, 30)).toDF("k", "amt"), Seq("k"), numBuckets = 2)
+    assert(VersionedTable.read(spark, dir).schema("amt").dataType ===
+      org.apache.spark.sql.types.LongType)
+    for (m <- Seq(true, false)) {
+      val feed = VersionedTable.changes(spark, dir, 0L, 1L, materialized = m)
+        .select($"change", $"k", $"amt").as[(String, Long, Long)]
+        .collect().toSet
+      assert(feed === Set(("update_pre", 2L, 20L),
+        ("update_post", 2L, 25L), ("insert", 3L, 30L)), s"materialized=$m")
+    }
+  }
+
+  test("catch-up FROM a vacuumed version works on the materialized path; derived fails loudly") {
+    val dir = freshDir("vac_catchup")
+    // numBuckets=1: every merge rewrites the only bucket, so old dirs
+    // survive vacuum only through their retained manifests' feeds
+    VersionedTable.merge(spark, dir,
+      Seq((1L, "a")).toDF("k", "v"), Seq("k"), numBuckets = 1)
+    for (v <- Seq("b", "c", "d"))
+      VersionedTable.merge(spark, dir,
+        Seq((1L, v, false)).toDF("k", "v", "del"),
+        Seq("k"), Some("del"), numBuckets = 1)
+    VersionedTable.vacuum(spark, dir, retainLast = 2) // keeps v2, v3
+    // the consumer last synced at v1 (now vacuumed): feeds 2 and 3 are
+    // retained and carry the before-state, so catch-up still works
+    val feed = VersionedTable.changes(spark, dir, 1L, 3L)
+      .select($"change", $"k", $"v").as[(String, Long, String)]
+      .collect().toSet
+    assert(feed === Set(("update_pre", 1L, "b"), ("update_post", 1L, "d")))
+    // the derived path must rescan version 1's buckets — gone: loud
+    intercept[IllegalArgumentException] {
+      VersionedTable.changes(spark, dir, 1L, 3L, materialized = false)
+    }
+  }
+
   test("change feed across a schema-widening commit null-fills the absent column on the old side") {
     val dir = freshDir("cdf_widen")
     VersionedTable.merge(spark, dir, Seq((1L, "a")).toDF("k", "v"), Seq("k"), numBuckets = 2)
@@ -449,7 +492,10 @@ class VersionedTableSpec extends SparkSpec {
       case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
         leaves(r.child)
       case s: org.apache.spark.sql.execution.FileSourceScanExec =>
-        s.selectedPartitions.toPartitionArray.toSeq.map(_.urlEncodedPath)
+        // distinct: toPartitionArray yields one entry per SPLIT, and a
+        // file above maxPartitionBytes must still count once
+        s.selectedPartitions.toPartitionArray.toSeq
+          .map(_.urlEncodedPath).distinct
       case other => other.children.flatMap(leaves) ++
         other.subqueries.flatMap(leaves)
     }
