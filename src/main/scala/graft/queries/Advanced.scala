@@ -1019,7 +1019,88 @@ object Advanced extends QueryModule {
            count(*), sum(cents) FROM b2 GROUP BY 1, 2)
        ORDER BY version, band"""
 
+  /** v23 — BUCKET-PRUNED POINT SERVE through the versioned table's
+    * Catalyst FileIndex (VersionedScan): the v20 lifecycle (base load
+    * plus two 20-key correction merges), then a fixed 8-key serving
+    * batch read DECLARATIVELY — `read(...).filter(isin(...))` — at
+    * version 0 and at the final version. The IN list reaches
+    * `VersionedFileIndex.listFiles` as pushed data filters, so each
+    * serve reads ≤ 8 of the 64 buckets (≤ 8 files under merge's
+    * one-file-per-bucket layout) at ANY table size — the reference's
+    * per-key SQL point reads (mainTesting.py:99-115) as one pruned
+    * scan, with no `lookup()` plumbing in the caller. The oracle
+    * recomputes both versions' states relationally and applies the
+    * same key filter, so it certifies that pruning loses no rows and
+    * that time travel composes with it (the pruned file counts are
+    * spec'd in VersionedScanSpec). */
+  private def v23(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = graft.util.Scratch.dir(
+      "v23_scan_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+    graft.util.Scratch.deleteRecursively(new java.io.File(dir))
+    val ord = Tables.orders(s, d)
+    val t0 = ord.filter(year($"o_orderdate") <= 1997)
+      .groupBy($"o_custkey")
+      .agg(round(sum($"o_totalprice"), 2).as("spend"),
+        count(lit(1)).as("n_orders"))
+    val top40 = ord.filter(year($"o_orderdate") === 1998)
+      .groupBy($"o_custkey")
+      .agg(round(sum($"o_totalprice"), 2).as("spend"),
+        count(lit(1)).as("n_orders"),
+        (min($"o_orderpriority") === "1-URGENT").as("del"))
+      .orderBy($"spend".desc, $"o_custkey").limit(40)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy($"spend".desc, $"o_custkey")))
+    graft.sources.VersionedTable.merge(s, dir, t0, Seq("o_custkey"))
+    graft.sources.VersionedTable.merge(s, dir,
+      top40.filter($"rk" <= 20).drop("rk"), Seq("o_custkey"), Some("del"))
+    graft.sources.VersionedTable.merge(s, dir,
+      top40.filter($"rk" > 20).drop("rk"), Seq("o_custkey"), Some("del"))
+    // fixed literal keys (custkeys 1.. exist at every SF; hash-typed
+    // exactly as the table's int64 key so the index prunes)
+    val serveKeys = Seq(1L, 2L, 4L, 5L, 7L, 10L, 13L, 17L)
+    Seq(0L, 2L).map { v =>
+      graft.sources.VersionedTable.read(s, dir, Some(v))
+        .filter($"o_custkey".isin(serveKeys: _*))
+        .select(lit(v).as("version"), $"o_custkey", $"spend", $"n_orders")
+    }.reduce(_ unionByName _).orderBy($"version", $"o_custkey")
+  }
+  private val v23Sql =
+    """WITH t0 AS (
+         SELECT o_custkey, round(sum(o_totalprice), 2) AS spend,
+           count(*) AS n_orders
+         FROM orders WHERE year(o_orderdate) <= 1997 GROUP BY 1),
+       ranked AS (
+         SELECT o_custkey, spend, n_orders, del,
+           row_number() OVER (ORDER BY spend DESC, o_custkey) AS rk
+         FROM (
+           SELECT o_custkey, round(sum(o_totalprice), 2) AS spend,
+             count(*) AS n_orders,
+             min(o_orderpriority) = '1-URGENT' AS del
+           FROM orders WHERE year(o_orderdate) = 1998 GROUP BY 1)),
+       u1 AS (SELECT * FROM ranked WHERE rk <= 20),
+       u2 AS (SELECT * FROM ranked WHERE rk > 20 AND rk <= 40),
+       s1 AS (
+         SELECT o_custkey, spend, n_orders FROM t0
+         WHERE o_custkey NOT IN (SELECT o_custkey FROM u1)
+         UNION ALL
+         SELECT o_custkey, spend, n_orders FROM u1 WHERE NOT del),
+       s2 AS (
+         SELECT o_custkey, spend, n_orders FROM s1
+         WHERE o_custkey NOT IN (SELECT o_custkey FROM u2)
+         UNION ALL
+         SELECT o_custkey, spend, n_orders FROM u2 WHERE NOT del)
+       SELECT version, o_custkey, spend, n_orders FROM (
+         SELECT CAST(0 AS BIGINT) AS version, o_custkey, spend, n_orders
+         FROM t0 WHERE o_custkey IN (1, 2, 4, 5, 7, 10, 13, 17)
+         UNION ALL
+         SELECT CAST(2 AS BIGINT), o_custkey, spend, n_orders
+         FROM s2 WHERE o_custkey IN (1, 2, 4, 5, 7, 10, 13, 17))
+       ORDER BY version, o_custkey"""
+
   val queries: Map[String, QueryFn] = Map(
+    "v23_indexed_scan" -> v23 _,
     "v22_view_maintenance" -> v22 _,
     "v21_change_feed" -> v21 _,
     "v20_time_travel" -> v20 _,
@@ -1045,6 +1126,7 @@ object Advanced extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "v23_indexed_scan" -> v23Sql,
     "v22_view_maintenance" -> v22Sql,
     "v21_change_feed" -> v21Sql,
     "v20_time_travel" -> v20Sql,

@@ -36,18 +36,25 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * of any existing version are untouched (their files are immutable).
   *
   * Commit atomicity is create-with-overwrite=false on the manifest
-  * path — the same put-if-absent primitive Delta's log relies on.
-  * Single writer per table (two racing writers fail loudly on the
-  * manifest create, and the loser's orphan data dir is swept by the
-  * next vacuum). Readers resolve a version by reading one small JSON;
-  * a reader pinned to version v keeps working through any number of
-  * later merges, and through vacuum as long as v is retained.
+  * path — the same put-if-absent primitive Delta's log relies on —
+  * with OPTIMISTIC CONCURRENCY on top: a merge that loses the manifest
+  * race re-reads the winner's snapshot and, when the winner touched
+  * only OTHER buckets (and changed neither schema nor layout), rebases
+  * its already-staged commit onto the new version and retries — the
+  * staged files, the feed, and the survivors logic are all still exact
+  * because disjoint buckets imply disjoint keys. Overlapping buckets,
+  * an interleaved schema change, compact/rebucket, or a creation race
+  * fail loudly (a true conflict; the loser's orphan data dir is swept
+  * by the next vacuum). Readers resolve a version by reading one small
+  * JSON; a reader pinned to version v keeps working through any number
+  * of later merges, and through vacuum as long as v is retained.
   *
   * Deliberately NOT here (use Delta/Iceberg when these matter):
-  * concurrent-writer conflict resolution, file-level column stats
-  * (pointless under hash bucketing — non-key min/max spans every
-  * bucket; x12's z-order study is the clustering answer), schema
-  * enforcement beyond union-by-name widening.
+  * cross-table transactions, manifest-level column stats (pointless
+  * under hash bucketing — non-key min/max spans every bucket; x12's
+  * z-order study is the clustering answer, and row-group min/max
+  * pushdown comes free through VersionedScan's parquet reader),
+  * schema enforcement beyond union-by-name widening.
   * The semantics a user of this engine needs — snapshot isolation,
   * time travel, key-scoped merge cost, vacuum — are all present and
   * spec'd (VersionedTableSpec), and v20 puts the whole lifecycle
@@ -124,12 +131,16 @@ object VersionedTable {
       owners, cdc)
   }
 
-  /** Read the table as of `asOf` (latest when None). The result drops
-    * the internal bucket column; one scan per live commit dir, pruned
-    * to the buckets that dir still owns. */
+  /** Read the table as of `asOf` (latest when None). ONE Catalyst file
+    * scan over every live commit dir's files via [[VersionedScan]]'s
+    * custom FileIndex — so a key predicate on the result prunes to the
+    * key's bucket (one file) inside the plan, and mixed-generation
+    * files read under the snapshot's widened schema. The union-of-scans
+    * form survives as `readBuckets` for the version-pinned internal
+    * paths (derived diff, rewrite). */
   def read(spark: SparkSession, path: String,
       asOf: Option[Long] = None): DataFrame =
-    readBuckets(spark, path, snapshot(spark, path, asOf), None)
+    VersionedScan.relation(spark, path, snapshot(spark, path, asOf), None)
 
   private def readBuckets(spark: SparkSession, path: String, sn: Snapshot,
       buckets: Option[Set[Int]]): DataFrame = {
@@ -251,11 +262,11 @@ object VersionedTable {
         sn.version + 1
       }
       val dir = f"d$v%08d_" + java.util.UUID.randomUUID().toString.take(8)
-      val (merged, owners, feed) =
+      val (merged, baseSn, feed) =
         if (vs.isEmpty)
           // table creation has no "before" to diff against: no feed
           // (version 0 never appears as the TO side of a changes range)
-          (upserts, Map.empty[Int, String], None: Option[DataFrame])
+          (upserts, None: Option[Snapshot], None: Option[DataFrame])
         else {
           val sn = snapshot(spark, path, None)
           if (affected.isEmpty) return sn.version // empty batch: no-op
@@ -279,7 +290,7 @@ object VersionedTable {
           // not reject a merge the write itself accepts
           val dataCols =
             unionDataCols(merged.schema.fields, keyCols, "after the merge")
-          (merged, sn.owners -- affected,
+          (merged, Some(sn),
             Some(rowDiff(pre, upserts, keyCols, dataCols)))
         }
       // mode("error"): the dir is version-unique, anything there is a bug
@@ -300,8 +311,9 @@ object VersionedTable {
         (s"$dir/_cdc", f.schema)
       }
       val staged = listBuckets(fs, new HPath(root, dir))
-      writeManifest(fs, root, v, numBuckets, keyCols,
-        merged.schema, owners ++ staged.map(_ -> dir), cdc)
+      val committed =
+        commitWithRebase(spark, fs, root, path, dir, staged, affected,
+          baseSn, merged.schema, keyCols, numBuckets, cdc)
       // post-commit publication sweep: this version's feed plus any
       // predecessor's a crash left committed-but-unpublished. The
       // commit is already durable, so a transient publish failure must
@@ -312,10 +324,84 @@ object VersionedTable {
       catch { case scala.util.control.NonFatal(e) =>
         System.err.println(
           s"[VersionedTable] feed publication for $path deferred " +
-            s"(version $v committed; next merge/publishFeeds heals): $e")
+            s"(version $committed committed; next merge/publishFeeds heals): $e")
       }
-      v
+      committed
     } finally u.unpersist(blocking = false)
+  }
+
+  /** Test seam: runs once immediately before a merge's FIRST commit
+    * attempt, so specs can interleave a competing committed merge
+    * deterministically (a wall-clock race would be flaky). Cleared
+    * after use by the spec; never set in production. */
+  private[graft] var beforeCommitHook: () => Unit = () => ()
+
+  /** The optimistic-commit loop. Attempts the put-if-absent manifest
+    * create for `base.version + 1`; on losing the race, re-reads the
+    * winner's snapshot and REBASES when — and only when — the rebase
+    * is provably exact:
+    *   - the winner left every one of OUR affected buckets' owners
+    *     untouched (disjoint buckets ⇒ disjoint keys ⇒ our staged
+    *     survivors, upserts, and feed are bit-identical to what a
+    *     serial re-run would produce),
+    *   - layout (numBuckets, keyCols) and table schema are unchanged
+    *     (our manifest records OUR merged schema — committing it over
+    *     an interleaved widening would silently narrow the table).
+    * Anything else — overlapping buckets, schema change,
+    * compact/rebucket (every owner changes), a creation race — throws
+    * IllegalStateException: a REAL conflict the caller must replay
+    * against the new state. The staged data dir's name embeds the
+    * ORIGINAL target version; after a rebase the committed version can
+    * be higher — the name is an opaque id, only manifests bind
+    * versions to dirs. */
+  private def commitWithRebase(spark: SparkSession, fs: FileSystem,
+      root: HPath, path: String, dir: String, staged: Seq[Int],
+      affected: Set[Int], base: Option[Snapshot], schema: StructType,
+      keyCols: Seq[String], numBuckets: Int,
+      cdc: Option[(String, StructType)]): Long = {
+    val hook = beforeCommitHook
+    beforeCommitHook = () => ()
+    hook()
+    var cur = base
+    var tries = 0
+    while (true) {
+      val v = cur.map(_.version + 1).getOrElse(0L)
+      val owners =
+        cur.map(_.owners -- affected).getOrElse(Map.empty[Int, String]) ++
+          staged.map(_ -> dir)
+      try {
+        writeManifest(fs, root, v, numBuckets, keyCols, schema, owners, cdc)
+        return v
+      } catch {
+        case e: java.io.IOException if fs.exists(manifestPath(root, v)) =>
+          tries += 1
+          require(tries <= 20, // a livelock here means a pathological writer storm
+            s"merge of $path lost the commit race 20 times in a row: $e")
+          val winner = snapshot(spark, path, None)
+          val b = cur.getOrElse(throw new IllegalStateException(
+            s"concurrent CREATION of versioned table $path — two writers " +
+              "initialized the same table; re-run one as a merge"))
+          def conflict(what: String): Nothing = throw new IllegalStateException(
+            s"merge of $path conflicts with concurrently committed version " +
+              s"${winner.version}: $what — recompute the batch against the " +
+              "new state and re-merge")
+          if (winner.numBuckets != numBuckets || winner.keyCols != keyCols)
+            conflict(s"table layout changed (rebucket) to " +
+              s"${winner.numBuckets} buckets / (${winner.keyCols.mkString(",")})")
+          // name+type shape, not ==: nullability drifts on any parquet
+          // round-trip and is not a semantic schema change
+          def shape(s: StructType) =
+            s.fields.toSeq.map(f => (f.name, f.dataType.catalogString))
+          if (shape(winner.schema) != shape(b.schema))
+            conflict("table schema changed")
+          val touched = affected.filter(k => winner.owners.get(k) != b.owners.get(k))
+          if (touched.nonEmpty)
+            conflict(s"it rewrote bucket(s) ${touched.toSeq.sorted.take(8).mkString(",")}" +
+              " that this merge also touches")
+          cur = Some(winner) // disjoint: rebase and retry
+      }
+    }
+    -1L // unreachable
   }
 
   /** Key-scoped POINT READ — the serving-path lookup: rows of the
@@ -335,7 +421,7 @@ object VersionedTable {
       lit(sn.numBuckets.toLong)).cast("int")
     val wanted = keys.select(bucket.as(KB)).distinct()
       .collect().map(_.getInt(0)).toSet
-    readBuckets(spark, path, sn, Some(wanted))
+    VersionedScan.relation(spark, path, sn, Some(wanted))
       .join(broadcast(keys.select(sn.keyCols.map(col): _*)),
         sn.keyCols, "left_semi")
   }

@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+import graft.sources.{VersionedScan, VersionedTable}
+
+/** The FileIndex-backed scan (VersionedScan): one Catalyst scan node
+  * per snapshot, bucket pruning from declarative key predicates, and
+  * schema evolution across commit generations. The row-level semantics
+  * are oracle-gated (v20/v21/v23); these specs pin the pruning and
+  * plan shape the oracle can't see. */
+class VersionedScanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(name: String): String = {
+    val d = graft.util.Scratch.dir(s"vscan_spec_$name")
+    graft.util.Scratch.deleteRecursively(new java.io.File(d))
+    d
+  }
+
+  /** Execute and return (rows, numFiles actually read) from the single
+    * FileSourceScan the plan must contain. */
+  private def filesRead(df: DataFrame): (Long, Long) = {
+    // execute THIS dataset (count() would plan a new query execution,
+    // leaving this plan's metrics untouched)
+    val n = df.collect().length.toLong
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scans = plan.collect { case s: FileSourceScanExec => s }
+    assert(scans.size === 1,
+      s"expected exactly one file scan, got ${scans.size}:\n$plan")
+    (n, scans.head.metrics("numFiles").value)
+  }
+
+  /** 3-version fixture: 12 keys over 8 buckets, then a widening +
+    * delete merge, then compact. */
+  private def fixture(): String = {
+    val dir = freshDir("fixture")
+    VersionedTable.merge(spark, dir,
+      (1L to 12L).map(k => (k, s"v$k", k.toInt)).toDF("k", "v", "x"),
+      Seq("k"), numBuckets = 8)
+    // widening commit: x arrives as long (was int), new column y
+    VersionedTable.merge(spark, dir,
+      Seq((2L, "V2", 200L, "extra", false), (3L, "", 0L, "", true))
+        .toDF("k", "v", "x", "y", "del"),
+      Seq("k"), deleteCol = Some("del"), numBuckets = 8)
+    dir
+  }
+
+  test("read() equals the union-path content across widening and deletes") {
+    val dir = fixture()
+    // expected state: keys 1..12 minus 3, key 2 updated with y
+    val got = VersionedTable.read(spark, dir)
+      .select($"k", $"v", $"x", $"y")
+      .as[(Long, String, Long, Option[String])].collect().toSet
+    val want = ((1L to 12L).filterNot(k => k == 2L || k == 3L)
+      .map(k => (k, s"v$k", k, None: Option[String])) :+
+      (2L, "V2", 200L, Some("extra"))).toSet
+    assert(got === want)
+    // and version 0 still reads in ITS schema through the index
+    val v0 = VersionedTable.read(spark, dir, Some(0L))
+    assert(v0.columns.toSeq === Seq("k", "v", "x"))
+    assert(v0.count() === 12L)
+  }
+
+  test("a key equality prunes the scan to one bucket's file") {
+    val dir = fixture()
+    val (all, allFiles) = filesRead(VersionedTable.read(spark, dir))
+    assert(all === 11L)
+    assert(allFiles > 1L, "fixture must span multiple files for the test to bite")
+    val (one, oneFiles) = filesRead(
+      VersionedTable.read(spark, dir).filter($"k" === 7L))
+    assert(one === 1L)
+    assert(oneFiles === 1L, "k = 7 must read exactly its bucket's one file")
+  }
+
+  test("an IN list prunes to the union of the keys' buckets") {
+    val dir = fixture()
+    val (n, files) = filesRead(
+      VersionedTable.read(spark, dir).filter($"k".isin(1L, 7L, 11L)))
+    assert(n === 3L)
+    assert(files <= 3L)
+    // updated key: pruned read still sees the LATEST commit's row
+    val r = VersionedTable.read(spark, dir).filter($"k" === 2L)
+      .select($"v", $"x").as[(String, Long)].collect().toSeq
+    assert(r === Seq(("V2", 200L)))
+  }
+
+  test("conjunct IN lists intersect; deleted key reads its bucket but no rows") {
+    val dir = fixture()
+    // (a contradictory k=1 AND k=2 never reaches the index — Catalyst's
+    // constraint propagation folds it to an empty relation first)
+    val (n0, f0) = filesRead(VersionedTable.read(spark, dir)
+      .filter($"k".isin(1L, 2L) && $"k".isin(2L, 5L)))
+    assert(n0 === 1L && f0 === 1L, "intersection {2} must read one bucket")
+    val (nDel, _) = filesRead(VersionedTable.read(spark, dir).filter($"k" === 3L))
+    assert(nDel === 0L)
+  }
+
+  test("non-key and partial-key predicates do not prune (soundness)") {
+    val dir = fixture()
+    val (_, allFiles) = filesRead(VersionedTable.read(spark, dir))
+    val (n, files) = filesRead(
+      VersionedTable.read(spark, dir).filter($"v" === "v7"))
+    assert(n === 1L && files === allFiles,
+      "a non-key predicate must not prune buckets")
+    // multi-key table: constraining only one key cannot prune
+    val dir2 = freshDir("twokey")
+    VersionedTable.merge(spark, dir2,
+      (1L to 8L).map(k => (k, (k % 2).toInt, s"v$k")).toDF("a", "b", "v"),
+      Seq("a", "b"), numBuckets = 4)
+    val (_, all2) = filesRead(VersionedTable.read(spark, dir2))
+    val (_, part2) = filesRead(
+      VersionedTable.read(spark, dir2).filter($"a" === 3L))
+    assert(part2 === all2, "half-constrained composite key must not prune")
+    // both keys constrained: prunes to one bucket
+    val (n2, one2) = filesRead(
+      VersionedTable.read(spark, dir2).filter($"a" === 3L && $"b" === 1))
+    assert(n2 === 1L && one2 === 1L)
+  }
+
+  test("lookup() rides the pruned index and matches per-key filters") {
+    val dir = fixture()
+    val got = VersionedTable.lookup(spark, dir,
+      Seq(2L, 5L, 99L).toDF("k"))
+      .select($"k", $"v").as[(Long, String)].collect().toSet
+    assert(got === Set((2L, "V2"), (5L, "v5")))
+  }
+
+  test("scan survives compact and restore; parquet pushdown still reaches the scan") {
+    val dir = fixture()
+    VersionedTable.compact(spark, dir)
+    val (n, files) = filesRead(
+      VersionedTable.read(spark, dir).filter($"k" === 7L))
+    assert(n === 1L && files === 1L)
+    VersionedTable.restore(spark, dir, 0L)
+    assert(VersionedTable.read(spark, dir).count() === 12L)
+    // row-group pushdown: non-key filters still reach the parquet reader
+    val plan = VersionedTable.read(spark, dir).filter($"x" > 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("GreaterThan(x,"),
+      s"parquet pushdown must survive the custom FileIndex:\n$plan")
+  }
+}

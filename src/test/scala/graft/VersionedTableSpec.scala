@@ -566,4 +566,92 @@ class VersionedTableSpec extends SparkSpec {
       .select($"k", $"v").as[(Long, String)].collect().toMap
     assert(got(7L) === "V7" && got(8L) === "v8" && got.size === 64)
   }
+
+  /** Bucket of key k under numBuckets=16, computed the same way merge
+    * does (deterministic interleavings below need provably disjoint /
+    * overlapping keys, not lucky ones). */
+  private def bucketOf(k: Long): Int =
+    Seq(k).toDF("k")
+      .select(pmod(xxhash64($"k"), lit(16L)).cast("int")).collect()(0).getInt(0)
+
+  test("optimistic commit: a disjoint-bucket race rebases — both merges land, feeds compose") {
+    val dir = freshDir("occ_disjoint")
+    VersionedTable.merge(spark, dir,
+      (1L to 8L).map(k => (k, s"a$k")).toDF("k", "v"), Seq("k"), numBuckets = 16)
+    val k1 = 1L
+    val k2 = (2L to 50L).find(k => bucketOf(k) != bucketOf(k1)).get
+    // the competing writer commits from inside this merge's pre-commit
+    // seam, so THIS merge deterministically loses the manifest race
+    VersionedTable.beforeCommitHook = () => {
+      VersionedTable.merge(spark, dir,
+        Seq((k1, "A", false)).toDF("k", "v", "del"),
+        Seq("k"), Some("del"), numBuckets = 16)
+      ()
+    }
+    val vB = VersionedTable.merge(spark, dir,
+      Seq((k2, "B", false)).toDF("k", "v", "del"),
+      Seq("k"), Some("del"), numBuckets = 16)
+    assert(vB === 2L, "the loser must rebase onto the winner's version")
+    val got = state(dir)
+    assert(got.contains((k1, "A")) && got.contains((k2, "B")),
+      s"both racing merges must be applied: $got")
+    assert(got.size === 8)
+    // both commits' materialized feeds exist and collapse to the true diff
+    val ch = VersionedTable.changes(spark, dir, 0L, 2L)
+      .filter($"change" === "update_post")
+      .select($"k", $"v").as[(Long, String)].collect().toSet
+    assert(ch === Set((k1, "A"), (k2, "B")))
+  }
+
+  test("optimistic commit: overlapping buckets, schema change, and creation races conflict loudly") {
+    val dir = freshDir("occ_conflict")
+    VersionedTable.merge(spark, dir,
+      (1L to 8L).map(k => (k, s"a$k")).toDF("k", "v"), Seq("k"), numBuckets = 16)
+    // same-bucket overlap: the winner rewrote the very bucket we staged
+    val k1 = 1L
+    val sameB = (2L to 200L).find(k => bucketOf(k) == bucketOf(k1)).get
+    VersionedTable.beforeCommitHook = () => {
+      VersionedTable.merge(spark, dir,
+        Seq((k1, "A", false)).toDF("k", "v", "del"),
+        Seq("k"), Some("del"), numBuckets = 16)
+      ()
+    }
+    val e1 = intercept[IllegalStateException] {
+      VersionedTable.merge(spark, dir,
+        Seq((sameB, "B", false)).toDF("k", "v", "del"),
+        Seq("k"), Some("del"), numBuckets = 16)
+    }
+    assert(e1.getMessage.contains("rewrote bucket"))
+    // interleaved schema widening on a DISJOINT key still conflicts:
+    // committing our (narrower) schema would silently drop the column
+    val k2 = (2L to 50L).find(k => bucketOf(k) != bucketOf(k1)).get
+    VersionedTable.beforeCommitHook = () => {
+      VersionedTable.merge(spark, dir,
+        Seq((k1, "A2", "wide", false)).toDF("k", "v", "w", "del"),
+        Seq("k"), Some("del"), numBuckets = 16)
+      ()
+    }
+    val e2 = intercept[IllegalStateException] {
+      VersionedTable.merge(spark, dir,
+        Seq((k2, "B2", false)).toDF("k", "v", "del"),
+        Seq("k"), Some("del"), numBuckets = 16)
+    }
+    assert(e2.getMessage.contains("schema changed"))
+    // creation race: two writers initializing the same empty table
+    val dir2 = freshDir("occ_create")
+    VersionedTable.beforeCommitHook = () => {
+      VersionedTable.merge(spark, dir2,
+        Seq((1L, "first")).toDF("k", "v"), Seq("k"), numBuckets = 16)
+      ()
+    }
+    val e3 = intercept[IllegalStateException] {
+      VersionedTable.merge(spark, dir2,
+        Seq((2L, "second")).toDF("k", "v"), Seq("k"), numBuckets = 16)
+    }
+    assert(e3.getMessage.contains("CREATION"))
+    // the losers' staged orphan dirs are swept by vacuum, winners intact
+    assert(state(dir2) === Set((1L, "first")))
+    VersionedTable.vacuum(spark, dir2)
+    assert(state(dir2) === Set((1L, "first")))
+  }
 }
