@@ -302,6 +302,68 @@ object StudyBench {
     s""""ann_filter_study":{${sections.mkString(",")}}"""
   }
 
+  // ---- 4. streaming state-store provider: heap vs RocksDB ----------
+
+  /** Same stateful streaming job (watermarked per-user hourly counts
+    * over the staged events table, AvailableNow, multi-batch) under
+    * the default HDFS-backed (heap) state store and under RocksDB —
+    * run twice each, interleaved, so neither pays the one-off JVM/
+    * codegen warmup. Results are asserted identical; recorded per
+    * provider: second-run wall, state rows, and the provider's own
+    * memory figure. The decision this measures: heap stores win while
+    * per-executor state fits in memory (no JNI/serialization/
+    * checkpoint-upload overhead); RocksDB is the spill-safe choice
+    * once state outgrows the heap — its overhead at in-memory sizes
+    * is the price being quantified here, not a defect. */
+  private def stateStoreStudy(s: SparkSession, tag: String, d: String): String = {
+    import org.apache.spark.sql.streaming.Trigger
+    val stage = graft.util.Scratch.dir(s"study_ss_src_$tag")
+    if (!new java.io.File(stage, "_SUCCESS").exists())
+      Tables.events(s, d).repartition(8).write.mode("overwrite").parquet(stage)
+    val schema = s.read.parquet(stage).schema
+    def run(provider: String): (Set[(Long, Long, Long)], Double, Long, Long) = {
+      val ns = s.newSession()
+      ns.conf.set("spark.sql.shuffle.partitions", "8")
+      ns.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+      val name = s"ss_${provider.split('.').last}_${streamSeq.incrementAndGet()}"
+      val ckpt = java.nio.file.Files.createTempDirectory(s"graft_ss_ckpt").toString
+      val agg = ns.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2").parquet(stage)
+        .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+      val t0 = System.nanoTime()
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val st = q.recentProgress.toSeq.flatMap(_.stateOperators)
+        .filter(_.numRowsTotal > 0).lastOption
+      val rows = ns.table(name)
+        .select(unix_timestamp(col("window.start")).as("w"),
+          col("user_id"), col("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      (rows, sec,
+        st.map(_.numRowsTotal).getOrElse(-1L),
+        st.map(_.memoryUsedBytes).getOrElse(-1L))
+    }
+    val heapP = "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+    val rocksP = "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    val (r1, _, _, _) = run(heapP)
+    val (r2, _, _, _) = run(rocksP)
+    val (r3, heapSec, heapRows, heapMem) = run(heapP)
+    val (r4, rocksSec, rocksRows, rocksMem) = run(rocksP)
+    require(r1 == r2 && r2 == r3 && r3 == r4,
+      s"state-store providers disagree: heap=${r1.size} rocks=${r2.size} rows")
+    s""""state_store_study_$tag":{"result_groups":${r1.size},
+       |"heap":{"sec":${j(heapSec)},"state_rows":$heapRows,"mem_bytes":$heapMem},
+       |"rocksdb":{"sec":${j(rocksSec)},"state_rows":$rocksRows,"mem_bytes":$rocksMem}}"""
+      .stripMargin.replace("\n", "")
+  }
+
+  private val streamSeq = new java.util.concurrent.atomic.AtomicLong()
+
   def main(args: Array[String]): Unit = {
     val pos = args.filterNot(_.startsWith("only="))
     val sf01 = pos.headOption.getOrElse("/root/testdata/sf0.1")
@@ -321,10 +383,12 @@ object StudyBench {
     val parts = Seq.newBuilder[String]
     if (want("containment")) parts += containmentSweep(spark, "sf01", sf01)
     if (want("ann")) parts += annFilterStudy(spark, sf01)
+    if (want("statestore")) parts += stateStoreStudy(spark, "sf01", sf01)
     sf1.foreach { d =>
       if (want("containment")) parts += containmentSweep(spark, "sf1", d)
       if (want("skew")) parts += skewStudy(spark, d)
       if (want("ivm")) parts += ivmStudy(spark, d)
+      if (want("statestore")) parts += stateStoreStudy(spark, "sf1", d)
     }
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val out = java.nio.file.Paths.get("study_r9.json")

@@ -792,16 +792,29 @@ object VersionedTable {
 
   /** Rewrite every live bucket into ONE new commit dir and commit the
     * result as a new version — the defrag counterpart of merge. After
-    * N merges a snapshot's read fans out to up to N commit dirs (one
-    * union branch each); compact returns that to one scan without
-    * changing content (asserted row-identical in VersionedTableSpec).
-    * Earlier versions keep reading their old dirs until vacuumed, so
-    * compaction is as non-disruptive as any other commit. This is the
-    * whole-table generalization of v17's small-file compaction
-    * PLANNING: here the rewrite actually runs, under the same
-    * immutable-commit contract as merge. */
-  def compact(spark: SparkSession, path: String): Long =
-    rewriteAll(spark, path, None)
+    * N merges a snapshot reads N dirs' files (one file per touched
+    * bucket per merge); compact returns that to one file per bucket
+    * without changing content (asserted row-identical in
+    * VersionedTableSpec). Earlier versions keep reading their old dirs
+    * until vacuumed, so compaction is as non-disruptive as any other
+    * commit. This is the whole-table generalization of v17's
+    * small-file compaction PLANNING: here the rewrite actually runs,
+    * under the same immutable-commit contract as merge.
+    *
+    * `clusterBy` sorts each bucket's rows on the named columns during
+    * the rewrite (Delta's OPTIMIZE ... ZORDER slot — pass one
+    * `ScaleOps.zorderKey2`-derived column for two-dimensional
+    * clustering). Key-hash bucketing scatters non-key values across
+    * buckets, so manifest-level stats can never prune on them — but
+    * WITHIN a file, sorted row groups make the parquet reader's
+    * min/max pushdown (free through `VersionedScan`'s production
+    * reader) skip everything outside a predicate's range: the 100 TB
+    * answer for range-selective non-key queries. Content-invariant
+    * for any clusterBy (spec'd); the win itself is measured in
+    * ZorderSpec's layout study. */
+  def compact(spark: SparkSession, path: String,
+      clusterBy: Seq[String] = Nil): Long =
+    rewriteAll(spark, path, None, clusterBy)
 
   /** RE-BUCKET the table to `newNumBuckets` — the migration for a
     * table that outgrew (or over-provisioned) its creation-time
@@ -824,9 +837,10 @@ object VersionedTable {
   }
 
   /** Shared full-rewrite commit: every live row into ONE new commit
-    * dir, bucketed by `newB` (compact keeps the current count). */
+    * dir, bucketed by `newB` (compact keeps the current count),
+    * optionally sorted on `clusterBy` within each bucket. */
   private def rewriteAll(spark: SparkSession, path: String,
-      newB: Option[Int]): Long = {
+      newB: Option[Int], clusterBy: Seq[String] = Nil): Long = {
     val sn = snapshot(spark, path, None)
     val b = newB.getOrElse(sn.numBuckets)
     val v = sn.version + 1
@@ -834,10 +848,15 @@ object VersionedTable {
     val bucket = pmod(xxhash64(sn.keyCols.map(col): _*),
       lit(b.toLong)).cast("int")
     val cur = readBuckets(spark, path, sn, None)
+    clusterBy.foreach(c => require(cur.columns.contains(c),
+      s"clusterBy column '$c' not in table schema ${cur.columns.mkString(",")}"))
     val (fs, root) = fsOf(spark, path)
-    // one file per bucket, same rationale as merge's pre-write shuffle
+    // one file per bucket, same rationale as merge's pre-write shuffle;
+    // KB leads the in-task sort so a task carrying several buckets
+    // still writes each bucket's FILE fully clusterBy-sorted
     cur.withColumn(KB, bucket)
       .repartition(col(KB))
+      .sortWithinPartitions((KB +: clusterBy).map(col): _*)
       .write.mode("error").partitionBy(KB).parquet(s"$path/$dir")
     // a layout rewrite changes no rows: commit an EMPTY materialized
     // feed so changes() across it stays on the batch-sized path

@@ -567,6 +567,31 @@ class VersionedTableSpec extends SparkSpec {
     assert(got(7L) === "V7" && got(8L) === "v8" && got.size === 64)
   }
 
+  test("clusterBy compact: content identical, bucket files sorted on the cluster column") {
+    val dir = freshDir("cluster_compact")
+    // payload deliberately anti-sorted vs key order
+    VersionedTable.merge(spark, dir,
+      (1L to 64L).map(k => (k, 1000L - k * 7, s"v$k")).toDF("k", "x", "v"),
+      Seq("k"), numBuckets = 4)
+    VersionedTable.merge(spark, dir,
+      Seq((7L, 9999L, "V7", false)).toDF("k", "x", "v", "del"),
+      Seq("k"), Some("del"), numBuckets = 4)
+    val before = VersionedTable.read(spark, dir)
+      .as[(Long, Long, String)].collect().toSet
+    VersionedTable.compact(spark, dir, clusterBy = Seq("x"))
+    val after = VersionedTable.read(spark, dir)
+      .as[(Long, Long, String)].collect().toSet
+    assert(after === before, "clusterBy compaction must not change content")
+    // every bucket file's rows are x-ascending (row groups range-disjoint)
+    val sn = VersionedTable.snapshot(spark, dir)
+    assert(sn.owners.values.toSet.size === 1)
+    sn.owners.toSeq.foreach { case (b, d) =>
+      val xs = spark.read.parquet(s"$dir/$d/kb=$b")
+        .select($"x").as[Long].collect().toSeq
+      assert(xs === xs.sorted, s"bucket $b file must be sorted on x")
+    }
+  }
+
   /** Bucket of key k under numBuckets=16, computed the same way merge
     * does (deterministic interleavings below need provably disjoint /
     * overlapping keys, not lucky ones). */
