@@ -304,17 +304,20 @@ object StudyBench {
 
   // ---- 4. streaming state-store provider: heap vs RocksDB ----------
 
-  /** Same stateful streaming job (watermarked per-user hourly counts
-    * over the staged events table, AvailableNow, multi-batch) under
-    * the default HDFS-backed (heap) state store and under RocksDB —
-    * run twice each, interleaved, so neither pays the one-off JVM/
-    * codegen warmup. Results are asserted identical; recorded per
-    * provider: second-run wall, state rows, and the provider's own
-    * memory figure. The decision this measures: heap stores win while
-    * per-executor state fits in memory (no JNI/serialization/
-    * checkpoint-upload overhead); RocksDB is the spill-safe choice
-    * once state outgrows the heap — its overhead at in-memory sizes
-    * is the price being quantified here, not a defect. */
+  /** Same stateful streaming job (complete-mode per-user hourly
+    * counts over the staged events table, AvailableNow, multi-batch —
+    * deliberately UNBOUNDED state, one entry per (user, hour) group,
+    * the regime that separates the stores; a watermarked pipeline
+    * whose state stays small never leaves the heap store's comfort
+    * zone) under the default HDFS-backed (heap) state store and under
+    * RocksDB — run twice each, interleaved, so neither pays the
+    * one-off JVM/codegen warmup. Results are asserted identical;
+    * recorded per provider: second-run wall, state rows, and the
+    * provider's own memory figure. The decision this measures: the
+    * heap store's per-commit version-map copy degrades with STATE
+    * SIZE long before memory runs out, while RocksDB pays a flat
+    * JNI/serialization toll — so the crossover arrives at a state
+    * row count, not at heap exhaustion. */
   private def stateStoreStudy(s: SparkSession, tag: String, d: String): String = {
     import org.apache.spark.sql.streaming.Trigger
     val stage = graft.util.Scratch.dir(s"study_ss_src_$tag")
@@ -344,6 +347,9 @@ object StudyBench {
         .select(unix_timestamp(col("window.start")).as("w"),
           col("user_id"), col("n"))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // the study runs 8x per invocation and RocksDB checkpoints carry
+      // full state snapshots — sweep each run's checkpoint tree
+      graft.util.Scratch.deleteRecursively(new java.io.File(ckpt))
       (rows, sec,
         st.map(_.numRowsTotal).getOrElse(-1L),
         st.map(_.memoryUsedBytes).getOrElse(-1L))

@@ -20,7 +20,7 @@ import org.apache.spark.sql.types.StructType
   *     for free);
   *   - BUCKET PRUNING FROM DECLARATIVE PREDICATES: `listFiles` receives
   *     the query's pushed data filters at execution time, so
-  *     `scan(...).filter($"k" === 42)` reads the ONE bucket that key
+  *     `read(...).filter($"k" === 42)` reads the ONE bucket that key
   *     hashes to — on a 100 TB table, one file — without the caller
   *     ever knowing the table is bucketed ([[candidateBuckets]]; the
   *     explicit-batch form of the same pruning is `lookup`);
@@ -37,21 +37,15 @@ import org.apache.spark.sql.types.StructType
   * engine's only uses of non-public API, both documented.
   *
   * Reference anchor: the reference serves its loaded facts back by
-  * per-key SQL point reads (mainTesting.py:99-115); `scan` + a key
+  * per-key SQL point reads (mainTesting.py:99-115); `read` + a key
   * predicate is that serving path on the versioned store, pruned to
   * one bucket instead of one remote round trip per line.
   */
 object VersionedScan {
 
-  /** Read snapshot `asOf` (latest when None) as one Catalyst file scan
-    * with bucket pruning on key predicates. Drop-in equivalent of
-    * `VersionedTable.read` (same rows, same schema). */
-  def scan(spark: SparkSession, path: String,
-      asOf: Option[Long] = None): DataFrame = {
-    val sn = VersionedTable.snapshot(spark, path, asOf)
-    relation(spark, path, sn, None)
-  }
-
+  /** Build the FileIndex-backed DataFrame for one snapshot —
+    * `VersionedTable.read`/`lookup` are the public entry points (one
+    * read path, no duplicate to keep in sync). */
   private[sources] def relation(spark: SparkSession, path: String,
       sn: VersionedTable.Snapshot, buckets: Option[Set[Int]]): DataFrame = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
@@ -89,8 +83,11 @@ object VersionedScan {
       constraintOf(c, keyTypes).foreach { case (k, lits) =>
         constraints(k) = constraints.get(k) match {
           case Some(prev) =>
-            // intersect by VALUE (Literal.equals compares value+type)
-            prev.filter(p => lits.exists(_.value == p.value))
+            // intersect via Literal.equals, NOT raw value equality —
+            // Literal handles Array[Byte] content comparison, where
+            // _.value == would compare array references and unsoundly
+            // empty the intersection for equal-content binary keys
+            prev.filter(p => lits.exists(_ == p))
           case None => lits
         }
       }
@@ -144,8 +141,7 @@ object VersionedScan {
 }
 
 /** File listing for one snapshot: manifest owners → `kb=<bucket>`
-  * subdirs of immutable commit dirs, listed once at construction (the
-  * dirs never change, so the index never goes stale for ITS snapshot).
+  * subdirs of immutable commit dirs, listed lazily per bucket.
   * `bucketsOverride` pre-restricts the index (the `lookup` path);
   * query-time pruning happens per-`listFiles` call from the pushed
   * data filters. */
@@ -157,20 +153,29 @@ private[sources] class VersionedFileIndex(spark: SparkSession, path: String,
   private val fs =
     root.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** bucket → that bucket's parquet files (exactly one file per bucket
-    * under merge's pre-write repartition, but never assumed). */
-  private val filesByBucket: Map[Int, Seq[FileStatus]] =
-    sn.owners.toSeq
-      .filter { case (b, _) => bucketsOverride.forall(_.contains(b)) }
-      .map { case (b, dir) =>
-        val d = new HPath(root, s"$dir/${VersionedTable.KB}=$b")
-        val fsts =
-          if (fs.exists(d)) fs.listStatus(d).toSeq.filter(s => s.isFile &&
-            !s.getPath.getName.startsWith("_") &&
-            !s.getPath.getName.startsWith("."))
-          else Seq.empty
-        b -> fsts
-      }.toMap
+  /** Buckets this index may serve (`bucketsOverride` pre-restricts —
+    * the lookup path). */
+  private val liveBuckets: Seq[Int] = sn.owners.keys.toSeq.sorted
+    .filter(b => bucketsOverride.forall(_.contains(b)))
+
+  /** Per-bucket listing, LAZY and memoized: a pruned point read lists
+    * only its candidate buckets (O(keys) driver round trips, not
+    * O(numBuckets)) — on object storage the listing RPCs would
+    * otherwise dominate the advertised one-file serve. Commit dirs are
+    * immutable, so a memoized listing never goes stale for THIS
+    * snapshot. `inputFiles`/`sizeInBytes` force the full listing (the
+    * planner asks for stats on join-shaped plans; a plain
+    * scan-filter-collect never does). */
+  private val listed = scala.collection.mutable.HashMap[Int, Seq[FileStatus]]()
+  private def filesOf(b: Int): Seq[FileStatus] = synchronized {
+    listed.getOrElseUpdate(b, {
+      val d = new HPath(root, s"${sn.owners(b)}/${VersionedTable.KB}=$b")
+      if (fs.exists(d)) fs.listStatus(d).toSeq.filter(s => s.isFile &&
+        !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      else Seq.empty
+    })
+  }
 
   private val keyTypes = sn.keyCols.map(k => k -> sn.schema(k).dataType).toMap
 
@@ -182,19 +187,19 @@ private[sources] class VersionedFileIndex(spark: SparkSession, path: String,
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val pruned = VersionedScan.candidateBuckets(
       dataFilters, sn.keyCols, keyTypes, sn.numBuckets)
-    val files = pruned match {
-      case Some(bs) => filesByBucket.view.filterKeys(bs).values.flatten.toSeq
-      case None => filesByBucket.values.flatten.toSeq
+    val buckets = pruned match {
+      case Some(bs) => liveBuckets.filter(bs)
+      case None => liveBuckets
     }
     Seq(PartitionDirectory(InternalRow.empty,
-      files.map(FileStatusWithMetadata(_, Map.empty))))
+      buckets.flatMap(filesOf).map(FileStatusWithMetadata(_, Map.empty))))
   }
 
   override def inputFiles: Array[String] =
-    filesByBucket.values.flatten.map(_.getPath.toString).toArray
+    liveBuckets.flatMap(filesOf).map(_.getPath.toString).toArray
 
   override def refresh(): Unit = ()
 
   override def sizeInBytes: Long =
-    filesByBucket.values.flatten.map(_.getLen).sum
+    liveBuckets.flatMap(filesOf).map(_.getLen).sum
 }

@@ -218,9 +218,48 @@ object VersionedTable {
       s"updates must not carry a '$KB' column — it is the table's bucket key")
     deleteCol.foreach(c => require(updates.columns.contains(c),
       s"deleteCol '$c' not in updates schema ${updates.columns.mkString(",")}"))
+    val (fs, root) = fsOf(spark, path)
+    val vs = versions(spark, path)
+    val baseSn0: Option[Snapshot] = if (vs.isEmpty) None else {
+      val sn = snapshot(spark, path, None)
+      require(sn.numBuckets == numBuckets,
+        s"table $path currently has numBuckets=${sn.numBuckets}, " +
+          s"merge called with $numBuckets — pass the current count " +
+          "(change it with rebucket)")
+      require(sn.keyCols == keyCols,
+        s"table $path is keyed by (${sn.keyCols.mkString(",")}), " +
+          s"merge called with (${keyCols.mkString(",")})")
+      Some(sn)
+    }
+    // KEY TYPES ARE THE BUCKETING: xxhash64 of an int and of the same
+    // value as a long DIFFER, so a batch whose key column arrives in a
+    // coercibly different type must be cast to the TABLE's key type
+    // before anything hashes — otherwise the batch's buckets, the
+    // survivors anti-join, and the owner re-pointing all disagree with
+    // where the table's rows actually live (silent duplicates and
+    // dropped rows). Only a lossless upcast of the batch is accepted;
+    // data (non-key) columns keep unionByName's widening as before.
+    val alignedUpdates = baseSn0 match {
+      case None => updates
+      case Some(sn) =>
+        updates.select(updates.columns.toSeq.map { c =>
+          if (!keyCols.contains(c)) col(c)
+          else {
+            val bt = updates.schema(c).dataType
+            val tt = sn.schema(c).dataType
+            if (bt == tt) col(c)
+            else if (widen(bt, tt).contains(tt)) col(c).cast(tt).as(c)
+            else throw new IllegalArgumentException(
+              s"merge: key column '$c' arrives as $bt but table $path is " +
+                s"keyed by $tt — key types feed the bucket hash, so only a " +
+                "lossless upcast of the batch is accepted (rewrite the " +
+                "table to change a key's type)")
+          }
+        }: _*)
+    }
     val bucket =
       pmod(xxhash64(keyCols.map(col): _*), lit(numBuckets.toLong)).cast("int")
-    val u = updates.persist()
+    val u = alignedUpdates.persist()
     try {
       // one job: per-key multiplicity, null keys, and the affected
       // bucket set together
@@ -248,27 +287,15 @@ object VersionedTable {
         .map(c => u.filter(!coalesce(col(c), lit(false))))
         .getOrElse(u)
         .select(dataCols.map(col): _*)
-      val (fs, root) = fsOf(spark, path)
-      val vs = versions(spark, path)
-      val v = if (vs.isEmpty) 0L else {
-        val sn = snapshot(spark, path, None)
-        require(sn.numBuckets == numBuckets,
-          s"table $path currently has numBuckets=${sn.numBuckets}, " +
-            s"merge called with $numBuckets — pass the current count " +
-            "(change it with rebucket)")
-        require(sn.keyCols == keyCols,
-          s"table $path is keyed by (${sn.keyCols.mkString(",")}), " +
-            s"merge called with (${keyCols.mkString(",")})")
-        sn.version + 1
-      }
+      val v = baseSn0.map(_.version + 1).getOrElse(0L)
       val dir = f"d$v%08d_" + java.util.UUID.randomUUID().toString.take(8)
       val (merged, baseSn, feed) =
-        if (vs.isEmpty)
+        if (baseSn0.isEmpty)
           // table creation has no "before" to diff against: no feed
           // (version 0 never appears as the TO side of a changes range)
           (upserts, None: Option[Snapshot], None: Option[DataFrame])
         else {
-          val sn = snapshot(spark, path, None)
+          val sn = baseSn0.get
           if (affected.isEmpty) return sn.version // empty batch: no-op
           val cur = readBuckets(spark, path, sn, Some(affected))
           val survivors =

@@ -123,6 +123,18 @@ class VersionedScanSpec extends SparkSpec {
     assert(n2 === 1L && one2 === 1L)
   }
 
+  test("binary-keyed pruning intersects by content, not array reference") {
+    val dir = freshDir("binkey")
+    val rows = (1 to 12).map(i => (Array.fill(4)(i.toByte), s"v$i"))
+    VersionedTable.merge(spark, dir, rows.toDF("k", "v"), Seq("k"), numBuckets = 8)
+    val a = Array.fill(4)(7.toByte)
+    val b = Array.fill(4)(7.toByte) // equal content, distinct instance
+    val (n, files) = filesRead(VersionedTable.read(spark, dir)
+      .filter($"k" === lit(a) && $"k" === lit(b)))
+    assert(n === 1L, "equal-content binary literals must intersect, not cancel")
+    assert(files === 1L)
+  }
+
   test("lookup() rides the pruned index and matches per-key filters") {
     val dir = fixture()
     val got = VersionedTable.lookup(spark, dir,

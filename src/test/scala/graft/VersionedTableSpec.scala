@@ -599,6 +599,26 @@ class VersionedTableSpec extends SparkSpec {
     Seq(k).toDF("k")
       .select(pmod(xxhash64($"k"), lit(16L)).cast("int")).collect()(0).getInt(0)
 
+  test("a batch whose key column type drifts is upcast to the table's key type (hash-consistent) or rejected") {
+    val dir = freshDir("keytype")
+    VersionedTable.merge(spark, dir,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), Seq("k"), numBuckets = 8)
+    // int batch key on a long-keyed table: MUST replace key 1, not
+    // duplicate it under a different hash (xxhash64(int) != xxhash64(long))
+    VersionedTable.merge(spark, dir,
+      Seq((1, "A")).toDF("k", "v"), Seq("k"), numBuckets = 8)
+    assert(state(dir) === Set((1L, "A"), (2L, "b")))
+    // and the pruned read finds the replaced row where it now lives
+    assert(VersionedTable.read(spark, dir).filter($"k" === 1L)
+      .select($"v").as[String].collect().toSeq === Seq("A"))
+    // lossy / non-coercible key types fail loudly
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.merge(spark, dir,
+        Seq(("1", "X")).toDF("k", "v"), Seq("k"), numBuckets = 8)
+    }
+    assert(e.getMessage.contains("key column"))
+  }
+
   test("optimistic commit: a disjoint-bucket race rebases — both merges land, feeds compose") {
     val dir = freshDir("occ_disjoint")
     VersionedTable.merge(spark, dir,
