@@ -370,6 +370,69 @@ object StudyBench {
 
   private val streamSeq = new java.util.concurrent.atomic.AtomicLong()
 
+  // ---- 5. FileIndex scan vs union-of-scans on a many-commit table ---
+
+  /** Quantifies what VersionedScan buys over the union-of-scans form it
+    * replaced, on the shape that hurts the union: a table that has
+    * accumulated many small merge commits (the steady state between
+    * compactions). Builds a per-customer rollup table, applies 30
+    * 20-key correction merges (measured: 13 dirs still own a bucket
+    * after owner turnover, 64 live files), then times, warm,
+    * second-of-two runs each:
+    *   - full-table aggregate through the FileIndex (ONE FileSourceScan
+    *     over ~94 files) vs through the union path (31 scan nodes);
+    *   - a one-key point read through the index (pruned to ONE file by
+    *     the key predicate) vs the union path (reads everything, then
+    *     filters).
+    * Also records the file/task counts behind the walls. The union
+    * path is the engine's own former read() — kept as readBuckets for
+    * the version-pinned internals — so this is a measured before/after,
+    * not a strawman. */
+  private def indexedScanStudy(s: SparkSession, tag: String, d: String): String = {
+    import org.apache.spark.sql.functions.{col, count, lit, round, sum, year}
+    val dir = graft.util.Scratch.dir(s"study_iscan_$tag")
+    graft.util.Scratch.deleteRecursively(new java.io.File(dir))
+    val ord = Tables.orders(s, d)
+    val t0 = ord.filter(year(col("o_orderdate")) <= 1997)
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")), 2).as("spend"),
+        count(lit(1)).as("n_orders"))
+    graft.sources.VersionedTable.merge(s, dir, t0, Seq("o_custkey"))
+    val keys = t0.select(col("o_custkey")).orderBy(col("o_custkey"))
+      .limit(600).collect().map(_.getLong(0))
+    keys.grouped(20).foreach { batch =>
+      graft.sources.VersionedTable.merge(s, dir,
+        t0.filter(col("o_custkey").isin(batch.map(Long.box).toIndexedSeq: _*))
+          .withColumn("spend", col("spend") + 1.0),
+        Seq("o_custkey"))
+    }
+    val sn = graft.sources.VersionedTable.snapshot(s, dir)
+    val liveDirs = sn.owners.values.toSet.size
+    def timed2(f: => Long): (Long, Double) = { time(f); time(f) }
+    val (rows, idxFullSec) = timed2(
+      graft.sources.VersionedTable.read(s, dir).count())
+    val (rowsU, uniFullSec) = timed2(
+      graft.sources.VersionedTable.readBuckets(s, dir, sn, None).count())
+    require(rows == rowsU, s"index/union full reads disagree: $rows vs $rowsU")
+    val probe = keys(300)
+    val (one, idxPointSec) = timed2(
+      graft.sources.VersionedTable.read(s, dir)
+        .filter(col("o_custkey") === probe).count())
+    val (oneU, uniPointSec) = timed2(
+      graft.sources.VersionedTable.readBuckets(s, dir, sn, None)
+        .filter(col("o_custkey") === probe).count())
+    require(one == 1L && oneU == 1L, s"point reads disagree: $one vs $oneU")
+    val totalFiles = sn.owners.keys.toSeq.map { b =>
+      new java.io.File(s"$dir/${sn.owners(b)}/kb=$b")
+        .listFiles().count(f => f.getName.endsWith(".parquet"))
+    }.sum
+    s""""indexed_scan_study_$tag":{"rows":$rows,"live_commit_dirs":$liveDirs,
+       |"total_files":$totalFiles,
+       |"full_index_sec":${j(idxFullSec)},"full_union_sec":${j(uniFullSec)},
+       |"point_index_sec":${j(idxPointSec)},"point_union_sec":${j(uniPointSec)}}"""
+      .stripMargin.replace("\n", "")
+  }
+
   def main(args: Array[String]): Unit = {
     val pos = args.filterNot(_.startsWith("only="))
     val sf01 = pos.headOption.getOrElse("/root/testdata/sf0.1")
@@ -390,11 +453,13 @@ object StudyBench {
     if (want("containment")) parts += containmentSweep(spark, "sf01", sf01)
     if (want("ann")) parts += annFilterStudy(spark, sf01)
     if (want("statestore")) parts += stateStoreStudy(spark, "sf01", sf01)
+    if (want("iscan")) parts += indexedScanStudy(spark, "sf01", sf01)
     sf1.foreach { d =>
       if (want("containment")) parts += containmentSweep(spark, "sf1", d)
       if (want("skew")) parts += skewStudy(spark, d)
       if (want("ivm")) parts += ivmStudy(spark, d)
       if (want("statestore")) parts += stateStoreStudy(spark, "sf1", d)
+      if (want("iscan")) parts += indexedScanStudy(spark, "sf1", d)
     }
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val out = java.nio.file.Paths.get("study_r9.json")

@@ -142,7 +142,7 @@ object VersionedTable {
       asOf: Option[Long] = None): DataFrame =
     VersionedScan.relation(spark, path, snapshot(spark, path, asOf), None)
 
-  private def readBuckets(spark: SparkSession, path: String, sn: Snapshot,
+  private[graft] def readBuckets(spark: SparkSession, path: String, sn: Snapshot,
       buckets: Option[Set[Int]]): DataFrame = {
     val byDir = sn.owners.toSeq
       .filter { case (b, _) => buckets.forall(_.contains(b)) }
@@ -874,7 +874,9 @@ object VersionedTable {
     val dir = f"d$v%08d_" + java.util.UUID.randomUUID().toString.take(8)
     val bucket = pmod(xxhash64(sn.keyCols.map(col): _*),
       lit(b.toLong)).cast("int")
-    val cur = readBuckets(spark, path, sn, None)
+    // the index path: a compaction of an N-commit table reads ONE scan
+    // over all live files instead of N union branches
+    val cur = VersionedScan.relation(spark, path, sn, None)
     clusterBy.foreach(c => require(cur.columns.contains(c),
       s"clusterBy column '$c' not in table schema ${cur.columns.mkString(",")}"))
     val (fs, root) = fsOf(spark, path)
