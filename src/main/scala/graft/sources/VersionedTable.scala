@@ -431,6 +431,30 @@ object VersionedTable {
     -1L // unreachable
   }
 
+  /** Version history as a DataFrame (the DESCRIBE HISTORY analog):
+    * one row per retained version with its layout, schema width, how
+    * many bucket owners the commit changed vs its retained predecessor
+    * (owner-map diff, NOT dir-name parsing — an OCC rebase commits
+    * under a dir named for its original target version; a merge shows
+    * ≤ its key count, a compact/rebucket every bucket, a restore the
+    * rolled-back set), and whether a materialized feed is attached.
+    * Reads only the manifests: O(log), no data files touched at any
+    * table size. */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val sns = versions(spark, path).map(v => snapshot(spark, path, Some(v)))
+    sns.zipWithIndex.map { case (sn, i) =>
+      val changed =
+        if (i == 0) sn.owners.size
+        else (sn.owners.keySet ++ sns(i - 1).owners.keySet)
+          .count(b => sn.owners.get(b) != sns(i - 1).owners.get(b))
+      (sn.version, sn.numBuckets, sn.keyCols.mkString(","),
+        sn.schema.fields.length, sn.owners.size, changed, sn.cdc.isDefined)
+    }.toDF("version", "num_buckets", "key_cols", "n_columns",
+      "live_buckets", "buckets_changed", "has_feed")
+      .orderBy($"version")
+  }
+
   /** Key-scoped POINT READ — the serving-path lookup: rows of the
     * requested keys at a version, reading only those keys' buckets.
     * `keys` must carry exactly the table's key columns; the result is

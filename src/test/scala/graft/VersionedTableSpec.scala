@@ -648,6 +648,45 @@ class VersionedTableSpec extends SparkSpec {
     assert(ch === Set((k1, "A"), (k2, "B")))
   }
 
+  test("optimistic commit: four THREAD-parallel bucket-disjoint merges all land, in some serial order") {
+    val dir = freshDir("occ_threads")
+    VersionedTable.merge(spark, dir,
+      (1L to 8L).map(k => (k, s"a$k")).toDF("k", "v"), Seq("k"), numBuckets = 16)
+    // four keys in four DISTINCT buckets: any interleaving must succeed
+    // (shared buckets could legitimately conflict, which is not what
+    // this test is about)
+    val picked = scala.collection.mutable.LinkedHashMap[Int, Long]()
+    var k = 100L
+    while (picked.size < 4) {
+      val b = bucketOf(k)
+      if (!picked.contains(b)) picked(b) = k
+      k += 1
+    }
+    val keys = picked.values.toSeq
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = keys.map { kk =>
+      Future {
+        VersionedTable.merge(spark, dir,
+          Seq((kk, s"t$kk")).toDF("k", "v"), Seq("k"), numBuckets = 16)
+      }
+    }
+    val versions = Await.result(Future.sequence(fs), 120.seconds)
+    assert(versions.sorted === Seq(1L, 2L, 3L, 4L),
+      s"each racing merge must commit exactly one version: $versions")
+    val got = state(dir)
+    keys.foreach(kk => assert(got.contains((kk, s"t$kk")), s"lost merge of $kk"))
+    assert(got.size === 12)
+    // history attributes each commit's changed buckets correctly
+    val h = VersionedTable.history(spark, dir)
+      .select($"version", $"buckets_changed", $"has_feed")
+      .as[(Long, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(h.map(_._1) === Seq(0L, 1L, 2L, 3L, 4L))
+    assert(h.tail.forall(_._2 === 1L), s"each 1-key merge changes one bucket: $h")
+    assert(h.head._3 === false && h.tail.forall(_._3 === true))
+  }
+
   test("optimistic commit: overlapping buckets, schema change, and creation races conflict loudly") {
     val dir = freshDir("occ_conflict")
     VersionedTable.merge(spark, dir,
