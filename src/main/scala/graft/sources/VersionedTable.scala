@@ -182,10 +182,32 @@ object VersionedTable {
     val on = node.putObject("owners")
     owners.toSeq.sortBy(_._1).foreach { case (b, d) => on.put(b.toString, d) }
     fs.mkdirs(new HPath(root, LOG))
-    // overwrite=false IS the commit: a concurrent writer (or a re-run
-    // of a crashed one) fails here, before any reader can see v
-    val out = fs.create(manifestPath(root, v), false)
-    try out.write(mapper.writeValueAsBytes(node)) finally out.close()
+    // put-if-absent IS the commit: a concurrent writer (or a re-run of
+    // a crashed one) must fail here, before any reader can see v.
+    // On the LOCAL filesystem Hadoop's create(overwrite=false) is
+    // check-then-act (exists() then open) — two racing writers can
+    // BOTH pass the check and one manifest silently overwrites the
+    // other (a lost commit, observed as a 1-in-N flake in the
+    // thread-parallel OCC spec). The atomic local protocol: write the
+    // full content to a temp file, then hard-LINK it to the manifest
+    // path — link(2) is O_EXCL-atomic AND the destination appears
+    // with its complete content, so a concurrent reader can never
+    // observe a partially written manifest either. Non-local
+    // filesystems keep create(false), which HDFS implements atomically
+    // at the namenode (object stores need a conditional-put analog).
+    val bytes = mapper.writeValueAsBytes(node)
+    val dst = manifestPath(root, v)
+    if (fs.getScheme == "file") {
+      val dstP = java.nio.file.Paths.get(dst.toUri.getPath)
+      val tmp = dstP.resolveSibling(
+        s".tmp_${v}_${java.util.UUID.randomUUID().toString.take(8)}")
+      java.nio.file.Files.write(tmp, bytes)
+      try java.nio.file.Files.createLink(dstP, tmp) // throws if v exists
+      finally java.nio.file.Files.deleteIfExists(tmp)
+    } else {
+      val out = fs.create(dst, false)
+      try out.write(bytes) finally out.close()
+    }
   }
 
   /** Key-scoped MERGE committing a NEW version; returns it. Matched
@@ -666,8 +688,12 @@ object VersionedTable {
       // versions has no single read schema, so it fails loudly
       val dataCols = unionDataCols(snF.schema.fields ++ snT.schema.fields,
         keys, s"between versions $fromV and $toV")
-      rowDiff(readBuckets(spark, path, snF, Some(changed)),
-        readBuckets(spark, path, snT, Some(changed)), keys, dataCols)
+      // each side is ONE index-backed scan of the changed buckets —
+      // the derived fallback (restore catch-up, vacuumed gaps) is the
+      // path most likely to read MANY buckets, exactly where the
+      // union-of-dirs form pays a scan node per commit dir
+      rowDiff(VersionedScan.relation(spark, path, snF, Some(changed)),
+        VersionedScan.relation(spark, path, snT, Some(changed)), keys, dataCols)
     }
   }
 
