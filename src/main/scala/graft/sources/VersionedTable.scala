@@ -965,6 +965,12 @@ object VersionedTable {
     * data directory no retained manifest references; returns the
     * removed directory names. Manifests go first, then data — a crash
     * in between leaves unreferenced dirs that the next vacuum sweeps.
+    * Retention must also cover WRITERS in flight, not just pinned
+    * readers: a merge reads its base version's buckets, so a vacuum
+    * that races ahead of it can delete files mid-scan — the merge
+    * fails loudly and is safely retryable, but the operational rule is
+    * the same as Delta's: retain at least as far back as the longest
+    * running reader or writer.
     * A reader pinned to a vacuumed version fails loudly at `snapshot`
     * (and a long-lived DataFrame over vacuumed files fails at scan —
     * the standard time-travel retention trade, same as Delta VACUUM). */
