@@ -1099,7 +1099,68 @@ object Advanced extends QueryModule {
          FROM s2 WHERE o_custkey IN (1, 2, 4, 5, 7, 10, 13, 17))
        ORDER BY version, o_custkey"""
 
+  /** v24 — versioned-table HISTORY audit under the gate: the full
+    * lifecycle (creation, two correction merges, a clusterBy-sorted
+    * compaction, an O(manifest) restore) read back through
+    * `VersionedTable.history()` — manifest-only, no data files
+    * touched. The oracle is a golden VALUES table (the p02 precedent):
+    * the checked columns are exactly the SF-invariant manifest facts —
+    * version sequence, layout, key set, schema width, and which
+    * commit kinds carry a materialized feed (creation and restore do
+    * NOT — their diffs are undefined/derived-only — while merges and
+    * compaction DO, compaction's being the empty feed that keeps
+    * multi-version changes() on the batch-sized path). A manifest
+    * protocol regression — a restore that starts publishing, a
+    * compact that loses its feed, a version gap — breaks the hash.
+    * Bucket-attribution counts are deliberately NOT in the checked
+    * row (they depend on which buckets the SF's top-20 keys hash to);
+    * VersionedTableSpec pins those per-fixture. */
+  private def v24(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = graft.util.Scratch.dir(
+      "v24_hist_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+    graft.util.Scratch.deleteRecursively(new java.io.File(dir))
+    val ord = Tables.orders(s, d)
+    val t0 = ord.filter(year($"o_orderdate") <= 1997)
+      .groupBy($"o_custkey")
+      .agg(round(sum($"o_totalprice"), 2).as("spend"),
+        count(lit(1)).as("n_orders"))
+    val top40 = ord.filter(year($"o_orderdate") === 1998)
+      .groupBy($"o_custkey")
+      .agg(round(sum($"o_totalprice"), 2).as("spend"),
+        count(lit(1)).as("n_orders"),
+        (min($"o_orderpriority") === "1-URGENT").as("del"))
+      .orderBy($"spend".desc, $"o_custkey").limit(40)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy($"spend".desc, $"o_custkey")))
+    graft.sources.VersionedTable.merge(s, dir, t0, Seq("o_custkey"))
+    graft.sources.VersionedTable.merge(s, dir,
+      top40.filter($"rk" <= 20).drop("rk"), Seq("o_custkey"), Some("del"))
+    graft.sources.VersionedTable.merge(s, dir,
+      top40.filter($"rk" > 20).drop("rk"), Seq("o_custkey"), Some("del"))
+    graft.sources.VersionedTable.compact(s, dir, clusterBy = Seq("spend"))
+    graft.sources.VersionedTable.restore(s, dir, 1L)
+    graft.sources.VersionedTable.history(s, dir)
+      .select($"version", $"num_buckets", $"key_cols", $"n_columns",
+        $"has_feed")
+      .orderBy($"version")
+  }
+  private val v24Sql =
+    """SELECT CAST(version AS BIGINT) AS version,
+         CAST(num_buckets AS INT) AS num_buckets, key_cols,
+         CAST(n_columns AS INT) AS n_columns, has_feed
+       FROM (VALUES
+         (0, 64, 'o_custkey', 3, false),
+         (1, 64, 'o_custkey', 3, true),
+         (2, 64, 'o_custkey', 3, true),
+         (3, 64, 'o_custkey', 3, true),
+         (4, 64, 'o_custkey', 3, false))
+         AS t(version, num_buckets, key_cols, n_columns, has_feed)
+       ORDER BY version"""
+
   val queries: Map[String, QueryFn] = Map(
+    "v24_table_history" -> v24 _,
     "v23_indexed_scan" -> v23 _,
     "v22_view_maintenance" -> v22 _,
     "v21_change_feed" -> v21 _,
@@ -1126,6 +1187,7 @@ object Advanced extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "v24_table_history" -> v24Sql,
     "v23_indexed_scan" -> v23Sql,
     "v22_view_maintenance" -> v22Sql,
     "v21_change_feed" -> v21Sql,
