@@ -1054,22 +1054,27 @@ object Eventing extends QueryModule {
     * then two correction commits that replace, insert, and tombstone),
     * and a `VersionedTable.changeFeedStream` consumer maintains a
     * per-event-type rollup (users, total cents) from the PUBLISHED
-    * feeds alone: bootstrap from the v0 snapshot, then one `maintain`
-    * application per micro-batch (maxFilesPerTrigger=1 forces several),
-    * never re-reading the table. The oracle recomputes the rollup
-    * relationally from the final state, so a hash match certifies
-    * merge → _cdc materialization → post-commit publication → file-
-    * source stream → IVM maintenance, end to end. Batching is free to
-    * split or combine versions because `maintain`'s counting algebra
-    * is linear — the per-version equality law is in
-    * VersionedTableSpec. Scale: each micro-batch is merge-batch-sized
-    * whatever the table's size, and the rollup view is groups-sized —
+    * feeds alone: the view lives as its OWN VersionedTable keyed by
+    * the group column, bootstrapped from the v0 snapshot, then one
+    * `maintainTable` application per micro-batch (maxFilesPerTrigger=1
+    * forces several) — TABLE to TABLE, Θ(batch) per step, never
+    * re-reading the base table and never holding view rows on the
+    * driver, so the same loop serves a per-user view at any
+    * cardinality. The oracle recomputes the rollup relationally from
+    * the final state, so a hash match certifies merge → _cdc
+    * materialization → post-commit publication → file-source stream →
+    * table-to-table IVM, end to end. Batching is free to split or
+    * combine versions because `maintain`'s counting algebra is linear
+    * — the per-version equality law is in VersionedTableSpec, and the
+    * high-cardinality (per-user) form of this loop is spec'd there
+    * too. Scale: each micro-batch is merge-batch-sized whatever the
+    * table's size, and each IVM step touches only the batch's groups —
     * this is the dashboard-refresh path that never rescans 100 TB. */
   private def e27(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val ev = Tables.events(s, d)
-    val table = graft.util.Scratch.dir(
-      s"e27_vtab_${streamRunId.incrementAndGet()}")
+    val run = streamRunId.incrementAndGet()
+    val table = graft.util.Scratch.dir(s"e27_vtab_$run")
     graft.util.Scratch.deleteRecursively(new java.io.File(table))
     def slice(pred: Column): DataFrame = ev.filter(pred)
       .groupBy(col("user_id"))
@@ -1090,25 +1095,24 @@ object Eventing extends QueryModule {
       .withColumn("cents", expr("cast(round(last_value * 100) as bigint)"))
       .groupBy(col("last_type"))
       .agg(count(lit(1)).as("n_users"), sum(col("cents")).as("cents"))
-    // the standing view a dashboard holds: v0 state, computed once;
-    // groups-sized, so driver-side rows are the honest representation
-    var view = rollup(graft.sources.VersionedTable.read(s, table, Some(0L)))
-      .select($"last_type", $"n_users", $"cents")
-      .as[(String, Long, Long)].collect().toSeq
+    // the standing view a dashboard holds, AS A TABLE: v0 state,
+    // computed once, committed as the view table's creation version
+    val viewTable = graft.util.Scratch.dir(s"e27_view_$run")
+    graft.util.Scratch.deleteRecursively(new java.io.File(viewTable))
+    graft.sources.VersionedTable.merge(s, viewTable,
+      rollup(graft.sources.VersionedTable.read(s, table, Some(0L))),
+      Seq("last_type"), numBuckets = 4)
     val ckpt =
       java.nio.file.Files.createTempDirectory("graft_e27_ckpt").toString
     val ns = s.newSession()
     ns.conf.set("spark.sql.shuffle.partitions", "8")
     val applyBatch: (DataFrame, Long) => Unit = (batch, _) => {
       val ss = batch.sparkSession
-      val viewDf = ss.createDataFrame(view).toDF("last_type", "n_users", "cents")
       val feed = batch
         .withColumn("cents", expr("cast(round(last_value * 100) as bigint)"))
         .select(col("change"), col("last_type"), col("cents"))
-      view = graft.sources.VersionedTable.maintain(
-          viewDf, feed, Seq("last_type"), "n_users", Seq("cents"))
-        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-        .toSeq
+      graft.sources.VersionedTable.maintainTable(
+        ss, viewTable, feed, Seq("last_type"), "n_users", Seq("cents"))
       ()
     }
     val q = graft.sources.VersionedTable
@@ -1119,7 +1123,7 @@ object Eventing extends QueryModule {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.createDataFrame(view).toDF("last_type", "n_users", "cents")
+    graft.sources.VersionedTable.read(s, viewTable)
       .select(col("last_type"), col("n_users"),
         (col("cents") / 100.0).as("total_value"))
       .orderBy(col("last_type"))

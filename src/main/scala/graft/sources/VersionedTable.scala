@@ -67,6 +67,15 @@ object VersionedTable {
   private val LOG = "_log"
   private val FEED = "_feed"
 
+  /** A true commit conflict: the winner touched our buckets, changed
+    * the schema/layout, or won a creation race — the staged batch is
+    * stale and must be RECOMPUTED against the new state (an exact
+    * rebase was impossible). Subtype of IllegalStateException so
+    * callers that match on the general contract keep working; `merge`
+    * itself catches this for its bounded recompute-and-retry loop. */
+  final class ConcurrentCommitException(msg: String)
+    extends IllegalStateException(msg)
+
   /** `cdc`, when present, is (relative dir, feed schema) of this
     * version's MATERIALIZED change feed — the Θ(batch) row diff its
     * commit wrote next to the data (see `merge`). Absent on manifests
@@ -205,8 +214,35 @@ object VersionedTable {
       try java.nio.file.Files.createLink(dstP, tmp) // throws if v exists
       finally java.nio.file.Files.deleteIfExists(tmp)
     } else {
-      val out = fs.create(dst, false)
-      try out.write(bytes) finally out.close()
+      // Non-local: write the FULL content to a temp log path first, then
+      // rename onto the manifest path. A bare create(false)-then-write
+      // could fail AFTER the create succeeded, publishing a visible,
+      // PARTIAL manifest for v — every later reader's snapshot() would
+      // fail until someone hand-deleted it, and the commit loop's
+      // exists() guard would misread our own wreckage as a lost race.
+      // With write-then-rename, a write failure leaves only a temp file
+      // (cleaned here, swept by vacuum if we crash), and the manifest
+      // appears atomically complete or not at all. HDFS rename is
+      // namenode-atomic and refuses an existing destination (the
+      // put-if-absent we need); an object store deployment must swap in
+      // a conditional-put here, same as Delta's LogStore contract.
+      val tmp = new HPath(new HPath(root, LOG),
+        s".tmp_${v}_${java.util.UUID.randomUUID().toString.take(8)}")
+      try {
+        val out = fs.create(tmp, false)
+        try out.write(bytes) finally out.close()
+      } catch { case e: Throwable =>
+        try fs.delete(tmp, false) catch { case _: java.io.IOException => () }
+        throw e
+      }
+      val renamed =
+        try fs.rename(tmp, dst)
+        catch { case _: java.io.IOException => false } // e.g. dst exists
+      if (!renamed) {
+        try fs.delete(tmp, false) catch { case _: java.io.IOException => () }
+        throw new java.io.IOException(
+          s"manifest for version $v of $root already exists (lost the commit race)")
+      }
     }
   }
 
@@ -233,7 +269,34 @@ object VersionedTable {
     * numBuckets (the same knob that scopes merge cost). */
   def merge(spark: SparkSession, path: String, updates: DataFrame,
       keyCols: Seq[String], deleteCol: Option[String] = None,
-      numBuckets: Int = 64): Long = {
+      numBuckets: Int = 64, maxConflictRetries: Int = 3): Long = {
+    // Bounded recompute-and-retry on TRUE conflicts (the Delta pattern):
+    // a loser whose rebase was impossible re-reads the fresh snapshot
+    // and re-runs the whole merge body — survivors, feed, staged files
+    // are all recomputed, so the retry is exactly a serial re-run. The
+    // batch semantics make this safe to replay: `updates` is a
+    // key-unique upsert/delete set, so applying it after ANY interleaved
+    // commits yields the same final rows for its keys. Retries are
+    // bounded; the pathological storm still fails loudly. Pass 0 to keep
+    // the strict fail-on-conflict contract (the conflict spec does).
+    var attempt = 0
+    while (true) {
+      try return mergeOnce(spark, path, updates, keyCols, deleteCol, numBuckets)
+      catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > maxConflictRetries) throw e
+          System.err.println(s"[VersionedTable] merge of $path hit a true " +
+            s"commit conflict (${e.getMessage.take(120)}); recomputing " +
+            s"against the fresh snapshot (retry $attempt/$maxConflictRetries)")
+      }
+    }
+    -1L // unreachable
+  }
+
+  private def mergeOnce(spark: SparkSession, path: String, updates: DataFrame,
+      keyCols: Seq[String], deleteCol: Option[String],
+      numBuckets: Int): Long = {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     require(numBuckets > 0, "numBuckets must be positive")
     require(!updates.columns.contains(KB),
@@ -427,13 +490,25 @@ object VersionedTable {
           require(tries <= 20, // a livelock here means a pathological writer storm
             s"merge of $path lost the commit race 20 times in a row: $e")
           val winner = snapshot(spark, path, None)
-          val b = cur.getOrElse(throw new IllegalStateException(
-            s"concurrent CREATION of versioned table $path — two writers " +
-              "initialized the same table; re-run one as a merge"))
-          def conflict(what: String): Nothing = throw new IllegalStateException(
-            s"merge of $path conflicts with concurrently committed version " +
-              s"${winner.version}: $what — recompute the batch against the " +
-              "new state and re-merge")
+          // a true conflict abandons the staged dir — delete it now so a
+          // retry loop doesn't pile up orphans (vacuum would sweep them,
+          // but a bounded-retry storm shouldn't need it)
+          def abandonStaged(): Unit =
+            try fs.delete(new HPath(root, dir), true)
+            catch { case _: java.io.IOException => () } // vacuum's job then
+          val b = cur.getOrElse {
+            abandonStaged()
+            throw new ConcurrentCommitException(
+              s"concurrent CREATION of versioned table $path — two writers " +
+                "initialized the same table; re-run one as a merge")
+          }
+          def conflict(what: String): Nothing = {
+            abandonStaged()
+            throw new ConcurrentCommitException(
+              s"merge of $path conflicts with concurrently committed version " +
+                s"${winner.version}: $what — recompute the batch against the " +
+                "new state and re-merge")
+          }
           if (winner.numBuckets != numBuckets || winner.keyCols != keyCols)
             conflict(s"table layout changed (rebucket) to " +
               s"${winner.numBuckets} buckets / (${winner.keyCols.mkString(",")})")
@@ -490,13 +565,27 @@ object VersionedTable {
     require(keys.columns.sorted.toSeq == sn.keyCols.sorted,
       s"lookup keys must be exactly (${sn.keyCols.mkString(",")}); " +
         s"got (${keys.columns.mkString(",")})")
+    // KEY TYPES ARE THE BUCKETING here exactly as in merge: an int-typed
+    // key batch probing a long-keyed table would hash to DIFFERENT
+    // buckets (xxhash64(int) != xxhash64(long)) and silently return no
+    // rows — align the batch to the TABLE's key types before anything
+    // hashes, accepting only a lossless upcast.
+    val alignedKeys = keys.select(sn.keyCols.map { c =>
+      val bt = keys.schema(c).dataType
+      val tt = sn.schema(c).dataType
+      if (bt == tt) col(c)
+      else if (widen(bt, tt).contains(tt)) col(c).cast(tt).as(c)
+      else throw new IllegalArgumentException(
+        s"lookup: key column '$c' arrives as $bt but table $path is keyed " +
+          s"by $tt — key types feed the bucket hash, so only a lossless " +
+          "upcast of the key batch is accepted")
+    }: _*)
     val bucket = pmod(xxhash64(sn.keyCols.map(col): _*),
       lit(sn.numBuckets.toLong)).cast("int")
-    val wanted = keys.select(bucket.as(KB)).distinct()
+    val wanted = alignedKeys.select(bucket.as(KB)).distinct()
       .collect().map(_.getInt(0)).toSet
     VersionedScan.relation(spark, path, sn, Some(wanted))
-      .join(broadcast(keys.select(sn.keyCols.map(col): _*)),
-        sn.keyCols, "left_semi")
+      .join(broadcast(alignedKeys), sn.keyCols, "left_semi")
   }
 
   /** Union of `fields` minus the key columns, first occurrence wins;
@@ -740,6 +829,55 @@ object VersionedTable {
       .groupBy(keys.map(col): _*)
       .agg(mergeAggs.head, mergeAggs.tail: _*)
       .filter(col(countCol) > 0)
+  }
+
+  /** TABLE-TO-TABLE incremental view maintenance: apply one change-feed
+    * batch to a materialized view that itself lives as a VersionedTable
+    * keyed by the view's group columns. This is the scale-safe form of
+    * the standing-dashboard pattern — nothing about the view ever
+    * touches the driver, so the group-key cardinality is unbounded
+    * (per-user views at 100 TB are fine), unlike a driver-held
+    * `collect()`ed Seq whose capacity IS the driver heap.
+    *
+    * Cost is Θ(batch), not Θ(view): the feed's touched groups are read
+    * back via `lookup` (bucket-pruned point read of ~min(groups, B)
+    * files), `maintain`'s counting algebra refreshes exactly those
+    * groups, and the result merges back as an upsert batch with
+    * tombstones for groups whose multiplicity support hit zero. The
+    * view table's CDC feed then carries the view's own row diff for
+    * free — IVM steps compose into cascades.
+    *
+    * Bootstrap the view once (e.g. `merge(viewPath, initialAggregate,
+    * groupKeys)`) before the first call; same `countCol`/`sumCols`
+    * contract as `maintain` (counts and sums only — non-subtractable
+    * aggregates can't be maintained from a diff). Returns the view
+    * table's new committed version (current version for an empty feed).
+    */
+  def maintainTable(spark: SparkSession, viewPath: String, feed: DataFrame,
+      keys: Seq[String], countCol: String, sumCols: Seq[String]): Long = {
+    val sn = snapshot(spark, viewPath, None)
+    require(sn.keyCols == keys,
+      s"view table $viewPath is keyed by (${sn.keyCols.mkString(",")}), " +
+        s"maintainTable called with (${keys.mkString(",")})")
+    // persist: the touched-key set feeds the lookup, the maintain
+    // union, and the tombstone anti-join — without it the feed's
+    // upstream (often a fresh micro-batch scan) re-runs per consumer
+    val touched = feed.select(keys.map(col): _*).distinct().persist()
+    try {
+      if (touched.isEmpty) return sn.version
+      val viewSlice = lookup(spark, viewPath, touched, Some(sn.version))
+      val refreshed = maintain(viewSlice, feed, keys, countCol, sumCols)
+      val del = "_ivm_delete"
+      val outTypes = refreshed.schema
+      // groups that existed, were touched, and no longer appear → tombstone
+      val deletes = viewSlice.select(keys.map(col): _*)
+        .join(refreshed.select(keys.map(col): _*), keys, "left_anti")
+        .select(keys.map(col) ++ (countCol +: sumCols).map(c =>
+          lit(null).cast(outTypes(c).dataType).as(c)): _*)
+        .withColumn(del, lit(true))
+      val batch = refreshed.withColumn(del, lit(false)).unionByName(deletes)
+      merge(spark, viewPath, batch, keys, Some(del), sn.numBuckets)
+    } finally touched.unpersist(blocking = false)
   }
 
   /** PUBLISH committed feeds for streaming: copy every committed
@@ -989,6 +1127,23 @@ object VersionedTable {
     }.toSet
     vs.dropRight(retainLast)
       .foreach(v => fs.delete(manifestPath(root, v), false))
+    // orphan commit temps: a crash between writing `.tmp_<v>_*` and
+    // linking/renaming it onto the manifest leaves the temp in _log/
+    // forever (the writer's finally never ran). Safe to sweep when the
+    // target manifest already exists (the link/rename happened or the
+    // race was lost — either way the temp is dead) or when the temp is
+    // older than an hour (no commit attempt lives that long; a live
+    // writer's temp is milliseconds old).
+    val tmpCutoff = System.currentTimeMillis() - 3600L * 1000
+    fs.listStatus(new HPath(root, LOG)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith(".tmp_"))
+      .filter { s =>
+        val v = s.getPath.getName.stripPrefix(".tmp_")
+          .takeWhile(_ != '_').toLongOption
+        v.exists(vn => fs.exists(manifestPath(root, vn))) ||
+          s.getModificationTime < tmpCutoff
+      }
+      .foreach(s => fs.delete(s.getPath, false))
     val removable = fs.listStatus(root).toSeq
       .filter(s => s.isDirectory &&
         s.getPath.getName != LOG && s.getPath.getName != FEED)

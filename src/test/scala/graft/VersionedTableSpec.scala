@@ -687,7 +687,7 @@ class VersionedTableSpec extends SparkSpec {
     assert(h.head._3 === false && h.tail.forall(_._3 === true))
   }
 
-  test("optimistic commit: overlapping buckets, schema change, and creation races conflict loudly") {
+  test("optimistic commit: with retries pinned to 0, overlapping buckets, schema change, and creation races conflict loudly") {
     val dir = freshDir("occ_conflict")
     VersionedTable.merge(spark, dir,
       (1L to 8L).map(k => (k, s"a$k")).toDF("k", "v"), Seq("k"), numBuckets = 16)
@@ -703,7 +703,7 @@ class VersionedTableSpec extends SparkSpec {
     val e1 = intercept[IllegalStateException] {
       VersionedTable.merge(spark, dir,
         Seq((sameB, "B", false)).toDF("k", "v", "del"),
-        Seq("k"), Some("del"), numBuckets = 16)
+        Seq("k"), Some("del"), numBuckets = 16, maxConflictRetries = 0)
     }
     assert(e1.getMessage.contains("rewrote bucket"))
     // interleaved schema widening on a DISJOINT key still conflicts:
@@ -718,7 +718,7 @@ class VersionedTableSpec extends SparkSpec {
     val e2 = intercept[IllegalStateException] {
       VersionedTable.merge(spark, dir,
         Seq((k2, "B2", false)).toDF("k", "v", "del"),
-        Seq("k"), Some("del"), numBuckets = 16)
+        Seq("k"), Some("del"), numBuckets = 16, maxConflictRetries = 0)
     }
     assert(e2.getMessage.contains("schema changed"))
     // creation race: two writers initializing the same empty table
@@ -730,12 +730,135 @@ class VersionedTableSpec extends SparkSpec {
     }
     val e3 = intercept[IllegalStateException] {
       VersionedTable.merge(spark, dir2,
-        Seq((2L, "second")).toDF("k", "v"), Seq("k"), numBuckets = 16)
+        Seq((2L, "second")).toDF("k", "v"), Seq("k"), numBuckets = 16,
+        maxConflictRetries = 0)
     }
     assert(e3.getMessage.contains("CREATION"))
     // the losers' staged orphan dirs are swept by vacuum, winners intact
     assert(state(dir2) === Set((1L, "first")))
     VersionedTable.vacuum(spark, dir2)
     assert(state(dir2) === Set((1L, "first")))
+  }
+
+  test("optimistic commit: four THREAD-parallel SAME-bucket merges all land via bounded recompute-retry, no caller retry") {
+    val dir = freshDir("occ_retry")
+    VersionedTable.merge(spark, dir,
+      (1L to 8L).map(k => (k, s"a$k")).toDF("k", "v"), Seq("k"), numBuckets = 16)
+    // four keys that all hash to ONE bucket: every interleaving is a
+    // TRUE conflict (rebase impossible — the winner rewrote the very
+    // bucket the loser staged), so only merge's internal
+    // recompute-and-retry can land them all
+    val b0 = bucketOf(100L)
+    val keys = (100L to 4000L).filter(k => bucketOf(k) == b0).take(4)
+    assert(keys.size === 4)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = keys.map { kk =>
+      Future {
+        VersionedTable.merge(spark, dir,
+          Seq((kk, s"t$kk")).toDF("k", "v"), Seq("k"), numBuckets = 16)
+      }
+    }
+    val versions = Await.result(Future.sequence(fs), 180.seconds)
+    assert(versions.sorted === Seq(1L, 2L, 3L, 4L),
+      s"each racing merge must land exactly one version: $versions")
+    val got = state(dir)
+    keys.foreach(kk => assert(got.contains((kk, s"t$kk")), s"lost merge of $kk"))
+    assert(got.size === 12)
+    // the materialized feeds across the retried commits still compose
+    // to the true diff — a retry recomputed its feed, never replayed a
+    // stale one
+    val ch = VersionedTable.changes(spark, dir, 0L, 4L)
+      .filter($"change" === "insert")
+      .select($"k", $"v").as[(Long, String)].collect().toSet
+    assert(ch === keys.map(k => (k, s"t$k")).toSet)
+  }
+
+  test("lookup aligns a type-drifted key batch to the table's key type (or rejects a lossy one)") {
+    val dir = freshDir("lookup_keytype")
+    VersionedTable.merge(spark, dir,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"),
+      Seq("k"), numBuckets = 8)
+    // int-typed probe on a long-keyed table: xxhash64(int) !=
+    // xxhash64(long), so without alignment the candidate buckets are
+    // wrong and rows silently vanish
+    val got = VersionedTable.lookup(spark, dir, Seq(1, 3).toDF("k"))
+      .select($"k", $"v").as[(Long, String)].collect().toSet
+    assert(got === Set((1L, "a"), (3L, "c")))
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.lookup(spark, dir, Seq("1").toDF("k")).collect()
+    }
+    assert(e.getMessage.contains("key column"))
+  }
+
+  test("vacuum sweeps orphan commit temps from _log (crashed writer) once their manifest exists") {
+    val dir = freshDir("vacuum_tmp")
+    VersionedTable.merge(spark, dir,
+      Seq((1L, "a")).toDF("k", "v"), Seq("k"), numBuckets = 4)
+    // simulate a writer that crashed between staging the temp manifest
+    // and linking it: the temp survives in _log with no finally-delete
+    val log = new java.io.File(dir, "_log")
+    val orphan = new java.io.File(log, ".tmp_0_deadbeef")
+    java.nio.file.Files.write(orphan.toPath, Array[Byte](1, 2, 3))
+    VersionedTable.vacuum(spark, dir)
+    assert(!orphan.exists(), "orphan temp whose manifest exists must be swept")
+    // a FRESH temp for a NOT-yet-committed version is left alone (it
+    // could be a live writer mid-commit)
+    val live = new java.io.File(log, ".tmp_99_cafebabe")
+    java.nio.file.Files.write(live.toPath, Array[Byte](1))
+    VersionedTable.vacuum(spark, dir)
+    assert(live.exists(), "a young temp for an uncommitted version must survive")
+    live.delete()
+    assert(state(dir) === Set((1L, "a")))
+  }
+
+  test("maintainTable: table-to-table IVM at per-user cardinality equals the recompute, zero driver rows") {
+    val dir = freshDir("ivm_table")
+    val viewDir = freshDir("ivm_view")
+    // base table keyed by a HIGH-cardinality key (per-event), view
+    // keyed by user_id — the shape whose group count outgrows any
+    // driver-held Seq; here the law is what matters: after N feed
+    // applications the view table's snapshot EQUALS the recompute
+    val n = 3000
+    val rows = (1 to n).map(i => (i.toLong, (i % 997).toLong, (i % 13 + 1).toLong))
+    val base = rows.toDF("event_id", "user_id", "cents")
+    VersionedTable.merge(spark, dir, base, Seq("event_id"), numBuckets = 16)
+    // bootstrap the view from v0
+    graft.sources.VersionedTable.merge(spark, viewDir,
+      VersionedTable.read(spark, dir, Some(0L))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_events"), sum($"cents").as("cents")),
+      Seq("user_id"), numBuckets = 8)
+    // three correction commits: replace, insert, delete — then apply
+    // each version's feed to the view table, one maintainTable per feed
+    VersionedTable.merge(spark, dir,
+      Seq((5L, 9999L, 100L, false), (n + 1L, 5000L, 7L, false))
+        .toDF("event_id", "user_id", "cents", "del"),
+      Seq("event_id"), Some("del"), numBuckets = 16)
+    VersionedTable.merge(spark, dir,
+      Seq((7L, 0L, 0L, true), (8L, 0L, 0L, true), (n + 1L, 0L, 0L, true))
+        .toDF("event_id", "user_id", "cents", "del"),
+      Seq("event_id"), Some("del"), numBuckets = 16)
+    (1L to 2L).foreach { v =>
+      val feed = VersionedTable.changes(spark, dir, v - 1, v)
+        .select($"change", $"user_id", $"cents")
+      VersionedTable.maintainTable(spark, viewDir, feed,
+        Seq("user_id"), "n_events", Seq("cents"))
+    }
+    val maintained = VersionedTable.read(spark, viewDir)
+      .select($"user_id", $"n_events", $"cents")
+      .as[(Long, Long, Long)].collect().toSet
+    val recomputed = VersionedTable.read(spark, dir)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"), sum($"cents").as("cents"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(maintained === recomputed)
+    // tombstone law: user 5000 was inserted in v1 and fully emptied in
+    // v2 — it must be GONE from the view table, not present with zero
+    // support (the maintainTable delete path, not just the upsert path)
+    assert(!maintained.exists(_._1 == 5000L),
+      "a group whose multiplicity support hit zero must be tombstoned")
+    assert(maintained.exists(_._1 == 9999L))
   }
 }
