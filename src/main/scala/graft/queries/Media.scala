@@ -194,6 +194,67 @@ object Media extends QueryModule {
     graft.sources.Pdf.searchPages(s, dir, "laba")
   }
 
+  /** MODERN PDF fixture (PDF 1.5 shapes): kerned TJ arrays, hex
+    * strings, Tm/TD/T-star/quote positioning, /Contents arrays, a nested page
+    * tree, object streams, and a PNG-predicted xref STREAM — written
+    * by `Pdf.writePdfModern`, an encoder deliberately different from
+    * `writePdf`, so m20 certifies the parser against file shapes it
+    * did not produce (real IDX filings are PDF 1.5+ with exactly these
+    * structures). */
+  def pdfTjFixtureData: Seq[(String, Seq[Seq[String]])] = Seq(
+    "modern_2023.pdf" -> Seq(
+      Seq("LAPORAN POSISI KEUANGAN KONSOLIDASIAN",
+        "Kas dan setara kas 1500.5",
+        "Jumlah aset 2300.5"),
+      Seq("1. UMUM",
+        "Perusahaan didirikan tahun 1946.",
+        "a. Pendirian dan informasi umum"),
+      Seq("CATATAN ATAS LAPORAN KEUANGAN",
+        "Piutang usaha (neto) 800",
+        "2,3b"),
+      Seq("Lihat catatan terlampir")),
+    "modern_2024.pdf" -> Seq(
+      Seq("Ikhtisar \\ saldo (awal)", "Laba bersih 88"),
+      Seq("Pendapatan 9000", "Beban pokok (6500)")))
+
+  def writePdfTjFixture(dir: String): String = {
+    val d = new java.io.File(dir)
+    d.mkdirs()
+    pdfTjFixtureData.foreach { case (name, pages) =>
+      java.nio.file.Files.write(
+        new java.io.File(d, name).toPath,
+        graft.sources.Pdf.writePdfModern(pages))
+    }
+    d.getAbsolutePath
+  }
+
+  /** Expected line rows straight from the fixture definition — the
+    * parser never touches these. */
+  def pdfTjExpected(s: SparkSession): DataFrame = {
+    import s.implicits._
+    (for {
+      (file, pages) <- pdfTjFixtureData
+      (lines, pi) <- pages.zipWithIndex
+      (text, li) <- lines.zipWithIndex
+    } yield (file, (pi + 1).toLong, li.toLong, text))
+      .toDF("file", "page", "line_no", "text")
+  }
+
+  private def pdfTjDir: String = graft.util.Scratch.dir("pdf_tj")
+
+  /** m20 — full-spec binary scan through the xref-stream/ObjStm/TJ
+    * parser; oracle replays the expected lines (same certification
+    * pattern as m05, against the INDEPENDENT modern encoder). */
+  private def m20(s: SparkSession, d: String): DataFrame = {
+    val dir = writePdfTjFixture(pdfTjDir)
+    graft.sources.Pdf.read(s, dir).toDF()
+      .orderBy("file", "page", "line_no")
+  }
+  private val m20Sql =
+    """SELECT file, page, line_no, text
+       FROM read_parquet('__FIXTURES__/pdf_tj_expected/*.parquet')
+       ORDER BY file, page, line_no"""
+
   // ---- positioned PDF: table-region scan (S5-S7) --------------------
 
   /** Positioned fixture: filings whose pages carry a real table region
@@ -796,6 +857,7 @@ object Media extends QueryModule {
     "m05_pdf_lines" -> m05 _,
     "m06_pdf_page_search" -> m06 _,
     "m07_pdf_table_region" -> m07 _,
+    "m20_pdf_tj" -> m20 _,
   )
 
   // DuckDB reads the payload as BLOB; hex() gives the uppercase hex
@@ -884,5 +946,6 @@ object Media extends QueryModule {
     "m05_pdf_lines" -> m05Sql,
     "m06_pdf_page_search" -> m06Sql,
     "m07_pdf_table_region" -> m07Sql,
+    "m20_pdf_tj" -> m20Sql,
   )
 }

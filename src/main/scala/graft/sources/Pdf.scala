@@ -9,14 +9,35 @@ import org.apache.spark.sql.functions._
 
 /** Real binary PDF page-text source — the reference reads filings with
   * fitz: per-page `get_text()` plus keyword page search
-  * (mainTesting.py:217-254, 273-285); round 1 modeled only the
-  * post-extraction (doc, page, line, text) shape. This is an actual
-  * binary reader for the subset those calls exercise: page tree in
-  * /Kids order, FlateDecode content streams (java.util.zip.Inflater —
-  * JDK-only), text from `(...) Tj` show-text operators with PDF string
-  * escapes. Fonts, encodings beyond Latin-1, kerned TJ arrays, and
-  * layout reconstruction are out of scope — the reference consumes
-  * plain extracted lines, not geometry.
+  * (mainTesting.py:217-254, 273-285). This is an actual binary reader
+  * for the file shapes real filings use, JDK-only:
+  *
+  *   - object location via the CLASSIC xref table or an XREF STREAM
+  *     (PDF 1.5+), following `/Prev` chains, with PNG predictors
+  *     (the near-universal `/DecodeParms /Predictor 12` encoding of
+  *     xref streams) and OBJECT STREAMS (`/ObjStm`, type-2 entries) —
+  *     a file whose dictionaries are themselves compressed reads fine;
+  *   - a legacy fallback scan for files with no xref at all;
+  *   - nested page trees (`/Pages` under `/Pages`), `/Contents` given
+  *     as a single stream or an ARRAY of streams;
+  *   - a real content-stream tokenizer: literal strings with all spec
+  *     escapes (octal included), HEX strings, kerned `TJ` arrays,
+  *     `Tj`/`'`/`"` show ops, `Td`/`TD`/`T*`/`Tm` positioning, inline
+  *     dicts and `BI..EI` inline images skipped safely;
+  *   - indirect `/Length` values resolved through the xref.
+  *
+  * Out of scope, stated: font /Encoding and /ToUnicode CMaps (bytes are
+  * read as Latin-1 — correct for the unencoded Type1/WinAnsi text that
+  * filing generators emit, wrong for subsetted CID fonts), and layout
+  * reconstruction beyond the text-matrix origin.
+  *
+  * Kerning-to-space rule, fixed and documented: inside a `TJ` array an
+  * adjustment ≤ −180 thousandths of an em reads as a word break
+  * (extractors conventionally threshold near half an em; the exact
+  * constant only needs to be deterministic and matched by the fixture
+  * encoder). Corrupt input fails LOUDLY with the object/offset in the
+  * message — a quarantine pattern (m14) belongs upstream of the
+  * parser, not silently inside it.
   *
   * Spark integration mirrors sources/Xlsx: binaryFile scan → per-file
   * executor-side parse via flatMap; the payload never shuffles, only
@@ -59,9 +80,7 @@ object Pdf {
 
   /** Read every *.pdf under `dir` into POSITIONED rows: each shown
     * string with the text-line origin (x, y) in page coordinates at
-    * the moment of its `Tj`. Works on both writer shapes — absolute
-    * per-cell `BT x y Td` blocks and the relative `0 -14 Td` line walk
-    * (Td offsets accumulate within a BT/ET block, per the spec). */
+    * the moment of its show op. */
   def readPositioned(spark: SparkSession, dir: String): Dataset[PosLine] = {
     import spark.implicits._
     spark.read.format("binaryFile").load(s"$dir/*.pdf")
@@ -100,95 +119,512 @@ object Pdf {
 
   // ---- parser (executor-side, JDK-only) -----------------------------
 
-  /** Parse one PDF payload to (page, line_no, text) rows. Pages come
-    * from the catalog's /Pages → /Kids order; each page's /Contents
-    * stream is inflated if /Filter /FlateDecode, then every `(...) Tj`
-    * becomes one line. */
-  def parsePdf(bytes: Array[Byte]): Seq[(Long, Long, String)] = {
+  /** Kern threshold (thousandths of an em): a TJ adjustment at or
+    * below −KernSpace reads as a word break. */
+  private[graft] val KernSpace = 180.0
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"corrupt PDF: $msg")
+
+  /** One resolved indirect object: its dictionary/body text plus the
+    * raw (still possibly compressed) stream payload when present. */
+  private[graft] final case class PObj(body: String, stream: Option[Array[Byte]])
+
+  /** All reachable objects of the document, resolved through the xref
+    * (classic table or xref stream, /Prev chains, /ObjStm members) —
+    * or, for a pre-xref/hand-built file with no `startxref`, a legacy
+    * whole-file scan. */
+  private[graft] final class Doc(bytes: Array[Byte]) {
     val raw = new String(bytes, ISO_8859_1) // byte-preserving view
-    val objs = objectMap(raw)
-    def dictOf(num: Int): String = objs.getOrElse(num, "")
-    val catalog = objs.collectFirst {
-      case (_, body) if body.contains("/Type /Catalog") => body
-    }.getOrElse("")
-    val pagesRef = ref(catalog, "/Pages").getOrElse(return Seq.empty)
-    val kids = "(\\d+) 0 R".r.findAllMatchIn(
-      "/Kids \\[([^\\]]*)\\]".r.findFirstMatchIn(dictOf(pagesRef)).map(_.group(1)).getOrElse("")
-    ).map(_.group(1).toInt).toSeq
-    kids.zipWithIndex.flatMap { case (pageObj, pi) =>
-      val contentRef = ref(dictOf(pageObj), "/Contents")
-      val content = contentRef.map(n => streamOf(raw, n)).getOrElse(Array.empty[Byte])
-      val text = new String(content, ISO_8859_1)
-      val lines = "\\((?:\\\\.|[^\\\\)])*\\)\\s*Tj".r.findAllMatchIn(text)
-        .map(m => unescape(m.matched.dropRight(2).trim.stripPrefix("(").stripSuffix(")")))
-        .toSeq
-      lines.zipWithIndex.map { case (l, li) => ((pi + 1).toLong, li.toLong, l) }
-    }
-  }
+    if (!raw.startsWith("%PDF-")) fail("missing %PDF- header")
 
-  /** Positioned variant of `parsePdf`: walks the content stream's
-    * operators IN ORDER, tracking the text-line origin — `BT` resets
-    * it, `tx ty Td` translates it, `(s) Tj` emits (page, line_no, x,
-    * y, text). Covers the operator subset both writers emit; unknown
-    * operators pass through harmlessly because only these three match.
-    */
-  def parsePdfPositioned(bytes: Array[Byte]): Seq[(Long, Long, Double, Double, String)] = {
-    val raw = new String(bytes, ISO_8859_1)
-    val objs = objectMap(raw)
-    def dictOf(num: Int): String = objs.getOrElse(num, "")
-    val catalog = objs.collectFirst {
-      case (_, body) if body.contains("/Type /Catalog") => body
-    }.getOrElse("")
-    val pagesRef = ref(catalog, "/Pages").getOrElse(return Seq.empty)
-    val kids = "(\\d+) 0 R".r.findAllMatchIn(
-      "/Kids \\[([^\\]]*)\\]".r.findFirstMatchIn(dictOf(pagesRef)).map(_.group(1)).getOrElse("")
-    ).map(_.group(1).toInt).toSeq
-    val tok = ("(-?[0-9.]+)\\s+(-?[0-9.]+)\\s+Td" +
-      "|\\((?:\\\\.|[^\\\\)])*\\)\\s*Tj|BT").r
-    kids.zipWithIndex.flatMap { case (pageObj, pi) =>
-      val contentRef = ref(dictOf(pageObj), "/Contents")
-      val content = contentRef.map(n => streamOf(raw, n)).getOrElse(Array.empty[Byte])
-      val text = new String(content, ISO_8859_1)
-      var cx = 0.0; var cy = 0.0; var ln = 0L
-      tok.findAllMatchIn(text).flatMap { m =>
-        m.matched match {
-          case "BT" => cx = 0.0; cy = 0.0; None
-          case s if s.endsWith("Td") =>
-            cx += m.group(1).toDouble; cy += m.group(2).toDouble; None
-          case s => // (...) Tj
-            val t = unescape(s.stripSuffix("Tj").trim.stripPrefix("(").stripSuffix(")"))
-            val row = ((pi + 1).toLong, ln, cx, cy, t)
-            ln += 1
-            Some(row)
+    /** objnum → xref entry. type 1: (1, byteOffset, gen).
+      * type 2: (2, objStmNum, indexInStream). First definition along
+      * the /Prev chain wins (newest first). */
+    private val entries = scala.collection.mutable.Map[Int, (Int, Long, Long)]()
+    /** /Root ref from the newest trailer that names one. */
+    var rootRef: Option[Int] = None
+    private val cache = scala.collection.mutable.Map[Int, Option[PObj]]()
+    private var legacy: Map[Int, PObj] = Map.empty
+
+    locally {
+      val sx = raw.lastIndexOf("startxref")
+      if (sx < 0) legacy = legacyScan()
+      else {
+        val off = "\\d+".r.findFirstIn(raw.substring(sx)).map(_.toLong)
+          .getOrElse(fail("startxref with no offset"))
+        var next: Option[Long] = Some(off)
+        var hops = 0
+        while (next.isDefined) {
+          hops += 1
+          if (hops > 64) fail("xref /Prev chain longer than 64 sections")
+          next = readXrefSection(next.get)
         }
-      }.toSeq
+      }
     }
-  }
 
-  /** All `N 0 obj ... endobj` bodies by object number (dict part only
-    * is fine for refs; stream payloads are sliced separately by
-    * /Length, because compressed bytes may contain "endobj"). */
-  private def objectMap(raw: String): Map[Int, String] = {
-    "(?s)(\\d+) 0 obj(.*?)(?:stream|endobj)".r.findAllMatchIn(raw)
-      .map(m => m.group(1).toInt -> m.group(2)).toMap
+    /** Parse one xref section at `off`; returns its /Prev offset. */
+    private def readXrefSection(off: Long): Option[Long] = {
+      if (off < 0 || off >= raw.length) fail(s"xref offset $off out of range")
+      val at = raw.substring(off.toInt)
+      if (at.startsWith("xref")) {
+        // classic table: subsections of `start count` then 20-byte rows
+        var p = 4
+        def skipWs(): Unit = while (p < at.length && at.charAt(p).isWhitespace) p += 1
+        def readInt(): Long = {
+          skipWs(); val s = p
+          while (p < at.length && at.charAt(p).isDigit) p += 1
+          if (s == p) fail(s"malformed classic xref at $off")
+          at.substring(s, p).toLong
+        }
+        skipWs()
+        while (p < at.length && at.charAt(p).isDigit) {
+          val start = readInt(); val n = readInt(); skipWs()
+          (0L until n).foreach { i =>
+            val row = at.substring(p, p + 18)
+            p += 20 // rows are exactly 20 bytes incl. the 2-byte EOL
+            val num = (start + i).toInt
+            if (row.charAt(17) == 'n' && !entries.contains(num))
+              entries(num) = (1, row.substring(0, 10).toLong,
+                row.substring(11, 16).toLong)
+          }
+          skipWs()
+        }
+        val trailer = at.indexOf("trailer")
+        if (trailer < 0) fail(s"classic xref at $off has no trailer")
+        val tdict = at.substring(trailer)
+        if (rootRef.isEmpty) rootRef = ref(tdict, "/Root")
+        "/Prev\\s+(\\d+)".r.findFirstMatchIn(
+          tdict.take(tdict.indexOf(">>") + 2 max 0)).map(_.group(1).toLong)
+      } else {
+        // xref STREAM: `N G obj << /Type /XRef ... >> stream`
+        val (body, data) = objAtOffset(off)
+        if (!body.contains("/XRef")) fail(s"object at $off is not an xref stream")
+        val w = "/W\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(body)
+          .map(_.group(1).trim.split("\\s+").toSeq.map(_.toInt))
+          .getOrElse(fail(s"xref stream at $off lacks /W"))
+        if (w.size != 3) fail(s"xref stream /W must have 3 fields, got $w")
+        val size = "/Size\\s+(\\d+)".r.findFirstMatchIn(body)
+          .map(_.group(1).toInt).getOrElse(fail("xref stream lacks /Size"))
+        val index = "/Index\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(body)
+          .map(_.group(1).trim.split("\\s+").toSeq.map(_.toInt))
+          .getOrElse(Seq(0, size))
+        val payload = decodeStream(body,
+          data.getOrElse(fail(s"xref stream at $off has no payload")))
+        val rowLen = w.sum
+        if (rowLen == 0 || payload.length % rowLen != 0)
+          fail(s"xref stream at $off: ${payload.length} bytes not a multiple of row width $rowLen")
+        def field(row: Int, f: Int): Long = {
+          var o = row * rowLen + w.take(f).sum
+          var v = 0L
+          (0 until w(f)).foreach { _ => v = (v << 8) | (payload(o) & 0xffL); o += 1 }
+          v
+        }
+        var row = 0
+        index.grouped(2).foreach { case Seq(start, n) =>
+          (0 until n).foreach { i =>
+            val num = start + i
+            val t = if (w(0) == 0) 1L else field(row, 0)
+            val f2 = field(row, 1); val f3 = field(row, 2)
+            row += 1
+            if (t != 0 && !entries.contains(num))
+              entries(num) = (t.toInt, f2, f3)
+          }
+          case _ => fail("odd /Index")
+        }
+        if (rootRef.isEmpty) rootRef = ref(body, "/Root")
+        "/Prev\\s+(\\d+)".r.findFirstMatchIn(body).map(_.group(1).toLong)
+      }
+    }
+
+    /** Parse `N G obj ...` at a byte offset: (body-before-stream,
+      * stream payload if any). The stream is sliced by /Length
+      * (indirect /Length resolved through the xref); a /Length past
+      * EOF is a truncated file and fails loudly. */
+    private def objAtOffset(off: Long): (String, Option[Array[Byte]]) = {
+      val m = "^\\s*(\\d+)\\s+(\\d+)\\s+obj".r
+        .findFirstMatchIn(raw.substring(off.toInt))
+        .getOrElse(fail(s"no object header at offset $off"))
+      val bodyStart = off.toInt + m.end
+      sliceBody(bodyStart)
+    }
+
+    private def sliceBody(bodyStart: Int): (String, Option[Array[Byte]]) = {
+      val endobj = raw.indexOf("endobj", bodyStart)
+      val streamKw = raw.indexOf("stream", bodyStart)
+      if (streamKw >= 0 && (endobj < 0 || streamKw < endobj)) {
+        val body = raw.substring(bodyStart, streamKw)
+        var ds = streamKw + "stream".length
+        if (ds < raw.length && raw.charAt(ds) == '\r') ds += 1
+        if (ds < raw.length && raw.charAt(ds) == '\n') ds += 1
+        val len = lengthOf(body).getOrElse {
+          // no direct/resolvable /Length: scan to the endstream keyword
+          // (compressed payloads rarely contain it; stated best-effort)
+          val es = raw.indexOf("endstream", ds)
+          if (es < 0) fail(s"stream at $ds has neither /Length nor endstream")
+          es - ds
+        }
+        if (ds + len > raw.length)
+          fail(s"stream at $ds declares /Length $len past end of file (truncated?)")
+        (body, Some(raw.substring(ds, ds + len).getBytes(ISO_8859_1)))
+      } else if (endobj >= 0) {
+        (raw.substring(bodyStart, endobj), None)
+      } else fail(s"object at $bodyStart has no endobj (truncated?)")
+    }
+
+    private def lengthOf(body: String): Option[Int] =
+      "/Length\\s+(\\d+)(\\s+\\d+\\s+R)?".r.findFirstMatchIn(body).flatMap { m =>
+        if (m.group(2) == null) Some(m.group(1).toInt)
+        else obj(m.group(1).toInt).map(_.body.trim.toInt) // indirect
+      }
+
+    /** Members of object stream `num`: header pairs then bodies. */
+    private def objStmMembers(num: Int): Map[Long, String] = {
+      val o = obj(num).getOrElse(fail(s"object stream $num missing"))
+      if (!o.body.contains("/ObjStm")) fail(s"object $num is not /ObjStm")
+      val n = "/N\\s+(\\d+)".r.findFirstMatchIn(o.body)
+        .map(_.group(1).toInt).getOrElse(fail(s"/ObjStm $num lacks /N"))
+      val first = "/First\\s+(\\d+)".r.findFirstMatchIn(o.body)
+        .map(_.group(1).toInt).getOrElse(fail(s"/ObjStm $num lacks /First"))
+      val payload = new String(decodeStream(o.body,
+        o.stream.getOrElse(fail(s"/ObjStm $num has no payload"))), ISO_8859_1)
+      val header = payload.take(first).trim.split("\\s+").map(_.toLong)
+      if (header.length < 2 * n) fail(s"/ObjStm $num header too short")
+      (0 until n).map { i =>
+        val objNum = header(2 * i); val rel = header(2 * i + 1).toInt
+        val end = if (i + 1 < n) first + header(2 * i + 3).toInt else payload.length
+        objNum -> payload.substring(first + rel, end)
+      }.toMap
+    }
+
+    private val objStmCache = scala.collection.mutable.Map[Int, Map[Long, String]]()
+
+    /** Resolve object `num` (memoized). None for free/absent. */
+    def obj(num: Int): Option[PObj] = cache.getOrElseUpdate(num, {
+      if (legacy.nonEmpty) legacy.get(num)
+      else entries.get(num).flatMap {
+        case (1, off, _) =>
+          val (b, s) = objAtOffset(off); Some(PObj(b, s))
+        case (2, stm, _) =>
+          objStmCache.getOrElseUpdate(stm.toInt, objStmMembers(stm.toInt))
+            .get(num.toLong).map(PObj(_, None))
+        case _ => None
+      }
+    })
+
+    /** Decoded stream payload of object `num` (inflated if Flate). */
+    def streamOf(num: Int): Array[Byte] = {
+      val o = obj(num).getOrElse(fail(s"referenced object $num is missing"))
+      decodeStream(o.body,
+        o.stream.getOrElse(fail(s"object $num has no stream payload")))
+    }
+
+    /** The document catalog: trailer /Root when the xref gave one,
+      * otherwise the first object that looks like a catalog. */
+    def catalog: PObj =
+      rootRef.flatMap(obj).orElse {
+        val all = if (legacy.nonEmpty) legacy
+          else entries.keys.flatMap(k => obj(k).map(k -> _)).toMap
+        all.values.find(_.body.contains("/Catalog"))
+      }.getOrElse(fail("no document catalog (missing or broken /Root)"))
+
+    /** Legacy path for files with no startxref: every `N 0 obj` found
+      * by scanning. Streams are sliced per object at their own match
+      * position (the old reader's behavior, kept as the repair path). */
+    private def legacyScan(): Map[Int, PObj] =
+      "(?s)(?<!\\d)(\\d+)\\s+0\\s+obj".r.findAllMatchIn(raw).map { m =>
+        m.group(1).toInt -> { val (b, s) = sliceBody(m.end); PObj(b, s) }
+      }.toMap
   }
 
   private def ref(dict: String, key: String): Option[Int] =
-    (java.util.regex.Pattern.quote(key) + "\\s+(\\d+) 0 R").r
+    (java.util.regex.Pattern.quote(key) + "\\s+(\\d+)\\s+\\d+\\s+R").r
       .findFirstMatchIn(dict).map(_.group(1).toInt)
 
-  /** Exact stream payload of object `num`: located by the object
-    * header, sliced by its /Length, inflated when FlateDecode. */
-  private def streamOf(raw: String, num: Int): Array[Byte] = {
-    val header = s"(?s)(?<!\\d)$num 0 obj(.*?)stream\r?\n".r
-    header.findFirstMatchIn(raw) match {
-      case None => Array.empty
+  /** `/Filter /FlateDecode` (optionally with PNG `/Predictor`) or no
+    * filter — the two encodings filing text/xref streams actually use. */
+  private def decodeStream(dict: String, data: Array[Byte]): Array[Byte] = {
+    val inflated =
+      if (dict.contains("/FlateDecode")) inflate(data) else data
+    val pred = "/Predictor\\s+(\\d+)".r.findFirstMatchIn(dict)
+      .map(_.group(1).toInt).getOrElse(1)
+    if (pred < 2) inflated
+    else {
+      val cols = "/Columns\\s+(\\d+)".r.findFirstMatchIn(dict)
+        .map(_.group(1).toInt).getOrElse(1)
+      unpredictPng(inflated, cols)
+    }
+  }
+
+  /** Reverse PNG row filters (predictors 10-15: each row = filter tag
+    * byte + `cols` bytes). Colors/bpc are 1 for xref streams. */
+  private[graft] def unpredictPng(data: Array[Byte], cols: Int): Array[Byte] = {
+    val rowLen = cols + 1
+    if (data.length % rowLen != 0)
+      fail(s"predictor data ${data.length} bytes not a multiple of row ${rowLen}")
+    val rows = data.length / rowLen
+    val out = new Array[Byte](rows * cols)
+    val prev = new Array[Byte](cols)
+    (0 until rows).foreach { r =>
+      val tag = data(r * rowLen) & 0xff
+      val row = new Array[Byte](cols)
+      (0 until cols).foreach { i =>
+        val x = data(r * rowLen + 1 + i) & 0xff
+        val a = if (i > 0) row(i - 1) & 0xff else 0 // left (bpp=1)
+        val b = prev(i) & 0xff                       // up
+        val c = if (i > 0) prev(i - 1) & 0xff else 0 // up-left
+        val v = tag match {
+          case 0 => x
+          case 1 => x + a
+          case 2 => x + b
+          case 3 => x + (a + b) / 2
+          case 4 =>
+            val p = a + b - c
+            val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+            x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+          case t => fail(s"unsupported PNG filter tag $t")
+        }
+        row(i) = (v & 0xff).toByte
+      }
+      System.arraycopy(row, 0, out, r * cols, cols)
+      System.arraycopy(row, 0, prev, 0, cols)
+    }
+    out
+  }
+
+  /** Page object numbers in tree order (nested /Pages recursed). */
+  private def pageObjs(doc: Doc): Seq[Int] = {
+    val pagesRef = ref(doc.catalog.body, "/Pages")
+      .getOrElse(fail("catalog has no /Pages"))
+    def walk(num: Int, depth: Int): Seq[Int] = {
+      if (depth > 64) fail("page tree deeper than 64 levels (cycle?)")
+      val body = doc.obj(num).getOrElse(fail(s"page-tree object $num missing")).body
+      if (body.contains("/Kids")) {
+        val kids = "(\\d+)\\s+\\d+\\s+R".r.findAllMatchIn(
+          "/Kids\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(body)
+            .map(_.group(1)).getOrElse("")
+        ).map(_.group(1).toInt).toSeq
+        kids.flatMap(walk(_, depth + 1))
+      } else Seq(num)
+    }
+    walk(pagesRef, 0)
+  }
+
+  /** A page's full content: /Contents as one ref or an array of refs,
+    * streams decoded and concatenated in order. */
+  private def pageContent(doc: Doc, pageObj: Int): String = {
+    val body = doc.obj(pageObj).getOrElse(fail(s"page object $pageObj missing")).body
+    val arr = "/Contents\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(body)
+    val refs = arr match {
       case Some(m) =>
-        val dict = m.group(1)
-        val len = "/Length\\s+(\\d+)".r.findFirstMatchIn(dict)
-          .map(_.group(1).toInt).getOrElse(0)
-        val data = raw.substring(m.end, m.end + len).getBytes(ISO_8859_1)
-        if (dict.contains("/FlateDecode")) inflate(data) else data
+        "(\\d+)\\s+\\d+\\s+R".r.findAllMatchIn(m.group(1)).map(_.group(1).toInt).toSeq
+      case None => ref(body, "/Contents").toSeq
+    }
+    refs.map(n => new String(doc.streamOf(n), ISO_8859_1)).mkString("\n")
+  }
+
+  // ---- content-stream tokenizer --------------------------------------
+
+  private[graft] sealed trait Tok
+  private[graft] final case class TStr(s: String) extends Tok
+  private[graft] final case class TNum(v: Double) extends Tok
+  private[graft] final case class TArr(items: Seq[Either[String, Double]]) extends Tok
+  private[graft] final case class TOp(op: String) extends Tok
+
+  /** Tokenize a content stream: strings (literal + hex, full escape
+    * set), numbers, TJ-shaped arrays, operators; names, dicts and
+    * inline images are consumed and dropped. */
+  private[graft] def tokenize(s: String): Iterator[Tok] = new Iterator[Tok] {
+    private var i = 0
+    private var nextTok: Tok = null
+    private def ws(c: Char) = c == ' ' || c == '\t' || c == '\r' || c == '\n' ||
+      c == '\f' || c == ' '
+    private def delim(c: Char) = "()<>[]{}/%".indexOf(c) >= 0
+
+    private def skipWs(): Unit = {
+      while (i < s.length && (ws(s.charAt(i)) || s.charAt(i) == '%')) {
+        if (s.charAt(i) == '%') while (i < s.length && s.charAt(i) != '\n') i += 1
+        else i += 1
+      }
+    }
+    private def literal(): String = { // at '('
+      i += 1
+      val sb = new StringBuilder
+      var depth = 1
+      while (i < s.length && depth > 0) {
+        val c = s.charAt(i)
+        if (c == '\\' && i + 1 < s.length) {
+          s.charAt(i + 1) match {
+            case 'n' => sb.append('\n'); i += 2
+            case 'r' => sb.append('\r'); i += 2
+            case 't' => sb.append('\t'); i += 2
+            case 'b' => sb.append('\b'); i += 2
+            case 'f' => sb.append('\f'); i += 2
+            case '\n' => i += 2 // line continuation
+            case '\r' =>
+              i += 2; if (i < s.length && s.charAt(i) == '\n') i += 1
+            case d if d >= '0' && d <= '7' =>
+              var v = 0; var n = 0; i += 1
+              while (n < 3 && i < s.length && s.charAt(i) >= '0' && s.charAt(i) <= '7') {
+                v = v * 8 + (s.charAt(i) - '0'); i += 1; n += 1
+              }
+              sb.append((v & 0xff).toChar)
+            case other => sb.append(other); i += 2
+          }
+        } else {
+          if (c == '(') depth += 1
+          else if (c == ')') depth -= 1
+          if (depth > 0) sb.append(c)
+          i += 1
+        }
+      }
+      sb.toString
+    }
+    private def hexStr(): String = { // at '<', not '<<'
+      i += 1
+      val sb = new StringBuilder
+      while (i < s.length && s.charAt(i) != '>') {
+        if (!ws(s.charAt(i))) sb.append(s.charAt(i))
+        i += 1
+      }
+      i += 1 // '>'
+      val h = if (sb.length % 2 == 1) sb.toString + "0" else sb.toString
+      h.grouped(2).map(b => Integer.parseInt(b, 16).toChar).mkString
+    }
+    private def skipDict(): Unit = { // at '<<'
+      var depth = 0
+      while (i < s.length) {
+        if (s.startsWith("<<", i)) { depth += 1; i += 2 }
+        else if (s.startsWith(">>", i)) {
+          depth -= 1; i += 2; if (depth == 0) return
+        }
+        else if (s.charAt(i) == '(') literal()
+        else i += 1
+      }
+    }
+    private def number(): Double = {
+      val st = i
+      if (s.charAt(i) == '+' || s.charAt(i) == '-') i += 1
+      while (i < s.length && (s.charAt(i).isDigit || s.charAt(i) == '.')) i += 1
+      s.substring(st, i).toDouble
+    }
+    private def array(): TArr = { // at '['
+      i += 1
+      val items = Seq.newBuilder[Either[String, Double]]
+      skipWs()
+      while (i < s.length && s.charAt(i) != ']') {
+        val c = s.charAt(i)
+        if (c == '(') items += Left(literal())
+        else if (c == '<' && !s.startsWith("<<", i)) items += Left(hexStr())
+        else if (c == '-' || c == '+' || c == '.' || c.isDigit) items += Right(number())
+        else i += 1 // names etc. — not TJ content
+        skipWs()
+      }
+      i += 1 // ']'
+      TArr(items.result())
+    }
+    private def advance(): Tok = {
+      skipWs()
+      if (i >= s.length) return null
+      val c = s.charAt(i)
+      if (c == '(') TStr(literal())
+      else if (s.startsWith("<<", i)) { skipDict(); advance() }
+      else if (c == '<') TStr(hexStr())
+      else if (c == '[') array()
+      else if (c == ']') { i += 1; advance() }
+      else if (c == '/') { // name: skip
+        i += 1
+        while (i < s.length && !ws(s.charAt(i)) && !delim(s.charAt(i))) i += 1
+        advance()
+      }
+      else if (c == '-' || c == '+' || c == '.' || c.isDigit) TNum(number())
+      else { // operator
+        val st = i
+        while (i < s.length && !ws(s.charAt(i)) && !delim(s.charAt(i))) i += 1
+        if (i == st) { i += 1; advance() } // stray delimiter
+        else {
+          val op = s.substring(st, i)
+          if (op == "BI") { // inline image: skip to EI
+            val ei = s.indexOf("EI", i)
+            i = if (ei < 0) s.length else ei + 2
+            advance()
+          } else TOp(op)
+        }
+      }
+    }
+    def hasNext: Boolean = {
+      if (nextTok == null) nextTok = advance()
+      nextTok != null
+    }
+    def next(): Tok = {
+      if (!hasNext) throw new NoSuchElementException
+      val t = nextTok; nextTok = null; t
+    }
+  }
+
+  /** Assemble a TJ array: strings concatenate; an adjustment ≤
+    * −KernSpace reads as a word break (see scaladoc). */
+  private def assembleTJ(items: Seq[Either[String, Double]]): String = {
+    val sb = new StringBuilder
+    items.foreach {
+      case Left(str) => sb.append(str)
+      case Right(kern) => if (kern <= -KernSpace) sb.append(' ')
+    }
+    sb.toString
+  }
+
+  /** Walk one page's content: every shown string with the text-line
+    * origin at its show op, in stream order. */
+  private def walkContent(content: String): Seq[(Double, Double, String)] = {
+    val out = Seq.newBuilder[(Double, Double, String)]
+    var cx = 0.0; var cy = 0.0; var tl = 0.0
+    val stack = scala.collection.mutable.ArrayBuffer[Tok]()
+    def num(k: Int): Double = stack.lift(stack.length - k) match {
+      case Some(TNum(v)) => v
+      case _ => 0.0
+    }
+    def lastStr: Option[String] = stack.lastOption.collect { case TStr(v) => v }
+    def lastArr: Option[Seq[Either[String, Double]]] =
+      stack.lastOption.collect { case TArr(v) => v }
+    tokenize(content).foreach {
+      case TOp("BT") => cx = 0.0; cy = 0.0; tl = 0.0; stack.clear()
+      case TOp("Td") => cx += num(2); cy += num(1); stack.clear()
+      case TOp("TD") =>
+        tl = -num(1); cx += num(2); cy += num(1); stack.clear()
+      case TOp("TL") => tl = num(1); stack.clear()
+      case TOp("Tm") => cx = num(2); cy = num(1); stack.clear()
+      case TOp("T*") => cy -= tl; stack.clear()
+      case TOp("Tj") =>
+        lastStr.foreach(t => out += ((cx, cy, t))); stack.clear()
+      case TOp("'") =>
+        cy -= tl; lastStr.foreach(t => out += ((cx, cy, t))); stack.clear()
+      case TOp("\"") =>
+        cy -= tl; lastStr.foreach(t => out += ((cx, cy, t))); stack.clear()
+      case TOp("TJ") =>
+        lastArr.foreach(a => out += ((cx, cy, assembleTJ(a)))); stack.clear()
+      case TOp(_) => stack.clear() // any other operator consumes operands
+      case t => stack += t
+    }
+    out.result()
+  }
+
+  /** Parse one PDF payload to (page, line_no, text) rows. */
+  def parsePdf(bytes: Array[Byte]): Seq[(Long, Long, String)] = {
+    val doc = new Doc(bytes)
+    pageObjs(doc).zipWithIndex.flatMap { case (pageObj, pi) =>
+      walkContent(pageContent(doc, pageObj)).zipWithIndex.map {
+        case ((_, _, text), li) => ((pi + 1).toLong, li.toLong, text)
+      }
+    }
+  }
+
+  /** Positioned variant: (page, line_no, x, y, text) per show op. */
+  def parsePdfPositioned(bytes: Array[Byte]): Seq[(Long, Long, Double, Double, String)] = {
+    val doc = new Doc(bytes)
+    pageObjs(doc).zipWithIndex.flatMap { case (pageObj, pi) =>
+      walkContent(pageContent(doc, pageObj)).zipWithIndex.map {
+        case ((x, y, text), li) => ((pi + 1).toLong, li.toLong, x, y, text)
+      }
     }
   }
 
@@ -214,30 +650,12 @@ object Pdf {
     out.toByteArray
   }
 
-  private def unescape(s: String): String = {
-    val sb = new StringBuilder
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '\\' && i + 1 < s.length) {
-        s.charAt(i + 1) match {
-          case '(' => sb.append('('); i += 2
-          case ')' => sb.append(')'); i += 2
-          case '\\' => sb.append('\\'); i += 2
-          case 'n' => sb.append('\n'); i += 2
-          case other => sb.append(other); i += 2
-        }
-      } else { sb.append(c); i += 1 }
-    }
-    sb.toString
-  }
+  // ---- writers (fixture generators — also JDK-only) ------------------
 
-  // ---- writer (fixture generator — also JDK-only) -------------------
-
-  /** Write a minimal real PDF: catalog → pages → one page object and
+  /** Write a minimal real PDF 1.4: catalog → pages → one page object and
     * one FlateDecode content stream per page, each line a `Tj`, with a
-    * correct xref table. Deflate output is deterministic for a fixed
-    * level, so fixture bytes are reproducible. */
+    * correct classic xref table. Deflate output is deterministic for a
+    * fixed level, so fixture bytes are reproducible. */
   def writePdf(pages: Seq[Seq[String]]): Array[Byte] =
     assemblePdf(pages.map(lines =>
       "BT /F1 12 Tf 72 720 Td\n" +
@@ -256,6 +674,160 @@ object Pdf {
 
   private def esc(s: String) =
     s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+
+  /** Independent MODERN encoder (PDF 1.5 shapes a real filing uses,
+    * deliberately different from `writePdf` so the parser is certified
+    * against bytes it did not produce):
+    *   - kerned `TJ` arrays — words joined by −250 kerns (word breaks
+    *     under the −180 rule), long words split mid-word by a −20 kern
+    *     (NOT a break), every other string emitted HEX;
+    *   - `Tm` for the first line, `TD`/`T*`/`'` for the line walk;
+    *   - `/Contents` as an ARRAY of two streams per page;
+    *   - a NESTED page tree (root → two intermediate /Pages nodes);
+    *   - catalog + page-tree + page dicts inside an OBJECT STREAM
+    *     (type-2 xref entries);
+    *   - one content stream's `/Length` as an INDIRECT reference;
+    *   - a cross-reference STREAM (/Type /XRef, /W [1 4 2],
+    *     /Predictor 12 PNG-Up) instead of a classic table.
+    * Deterministic bytes for fixed input. */
+  def writePdfModern(pages: Seq[Seq[String]]): Array[Byte] = {
+    val n = pages.size
+    require(n >= 1, "writePdfModern needs at least one page")
+    // object numbers: 1 catalog, 2 root pages, 3/4 intermediate nodes,
+    // 5..4+n page dicts (all in the objstm); then per page two content
+    // streams; then the indirect-length int, the objstm, the xref stream
+    val pageNums = (0 until n).map(5 + _)
+    val contNums = (0 until n).map(i => (5 + n + 2 * i, 6 + n + 2 * i))
+    val lenObj = 5 + 3 * n
+    val objStmNum = 6 + 3 * n
+    val xrefNum = 7 + 3 * n
+    val size = xrefNum + 1
+
+    def tjLine(line: String, hex: Boolean): String = {
+      val parts = line.split(" ", -1).toSeq.flatMap { w =>
+        val pieces =
+          if (w.length > 4) Seq(w.substring(0, 3), w.substring(3))
+          else Seq(w)
+        pieces.zipWithIndex.map { case (p, i) => (p, i > 0) } // split-kern flag
+      }
+      val sb = new StringBuilder("[")
+      parts.zipWithIndex.foreach { case ((p, isSplit), i) =>
+        if (i > 0) sb.append(if (isSplit) " -20 " else " -250 ")
+        if (hex) sb.append("<").append(
+          p.getBytes(ISO_8859_1).map(b => f"${b & 0xff}%02X").mkString).append(">")
+        else sb.append("(").append(esc(p)).append(")")
+      }
+      sb.append("] TJ").toString
+    }
+
+    def contentFor(lines: Seq[String]): (String, String) = {
+      // first line positioned by Tm; TD sets the leading; from there a
+      // T*-walk with alternating TJ / ' shows; split into two streams
+      val ops = Seq.newBuilder[String]
+      ops += "BT"
+      ops += "/F1 11 Tf"
+      ops += "1 0 0 1 72 720 Tm"
+      ops += "0 -14 TD"
+      lines.zipWithIndex.foreach { case (l, i) =>
+        if (i == 0) ops += tjLine(l, hex = i % 2 == 1)
+        else if (i % 3 == 0) ops += s"(${esc(l)}) '"
+        else { ops += "T*"; ops += tjLine(l, hex = i % 2 == 1) }
+      }
+      ops += "ET"
+      val all = ops.result()
+      val cut = (all.length + 1) / 2
+      (all.take(cut).mkString("\n"), all.drop(cut).mkString("\n"))
+    }
+
+    val out = new ByteArrayOutputStream()
+    def offset = out.size.toLong
+    val offsets = scala.collection.mutable.Map[Int, Long]()
+    def put(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    put("%PDF-1.5\n%âãÏÓ\n")
+
+    // content streams (regular objects)
+    pages.zipWithIndex.foreach { case (lines, i) =>
+      val (s1, s2) = contentFor(lines)
+      val (c1, c2) = contNums(i)
+      val d1 = deflate(s1.getBytes(ISO_8859_1))
+      offsets(c1) = offset
+      // first page's first stream exercises the indirect /Length path
+      val lenRef = if (i == 0) s"$lenObj 0 R" else s"${d1.length}"
+      put(s"$c1 0 obj\n<< /Length $lenRef /Filter /FlateDecode >>\nstream\n")
+      out.write(d1); put("\nendstream\nendobj\n")
+      if (i == 0) {
+        offsets(lenObj) = offset
+        put(s"$lenObj 0 obj\n${d1.length}\nendobj\n")
+      }
+      val d2 = deflate(s2.getBytes(ISO_8859_1))
+      offsets(c2) = offset
+      put(s"$c2 0 obj\n<< /Length ${d2.length} /Filter /FlateDecode >>\nstream\n")
+      out.write(d2); put("\nendstream\nendobj\n")
+    }
+
+    // object stream holding the catalog and the whole page tree
+    val lo = pageNums.take((n + 1) / 2)
+    val hi = pageNums.drop((n + 1) / 2)
+    val members: Seq[(Int, String)] =
+      Seq(
+        1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+        2 -> (s"<< /Type /Pages /Kids [3 0 R 4 0 R] /Count $n >>"),
+        3 -> (s"<< /Type /Pages /Parent 2 0 R /Kids [${lo.map(p => s"$p 0 R").mkString(" ")}] /Count ${lo.size} >>"),
+        4 -> (s"<< /Type /Pages /Parent 2 0 R /Kids [${hi.map(p => s"$p 0 R").mkString(" ")}] /Count ${hi.size} >>")
+      ) ++ pageNums.zipWithIndex.map { case (p, i) =>
+        val (c1, c2) = contNums(i)
+        p -> (s"<< /Type /Page /Parent ${if (i < lo.size) 3 else 4} 0 R " +
+          s"/MediaBox [0 0 612 792] /Contents [$c1 0 R $c2 0 R] >>")
+      }
+    val bodies = members.map(_._2)
+    val rel = bodies.scanLeft(0)(_ + _.length + 1).init
+    val header = members.map(_._1).zip(rel)
+      .map { case (num, o) => s"$num $o" }.mkString(" ") + "\n"
+    val objStmPayload = header + bodies.mkString("\n") + "\n"
+    val objStmDefl = deflate(objStmPayload.getBytes(ISO_8859_1))
+    offsets(objStmNum) = offset
+    put(s"$objStmNum 0 obj\n<< /Type /ObjStm /N ${members.size} " +
+      s"/First ${header.length} /Length ${objStmDefl.length} " +
+      "/Filter /FlateDecode >>\nstream\n")
+    out.write(objStmDefl); put("\nendstream\nendobj\n")
+
+    // xref STREAM: W=[1 4 2], PNG-Up predictor (12)
+    val xrefOffset = offset
+    offsets(xrefNum) = xrefOffset
+    def entry(t: Int, f2: Long, f3: Int): Array[Byte] = {
+      val b = new Array[Byte](7)
+      b(0) = t.toByte
+      b(1) = ((f2 >> 24) & 0xff).toByte; b(2) = ((f2 >> 16) & 0xff).toByte
+      b(3) = ((f2 >> 8) & 0xff).toByte; b(4) = (f2 & 0xff).toByte
+      b(5) = ((f3 >> 8) & 0xff).toByte; b(6) = (f3 & 0xff).toByte
+      b
+    }
+    val rows: Seq[Array[Byte]] =
+      entry(0, 0, 0xffff) +: (1 until size).map { num =>
+        if (num <= 4 + n) { // in the object stream
+          val idx = members.indexWhere(_._1 == num)
+          entry(2, objStmNum.toLong, idx)
+        } else entry(1, offsets(num), 0)
+      }
+    val cols = 7
+    val predicted = new ByteArrayOutputStream()
+    var prev = new Array[Byte](cols)
+    rows.foreach { r =>
+      predicted.write(2) // Up filter
+      val row = new Array[Byte](cols)
+      (0 until cols).foreach(i => row(i) = ((r(i) - prev(i)) & 0xff).toByte)
+      predicted.write(row)
+      prev = r
+    }
+    val xrefDefl = deflate(predicted.toByteArray)
+    put(s"$xrefNum 0 obj\n<< /Type /XRef /Size $size /W [1 4 2] " +
+      s"/Root 1 0 R /Filter /FlateDecode " +
+      s"/DecodeParms << /Predictor 12 /Columns $cols >> " +
+      s"/Length ${xrefDefl.length} >>\nstream\n")
+    out.write(xrefDefl); put("\nendstream\nendobj\n")
+    put(s"startxref\n$xrefOffset\n%%EOF\n")
+    out.toByteArray
+  }
 
   private def assemblePdf(streams: Seq[String]): Array[Byte] = {
     val nPages = streams.size
