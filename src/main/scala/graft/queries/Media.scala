@@ -87,7 +87,12 @@ object Media extends QueryModule {
       "Ikhtisar" -> Seq(
         Seq(W("Kode entitas"), W("TLKM")),
         Seq(W("Laba ditahan"), W("12.75", num = true)),
-        Seq(W("Wide") +: Seq.fill(26)(W("")) :+ W("kolom-AB"): _*))))
+        Seq(W("Wide") +: Seq.fill(26)(W("")) :+ W("kolom-AB"): _*),
+        // date-styled serials (the reference reads "Tanggal awal
+        // periode" values, mainTesting.py:430): a plain date and a
+        // datetime, stored as 1900-system serials + styles.xml
+        Seq(W("Tanggal awal periode"), W("2023-01-01", date = true)),
+        Seq(W("Dicetak"), W("2024-03-15 12:30:05", date = true)))))
 
   /** Write the fixture workbooks as actual .xlsx files (idempotent,
     * deterministic bytes). Local-path scratch: on a cluster this dir
@@ -137,6 +142,49 @@ object Media extends QueryModule {
     val dir = writeXlsxFixture(xlsxDir)
     Xlsx.discoverSheet(s, dir, "laba")
   }
+
+  /** m21 — DataFrame → XLSX → DataFrame ROUND TRIP (closing S10, the
+    * reference's `to_excel` report export, test_uploadPDF.py:124): an
+    * aggregate result is written as a real workbook via
+    * `Sources.writeXlsx`, read back through the binary connector, and
+    * the oracle recomputes the long cell shape (header + unpivoted
+    * values) relationally from the base tables — a hash match
+    * certifies the WRITE direction against DuckDB, with the read
+    * direction already certified by m03. */
+  private def m21(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val agg = graft.sources.Tables.customer(s, d)
+      .join(graft.sources.Tables.nation(s, d),
+        $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n_cust"),
+        sum(expr("cast(round(c_acctbal * 100) as bigint)")).as("cents"))
+      .orderBy($"n_name")
+    val dir = graft.util.Scratch.dir("xlsx_export")
+    graft.sources.Sources.writeXlsx(agg, s"$dir/report.xlsx", "Ringkasan")
+    Xlsx.read(s, dir).toDF().orderBy("row_idx", "col_idx")
+  }
+  private val m21Sql =
+    """WITH agg AS (
+         SELECT n_name, count(*) AS n_cust,
+           CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS cents
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name),
+       ord AS (
+         SELECT n_name, n_cust, cents,
+           row_number() OVER (ORDER BY n_name) + 1 AS row_idx
+         FROM agg),
+       cells AS (
+         SELECT CAST(1 AS BIGINT) AS row_idx, CAST(1 AS BIGINT) AS col_idx,
+                'n_name' AS value
+         UNION ALL SELECT 1, 2, 'n_cust'
+         UNION ALL SELECT 1, 3, 'cents'
+         UNION ALL SELECT row_idx, 1, n_name FROM ord
+         UNION ALL SELECT row_idx, 2, CAST(n_cust AS VARCHAR) FROM ord
+         UNION ALL SELECT row_idx, 3, CAST(cents AS VARCHAR) FROM ord)
+       SELECT 'report.xlsx' AS file, 'Ringkasan' AS sheet,
+              CAST(1 AS BIGINT) AS sheet_idx, row_idx, col_idx, value
+       FROM cells ORDER BY row_idx, col_idx"""
 
   // ---- real binary PDF connector (sources/Pdf) ----------------------
 
@@ -858,6 +906,7 @@ object Media extends QueryModule {
     "m06_pdf_page_search" -> m06 _,
     "m07_pdf_table_region" -> m07 _,
     "m20_pdf_tj" -> m20 _,
+    "m21_xlsx_roundtrip" -> m21 _,
   )
 
   // DuckDB reads the payload as BLOB; hex() gives the uppercase hex
@@ -947,5 +996,6 @@ object Media extends QueryModule {
     "m06_pdf_page_search" -> m06Sql,
     "m07_pdf_table_region" -> m07Sql,
     "m20_pdf_tj" -> m20Sql,
+    "m21_xlsx_roundtrip" -> m21Sql,
   )
 }

@@ -107,6 +107,49 @@ object Sources {
   def writeFact(fact: DataFrame, path: String): Unit =
     upsertPartitioned(fact, path, factPartitionKey)
 
+  /** DataFrame → one real .xlsx workbook — the reference's report
+    * export (`df.to_excel`, test_uploadPDF.py:124) as an engine API:
+    * a header row of column names, then each row's values (numerics as
+    * raw numeric cells keeping their lexical form; date/timestamp as
+    * date-styled serials so Excel shows dates, not 44927; null as a
+    * skipped cell; everything else as text).
+    *
+    * A workbook is one small file a human opens — this is a RESULT
+    * export, not a data sink, and the implementation is honest about
+    * that: the frame is collected to the driver behind a loud
+    * `maxRows` fence (default 100k; the format itself caps at ~1M rows
+    * and a >100k-row "report" is a query, not a report). At 100 TB the
+    * pattern is aggregate-first, export the groups-sized result; bulk
+    * data belongs in parquet/ORC/VersionedTable sinks. */
+  def writeXlsx(df: DataFrame, path: String, sheet: String = "Sheet1",
+      maxRows: Int = 100000): Unit = {
+    import org.apache.spark.sql.types._
+    val schema = df.schema
+    val rows = df.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"writeXlsx($path): result exceeds maxRows=$maxRows — an xlsx export " +
+        "is for report-sized frames; aggregate first or raise maxRows " +
+        "explicitly (format limit ~1,048,576 rows)")
+    def cell(row: org.apache.spark.sql.Row, i: Int): Xlsx.W =
+      if (row.isNullAt(i)) Xlsx.W("")
+      else schema(i).dataType match {
+        case ByteType | ShortType | IntegerType | LongType | FloatType |
+             DoubleType | _: DecimalType =>
+          Xlsx.W(row.get(i).toString, num = true)
+        case DateType => Xlsx.W(row.getDate(i).toString, date = true)
+        case TimestampType =>
+          Xlsx.W(row.getTimestamp(i).toString.stripSuffix(".0"), date = true)
+        case _ => Xlsx.W(String.valueOf(row.get(i)))
+      }
+    val header = schema.fieldNames.toSeq.map(Xlsx.W(_))
+    val body = rows.toSeq.map(r => schema.indices.map(cell(r, _)))
+    val bytes = Xlsx.writeWorkbook(Seq(sheet -> (header +: body)))
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(bytes) finally out.close()
+  }
+
   /** Key-scoped MERGE (upsert + delete) on a durable parquet table —
     * the reference's update-then-insert load (mainTesting.py:130-149)
     * generalized from statement-partition replacement (`writeFact`) to

@@ -14,10 +14,15 @@ import org.apache.spark.sql.functions._
   * the gap with an actual binary connector: XLSX is a zip of XML parts, so
   * the JDK alone (ZipInputStream + StAX) reads it — no external library.
   *
-  * Supported surface (deliberately the subset the reference exercises):
-  * multi-sheet workbooks, shared strings, inline strings, raw numeric
-  * cells. Dates/styles/formulas are out of scope — the reference reads
-  * values, not formats.
+  * Supported surface: multi-sheet workbooks, shared strings, inline
+  * strings, raw numeric cells, and DATE-STYLED numeric cells — XLSX
+  * stores dates as day serials whose meaning lives in styles.xml
+  * (cellXfs → numFmtId), so a real filing's "Tanggal awal periode"
+  * column arrives as e.g. 44927 unless the style is resolved; the
+  * reader converts date-styled serials to ISO-8601 text under the
+  * 1900-epoch rule including Excel's historical 1900-02-29 leap bug
+  * (serial 60). Formulas are out of scope — the reference reads
+  * values, not formulas.
   *
   * Spark integration: `spark.read.format("binaryFile")` yields one row per
   * file (path + payload); parsing is a per-file `flatMap` on executors, so
@@ -77,14 +82,111 @@ object Xlsx {
       .getOrElse(Map.empty)
     val sheets = parts.get("xl/workbook.xml").map(parseSheetList)
       .getOrElse(Seq.empty)
+    val dateStyles = parts.get("xl/styles.xml").map(parseDateStyles)
+      .getOrElse(Set.empty)
     sheets.zipWithIndex.flatMap { case ((sheetName, rid), i) =>
       val target = rels.getOrElse(rid, "")
       val part = if (target.startsWith("/")) target.drop(1) else s"xl/$target"
       parts.get(part).toSeq.flatMap { sheetXml =>
-        parseSheet(sheetXml, shared).map { case (r, c, v) =>
+        parseSheet(sheetXml, shared, dateStyles).map { case (r, c, v) =>
           (sheetName, (i + 1).toLong, r, c, v)
         }
       }
+    }
+  }
+
+  /** Built-in date/time number formats (ECMA-376 §18.8.30). */
+  private val BuiltinDateFmts: Set[Int] =
+    ((14 to 22) ++ (27 to 36) ++ (45 to 47)).toSet
+
+  /** styles.xml → the set of cellXfs INDEXES (what a cell's `s` attr
+    * points at) whose number format is a date/time format: a built-in
+    * date id, or a custom format whose code carries date tokens
+    * (y/d/h; `m` alone is ambiguous with minutes and always rides with
+    * one of the others in real formats). */
+  private[graft] def parseDateStyles(bytes: Array[Byte]): Set[Int] = {
+    val r = reader(bytes)
+    var inCellXfs = false
+    val customDate = Set.newBuilder[Int]
+    val xfFmts = Seq.newBuilder[Int]
+    while (r.hasNext) r.next() match {
+      case javax.xml.stream.XMLStreamConstants.START_ELEMENT =>
+        r.getLocalName match {
+          case "numFmt" =>
+            var id = -1; var code = ""
+            (0 until r.getAttributeCount).foreach { i =>
+              r.getAttributeLocalName(i) match {
+                case "numFmtId" => id = r.getAttributeValue(i).toInt
+                case "formatCode" => code = r.getAttributeValue(i)
+                case _ =>
+              }
+            }
+            // strip quoted literals and [] sections before probing
+            val bare = code.replaceAll("\"[^\"]*\"", "").replaceAll("\\[[^\\]]*\\]", "")
+              .toLowerCase
+            if (id >= 0 && bare.exists(c => c == 'y' || c == 'd' || c == 'h'))
+              customDate += id
+          case "cellXfs" => inCellXfs = true
+          case "xf" if inCellXfs =>
+            var fmt = 0
+            (0 until r.getAttributeCount).foreach { i =>
+              if (r.getAttributeLocalName(i) == "numFmtId")
+                fmt = r.getAttributeValue(i).toInt
+            }
+            xfFmts += fmt
+          case _ =>
+        }
+      case javax.xml.stream.XMLStreamConstants.END_ELEMENT
+          if r.getLocalName == "cellXfs" => inCellXfs = false
+      case _ =>
+    }
+    r.close()
+    val custom = customDate.result()
+    xfFmts.result().zipWithIndex.collect {
+      case (fmt, idx) if BuiltinDateFmts(fmt) || custom(fmt) => idx
+    }.toSet
+  }
+
+  /** Excel 1900-system day serial → ISO-8601 text. The epoch quirk,
+    * honored exactly: serial 1 = 1900-01-01, and Excel believes 1900
+    * was a leap year, so serial 60 renders the nonexistent 1900-02-29
+    * (emitted literally — pandas/openpyxl error here, Excel shows it)
+    * and everything ≥ 61 is offset by that phantom day. A fractional
+    * serial is a time of day (emitted only when non-midnight, rounded
+    * to the second). */
+  private[graft] def serialToIso(serial: Double): String = {
+    val days = math.floor(serial).toLong
+    val frac = serial - days
+    val date =
+      if (days == 60) "1900-02-29"
+      else {
+        val epoch =
+          if (days < 60) java.time.LocalDate.of(1899, 12, 31)
+          else java.time.LocalDate.of(1899, 12, 30)
+        epoch.plusDays(days).toString
+      }
+    val secs = math.round(frac * 86400)
+    if (secs == 0) date
+    else f"$date ${secs / 3600}%02d:${secs / 60 % 60}%02d:${secs % 60}%02d"
+  }
+
+  /** Inverse of `serialToIso` for the fixture writer ("yyyy-MM-dd"
+    * or "yyyy-MM-dd HH:mm:ss"), including the phantom-day offset. */
+  private[graft] def isoToSerial(iso: String): Double = {
+    val (d, t) = iso.indexOf(' ') match {
+      case -1 => (iso, 0L)
+      case sp =>
+        val lt = java.time.LocalTime.parse(iso.substring(sp + 1))
+        (iso.substring(0, sp), lt.toSecondOfDay.toLong)
+    }
+    if (d == "1900-02-29") 60.0 + t / 86400.0
+    else {
+      val ld = java.time.LocalDate.parse(d)
+      val epoch =
+        if (ld.isBefore(java.time.LocalDate.of(1900, 3, 1)))
+          java.time.LocalDate.of(1899, 12, 31)
+        else java.time.LocalDate.of(1899, 12, 30)
+      java.time.temporal.ChronoUnit.DAYS.between(epoch, ld) + t / 86400.0
     }
   }
 
@@ -185,10 +287,11 @@ object Xlsx {
     * raw <v> text (numbers keep their lexical form — no float reparse,
     * so the value survives engine-to-engine comparison exactly). */
   private def parseSheet(bytes: Array[Byte],
-      shared: IndexedSeq[String]): Seq[(Long, Long, String)] = {
+      shared: IndexedSeq[String],
+      dateStyles: Set[Int] = Set.empty): Seq[(Long, Long, String)] = {
     val r = reader(bytes)
     val out = Seq.newBuilder[(Long, Long, String)]
-    var cellRef = ""; var cellType = ""
+    var cellRef = ""; var cellType = ""; var cellStyle = -1
     var inV = false; var inIsT = false
     val sb = new StringBuilder
     def emit(): Unit = if (cellRef.nonEmpty && sb.nonEmpty) {
@@ -199,6 +302,10 @@ object Xlsx {
       val v =
         if (cellType == "s")
           sb.toString.trim.toIntOption.flatMap(shared.lift).getOrElse(sb.toString)
+        // date-styled NUMERIC cell: the serial means a date; an
+        // unparseable serial (corrupt) degrades to the raw text
+        else if ((cellType.isEmpty || cellType == "n") && dateStyles(cellStyle))
+          sb.toString.trim.toDoubleOption.map(serialToIso).getOrElse(sb.toString)
         else sb.toString
       out += ((row, col, v))
     }
@@ -206,11 +313,12 @@ object Xlsx {
       case javax.xml.stream.XMLStreamConstants.START_ELEMENT =>
         r.getLocalName match {
           case "c" =>
-            cellRef = ""; cellType = ""; sb.clear()
+            cellRef = ""; cellType = ""; cellStyle = -1; sb.clear()
             (0 until r.getAttributeCount).foreach { i =>
               r.getAttributeLocalName(i) match {
                 case "r" => cellRef = r.getAttributeValue(i)
                 case "t" => cellType = r.getAttributeValue(i)
+                case "s" => cellStyle = r.getAttributeValue(i).toIntOption.getOrElse(-1)
                 case _   =>
               }
             }
@@ -244,24 +352,32 @@ object Xlsx {
   // ---- writer (fixture generator — also JDK-only) -------------------
 
   /** A cell for the fixture writer: `num=true` emits a raw numeric
-    * <v>; otherwise the string goes through sharedStrings (even index)
-    * or inline (odd index) to exercise both paths. */
-  case class W(text: String, num: Boolean = false)
+    * <v>; `date=true` takes ISO text ("yyyy-MM-dd" or with a time) and
+    * emits the 1900-system serial under a date style (s="1",
+    * numFmtId=14) — the shape a real workbook stores; otherwise the
+    * string goes through sharedStrings (even index) or inline (odd
+    * index) to exercise both paths. */
+  case class W(text: String, num: Boolean = false, date: Boolean = false)
 
   /** Write a minimal real workbook: [Content_Types], rels, workbook,
     * sharedStrings, one part per sheet. Fixed zip timestamps keep the
     * bytes deterministic run-to-run. */
   def writeWorkbook(sheets: Seq[(String, Seq[Seq[W]])]): Array[Byte] = {
     def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
-    val sharedList = sheets.flatMap(_._2.flatten).filter(!_.num)
+    val sharedList = sheets.flatMap(_._2.flatten).filter(c => !c.num && !c.date)
       .map(_.text).distinct.zipWithIndex
     val shared = sharedList.toMap
+    def serialText(iso: String): String = {
+      val s = isoToSerial(iso)
+      if (s == math.floor(s)) s.toLong.toString else s.toString
+    }
     val sheetXml = sheets.zipWithIndex.map { case ((_, rows), _) =>
       val body = rows.zipWithIndex.map { case (cells, ri) =>
         val cs = cells.zipWithIndex.collect {
-          case (W(t, num), ci) if t.nonEmpty =>
+          case (W(t, num, date), ci) if t.nonEmpty =>
             val ref = s"${colName(ci + 1)}${ri + 1}"
-            if (num) s"""<c r="$ref"><v>${esc(t)}</v></c>"""
+            if (date) s"""<c r="$ref" s="1"><v>${serialText(t)}</v></c>"""
+            else if (num) s"""<c r="$ref"><v>${esc(t)}</v></c>"""
             else if (shared(t) % 2 == 0)
               s"""<c r="$ref" t="s"><v>${shared(t)}</v></c>"""
             else s"""<c r="$ref" t="inlineStr"><is><t>${esc(t)}</t></is></c>"""
@@ -304,10 +420,16 @@ object Xlsx {
       zos.write(content.getBytes("UTF-8"))
       zos.closeEntry()
     }
+    // style index 1 = built-in date format 14 (what W(date=true) cells
+    // reference); index 0 is the default General format
+    val stylesXml =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><fonts count="1"><font/></fonts><fills count="1"><fill/></fills><borders count="1"><border/></borders><cellXfs count="2"><xf numFmtId="0"/><xf numFmtId="14" applyNumberFormat="1"/></cellXfs></styleSheet>"""
     put("[Content_Types].xml", contentTypes)
     put("_rels/.rels", rootRels)
     put("xl/workbook.xml", workbook)
     put("xl/_rels/workbook.xml.rels", relsXml)
+    put("xl/styles.xml", stylesXml)
     put("xl/sharedStrings.xml", sstXml)
     sheetXml.zipWithIndex.foreach { case (xml, i) =>
       put(s"xl/worksheets/sheet${i + 1}.xml", xml)

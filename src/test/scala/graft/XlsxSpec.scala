@@ -113,4 +113,81 @@ class XlsxSpec extends SparkSpec {
       assert(!ex.contains("content"), ex)
     }
   }
+
+  test("1900-system date serials: epoch rule, the phantom 1900-02-29, time fractions — both directions") {
+    // the epoch quirk, pinned value by value
+    assert(Xlsx.serialToIso(1) === "1900-01-01")
+    assert(Xlsx.serialToIso(59) === "1900-02-28")
+    assert(Xlsx.serialToIso(60) === "1900-02-29") // Excel's phantom leap day
+    assert(Xlsx.serialToIso(61) === "1900-03-01")
+    assert(Xlsx.serialToIso(44927) === "2023-01-01")
+    assert(Xlsx.serialToIso(45366.520891204) === "2024-03-15 12:30:05")
+    // inverse round-trips, including across the phantom day
+    Seq("1900-01-01", "1900-02-28", "1900-02-29", "1900-03-01",
+        "2023-01-01", "2024-03-15 12:30:05").foreach { iso =>
+      assert(Xlsx.serialToIso(Xlsx.isoToSerial(iso)) === iso, iso)
+    }
+  }
+
+  test("date-styled cells surface as ISO text; unstyled numerics keep their lexical form") {
+    val bytes = Xlsx.writeWorkbook(Seq("S" -> Seq(
+      Seq(W("tanggal"), W("2023-06-30", date = true)),
+      Seq(W("nilai"), W("44927", num = true))))) // same digits, NOT a date
+    val cells = Xlsx.parseWorkbook(bytes)
+      .map { case (_, _, r, c, v) => (r, c, v) }.toSet
+    assert(cells.contains((1L, 2L, "2023-06-30")))
+    assert(cells.contains((2L, 2L, "44927"))) // no style → raw serial text
+  }
+
+  test("custom numFmt date codes are recognized; quoted literals in codes are not") {
+    val styles = """<?xml version="1.0"?>
+<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+<numFmts count="2"><numFmt numFmtId="164" formatCode="dd/mm/yyyy"/>
+<numFmt numFmtId="165" formatCode="&quot;dy&quot; 0.00"/></numFmts>
+<cellXfs count="3"><xf numFmtId="0"/><xf numFmtId="164"/><xf numFmtId="165"/></cellXfs>
+</styleSheet>""".getBytes("UTF-8")
+    // xf 1 → custom date format; xf 2's only date letters live inside a
+    // quoted literal and must NOT mark it as a date
+    assert(Xlsx.parseDateStyles(styles) === Set(1))
+  }
+
+  test("writeXlsx exports a DataFrame as a real workbook: header + typed cells, loud over maxRows") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha", 10.5, java.sql.Date.valueOf("2023-01-01")),
+      (2L, "beta", -3.25, java.sql.Date.valueOf("2024-03-15")))
+      .toDF("id", "name", "score", "day")
+    val dir = graft.util.Scratch.dir("xlsx_sink_spec")
+    graft.sources.Sources.writeXlsx(df.orderBy("id"), s"$dir/out.xlsx", "Hasil")
+    val cells = Xlsx.read(spark, dir).toDF()
+      .filter($"file" === "out.xlsx")
+      .select($"sheet", $"row_idx", $"col_idx", $"value")
+      .as[(String, Long, Long, String)].collect().toSet
+    assert(cells === Set(
+      ("Hasil", 1L, 1L, "id"), ("Hasil", 1L, 2L, "name"),
+      ("Hasil", 1L, 3L, "score"), ("Hasil", 1L, 4L, "day"),
+      ("Hasil", 2L, 1L, "1"), ("Hasil", 2L, 2L, "alpha"),
+      ("Hasil", 2L, 3L, "10.5"), ("Hasil", 2L, 4L, "2023-01-01"),
+      ("Hasil", 3L, 1L, "2"), ("Hasil", 3L, 2L, "beta"),
+      ("Hasil", 3L, 3L, "-3.25"), ("Hasil", 3L, 4L, "2024-03-15")))
+    // dates really go through styles.xml serials, not strings: the raw
+    // sheet XML must carry the serial, not the ISO text
+    val zin = new java.util.zip.ZipInputStream(
+      new java.io.FileInputStream(s"$dir/out.xlsx"))
+    var sheetXml = ""
+    var e = zin.getNextEntry
+    while (e != null) {
+      if (e.getName == "xl/worksheets/sheet1.xml")
+        sheetXml = new String(zin.readAllBytes(), "UTF-8")
+      e = zin.getNextEntry
+    }
+    zin.close()
+    assert(sheetXml.contains("<v>44927</v>") && !sheetXml.contains("2023-01-01"))
+    // the row fence is loud
+    val big = spark.range(0, 50).toDF("id")
+    val err = intercept[IllegalArgumentException] {
+      graft.sources.Sources.writeXlsx(big, s"$dir/big.xlsx", maxRows = 10)
+    }
+    assert(err.getMessage.contains("maxRows"))
+  }
 }
