@@ -582,6 +582,14 @@ object Eventing extends QueryModule {
     // no set/restore locking is needed at all.
     val ns = s.newSession()
     ns.conf.set("spark.sql.shuffle.partitions", "8")
+    // RocksDB state store for every stateful stream — the measured
+    // production rule (BASELINE.md state-store study: identical
+    // results, flat per-batch cost vs heap's 1.5x wall and 8x memory
+    // at ~1M state rows; a wash at toy scale). State must never be
+    // bounded by executor heap, so the default here is the provider
+    // that holds at 100 TB.
+    ns.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     // maxFileAge pinned explicitly: the sentinel heartbeats carry
     // future mtimes, and the default 7-day window is measured from the
     // LATEST seen timestamp — make the age window a stated property of
@@ -785,6 +793,11 @@ object Eventing extends QueryModule {
     // partitions (runStreamed's sizing note applies)
     val ns = s.newSession()
     ns.conf.set("spark.sql.shuffle.partitions", "8")
+    // RocksDB provider, same rationale as runStreamed: the band-bucket
+    // signature state GROWS with the corpus — exactly the state shape
+    // the heap store caps
+    ns.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     // split-starved scan, streaming face: the staged single-row-group
     // file reads as ONE task and Tables.spread can't probe a streaming
     // plan — one cheap round-robin shuffle of the raw (doc_id, text)
