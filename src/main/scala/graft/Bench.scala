@@ -74,6 +74,16 @@ object Bench {
       while (System.nanoTime() - qm.lastEvent.get() < 150000000L &&
              System.nanoTime() - t0 < 2000000000L) Thread.sleep(20)
     }
+    // /proc/loadavg before/after each query: BASELINE.md's quiet-vs-
+    // contended methodology (co-tenant load inflates wall 2-5x for
+    // identical work) applied by hand until now — recording the 1-min
+    // load makes "was this a quiet run?" machine-checkable per query
+    // and per run instead of an annotation
+    def loadAvg(): Double =
+      try java.nio.file.Files.readString(
+          java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+      catch { case _: Exception => -1.0 }
+    val loadStart = loadAvg()
     var failed = List.empty[String]
     // optional args = query-name filter (substring match) for focused
     // local profiling; the driver passes no args and benches everything
@@ -82,6 +92,7 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       drainListener()
       qm.reset()
+      val load0 = loadAvg()
       val t0 = System.nanoTime()
       // noop-format write fully evaluates every output column (a count()
       // would let Catalyst prune final projections out of the timing)
@@ -101,7 +112,7 @@ object Bench {
       // shrinks the execution-memory pool for every later query)
       spark.catalog.clearCache()
       // failures stay visible: negative elapsed + the failed list below
-      name -> ((if (ok) sec else -sec, nStages, cpuMs, runMs))
+      name -> ((if (ok) sec else -sec, nStages, cpuMs, runMs, load0, loadAvg()))
     }.toMap
     // Locale.ROOT: a comma-decimal default locale would emit "1,234"
     // and break both JSON outputs
@@ -121,10 +132,10 @@ object Bench {
     // failures emit sec clamped to 0 plus an explicit "err" flag — a
     // negative elapsed read as a measurement and skewed summed totals
     val fullJson = sorted
-      .map { case (k, (v, st, cpu, run)) =>
+      .map { case (k, (v, st, cpu, run, l0, l1)) =>
         val errField = if (v < 0) ""","err":true""" else ""
-        s"""\"$k\":{"sec":${j(math.max(v, 0))},"stages":$st,"cpu_ms":$cpu,"run_ms":$run$errField}""" }
-      .mkString(s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${results.size},"queries":{""",
+        s"""\"$k\":{"sec":${j(math.max(v, 0))},"stages":$st,"cpu_ms":$cpu,"run_ms":$run,"load":[${j(l0)},${j(l1)}]$errField}""" }
+      .mkString(s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${results.size},"load_start":${j(loadStart)},"load_end":${j(loadAvg())},"queries":{""",
         ",", s"""},"failed":$fullFailedJson,"sf":"$sfDir"}""")
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       fullJson.getBytes("UTF-8"))
@@ -140,9 +151,9 @@ object Bench {
     // recompute on every slow query while staying inside the capture
     // window (bench_full.json has the triple for all queries)
     val top20 = sorted.take(20)
-    val top = top20.map { case (k, (v, _, _, _)) => s"\"$k\":${j(math.max(v, 0))}" }.mkString(",")
-    val topM = top20.map { case (k, (_, st, cpu, run)) => s"\"$k\":[$st,$cpu,$run]" }.mkString(",")
-    println(s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${results.size},"queries":{$top},"m":{$topM},"failed":$failedJson,"sf":"$sfDir"}""")
+    val top = top20.map { case (k, (v, _, _, _, _, _)) => s"\"$k\":${j(math.max(v, 0))}" }.mkString(",")
+    val topM = top20.map { case (k, (_, st, cpu, run, _, _)) => s"\"$k\":[$st,$cpu,$run]" }.mkString(",")
+    println(s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${results.size},"load":[${j(loadStart)},${j(loadAvg())}],"queries":{$top},"m":{$topM},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

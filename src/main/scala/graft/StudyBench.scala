@@ -161,12 +161,21 @@ object StudyBench {
   }
 
   private def containmentSweep(s: SparkSession, tag: String, d: String): String = {
-    val caps = Seq(4, 8, 16, 64)
+    import s.implicits._
+    // the AUTO-DERIVED cap (d16's one-agg pre-pass rule) joins the
+    // sweep: the study asserts, every round, that the derived cap
+    // reproduces the uncapped ground truth's reported pairs
+    val maxDf = Dedup.shingleHashes(Tables.documents(s, d), $"doc_id", $"text")
+      .groupBy($"sh").agg(count(lit(1)).as("df"))
+      .agg(max($"df")).collect()(0).getLong(0)
+    val derived = Dedup.containmentCap(maxDf).toInt
+    val caps = (Seq(4, 8, 16, 64) :+ derived).distinct.sorted
     val rows = caps.map { cap =>
       val (nCand, nRes) = containmentAtCap(s, d, cap)
-      s""""cap$cap":{"count_filter_survivors":$nCand,"reported_pairs":$nRes}"""
+      val label = if (cap == derived) s"cap${cap}_derived" else s"cap$cap"
+      s""""$label":{"count_filter_survivors":$nCand,"reported_pairs":$nRes}"""
     }
-    s""""containment_cap_sweep_$tag":{${rows.mkString(",")}}"""
+    s""""containment_cap_sweep_$tag":{"max_df":$maxDf,"derived_cap":$derived,${rows.mkString(",")}}"""
   }
 
   // ---- 3. IVM: maintain-from-feed vs recompute-from-snapshot ---------

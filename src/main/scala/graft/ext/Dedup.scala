@@ -1405,11 +1405,28 @@ object Dedup extends QueryModule {
     * the containment-relevant vocabulary; lowering it degrades recall
     * AND the count-filter's precision simultaneously (stop_a inflates
     * the admission bound). */
+  /** The d16 operating rule, derived instead of hand-tuned: the cap
+    * sweep measured recall collapsing once the cap falls under ~2/3 of
+    * the corpus's true max shingle df (cap 16 on max-df 25 = 512/512
+    * pairs; cap 8 = 98.4%; cap 4 = 24%), so the cap is computed from
+    * the observed max df by that rule, floored at 16 so a tiny corpus
+    * never under-caps. The pre-pass is one aggregation producing one
+    * scalar — free next to the index join it bounds. Recall-safety is
+    * the measured rule, not a theorem: the sweep study re-derives the
+    * curve every round (study JSON `containment_cap_sweep`), which is
+    * where a corpus with a different df shape would show up. */
+  private[graft] def containmentCap(maxDf: Long): Long =
+    math.max(16L, (2L * maxDf + 2) / 3)
+
   private def d16(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val sh = swapPersist("d16sh", shingles(s, d))
-    val rare = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
-      .filter($"df" <= 64).select($"sh")
+    val dfs = swapPersist("d16df",
+      sh.groupBy($"sh").agg(count(lit(1)).as("df")))
+    // one-agg pre-pass: the posting-list cap derives from the observed
+    // max df (see containmentCap) instead of a hardcoded constant
+    val cap = containmentCap(dfs.agg(max($"df")).collect()(0).getLong(0))
+    val rare = dfs.filter($"df" <= cap).select($"sh")
     val kept = swapPersist("d16k", sh.join(rare, "sh"))
     // COUNT-FILTERED candidates (the PPJoin-family idea), not the raw
     // distinct index join: the capped index emits ~2.3M candidate
