@@ -285,17 +285,21 @@ object Xlsx {
   /** worksheet XML → (row, col, value) per cell. Cell type attr `t`:
     * "s" = shared-string index, "inlineStr" = <is><t>, otherwise the
     * raw <v> text (numbers keep their lexical form — no float reparse,
-    * so the value survives engine-to-engine comparison exactly). */
+    * so the value survives engine-to-engine comparison exactly).
+    * The `r` position attributes are OPTIONAL per ECMA-376 (§18.3.1.73:
+    * a row without `r` follows the previous row; a cell without `r`
+    * follows the previous cell) and real streaming writers omit them —
+    * positions are inferred sequentially when absent. */
   private def parseSheet(bytes: Array[Byte],
       shared: IndexedSeq[String],
       dateStyles: Set[Int] = Set.empty): Seq[(Long, Long, String)] = {
     val r = reader(bytes)
     val out = Seq.newBuilder[(Long, Long, String)]
-    var cellRef = ""; var cellType = ""; var cellStyle = -1
+    var curRow = 0L; var curCol = 0L
+    var cellType = ""; var cellStyle = -1
     var inV = false; var inIsT = false
     val sb = new StringBuilder
-    def emit(): Unit = if (cellRef.nonEmpty && sb.nonEmpty) {
-      val (row, col) = splitRef(cellRef)
+    def emit(): Unit = if (curRow > 0 && curCol > 0 && sb.nonEmpty) {
       // a malformed or out-of-range shared-string index (corrupt
       // workbook) degrades to the raw index text instead of throwing —
       // one bad file must not kill a whole directory scan
@@ -307,21 +311,34 @@ object Xlsx {
         else if ((cellType.isEmpty || cellType == "n") && dateStyles(cellStyle))
           sb.toString.trim.toDoubleOption.map(serialToIso).getOrElse(sb.toString)
         else sb.toString
-      out += ((row, col, v))
+      out += ((curRow, curCol, v))
     }
     while (r.hasNext) r.next() match {
       case javax.xml.stream.XMLStreamConstants.START_ELEMENT =>
         r.getLocalName match {
+          case "row" =>
+            var rr = -1L
+            (0 until r.getAttributeCount).foreach { i =>
+              if (r.getAttributeLocalName(i) == "r")
+                rr = r.getAttributeValue(i).toLongOption.getOrElse(-1L)
+            }
+            curRow = if (rr > 0) rr else curRow + 1
+            curCol = 0L
           case "c" =>
-            cellRef = ""; cellType = ""; cellStyle = -1; sb.clear()
+            cellType = ""; cellStyle = -1; sb.clear()
+            var cr = ""
             (0 until r.getAttributeCount).foreach { i =>
               r.getAttributeLocalName(i) match {
-                case "r" => cellRef = r.getAttributeValue(i)
+                case "r" => cr = r.getAttributeValue(i)
                 case "t" => cellType = r.getAttributeValue(i)
                 case "s" => cellStyle = r.getAttributeValue(i).toIntOption.getOrElse(-1)
                 case _   =>
               }
             }
+            if (cr.nonEmpty) {
+              val (row, col) = splitRef(cr)
+              curRow = row; curCol = col
+            } else curCol += 1
           case "v" => inV = true
           case "t" if cellType == "inlineStr" => inIsT = true
           case _ =>
@@ -332,7 +349,7 @@ object Xlsx {
         r.getLocalName match {
           case "v" => inV = false
           case "t" if inIsT => inIsT = false
-          case "c" => emit(); cellRef = ""
+          case "c" => emit()
           case _ =>
         }
       case _ =>

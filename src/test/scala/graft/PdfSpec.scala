@@ -140,6 +140,30 @@ class PdfSpec extends SparkSpec {
     assert(e4.getMessage.startsWith("corrupt PDF"))
   }
 
+  test("incremental update (appended object + second xref with /Prev) reads the NEWEST object version") {
+    // the standard append-only update shape: a revised content stream
+    // for page 1 is appended after %%EOF with a new xref section whose
+    // /Prev chains to the original — newest definition must win
+    val base = Pdf.writePdf(Seq(Seq("original text")))
+    val raw = new String(base, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val oldStart = raw.lastIndexOf("startxref")
+    val oldXref = raw.substring(oldStart + 9).trim.takeWhile(_.isDigit)
+    val newContent = "BT 72 720 Td (revised text) Tj ET"
+    val sb = new StringBuilder(raw)
+    val objOff = sb.length
+    // object 4 is the page's /Contents in writePdf's numbering
+    sb.append(s"4 0 obj\n<< /Length ${newContent.length} >>\nstream\n")
+      .append(newContent).append("\nendstream\nendobj\n")
+    val xrefOff = sb.length
+    sb.append(f"xref\n4 1\n$objOff%010d 00001 n \n")
+      .append(s"trailer\n<< /Size 5 /Root 1 0 R /Prev $oldXref >>\n")
+      .append(s"startxref\n$xrefOff\n%%EOF\n")
+    val updated = sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(Pdf.parsePdf(updated) == Seq((1L, 0L, "revised text")))
+    // and the original, read on its own, still says the original
+    assert(Pdf.parsePdf(base) == Seq((1L, 0L, "original text")))
+  }
+
   test("a pre-xref hand-built file (no startxref) still reads via the legacy scan") {
     val classic = Pdf.writePdf(Seq(Seq("legacy line")))
     val raw = new String(classic, java.nio.charset.StandardCharsets.ISO_8859_1)

@@ -114,6 +114,38 @@ class XlsxSpec extends SparkSpec {
     }
   }
 
+  test("rows and cells without r attributes infer sequential positions (ECMA-376 optional-r rule)") {
+    // real streaming writers omit r= entirely; strip every position
+    // attribute from a written sheet and the parse must be unchanged
+    val sheets = Seq("S" -> Seq(
+      Seq(W("a"), W("b"), W("1.5", num = true)),
+      Seq(W("c"), W("d"), W("2023-01-01", date = true))))
+    val withRefs = Xlsx.parseWorkbook(Xlsx.writeWorkbook(sheets))
+    val strippedZip = {
+      val zin = new java.util.zip.ZipInputStream(
+        new java.io.ByteArrayInputStream(Xlsx.writeWorkbook(sheets)))
+      val bos = new java.io.ByteArrayOutputStream()
+      val zos = new java.util.zip.ZipOutputStream(bos)
+      var e = zin.getNextEntry
+      while (e != null) {
+        val bytes = zin.readAllBytes()
+        val out =
+          if (e.getName.startsWith("xl/worksheets/"))
+            new String(bytes, "UTF-8")
+              .replaceAll("""(<(?:row|c)\b[^>]*?) r="[A-Z0-9]+"""", "$1")
+              .getBytes("UTF-8")
+          else bytes
+        zos.putNextEntry(new java.util.zip.ZipEntry(e.getName))
+        zos.write(out)
+        zos.closeEntry()
+        e = zin.getNextEntry
+      }
+      zin.close(); zos.close()
+      bos.toByteArray
+    }
+    assert(withRefs.nonEmpty && Xlsx.parseWorkbook(strippedZip) === withRefs)
+  }
+
   test("1900-system date serials: epoch rule, the phantom 1900-02-29, time fractions — both directions") {
     // the epoch quirk, pinned value by value
     assert(Xlsx.serialToIso(1) === "1900-01-01")
