@@ -84,15 +84,36 @@ object Xlsx {
       .getOrElse(Seq.empty)
     val dateStyles = parts.get("xl/styles.xml").map(parseDateStyles)
       .getOrElse(Set.empty)
+    val date1904 = parts.get("xl/workbook.xml").exists(parseDate1904)
     sheets.zipWithIndex.flatMap { case ((sheetName, rid), i) =>
       val target = rels.getOrElse(rid, "")
       val part = if (target.startsWith("/")) target.drop(1) else s"xl/$target"
       parts.get(part).toSeq.flatMap { sheetXml =>
-        parseSheet(sheetXml, shared, dateStyles).map { case (r, c, v) =>
+        parseSheet(sheetXml, shared, dateStyles, date1904).map { case (r, c, v) =>
           (sheetName, (i + 1).toLong, r, c, v)
         }
       }
     }
+  }
+
+  /** workbook.xml → the workbookPr date1904 flag (Mac-origin books
+    * count day serials from the 1904 epoch, ECMA-376 §18.2.28). */
+  private[graft] def parseDate1904(bytes: Array[Byte]): Boolean = {
+    val r = reader(bytes)
+    var flag = false
+    while (r.hasNext) {
+      if (r.next() == javax.xml.stream.XMLStreamConstants.START_ELEMENT
+          && r.getLocalName == "workbookPr") {
+        (0 until r.getAttributeCount).foreach { i =>
+          if (r.getAttributeLocalName(i) == "date1904") {
+            val v = r.getAttributeValue(i)
+            flag = v == "1" || v.equalsIgnoreCase("true")
+          }
+        }
+      }
+    }
+    r.close()
+    flag
   }
 
   /** Built-in date/time number formats (ECMA-376 §18.8.30). */
@@ -147,18 +168,21 @@ object Xlsx {
     }.toSet
   }
 
-  /** Excel 1900-system day serial → ISO-8601 text. The epoch quirk,
-    * honored exactly: serial 1 = 1900-01-01, and Excel believes 1900
+  /** Excel day serial → ISO-8601 text. 1900 system: the epoch quirk,
+    * honored exactly — serial 1 = 1900-01-01, and Excel believes 1900
     * was a leap year, so serial 60 renders the nonexistent 1900-02-29
     * (emitted literally — pandas/openpyxl error here, Excel shows it)
-    * and everything ≥ 61 is offset by that phantom day. A fractional
-    * serial is a time of day (emitted only when non-midnight, rounded
-    * to the second). */
-  private[graft] def serialToIso(serial: Double): String = {
+    * and everything ≥ 61 is offset by that phantom day. 1904 system
+    * (workbookPr date1904, Mac-origin books): serial 0 = 1904-01-01,
+    * no phantom day. A fractional serial is a time of day (emitted
+    * only when non-midnight, rounded to the second). */
+  private[graft] def serialToIso(serial: Double, date1904: Boolean = false): String = {
     val days = math.floor(serial).toLong
     val frac = serial - days
     val date =
-      if (days == 60) "1900-02-29"
+      if (date1904)
+        java.time.LocalDate.of(1904, 1, 1).plusDays(days).toString
+      else if (days == 60) "1900-02-29"
       else {
         val epoch =
           if (days < 60) java.time.LocalDate.of(1899, 12, 31)
@@ -292,7 +316,8 @@ object Xlsx {
     * positions are inferred sequentially when absent. */
   private def parseSheet(bytes: Array[Byte],
       shared: IndexedSeq[String],
-      dateStyles: Set[Int] = Set.empty): Seq[(Long, Long, String)] = {
+      dateStyles: Set[Int] = Set.empty,
+      date1904: Boolean = false): Seq[(Long, Long, String)] = {
     val r = reader(bytes)
     val out = Seq.newBuilder[(Long, Long, String)]
     var curRow = 0L; var curCol = 0L
@@ -309,7 +334,7 @@ object Xlsx {
         // date-styled NUMERIC cell: the serial means a date; an
         // unparseable serial (corrupt) degrades to the raw text
         else if ((cellType.isEmpty || cellType == "n") && dateStyles(cellStyle))
-          sb.toString.trim.toDoubleOption.map(serialToIso).getOrElse(sb.toString)
+          sb.toString.trim.toDoubleOption.map(serialToIso(_, date1904)).getOrElse(sb.toString)
         else sb.toString
       out += ((curRow, curCol, v))
     }

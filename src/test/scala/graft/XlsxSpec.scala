@@ -161,6 +161,43 @@ class XlsxSpec extends SparkSpec {
     }
   }
 
+  test("1904-system books (workbookPr date1904) read serials from the Mac epoch, no phantom day") {
+    // the unit rule first
+    assert(Xlsx.serialToIso(0, date1904 = true) === "1904-01-01")
+    assert(Xlsx.serialToIso(100, date1904 = true) === "1904-04-10")
+    assert(Xlsx.serialToIso(43465, date1904 = true) === "2023-01-01")
+    assert(Xlsx.serialToIso(43465.5, date1904 = true) === "2023-01-01 12:00:00")
+    // then end-to-end: the same workbook bytes with the flag injected
+    // into workbook.xml shift every date-styled cell by the epoch gap
+    // writeWorkbook encodes date cells from ISO via the 1900 rule:
+    // "2018-12-31" → serial 43465, which the 1904 reading shifts +1462d
+    val sheets = Seq("S" -> Seq(Seq(W("2018-12-31", date = true))))
+    val plain = Xlsx.writeWorkbook(sheets)
+    assert(Xlsx.parseWorkbook(plain).map(_._5) === Seq("2018-12-31")) // 1900 system, 1462d earlier
+    val flagged = {
+      val zin = new java.util.zip.ZipInputStream(new java.io.ByteArrayInputStream(plain))
+      val bos = new java.io.ByteArrayOutputStream()
+      val zos = new java.util.zip.ZipOutputStream(bos)
+      var e = zin.getNextEntry
+      while (e != null) {
+        val bytes = zin.readAllBytes()
+        val out =
+          if (e.getName == "xl/workbook.xml")
+            new String(bytes, "UTF-8")
+              .replaceFirst("<sheets>", """<workbookPr date1904="1"/><sheets>""")
+              .getBytes("UTF-8")
+          else bytes
+        zos.putNextEntry(new java.util.zip.ZipEntry(e.getName))
+        zos.write(out)
+        zos.closeEntry()
+        e = zin.getNextEntry
+      }
+      zin.close(); zos.close()
+      bos.toByteArray
+    }
+    assert(Xlsx.parseWorkbook(flagged).map(_._5) === Seq("2023-01-01"))
+  }
+
   test("date-styled cells surface as ISO text; unstyled numerics keep their lexical form") {
     val bytes = Xlsx.writeWorkbook(Seq("S" -> Seq(
       Seq(W("tanggal"), W("2023-06-30", date = true)),
