@@ -39,6 +39,8 @@ object Verify {
         .coalesce(1).write.mode("overwrite").parquet(s"$fixDir/pdf_pos_expected")
       graft.queries.Media.pdfTjExpected(spark)
         .coalesce(1).write.mode("overwrite").parquet(s"$fixDir/pdf_tj_expected")
+      graft.queries.Media.pdfCidExpected(spark)
+        .coalesce(1).write.mode("overwrite").parquet(s"$fixDir/pdf_cid_expected")
       graft.queries.Media.pixelsExpected(spark)
         .coalesce(1).write.mode("overwrite").parquet(s"$fixDir/pixels_expected")
       graft.queries.Media.audioExpected(spark)

@@ -303,6 +303,63 @@ object Media extends QueryModule {
        FROM read_parquet('__FIXTURES__/pdf_tj_expected/*.parquet')
        ORDER BY file, page, line_no"""
 
+  /** CID-FONT fixture: subsetted-font text a real filing embeds — the
+    * content-stream bytes are 2-byte private CIDs readable ONLY through
+    * the /ToUnicode CMap, lines alternate with a no-CMap Type1 font,
+    * and /Resources live on the root page-tree node (inheritance).
+    * Written by `Pdf.writePdfCid`, an encoder independent of the
+    * parser (see its scaladoc for the coding scheme). */
+  def pdfCidFixtureData: Seq[(String, Seq[Seq[String]])] = Seq(
+    "cid_2023.pdf" -> Seq(
+      Seq("LAPORAN LABA RUGI KONSOLIDASIAN",       // F2 plain
+        "Pendapatan bersih efisiensi 12500",       // F1 CID (kerned TJ)
+        "Beban pokok pendapatan (8200)",           // F2
+        "Laba kotor final 4300"),                  // F1 CID, "fi" ligature
+      Seq("CATATAN 12: Informasi segmen",
+        "Aset segmen konsolidasian 99100")),
+    "cid_2024.pdf" -> Seq(
+      Seq("Ikhtisar fiskal",
+        "Defisit neto (150)")))
+
+  def writePdfCidFixture(dir: String): String = {
+    val d = new java.io.File(dir)
+    d.mkdirs()
+    pdfCidFixtureData.foreach { case (name, pages) =>
+      java.nio.file.Files.write(
+        new java.io.File(d, name).toPath,
+        graft.sources.Pdf.writePdfCid(pages))
+    }
+    d.getAbsolutePath
+  }
+
+  /** Expected rows straight from the fixture definition — the parser
+    * never touches these. */
+  def pdfCidExpected(s: SparkSession): DataFrame = {
+    import s.implicits._
+    (for {
+      (file, pages) <- pdfCidFixtureData
+      (lines, pi) <- pages.zipWithIndex
+      (text, li) <- lines.zipWithIndex
+    } yield (file, (pi + 1).toLong, li.toLong, text))
+      .toDF("file", "page", "line_no", "text")
+  }
+
+  private def pdfCidDir: String = graft.util.Scratch.dir("pdf_cid")
+
+  /** m22 — CID/ToUnicode text extraction: the binary scan decodes
+    * subsetted-font show strings through the font's CMap; oracle
+    * replays the expected lines (same certification pattern as m20,
+    * against the independent CID encoder). */
+  private def m22(s: SparkSession, d: String): DataFrame = {
+    val dir = writePdfCidFixture(pdfCidDir)
+    graft.sources.Pdf.read(s, dir).toDF()
+      .orderBy("file", "page", "line_no")
+  }
+  private val m22Sql =
+    """SELECT file, page, line_no, text
+       FROM read_parquet('__FIXTURES__/pdf_cid_expected/*.parquet')
+       ORDER BY file, page, line_no"""
+
   // ---- positioned PDF: table-region scan (S5-S7) --------------------
 
   /** Positioned fixture: filings whose pages carry a real table region
@@ -907,6 +964,7 @@ object Media extends QueryModule {
     "m07_pdf_table_region" -> m07 _,
     "m20_pdf_tj" -> m20 _,
     "m21_xlsx_roundtrip" -> m21 _,
+    "m22_pdf_cid" -> m22 _,
   )
 
   // DuckDB reads the payload as BLOB; hex() gives the uppercase hex
@@ -997,5 +1055,6 @@ object Media extends QueryModule {
     "m07_pdf_table_region" -> m07Sql,
     "m20_pdf_tj" -> m20Sql,
     "m21_xlsx_roundtrip" -> m21Sql,
+    "m22_pdf_cid" -> m22Sql,
   )
 }

@@ -12,11 +12,13 @@ import org.apache.spark.sql.functions._
   * (mainTesting.py:217-254, 273-285). This is an actual binary reader
   * for the file shapes real filings use, JDK-only:
   *
-  *   - object location via the CLASSIC xref table or an XREF STREAM
-  *     (PDF 1.5+), following `/Prev` chains, with PNG predictors
-  *     (the near-universal `/DecodeParms /Predictor 12` encoding of
-  *     xref streams) and OBJECT STREAMS (`/ObjStm`, type-2 entries) —
-  *     a file whose dictionaries are themselves compressed reads fine;
+  *   - object location via the CLASSIC xref table, an XREF STREAM
+  *     (PDF 1.5+), or the HYBRID form (classic trailer + /XRefStm,
+  *     Acrobat's 1.5-compatibility shape), following `/Prev` chains,
+  *     with PNG predictors (the near-universal `/DecodeParms
+  *     /Predictor 12` encoding of xref streams) and OBJECT STREAMS
+  *     (`/ObjStm`, type-2 entries) — a file whose dictionaries are
+  *     themselves compressed reads fine;
   *   - a legacy fallback scan for files with no xref at all;
   *   - nested page trees (`/Pages` under `/Pages`), `/Contents` given
   *     as a single stream or an ARRAY of streams;
@@ -26,10 +28,17 @@ import org.apache.spark.sql.functions._
   *     dicts and `BI..EI` inline images skipped safely;
   *   - indirect `/Length` values resolved through the xref.
   *
-  * Out of scope, stated: font /Encoding and /ToUnicode CMaps (bytes are
-  * read as Latin-1 — correct for the unencoded Type1/WinAnsi text that
-  * filing generators emit, wrong for subsetted CID fonts), and layout
-  * reconstruction beyond the text-matrix origin.
+  *   - font `/ToUnicode` CMap decoding (PDF 32000-1 §9.10.3): `Tf`
+  *     tracks the active font, page `/Resources` (inherited through
+  *     the page tree, §7.7.3.4) resolve font objects, and show-string
+  *     bytes of a font carrying a CMap decode through its codespace/
+  *     bfchar/bfrange tables — the shape every subsetted CID font in a
+  *     real filing uses. Fonts without a CMap read as Latin-1, correct
+  *     for unencoded Type1/WinAnsi text.
+  *
+  * Out of scope, stated: glyph decoding via font /Encoding differences
+  * tables WITHOUT a /ToUnicode (no reliable text recovery exists for
+  * those), and layout reconstruction beyond the text-matrix origin.
   *
   * Kerning-to-space rule, fixed and documented: inside a `TJ` array an
   * adjustment ≤ −180 thousandths of an em reads as a word break
@@ -194,8 +203,16 @@ object Pdf {
         if (trailer < 0) fail(s"classic xref at $off has no trailer")
         val tdict = at.substring(trailer)
         if (rootRef.isEmpty) rootRef = ref(tdict, "/Root")
-        "/Prev\\s+(\\d+)".r.findFirstMatchIn(
-          tdict.take(tdict.indexOf(">>") + 2 max 0)).map(_.group(1).toLong)
+        val tdictHead = tdict.take(tdict.indexOf(">>") + 2 max 0)
+        // HYBRID reference file (PDF 32000-1 §7.5.8.4): the trailer's
+        // /XRefStm points at an xref STREAM carrying the entries this
+        // classic table lists as free (Acrobat's 1.5-compatibility
+        // form — the compressed objects are invisible to pre-1.5
+        // readers). Read it as its own section; the revision chain
+        // still continues through THIS trailer's /Prev.
+        "/XRefStm\\s+(\\d+)".r.findFirstMatchIn(tdictHead)
+          .foreach(m => readXrefSection(m.group(1).toLong))
+        "/Prev\\s+(\\d+)".r.findFirstMatchIn(tdictHead).map(_.group(1).toLong)
       } else {
         // xref STREAM: `N G obj << /Type /XRef ... >> stream`
         val (body, data) = objAtOffset(off)
@@ -392,22 +409,26 @@ object Pdf {
     out
   }
 
-  /** Page object numbers in tree order (nested /Pages recursed). */
-  private def pageObjs(doc: Doc): Seq[Int] = {
+  /** Page object numbers in tree order (nested /Pages recursed), each
+    * with the nearest /Resources spec — pages inherit /Resources from
+    * ancestor /Pages nodes (PDF 32000-1 §7.7.3.4 inheritable
+    * attributes), which is how real generators attach shared fonts. */
+  private def pageObjs(doc: Doc): Seq[(Int, Option[String])] = {
     val pagesRef = ref(doc.catalog.body, "/Pages")
       .getOrElse(fail("catalog has no /Pages"))
-    def walk(num: Int, depth: Int): Seq[Int] = {
+    def walk(num: Int, depth: Int, inherited: Option[String]): Seq[(Int, Option[String])] = {
       if (depth > 64) fail("page tree deeper than 64 levels (cycle?)")
       val body = doc.obj(num).getOrElse(fail(s"page-tree object $num missing")).body
+      val res = rawValue(body, "/Resources").orElse(inherited)
       if (body.contains("/Kids")) {
         val kids = "(\\d+)\\s+\\d+\\s+R".r.findAllMatchIn(
           "/Kids\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(body)
             .map(_.group(1)).getOrElse("")
         ).map(_.group(1).toInt).toSeq
-        kids.flatMap(walk(_, depth + 1))
-      } else Seq(num)
+        kids.flatMap(walk(_, depth + 1, res))
+      } else Seq((num, res))
     }
-    walk(pagesRef, 0)
+    walk(pagesRef, 0, None)
   }
 
   /** A page's full content: /Contents as one ref or an array of refs,
@@ -423,17 +444,198 @@ object Pdf {
     refs.map(n => new String(doc.streamOf(n), ISO_8859_1)).mkString("\n")
   }
 
+  // ---- /ToUnicode CMaps (subsetted/CID font text) ---------------------
+
+  /** A parsed /ToUnicode CMap: codespace ranges (byte-width, lo, hi)
+    * plus the code → Unicode map (PDF 32000-1 §9.10.3). `decode` walks
+    * a show-string's raw bytes, consuming the shortest codespace width
+    * that matches at each position; a code inside the codespace with
+    * no bf mapping renders U+FFFD (the conventional extractor choice);
+    * bytes outside every codespace pass through as Latin-1 — which
+    * also makes the no-CMap simple-font path exact. */
+  private[graft] final case class CMap(
+      ranges: Seq[(Int, Long, Long)], map: Map[Long, String]) {
+    private val widths = ranges.map(_._1).distinct.sorted
+    def decode(raw: String): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < raw.length) {
+        var w = 0
+        var code = 0L
+        var hit = false
+        val it = widths.iterator
+        while (!hit && it.hasNext) {
+          w = it.next()
+          if (i + w <= raw.length) {
+            code = 0L
+            var k = 0
+            while (k < w) { code = (code << 8) | (raw.charAt(i + k) & 0xff); k += 1 }
+            hit = ranges.exists { case (rw, lo, hi) => rw == w && code >= lo && code <= hi }
+          }
+        }
+        if (hit) { sb.append(map.getOrElse(code, "�")); i += w }
+        else { sb.append(raw.charAt(i)); i += 1 }
+      }
+      sb.toString
+    }
+  }
+
+  /** Parse a /ToUnicode CMap stream: codespacerange sections, bfchar
+    * pairs, bfrange in both spec forms (incremented hex dst, explicit
+    * dst array). Unknown operators (usecmap, cidrange, …) are ignored;
+    * a bfrange wider than 64k codes fails loudly (bomb guard). When no
+    * codespacerange is present, one full-width range is synthesized
+    * per observed src width so decode still frames codes correctly. */
+  private[graft] def parseCMap(text: String): CMap = {
+    val tok = "<([0-9A-Fa-f]*)>|\\[|\\]|[A-Za-z]+".r
+      .findAllMatchIn(text).toVector
+    def hexOf(m: scala.util.matching.Regex.Match): Option[String] =
+      Option(m.group(1))
+    def codeOf(h: String): Long = java.lang.Long.parseLong(h, 16)
+    // dst hex = UTF-16BE units (4 hex digits each); a lone byte pair
+    // (2 digits) decodes as one char — seen in sloppy generators
+    def utf16(h: String): String =
+      if (h.isEmpty) ""
+      else if (h.length % 4 == 0)
+        h.grouped(4).map(u => Integer.parseInt(u, 16).toChar).mkString
+      else h.grouped(2).map(u => Integer.parseInt(u, 16).toChar).mkString
+    val ranges = Seq.newBuilder[(Int, Long, Long)]
+    val map = Map.newBuilder[Long, String]
+    val srcWidths = scala.collection.mutable.SortedSet[Int]()
+    var mode = ""
+    var i = 0
+    while (i < tok.length) {
+      val m = tok(i)
+      m.matched match {
+        case "begincodespacerange" => mode = "cs"; i += 1
+        case "beginbfchar" => mode = "bc"; i += 1
+        case "beginbfrange" => mode = "br"; i += 1
+        case s if s.startsWith("end") => mode = ""; i += 1
+        case _ if mode == "cs" =>
+          (hexOf(m), tok.lift(i + 1).flatMap(hexOf)) match {
+            case (Some(lo), Some(hi)) if lo.nonEmpty =>
+              ranges += ((lo.length / 2, codeOf(lo), codeOf(hi)))
+              i += 2
+            case _ => i += 1
+          }
+        case _ if mode == "bc" =>
+          (hexOf(m), tok.lift(i + 1).flatMap(hexOf)) match {
+            case (Some(src), Some(dst)) if src.nonEmpty =>
+              srcWidths += src.length / 2
+              map += codeOf(src) -> utf16(dst)
+              i += 2
+            case _ => i += 1
+          }
+        case _ if mode == "br" =>
+          (hexOf(m), tok.lift(i + 1).flatMap(hexOf)) match {
+            case (Some(lo), Some(hi)) if lo.nonEmpty =>
+              val (cLo, cHi) = (codeOf(lo), codeOf(hi))
+              if (cHi - cLo > 65535) fail(s"bfrange spans ${cHi - cLo + 1} codes")
+              srcWidths += lo.length / 2
+              tok.lift(i + 2) match {
+                case Some(d) if d.matched == "[" => // explicit dst array
+                  var j = i + 3
+                  var k = cLo
+                  while (j < tok.length && tok(j).matched != "]") {
+                    hexOf(tok(j)).foreach { h =>
+                      if (k <= cHi) map += k -> utf16(h)
+                      k += 1
+                    }
+                    j += 1
+                  }
+                  i = j + 1
+                case Some(d) if hexOf(d).isDefined => // incremented dst
+                  val base = utf16(hexOf(d).get)
+                  var k = cLo
+                  while (k <= cHi) {
+                    val inc = (k - cLo).toInt
+                    val s =
+                      if (base.isEmpty) ""
+                      else base.dropRight(1) + (base.last + inc).toChar
+                    map += k -> s
+                    k += 1
+                  }
+                  i += 3
+                case _ => i += 2
+              }
+            case _ => i += 1
+          }
+        case _ => i += 1
+      }
+    }
+    val rs = ranges.result()
+    val effective =
+      if (rs.nonEmpty) rs
+      else srcWidths.toSeq.map(w => (w, 0L, (1L << (8 * w)) - 1))
+    CMap(effective, map.result())
+  }
+
+  /** The raw value text that follows `key` in a dictionary body:
+    * a balanced inline `<< … >>`, an `N g R` indirect reference, or a
+    * bare token — whatever is there, uninterpreted. */
+  private[graft] def rawValue(body: String, key: String): Option[String] = {
+    val m = (java.util.regex.Pattern.quote(key) + "(?![A-Za-z0-9])").r
+      .findFirstMatchIn(body).getOrElse(return None)
+    var i = m.end
+    while (i < body.length && body.charAt(i).isWhitespace) i += 1
+    if (i >= body.length) None
+    else if (body.startsWith("<<", i)) { // balanced inline dict
+      var depth = 0
+      val st = i
+      while (i < body.length) {
+        if (body.startsWith("<<", i)) { depth += 1; i += 2 }
+        else if (body.startsWith(">>", i)) {
+          depth -= 1; i += 2
+          if (depth == 0) return Some(body.substring(st, i))
+        } else i += 1
+      }
+      None
+    } else
+      "^(\\d+)\\s+(\\d+)\\s+R".r.findFirstIn(body.substring(i))
+        .orElse("^\\S+".r.findFirstIn(body.substring(i)))
+  }
+
+  /** Resolve a raw dict value to dictionary text: inline dicts are
+    * already text; indirect refs load the object body. */
+  private def resolveDict(doc: Doc, spec: String): Option[String] = {
+    val t = spec.trim
+    if (t.startsWith("<<")) Some(t)
+    else "^(\\d+)\\s+\\d+\\s+R".r.findFirstMatchIn(t)
+      .flatMap(m => doc.obj(m.group(1).toInt).map(_.body))
+  }
+
+  /** Font-resource name → /ToUnicode CMap for one page. Fonts without
+    * a /ToUnicode (unencoded Type1/WinAnsi text) get no entry and
+    * their strings pass through as Latin-1, the pre-CMap behavior.
+    * CMaps are memoized per document — subsetted fonts are shared
+    * across pages. */
+  private def fontsOf(doc: Doc, resSpec: Option[String],
+      cache: scala.collection.mutable.Map[Int, Option[CMap]]): Map[String, CMap] =
+    (for {
+      spec <- resSpec.toSeq
+      res <- resolveDict(doc, spec).toSeq
+      fontSpec <- rawValue(res, "/Font").toSeq
+      fonts <- resolveDict(doc, fontSpec).toSeq
+      m <- "/([^\\s/<>\\[\\]()]+)\\s+(\\d+)\\s+\\d+\\s+R".r.findAllMatchIn(fonts)
+      cm <- cache.getOrElseUpdate(m.group(2).toInt,
+        doc.obj(m.group(2).toInt).map(_.body)
+          .flatMap(b => ref(b, "/ToUnicode"))
+          .map(tn => parseCMap(new String(doc.streamOf(tn), ISO_8859_1))))
+    } yield m.group(1) -> cm).toMap
+
   // ---- content-stream tokenizer --------------------------------------
 
   private[graft] sealed trait Tok
   private[graft] final case class TStr(s: String) extends Tok
   private[graft] final case class TNum(v: Double) extends Tok
+  private[graft] final case class TName(n: String) extends Tok
   private[graft] final case class TArr(items: Seq[Either[String, Double]]) extends Tok
   private[graft] final case class TOp(op: String) extends Tok
 
   /** Tokenize a content stream: strings (literal + hex, full escape
-    * set), numbers, TJ-shaped arrays, operators; names, dicts and
-    * inline images are consumed and dropped. */
+    * set), numbers, names (so `Tf` font selection is visible),
+    * TJ-shaped arrays, operators; dicts and inline images are
+    * consumed and dropped. */
   private[graft] def tokenize(s: String): Iterator[Tok] = new Iterator[Tok] {
     private var i = 0
     private var nextTok: Tok = null
@@ -532,10 +734,11 @@ object Pdf {
       else if (c == '<') TStr(hexStr())
       else if (c == '[') array()
       else if (c == ']') { i += 1; advance() }
-      else if (c == '/') { // name: skip
+      else if (c == '/') { // name token (needed for Tf font tracking)
         i += 1
+        val st = i
         while (i < s.length && !ws(s.charAt(i)) && !delim(s.charAt(i))) i += 1
-        advance()
+        TName(s.substring(st, i))
       }
       else if (c == '-' || c == '+' || c == '.' || c.isDigit) TNum(number())
       else { // operator
@@ -562,22 +765,29 @@ object Pdf {
     }
   }
 
-  /** Assemble a TJ array: strings concatenate; an adjustment ≤
-    * −KernSpace reads as a word break (see scaladoc). */
-  private def assembleTJ(items: Seq[Either[String, Double]]): String = {
+  /** Assemble a TJ array: strings decode through the active font's
+    * CMap and concatenate; an adjustment ≤ −KernSpace reads as a word
+    * break (see scaladoc). */
+  private def assembleTJ(items: Seq[Either[String, Double]],
+      dec: String => String): String = {
     val sb = new StringBuilder
     items.foreach {
-      case Left(str) => sb.append(str)
+      case Left(str) => sb.append(dec(str))
       case Right(kern) => if (kern <= -KernSpace) sb.append(' ')
     }
     sb.toString
   }
 
   /** Walk one page's content: every shown string with the text-line
-    * origin at its show op, in stream order. */
-  private def walkContent(content: String): Seq[(Double, Double, String)] = {
+    * origin at its show op, in stream order. `Tf` selects the active
+    * font; strings of a font with a /ToUnicode CMap decode through it,
+    * all others (and text before any Tf) pass through as Latin-1. */
+  private def walkContent(content: String,
+      fonts: Map[String, CMap] = Map.empty): Seq[(Double, Double, String)] = {
     val out = Seq.newBuilder[(Double, Double, String)]
     var cx = 0.0; var cy = 0.0; var tl = 0.0
+    var cmap: CMap = null // null = identity (no /ToUnicode)
+    def dec(s: String): String = if (cmap == null) s else cmap.decode(s)
     val stack = scala.collection.mutable.ArrayBuffer[Tok]()
     def num(k: Int): Double = stack.lift(stack.length - k) match {
       case Some(TNum(v)) => v
@@ -588,6 +798,12 @@ object Pdf {
       stack.lastOption.collect { case TArr(v) => v }
     tokenize(content).foreach {
       case TOp("BT") => cx = 0.0; cy = 0.0; tl = 0.0; stack.clear()
+      case TOp("Tf") =>
+        stack.lift(stack.length - 2) match {
+          case Some(TName(f)) => cmap = fonts.getOrElse(f, null)
+          case _ => ()
+        }
+        stack.clear()
       case TOp("Td") => cx += num(2); cy += num(1); stack.clear()
       case TOp("TD") =>
         tl = -num(1); cx += num(2); cy += num(1); stack.clear()
@@ -595,13 +811,13 @@ object Pdf {
       case TOp("Tm") => cx = num(2); cy = num(1); stack.clear()
       case TOp("T*") => cy -= tl; stack.clear()
       case TOp("Tj") =>
-        lastStr.foreach(t => out += ((cx, cy, t))); stack.clear()
+        lastStr.foreach(t => out += ((cx, cy, dec(t)))); stack.clear()
       case TOp("'") =>
-        cy -= tl; lastStr.foreach(t => out += ((cx, cy, t))); stack.clear()
+        cy -= tl; lastStr.foreach(t => out += ((cx, cy, dec(t)))); stack.clear()
       case TOp("\"") =>
-        cy -= tl; lastStr.foreach(t => out += ((cx, cy, t))); stack.clear()
+        cy -= tl; lastStr.foreach(t => out += ((cx, cy, dec(t)))); stack.clear()
       case TOp("TJ") =>
-        lastArr.foreach(a => out += ((cx, cy, assembleTJ(a)))); stack.clear()
+        lastArr.foreach(a => out += ((cx, cy, assembleTJ(a, dec)))); stack.clear()
       case TOp(_) => stack.clear() // any other operator consumes operands
       case t => stack += t
     }
@@ -611,20 +827,24 @@ object Pdf {
   /** Parse one PDF payload to (page, line_no, text) rows. */
   def parsePdf(bytes: Array[Byte]): Seq[(Long, Long, String)] = {
     val doc = new Doc(bytes)
-    pageObjs(doc).zipWithIndex.flatMap { case (pageObj, pi) =>
-      walkContent(pageContent(doc, pageObj)).zipWithIndex.map {
-        case ((_, _, text), li) => ((pi + 1).toLong, li.toLong, text)
-      }
+    val cmaps = scala.collection.mutable.Map[Int, Option[CMap]]()
+    pageObjs(doc).zipWithIndex.flatMap { case ((pageObj, res), pi) =>
+      walkContent(pageContent(doc, pageObj), fontsOf(doc, res, cmaps))
+        .zipWithIndex.map {
+          case ((_, _, text), li) => ((pi + 1).toLong, li.toLong, text)
+        }
     }
   }
 
   /** Positioned variant: (page, line_no, x, y, text) per show op. */
   def parsePdfPositioned(bytes: Array[Byte]): Seq[(Long, Long, Double, Double, String)] = {
     val doc = new Doc(bytes)
-    pageObjs(doc).zipWithIndex.flatMap { case (pageObj, pi) =>
-      walkContent(pageContent(doc, pageObj)).zipWithIndex.map {
-        case ((x, y, text), li) => ((pi + 1).toLong, li.toLong, x, y, text)
-      }
+    val cmaps = scala.collection.mutable.Map[Int, Option[CMap]]()
+    pageObjs(doc).zipWithIndex.flatMap { case ((pageObj, res), pi) =>
+      walkContent(pageContent(doc, pageObj), fontsOf(doc, res, cmaps))
+        .zipWithIndex.map {
+          case ((x, y, text), li) => ((pi + 1).toLong, li.toLong, x, y, text)
+        }
     }
   }
 
@@ -827,6 +1047,132 @@ object Pdf {
     out.write(xrefDefl); put("\nendstream\nendobj\n")
     put(s"startxref\n$xrefOffset\n%%EOF\n")
     out.toByteArray
+  }
+
+  /** Independent CID-FONT encoder: the file shape a real filing's
+    * subsetted fonts use, deliberately written against the spec (not
+    * the parser) so the /ToUnicode path is certified on bytes it did
+    * not produce:
+    *   - `/F1` is a Type0 /Identity-H font whose content-stream bytes
+    *     are 2-byte CIDs from a FIXED private coding (a–z → 0x0200+,
+    *     A–Z → 0x0300+, the "fi" ligature → one code 0x0500, all other
+    *     chars → 0x0400+rank) — unreadable without the CMap;
+    *   - the /ToUnicode CMap exercises every section form: a
+    *     codespacerange, an INCREMENTED bfrange (a–z), an ARRAY-form
+    *     bfrange (A–Z), bfchar pairs, and a multi-UTF16-unit dst
+    *     (the ligature);
+    *   - `/F2` is a plain Type1 font with NO /ToUnicode (Latin-1
+    *     passthrough) — lines alternate fonts, so `Tf` tracking is
+    *     load-bearing;
+    *   - `/Resources` sits ONLY on the root /Pages node (inheritance);
+    *   - each page's first F1 line shows as a kerned TJ (word break
+    *     under the −180 rule) when it contains a space.
+    * Classic xref, FlateDecode content, deterministic bytes. */
+  def writePdfCid(pages: Seq[Seq[String]]): Array[Byte] = {
+    val n = pages.size
+    require(n >= 1, "writePdfCid needs at least one page")
+    // the F1 (CID) lines are the odd-indexed lines of every page
+    val cidLines = pages.flatMap(_.zipWithIndex.collect {
+      case (l, i) if i % 2 == 1 => l
+    })
+    val others = cidLines.flatMap(_.replace("fi", "")).toSet
+      .filterNot(c => (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'))
+      .toSeq.sorted
+    val otherIdx = others.zipWithIndex.toMap
+    def cids(text: String): Seq[Int] = {
+      val out = Seq.newBuilder[Int]
+      var i = 0
+      while (i < text.length) {
+        if (text.startsWith("fi", i)) { out += 0x0500; i += 2 }
+        else {
+          val c = text.charAt(i)
+          out += (
+            if (c >= 'a' && c <= 'z') 0x0200 + (c - 'a')
+            else if (c >= 'A' && c <= 'Z') 0x0300 + (c - 'A')
+            else 0x0400 + otherIdx(c))
+          i += 1
+        }
+      }
+      out.result()
+    }
+    def hex(codes: Seq[Int]): String =
+      codes.map(c => f"$c%04X").mkString("<", "", ">")
+    val cmapText = {
+      val sb = new StringBuilder
+      sb.append("/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n")
+      sb.append("1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n")
+      sb.append("1 beginbfrange\n<0200> <0219> <0061>\nendbfrange\n")
+      sb.append("1 beginbfrange\n<0300> <0319> [")
+      sb.append(('A' to 'Z').map(c => f"<${c.toInt}%04X>").mkString(" "))
+      sb.append("]\nendbfrange\n")
+      val bfchars = others.zipWithIndex.map { case (c, i) =>
+        f"<${0x0400 + i}%04X> <${c.toInt}%04X>"
+      } :+ "<0500> <00660069>" // the fi ligature, two UTF-16 units
+      sb.append(s"${bfchars.size} beginbfchar\n")
+      sb.append(bfchars.mkString("\n"))
+      sb.append("\nendbfchar\nendcmap\nCMapName currentdict /CMap defineresource pop\nend\nend\n")
+      sb.toString
+    }
+    def contentFor(lines: Seq[String]): String = {
+      val ops = Seq.newBuilder[String]
+      ops += "BT"
+      ops += "72 720 Td"
+      var firstCid = true
+      lines.zipWithIndex.foreach { case (l, i) =>
+        if (i % 2 == 1) {
+          ops += "/F1 11 Tf"
+          val sp = l.indexOf(' ')
+          if (firstCid && sp > 0) {
+            ops += s"[${hex(cids(l.substring(0, sp)))} -250 ${hex(cids(l.substring(sp + 1)))}] TJ"
+            firstCid = false
+          } else ops += s"${hex(cids(l))} Tj"
+        } else {
+          ops += "/F2 11 Tf"
+          ops += s"(${esc(l)}) Tj"
+        }
+        ops += "0 -14 Td"
+      }
+      ops += "ET"
+      ops.result().mkString("\n")
+    }
+    // objects: 1 catalog, 2 root pages (carrying /Resources), pages,
+    // contents, F1, CMap stream, F2
+    val pageNums = (0 until n).map(3 + _)
+    val contNums = (0 until n).map(3 + n + _)
+    val f1Num = 3 + 2 * n; val cmapNum = 4 + 2 * n; val f2Num = 5 + 2 * n
+    val body = new StringBuilder
+    val offsets = scala.collection.mutable.ArrayBuffer[Int]()
+    body.append("%PDF-1.4\n")
+    def obj(num: Int, content: String): Unit = {
+      offsets += body.length
+      body.append(s"$num 0 obj\n$content\nendobj\n")
+    }
+    def streamObj(num: Int, data: Array[Byte]): Unit = {
+      val d = deflate(data)
+      offsets += body.length
+      body.append(s"$num 0 obj\n<< /Length ${d.length} /Filter /FlateDecode >>\nstream\n")
+      body.append(new String(d, ISO_8859_1))
+      body.append("\nendstream\nendobj\n")
+    }
+    obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    obj(2, s"<< /Type /Pages /Kids [${pageNums.map(p => s"$p 0 R").mkString(" ")}] " +
+      s"/Count $n /Resources << /Font << /F1 $f1Num 0 R /F2 $f2Num 0 R >> >> >>")
+    pageNums.zip(contNums).foreach { case (p, c) =>
+      obj(p, s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents $c 0 R >>")
+    }
+    pages.zip(contNums).foreach { case (lines, c) =>
+      streamObj(c, contentFor(lines).getBytes(ISO_8859_1))
+    }
+    obj(f1Num, "<< /Type /Font /Subtype /Type0 /BaseFont /GRAFT+Subset " +
+      s"/Encoding /Identity-H /ToUnicode $cmapNum 0 R >>")
+    streamObj(cmapNum, cmapText.getBytes(ISO_8859_1))
+    obj(f2Num, "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    val xrefPos = body.length
+    val nObjs = f2Num
+    body.append(s"xref\n0 ${nObjs + 1}\n0000000000 65535 f \n")
+    offsets.foreach(o => body.append(f"$o%010d 00000 n \n"))
+    body.append(s"trailer\n<< /Size ${nObjs + 1} /Root 1 0 R >>\nstartxref\n$xrefPos\n%%EOF\n")
+    body.toString.getBytes(ISO_8859_1)
   }
 
   private def assemblePdf(streams: Seq[String]): Array[Byte] = {

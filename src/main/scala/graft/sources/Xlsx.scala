@@ -335,6 +335,13 @@ object Xlsx {
         // unparseable serial (corrupt) degrades to the raw text
         else if ((cellType.isEmpty || cellType == "n") && dateStyles(cellStyle))
           sb.toString.trim.toDoubleOption.map(serialToIso(_, date1904)).getOrElse(sb.toString)
+        // boolean cell: <v> is 0/1 on the wire but renders TRUE/FALSE
+        // (ECMA-376 §18.18.11 ST_CellType b) — matching what Excel
+        // shows and what to_excel/openpyxl write back
+        else if (cellType == "b")
+          (if (sb.toString.trim == "1") "TRUE" else "FALSE")
+        // t="e" (error text like #DIV/0!) and t="str" (a formula's
+        // cached string) already carry their display text in <v>
         else sb.toString
       out += ((curRow, curCol, v))
     }

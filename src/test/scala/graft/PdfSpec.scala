@@ -172,6 +172,120 @@ class PdfSpec extends SparkSpec {
     assert(Pdf.parsePdf(noXref) == Seq((1L, 0L, "legacy line")))
   }
 
+  test("CID encoder round-trips through the /ToUnicode CMap, fonts alternating per line") {
+    val pages = Media.pdfCidFixtureData
+    pages.foreach { case (_, ps) =>
+      val got = Pdf.parsePdf(Pdf.writePdfCid(ps))
+      val want = for {
+        (lines, pi) <- ps.zipWithIndex
+        (text, li) <- lines.zipWithIndex
+      } yield ((pi + 1).toLong, li.toLong, text)
+      assert(got == want)
+    }
+    // and the CID bytes really are opaque: the raw content stream of an
+    // F1 line shares no substring with its text (the coding is private)
+    val bytes = Pdf.writePdfCid(Seq(Seq("plain", "hidden secret")))
+    val raw = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(!raw.contains("hidden"))
+    assert(Pdf.parsePdf(bytes).map(_._3) == Seq("plain", "hidden secret"))
+  }
+
+  test("parseCMap: bfchar, incremented bfrange, array bfrange, multi-unit dst, synthesized codespace") {
+    val cm = Pdf.parseCMap(
+      """begincodespacerange <0000> <FFFF> endcodespacerange
+        |2 beginbfchar <0041> <0058> <0500> <00660069> endbfchar
+        |1 beginbfrange <0100> <0102> <0061> endbfrange
+        |1 beginbfrange <0200> <0201> [<004B0061> <0073>] endbfrange
+        |""".stripMargin)
+    assert(cm.decode("\u0000A") == "X")                    // bfchar
+    assert(cm.decode("\u0005\u0000") == "fi")               // two UTF-16 units
+    assert(cm.decode("\u0001\u0000\u0001\u0002") == "ac")    // increment form
+    assert(cm.decode("\u0002\u0000\u0002\u0001") == "Kas")   // array form
+    assert(cm.decode("\u0009\u0009") == "\ufffd")            // in codespace, unmapped
+    // no codespacerange: width inferred from the bfchar src
+    val inferred = Pdf.parseCMap("1 beginbfchar <0041> <005A> endbfchar")
+    assert(inferred.decode("\u0000A") == "Z")
+    // 1-byte codespace decodes bytewise and passes unmapped bytes through
+    val oneByte = Pdf.parseCMap(
+      "begincodespacerange <00> <7F> endcodespacerange " +
+        "1 beginbfchar <41> <0042> endbfchar")
+    assert(oneByte.decode("Aé") == "Bé") // 0xE9 outside codespace
+  }
+
+  test("a font without /ToUnicode passes through as Latin-1; text before any Tf too") {
+    // rawPdf carries no /Resources at all — every string passes through
+    assert(Pdf.parsePdf(rawPdf("BT (no fonts anywhere) Tj ET"))
+      == Seq((1L, 0L, "no fonts anywhere")))
+    // and an unknown font name in Tf is not an error
+    assert(Pdf.parsePdf(rawPdf("BT /F9 8 Tf (unknown font) Tj ET"))
+      == Seq((1L, 0L, "unknown font")))
+  }
+
+  test("a /ToUnicode ref to a missing object fails loudly; a bomb bfrange fails loudly") {
+    val bytes = Pdf.writePdfCid(Seq(Seq("a", "b")))
+    val raw = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    // retarget F1's /ToUnicode at an absent object number — same digit
+    // count so the xref offsets stay valid and THIS failure is the one
+    // under test (for a 1-page file the CMap is object 6; 9 is absent)
+    val broken = raw.replaceFirst("/ToUnicode 6 0 R", "/ToUnicode 9 0 R")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val e = intercept[IllegalArgumentException](Pdf.parsePdf(broken))
+    assert(e.getMessage.contains("9"))
+    val bomb = intercept[IllegalArgumentException](
+      Pdf.parseCMap("1 beginbfrange <000000> <FFFFFF> <0041> endbfrange"))
+    assert(bomb.getMessage.contains("bfrange"))
+  }
+
+  test("hybrid reference file (classic trailer + /XRefStm) finds the compressed objects") {
+    // Acrobat's 1.5-compatibility shape: catalog/pages/page live in an
+    // ObjStm; the CLASSIC table only knows the content stream and the
+    // containers; the trailer's /XRefStm points at the xref STREAM that
+    // locates the compressed dicts. Hand-built, uncompressed streams.
+    val content = "BT 72 720 Td (hybrid text) Tj ET"
+    val s = new StringBuilder
+    s.append("%PDF-1.5\n")
+    // obj 4: the page's content stream (a plain classic object)
+    val off4 = s.length
+    s.append(s"4 0 obj\n<< /Length ${content.length} >>\nstream\n")
+      .append(content).append("\nendstream\nendobj\n")
+    // obj 5: ObjStm holding 1 (catalog), 2 (pages), 3 (page)
+    val m1 = "<< /Type /Catalog /Pages 2 0 R >>"
+    val m2 = "<< /Type /Pages /Kids [3 0 R] /Count 1 >>"
+    val m3 = "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"
+    val header = s"1 0 2 ${m1.length + 1} 3 ${m1.length + m2.length + 2}\n"
+    val objStm = header + Seq(m1, m2, m3).mkString("\n") + "\n"
+    val off5 = s.length
+    s.append(s"5 0 obj\n<< /Type /ObjStm /N 3 /First ${header.length} " +
+      s"/Length ${objStm.length} >>\nstream\n")
+      .append(objStm).append("\nendstream\nendobj\n")
+    // obj 6: the xref STREAM for the compressed objects + containers
+    val rows = Seq[(Long, Long)]((2L, 0L), (2L, 1L), (2L, 2L)) // 1,2,3 → in 5
+    val w2 = 4
+    val payload = new java.io.ByteArrayOutputStream()
+    def row(t: Int, f2: Long, f3: Int): Unit = {
+      payload.write(t)
+      (0 until w2).reverse.foreach(k => payload.write(((f2 >> (8 * k)) & 0xff).toInt))
+      payload.write(f3)
+    }
+    rows.zipWithIndex.foreach { case ((_, idx), _) => row(2, 5L, idx.toInt) }
+    row(1, off5.toLong, 0) // obj 5
+    val off6 = s.length
+    row(1, off6.toLong, 0) // obj 6, self-referential offset
+    val body = payload.toByteArray
+    s.append(s"6 0 obj\n<< /Type /XRef /Size 7 /W [1 $w2 1] /Index [1 3 5 2] " +
+      s"/Root 1 0 R /Length ${body.length} >>\nstream\n")
+      .append(new String(body, java.nio.charset.StandardCharsets.ISO_8859_1))
+      .append("\nendstream\nendobj\n")
+    // the CLASSIC table: only object 4 (what a pre-1.5 reader can see)
+    val xrefOff = s.length
+    s.append("xref\n0 1\n0000000000 65535 f \n")
+    s.append(f"4 1\n$off4%010d 00000 n \n")
+    s.append(s"trailer\n<< /Size 7 /Root 1 0 R /XRefStm $off6 >>\n")
+    s.append(s"startxref\n$xrefOff\n%%EOF\n")
+    val bytes = s.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(Pdf.parsePdf(bytes) == Seq((1L, 0L, "hybrid text")))
+  }
+
   /** Minimal single-page classic PDF around a raw content stream —
     * independent of both writers' operator choices. */
   private def rawPdf(content: String): Array[Byte] = {

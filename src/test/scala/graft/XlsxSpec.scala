@@ -198,6 +198,42 @@ class XlsxSpec extends SparkSpec {
     assert(Xlsx.parseWorkbook(flagged).map(_._5) === Seq("2023-01-01"))
   }
 
+  test("boolean, error, and formula cells surface their display values") {
+    // rewrite a written sheet's cells into the t=b / t=e / formula
+    // shapes real filings carry — the fixture writer stays simple
+    val base = Xlsx.writeWorkbook(Seq("S" -> Seq(Seq(W("x", num = true)))))
+    val rewritten = {
+      val zin = new java.util.zip.ZipInputStream(new java.io.ByteArrayInputStream(base))
+      val bos = new java.io.ByteArrayOutputStream()
+      val zos = new java.util.zip.ZipOutputStream(bos)
+      var e = zin.getNextEntry
+      while (e != null) {
+        val bytes = zin.readAllBytes()
+        val out =
+          if (e.getName.startsWith("xl/worksheets/"))
+            new String(bytes, "UTF-8")
+              .replaceFirst("<c [^>]*><v>x</v></c>",
+                """<c r="A1" t="b"><v>1</v></c>""" +
+                """<c r="B1" t="b"><v>0</v></c>""" +
+                """<c r="C1" t="e"><v>#DIV/0!</v></c>""" +
+                """<c r="D1" t="str"><f>CONCAT("a","b")</f><v>ab</v></c>""" +
+                """<c r="E1"><f>1+41</f><v>42</v></c>""")
+              .getBytes("UTF-8")
+          else bytes
+        zos.putNextEntry(new java.util.zip.ZipEntry(e.getName))
+        zos.write(out)
+        zos.closeEntry()
+        e = zin.getNextEntry
+      }
+      zin.close(); zos.close()
+      bos.toByteArray
+    }
+    // booleans render as TRUE/FALSE, errors and cached formula values
+    // pass through, and formula TEXT never leaks into the value
+    assert(Xlsx.parseWorkbook(rewritten).map(c => (c._4, c._5)) ===
+      Seq((1L, "TRUE"), (2L, "FALSE"), (3L, "#DIV/0!"), (4L, "ab"), (5L, "42")))
+  }
+
   test("date-styled cells surface as ISO text; unstyled numerics keep their lexical form") {
     val bytes = Xlsx.writeWorkbook(Seq("S" -> Seq(
       Seq(W("tanggal"), W("2023-06-30", date = true)),
