@@ -133,4 +133,27 @@ class PropertiesSpec extends SparkSpec {
       assert(bad.count() == 0)
     }
   }
+
+  // Latin-1 text a filing line might carry: letters (so the bfrange
+  // paths fire), digits/punct (bfchar path), "fi" (the ligature code),
+  // accents, embedded spaces (the kerned-TJ split)
+  private val pdfLine: Gen[String] = Gen.listOf(Gen.frequency(
+    8 -> Gen.alphaChar.map(_.toString),
+    2 -> Gen.numChar.map(_.toString),
+    2 -> Gen.const(" "),
+    1 -> Gen.oneOf('(', ')', '\\', '.', ',', '-', '%', 'é', 'ü').map(_.toString),
+    1 -> Gen.const("fi"))).map(_.mkString)
+
+  test("property: CID encoder → /ToUnicode parse round-trips arbitrary Latin-1 pages") {
+    // pure parser law, no Spark job — so many cases are cheap
+    forAll(Gen.nonEmptyListOf(Gen.listOf(pdfLine)), cases = 40) { pages: List[List[String]] =>
+      val got = graft.sources.Pdf.parsePdf(
+        graft.sources.Pdf.writePdfCid(pages.map(_.toSeq)))
+      val want = for {
+        (lines, pi) <- pages.zipWithIndex
+        (text, li) <- lines.zipWithIndex
+      } yield ((pi + 1).toLong, li.toLong, text)
+      assert(got == want)
+    }
+  }
 }
