@@ -358,19 +358,91 @@ object Pdf {
     (java.util.regex.Pattern.quote(key) + "\\s+(\\d+)\\s+\\d+\\s+R").r
       .findFirstMatchIn(dict).map(_.group(1).toInt)
 
-  /** `/Filter /FlateDecode` (optionally with PNG `/Predictor`) or no
-    * filter — the two encodings filing text/xref streams actually use. */
+  /** The stream's filter pipeline: `/Filter` as one name or an ARRAY
+    * of names applied in order (PDF 32000-1 §7.4 — `[/ASCII85Decode
+    * /FlateDecode]` is the classic mail-safe wrapping). */
+  private[graft] def filtersOf(dict: String): Seq[String] =
+    "/Filter\\s*(\\[[^\\]]*\\]|/[A-Za-z0-9]+)".r.findFirstMatchIn(dict)
+      .map(m => "/([A-Za-z0-9]+)".r.findAllMatchIn(m.group(1))
+        .map(_.group(1)).toSeq)
+      .getOrElse(Seq.empty)
+
+  /** Decode a stream through its filter chain — Flate (optionally with
+    * a PNG `/Predictor`), ASCIIHex, ASCII85, or none; anything else
+    * (LZW, DCT, …) fails loudly with the filter name. */
   private def decodeStream(dict: String, data: Array[Byte]): Array[Byte] = {
-    val inflated =
-      if (dict.contains("/FlateDecode")) inflate(data) else data
+    val decoded = filtersOf(dict).foldLeft(data) { (d, f) =>
+      f match {
+        case "FlateDecode" => inflate(d)
+        case "ASCIIHexDecode" => asciiHexDecode(d)
+        case "ASCII85Decode" => ascii85Decode(d)
+        case other => fail(s"unsupported stream filter /$other")
+      }
+    }
     val pred = "/Predictor\\s+(\\d+)".r.findFirstMatchIn(dict)
       .map(_.group(1).toInt).getOrElse(1)
-    if (pred < 2) inflated
+    if (pred < 2) decoded
     else {
       val cols = "/Columns\\s+(\\d+)".r.findFirstMatchIn(dict)
         .map(_.group(1).toInt).getOrElse(1)
-      unpredictPng(inflated, cols)
+      unpredictPng(decoded, cols)
     }
+  }
+
+  /** ASCIIHexDecode (§7.4.2): hex pairs, whitespace ignored, `>` ends
+    * the data, an odd trailing digit reads as if followed by 0. */
+  private[graft] def asciiHexDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    var hi = -1
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val c = data(i).toChar
+      if (c == '>') done = true
+      else if (!c.isWhitespace) {
+        val v = Character.digit(c, 16)
+        if (v < 0) fail(s"ASCIIHexDecode: invalid character '$c'")
+        if (hi < 0) hi = v
+        else { out.write((hi << 4) | v); hi = -1 }
+      }
+      i += 1
+    }
+    if (hi >= 0) out.write(hi << 4) // odd final digit
+    out.toByteArray
+  }
+
+  /** ASCII85Decode (§7.4.3): 5 chars `!`..`u` → 4 bytes base-85;
+    * `z` = four zero bytes between groups; whitespace ignored; `~>`
+    * ends the data; a partial final group of n chars pads with `u`
+    * and emits n−1 bytes. */
+  private[graft] def ascii85Decode(data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val grp = new Array[Int](5)
+    var n = 0
+    var i = 0
+    var done = false
+    def flush(count: Int): Unit = { // count = chars in the group
+      var v = 0L
+      (0 until 5).foreach(k => v = v * 85 + (if (k < count) grp(k) else 84))
+      val emit = count - 1
+      (0 until emit).foreach(k => out.write(((v >> (8 * (3 - k))) & 0xff).toInt))
+    }
+    while (i < data.length && !done) {
+      val c = data(i).toChar
+      if (c == '~') done = true
+      else if (c == 'z') {
+        if (n != 0) fail("ASCII85Decode: 'z' inside a group")
+        out.write(0); out.write(0); out.write(0); out.write(0)
+      } else if (!c.isWhitespace) {
+        if (c < '!' || c > 'u') fail(s"ASCII85Decode: invalid character '$c'")
+        grp(n) = c - '!'; n += 1
+        if (n == 5) { flush(5); n = 0 }
+      }
+      i += 1
+    }
+    if (n == 1) fail("ASCII85Decode: lone trailing character")
+    if (n > 1) flush(n)
+    out.toByteArray
   }
 
   /** Reverse PNG row filters (predictors 10-15: each row = filter tag

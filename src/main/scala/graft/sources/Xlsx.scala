@@ -280,16 +280,22 @@ object Xlsx {
 
   /** sharedStrings.xml → index-ordered strings (one <t> per <si> in the
     * subset we emit; rich-text runs would concatenate). */
+  /** Shared strings: plain `<si><t>` AND rich-text runs
+    * (`<si><r><rPr/><t>…` per formatting change — filings use these
+    * constantly) concatenate to one value; `<rPh>` phonetic runs
+    * (furigana annotations) are EXCLUDED, matching what Excel displays
+    * and what pandas/openpyxl read (ECMA-376 §18.4.6). */
   private def parseSharedStrings(bytes: Array[Byte]): IndexedSeq[String] = {
     val r = reader(bytes)
     val out = IndexedSeq.newBuilder[String]
     val sb = new StringBuilder
-    var inSi = false; var inT = false
+    var inSi = false; var inT = false; var inRPh = false
     while (r.hasNext) r.next() match {
       case javax.xml.stream.XMLStreamConstants.START_ELEMENT =>
         r.getLocalName match {
           case "si" => inSi = true; sb.clear()
-          case "t" if inSi => inT = true
+          case "rPh" if inSi => inRPh = true
+          case "t" if inSi && !inRPh => inT = true
           case _ =>
         }
       case javax.xml.stream.XMLStreamConstants.CHARACTERS if inT =>
@@ -297,6 +303,7 @@ object Xlsx {
       case javax.xml.stream.XMLStreamConstants.END_ELEMENT =>
         r.getLocalName match {
           case "t" if inSi => inT = false
+          case "rPh" => inRPh = false
           case "si" => inSi = false; out += sb.toString
           case _ =>
         }

@@ -286,6 +286,72 @@ class PdfSpec extends SparkSpec {
     assert(Pdf.parsePdf(bytes) == Seq((1L, 0L, "hybrid text")))
   }
 
+  test("filter chains decode in order: ASCII85 and ASCIIHex wrap Flate; unknown filters fail loudly") {
+    // independent encoders, written here against the spec
+    def a85(bytes: Array[Byte]): String = {
+      val sb = new StringBuilder
+      bytes.grouped(4).foreach { g =>
+        var v = 0L
+        (0 until 4).foreach(k => v = (v << 8) | (if (k < g.length) g(k) & 0xffL else 0L))
+        if (g.length == 4 && v == 0L) sb.append('z')
+        else {
+          val cs = new Array[Char](5)
+          (4 to 0 by -1).foreach { k => cs(k) = ('!' + (v % 85).toInt).toChar; v /= 85 }
+          sb.appendAll(cs, 0, g.length + 1)
+        }
+      }
+      sb.append("~>").toString
+    }
+    def deflate(s: String): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](1024)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end(); out.toByteArray
+    }
+    def filteredPdf(filterSpec: String, payload: String): Array[Byte] = {
+      val s = new StringBuilder
+      val offs = scala.collection.mutable.ArrayBuffer[Int]()
+      s.append("%PDF-1.4\n")
+      def obj(n: Int, body: String): Unit = {
+        offs += s.length; s.append(s"$n 0 obj\n$body\nendobj\n")
+      }
+      obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+      obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+      obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+      offs += s.length
+      s.append(s"4 0 obj\n<< /Length ${payload.length} /Filter $filterSpec >>\nstream\n")
+        .append(payload).append("\nendstream\nendobj\n")
+      val xref = s.length
+      s.append("xref\n0 5\n0000000000 65535 f \n")
+      offs.foreach(o => s.append(f"$o%010d 00000 n \n"))
+      s.append(s"trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
+      s.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    }
+    val content = "BT 72 720 Td (chained filters) Tj ET"
+    // [/ASCII85Decode /FlateDecode] — the classic mail-safe wrapping
+    val a85Wrapped = a85(deflate(content))
+    assert(Pdf.parsePdf(filteredPdf("[/ASCII85Decode /FlateDecode]", a85Wrapped))
+      == Seq((1L, 0L, "chained filters")))
+    // /ASCIIHexDecode alone, odd trailing digit exercised via '>' EOD
+    val hexed = content.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+      .map(b => f"${b & 0xff}%02x").mkString("", " ", ">")
+    assert(Pdf.parsePdf(filteredPdf("/ASCIIHexDecode", hexed))
+      == Seq((1L, 0L, "chained filters")))
+    // an unsupported filter names itself in the failure
+    val e = intercept[IllegalArgumentException] {
+      Pdf.parsePdf(filteredPdf("/LZWDecode", "xxxx"))
+    }
+    assert(e.getMessage.contains("LZWDecode"))
+    // unit laws: z-group zeros, partial-group padding, whitespace
+    assert(Pdf.ascii85Decode("z~>".getBytes("US-ASCII")).toSeq == Seq[Byte](0, 0, 0, 0))
+    assert(Pdf.ascii85Decode(a85("ab".getBytes("US-ASCII")).getBytes("US-ASCII")).toSeq
+      == "ab".getBytes("US-ASCII").toSeq)
+    assert(Pdf.asciiHexDecode("4 1 4".getBytes("US-ASCII")).toSeq
+      == Seq[Byte](0x41, 0x40)) // odd final digit pads with 0
+  }
+
   /** Minimal single-page classic PDF around a raw content stream —
     * independent of both writers' operator choices. */
   private def rawPdf(content: String): Array[Byte] = {

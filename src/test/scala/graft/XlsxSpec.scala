@@ -234,6 +234,34 @@ class XlsxSpec extends SparkSpec {
       Seq((1L, "TRUE"), (2L, "FALSE"), (3L, "#DIV/0!"), (4L, "ab"), (5L, "42")))
   }
 
+  test("rich-text shared strings concatenate runs; phonetic runs are excluded") {
+    val base = Xlsx.writeWorkbook(Seq("S" -> Seq(Seq(W("placeholder")))))
+    val rewritten = {
+      val zin = new java.util.zip.ZipInputStream(new java.io.ByteArrayInputStream(base))
+      val bos = new java.io.ByteArrayOutputStream()
+      val zos = new java.util.zip.ZipOutputStream(bos)
+      var e = zin.getNextEntry
+      while (e != null) {
+        val bytes = zin.readAllBytes()
+        val out =
+          if (e.getName == "xl/sharedStrings.xml")
+            new String(bytes, "UTF-8")
+              .replaceFirst("<si><t>placeholder</t></si>",
+                "<si><r><rPr><b/></rPr><t>Laba </t></r><r><t>bersih</t></r>" +
+                  "<rPh sb=\"0\" eb=\"2\"><t>ふりがな</t></rPh></si>")
+              .getBytes("UTF-8")
+          else bytes
+        zos.putNextEntry(new java.util.zip.ZipEntry(e.getName))
+        zos.write(out)
+        zos.closeEntry()
+        e = zin.getNextEntry
+      }
+      zin.close(); zos.close()
+      bos.toByteArray
+    }
+    assert(Xlsx.parseWorkbook(rewritten).map(_._5) === Seq("Laba bersih"))
+  }
+
   test("date-styled cells surface as ISO text; unstyled numerics keep their lexical form") {
     val bytes = Xlsx.writeWorkbook(Seq("S" -> Seq(
       Seq(W("tanggal"), W("2023-06-30", date = true)),
