@@ -303,6 +303,60 @@ object Media extends QueryModule {
        FROM read_parquet('__FIXTURES__/pdf_tj_expected/*.parquet')
        ORDER BY file, page, line_no"""
 
+  /** p04 — the reference's E2 HEADLINE WORKFLOW end-to-end
+    * (test_uploadPDF.py: `tabula.read_pdf(..., area=[…])` :31-34 →
+    * DataFrame → `to_excel` :124): positioned PDF bytes → area crop →
+    * grid reconstruction (`Pdf.tableRegion`) → pivot to a wide report
+    * → `Sources.writeXlsx` → re-read the workbook through the binary
+    * connector. The oracle recomputes the final cell shape from the
+    * parser-independent positioned-text dump, so one hash certifies
+    * the whole chain: crop ranks, pivot, xlsx write, xlsx read. */
+  private def p04(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = writePdfPosFixture(pdfPosDir)
+    val grid = graft.sources.Pdf.tableRegion(s, dir, 60, 570, 400, 650)
+    val wide = grid.groupBy($"file", $"page", $"row_idx")
+      .agg(
+        max(when($"col_idx" === 1, $"value")).as("c1"),
+        max(when($"col_idx" === 2, $"value")).as("c2"),
+        max(when($"col_idx" === 3, $"value")).as("c3"))
+      .orderBy($"file", $"page", $"row_idx")
+    val out = graft.util.Scratch.dir("pdf_report")
+    graft.sources.Sources.writeXlsx(wide, s"$out/report.xlsx", "Tabel")
+    Xlsx.read(s, out).toDF().orderBy("row_idx", "col_idx")
+  }
+  private val p04Sql =
+    """WITH grid AS (
+         SELECT file, page, text AS value,
+           dense_rank() OVER (PARTITION BY file, page ORDER BY y DESC) AS row_idx,
+           row_number() OVER (PARTITION BY file, page, y ORDER BY x) AS col_idx
+         FROM read_parquet('__FIXTURES__/pdf_pos_expected/*.parquet')
+         WHERE x BETWEEN 60 AND 400 AND y BETWEEN 570 AND 650),
+       wide AS (
+         SELECT file, page, row_idx,
+           max(CASE WHEN col_idx = 1 THEN value END) AS c1,
+           max(CASE WHEN col_idx = 2 THEN value END) AS c2,
+           max(CASE WHEN col_idx = 3 THEN value END) AS c3
+         FROM grid GROUP BY file, page, row_idx),
+       ord AS (
+         SELECT *, row_number() OVER (ORDER BY file, page, row_idx) + 1 AS r
+         FROM wide),
+       cells AS (
+         SELECT 1 AS r, 1 AS c, 'file' AS value
+         UNION ALL SELECT 1, 2, 'page' UNION ALL SELECT 1, 3, 'row_idx'
+         UNION ALL SELECT 1, 4, 'c1' UNION ALL SELECT 1, 5, 'c2'
+         UNION ALL SELECT 1, 6, 'c3'
+         UNION ALL SELECT r, 1, file FROM ord
+         UNION ALL SELECT r, 2, CAST(page AS VARCHAR) FROM ord
+         UNION ALL SELECT r, 3, CAST(row_idx AS VARCHAR) FROM ord
+         UNION ALL SELECT r, 4, c1 FROM ord WHERE c1 IS NOT NULL
+         UNION ALL SELECT r, 5, c2 FROM ord WHERE c2 IS NOT NULL
+         UNION ALL SELECT r, 6, c3 FROM ord WHERE c3 IS NOT NULL)
+       SELECT 'report.xlsx' AS file, 'Tabel' AS sheet,
+         CAST(1 AS BIGINT) AS sheet_idx, CAST(r AS BIGINT) AS row_idx,
+         CAST(c AS BIGINT) AS col_idx, value
+       FROM cells ORDER BY row_idx, col_idx"""
+
   /** CID-FONT fixture: subsetted-font text a real filing embeds — the
     * content-stream bytes are 2-byte private CIDs readable ONLY through
     * the /ToUnicode CMap, lines alternate with a no-CMap Type1 font,
@@ -965,6 +1019,7 @@ object Media extends QueryModule {
     "m20_pdf_tj" -> m20 _,
     "m21_xlsx_roundtrip" -> m21 _,
     "m22_pdf_cid" -> m22 _,
+    "p04_pdf_report" -> p04 _,
   )
 
   // DuckDB reads the payload as BLOB; hex() gives the uppercase hex
@@ -1056,5 +1111,6 @@ object Media extends QueryModule {
     "m20_pdf_tj" -> m20Sql,
     "m21_xlsx_roundtrip" -> m21Sql,
     "m22_pdf_cid" -> m22Sql,
+    "p04_pdf_report" -> p04Sql,
   )
 }
