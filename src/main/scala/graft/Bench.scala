@@ -83,7 +83,17 @@ object Bench {
       try java.nio.file.Files.readString(
           java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
       catch { case _: Exception => -1.0 }
+    // /proc/stat's steal column (ticks this VM wanted a CPU the
+    // hypervisor gave to someone else): loadavg can't see HOST
+    // co-tenancy — a run can drift +15% uniformly at loadavg ~1 —
+    // but steal can. Recording the run's delta closes the last
+    // unexplained band in the quiet-run methodology.
+    def stealTicks(): Long =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/stat"))
+        .linesIterator.next().trim.split("\\s+")(8).toLong
+      catch { case _: Exception => -1L }
     val loadStart = loadAvg()
+    val stealStart = stealTicks()
     var failed = List.empty[String]
     // optional args = query-name filter (substring match) for focused
     // local profiling; the driver passes no args and benches everything
@@ -135,7 +145,7 @@ object Bench {
       .map { case (k, (v, st, cpu, run, l0, l1)) =>
         val errField = if (v < 0) ""","err":true""" else ""
         s"""\"$k\":{"sec":${j(math.max(v, 0))},"stages":$st,"cpu_ms":$cpu,"run_ms":$run,"load":[${j(l0)},${j(l1)}]$errField}""" }
-      .mkString(s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${results.size},"load_start":${j(loadStart)},"load_end":${j(loadAvg())},"queries":{""",
+      .mkString(s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${results.size},"load_start":${j(loadStart)},"load_end":${j(loadAvg())},"steal_ticks":${stealTicks() - stealStart},"queries":{""",
         ",", s"""},"failed":$fullFailedJson,"sf":"$sfDir"}""")
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       fullJson.getBytes("UTF-8"))
@@ -153,7 +163,7 @@ object Bench {
     val top20 = sorted.take(20)
     val top = top20.map { case (k, (v, _, _, _, _, _)) => s"\"$k\":${j(math.max(v, 0))}" }.mkString(",")
     val topM = top20.map { case (k, (_, st, cpu, run, _, _)) => s"\"$k\":[$st,$cpu,$run]" }.mkString(",")
-    println(s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${results.size},"load":[${j(loadStart)},${j(loadAvg())}],"queries":{$top},"m":{$topM},"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${results.size},"load":[${j(loadStart)},${j(loadAvg())}],"steal":${stealTicks() - stealStart},"queries":{$top},"m":{$topM},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
