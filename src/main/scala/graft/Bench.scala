@@ -94,6 +94,14 @@ object Bench {
       catch { case _: Exception => -1L }
     val loadStart = loadAvg()
     val stealStart = stealTicks()
+    // one end-read shared by both outputs (two separate reads could
+    // disagree), and -1 propagates as the EXPLICIT error marker instead
+    // of being subtracted through (start -1 + good end = end+1 bogus;
+    // good start + end -1 = negative)
+    def stealDelta(): Long = {
+      val end = stealTicks()
+      if (stealStart < 0 || end < 0) -1L else end - stealStart
+    }
     var failed = List.empty[String]
     // optional args = query-name filter (substring match) for focused
     // local profiling; the driver passes no args and benches everything
@@ -129,6 +137,7 @@ object Bench {
     def j(v: Double) = String.format(java.util.Locale.ROOT, "%.3f",
       Double.box(v))
     val total = results.values.map(_._1).filter(_ > 0).sum
+    val stealRun = stealDelta() // captured once; both outputs record the same figure
     val fullFailedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // cap the PRINTED failure list — a mass failure must not push the
     // JSON line's head out of the driver's ~2000-char capture window
@@ -145,7 +154,7 @@ object Bench {
       .map { case (k, (v, st, cpu, run, l0, l1)) =>
         val errField = if (v < 0) ""","err":true""" else ""
         s"""\"$k\":{"sec":${j(math.max(v, 0))},"stages":$st,"cpu_ms":$cpu,"run_ms":$run,"load":[${j(l0)},${j(l1)}]$errField}""" }
-      .mkString(s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${results.size},"load_start":${j(loadStart)},"load_end":${j(loadAvg())},"steal_ticks":${stealTicks() - stealStart},"queries":{""",
+      .mkString(s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${results.size},"load_start":${j(loadStart)},"load_end":${j(loadAvg())},"steal_ticks":$stealRun,"queries":{""",
         ",", s"""},"failed":$fullFailedJson,"sf":"$sfDir"}""")
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       fullJson.getBytes("UTF-8"))
@@ -163,7 +172,7 @@ object Bench {
     val top20 = sorted.take(20)
     val top = top20.map { case (k, (v, _, _, _, _, _)) => s"\"$k\":${j(math.max(v, 0))}" }.mkString(",")
     val topM = top20.map { case (k, (_, st, cpu, run, _, _)) => s"\"$k\":[$st,$cpu,$run]" }.mkString(",")
-    println(s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${results.size},"load":[${j(loadStart)},${j(loadAvg())}],"steal":${stealTicks() - stealStart},"queries":{$top},"m":{$topM},"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${results.size},"load":[${j(loadStart)},${j(loadAvg())}],"steal":$stealRun,"queries":{$top},"m":{$topM},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -25,6 +25,7 @@ object SparkEntry {
     TextAnalysis,
     Pipelines,
     Media,
+    SqlSurface,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

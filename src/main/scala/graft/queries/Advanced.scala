@@ -1159,7 +1159,83 @@ object Advanced extends QueryModule {
          AS t(version, num_buckets, key_cols, n_columns, has_feed)
        ORDER BY version"""
 
+  /** v25 — MERGE-ON-READ under the oracle gate: the v20 lifecycle with
+    * the two correction merges written as DELTA LAYERS (`mor = true` —
+    * owners never move, write cost is the batch), then the full
+    * MoR surface exercised and checked against the COW result:
+    * version 2 reads through TWO stacked delta layers (newest wins,
+    * tombstones drop), a `compact` folds the layers into version 3,
+    * and both reads must equal what copy-on-write would have produced
+    * — the oracle IS v20's relational recompute, emitted for both
+    * versions. `changes(1,2)` rides the same materialized-feed path as
+    * COW (spec'd in VersionedTableSpec); the write-amplification
+    * numbers behind choosing MoR for scattered batches are in
+    * study_r10.json `cow_write_amplification`. */
+  private def v25(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = graft.util.Scratch.dir(
+      "v25_mor_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+    graft.util.Scratch.deleteRecursively(new java.io.File(dir))
+    val ord = Tables.orders(s, d)
+    val t0 = ord.filter(year($"o_orderdate") <= 1997)
+      .groupBy($"o_custkey")
+      .agg(round(sum($"o_totalprice"), 2).as("spend"),
+        count(lit(1)).as("n_orders"))
+    val top40 = ord.filter(year($"o_orderdate") === 1998)
+      .groupBy($"o_custkey")
+      .agg(round(sum($"o_totalprice"), 2).as("spend"),
+        count(lit(1)).as("n_orders"),
+        (min($"o_orderpriority") === "1-URGENT").as("del"))
+      .orderBy($"spend".desc, $"o_custkey").limit(40)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy($"spend".desc, $"o_custkey")))
+    graft.sources.VersionedTable.merge(s, dir, t0, Seq("o_custkey"))
+    graft.sources.VersionedTable.merge(s, dir,
+      top40.filter($"rk" <= 20).drop("rk"), Seq("o_custkey"), Some("del"),
+      mor = true)
+    graft.sources.VersionedTable.merge(s, dir,
+      top40.filter($"rk" > 20).drop("rk"), Seq("o_custkey"), Some("del"),
+      mor = true)
+    val atV2 = graft.sources.VersionedTable.read(s, dir, Some(2L))
+      .select(lit(2L).as("version"), $"o_custkey", $"spend", $"n_orders")
+    graft.sources.VersionedTable.compact(s, dir) // folds both layers → v3
+    val atV3 = graft.sources.VersionedTable.read(s, dir, Some(3L))
+      .select(lit(3L).as("version"), $"o_custkey", $"spend", $"n_orders")
+    atV2.unionByName(atV3).orderBy($"version", $"o_custkey")
+  }
+  private val v25Sql =
+    """WITH t0 AS (
+         SELECT o_custkey, round(sum(o_totalprice), 2) AS spend,
+           count(*) AS n_orders
+         FROM orders WHERE year(o_orderdate) <= 1997 GROUP BY 1),
+       ranked AS (
+         SELECT o_custkey, spend, n_orders, del,
+           row_number() OVER (ORDER BY spend DESC, o_custkey) AS rk
+         FROM (
+           SELECT o_custkey, round(sum(o_totalprice), 2) AS spend,
+             count(*) AS n_orders,
+             min(o_orderpriority) = '1-URGENT' AS del
+           FROM orders WHERE year(o_orderdate) = 1998 GROUP BY 1)),
+       u1 AS (SELECT * FROM ranked WHERE rk <= 20),
+       u2 AS (SELECT * FROM ranked WHERE rk > 20 AND rk <= 40),
+       s1 AS (
+         SELECT o_custkey, spend, n_orders FROM t0
+         WHERE o_custkey NOT IN (SELECT o_custkey FROM u1)
+         UNION ALL
+         SELECT o_custkey, spend, n_orders FROM u1 WHERE NOT del),
+       s2 AS (
+         SELECT o_custkey, spend, n_orders FROM s1
+         WHERE o_custkey NOT IN (SELECT o_custkey FROM u2)
+         UNION ALL
+         SELECT o_custkey, spend, n_orders FROM u2 WHERE NOT del)
+       SELECT CAST(2 AS BIGINT) AS version, o_custkey, spend, n_orders FROM s2
+       UNION ALL
+       SELECT CAST(3 AS BIGINT), o_custkey, spend, n_orders FROM s2
+       ORDER BY version, o_custkey"""
+
   val queries: Map[String, QueryFn] = Map(
+    "v25_merge_on_read" -> v25 _,
     "v24_table_history" -> v24 _,
     "v23_indexed_scan" -> v23 _,
     "v22_view_maintenance" -> v22 _,
@@ -1187,6 +1263,7 @@ object Advanced extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "v25_merge_on_read" -> v25Sql,
     "v24_table_history" -> v24Sql,
     "v23_indexed_scan" -> v23Sql,
     "v22_view_maintenance" -> v22Sql,

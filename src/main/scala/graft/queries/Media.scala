@@ -92,7 +92,20 @@ object Media extends QueryModule {
         // periode" values, mainTesting.py:430): a plain date and a
         // datetime, stored as 1900-system serials + styles.xml
         Seq(W("Tanggal awal periode"), W("2023-01-01", date = true)),
-        Seq(W("Dicetak"), W("2024-03-15 12:30:05", date = true)))))
+        Seq(W("Dicetak"), W("2024-03-15 12:30:05", date = true)),
+        // merged regions (xlsxMergeData): a TITLE spanning A6:C6 and a
+        // KEY cell spanning rows A7:A8 — the shapes real IDX metadata
+        // sheets merge; values live only in the anchors, the covered
+        // B8 value would lose its key under an anchor-only read
+        Seq(W("IKHTISAR PENTING")),
+        Seq(W("Auditor"), W("KAP Contoh")),
+        Seq(W(""), W("terdaftar")))))
+
+  /** Merged regions per (file, 1-based sheet idx): (r1, c1, r2, c2),
+    * numeric so the expected-cells oracle below can anchor-fill
+    * without any ref parsing. */
+  def xlsxMergeData: Map[(String, Int), Seq[(Int, Int, Int, Int)]] = Map(
+    ("fin_2024.xlsx", 1) -> Seq((6, 1, 6, 3), (7, 1, 8, 1)))
 
   /** Write the fixture workbooks as actual .xlsx files (idempotent,
     * deterministic bytes). Local-path scratch: on a cluster this dir
@@ -102,8 +115,14 @@ object Media extends QueryModule {
     val d = new java.io.File(dir)
     d.mkdirs()
     xlsxFixtureData.foreach { case (name, sheets) =>
+      val merges = sheets.indices.map { i =>
+        xlsxMergeData.getOrElse((name, i + 1), Seq.empty).map {
+          case (r1, c1, r2, c2) =>
+            s"${Xlsx.colName(c1)}$r1:${Xlsx.colName(c2)}$r2"
+        }
+      }
       java.nio.file.Files.write(
-        new java.io.File(d, name).toPath, Xlsx.writeWorkbook(sheets))
+        new java.io.File(d, name).toPath, Xlsx.writeWorkbook(sheets, merges))
     }
     d.getAbsolutePath
   }
@@ -113,13 +132,28 @@ object Media extends QueryModule {
     * code under test. */
   def xlsxExpected(s: SparkSession): DataFrame = {
     import s.implicits._
-    (for {
+    val base = for {
       (file, sheets) <- xlsxFixtureData
       ((sheet, rows), si) <- sheets.zipWithIndex
       (cells, ri) <- rows.zipWithIndex
       (cell, ci) <- cells.zipWithIndex
       if cell.text.nonEmpty
-    } yield (file, sheet, (si + 1).toLong, (ri + 1).toLong, (ci + 1).toLong, cell.text))
+    } yield (file, sheet, (si + 1).toLong, (ri + 1).toLong, (ci + 1).toLong, cell.text)
+    // anchor-fill recomputed straight from the fixture definition +
+    // merge spec (numeric regions, no ref parsing) — still independent
+    // of the parser under test
+    val fills = for {
+      (file, sheets) <- xlsxFixtureData
+      ((sheet, rows), si) <- sheets.zipWithIndex
+      (r1, c1, r2, c2) <- xlsxMergeData.getOrElse((file, si + 1), Seq.empty)
+      anchor = rows.lift(r1 - 1).flatMap(_.lift(c1 - 1)).map(_.text).getOrElse("")
+      if anchor.nonEmpty
+      r <- r1 to r2
+      c <- c1 to c2
+      if !(r == r1 && c == c1)
+      if rows.lift(r - 1).flatMap(_.lift(c - 1)).forall(_.text.isEmpty)
+    } yield (file, sheet, (si + 1).toLong, r.toLong, c.toLong, anchor)
+    (base ++ fills)
       .toDF("file", "sheet", "sheet_idx", "row_idx", "col_idx", "value")
   }
 
@@ -134,6 +168,24 @@ object Media extends QueryModule {
     Xlsx.read(s, dir).toDF()
       .orderBy("file", "sheet_idx", "row_idx", "col_idx")
   }
+
+  /** m24 — merged-region metadata surface: `<mergeCells>` regions per
+    * sheet, in declared order; oracle is the golden merge spec
+    * (`xlsxMergeData`) as literal VALUES. The anchor-FILL semantics
+    * those regions imply are certified through m03's extended cell
+    * oracle (the filled B6/C6/A8 cells). */
+  private def m24(s: SparkSession, d: String): DataFrame = {
+    val dir = writeXlsxFixture(xlsxDir)
+    Xlsx.mergedRegions(s, dir)
+      .orderBy("file", "sheet_idx", "first_row", "first_col")
+  }
+  private val m24Sql =
+    """SELECT * FROM (VALUES
+         ('fin_2024.xlsx', 'Ikhtisar', CAST(1 AS BIGINT), CAST(6 AS BIGINT),
+          CAST(1 AS BIGINT), CAST(6 AS BIGINT), CAST(3 AS BIGINT)),
+         ('fin_2024.xlsx', 'Ikhtisar', 1, 7, 1, 8, 1))
+       AS t(file, sheet, sheet_idx, first_row, first_col, last_row, last_col)
+       ORDER BY file, sheet_idx, first_row, first_col"""
 
   /** m04 — content discovery over real bytes: first sheet whose cell
     * content contains the keyword (the reference's `cari_sheet_excel`,
@@ -412,6 +464,68 @@ object Media extends QueryModule {
   private val m22Sql =
     """SELECT file, page, line_no, text
        FROM read_parquet('__FIXTURES__/pdf_cid_expected/*.parquet')
+       ORDER BY file, page, line_no"""
+
+  /** SIMPLE-FONT fixture: the pre-2015 filing shape — base encodings
+    * (MacRoman/WinAnsi/Standard) + /Differences arrays, NO /ToUnicode.
+    * Lines cycle F1(MacRoman+Differences) → F2(WinAnsi name) →
+    * F3(Differences-only, StandardEncoding fallback); every byte the
+    * parser sees went through `Pdf.writePdfDifferences`'s own inverse
+    * of the published Appendix-D tables, so Latin-1 passthrough would
+    * garble every non-ASCII character below. */
+  def pdfDiffFixtureData: Seq[(String, Seq[Seq[String]])] = Seq(
+    "legacy_2014.pdf" -> Seq(
+      Seq("Ekuitas — modal disetor €500 •",        // F1: é-free MacRoman+diffs
+        "Mata uang € dan ± 25° «résumé»",          // F2: WinAnsi upper half
+        "ringkasan ‘ﬁskal’ àé",                    // F3: Standard + Differences
+        "Laba ditahan (déﬁsit) €25 ﬁnal —",        // F1 again: é 0x8E, ﬁ 245
+        "Beban pokok — selisih kurs €3"),          // F2: — at 0x97
+      Seq("Catatan atas laporan",                  // F1 ASCII through MacRoman
+        "posisi keuangan • arus kas €1",           // F2? no: index 1 → F2
+        "tahun ﬁskal ‘berjalan’")),                // F3
+    "legacy_2013.pdf" -> Seq(
+      Seq("Ikhtisar — éﬁsiensi €7 •",
+        "«Neraca» per 31° Desember",
+        "catatan ‘umum’ àé")))
+
+  def writePdfDiffFixture(dir: String): String = {
+    val d = new java.io.File(dir)
+    d.mkdirs()
+    pdfDiffFixtureData.foreach { case (name, pages) =>
+      java.nio.file.Files.write(
+        new java.io.File(d, name).toPath,
+        graft.sources.Pdf.writePdfDifferences(pages))
+    }
+    d.getAbsolutePath
+  }
+
+  /** Expected rows straight from the fixture definition — the parser
+    * never touches these. */
+  def pdfDiffExpected(s: SparkSession): DataFrame = {
+    import s.implicits._
+    (for {
+      (file, pages) <- pdfDiffFixtureData
+      (lines, pi) <- pages.zipWithIndex
+      (text, li) <- lines.zipWithIndex
+    } yield (file, (pi + 1).toLong, li.toLong, text))
+      .toDF("file", "page", "line_no", "text")
+  }
+
+  private def pdfDiffDir: String = graft.util.Scratch.dir("pdf_diff")
+
+  /** m23 — simple-font /Encoding + /Differences text extraction (no
+    * /ToUnicode): the binary scan decodes single-byte show strings
+    * through base-encoding tables with Differences overrides; oracle
+    * replays the expected lines (same certification pattern as
+    * m20/m22, against the independent legacy encoder). */
+  private def m23(s: SparkSession, d: String): DataFrame = {
+    val dir = writePdfDiffFixture(pdfDiffDir)
+    graft.sources.Pdf.read(s, dir).toDF()
+      .orderBy("file", "page", "line_no")
+  }
+  private val m23Sql =
+    """SELECT file, page, line_no, text
+       FROM read_parquet('__FIXTURES__/pdf_diff_expected/*.parquet')
        ORDER BY file, page, line_no"""
 
   // ---- positioned PDF: table-region scan (S5-S7) --------------------
@@ -1019,6 +1133,8 @@ object Media extends QueryModule {
     "m20_pdf_tj" -> m20 _,
     "m21_xlsx_roundtrip" -> m21 _,
     "m22_pdf_cid" -> m22 _,
+    "m23_pdf_differences" -> m23 _,
+    "m24_xlsx_merged" -> m24 _,
     "p04_pdf_report" -> p04 _,
   )
 
@@ -1111,6 +1227,8 @@ object Media extends QueryModule {
     "m20_pdf_tj" -> m20Sql,
     "m21_xlsx_roundtrip" -> m21Sql,
     "m22_pdf_cid" -> m22Sql,
+    "m23_pdf_differences" -> m23Sql,
+    "m24_xlsx_merged" -> m24Sql,
     "p04_pdf_report" -> p04Sql,
   )
 }

@@ -36,9 +36,18 @@ import org.apache.spark.sql.functions._
   *     real filing uses. Fonts without a CMap read as Latin-1, correct
   *     for unencoded Type1/WinAnsi text.
   *
-  * Out of scope, stated: glyph decoding via font /Encoding differences
-  * tables WITHOUT a /ToUnicode (no reliable text recovery exists for
-  * those), and layout reconstruction beyond the text-matrix origin.
+  *   - SIMPLE-FONT /Encoding decoding (§9.6.5 + Appendix D) for fonts
+  *     with no /ToUnicode: WinAnsi/MacRoman/Standard base encodings
+  *     plus /Differences arrays (glyph names resolved through an AGL
+  *     subset and the uniXXXX/uXXXX algorithmic forms) — the shape of
+  *     pre-2015 IDX filings. A named encoding that is none of the
+  *     three standard tables (e.g. Identity-H with no /ToUnicode, a
+  *     symbolic font's private encoding) fails LOUDLY: no recoverable
+  *     text mapping exists.
+  *
+  * Out of scope, stated: decryption (an /Encrypt trailer fails loudly
+  * with "encrypted", not a corrupt-offset message), and layout
+  * reconstruction beyond the text-matrix origin.
   *
   * Kerning-to-space rule, fixed and documented: inside a `TJ` array an
   * adjustment ≤ −180 thousandths of an em reads as a word break
@@ -156,6 +165,14 @@ object Pdf {
     private val cache = scala.collection.mutable.Map[Int, Option[PObj]]()
     private var legacy: Map[Int, PObj] = Map.empty
 
+    /** Every xref-section offset already read — guards BOTH the /Prev
+      * chain and the hybrid /XRefStm hop against cycles (a crafted
+      * file whose /XRefStm points back at a classic section would
+      * otherwise recurse to StackOverflowError, an Error outside the
+      * parser's fail() model), plus a hard section-count bomb guard.
+      * Declared before the initializer below, which reads it. */
+    private val seenXref = scala.collection.mutable.Set[Long]()
+
     locally {
       val sx = raw.lastIndexOf("startxref")
       if (sx < 0) legacy = legacyScan()
@@ -163,18 +180,15 @@ object Pdf {
         val off = "\\d+".r.findFirstIn(raw.substring(sx)).map(_.toLong)
           .getOrElse(fail("startxref with no offset"))
         var next: Option[Long] = Some(off)
-        var hops = 0
-        while (next.isDefined) {
-          hops += 1
-          if (hops > 64) fail("xref /Prev chain longer than 64 sections")
-          next = readXrefSection(next.get)
-        }
+        while (next.isDefined) next = readXrefSection(next.get)
       }
     }
 
     /** Parse one xref section at `off`; returns its /Prev offset. */
     private def readXrefSection(off: Long): Option[Long] = {
       if (off < 0 || off >= raw.length) fail(s"xref offset $off out of range")
+      if (!seenXref.add(off)) fail(s"xref section cycle at offset $off")
+      if (seenXref.size > 64) fail("xref chain longer than 64 sections")
       val at = raw.substring(off.toInt)
       if (at.startsWith("xref")) {
         // classic table: subsections of `start count` then 20-byte rows
@@ -204,6 +218,7 @@ object Pdf {
         val tdict = at.substring(trailer)
         if (rootRef.isEmpty) rootRef = ref(tdict, "/Root")
         val tdictHead = tdict.take(tdict.indexOf(">>") + 2 max 0)
+        checkEncrypt(tdictHead)
         // HYBRID reference file (PDF 32000-1 §7.5.8.4): the trailer's
         // /XRefStm points at an xref STREAM carrying the entries this
         // classic table lists as free (Acrobat's 1.5-compatibility
@@ -250,9 +265,22 @@ object Pdf {
           case _ => fail("odd /Index")
         }
         if (rootRef.isEmpty) rootRef = ref(body, "/Root")
+        checkEncrypt(body)
         "/Prev\\s+(\\d+)".r.findFirstMatchIn(body).map(_.group(1).toLong)
       }
     }
+
+    /** An /Encrypt ref in a trailer means the file needs decryption,
+      * not that it is corrupt — without this guard the tokenizer dies
+      * later with a misleading offset message, the worst misdiagnosis
+      * a real-filing user can hit. Decryption is out of scope; fail
+      * with the real reason. (`\b`-style guard: /EncryptMetadata lives
+      * inside the encryption dict, never in a trailer.) */
+    private def checkEncrypt(trailer: String): Unit =
+      if ("/Encrypt(?![A-Za-z])".r.findFirstIn(trailer).isDefined)
+        throw new IllegalArgumentException(
+          "encrypted PDF: trailer carries /Encrypt — the file is valid but " +
+            "password/RC4/AES decryption is unsupported (not corruption)")
 
     /** Parse `N G obj ...` at a byte offset: (body-before-stream,
       * stream payload if any). The stream is sliced by /Length
@@ -516,18 +544,37 @@ object Pdf {
     refs.map(n => new String(doc.streamOf(n), ISO_8859_1)).mkString("\n")
   }
 
+  // ---- per-font decoders ----------------------------------------------
+
+  /** One font's byte→text decoder: a /ToUnicode CMap (CID fonts) or a
+    * simple-font encoding table (base encoding + /Differences). */
+  private[graft] sealed trait FontDec { def decode(raw: String): String }
+
   // ---- /ToUnicode CMaps (subsetted/CID font text) ---------------------
 
   /** A parsed /ToUnicode CMap: codespace ranges (byte-width, lo, hi)
     * plus the code → Unicode map (PDF 32000-1 §9.10.3). `decode` walks
-    * a show-string's raw bytes, consuming the shortest codespace width
-    * that matches at each position; a code inside the codespace with
-    * no bf mapping renders U+FFFD (the conventional extractor choice);
-    * bytes outside every codespace pass through as Latin-1 — which
-    * also makes the no-CMap simple-font path exact. */
+    * a show-string's raw bytes; at each position it tries codespace
+    * widths shortest-first and matches a range BYTE-BY-BYTE (each code
+    * byte within the corresponding lo/hi byte, §9.7.6.2 — NOT a
+    * whole-value compare, which would wrongly accept e.g. <8210>
+    * against <8140>-<9FFC> even though 0x10 < 0x40). A code inside the
+    * codespace with no bf mapping renders U+FFFD (the conventional
+    * extractor choice); bytes outside every codespace pass through as
+    * Latin-1 — which also makes the no-CMap simple-font path exact. */
   private[graft] final case class CMap(
-      ranges: Seq[(Int, Long, Long)], map: Map[Long, String]) {
+      ranges: Seq[(Int, Long, Long)], map: Map[Long, String]) extends FontDec {
     private val widths = ranges.map(_._1).distinct.sorted
+    private def byteMatch(w: Int, code: Long, lo: Long, hi: Long): Boolean = {
+      var k = 0
+      while (k < w) {
+        val sh = 8 * (w - 1 - k)
+        val b = (code >> sh) & 0xff
+        if (b < ((lo >> sh) & 0xff) || b > ((hi >> sh) & 0xff)) return false
+        k += 1
+      }
+      true
+    }
     def decode(raw: String): String = {
       val sb = new StringBuilder
       var i = 0
@@ -542,7 +589,8 @@ object Pdf {
             code = 0L
             var k = 0
             while (k < w) { code = (code << 8) | (raw.charAt(i + k) & 0xff); k += 1 }
-            hit = ranges.exists { case (rw, lo, hi) => rw == w && code >= lo && code <= hi }
+            hit = ranges.exists { case (rw, lo, hi) =>
+              rw == w && byteMatch(w, code, lo, hi) }
           }
         }
         if (hit) { sb.append(map.getOrElse(code, "�")); i += w }
@@ -559,10 +607,12 @@ object Pdf {
     * codespacerange is present, one full-width range is synthesized
     * per observed src width so decode still frames codes correctly. */
   private[graft] def parseCMap(text: String): CMap = {
-    val tok = "<([0-9A-Fa-f]*)>|\\[|\\]|[A-Za-z]+".r
+    // hex strings tolerate interior whitespace (<04 00> is legal CMap
+    // syntax, consistent with the content-stream hex handling)
+    val tok = "<([0-9A-Fa-f\\s]*)>|\\[|\\]|[A-Za-z]+".r
       .findAllMatchIn(text).toVector
     def hexOf(m: scala.util.matching.Regex.Match): Option[String] =
-      Option(m.group(1))
+      Option(m.group(1)).map(_.replaceAll("\\s", ""))
     def codeOf(h: String): Long = java.lang.Long.parseLong(h, 16)
     // dst hex = UTF-16BE units (4 hex digits each); a lone byte pair
     // (2 digits) decodes as one char — seen in sloppy generators
@@ -642,6 +692,184 @@ object Pdf {
     CMap(effective, map.result())
   }
 
+  // ---- simple-font encodings (/Encoding + /Differences, no /ToUnicode)
+
+  /** A simple (single-byte) font's decoder: 256-slot code → text table
+    * built from a base encoding (PDF 32000-1 Appendix D) with
+    * /Differences overrides. Undefined slots hold U+FFFD (same
+    * convention as an unmapped in-codespace CMap code). */
+  private[graft] final case class SimpleFont(table: Array[String]) extends FontDec {
+    def decode(raw: String): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < raw.length) { sb.append(table(raw.charAt(i) & 0xff)); i += 1 }
+      sb.toString
+    }
+  }
+
+  /** WinAnsiEncoding ≡ Windows code page 1252 for every defined code
+    * (Appendix D.2); the JDK charset supplies the table. The six
+    * cp1252 holes (0x81/8D/8F/90/9D) decode as their C1 controls —
+    * undefined in the PDF table, harmless passthrough here. */
+  private[graft] lazy val winAnsiBase: Array[String] = {
+    val cs = java.nio.charset.Charset.forName("windows-1252")
+    (0 until 256).map(b => new String(Array(b.toByte), cs)).toArray
+  }
+
+  /** MacRomanEncoding from the JDK x-MacRoman charset with the two
+    * PDF-spec deltas: 0xDB is /currency (the JDK table is the post-8.5
+    * Mac OS Roman with € there) and 0xCA is named /space in Appendix D
+    * (the OS charset has NBSP). */
+  private[graft] lazy val macRomanBase: Array[String] = {
+    val cs = java.nio.charset.Charset.forName("x-MacRoman")
+    val t = (0 until 256).map(b => new String(Array(b.toByte), cs)).toArray
+    t(0xDB) = "¤"
+    t(0xCA) = " "
+    t
+  }
+
+  /** StandardEncoding (Appendix D.2): ASCII with /quoteright at 0x27
+    * and /quoteleft at 0x60, plus its own high-half layout (typographic
+    * quotes, ligatures, accents, Lslash/oe/germandbls …). Codes the
+    * table leaves undefined decode as U+FFFD. Deltas are `code:cp` hex
+    * pairs transcribed from the published table. */
+  private[graft] lazy val standardBase: Array[String] = {
+    val t = Array.fill[String](256)("�")
+    (0x20 to 0x7e).foreach(c => t(c) = c.toChar.toString)
+    val deltas =
+      """27:2019 60:2018 A1:A1 A2:A2 A3:A3 A4:2044 A5:A5 A6:192 A7:A7
+         A8:A4 A9:27 AA:201C AB:AB AC:2039 AD:203A AE:FB01 AF:FB02
+         B1:2013 B2:2020 B3:2021 B4:B7 B6:B6 B7:2022 B8:201A B9:201E
+         BA:201D BB:BB BC:2026 BD:2030 BF:BF C1:60 C2:B4 C3:2C6 C4:2DC
+         C5:AF C6:2D8 C7:2D9 C8:A8 CA:2DA CB:B8 CD:2DD CE:2DB CF:2C7
+         D0:2014 E1:C6 E3:AA E8:141 E9:D8 EA:152 EB:BA F1:E6 F5:131
+         F8:142 F9:F8 FA:153 FB:DF"""
+    deltas.split("\\s+").filter(_.nonEmpty).foreach { kv =>
+      val Array(k, v) = kv.split(":")
+      t(Integer.parseInt(k, 16)) = Integer.parseInt(v, 16).toChar.toString
+    }
+    t
+  }
+
+  private[graft] def baseEncoding(name: String): Option[Array[String]] =
+    name match {
+      case "WinAnsiEncoding" => Some(winAnsiBase)
+      case "MacRomanEncoding" => Some(macRomanBase)
+      case "StandardEncoding" => Some(standardBase)
+      case _ => None
+    }
+
+  /** Adobe Glyph List subset: every glyph name the three base
+    * encodings use (the names a /Differences array over a text font
+    * can sensibly carry), as `name:cp` hex pairs from the published
+    * AGL. Letters/digits are generated. Names outside the subset fall
+    * back to the AGL algorithmic forms (uniXXXX / uXXXX[XX]); anything
+    * else decodes U+FFFD — a decorative dingbat name must not kill the
+    * whole filing. */
+  private[graft] lazy val aglSubset: Map[String, String] = {
+    val data =
+      """space:20 exclam:21 quotedbl:22 numbersign:23 dollar:24
+         percent:25 ampersand:26 quotesingle:27 parenleft:28
+         parenright:29 asterisk:2A plus:2B comma:2C hyphen:2D period:2E
+         slash:2F colon:3A semicolon:3B less:3C equal:3D greater:3E
+         question:3F at:40 bracketleft:5B backslash:5C bracketright:5D
+         asciicircum:5E underscore:5F grave:60 braceleft:7B bar:7C
+         braceright:7D asciitilde:7E
+         exclamdown:A1 cent:A2 sterling:A3 currency:A4 yen:A5
+         brokenbar:A6 section:A7 dieresis:A8 copyright:A9
+         ordfeminine:AA guillemotleft:AB logicalnot:AC registered:AE
+         macron:AF degree:B0 plusminus:B1 twosuperior:B2
+         threesuperior:B3 acute:B4 mu:B5 paragraph:B6 periodcentered:B7
+         cedilla:B8 onesuperior:B9 ordmasculine:BA guillemotright:BB
+         onequarter:BC onehalf:BD threequarters:BE questiondown:BF
+         Agrave:C0 Aacute:C1 Acircumflex:C2 Atilde:C3 Adieresis:C4
+         Aring:C5 AE:C6 Ccedilla:C7 Egrave:C8 Eacute:C9 Ecircumflex:CA
+         Edieresis:CB Igrave:CC Iacute:CD Icircumflex:CE Idieresis:CF
+         Eth:D0 Ntilde:D1 Ograve:D2 Oacute:D3 Ocircumflex:D4 Otilde:D5
+         Odieresis:D6 multiply:D7 Oslash:D8 Ugrave:D9 Uacute:DA
+         Ucircumflex:DB Udieresis:DC Yacute:DD Thorn:DE germandbls:DF
+         agrave:E0 aacute:E1 acircumflex:E2 atilde:E3 adieresis:E4
+         aring:E5 ae:E6 ccedilla:E7 egrave:E8 eacute:E9 ecircumflex:EA
+         edieresis:EB igrave:EC iacute:ED icircumflex:EE idieresis:EF
+         eth:F0 ntilde:F1 ograve:F2 oacute:F3 ocircumflex:F4 otilde:F5
+         odieresis:F6 divide:F7 oslash:F8 ugrave:F9 uacute:FA
+         ucircumflex:FB udieresis:FC yacute:FD thorn:FE ydieresis:FF
+         dotlessi:131 Lslash:141 lslash:142 OE:152 oe:153 Scaron:160
+         scaron:161 Ydieresis:178 Zcaron:17D zcaron:17E florin:192
+         circumflex:2C6 caron:2C7 breve:2D8 dotaccent:2D9 ring:2DA
+         ogonek:2DB tilde:2DC hungarumlaut:2DD
+         Omega:3A9 pi:3C0 endash:2013 emdash:2014 quoteleft:2018
+         quoteright:2019 quotesinglbase:201A quotedblleft:201C
+         quotedblright:201D quotedblbase:201E dagger:2020
+         daggerdbl:2021 bullet:2022 ellipsis:2026 perthousand:2030
+         guilsinglleft:2039 guilsinglright:203A fraction:2044
+         Euro:20AC trademark:2122 partialdiff:2202 Delta:2206
+         product:220F summation:2211 minus:2212 radical:221A
+         infinity:221E integral:222B approxequal:2248 notequal:2260
+         lessequal:2264 greaterequal:2265 lozenge:25CA fi:FB01 fl:FB02"""
+    val named = data.split("\\s+").filter(_.nonEmpty).map { kv =>
+      val Array(k, v) = kv.split(":")
+      k -> Integer.parseInt(v, 16).toChar.toString
+    }
+    val letters = (('A' to 'Z') ++ ('a' to 'z')).map(c => c.toString -> c.toString)
+    val digits = Seq("zero", "one", "two", "three", "four", "five",
+      "six", "seven", "eight", "nine").zipWithIndex
+      .map { case (n, i) => n -> ('0' + i).toChar.toString }
+    (named ++ letters ++ digits).toMap
+  }
+
+  /** Glyph name → text: the AGL subset, then the AGL algorithmic
+    * forms (`uniXXXX[XXXX…]` as UTF-16 units, `uXXXX`–`uXXXXXX` as a
+    * code point), else U+FFFD. */
+  private[graft] def glyphText(name: String): String =
+    aglSubset.getOrElse(name, name match {
+      case s if s.startsWith("uni") && s.length >= 7 &&
+          (s.length - 3) % 4 == 0 &&
+          s.drop(3).forall(c => Character.digit(c, 16) >= 0) =>
+        s.drop(3).grouped(4).map(u => Integer.parseInt(u, 16).toChar).mkString
+      case s if s.startsWith("u") && s.length >= 5 && s.length <= 7 &&
+          s.drop(1).forall(c => Character.digit(c, 16) >= 0) =>
+        new String(Character.toChars(Integer.parseInt(s.drop(1), 16)))
+      case _ => "�"
+    })
+
+  /** Build a simple font's decoder from its /Encoding entry (name or
+    * dict), resolved: base encoding table + /Differences overrides
+    * (PDF 32000-1 §9.6.5). `encSpec` is the raw /Encoding value;
+    * `encDict` its dict text when it is one. A named encoding that is
+    * not one of the three standard tables (an Identity CMap name, a
+    * symbolic font's private encoding) has NO recoverable text mapping
+    * without a /ToUnicode — that fails LOUDLY, same contract as
+    * corrupt input. */
+  private[graft] def simpleFontDec(encSpec: String, encDict: Option[String]): SimpleFont = {
+    encDict match {
+      case None =>
+        val n = encSpec.trim.stripPrefix("/")
+        SimpleFont(baseEncoding(n).getOrElse(fail(
+          s"font /Encoding /$n: not a standard simple-font encoding and no " +
+            "/ToUnicode — no recoverable text mapping")))
+      case Some(dict) =>
+        // absent /BaseEncoding the spec falls back to the font's
+        // built-in encoding; for the non-symbolic text fonts this
+        // reader targets that is StandardEncoding (§9.6.5.2)
+        val base = "/BaseEncoding\\s*/([A-Za-z0-9\\-]+)".r
+          .findFirstMatchIn(dict).map(_.group(1)) match {
+          case Some(n) => baseEncoding(n).getOrElse(fail(
+            s"font /BaseEncoding /$n: not a standard simple-font encoding"))
+          case None => standardBase
+        }
+        val t = base.clone()
+        "/Differences\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(dict).foreach { m =>
+          var code = -1
+          "(\\d+)|/([^\\s/\\[\\]<>()]+)".r.findAllMatchIn(m.group(1)).foreach { tk =>
+            if (tk.group(1) != null) code = tk.group(1).toInt
+            else if (code >= 0 && code < 256) { t(code) = glyphText(tk.group(2)); code += 1 }
+          }
+        }
+        SimpleFont(t)
+    }
+  }
+
   /** The raw value text that follows `key` in a dictionary body:
     * a balanced inline `<< … >>`, an `N g R` indirect reference, or a
     * bare token — whatever is there, uninterpreted. */
@@ -676,13 +904,26 @@ object Pdf {
       .flatMap(m => doc.obj(m.group(1).toInt).map(_.body))
   }
 
-  /** Font-resource name → /ToUnicode CMap for one page. Fonts without
-    * a /ToUnicode (unencoded Type1/WinAnsi text) get no entry and
-    * their strings pass through as Latin-1, the pre-CMap behavior.
-    * CMaps are memoized per document — subsetted fonts are shared
-    * across pages. */
+  /** A font's /Encoding entry → simple-font decoder: a direct name, an
+    * inline dict, or an indirect ref to either. None when the font has
+    * no /Encoding at all (passthrough, the built-in-encoding case). */
+  private def encodingDec(doc: Doc, fontBody: String): Option[FontDec] =
+    rawValue(fontBody, "/Encoding").map { enc =>
+      resolveDict(doc, enc) match {
+        case Some(txt) if txt.trim.startsWith("<<") => simpleFontDec("", Some(txt))
+        case Some(txt) => simpleFontDec(txt, None) // indirect name object
+        case None => simpleFontDec(enc, None) // direct name
+      }
+    }
+
+  /** Font-resource name → decoder for one page: a /ToUnicode CMap when
+    * present (it wins — it is the authoritative text mapping), else a
+    * simple-font /Encoding table (base encoding + /Differences). Fonts
+    * with NEITHER get no entry and their strings pass through as
+    * Latin-1, the pre-CMap behavior. Decoders are memoized per
+    * document — fonts are shared across pages. */
   private def fontsOf(doc: Doc, resSpec: Option[String],
-      cache: scala.collection.mutable.Map[Int, Option[CMap]]): Map[String, CMap] =
+      cache: scala.collection.mutable.Map[Int, Option[FontDec]]): Map[String, FontDec] =
     (for {
       spec <- resSpec.toSeq
       res <- resolveDict(doc, spec).toSeq
@@ -690,9 +931,11 @@ object Pdf {
       fonts <- resolveDict(doc, fontSpec).toSeq
       m <- "/([^\\s/<>\\[\\]()]+)\\s+(\\d+)\\s+\\d+\\s+R".r.findAllMatchIn(fonts)
       cm <- cache.getOrElseUpdate(m.group(2).toInt,
-        doc.obj(m.group(2).toInt).map(_.body)
-          .flatMap(b => ref(b, "/ToUnicode"))
-          .map(tn => parseCMap(new String(doc.streamOf(tn), ISO_8859_1))))
+        doc.obj(m.group(2).toInt).map(_.body).flatMap { b =>
+          ref(b, "/ToUnicode")
+            .map(tn => parseCMap(new String(doc.streamOf(tn), ISO_8859_1)): FontDec)
+            .orElse(encodingDec(doc, b))
+        })
     } yield m.group(1) -> cm).toMap
 
   // ---- content-stream tokenizer --------------------------------------
@@ -852,14 +1095,15 @@ object Pdf {
 
   /** Walk one page's content: every shown string with the text-line
     * origin at its show op, in stream order. `Tf` selects the active
-    * font; strings of a font with a /ToUnicode CMap decode through it,
-    * all others (and text before any Tf) pass through as Latin-1. */
+    * font; strings of a font with a /ToUnicode CMap or a simple-font
+    * /Encoding decode through it, all others (and text before any Tf)
+    * pass through as Latin-1. */
   private def walkContent(content: String,
-      fonts: Map[String, CMap] = Map.empty): Seq[(Double, Double, String)] = {
+      fonts: Map[String, FontDec] = Map.empty): Seq[(Double, Double, String)] = {
     val out = Seq.newBuilder[(Double, Double, String)]
     var cx = 0.0; var cy = 0.0; var tl = 0.0
-    var cmap: CMap = null // null = identity (no /ToUnicode)
-    def dec(s: String): String = if (cmap == null) s else cmap.decode(s)
+    var fdec: FontDec = null // null = identity (no decoder)
+    def dec(s: String): String = if (fdec == null) s else fdec.decode(s)
     val stack = scala.collection.mutable.ArrayBuffer[Tok]()
     def num(k: Int): Double = stack.lift(stack.length - k) match {
       case Some(TNum(v)) => v
@@ -872,7 +1116,7 @@ object Pdf {
       case TOp("BT") => cx = 0.0; cy = 0.0; tl = 0.0; stack.clear()
       case TOp("Tf") =>
         stack.lift(stack.length - 2) match {
-          case Some(TName(f)) => cmap = fonts.getOrElse(f, null)
+          case Some(TName(f)) => fdec = fonts.getOrElse(f, null)
           case _ => ()
         }
         stack.clear()
@@ -899,7 +1143,7 @@ object Pdf {
   /** Parse one PDF payload to (page, line_no, text) rows. */
   def parsePdf(bytes: Array[Byte]): Seq[(Long, Long, String)] = {
     val doc = new Doc(bytes)
-    val cmaps = scala.collection.mutable.Map[Int, Option[CMap]]()
+    val cmaps = scala.collection.mutable.Map[Int, Option[FontDec]]()
     pageObjs(doc).zipWithIndex.flatMap { case ((pageObj, res), pi) =>
       walkContent(pageContent(doc, pageObj), fontsOf(doc, res, cmaps))
         .zipWithIndex.map {
@@ -911,7 +1155,7 @@ object Pdf {
   /** Positioned variant: (page, line_no, x, y, text) per show op. */
   def parsePdfPositioned(bytes: Array[Byte]): Seq[(Long, Long, Double, Double, String)] = {
     val doc = new Doc(bytes)
-    val cmaps = scala.collection.mutable.Map[Int, Option[CMap]]()
+    val cmaps = scala.collection.mutable.Map[Int, Option[FontDec]]()
     pageObjs(doc).zipWithIndex.flatMap { case ((pageObj, res), pi) =>
       walkContent(pageContent(doc, pageObj), fontsOf(doc, res, cmaps))
         .zipWithIndex.map {
@@ -1241,6 +1485,105 @@ object Pdf {
     obj(f2Num, "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
     val xrefPos = body.length
     val nObjs = f2Num
+    body.append(s"xref\n0 ${nObjs + 1}\n0000000000 65535 f \n")
+    offsets.foreach(o => body.append(f"$o%010d 00000 n \n"))
+    body.append(s"trailer\n<< /Size ${nObjs + 1} /Root 1 0 R >>\nstartxref\n$xrefPos\n%%EOF\n")
+    body.toString.getBytes(ISO_8859_1)
+  }
+
+  /** Independent SIMPLE-FONT encoder: pre-2015 IDX filings routinely
+    * carry WinAnsi/MacRoman/Standard base encodings plus /Differences
+    * arrays and NO /ToUnicode (the reference's E2 path consumes such
+    * files via fitz, mainTesting.py:273-285). Written against PDF
+    * 32000-1 §9.6.5 + Appendix D, not against the parser:
+    *   - `/F1`: /Encoding is an INDIRECT dict — /BaseEncoding
+    *     /MacRomanEncoding with /Differences `[219 /Euro 245 /fi
+    *     /uni2014 /bullet]` (219 overrides the base table's /currency;
+    *     /uni2014 exercises the AGL algorithmic name form);
+    *   - `/F2`: /Encoding is the direct NAME /WinAnsiEncoding;
+    *   - `/F3`: /Encoding is an INLINE dict with /Differences only
+    *     (no /BaseEncoding → StandardEncoding fallback), remapping
+    *     codes 65/66 — the bytes 'A'/'B' — to /agrave//eacute, so
+    *     Differences precedence over the base table is load-bearing;
+    *   - lines cycle F1→F2→F3; every show string is HEX.
+    * The encoder pairs each glyph NAME with its expected character by
+    * its own transcription of the published tables and inverts them;
+    * text that a font cannot encode is a fixture-author error
+    * (require). Classic xref, uncompressed streams, deterministic. */
+  def writePdfDifferences(pages: Seq[Seq[String]]): Array[Byte] = {
+    val n = pages.size
+    require(n >= 1, "writePdfDifferences needs at least one page")
+    def inv(base: Array[String], diffs: Seq[(Int, Char)]): Map[Char, Int] = {
+      val m = scala.collection.mutable.Map[Char, Int]()
+      base.zipWithIndex.foreach { case (s, i) =>
+        if (s != null && s.length == 1 && s != "�" && !m.contains(s.charAt(0)))
+          m(s.charAt(0)) = i
+      }
+      diffs.foreach { case (code, c) => m(c) = code } // Differences win
+      m.toMap
+    }
+    // the encoder's own name↔char transcription of the spec tables
+    val f1Diffs = Seq(219 -> '€', 245 -> 'ﬁ', 246 -> '—', 247 -> '•')
+    val f3Diffs = Seq(65 -> 'à', 66 -> 'é')
+    val invs = Array(
+      inv(macRomanBase, f1Diffs),
+      inv(winAnsiBase, Seq.empty),
+      inv(standardBase, f3Diffs))
+    def hexShow(text: String, font: Int): String =
+      text.map { c =>
+        val b = invs(font).getOrElse(c,
+          sys.error(s"fixture char U+${c.toInt.toHexString} not encodable in F${font + 1}"))
+        f"$b%02X"
+      }.mkString("<", "", ">")
+    def contentFor(lines: Seq[String]): String = {
+      val ops = Seq.newBuilder[String]
+      ops += "BT"
+      ops += "72 720 Td"
+      lines.zipWithIndex.foreach { case (l, i) =>
+        val f = i % 3
+        ops += s"/F${f + 1} 11 Tf"
+        ops += s"${hexShow(l, f)} Tj"
+        ops += "0 -14 Td"
+      }
+      ops += "ET"
+      ops.result().mkString("\n")
+    }
+    // objects: 1 catalog, 2 pages root, pages, contents, F1, F1's
+    // encoding dict, F2, F3 — /Resources sit on EACH page dict
+    val pageNums = (0 until n).map(3 + _)
+    val contNums = (0 until n).map(3 + n + _)
+    val f1Num = 3 + 2 * n; val enc1Num = 4 + 2 * n
+    val f2Num = 5 + 2 * n; val f3Num = 6 + 2 * n
+    val body = new StringBuilder
+    val offsets = scala.collection.mutable.ArrayBuffer[Int]()
+    body.append("%PDF-1.4\n")
+    def obj(num: Int, content: String): Unit = {
+      offsets += body.length
+      body.append(s"$num 0 obj\n$content\nendobj\n")
+    }
+    obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    obj(2, s"<< /Type /Pages /Kids [${pageNums.map(p => s"$p 0 R").mkString(" ")}] /Count $n >>")
+    pageNums.zip(contNums).foreach { case (p, c) =>
+      obj(p, s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents $c 0 R " +
+        s"/Resources << /Font << /F1 $f1Num 0 R /F2 $f2Num 0 R /F3 $f3Num 0 R >> >> >>")
+    }
+    pages.zip(contNums).foreach { case (lines, c) =>
+      val s = contentFor(lines)
+      offsets += body.length
+      body.append(s"$c 0 obj\n<< /Length ${s.length} >>\nstream\n")
+      body.append(s)
+      body.append("\nendstream\nendobj\n")
+    }
+    obj(f1Num, "<< /Type /Font /Subtype /Type1 /BaseFont /Times-Roman " +
+      s"/Encoding $enc1Num 0 R >>")
+    obj(enc1Num, "<< /Type /Encoding /BaseEncoding /MacRomanEncoding " +
+      "/Differences [ 219 /Euro 245 /fi /uni2014 /bullet ] >>")
+    obj(f2Num, "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+      "/Encoding /WinAnsiEncoding >>")
+    obj(f3Num, "<< /Type /Font /Subtype /Type1 /BaseFont /Courier " +
+      "/Encoding << /Differences [ 65 /agrave /eacute ] >> >>")
+    val xrefPos = body.length
+    val nObjs = f3Num
     body.append(s"xref\n0 ${nObjs + 1}\n0000000000 65535 f \n")
     offsets.foreach(o => body.append(f"$o%010d 00000 n \n"))
     body.append(s"trailer\n<< /Size ${nObjs + 1} /Root 1 0 R >>\nstartxref\n$xrefPos\n%%EOF\n")

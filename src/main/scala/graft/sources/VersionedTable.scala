@@ -49,6 +49,20 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * JSON; a reader pinned to version v keeps working through any number
   * of later merges, and through vacuum as long as v is retained.
   *
+  * MERGE-ON-READ (`merge(..., mor = true)`): the write-side answer for
+  * SCATTERED small updates, where COW's bucket rewrite is ruinous — a
+  * 0.1%-key batch spread over all 64 buckets rewrites the whole table
+  * (measured: study_r10.json `cow_write_amplification`). A MoR commit
+  * writes ONLY the batch (upserts + `_mor_del` tombstones) as a delta
+  * layer and appends it to the affected buckets' manifest state;
+  * owners never move. Every read path goes through `resolved()`
+  * (newest layer wins per key, tombstones drop, untouched keys stream
+  * from the base scan), a later COW merge of a bucket folds its layers
+  * in, and `compact` folds everything — the Delta deletion-vector /
+  * Iceberg merge-on-read trade, expressed at bucket granularity.
+  * Operating rule: MoR for high-frequency scattered batches, compact
+  * on a cadence that bounds live layers, COW (default) otherwise.
+  *
   * Deliberately NOT here (use Delta/Iceberg when these matter):
   * cross-table transactions, manifest-level column stats (pointless
   * under hash bucketing — non-key min/max spans every bucket; x12's
@@ -66,6 +80,11 @@ object VersionedTable {
   val KB = "kb"
   private val LOG = "_log"
   private val FEED = "_feed"
+  /** Delta-layer internals (merge-on-read): `_mor_del` marks a
+    * tombstone row inside a delta file; `_mor_layer` is the resolution
+    * order during a read. Neither ever appears in a user schema. */
+  private val DEL = "_mor_del"
+  private val LAYER = "_mor_layer"
 
   /** A true commit conflict: the winner touched our buckets, changed
     * the schema/layout, or won a creation race — the staged batch is
@@ -80,10 +99,20 @@ object VersionedTable {
     * version's MATERIALIZED change feed — the Θ(batch) row diff its
     * commit wrote next to the data (see `merge`). Absent on manifests
     * written before feeds existed and on `restore` commits, whose diff
-    * is only available derived. */
+    * is only available derived.
+    *
+    * MERGE-ON-READ state: `deltaDirs` lists every live DELTA commit
+    * dir in COMMIT ORDER (the resolution order — newest layer wins per
+    * key), and `deltas` maps each bucket to the subset of those dirs
+    * whose rows still apply to it (a later COW rewrite of a bucket
+    * folds its delta rows in and removes the bucket from the dirs'
+    * membership; the dir itself stays live for its other buckets).
+    * Both empty on pre-MoR manifests and after any compact/rebucket. */
   final case class Snapshot(version: Long, numBuckets: Int,
       keyCols: Seq[String], schema: StructType, owners: Map[Int, String],
-      cdc: Option[(String, StructType)] = None)
+      cdc: Option[(String, StructType)] = None,
+      deltaDirs: Seq[String] = Nil,
+      deltas: Map[Int, Seq[String]] = Map.empty)
 
   private def fsOf(spark: SparkSession, path: String): (FileSystem, HPath) = {
     val p = new HPath(path)
@@ -135,9 +164,24 @@ object VersionedTable {
         Some((m.get("cdcDir").asText(),
           DataType.fromJson(m.get("cdcSchema").asText()).asInstanceOf[StructType]))
       else None
+    val deltaDirs =
+      if (!m.has("deltaDirs")) Seq.empty[String]
+      else { val a = m.get("deltaDirs"); (0 until a.size()).map(a.get(_).asText()) }
+    val deltas =
+      if (!m.has("deltas")) Map.empty[Int, Seq[String]]
+      else {
+        val it = m.get("deltas").fields()
+        val b = Map.newBuilder[Int, Seq[String]]
+        while (it.hasNext) {
+          val e = it.next()
+          b += (e.getKey.toInt ->
+            (0 until e.getValue.size()).map(e.getValue.get(_).asText()))
+        }
+        b.result()
+      }
     Snapshot(m.get("version").asLong(), m.get("numBuckets").asInt(), keys,
       DataType.fromJson(m.get("schema").asText()).asInstanceOf[StructType],
-      owners, cdc)
+      owners, cdc, deltaDirs, deltas)
   }
 
   /** Read the table as of `asOf` (latest when None). ONE Catalyst file
@@ -149,7 +193,53 @@ object VersionedTable {
     * paths (derived diff, rewrite). */
   def read(spark: SparkSession, path: String,
       asOf: Option[Long] = None): DataFrame =
-    VersionedScan.relation(spark, path, snapshot(spark, path, asOf), None)
+    resolved(spark, path, snapshot(spark, path, asOf), None)
+
+  /** The ONE resolution point every consumer reads through: the base
+    * scan (custom FileIndex over the owner dirs) with the snapshot's
+    * live DELTA LAYERS applied on top — per key, the newest delta row
+    * wins (commit order = `deltaDirs` order), tombstones drop, and
+    * keys no delta touches stream straight from the base scan via an
+    * anti-join against the (merge-batch-sized) delta key set. With no
+    * live deltas this IS the plain base scan — the COW fast path costs
+    * nothing. Scale: delta volume between compactions is the sum of
+    * un-folded merge batches; the anti-join's build side is exactly
+    * that key set (AQE broadcasts it while it is small), and `compact`
+    * folds layers back to zero — the operating rule is the same as
+    * Delta/Iceberg MoR: compact on a cadence matched to ingest. */
+  private[graft] def resolved(spark: SparkSession, path: String,
+      sn: Snapshot, buckets: Option[Set[Int]]): DataFrame = {
+    val base = VersionedScan.relation(spark, path, sn, buckets)
+    val layers = sn.deltaDirs.zipWithIndex.flatMap { case (dir, layer) =>
+      val live = sn.deltas.collect {
+        case (b, ds) if ds.contains(dir) && buckets.forall(_.contains(b)) => b
+      }.toSeq
+      if (live.isEmpty) None
+      else Some(spark.read.parquet(s"$path/$dir")
+        .filter(col(KB).isin(live.map(Int.box): _*))
+        .drop(KB)
+        .withColumn(LAYER, lit(layer.toLong)))
+    }
+    if (layers.isEmpty) return base
+    val keys = sn.keyCols
+    val dataCols = sn.schema.fields.toSeq
+      .filterNot(f => keys.contains(f.name))
+      .map(f => (f.name, f.dataType))
+    def align(df: DataFrame): DataFrame =
+      df.select(keys.map(col) ++ aligned(df, dataCols) ++
+        Seq(coalesce(col(DEL), lit(false)).as(DEL), col(LAYER)): _*)
+    val allD = layers.map(align).reduce(_ unionByName _)
+    val payload = struct(dataCols.map { case (n, _) => col(n) } :+ col(DEL): _*)
+    val latest = allD.groupBy(keys.map(col): _*)
+      .agg(max_by(payload, col(LAYER)).as("_r"))
+    val upserted = latest.filter(!col(s"_r.$DEL"))
+      .select(keys.map(col) ++
+        dataCols.map { case (n, _) => col(s"_r.$n").as(n) }: _*)
+    val deltaKeys = latest.select(keys.map(col): _*)
+    base.join(deltaKeys, keys, "left_anti")
+      .unionByName(upserted)
+      .select(sn.schema.fieldNames.toSeq.map(col): _*)
+  }
 
   private[graft] def readBuckets(spark: SparkSession, path: String, sn: Snapshot,
       buckets: Option[Set[Int]]): DataFrame = {
@@ -177,7 +267,9 @@ object VersionedTable {
   private def writeManifest(fs: FileSystem, root: HPath, v: Long,
       numBuckets: Int, keyCols: Seq[String], schema: StructType,
       owners: Map[Int, String],
-      cdc: Option[(String, StructType)] = None): Unit = {
+      cdc: Option[(String, StructType)] = None,
+      deltaDirs: Seq[String] = Nil,
+      deltas: Map[Int, Seq[String]] = Map.empty): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.createObjectNode()
     node.put("version", v)
@@ -190,6 +282,15 @@ object VersionedTable {
     }
     val on = node.putObject("owners")
     owners.toSeq.sortBy(_._1).foreach { case (b, d) => on.put(b.toString, d) }
+    if (deltaDirs.nonEmpty) {
+      val da = node.putArray("deltaDirs")
+      deltaDirs.foreach(da.add)
+      val dn = node.putObject("deltas")
+      deltas.toSeq.sortBy(_._1).foreach { case (b, ds) =>
+        val arr = dn.putArray(b.toString)
+        ds.foreach(arr.add)
+      }
+    }
     fs.mkdirs(new HPath(root, LOG))
     // put-if-absent IS the commit: a concurrent writer (or a re-run of
     // a crashed one) must fail here, before any reader can see v.
@@ -269,7 +370,8 @@ object VersionedTable {
     * numBuckets (the same knob that scopes merge cost). */
   def merge(spark: SparkSession, path: String, updates: DataFrame,
       keyCols: Seq[String], deleteCol: Option[String] = None,
-      numBuckets: Int = 64, maxConflictRetries: Int = 3): Long = {
+      numBuckets: Int = 64, maxConflictRetries: Int = 3,
+      mor: Boolean = false): Long = {
     // Bounded recompute-and-retry on TRUE conflicts (the Delta pattern):
     // a loser whose rebase was impossible re-reads the fresh snapshot
     // and re-runs the whole merge body — survivors, feed, staged files
@@ -281,10 +383,12 @@ object VersionedTable {
     // the strict fail-on-conflict contract (the conflict spec does).
     var attempt = 0
     while (true) {
-      try return mergeOnce(spark, path, updates, keyCols, deleteCol, numBuckets)
+      try return mergeOnce(spark, path, updates, keyCols, deleteCol,
+        numBuckets, mor)
       catch {
         case e: ConcurrentCommitException =>
           attempt += 1
+          conflictRecomputes.incrementAndGet()
           if (attempt > maxConflictRetries) throw e
           System.err.println(s"[VersionedTable] merge of $path hit a true " +
             s"commit conflict (${e.getMessage.take(120)}); recomputing " +
@@ -294,9 +398,16 @@ object VersionedTable {
     -1L // unreachable
   }
 
+  /** Study/ops instrumentation, not control flow: how many true
+    * conflicts forced a recompute, and how many lost manifest races
+    * were rebased, process-wide (the OCC-throughput study reads these;
+    * see study_r10.json `occ_throughput`). */
+  private[graft] val conflictRecomputes = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val rebaseRetries = new java.util.concurrent.atomic.AtomicLong
+
   private def mergeOnce(spark: SparkSession, path: String, updates: DataFrame,
       keyCols: Seq[String], deleteCol: Option[String],
-      numBuckets: Int): Long = {
+      numBuckets: Int, mor: Boolean = false): Long = {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     require(numBuckets > 0, "numBuckets must be positive")
     require(!updates.columns.contains(KB),
@@ -374,17 +485,21 @@ object VersionedTable {
         .select(dataCols.map(col): _*)
       val v = baseSn0.map(_.version + 1).getOrElse(0L)
       val dir = f"d$v%08d_" + java.util.UUID.randomUUID().toString.take(8)
-      val (merged, baseSn, feed) =
+      // mor applies only to an EXISTING table — creation writes the base
+      val morEff = mor && baseSn0.nonEmpty
+      val (toWrite, commitSchema, baseSn, feed) =
         if (baseSn0.isEmpty)
           // table creation has no "before" to diff against: no feed
           // (version 0 never appears as the TO side of a changes range)
-          (upserts, None: Option[Snapshot], None: Option[DataFrame])
+          (upserts, upserts.schema, None: Option[Snapshot], None: Option[DataFrame])
         else {
           val sn = baseSn0.get
           if (affected.isEmpty) return sn.version // empty batch: no-op
-          val cur = readBuckets(spark, path, sn, Some(affected))
-          val survivors =
-            cur.join(u.select(keyCols.map(col): _*), keyCols, "left_anti")
+          // the RESOLVED view of the affected buckets: any live delta
+          // layers apply before this merge reads its before-state, so
+          // COW-over-MoR folds correctly and the feed's pre-images are
+          // the true current rows
+          val cur = resolved(spark, path, sn, Some(affected))
           // the commit's Θ(batch) row diff, materialized alongside the
           // data (Delta CDF's _change_data): pre = the batch keys'
           // current rows (one more bucket-pruned scan, row-pruned by
@@ -394,19 +509,37 @@ object VersionedTable {
           // changes()/maintain() batch-sized however the keys scatter.
           val pre =
             cur.join(u.select(keyCols.map(col): _*), keyCols, "left_semi")
-          val merged =
-            survivors.unionByName(upserts, allowMissingColumns = true)
           // feed types come from the MERGED schema — unionByName may
           // WIDEN coercible types (int batch into a long column), and
           // the diff must compare both sides in the committed types,
           // not reject a merge the write itself accepts
-          val dataCols =
-            unionDataCols(merged.schema.fields, keyCols, "after the merge")
-          (merged, Some(sn),
-            Some(rowDiff(pre, upserts, keyCols, dataCols)))
+          val mergedSchema = cur.limit(0)
+            .unionByName(upserts.limit(0), allowMissingColumns = true).schema
+          val feedCols =
+            unionDataCols(mergedSchema.fields, keyCols, "after the merge")
+          val feedDf = rowDiff(pre, upserts, keyCols, feedCols)
+          if (morEff) {
+            // MERGE-ON-READ: write ONLY the batch as a delta layer —
+            // upserts plus tombstone rows flagged `_mor_del` — and
+            // leave every base file untouched. Write amplification is
+            // ~1x by construction (measured vs COW's scatter-batch
+            // blowup in study_r10.json `cow_write_amplification`);
+            // reads pay the layer resolution until `compact` folds it.
+            val delta = u.withColumn(DEL, deleteCol
+                .map(c => coalesce(col(c), lit(false)))
+                .getOrElse(lit(false)))
+              .select((dataCols :+ DEL).map(col): _*)
+            (delta, mergedSchema, Some(sn), Some(feedDf))
+          } else {
+            val survivors =
+              cur.join(u.select(keyCols.map(col): _*), keyCols, "left_anti")
+            val merged =
+              survivors.unionByName(upserts, allowMissingColumns = true)
+            (merged, merged.schema, Some(sn), Some(feedDf))
+          }
         }
       // mode("error"): the dir is version-unique, anything there is a bug
-      merged.withColumn(KB, bucket)
+      toWrite.withColumn(KB, bucket)
         .repartition(col(KB))
         .write.mode("error").partitionBy(KB).parquet(s"$path/$dir")
       // feed before manifest: the manifest IS the commit, so a crash
@@ -425,7 +558,7 @@ object VersionedTable {
       val staged = listBuckets(fs, new HPath(root, dir))
       val committed =
         commitWithRebase(spark, fs, root, path, dir, staged, affected,
-          baseSn, merged.schema, keyCols, numBuckets, cdc)
+          baseSn, commitSchema, keyCols, numBuckets, cdc, morEff)
       // post-commit publication sweep: this version's feed plus any
       // predecessor's a crash left committed-but-unpublished. The
       // commit is already durable, so a transient publish failure must
@@ -470,7 +603,7 @@ object VersionedTable {
       root: HPath, path: String, dir: String, staged: Seq[Int],
       affected: Set[Int], base: Option[Snapshot], schema: StructType,
       keyCols: Seq[String], numBuckets: Int,
-      cdc: Option[(String, StructType)]): Long = {
+      cdc: Option[(String, StructType)], mor: Boolean = false): Long = {
     val hook = beforeCommitHook
     beforeCommitHook = () => ()
     hook()
@@ -478,11 +611,30 @@ object VersionedTable {
     var tries = 0
     while (true) {
       val v = cur.map(_.version + 1).getOrElse(0L)
-      val owners =
-        cur.map(_.owners -- affected).getOrElse(Map.empty[Int, String]) ++
-          staged.map(_ -> dir)
+      val (owners, deltaDirs, deltas) =
+        if (mor) {
+          // MoR commit: owners untouched, the staged dir APPENDS as the
+          // newest delta layer of exactly its staged buckets
+          val b = cur.get // mor requires an existing table (mergeOnce)
+          (b.owners,
+            b.deltaDirs :+ dir,
+            b.deltas ++ staged.map(k => k -> (b.deltas.getOrElse(k, Nil) :+ dir)))
+        } else {
+          // COW commit: the new dir OWNS its buckets, and any delta
+          // layers those buckets carried are folded in (the staged
+          // files came from the resolved view) — drop their membership
+          // and any dir no bucket references anymore
+          val prunedDeltas = cur.map(_.deltas -- affected)
+            .getOrElse(Map.empty[Int, Seq[String]])
+          val liveDirs = prunedDeltas.values.flatten.toSet
+          (cur.map(_.owners -- affected).getOrElse(Map.empty[Int, String]) ++
+            staged.map(_ -> dir),
+            cur.map(_.deltaDirs.filter(liveDirs)).getOrElse(Nil),
+            prunedDeltas)
+        }
       try {
-        writeManifest(fs, root, v, numBuckets, keyCols, schema, owners, cdc)
+        writeManifest(fs, root, v, numBuckets, keyCols, schema, owners, cdc,
+          deltaDirs, deltas)
         return v
       } catch {
         case e: java.io.IOException if fs.exists(manifestPath(root, v)) =>
@@ -518,10 +670,17 @@ object VersionedTable {
             s.fields.toSeq.map(f => (f.name, f.dataType.catalogString))
           if (shape(winner.schema) != shape(b.schema))
             conflict("table schema changed")
-          val touched = affected.filter(k => winner.owners.get(k) != b.owners.get(k))
+          // a bucket counts as touched when the winner changed its
+          // OWNER (a COW rewrite) *or* its DELTA layers (a MoR append/
+          // fold) — either way our staged files and feed pre-images
+          // were computed against a state the winner replaced
+          val touched = affected.filter(k =>
+            winner.owners.get(k) != b.owners.get(k) ||
+              winner.deltas.getOrElse(k, Nil) != b.deltas.getOrElse(k, Nil))
           if (touched.nonEmpty)
             conflict(s"it rewrote bucket(s) ${touched.toSeq.sorted.take(8).mkString(",")}" +
               " that this merge also touches")
+          rebaseRetries.incrementAndGet()
           cur = Some(winner) // disjoint: rebase and retry
       }
     }
@@ -541,10 +700,15 @@ object VersionedTable {
     import spark.implicits._
     val sns = versions(spark, path).map(v => snapshot(spark, path, Some(v)))
     sns.zipWithIndex.map { case (sn, i) =>
+      // a bucket changed when its OWNER moved (COW) or its DELTA
+      // layer list did (a MoR append, or a COW/compact fold) — for a
+      // pure-COW history this is exactly the old owner-map diff
       val changed =
         if (i == 0) sn.owners.size
-        else (sn.owners.keySet ++ sns(i - 1).owners.keySet)
-          .count(b => sn.owners.get(b) != sns(i - 1).owners.get(b))
+        else (sn.owners.keySet ++ sns(i - 1).owners.keySet ++
+          sn.deltas.keySet ++ sns(i - 1).deltas.keySet)
+          .count(b => sn.owners.get(b) != sns(i - 1).owners.get(b) ||
+            sn.deltas.getOrElse(b, Nil) != sns(i - 1).deltas.getOrElse(b, Nil))
       (sn.version, sn.numBuckets, sn.keyCols.mkString(","),
         sn.schema.fields.length, sn.owners.size, changed, sn.cdc.isDefined)
     }.toDF("version", "num_buckets", "key_cols", "n_columns",
@@ -584,7 +748,7 @@ object VersionedTable {
       lit(sn.numBuckets.toLong)).cast("int")
     val wanted = alignedKeys.select(bucket.as(KB)).distinct()
       .collect().map(_.getInt(0)).toSet
-    VersionedScan.relation(spark, path, sn, Some(wanted))
+    resolved(spark, path, sn, Some(wanted))
       .join(broadcast(alignedKeys), sn.keyCols, "left_semi")
   }
 
@@ -771,18 +935,23 @@ object VersionedTable {
       }
     } else {
       val snF = snapshot(spark, path, Some(fromV))
-      val changed = (snF.owners.keySet ++ snT.owners.keySet)
-        .filter(b => snF.owners.get(b) != snT.owners.get(b))
+      // immutable dirs ⇒ a bucket can only differ when its owner moved
+      // OR its delta-layer list changed (MoR append / fold)
+      val changed = (snF.owners.keySet ++ snT.owners.keySet ++
+        snF.deltas.keySet ++ snT.deltas.keySet)
+        .filter(b => snF.owners.get(b) != snT.owners.get(b) ||
+          snF.deltas.getOrElse(b, Nil) != snT.deltas.getOrElse(b, Nil))
       // union of both versions' data columns; a type change between
       // versions has no single read schema, so it fails loudly
       val dataCols = unionDataCols(snF.schema.fields ++ snT.schema.fields,
         keys, s"between versions $fromV and $toV")
-      // each side is ONE index-backed scan of the changed buckets —
-      // the derived fallback (restore catch-up, vacuumed gaps) is the
-      // path most likely to read MANY buckets, exactly where the
-      // union-of-dirs form pays a scan node per commit dir
-      rowDiff(VersionedScan.relation(spark, path, snF, Some(changed)),
-        VersionedScan.relation(spark, path, snT, Some(changed)), keys, dataCols)
+      // each side is ONE index-backed scan of the changed buckets (plus
+      // delta resolution when layers are live) — the derived fallback
+      // (restore catch-up, vacuumed gaps) is the path most likely to
+      // read MANY buckets, exactly where the union-of-dirs form pays a
+      // scan node per commit dir
+      rowDiff(resolved(spark, path, snF, Some(changed)),
+        resolved(spark, path, snT, Some(changed)), keys, dataCols)
     }
   }
 
@@ -1000,8 +1169,9 @@ object VersionedTable {
     // the TARGET's layout, not the current one: its owner dirs are
     // hashed with its bucket count — restoring across a rebucket must
     // restore the bucketing too, or lookups would prune wrong buckets
+    // (and its delta layers, or a restore would silently fold them)
     writeManifest(fs, root, nv, target.numBuckets, target.keyCols,
-      target.schema, target.owners)
+      target.schema, target.owners, None, target.deltaDirs, target.deltas)
     nv
   }
 
@@ -1063,8 +1233,11 @@ object VersionedTable {
     val bucket = pmod(xxhash64(sn.keyCols.map(col): _*),
       lit(b.toLong)).cast("int")
     // the index path: a compaction of an N-commit table reads ONE scan
-    // over all live files instead of N union branches
-    val cur = VersionedScan.relation(spark, path, sn, None)
+    // over all live files instead of N union branches; resolved() also
+    // FOLDS any live MoR delta layers into the rewrite — compaction is
+    // what returns a delta-carrying table to plain one-file-per-bucket
+    // reads (the manifest below commits with EMPTY delta state)
+    val cur = resolved(spark, path, sn, None)
     clusterBy.foreach(c => require(cur.columns.contains(c),
       s"clusterBy column '$c' not in table schema ${cur.columns.mkString(",")}"))
     val (fs, root) = fsOf(spark, path)
@@ -1123,7 +1296,8 @@ object VersionedTable {
     // were all overwritten later still owes its retained feed)
     val referenced = kept.flatMap { v =>
       val sn = snapshot(spark, path, Some(v))
-      sn.owners.values.toSeq ++ sn.cdc.map(_._1.takeWhile(_ != '/')).toSeq
+      sn.owners.values.toSeq ++ sn.deltas.values.flatten ++
+        sn.cdc.map(_._1.takeWhile(_ != '/')).toSeq
     }.toSet
     vs.dropRight(retainLast)
       .foreach(v => fs.delete(manifestPath(root, v), false))

@@ -73,7 +73,17 @@ object Xlsx {
 
   /** Parse one workbook payload to (sheetName, sheetIdx, row, col,
     * value) cells, in declared sheet order then document order;
-    * sheetIdx is the 1-based declared position. */
+    * sheetIdx is the 1-based declared position.
+    *
+    * MERGED REGIONS (`<mergeCells>`, ECMA-376 §18.3.1.55) are
+    * ANCHOR-FILLED: the top-left cell's value is emitted at every
+    * covered position (Excel stores the value only at the anchor and
+    * leaves the covered cells absent). Real IDX metadata sheets merge
+    * key/title cells across the rows their values span — an
+    * anchor-only read silently drops the key from every row but the
+    * first, mis-pivoting the reference's KV scan
+    * (mainTesting.py:413-431). Covered positions that somehow carry
+    * their own cell are never overwritten. */
   def parseWorkbook(bytes: Array[Byte]): Seq[(String, Long, Long, Long, String)] = {
     val parts = readZip(bytes)
     val shared = parts.get("xl/sharedStrings.xml").map(parseSharedStrings)
@@ -89,11 +99,58 @@ object Xlsx {
       val target = rels.getOrElse(rid, "")
       val part = if (target.startsWith("/")) target.drop(1) else s"xl/$target"
       parts.get(part).toSeq.flatMap { sheetXml =>
-        parseSheet(sheetXml, shared, dateStyles, date1904).map { case (r, c, v) =>
+        val (cells, merges) = parseSheet(sheetXml, shared, dateStyles, date1904)
+        val have = cells.map { case (r, c, _) => (r, c) }.toSet
+        val anchor = cells.map { case (r, c, v) => (r, c) -> v }.toMap
+        val filled = merges.flatMap { case (r1, c1, r2, c2) =>
+          anchor.get((r1, c1)).toSeq.flatMap { v =>
+            for {
+              r <- r1 to r2; c <- c1 to c2
+              if !have((r, c))
+            } yield (r, c, v)
+          }
+        }
+        (cells ++ filled).sortBy(t => (t._1, t._2)).map { case (r, c, v) =>
           (sheetName, (i + 1).toLong, r, c, v)
         }
       }
     }
+  }
+
+  /** Merged regions of every sheet, by declared order: (sheetName,
+    * sheetIdx, firstRow, firstCol, lastRow, lastCol). */
+  def parseWorkbookMerges(bytes: Array[Byte]): Seq[(String, Long, Long, Long, Long, Long)] = {
+    val parts = readZip(bytes)
+    val rels = parts.get("xl/_rels/workbook.xml.rels").map(parseRels)
+      .getOrElse(Map.empty)
+    val sheets = parts.get("xl/workbook.xml").map(parseSheetList)
+      .getOrElse(Seq.empty)
+    sheets.zipWithIndex.flatMap { case ((sheetName, rid), i) =>
+      val target = rels.getOrElse(rid, "")
+      val part = if (target.startsWith("/")) target.drop(1) else s"xl/$target"
+      parts.get(part).toSeq.flatMap { sheetXml =>
+        parseSheet(sheetXml, IndexedSeq.empty)._2.map { case (r1, c1, r2, c2) =>
+          (sheetName, (i + 1).toLong, r1, c1, r2, c2)
+        }
+      }
+    }
+  }
+
+  /** Merged-region surface over a directory of workbooks — the typed
+    * metadata a consumer needs to reason about titles/headers that
+    * span cells. */
+  def mergedRegions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(s"$dir/*.xlsx")
+      .select($"path", $"content").as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val name = path.substring(path.lastIndexOf('/') + 1)
+        parseWorkbookMerges(bytes).map { case (sheet, si, r1, c1, r2, c2) =>
+          (name, sheet, si, r1, c1, r2, c2)
+        }
+      }
+      .toDF("file", "sheet", "sheet_idx", "first_row", "first_col",
+        "last_row", "last_col")
   }
 
   /** workbook.xml → the workbookPr date1904 flag (Mac-origin books
@@ -324,9 +381,11 @@ object Xlsx {
   private def parseSheet(bytes: Array[Byte],
       shared: IndexedSeq[String],
       dateStyles: Set[Int] = Set.empty,
-      date1904: Boolean = false): Seq[(Long, Long, String)] = {
+      date1904: Boolean = false)
+      : (Seq[(Long, Long, String)], Seq[(Long, Long, Long, Long)]) = {
     val r = reader(bytes)
     val out = Seq.newBuilder[(Long, Long, String)]
+    val merges = Seq.newBuilder[(Long, Long, Long, Long)]
     var curRow = 0L; var curCol = 0L
     var cellType = ""; var cellStyle = -1
     var inV = false; var inIsT = false
@@ -380,6 +439,21 @@ object Xlsx {
             } else curCol += 1
           case "v" => inV = true
           case "t" if cellType == "inlineStr" => inIsT = true
+          case "mergeCell" =>
+            (0 until r.getAttributeCount).foreach { i =>
+              if (r.getAttributeLocalName(i) == "ref") {
+                // "A6:B7" — a malformed ref (corrupt workbook) is
+                // skipped, same degrade-not-throw rule as cell values
+                r.getAttributeValue(i).split(":", 2) match {
+                  case Array(a, b) =>
+                    try {
+                      val (r1, c1) = splitRef(a); val (r2, c2) = splitRef(b)
+                      merges += ((r1 min r2, c1 min c2, r1 max r2, c1 max c2))
+                    } catch { case _: Exception => }
+                  case _ =>
+                }
+              }
+            }
           case _ =>
         }
       case javax.xml.stream.XMLStreamConstants.CHARACTERS if inV || inIsT =>
@@ -394,7 +468,7 @@ object Xlsx {
       case _ =>
     }
     r.close()
-    out.result()
+    (out.result(), merges.result())
   }
 
   /** "BC12" → (12, 55): column letters are base-26 with A=1. */
@@ -417,8 +491,12 @@ object Xlsx {
 
   /** Write a minimal real workbook: [Content_Types], rels, workbook,
     * sharedStrings, one part per sheet. Fixed zip timestamps keep the
-    * bytes deterministic run-to-run. */
-  def writeWorkbook(sheets: Seq[(String, Seq[Seq[W]])]): Array[Byte] = {
+    * bytes deterministic run-to-run. `merges(i)` are sheet i's merged
+    * regions as A1-style refs ("A6:A7") — the value belongs in the
+    * anchor cell and covered cells stay empty, exactly what Excel
+    * writes (ECMA-376 §18.3.1.55). */
+  def writeWorkbook(sheets: Seq[(String, Seq[Seq[W]])],
+      merges: Seq[Seq[String]] = Seq.empty): Array[Byte] = {
     def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
     val sharedList = sheets.flatMap(_._2.flatten).filter(c => !c.num && !c.date)
       .map(_.text).distinct.zipWithIndex
@@ -427,7 +505,7 @@ object Xlsx {
       val s = isoToSerial(iso)
       if (s == math.floor(s)) s.toLong.toString else s.toString
     }
-    val sheetXml = sheets.zipWithIndex.map { case ((_, rows), _) =>
+    val sheetXml = sheets.zipWithIndex.map { case ((_, rows), si) =>
       val body = rows.zipWithIndex.map { case (cells, ri) =>
         val cs = cells.zipWithIndex.collect {
           case (W(t, num, date), ci) if t.nonEmpty =>
@@ -440,8 +518,13 @@ object Xlsx {
         }.mkString
         s"""<row r="${ri + 1}">$cs</row>"""
       }.mkString
+      val ms = merges.lift(si).getOrElse(Seq.empty)
+      val mergeXml =
+        if (ms.isEmpty) ""
+        else ms.map(ref => s"""<mergeCell ref="$ref"/>""")
+          .mkString(s"""<mergeCells count="${ms.size}">""", "", "</mergeCells>")
       s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
-<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>$body</sheetData></worksheet>"""
+<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>$body</sheetData>$mergeXml</worksheet>"""
     }
     val wbSheets = sheets.zipWithIndex.map { case ((name, _), i) =>
       s"""<sheet name="${esc(name)}" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""

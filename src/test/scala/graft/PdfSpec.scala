@@ -352,6 +352,124 @@ class PdfSpec extends SparkSpec {
       == Seq[Byte](0x41, 0x40)) // odd final digit pads with 0
   }
 
+  test("simple-font /Encoding + /Differences round-trips the legacy fixture") {
+    Media.pdfDiffFixtureData.foreach { case (_, pages) =>
+      val got = Pdf.parsePdf(Pdf.writePdfDifferences(pages))
+      val want = for {
+        (lines, pi) <- pages.zipWithIndex
+        (text, li) <- lines.zipWithIndex
+      } yield ((pi + 1).toLong, li.toLong, text)
+      assert(got == want)
+    }
+  }
+
+  test("legacy encoder emits the published Appendix-D byte codes (hand-checked anchors)") {
+    // content streams are uncompressed, so the show-string hex is
+    // visible in the raw bytes — these codes are transcribed from the
+    // published tables BY HAND, independent of both table modules:
+    // MacRoman é=8E, Differences €=DB(219) ﬁ=F5(245); WinAnsi €=80
+    // é=E9 «=AB; Standard-with-Differences à=41 ‘=60 ’=27 ﬁ=AE
+    val raw = new String(
+      Pdf.writePdfDifferences(Seq(Seq("é€ﬁ", "€é«", "à‘’ﬁ"))),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(raw.contains("<8EDBF5> Tj"))
+    assert(raw.contains("<80E9AB> Tj"))
+    assert(raw.contains("<416027AE> Tj"))
+  }
+
+  test("Differences override the base table and AGL algorithmic names resolve") {
+    // byte 'A' (65) decodes as agrave because Differences win
+    assert(Pdf.simpleFontDec("", Some("<< /Differences [ 65 /agrave ] >>"))
+      .decode("AB") == "àB")
+    // uniXXXX / uXXXXX forms and the unknown-name U+FFFD convention
+    assert(Pdf.glyphText("uni2014") == "—")
+    assert(Pdf.glyphText("u1D400") == new String(Character.toChars(0x1D400)))
+    assert(Pdf.glyphText("a12") == "�")
+  }
+
+  test("a named encoding that is not a standard table fails loudly") {
+    val content = "BT /F1 11 Tf 72 720 Td (abc) Tj ET"
+    def pdfWithEncoding(enc: String): Array[Byte] = {
+      val s = new StringBuilder
+      val offs = scala.collection.mutable.ArrayBuffer[Int]()
+      s.append("%PDF-1.4\n")
+      def obj(n: Int, body: String): Unit = {
+        offs += s.length; s.append(s"$n 0 obj\n$body\nendobj\n")
+      }
+      obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+      obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+      obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+        "/Resources << /Font << /F1 5 0 R >> >> >>")
+      offs += s.length
+      s.append(s"4 0 obj\n<< /Length ${content.length} >>\nstream\n")
+        .append(content).append("\nendstream\nendobj\n")
+      obj(5, s"<< /Type /Font /Subtype /Type0 /BaseFont /X /Encoding $enc >>")
+      val xref = s.length
+      s.append("xref\n0 6\n0000000000 65535 f \n")
+      offs.foreach(o => s.append(f"$o%010d 00000 n \n"))
+      s.append(s"trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
+      s.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    }
+    // Identity-H with no /ToUnicode: no recoverable text mapping
+    val e = intercept[IllegalArgumentException] {
+      Pdf.parsePdf(pdfWithEncoding("/Identity-H"))
+    }
+    assert(e.getMessage.contains("no recoverable text mapping"))
+    // the three standard names still read fine through the same shape
+    assert(Pdf.parsePdf(pdfWithEncoding("/WinAnsiEncoding"))
+      == Seq((1L, 0L, "abc")))
+  }
+
+  test("an /Encrypt trailer fails as encrypted, not corrupt") {
+    val base = new String(rawPdf("BT (x) Tj ET"),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val enc = base.replace("/Size 5 /Root 1 0 R", "/Size 5 /Root 1 0 R /Encrypt 9 0 R")
+    val e = intercept[IllegalArgumentException] {
+      Pdf.parsePdf(enc.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    }
+    assert(e.getMessage.contains("encrypted"))
+    assert(!e.getMessage.startsWith("corrupt PDF"))
+  }
+
+  test("an /XRefStm cycle fails loudly instead of recursing to StackOverflowError") {
+    val base = new String(rawPdf("BT (x) Tj ET"),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val xrefOff = base.indexOf("\nxref\n") + 1
+    // the classic trailer's /XRefStm points back at the classic section
+    val cyc = base.replace("/Size 5 /Root 1 0 R",
+      s"/Size 5 /Root 1 0 R /XRefStm $xrefOff")
+    val e = intercept[IllegalArgumentException] {
+      Pdf.parsePdf(cyc.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    }
+    assert(e.getMessage.contains("cycle"))
+  }
+
+  test("CMap hex strings tolerate interior whitespace") {
+    val cm = Pdf.parseCMap(
+      """1 begincodespacerange
+        |<00 00> <FF FF>
+        |endcodespacerange
+        |1 beginbfchar
+        |<00 41> <00 42>
+        |endbfchar""".stripMargin)
+    assert(cm.decode("\u0000A") == "B")
+  }
+
+  test("codespace ranges match byte-by-byte, not by whole-value compare") {
+    val cm = Pdf.parseCMap(
+      """1 begincodespacerange
+        |<8140> <9FFC>
+        |endcodespacerange
+        |1 beginbfchar
+        |<8140> <0041>
+        |endbfchar""".stripMargin)
+    // 0x8210 is inside [0x8140, 0x9FFC] as a VALUE but its second byte
+    // 0x10 < 0x40 — per §9.7.6.2 it is outside the codespace, so both
+    // bytes pass through as Latin-1 instead of framing as one code
+    assert(cm.decode("\u0082\u0010") == "\u0082\u0010")
+    assert(cm.decode("\u0081\u0040") == "A")
+  }
+
   /** Minimal single-page classic PDF around a raw content stream —
     * independent of both writers' operator choices. */
   private def rawPdf(content: String): Array[Byte] = {

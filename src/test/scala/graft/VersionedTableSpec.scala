@@ -861,4 +861,144 @@ class VersionedTableSpec extends SparkSpec {
       "a group whose multiplicity support hit zero must be tombstoned")
     assert(maintained.exists(_._1 == 9999L))
   }
+
+  // ---- merge-on-read (delta layers) ----------------------------------
+
+  test("mor: delta-layer merges read identically to a COW twin at every version") {
+    val cow = freshDir("mor_twin_cow")
+    val mor = freshDir("mor_twin_mor")
+    val b0 = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v")
+    val b1 = Seq((2L, "B", false), (3L, "", true), (5L, "e", false))
+      .toDF("k", "v", "del")
+    val b2 = Seq((2L, "B2", false), (5L, "", true), (6L, "f", false))
+      .toDF("k", "v", "del")
+    for (d <- Seq(cow, mor)) {
+      val m = d == mor
+      VersionedTable.merge(spark, d, b0, Seq("k"), numBuckets = 4)
+      VersionedTable.merge(spark, d, b1, Seq("k"), Some("del"),
+        numBuckets = 4, mor = m)
+      VersionedTable.merge(spark, d, b2, Seq("k"), Some("del"),
+        numBuckets = 4, mor = m)
+    }
+    (0L to 2L).foreach { v =>
+      assert(state(mor, Some(v)) === state(cow, Some(v)),
+        s"MoR and COW disagree at version $v")
+    }
+    // newest layer wins per key (k=2 updated twice), tombstones drop
+    assert(state(mor) === Set((1L, "a"), (2L, "B2"), (4L, "d"), (6L, "f")))
+    // MoR moved no owners: version 2's owner map is version 0's, and
+    // two delta layers are live
+    val sn0 = VersionedTable.snapshot(spark, mor, Some(0L))
+    val sn2 = VersionedTable.snapshot(spark, mor, Some(2L))
+    assert(sn2.owners === sn0.owners)
+    assert(sn2.deltaDirs.size === 2)
+    // lookup resolves through the layers (bucket-pruned point read)
+    val got = VersionedTable.lookup(spark, mor, Seq(2L, 3L, 6L).toDF("k"))
+      .select($"k", $"v").as[(Long, String)].collect().toSet
+    assert(got === Set((2L, "B2"), (6L, "f")))
+  }
+
+  test("mor: compact folds every delta layer; content identical, state cleared") {
+    val dir = freshDir("mor_compact")
+    VersionedTable.merge(spark, dir,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), Seq("k"), numBuckets = 4)
+    VersionedTable.merge(spark, dir,
+      Seq((2L, "B", false), (3L, "c", false)).toDF("k", "v", "del"),
+      Seq("k"), Some("del"), numBuckets = 4, mor = true)
+    val before = state(dir)
+    val v = VersionedTable.compact(spark, dir)
+    val sn = VersionedTable.snapshot(spark, dir, Some(v))
+    assert(sn.deltaDirs.isEmpty && sn.deltas.isEmpty)
+    assert(state(dir, Some(v)) === before)
+    // the pinned pre-compact version still resolves its layers
+    assert(state(dir, Some(v - 1)) === before)
+  }
+
+  test("mor: a later COW merge folds ONLY its buckets' layers; others stay live") {
+    val dir = freshDir("mor_fold")
+    // numBuckets=2 with long keys: find two keys in different buckets
+    val ks = (1L to 40L)
+    VersionedTable.merge(spark, dir,
+      ks.map(k => (k, s"v$k")).toDF("k", "v"), Seq("k"), numBuckets = 2)
+    // delta layer touching BOTH buckets
+    VersionedTable.merge(spark, dir,
+      ks.take(10).map(k => (k, s"d$k")).toDF("k", "v"), Seq("k"),
+      numBuckets = 2, mor = true)
+    val sn1 = VersionedTable.snapshot(spark, dir)
+    assert(sn1.deltas.keySet.size === 2, "fixture must hit both buckets")
+    // COW merge touching only ONE bucket: pick keys from bucket 0's set
+    val bucketOf: Long => Int = { k =>
+      val df = Seq(k).toDF("k")
+        .select(pmod(xxhash64($"k"), lit(2L)).cast("int").as("b"))
+      df.collect()(0).getInt(0)
+    }
+    val b0keys = ks.filter(bucketOf(_) == 0)
+    VersionedTable.merge(spark, dir,
+      Seq((b0keys.head, "COW")).toDF("k", "v"), Seq("k"), numBuckets = 2)
+    val sn2 = VersionedTable.snapshot(spark, dir)
+    assert(!sn2.deltas.contains(0), "bucket 0's layers must be folded")
+    assert(sn2.deltas.contains(1), "bucket 1's layers must stay live")
+    // content: COW row wins on its key, bucket-1 deltas still apply,
+    // bucket-0 deltas were folded into the COW dir
+    val expect = ks.map { k =>
+      if (k == b0keys.head) (k, "COW")
+      else if (k <= 10) (k, s"d$k")
+      else (k, s"v$k")
+    }.toSet
+    assert(state(dir) === expect)
+  }
+
+  test("mor: vacuum keeps live delta dirs, sweeps folded ones after compaction") {
+    val dir = freshDir("mor_vacuum")
+    VersionedTable.merge(spark, dir,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), Seq("k"), numBuckets = 2)
+    VersionedTable.merge(spark, dir,
+      Seq((1L, "A")).toDF("k", "v"), Seq("k"), numBuckets = 2, mor = true)
+    // retain only the MoR version: its delta dir AND its base dirs stay
+    VersionedTable.vacuum(spark, dir, retainLast = 1)
+    assert(state(dir) === Set((1L, "A"), (2L, "b")))
+    // compact, then vacuum to the folded version: the delta dir goes
+    VersionedTable.compact(spark, dir)
+    val removed = VersionedTable.vacuum(spark, dir, retainLast = 1)
+    assert(removed.nonEmpty)
+    assert(state(dir) === Set((1L, "A"), (2L, "b")))
+  }
+
+  test("mor: materialized and derived change feeds agree across delta commits") {
+    val dir = freshDir("mor_feed")
+    VersionedTable.merge(spark, dir,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), Seq("k"), numBuckets = 2)
+    VersionedTable.merge(spark, dir,
+      Seq((1L, "A", false), (2L, "", true), (3L, "c", false))
+        .toDF("k", "v", "del"),
+      Seq("k"), Some("del"), numBuckets = 2, mor = true)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"change", $"k", $"v").as[(String, Long, String)]
+        .collect().toSet
+    val mat = rows(VersionedTable.changes(spark, dir, 0L, 1L))
+    val der = rows(VersionedTable.changes(spark, dir, 0L, 1L,
+      materialized = false))
+    assert(mat === der)
+    assert(mat === Set(("update_pre", 1L, "a"), ("update_post", 1L, "A"),
+      ("delete", 2L, "b"), ("insert", 3L, "c")))
+  }
+
+  test("mor: restore re-points delta state; history counts delta-layer changes") {
+    val dir = freshDir("mor_restore")
+    VersionedTable.merge(spark, dir,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), Seq("k"), numBuckets = 2)
+    VersionedTable.merge(spark, dir,
+      Seq((1L, "A")).toDF("k", "v"), Seq("k"), numBuckets = 2, mor = true)
+    VersionedTable.compact(spark, dir) // v2: folded
+    VersionedTable.restore(spark, dir, 1L) // v3: back to the MoR state
+    assert(state(dir) === Set((1L, "A"), (2L, "b")))
+    val sn3 = VersionedTable.snapshot(spark, dir)
+    assert(sn3.deltaDirs.size === 1, "restore must carry the delta state back")
+    // history: the MoR commit changed exactly the batch's bucket
+    val hist = VersionedTable.history(spark, dir)
+      .select($"version", $"buckets_changed", $"has_feed")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(hist(1)._2 === 1L, "MoR commit touches its batch's buckets only")
+    assert(hist(1)._3 === true, "MoR commits carry a materialized feed")
+  }
 }

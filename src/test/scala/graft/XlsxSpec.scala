@@ -323,4 +323,51 @@ class XlsxSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("maxRows"))
   }
+
+  test("merged regions anchor-fill covered cells and surface as metadata; the KV pivot keeps its key") {
+    import graft.sources.Xlsx
+    import Xlsx.W
+    // a metadata sheet whose KEY cell spans two rows (A2:A3) and whose
+    // title spans three columns (A1:C1) — the anchor holds the value,
+    // covered cells are absent from the XML, exactly what Excel writes
+    val bytes = Xlsx.writeWorkbook(
+      Seq("Meta" -> Seq(
+        Seq(W("JUDUL LAPORAN")),
+        Seq(W("Periode"), W("2024")),
+        Seq(W(""), W("triwulan-1")),
+        Seq(W("Emiten"), W("TLKM")))),
+      merges = Seq(Seq("A1:C1", "A2:A3")))
+    val cells = Xlsx.parseWorkbook(bytes)
+      .map { case (_, _, r, c, v) => (r, c, v) }.toSet
+    // covered positions carry the anchor value
+    assert(cells(( 1L, 2L, "JUDUL LAPORAN")) && cells((1L, 3L, "JUDUL LAPORAN")))
+    assert(cells((3L, 1L, "Periode")))
+    // anchors unchanged, values intact
+    assert(cells((2L, 1L, "Periode")) && cells((3L, 2L, "triwulan-1")))
+    // the A4-style KV pivot over the filled cells pairs EVERY value row
+    // with its key — the covered row no longer silently loses it
+    val kv = Xlsx.parseWorkbook(bytes)
+      .collect { case (_, _, r, c, v) if r >= 2 => (r, c, v) }
+      .groupBy(_._1).toSeq
+      .map { case (r, cs) =>
+        (cs.find(_._2 == 1L).map(_._3).getOrElse(""),
+         cs.find(_._2 == 2L).map(_._3).getOrElse(""))
+      }.toSet
+    assert(kv == Set(("Periode", "2024"), ("Periode", "triwulan-1"),
+      ("Emiten", "TLKM")))
+    // merged-region metadata surface
+    val dir = java.nio.file.Files.createTempDirectory("xlsx-merge").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "m.xlsx"), bytes)
+    val regions = Xlsx.mergedRegions(spark, dir).collect()
+      .map(r => (r.getString(1), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toSet
+    assert(regions == Set(("Meta", 1L, 1L, 1L, 3L), ("Meta", 2L, 1L, 3L, 1L)))
+    // a cell that exists inside a merged region is never overwritten:
+    // craft a workbook where the covered cell carries its own value
+    val clash = Xlsx.writeWorkbook(
+      Seq("S" -> Seq(Seq(W("anchor"), W("own")))),
+      merges = Seq(Seq("A1:B1")))
+    val got = Xlsx.parseWorkbook(clash).map { case (_, _, r, c, v) => (r, c, v) }
+    assert(got.contains((1L, 2L, "own")) && !got.contains((1L, 2L, "anchor")))
+  }
 }
