@@ -442,6 +442,151 @@ object StudyBench {
       .stripMargin.replace("\n", "")
   }
 
+  // ---- 6. COW write amplification vs merge-on-read (round-10 item 3)
+
+  private def dirBytes(root: java.io.File, excludeCdc: Boolean = true): Long = {
+    if (!root.exists()) 0L
+    else if (root.isFile) root.length()
+    else if (excludeCdc && root.getName == "_cdc") 0L
+    else Option(root.listFiles()).map(_.map(dirBytes(_, excludeCdc)).sum).getOrElse(0L)
+  }
+
+  /** The write-side amplification question the ivm_study left open: a
+    * 0.1%-key batch scattered UNIFORMLY over all 64 buckets — COW
+    * rewrites every touched bucket (≈ the whole table), MoR writes the
+    * batch. Records bytes-rewritten / bytes-logically-changed for both
+    * modes, plus the read-side price MoR pays until compaction (the
+    * resolved read vs the folded read, warm second-of-two runs). The
+    * measured ratio is what `merge(mor = true)`'s scaladoc rule rests
+    * on. */
+  private def cowAmplificationStudy(s: SparkSession, tag: String, d: String): String = {
+    import org.apache.spark.sql.functions.{col, count, lit, pmod, round, sum, xxhash64, year}
+    def freshTable(name: String): String = {
+      val dir = graft.util.Scratch.dir(s"study_cow_${tag}_$name")
+      graft.util.Scratch.deleteRecursively(new java.io.File(dir))
+      dir
+    }
+    val ord = Tables.orders(s, d)
+    val t0 = ord.filter(year(col("o_orderdate")) <= 1997)
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")), 2).as("spend"),
+        count(lit(1)).as("n_orders"))
+      .persist()
+    val tableRows = t0.count()
+    // ~0.1% of keys, scattered by the key hash itself — the uniform
+    // worst case for bucket-granular COW
+    val batch = t0.filter(pmod(xxhash64(col("o_custkey")), lit(997L)) === 0)
+      .withColumn("spend", round(col("spend") + 1.0, 2))
+    val batchRows = batch.count()
+    val batchScratch = freshTable("batch")
+    batch.coalesce(1).write.mode("overwrite").parquet(batchScratch)
+    val batchBytes = dirBytes(new java.io.File(batchScratch))
+    // COW
+    val cowDir = freshTable("cow")
+    graft.sources.VersionedTable.merge(s, cowDir, t0, Seq("o_custkey"))
+    val snBefore = graft.sources.VersionedTable.snapshot(s, cowDir)
+    val tableBytes = dirBytes(new java.io.File(cowDir))
+    val (_, cowMergeSec) = time(
+      graft.sources.VersionedTable.merge(s, cowDir, batch, Seq("o_custkey")))
+    val snAfter = graft.sources.VersionedTable.snapshot(s, cowDir)
+    val cowNewDirs = snAfter.owners.values.toSet -- snBefore.owners.values.toSet
+    val cowRewritten = cowNewDirs.toSeq
+      .map(dn => dirBytes(new java.io.File(s"$cowDir/$dn"))).sum
+    val cowTouched = snAfter.owners
+      .count { case (b, dn) => snBefore.owners.get(b) != Some(dn) }
+    def timed2(f: => Long): (Long, Double) = { time(f); time(f) }
+    val (cowRows, cowReadSec) = timed2(
+      graft.sources.VersionedTable.read(s, cowDir).count())
+    // MoR
+    val morDir = freshTable("mor")
+    graft.sources.VersionedTable.merge(s, morDir, t0, Seq("o_custkey"))
+    val (_, morMergeSec) = time(graft.sources.VersionedTable.merge(
+      s, morDir, batch, Seq("o_custkey"), mor = true))
+    val snMor = graft.sources.VersionedTable.snapshot(s, morDir)
+    val morWritten = snMor.deltaDirs.toSeq
+      .map(dn => dirBytes(new java.io.File(s"$morDir/$dn"))).sum
+    val (morRows, morReadSec) = timed2(
+      graft.sources.VersionedTable.read(s, morDir).count())
+    require(morRows == cowRows, s"MoR/COW row counts diverge: $morRows vs $cowRows")
+    val (_, compactSec) = time(graft.sources.VersionedTable.compact(s, morDir))
+    val (_, foldedReadSec) = timed2(
+      graft.sources.VersionedTable.read(s, morDir).count())
+    t0.unpersist(blocking = false)
+    s""""cow_write_amplification_$tag":{"table_rows":$tableRows,
+       |"table_bytes":$tableBytes,"batch_rows":$batchRows,
+       |"batch_bytes":$batchBytes,
+       |"cow_rewritten_bytes":$cowRewritten,
+       |"cow_amplification":${j(cowRewritten.toDouble / batchBytes)},
+       |"cow_buckets_touched":$cowTouched,"cow_merge_sec":${j(cowMergeSec)},
+       |"mor_written_bytes":$morWritten,
+       |"mor_amplification":${j(morWritten.toDouble / batchBytes)},
+       |"mor_merge_sec":${j(morMergeSec)},
+       |"cow_read_sec":${j(cowReadSec)},"mor_resolved_read_sec":${j(morReadSec)},
+       |"compact_sec":${j(compactSec)},"folded_read_sec":${j(foldedReadSec)}}"""
+      .stripMargin.replace("\n", "")
+  }
+
+  // ---- 7. OCC throughput under contention (round-10 item 6) ---------
+
+  /** The four-writer spec proves OCC safety; this measures THROUGHPUT:
+    * N threads × M merges on (a) bucket-DISJOINT key sets — losers
+    * rebase, no recompute — and (b) OVERLAPPING buckets — losers pay
+    * the bounded recompute-retry. Records commits/sec, rebase count,
+    * and recompute count per scenario; the scaladoc's operating rule
+    * (pre-partition parallel writers by bucket) is the conclusion. */
+  private def occThroughputStudy(s: SparkSession, tag: String, d: String): String = {
+    import org.apache.spark.sql.functions.{col, count, lit, pmod, round, sum, xxhash64, year}
+    val threadsN = 4
+    val mergesM = 5
+    val ord = Tables.orders(s, d)
+    val t0 = ord.filter(year(col("o_orderdate")) <= 1997)
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")), 2).as("spend"),
+        count(lit(1)).as("n_orders"))
+      .persist()
+    t0.count()
+    val bucketCol = pmod(xxhash64(col("o_custkey")), lit(64L)).cast("int")
+    def scenario(name: String, bucketsFor: Int => Seq[Int]): String = {
+      val dir = graft.util.Scratch.dir(s"study_occ_${tag}_$name")
+      graft.util.Scratch.deleteRecursively(new java.io.File(dir))
+      graft.sources.VersionedTable.merge(s, dir, t0, Seq("o_custkey"))
+      graft.sources.VersionedTable.conflictRecomputes.set(0)
+      graft.sources.VersionedTable.rebaseRetries.set(0)
+      val failures = new java.util.concurrent.atomic.AtomicLong
+      val t0n = System.nanoTime()
+      val threads = (0 until threadsN).map { ti =>
+        new Thread(() => {
+          (0 until mergesM).foreach { mi =>
+            val bs = bucketsFor(ti)
+            val batch = t0
+              .filter(bucketCol.isin(bs.map(Int.box): _*))
+              .withColumn("spend", round(col("spend") + lit(ti * 100 + mi + 1), 2))
+            try graft.sources.VersionedTable.merge(s, dir, batch,
+              Seq("o_custkey"), maxConflictRetries = 16)
+            catch { case _: Throwable => failures.incrementAndGet() }
+          }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      val wall = (System.nanoTime() - t0n) / 1e9
+      val commits = threadsN.toLong * mergesM - failures.get()
+      s""""$name":{"threads":$threadsN,"merges_per_thread":$mergesM,
+         |"wall_sec":${j(wall)},"commits":$commits,
+         |"commits_per_sec":${j(commits / wall)},
+         |"rebases":${graft.sources.VersionedTable.rebaseRetries.get()},
+         |"recomputes":${graft.sources.VersionedTable.conflictRecomputes.get()},
+         |"failed":${failures.get()}}""".stripMargin.replace("\n", "")
+    }
+    // disjoint: thread i owns buckets ≡ i (mod N) — losers only rebase
+    val disjoint = scenario("disjoint_buckets",
+      ti => (0 until 64).filter(_ % threadsN == ti))
+    // overlapping: every thread hits the same 16 buckets — true
+    // conflicts, bounded recompute-retry pays for serialization
+    val overlap = scenario("overlapping_buckets", _ => 0 until 16)
+    t0.unpersist(blocking = false)
+    s""""occ_throughput_$tag":{$disjoint,$overlap}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val pos = args.filterNot(_.startsWith("only="))
     val sf01 = pos.headOption.getOrElse("/root/testdata/sf0.1")
@@ -458,29 +603,38 @@ object StudyBench {
     val only = args.find(_.startsWith("only="))
       .map(_.stripPrefix("only=").split(",").toSet)
     def want(name: String) = only.forall(_.contains(name))
-    val parts = Seq.newBuilder[String]
+    val parts = Seq.newBuilder[String]   // round-9 studies → study_r9.json
+    val parts10 = Seq.newBuilder[String] // round-10-brief studies → study_r10.json
     if (want("containment")) parts += containmentSweep(spark, "sf01", sf01)
     if (want("ann")) parts += annFilterStudy(spark, sf01)
     if (want("statestore")) parts += stateStoreStudy(spark, "sf01", sf01)
     if (want("iscan")) parts += indexedScanStudy(spark, "sf01", sf01)
+    if (want("cow")) parts10 += cowAmplificationStudy(spark, "sf01", sf01)
+    if (want("occ")) parts10 += occThroughputStudy(spark, "sf01", sf01)
     sf1.foreach { d =>
       if (want("containment")) parts += containmentSweep(spark, "sf1", d)
       if (want("skew")) parts += skewStudy(spark, d)
       if (want("ivm")) parts += ivmStudy(spark, d)
       if (want("statestore")) parts += stateStoreStudy(spark, "sf1", d)
       if (want("iscan")) parts += indexedScanStudy(spark, "sf1", d)
+      if (want("cow")) parts10 += cowAmplificationStudy(spark, "sf1", d)
     }
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val out = java.nio.file.Paths.get("study_r9.json")
-    val merged = mapper.createObjectNode()
-    if (java.nio.file.Files.exists(out))
-      merged.setAll(mapper.readTree(java.nio.file.Files.readAllBytes(out))
+    def writeMerged(file: String, sections: Seq[String]): Unit = {
+      if (sections.isEmpty) return
+      val out = java.nio.file.Paths.get(file)
+      val merged = mapper.createObjectNode()
+      if (java.nio.file.Files.exists(out))
+        merged.setAll(mapper.readTree(java.nio.file.Files.readAllBytes(out))
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode])
+      merged.setAll(mapper.readTree(s"{${sections.mkString(",")}}")
         .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode])
-    merged.setAll(mapper.readTree(s"{${parts.result().mkString(",")}}")
-      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode])
-    val json = mapper.writeValueAsString(merged)
-    java.nio.file.Files.write(out, json.getBytes("UTF-8"))
-    println(json)
+      val json = mapper.writeValueAsString(merged)
+      java.nio.file.Files.write(out, json.getBytes("UTF-8"))
+      println(json)
+    }
+    writeMerged("study_r9.json", parts.result())
+    writeMerged("study_r10.json", parts10.result())
     spark.stop()
   }
 }

@@ -50,9 +50,15 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * of later merges, and through vacuum as long as v is retained.
   *
   * MERGE-ON-READ (`merge(..., mor = true)`): the write-side answer for
-  * SCATTERED small updates, where COW's bucket rewrite is ruinous — a
-  * 0.1%-key batch spread over all 64 buckets rewrites the whole table
-  * (measured: study_r10.json `cow_write_amplification`). A MoR commit
+  * SCATTERED small updates, where COW's bucket rewrite is ruinous —
+  * measured at sf1 (study_r10.json `cow_write_amplification_sf1`): a
+  * 0.1%-key batch (152 rows, 3 KB) scattered over 55/64 buckets makes
+  * COW rewrite 515x the logical change (~the whole table), while the
+  * MoR commit writes 23x (the one-file-per-touched-bucket parquet
+  * floor — a few hundred bytes of footer per bucket, CONSTANT in table
+  * size where COW's cost is PROPORTIONAL to it). The read-side price
+  * until compaction, same study: 0.51 s resolved vs 0.10 s folded on
+  * the sf1 rollup. A MoR commit
   * writes ONLY the batch (upserts + `_mor_del` tombstones) as a delta
   * layer and appends it to the affected buckets' manifest state;
   * owners never move. Every read path goes through `resolved()`
@@ -367,7 +373,18 @@ object VersionedTable {
     * commit from T tasks writes up to B×T files, and every later
     * bucket-pruned read pays the file-count. A pathologically hot
     * bucket serializing through one write task is the signal to raise
-    * numBuckets (the same knob that scopes merge cost). */
+    * numBuckets (the same knob that scopes merge cost).
+    *
+    * PARALLEL WRITERS — the measured operating rule (study_r10.json
+    * `occ_throughput_sf01`, 4 threads x 5 merges on the sf0.1 rollup):
+    * bucket-DISJOINT writers commit at 1.40/s — every lost manifest
+    * race rebases in O(1) (19 rebases, 0 recomputes) — while
+    * bucket-OVERLAPPING writers fall to 0.51/s because each true
+    * conflict re-runs the whole merge body (37 recomputes for 20
+    * commits). So: pre-partition concurrent writers by bucket
+    * (`pmod(xxhash64(keys), B)` is public arithmetic a router can
+    * compute), and treat sustained recompute-retry log lines as the
+    * signal that writers are colliding. */
   def merge(spark: SparkSession, path: String, updates: DataFrame,
       keyCols: Seq[String], deleteCol: Option[String] = None,
       numBuckets: Int = 64, maxConflictRetries: Int = 3,
