@@ -14,6 +14,7 @@ class PlanAuditSpec extends SparkSpec {
   private val bnljWhitelist = Set(
     "q10_cross_join_meta", "a09_tfidf_terms",
     "s01_cosine_topk", "s04_cosine_topk_native",
+    "x02_sql_cosine_fn" /* s01's 1-row query-vector cross join via SQL */,
     "s03_ivf_ann", "s02_batch_knn" /* broadcast probe set x corpus */,
     "s05_quantized_cosine", "s06_ivf_nprobe",
     "s07_kmeans" /* k broadcast centroids x corpus, per Lloyd pass */,
