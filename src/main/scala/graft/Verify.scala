@@ -43,6 +43,8 @@ object Verify {
         .coalesce(1).write.mode("overwrite").parquet(s"$fixDir/pdf_cid_expected")
       graft.queries.Media.pdfDiffExpected(spark)
         .coalesce(1).write.mode("overwrite").parquet(s"$fixDir/pdf_diff_expected")
+      graft.queries.Media.pdfFormExpected(spark)
+        .coalesce(1).write.mode("overwrite").parquet(s"$fixDir/pdf_form_expected")
       graft.queries.Media.pixelsExpected(spark)
         .coalesce(1).write.mode("overwrite").parquet(s"$fixDir/pixels_expected")
       graft.queries.Media.audioExpected(spark)

@@ -169,6 +169,62 @@ object Media extends QueryModule {
       .orderBy("file", "sheet_idx", "row_idx", "col_idx")
   }
 
+  /** FORM-XOBJECT fixture: every page's letterhead and audit stamp
+    * live in `/XObject /Form` streams invoked by `Do` — the header
+    * carries its own WinAnsi font and a translating /Matrix, the stamp
+    * nests INSIDE the header with a scaling matrix, no resources and
+    * no Tf of its own (it inherits both through the Do). Written by
+    * `Pdf.writePdfForm`; the em-dash and € are cp1252 bytes that only
+    * decode right through the inherited font. */
+  def pdfFormFixtureData: Seq[(String, Seq[Seq[String]])] = Seq(
+    "form_2015.pdf" -> Seq(
+      Seq("Pendapatan usaha 7500", "Beban umum (2100)"),
+      Seq("Catatan 3: piutang usaha 430")),
+    "form_2016.pdf" -> Seq(
+      Seq("Ikhtisar arus kas 990")))
+  val pdfFormHeader = "PT Contoh Tbk — Laporan Keuangan"
+  val pdfFormStamp = "AUDITED €0"
+
+  def writePdfFormFixture(dir: String): String = {
+    val d = new java.io.File(dir)
+    d.mkdirs()
+    pdfFormFixtureData.foreach { case (name, pages) =>
+      java.nio.file.Files.write(
+        new java.io.File(d, name).toPath,
+        graft.sources.Pdf.writePdfForm(pages, pdfFormHeader, pdfFormStamp))
+    }
+    d.getAbsolutePath
+  }
+
+  /** Expected rows straight from the fixture definition — per page the
+    * header line, the nested stamp line, then the body lines, in the
+    * content-stream order the parser must preserve. */
+  def pdfFormExpected(s: SparkSession): DataFrame = {
+    import s.implicits._
+    (for {
+      (file, pages) <- pdfFormFixtureData
+      (lines, pi) <- pages.zipWithIndex
+      (text, li) <- (Seq(pdfFormHeader, pdfFormStamp) ++ lines).zipWithIndex
+    } yield (file, (pi + 1).toLong, li.toLong, text))
+      .toDF("file", "page", "line_no", "text")
+  }
+
+  private def pdfFormDir: String = graft.util.Scratch.dir("pdf_form")
+
+  /** m25 — Form-XObject text extraction: `Do`-invoked letterhead and
+    * nested scaled stamp read in place with graphics-state inheritance;
+    * oracle replays the expected lines (m20/m22/m23 discipline, against
+    * the independent form encoder). */
+  private def m25(s: SparkSession, d: String): DataFrame = {
+    val dir = writePdfFormFixture(pdfFormDir)
+    graft.sources.Pdf.read(s, dir).toDF()
+      .orderBy("file", "page", "line_no")
+  }
+  private val m25Sql =
+    """SELECT file, page, line_no, text
+       FROM read_parquet('__FIXTURES__/pdf_form_expected/*.parquet')
+       ORDER BY file, page, line_no"""
+
   /** m24 — merged-region metadata surface: `<mergeCells>` regions per
     * sheet, in declared order; oracle is the golden merge spec
     * (`xlsxMergeData`) as literal VALUES. The anchor-FILL semantics
@@ -1135,6 +1191,7 @@ object Media extends QueryModule {
     "m22_pdf_cid" -> m22 _,
     "m23_pdf_differences" -> m23 _,
     "m24_xlsx_merged" -> m24 _,
+    "m25_pdf_form_xobject" -> m25 _,
     "p04_pdf_report" -> p04 _,
   )
 
@@ -1229,6 +1286,7 @@ object Media extends QueryModule {
     "m22_pdf_cid" -> m22Sql,
     "m23_pdf_differences" -> m23Sql,
     "m24_xlsx_merged" -> m24Sql,
+    "m25_pdf_form_xobject" -> m25Sql,
     "p04_pdf_report" -> p04Sql,
   )
 }

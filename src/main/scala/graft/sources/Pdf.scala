@@ -938,6 +938,41 @@ object Pdf {
         })
     } yield m.group(1) -> cm).toMap
 
+  /** Resource name → resolved Form XObject for one page (or one
+    * enclosing form): `/XObject` entries whose object carries
+    * `/Subtype /Form`, each with its decoded content stream, its OWN
+    * /Resources' fonts and nested forms when present (else the
+    * caller's, the §8.10.1 inheritance), and its /Matrix (identity
+    * when absent). `depth` caps nesting — a self-referencing form is
+    * a bomb, not a document. Real filings carry headers, stamps, and
+    * letterheads as Form XObjects; without this their text is
+    * silently invisible. */
+  private def formsOf(doc: Doc, resSpec: Option[String],
+      cache: scala.collection.mutable.Map[Int, Option[FontDec]],
+      depth: Int = 8): Map[String, FormX] =
+    if (depth <= 0) Map.empty
+    else (for {
+      spec <- resSpec.toSeq
+      res <- resolveDict(doc, spec).toSeq
+      xoSpec <- rawValue(res, "/XObject").toSeq
+      xos <- resolveDict(doc, xoSpec).toSeq
+      m <- "/([^\\s/<>\\[\\]()]+)\\s+(\\d+)\\s+\\d+\\s+R".r.findAllMatchIn(xos)
+      obj <- doc.obj(m.group(2).toInt).toSeq
+      if obj.body.contains("/Form")
+      stream <- obj.stream.toSeq
+    } yield {
+      val content = new String(decodeStream(obj.body, stream), ISO_8859_1)
+      // the form's own /Resources when present, else the caller's
+      val ownRes = rawValue(obj.body, "/Resources").orElse(resSpec)
+      val mat = "/Matrix\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(obj.body)
+        .map(_.group(1).trim.split("\\s+").toSeq.map(_.toDouble)) match {
+        case Some(Seq(a, b, c, d, e, f)) => (a, b, c, d, e, f)
+        case _ => (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+      }
+      m.group(1) -> FormX(content, fontsOf(doc, ownRes, cache),
+        formsOf(doc, ownRes, cache, depth - 1), mat)
+    }).toMap
+
   // ---- content-stream tokenizer --------------------------------------
 
   private[graft] sealed trait Tok
@@ -1093,16 +1128,32 @@ object Pdf {
     sb.toString
   }
 
+  /** A resolved Form XObject (§8.10): its content stream, its font
+    * decoders (own /Resources, else inherited from the invoking page),
+    * nested forms, and its /Matrix — text origins inside the form map
+    * through the full affine (x', y') = (a·x + c·y + e, b·x + d·y + f)
+    * so positioned reads (tableRegion crops) stay exact for
+    * translated/scaled/rotated stamps alike. */
+  private[graft] final case class FormX(content: String,
+      fonts: Map[String, FontDec], forms: Map[String, FormX],
+      m: (Double, Double, Double, Double, Double, Double))
+
   /** Walk one page's content: every shown string with the text-line
     * origin at its show op, in stream order. `Tf` selects the active
     * font; strings of a font with a /ToUnicode CMap or a simple-font
     * /Encoding decode through it, all others (and text before any Tf)
-    * pass through as Latin-1. */
+    * pass through as Latin-1. `Do` of a known Form XObject walks the
+    * form's content in place — the form inherits the CURRENT active
+    * font until its own `Tf` (the PDF graphics-state inheritance a
+    * header stamp relies on), and its text origins map through the
+    * form /Matrix. */
   private def walkContent(content: String,
-      fonts: Map[String, FontDec] = Map.empty): Seq[(Double, Double, String)] = {
+      fonts: Map[String, FontDec] = Map.empty,
+      forms: Map[String, FormX] = Map.empty,
+      initFont: FontDec = null): Seq[(Double, Double, String)] = {
     val out = Seq.newBuilder[(Double, Double, String)]
     var cx = 0.0; var cy = 0.0; var tl = 0.0
-    var fdec: FontDec = null // null = identity (no decoder)
+    var fdec: FontDec = initFont // null = identity (no decoder)
     def dec(s: String): String = if (fdec == null) s else fdec.decode(s)
     val stack = scala.collection.mutable.ArrayBuffer[Tok]()
     def num(k: Int): Double = stack.lift(stack.length - k) match {
@@ -1134,6 +1185,18 @@ object Pdf {
         cy -= tl; lastStr.foreach(t => out += ((cx, cy, dec(t)))); stack.clear()
       case TOp("TJ") =>
         lastArr.foreach(a => out += ((cx, cy, assembleTJ(a, dec)))); stack.clear()
+      case TOp("Do") =>
+        stack.lastOption match {
+          case Some(TName(n)) =>
+            forms.get(n).foreach { fx =>
+              val (a, b, c, d, e, f) = fx.m
+              walkContent(fx.content, fx.fonts, fx.forms, fdec).foreach {
+                case (x, y, t) => out += ((a * x + c * y + e, b * x + d * y + f, t))
+              }
+            }
+          case _ => ()
+        }
+        stack.clear()
       case TOp(_) => stack.clear() // any other operator consumes operands
       case t => stack += t
     }
@@ -1145,7 +1208,8 @@ object Pdf {
     val doc = new Doc(bytes)
     val cmaps = scala.collection.mutable.Map[Int, Option[FontDec]]()
     pageObjs(doc).zipWithIndex.flatMap { case ((pageObj, res), pi) =>
-      walkContent(pageContent(doc, pageObj), fontsOf(doc, res, cmaps))
+      walkContent(pageContent(doc, pageObj), fontsOf(doc, res, cmaps),
+          formsOf(doc, res, cmaps))
         .zipWithIndex.map {
           case ((_, _, text), li) => ((pi + 1).toLong, li.toLong, text)
         }
@@ -1157,7 +1221,8 @@ object Pdf {
     val doc = new Doc(bytes)
     val cmaps = scala.collection.mutable.Map[Int, Option[FontDec]]()
     pageObjs(doc).zipWithIndex.flatMap { case ((pageObj, res), pi) =>
-      walkContent(pageContent(doc, pageObj), fontsOf(doc, res, cmaps))
+      walkContent(pageContent(doc, pageObj), fontsOf(doc, res, cmaps),
+          formsOf(doc, res, cmaps))
         .zipWithIndex.map {
           case ((x, y, text), li) => ((pi + 1).toLong, li.toLong, x, y, text)
         }
@@ -1584,6 +1649,81 @@ object Pdf {
       "/Encoding << /Differences [ 65 /agrave /eacute ] >> >>")
     val xrefPos = body.length
     val nObjs = f3Num
+    body.append(s"xref\n0 ${nObjs + 1}\n0000000000 65535 f \n")
+    offsets.foreach(o => body.append(f"$o%010d 00000 n \n"))
+    body.append(s"trailer\n<< /Size ${nObjs + 1} /Root 1 0 R >>\nstartxref\n$xrefPos\n%%EOF\n")
+    body.toString.getBytes(ISO_8859_1)
+  }
+
+  /** Independent FORM-XOBJECT encoder (§8.10): every page stamps a
+    * letterhead by invoking `/Hdr Do` — a Form XObject with its OWN
+    * /Resources (font /F2) and a TRANSLATING /Matrix — whose content
+    * in turn invokes a NESTED `/Stamp Do` with a SCALING matrix and
+    * NO resources and NO Tf of its own, so the stamp inherits both
+    * the header's resources and its ACTIVE font (the §8.10.1
+    * graphics-state inheritance). Body text is ordinary page content.
+    * Real filings carry headers/stamps exactly this way; a parser
+    * without Do support silently drops them. Classic xref,
+    * uncompressed streams, deterministic bytes. */
+  def writePdfForm(pages: Seq[Seq[String]], header: String,
+      stamp: String): Array[Byte] = {
+    val n = pages.size
+    require(n >= 1, "writePdfForm needs at least one page")
+    val pageNums = (0 until n).map(3 + _)
+    val contNums = (0 until n).map(3 + n + _)
+    val hdrNum = 3 + 2 * n; val stampNum = 4 + 2 * n
+    val f1Num = 5 + 2 * n; val f2Num = 6 + 2 * n
+    val body = new StringBuilder
+    val offsets = scala.collection.mutable.ArrayBuffer[Int]()
+    body.append("%PDF-1.4\n")
+    def obj(num: Int, content: String): Unit = {
+      offsets += body.length
+      body.append(s"$num 0 obj\n$content\nendobj\n")
+    }
+    def streamObj(num: Int, dict: String, data: String): Unit = {
+      offsets += body.length
+      body.append(s"$num 0 obj\n<< $dict /Length ${data.length} >>\nstream\n")
+      body.append(data)
+      body.append("\nendstream\nendobj\n")
+    }
+    obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    obj(2, s"<< /Type /Pages /Kids [${pageNums.map(p => s"$p 0 R").mkString(" ")}] /Count $n >>")
+    pageNums.zip(contNums).foreach { case (p, c) =>
+      obj(p, s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents $c 0 R " +
+        s"/Resources << /Font << /F1 $f1Num 0 R >> /XObject << /Hdr $hdrNum 0 R >> >> >>")
+    }
+    pages.zip(contNums).foreach { case (lines, c) =>
+      val ops = Seq.newBuilder[String]
+      ops += "/Hdr Do"
+      ops += "BT"
+      ops += "/F1 11 Tf"
+      ops += "72 700 Td"
+      lines.foreach { l => ops += s"(${esc(l)}) Tj"; ops += "0 -14 Td" }
+      ops += "ET"
+      streamObj(c, "", ops.result().mkString("\n"))
+    }
+    // header/stamp text rides font /F2 = WinAnsiEncoding, written as
+    // cp1252 BYTES — a parser that drops the form, or decodes it
+    // without the inherited font, garbles or loses it
+    def win(s: String) = new String(s.getBytes("windows-1252"), ISO_8859_1)
+    // the header form: own font resource, translate-only matrix; it
+    // sets /F2 then invokes the stamp AFTER its own show, so the
+    // stamp's missing Tf must inherit F2 through the Do
+    streamObj(hdrNum,
+      s"/Type /XObject /Subtype /Form /BBox [0 0 612 100] " +
+        s"/Matrix [1 0 0 1 0 650] " +
+        s"/Resources << /Font << /F2 $f2Num 0 R >> /XObject << /Stamp $stampNum 0 R >> >>",
+      s"BT /F2 9 Tf 10 10 Td (${esc(win(header))}) Tj ET\n/Stamp Do")
+    // the stamp: no /Resources, no Tf, SCALING matrix — inherits the
+    // header's active font and maps its origin through the affine
+    streamObj(stampNum,
+      "/Type /XObject /Subtype /Form /BBox [0 0 100 20] /Matrix [2 0 0 2 100 30]",
+      s"BT 5 5 Td (${esc(win(stamp))}) Tj ET")
+    obj(f1Num, "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    obj(f2Num, "<< /Type /Font /Subtype /Type1 /BaseFont /Times-Roman " +
+      "/Encoding /WinAnsiEncoding >>")
+    val xrefPos = body.length
+    val nObjs = f2Num
     body.append(s"xref\n0 ${nObjs + 1}\n0000000000 65535 f \n")
     offsets.foreach(o => body.append(f"$o%010d 00000 n \n"))
     body.append(s"trailer\n<< /Size ${nObjs + 1} /Root 1 0 R >>\nstartxref\n$xrefPos\n%%EOF\n")

@@ -420,6 +420,28 @@ class PdfSpec extends SparkSpec {
       == Seq((1L, 0L, "abc")))
   }
 
+  test("form XObjects: Do-invoked text reads in place, nested matrices compose, fonts inherit") {
+    val bytes = Pdf.writePdfForm(
+      Seq(Seq("body satu", "body dua")), "Kop — Surat €1", "CAP €2")
+    // text content + stream order: header, nested stamp, body
+    assert(Pdf.parsePdf(bytes) == Seq(
+      (1L, 0L, "Kop — Surat €1"),
+      (1L, 1L, "CAP €2"),
+      (1L, 2L, "body satu"),
+      (1L, 3L, "body dua")))
+    // positions compose through both matrices: header (10,10) through
+    // [1 0 0 1 0 650] → (10,660); stamp (5,5) through its scaling
+    // [2 0 0 2 100 30] → (110,40), then the header's → (110,690)
+    val pos = Pdf.parsePdfPositioned(bytes).map(t => (t._3, t._4, t._5))
+    assert(pos.take(2) == Seq(
+      (10.0, 660.0, "Kop — Surat €1"),
+      (110.0, 690.0, "CAP €2")))
+    // the cp1252 bytes prove the decode went through the INHERITED
+    // WinAnsi font: a Latin-1 passthrough would read 0x80 as U+0080
+    val raw = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(raw.contains("CAP \u0080" + "2"), "stamp must be stored as cp1252 bytes")
+  }
+
   test("an /Encrypt trailer fails as encrypted, not corrupt") {
     val base = new String(rawPdf("BT (x) Tj ET"),
       java.nio.charset.StandardCharsets.ISO_8859_1)

@@ -983,6 +983,23 @@ class VersionedTableSpec extends SparkSpec {
       ("delete", 2L, "b"), ("insert", 3L, "c")))
   }
 
+  test("mor: a schema-widening delta layer reads back widened, and compaction keeps it") {
+    val dir = freshDir("mor_widen")
+    VersionedTable.merge(spark, dir,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), Seq("k"), numBuckets = 2)
+    // the delta batch ADDS a column; older base rows read null there
+    VersionedTable.merge(spark, dir,
+      Seq((2L, "B", 7L), (3L, "c", 9L)).toDF("k", "v", "n"),
+      Seq("k"), numBuckets = 2, mor = true)
+    def rows(asOf: Option[Long]) = VersionedTable.read(spark, dir, asOf)
+      .select($"k", $"v", $"n").as[(Long, String, Option[Long])]
+      .collect().toSet
+    val want = Set((1L, "a", None), (2L, "B", Some(7L)), (3L, "c", Some(9L)))
+    assert(rows(None) === want)
+    VersionedTable.compact(spark, dir)
+    assert(rows(None) === want)
+  }
+
   test("mor: restore re-points delta state; history counts delta-layer changes") {
     val dir = freshDir("mor_restore")
     VersionedTable.merge(spark, dir,
