@@ -526,6 +526,53 @@ object StudyBench {
       .stripMargin.replace("\n", "")
   }
 
+  /** MoR read-cost vs LIVE LAYER COUNT — the number the compaction
+    * cadence hangs off. Stacks k scattered delta merges (k = 1, 4, 8,
+    * 16) on copies of the same base table and times the resolved full
+    * read (warm, second-of-two) plus a 1-key lookup at each depth,
+    * with the folded (post-compact) read as the floor. */
+  private def morLayersStudy(s: SparkSession, tag: String, d: String): String = {
+    import org.apache.spark.sql.functions.{col, count, lit, pmod, round, sum, xxhash64, year}
+    val ord = Tables.orders(s, d)
+    val t0 = ord.filter(year(col("o_orderdate")) <= 1997)
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")), 2).as("spend"),
+        count(lit(1)).as("n_orders"))
+      .persist()
+    t0.count()
+    val probe = t0.select(col("o_custkey")).orderBy(col("o_custkey"))
+      .limit(1).collect()(0).getLong(0)
+    def timed2(f: => Long): (Long, Double) = { time(f); time(f) }
+    val sections = Seq(1, 4, 8, 16).map { k =>
+      val dir = graft.util.Scratch.dir(s"study_morlayers_${tag}_$k")
+      graft.util.Scratch.deleteRecursively(new java.io.File(dir))
+      graft.sources.VersionedTable.merge(s, dir, t0, Seq("o_custkey"))
+      (1 to k).foreach { i =>
+        val batch = t0
+          .filter(pmod(xxhash64(col("o_custkey")), lit(997L)) === (i % 997))
+          .withColumn("spend", round(col("spend") + i, 2))
+        graft.sources.VersionedTable.merge(s, dir, batch, Seq("o_custkey"),
+          mor = true)
+      }
+      val (layers, maxPer, dBytes) =
+        graft.sources.VersionedTable.deltaStats(s, dir)
+      val (_, readSec) = timed2(
+        graft.sources.VersionedTable.read(s, dir).count())
+      val keys = s.createDataFrame(Seq(Tuple1(probe))).toDF("o_custkey")
+      val (_, lookupSec) = timed2(
+        graft.sources.VersionedTable.lookup(s, dir, keys).count())
+      graft.sources.VersionedTable.compact(s, dir)
+      val (_, foldedSec) = timed2(
+        graft.sources.VersionedTable.read(s, dir).count())
+      s""""layers_$k":{"live_layers":$layers,"max_per_bucket":$maxPer,
+         |"delta_bytes":$dBytes,"read_sec":${j(readSec)},
+         |"lookup_sec":${j(lookupSec)},"folded_read_sec":${j(foldedSec)}}"""
+        .stripMargin.replace("\n", "")
+    }
+    t0.unpersist(blocking = false)
+    s""""mor_layers_$tag":{${sections.mkString(",")}}"""
+  }
+
   // ---- 7. OCC throughput under contention (round-10 item 6) ---------
 
   /** The four-writer spec proves OCC safety; this measures THROUGHPUT:
@@ -611,6 +658,7 @@ object StudyBench {
     if (want("iscan")) parts += indexedScanStudy(spark, "sf01", sf01)
     if (want("cow")) parts10 += cowAmplificationStudy(spark, "sf01", sf01)
     if (want("occ")) parts10 += occThroughputStudy(spark, "sf01", sf01)
+    if (want("morlayers")) parts10 += morLayersStudy(spark, "sf01", sf01)
     sf1.foreach { d =>
       if (want("containment")) parts += containmentSweep(spark, "sf1", d)
       if (want("skew")) parts += skewStudy(spark, d)

@@ -1172,6 +1172,30 @@ object VersionedTable {
       .parquet(s"$path/$FEED")
   }
 
+  /** MoR operational surface: the numbers the compaction-cadence
+    * decision needs, manifest + file-listing only (no data read).
+    * `live_layers` = delta dirs still referenced by any bucket,
+    * `max_layers_per_bucket` = the deepest per-key resolution stack a
+    * read pays, `delta_bytes` = total live delta payload. Operating
+    * rule (measured, study_r10.json `mor_layers_sf01`): resolved-read
+    * cost grows with the LAYER COUNT (per-layer scan + union + the
+    * per-key argmax), not delta bytes — compact when
+    * max_layers_per_bucket reaches ~8-16, or sooner if the delta key
+    * set approaches broadcast-threshold size. */
+  def deltaStats(spark: SparkSession, path: String,
+      asOf: Option[Long] = None): (Int, Int, Long) = {
+    val sn = snapshot(spark, path, asOf)
+    val live = sn.deltas.values.flatten.toSet
+    val (fs, root) = fsOf(spark, path)
+    val bytes = live.toSeq.map { d =>
+      val p = new HPath(root, d)
+      if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+    }.sum
+    (live.size,
+      if (sn.deltas.isEmpty) 0 else sn.deltas.values.map(_.size).max,
+      bytes)
+  }
+
   /** ROLL BACK to version `v` by committing a new version whose owner
     * map (and schema) are `v`'s — a pure manifest write, zero data
     * movement, because every dir `v` referenced is immutable and still

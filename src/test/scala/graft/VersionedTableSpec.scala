@@ -983,6 +983,25 @@ class VersionedTableSpec extends SparkSpec {
       ("delete", 2L, "b"), ("insert", 3L, "c")))
   }
 
+  test("mor: deltaStats reports live layers, per-bucket depth, bytes; compaction zeroes it") {
+    val dir = freshDir("mor_stats")
+    VersionedTable.merge(spark, dir,
+      (1L to 20L).map(k => (k, s"v$k")).toDF("k", "v"), Seq("k"), numBuckets = 2)
+    assert(VersionedTable.deltaStats(spark, dir) === ((0, 0, 0L)))
+    VersionedTable.merge(spark, dir,
+      (1L to 10L).map(k => (k, s"a$k")).toDF("k", "v"), Seq("k"),
+      numBuckets = 2, mor = true)
+    VersionedTable.merge(spark, dir,
+      (1L to 10L).map(k => (k, s"b$k")).toDF("k", "v"), Seq("k"),
+      numBuckets = 2, mor = true)
+    val (layers, maxPer, bytes) = VersionedTable.deltaStats(spark, dir)
+    assert(layers === 2 && maxPer === 2 && bytes > 0)
+    VersionedTable.compact(spark, dir)
+    assert(VersionedTable.deltaStats(spark, dir) === ((0, 0, 0L)))
+    // the pinned pre-compact version still reports its layers
+    assert(VersionedTable.deltaStats(spark, dir, Some(2L))._1 === 2)
+  }
+
   test("mor: a schema-widening delta layer reads back widened, and compaction keeps it") {
     val dir = freshDir("mor_widen")
     VersionedTable.merge(spark, dir,
