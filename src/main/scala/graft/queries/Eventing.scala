@@ -996,8 +996,10 @@ object Eventing extends QueryModule {
     * user. Scale: each batch's update set is user-dimension-sized
     * (map-side argmax partial agg), and each merge rewrites only the
     * touched key-hash buckets. */
-  private def e26(s: SparkSession, d: String): DataFrame = {
-    val prefix = "e26"
+  /** Stage the events table as three chronologically named/mtimed
+    * parquet slices for a file-source stream (shared by e26/e28). */
+  private def stageCdcSlices(s: SparkSession, d: String, prefix: String)
+      : (String, org.apache.spark.sql.types.StructType) = {
     val ev = graft.sources.Tables.events(s, d)
     val schema = ev.schema // restaged through Spark → normalized layout
     val stage = java.nio.file.Files.createTempDirectory(s"graft_${prefix}_src")
@@ -1017,30 +1019,34 @@ object Eventing extends QueryModule {
             System.currentTimeMillis() + mtimeOff))
         graft.util.Scratch.deleteRecursively(side.toFile)
     }
-    val table = graft.util.Scratch.dir(
-      s"${prefix}_vtab_${streamRunId.incrementAndGet()}")
+    (stage.toString, schema)
+  }
+
+  /** One micro-batch's per-user last state + error tombstones (shared
+    * by e26/e28 — within a slice the argmax picks the newest event,
+    * across slices the later merge replaces unconditionally, which
+    * agrees because slice order IS ts order). */
+  private def lastUserState(batch: DataFrame): DataFrame =
+    batch.groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+        col("value"))).as("last"))
+      .select(col("user_id"),
+        col("last.ts").as("last_ts"),
+        col("last.event_id").as("last_event_id"),
+        col("last.event_type").as("last_type"),
+        col("last.value").as("last_value"))
+      .withColumn("del", col("last_type") === "error")
+
+  /** Run the staged-slice stream through `applyBatch` to completion. */
+  private def runCdcStream(s: SparkSession, stage: String,
+      schema: org.apache.spark.sql.types.StructType, prefix: String,
+      applyBatch: (DataFrame, Long) => Unit): Unit = {
     val ckpt = java.nio.file.Files.createTempDirectory(s"graft_${prefix}_ckpt").toString
     val ns = s.newSession()
     ns.conf.set("spark.sql.shuffle.partitions", "8")
-    // explicit function VAL picks the Scala foreachBatch overload (the
-    // (DataFrame, Long) => Unit vs VoidFunction2 ambiguity)
-    val applyBatch: (DataFrame, Long) => Unit = (batch, _) => {
-      val upd = batch.groupBy(col("user_id"))
-        .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
-          col("value"))).as("last"))
-        .select(col("user_id"),
-          col("last.ts").as("last_ts"),
-          col("last.event_id").as("last_event_id"),
-          col("last.event_type").as("last_type"),
-          col("last.value").as("last_value"))
-        .withColumn("del", col("last_type") === "error")
-      graft.sources.VersionedTable.merge(batch.sparkSession, table, upd,
-        Seq("user_id"), Some("del"), numBuckets = 16)
-      ()
-    }
     val q = ns.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
-      .parquet(stage.toString)
+      .parquet(stage)
       .transform(graft.sources.Tables.normalizeTs)
       .writeStream
       .foreachBatch(applyBatch)
@@ -1048,6 +1054,50 @@ object Eventing extends QueryModule {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  private def e26(s: SparkSession, d: String): DataFrame = {
+    val prefix = "e26"
+    val (stage, schema) = stageCdcSlices(s, d, prefix)
+    val table = graft.util.Scratch.dir(
+      s"${prefix}_vtab_${streamRunId.incrementAndGet()}")
+    // explicit function VAL picks the Scala foreachBatch overload (the
+    // (DataFrame, Long) => Unit vs VoidFunction2 ambiguity)
+    val applyBatch: (DataFrame, Long) => Unit = (batch, _) => {
+      graft.sources.VersionedTable.merge(batch.sparkSession, table,
+        lastUserState(batch), Seq("user_id"), Some("del"), numBuckets = 16)
+      ()
+    }
+    runCdcStream(s, stage, schema, prefix, applyBatch)
+    graft.sources.VersionedTable.read(s, table).orderBy(col("user_id"))
+  }
+
+  /** e28 — streaming MERGE-ON-READ ingest with deltaStats-driven
+    * compaction: e26's chronological foreachBatch MERGE loop, but each
+    * micro-batch commits as a DELTA LAYER (`mor = true`) — the write
+    * shape for high-frequency scattered micro-batches, where COW
+    * rewrites ~the whole table per batch (study_r10.json, 515×
+    * amplification at sf1) — and the compaction cadence is driven by
+    * the manifest-only `deltaStats` surface: fold when any bucket
+    * stacks ≥ 2 layers (the aggressive end of the measured 8-16 rule,
+    * so the gate exercises BOTH the stacked-resolution read and the
+    * folded path inside one run). Oracle = e26's relational recompute:
+    * MoR layering and compaction must be invisible in the result. */
+  private def e28(s: SparkSession, d: String): DataFrame = {
+    val prefix = "e28"
+    val (stage, schema) = stageCdcSlices(s, d, prefix)
+    val table = graft.util.Scratch.dir(
+      s"${prefix}_vtab_${streamRunId.incrementAndGet()}")
+    val applyBatch: (DataFrame, Long) => Unit = (batch, _) => {
+      val sess = batch.sparkSession
+      graft.sources.VersionedTable.merge(sess, table,
+        lastUserState(batch), Seq("user_id"), Some("del"), numBuckets = 16,
+        mor = true)
+      val (_, maxPerBucket, _) = graft.sources.VersionedTable.deltaStats(sess, table)
+      if (maxPerBucket >= 2) graft.sources.VersionedTable.compact(sess, table)
+      ()
+    }
+    runCdcStream(s, stage, schema, prefix, applyBatch)
     graft.sources.VersionedTable.read(s, table).orderBy(col("user_id"))
   }
 
@@ -1154,6 +1204,7 @@ object Eventing extends QueryModule {
        FROM final GROUP BY 1 ORDER BY 1"""
 
   val queries: Map[String, QueryFn] = Map(
+    "e28_stream_mor_ingest" -> e28 _,
     "e27_stream_feed_maintain" -> e27 _,
     "e26_stream_cdc_merge" -> e26 _,
     "e25_stream_anomaly" -> e25 _,
@@ -1186,6 +1237,8 @@ object Eventing extends QueryModule {
   val oracle: Map[String, String] = Map(
     "e27_stream_feed_maintain" -> e27Sql,
     "e26_stream_cdc_merge" -> e26Sql,
+    // MoR layering + compaction must be invisible: same oracle as e26
+    "e28_stream_mor_ingest" -> e26Sql,
     "e25_stream_anomaly" -> e25Sql,
     "e24_update_mode" -> e24Sql,
     "e23_jdbc_serving" -> e23Sql,
