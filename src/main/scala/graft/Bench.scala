@@ -156,15 +156,43 @@ object Bench {
         s"""\"$k\":{"sec":${j(math.max(v, 0))},"stages":$st,"cpu_ms":$cpu,"run_ms":$run,"load":[${j(l0)},${j(l1)}]$errField}""" }
       .mkString(s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${results.size},"load_start":${j(loadStart)},"load_end":${j(loadAvg())},"steal_ticks":$stealRun,"queries":{""",
         ",", s"""},"failed":$fullFailedJson,"sf":"$sfDir"}""")
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
-      fullJson.getBytes("UTF-8"))
-    // per-scale-factor copy: headline totals are only comparable within
-    // one SF, so baselines are kept in SF-keyed files (bench_full.json
-    // stays as the "latest run" the driver reads)
+    // Record-file protocol (two rounds of clobbered quiet records forced
+    // this to be structural, not procedural):
+    //   - focused runs (query-filter args) write ONLY bench_full_focused
+    //     .json — a profiling run must never touch record files;
+    //   - bench_full.json is the "latest full run" the driver reads —
+    //     always overwritten by a full run;
+    //   - bench_full_<sf>.json is the SF-keyed RECORD: a full run only
+    //     replaces it when it is at least as good — strictly more
+    //     queries, or (>= queries, no failures, and steal no higher than
+    //     the incumbent's). A refused run is preserved verbatim in
+    //     bench_full_<sf>_attempt.json so no datapoint is lost.
     val sfLabel = new java.io.File(sfDir).getName
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"bench_full_$sfLabel.json"),
-      fullJson.getBytes("UTF-8"))
+    def writeFile(path: String): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        fullJson.getBytes("UTF-8"))
+    val recordStatus: String =
+      if (args.nonEmpty) { writeFile("bench_full_focused.json"); "focused" }
+      else {
+        writeFile("bench_full.json")
+        val recPath = java.nio.file.Paths.get(s"bench_full_$sfLabel.json")
+        def field(text: String, name: String): Long =
+          s""""$name":(-?\\d+)""".r.findFirstMatchIn(text)
+            .map(_.group(1).toLong).getOrElse(Long.MinValue)
+        val old = try Some(java.nio.file.Files.readString(recPath))
+                  catch { case _: Exception => None }
+        val replace = old match {
+          case None => true // no incumbent
+          case Some(t) =>
+            val (oldN, oldSteal) = (field(t, "n_queries"), field(t, "steal_ticks"))
+            if (oldN == Long.MinValue) true // unparseable incumbent
+            else if (results.size > oldN && failed.isEmpty) true
+            else failed.isEmpty && results.size >= oldN &&
+              (oldSteal < 0 || (stealRun >= 0 && stealRun <= oldSteal))
+        }
+        if (replace) { writeFile(s"bench_full_$sfLabel.json"); "updated" }
+        else { writeFile(s"bench_full_${sfLabel}_attempt.json"); "kept" }
+      }
     // printed line: top-20 wall times, plus the [stages, cpu_ms, run_ms]
     // triple for the same 20 — enough to discriminate contention from
     // recompute on every slow query while staying inside the capture
@@ -172,7 +200,7 @@ object Bench {
     val top20 = sorted.take(20)
     val top = top20.map { case (k, (v, _, _, _, _, _)) => s"\"$k\":${j(math.max(v, 0))}" }.mkString(",")
     val topM = top20.map { case (k, (_, st, cpu, run, _, _)) => s"\"$k\":[$st,$cpu,$run]" }.mkString(",")
-    println(s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${results.size},"load":[${j(loadStart)},${j(loadAvg())}],"steal":$stealRun,"queries":{$top},"m":{$topM},"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${results.size},"load":[${j(loadStart)},${j(loadAvg())}],"steal":$stealRun,"record":"$recordStatus","queries":{$top},"m":{$topM},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

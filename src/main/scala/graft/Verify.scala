@@ -45,6 +45,10 @@ object Verify {
         .coalesce(1).write.mode("overwrite").parquet(s"$fixDir/pdf_diff_expected")
       graft.queries.Media.pdfFormExpected(spark)
         .coalesce(1).write.mode("overwrite").parquet(s"$fixDir/pdf_form_expected")
+      graft.queries.Media.pdfEncExpected(spark)
+        .coalesce(1).write.mode("overwrite").parquet(s"$fixDir/pdf_enc_expected")
+      graft.queries.Media.pdfMixedExpected(spark)
+        .coalesce(1).write.mode("overwrite").parquet(s"$fixDir/pdf_mixed_expected")
       graft.queries.Media.pixelsExpected(spark)
         .coalesce(1).write.mode("overwrite").parquet(s"$fixDir/pixels_expected")
       graft.queries.Media.audioExpected(spark)

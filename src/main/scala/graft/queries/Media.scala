@@ -584,6 +584,113 @@ object Media extends QueryModule {
        FROM read_parquet('__FIXTURES__/pdf_diff_expected/*.parquet')
        ORDER BY file, page, line_no"""
 
+  /** ENCRYPTED fixture (§7.6.3 standard security handler, EMPTY user
+    * password — the shape the reference's fitz path reads
+    * transparently, mainTesting.py:273-285): one file per supported
+    * method, each with a REAL owner password on /O, per-object
+    * RC4/AES-encrypted Flate content, and /ID-dependent key
+    * derivation. The writer's algorithm transcriptions are anchored
+    * against independently computed known-answer vectors in PdfSpec. */
+  def pdfEncFixtureData: Seq[(String, String, Seq[Seq[String]])] = Seq(
+    ("enc_rc4_40_2023.pdf", "rc4-40", Seq(
+      Seq("LAPORAN KEUANGAN (terenkripsi)", "PT Contoh Tbk"),
+      Seq("Kas dan setara kas 1500.5", "Jumlah aset 2300.5"))),
+    ("enc_rc4_128_2024.pdf", "rc4-128", Seq(
+      Seq("Ikhtisar saldo terenkripsi", "Laba bersih 88"))),
+    ("enc_aes_2025.pdf", "aesv2", Seq(
+      Seq("CATATAN TERENKRIPSI", "Piutang usaha (neto) 800"),
+      Seq("2,3b"))))
+
+  def writePdfEncFixture(dir: String): String = {
+    val d = new java.io.File(dir)
+    d.mkdirs()
+    pdfEncFixtureData.foreach { case (name, method, pages) =>
+      java.nio.file.Files.write(
+        new java.io.File(d, name).toPath,
+        graft.sources.Pdf.writePdfEncrypted(pages, method))
+    }
+    d.getAbsolutePath
+  }
+
+  /** Expected rows straight from the fixture definition — the parser
+    * never touches these. */
+  def pdfEncExpected(s: SparkSession): DataFrame = {
+    import s.implicits._
+    (for {
+      (file, _, pages) <- pdfEncFixtureData
+      (lines, pi) <- pages.zipWithIndex
+      (text, li) <- lines.zipWithIndex
+    } yield (file, (pi + 1).toLong, li.toLong, text))
+      .toDF("file", "page", "line_no", "text")
+  }
+
+  private def pdfEncDir: String = graft.util.Scratch.dir("pdf_enc")
+
+  /** m26 — encrypted-PDF text extraction: RC4-40, RC4-128, and AESV2
+    * files (empty user password) decrypt and read through the same
+    * scan; oracle replays the expected lines (m20/m22/m23/m25
+    * discipline, against the independent encryptor). */
+  private def m26(s: SparkSession, d: String): DataFrame = {
+    val dir = writePdfEncFixture(pdfEncDir)
+    graft.sources.Pdf.read(s, dir).toDF()
+      .orderBy("file", "page", "line_no")
+  }
+  private val m26Sql =
+    """SELECT file, page, line_no, text
+       FROM read_parquet('__FIXTURES__/pdf_enc_expected/*.parquet')
+       ORDER BY file, page, line_no"""
+
+  /** MIXED-WIDTH CMap fixture: a /ToUnicode CMap with a 1-byte ASCII
+    * codespace AND a Shift-JIS-style 2-byte codespace <8140><FFFC> in
+    * the same font — show strings interleave widths, so byte-by-byte
+    * codespace matching (§9.7.6.2) is load-bearing: a whole-value
+    * comparator misframes every 2-byte code and garbles these lines. */
+  def pdfMixedFixtureData: Seq[(String, Seq[Seq[String]])] = Seq(
+    "mixed_2023.pdf" -> Seq(
+      Seq("Ekuitas — modal €500", "Laba (rugi) bersih ±25",
+        "ringkasan ﬁskal • «résumé»"),
+      Seq("Catatan ‘umum’ tahun 2023", "Beban pokok — selisih €3")),
+    "mixed_2024.pdf" -> Seq(
+      Seq("Ikhtisar — éﬁsiensi €7", "per 31° Desember")))
+
+  def writePdfMixedFixture(dir: String): String = {
+    val d = new java.io.File(dir)
+    d.mkdirs()
+    pdfMixedFixtureData.foreach { case (name, pages) =>
+      java.nio.file.Files.write(
+        new java.io.File(d, name).toPath,
+        graft.sources.Pdf.writePdfCidMixed(pages))
+    }
+    d.getAbsolutePath
+  }
+
+  /** Expected rows straight from the fixture definition. */
+  def pdfMixedExpected(s: SparkSession): DataFrame = {
+    import s.implicits._
+    (for {
+      (file, pages) <- pdfMixedFixtureData
+      (lines, pi) <- pages.zipWithIndex
+      (text, li) <- lines.zipWithIndex
+    } yield (file, (pi + 1).toLong, li.toLong, text))
+      .toDF("file", "page", "line_no", "text")
+  }
+
+  private def pdfMixedDir: String = graft.util.Scratch.dir("pdf_mixed")
+
+  /** m27 — mixed-width CMap text extraction: 1-byte and 2-byte codes
+    * interleaved in the same show strings; oracle replays the
+    * expected lines (against the independent mixed-codespace
+    * encoder). */
+  private def m27(s: SparkSession, d: String): DataFrame = {
+    val dir = writePdfMixedFixture(pdfMixedDir)
+    graft.sources.Pdf.read(s, dir).toDF()
+      .orderBy("file", "page", "line_no")
+  }
+  private val m27Sql =
+    """SELECT file, page, line_no, text
+       FROM read_parquet('__FIXTURES__/pdf_mixed_expected/*.parquet')
+       ORDER BY file, page, line_no"""
+
   // ---- positioned PDF: table-region scan (S5-S7) --------------------
 
   /** Positioned fixture: filings whose pages carry a real table region
@@ -609,7 +716,22 @@ object Media extends QueryModule {
         (72, 640, "Pos"), (250, 640, "2024"),
         (72, 620, "Kas dan setara kas"), (250, 620, "1750"),
         (450, 620, "margin-note"),
-        (72, 300, "Paragraf lain"))))
+        (72, 300, "Paragraf lain"))),
+    // a LANDSCAPE statement page (/Rotate 90): these cells are given
+    // in DISPLAYED coordinates (what a viewer shows, what tabula's
+    // area crop is expressed against); the writer inverts the display
+    // mapping so the stored text origins sit in unrotated user space —
+    // a parser that ignores /Rotate reads the wrong region here
+    "tbl_rot_2025.pdf" -> Seq(
+      Seq(
+        (72, 600, "Pos"), (250, 600, "2025"),
+        (72, 580, "Kas dan setara kas"), (250, 580, "1900"),
+        (500, 580, "landscape-margin"),
+        (72, 300, "Paragraf bawah"))))
+
+  /** Per-file page rotations for the positioned fixture (0 = absent). */
+  def pdfPosRotates: Map[String, Seq[Int]] =
+    Map("tbl_rot_2025.pdf" -> Seq(90))
 
   def writePdfPosFixture(dir: String): String = {
     val d = new java.io.File(dir)
@@ -617,7 +739,8 @@ object Media extends QueryModule {
     pdfPosFixtureData.foreach { case (name, pages) =>
       java.nio.file.Files.write(
         new java.io.File(d, name).toPath,
-        graft.sources.Pdf.writePdfPositioned(pages))
+        graft.sources.Pdf.writePdfPositioned(pages,
+          pdfPosRotates.getOrElse(name, Seq.empty)))
     }
     d.getAbsolutePath
   }
@@ -1192,6 +1315,8 @@ object Media extends QueryModule {
     "m23_pdf_differences" -> m23 _,
     "m24_xlsx_merged" -> m24 _,
     "m25_pdf_form_xobject" -> m25 _,
+    "m26_pdf_encrypted" -> m26 _,
+    "m27_pdf_mixed_cmap" -> m27 _,
     "p04_pdf_report" -> p04 _,
   )
 
@@ -1287,6 +1412,8 @@ object Media extends QueryModule {
     "m23_pdf_differences" -> m23Sql,
     "m24_xlsx_merged" -> m24Sql,
     "m25_pdf_form_xobject" -> m25Sql,
+    "m26_pdf_encrypted" -> m26Sql,
+    "m27_pdf_mixed_cmap" -> m27Sql,
     "p04_pdf_report" -> p04Sql,
   )
 }

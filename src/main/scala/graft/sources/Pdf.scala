@@ -42,12 +42,22 @@ import org.apache.spark.sql.functions._
   *     subset and the uniXXXX/uXXXX algorithmic forms) — the shape of
   *     pre-2015 IDX filings. A named encoding that is none of the
   *     three standard tables (e.g. Identity-H with no /ToUnicode, a
-  *     symbolic font's private encoding) fails LOUDLY: no recoverable
-  *     text mapping exists.
+  *     symbolic font's private encoding) has no recoverable text
+  *     mapping; THAT FONT's text reads as U+FFFD, scoped per font so
+  *     one legacy filing cannot kill a directory-wide scan.
   *
-  * Out of scope, stated: decryption (an /Encrypt trailer fails loudly
-  * with "encrypted", not a corrupt-offset message), and layout
-  * reconstruction beyond the text-matrix origin.
+  *   - STANDARD-HANDLER DECRYPTION for the empty user password
+  *     (§7.6.3) — RC4-40/RC4-n and AESV2, the shape most encrypted
+  *     real filings use (the reference's fitz path reads these
+  *     transparently). A real (non-empty) user password, or a
+  *     non-standard handler, fails LOUDLY with the actual reason.
+  *
+  *   - page /Rotate (§7.7.3.3): positioned reads and area crops map
+  *     text origins into DISPLAYED coordinates, so landscape
+  *     statement pages crop where a viewer shows the table.
+  *
+  * Out of scope, stated: layout reconstruction beyond the text-matrix
+  * origin, and certificate/public-key security handlers.
   *
   * Kerning-to-space rule, fixed and documented: inside a `TJ` array an
   * adjustment ≤ −180 thousandths of an em reads as a word break
@@ -173,6 +183,12 @@ object Pdf {
       * Declared before the initializer below, which reads it. */
     private val seenXref = scala.collection.mutable.Set[Long]()
 
+    /** /Encrypt ref + first /ID element from the NEWEST trailer that
+      * carries them — set by checkEncrypt during the xref init, so
+      * declared before it (class-body initialization order). */
+    private var encryptRef: Option[Int] = None
+    private var idFirst: Array[Byte] = Array.emptyByteArray
+
     locally {
       val sx = raw.lastIndexOf("startxref")
       if (sx < 0) legacy = legacyScan()
@@ -271,16 +287,60 @@ object Pdf {
     }
 
     /** An /Encrypt ref in a trailer means the file needs decryption,
-      * not that it is corrupt — without this guard the tokenizer dies
-      * later with a misleading offset message, the worst misdiagnosis
-      * a real-filing user can hit. Decryption is out of scope; fail
-      * with the real reason. (`\b`-style guard: /EncryptMetadata lives
-      * inside the encryption dict, never in a trailer.) */
-    private def checkEncrypt(trailer: String): Unit =
-      if ("/Encrypt(?![A-Za-z])".r.findFirstIn(trailer).isDefined)
-        throw new IllegalArgumentException(
-          "encrypted PDF: trailer carries /Encrypt — the file is valid but " +
-            "password/RC4/AES decryption is unsupported (not corruption)")
+      * not that it is corrupt — without this capture the tokenizer
+      * dies later with a misleading offset message, the worst
+      * misdiagnosis a real-filing user can hit. The NEWEST trailer's
+      * ref wins (same rule as /Root); the /ID first element is
+      * captured alongside because the standard security handler's key
+      * derivation needs it (§7.6.3.3). (`(?![A-Za-z])` guard:
+      * /EncryptMetadata lives inside the encryption dict, never in a
+      * trailer.) */
+    private def checkEncrypt(trailer: String): Unit = {
+      if (encryptRef.isEmpty)
+        encryptRef = "/Encrypt\\s+(\\d+)\\s+\\d+\\s+R".r
+          .findFirstMatchIn(trailer).map(_.group(1).toInt)
+          .orElse {
+            if ("/Encrypt(?![A-Za-z])".r.findFirstIn(trailer).isDefined)
+              throw new IllegalArgumentException(
+                "encrypted PDF: trailer carries a non-reference /Encrypt " +
+                  "value — the standard handler requires an indirect ref")
+            None
+          }
+      if (idFirst.isEmpty)
+        "/ID\\s*\\[".r.findFirstMatchIn(trailer).foreach { m =>
+          idFirst = pdfStringAt(trailer, m.end).getOrElse(Array.emptyByteArray)
+        }
+    }
+
+    /** The file decryptor, built once after the xref init when the
+      * newest trailer carried /Encrypt. Only the standard security
+      * handler with an EMPTY USER PASSWORD is supported (the shape the
+      * reference's fitz path reads transparently, mainTesting.py:
+      * 273-285): RC4-40 (V1/R2), RC4-n (V2/R3), and AESV2 crypt
+      * filters (V4/R4). A non-empty user password (U verification
+      * fails) or an unsupported handler still fails LOUDLY with the
+      * real reason. */
+    val decryptor: Option[Decryptor] = encryptRef.map { num =>
+      val body = obj(num).getOrElse(throw new IllegalArgumentException(
+        s"encrypted PDF: /Encrypt dictionary (object $num) is missing")).body
+      buildDecryptor(body, idFirst)
+    }
+
+    /** Generation number of a type-1 xref entry (0 for compressed /
+      * legacy objects — compressed objects are gen 0 by spec). */
+    private def genOf(num: Int): Int = entries.get(num) match {
+      case Some((1, _, g)) => g.toInt
+      case _ => 0
+    }
+
+    /** Decrypt object `num`'s raw stream bytes when the file is
+      * encrypted. The xref stream and the /Encrypt dict are never
+      * encrypted (§7.5.8.2, §7.6.2) — neither path goes through here. */
+    private def decrypted(num: Int, data: Array[Byte]): Array[Byte] =
+      decryptor match {
+        case Some(d) => d.decrypt(num, genOf(num), data)
+        case None => data
+      }
 
     /** Parse `N G obj ...` at a byte offset: (body-before-stream,
       * stream payload if any). The stream is sliced by /Length
@@ -331,8 +391,11 @@ object Pdf {
         .map(_.group(1).toInt).getOrElse(fail(s"/ObjStm $num lacks /N"))
       val first = "/First\\s+(\\d+)".r.findFirstMatchIn(o.body)
         .map(_.group(1).toInt).getOrElse(fail(s"/ObjStm $num lacks /First"))
-      val payload = new String(decodeStream(o.body,
-        o.stream.getOrElse(fail(s"/ObjStm $num has no payload"))), ISO_8859_1)
+      // an encrypted file's /ObjStm payload is encrypted with the
+      // ObjStm's OWN object key; its member objects are NOT separately
+      // encrypted (§7.6.2) — decrypting here covers both
+      val payload = new String(decodeStream(o.body, decrypted(num,
+        o.stream.getOrElse(fail(s"/ObjStm $num has no payload")))), ISO_8859_1)
       val header = payload.take(first).trim.split("\\s+").map(_.toLong)
       if (header.length < 2 * n) fail(s"/ObjStm $num header too short")
       (0 until n).map { i =>
@@ -357,11 +420,13 @@ object Pdf {
       }
     })
 
-    /** Decoded stream payload of object `num` (inflated if Flate). */
+    /** Decoded stream payload of object `num`: decrypted when the
+      * file is encrypted (decryption precedes the filter chain,
+      * §7.6.2), then inflated if Flate. */
     def streamOf(num: Int): Array[Byte] = {
       val o = obj(num).getOrElse(fail(s"referenced object $num is missing"))
-      decodeStream(o.body,
-        o.stream.getOrElse(fail(s"object $num has no stream payload")))
+      decodeStream(o.body, decrypted(num,
+        o.stream.getOrElse(fail(s"object $num has no stream payload"))))
     }
 
     /** The document catalog: trailer /Root when the xref gave one,
@@ -385,6 +450,257 @@ object Pdf {
   private def ref(dict: String, key: String): Option[Int] =
     (java.util.regex.Pattern.quote(key) + "\\s+(\\d+)\\s+\\d+\\s+R").r
       .findFirstMatchIn(dict).map(_.group(1).toInt)
+
+  // ---- standard security handler (PDF 32000-1 §7.6.3) ----------------
+  //
+  // Only the EMPTY-USER-PASSWORD case is supported — the commonest
+  // real-filing shape, which the reference's fitz path reads
+  // transparently (mainTesting.py:273-285): RC4-40 (V1/R2), RC4-n
+  // (V2/R3) and the AESV2 crypt filter (V4/R4). A non-empty user
+  // password, or any other handler/method, still fails LOUDLY with the
+  // real reason. The algorithm transcriptions below are anchored in
+  // PdfSpec against known-answer vectors computed with an independent
+  // implementation (python hashlib + a standalone ARC4), so a
+  // transcription bug cannot hide behind writer/reader symmetry.
+
+  /** The 32-byte password pad (§7.6.3.3 Table 3.19's constant). */
+  private[graft] val PwdPad: Array[Byte] = Array(
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
+    0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
+
+  private[graft] def md5(parts: Array[Byte]*): Array[Byte] = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    parts.foreach(d.update)
+    d.digest()
+  }
+
+  /** RC4/ARCFOUR, written out (10 lines) rather than trusting a JCE
+    * provider alias to exist. */
+  private[graft] def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val s = Array.tabulate(256)(_.toByte)
+    var j = 0
+    (0 until 256).foreach { i =>
+      j = (j + s(i) + key(i % key.length)) & 0xff
+      val t = s(i); s(i) = s(j); s(j) = t
+    }
+    val out = new Array[Byte](data.length)
+    var i = 0; j = 0
+    data.indices.foreach { k =>
+      i = (i + 1) & 0xff
+      j = (j + s(i)) & 0xff
+      val t = s(i); s(i) = s(j); s(j) = t
+      out(k) = (data(k) ^ s((s(i) + s(j)) & 0xff)).toByte
+    }
+    out
+  }
+
+  private def intLE(v: Long, n: Int): Array[Byte] =
+    (0 until n).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
+
+  private[graft] def padPwd(pwd: Array[Byte]): Array[Byte] =
+    (pwd.take(32) ++ PwdPad).take(32)
+
+  /** Algorithm 2: the file encryption key from a padded user password.
+    * `n` = key length in bytes; R≥3 re-hashes the first n bytes 50
+    * times; R≥4 with /EncryptMetadata false appends 0xFFFFFFFF. */
+  private[graft] def fileKey(paddedPwd: Array[Byte], o: Array[Byte], p: Int,
+      id0: Array[Byte], r: Int, n: Int, encryptMetadata: Boolean): Array[Byte] = {
+    val extra =
+      if (r >= 4 && !encryptMetadata) intLE(0xffffffffL, 4)
+      else Array.emptyByteArray
+    var h = md5(paddedPwd, o, intLE(p.toLong & 0xffffffffL, 4), id0, extra)
+    if (r >= 3) (0 until 50).foreach(_ => h = md5(h.take(n)))
+    h.take(n)
+  }
+
+  /** Algorithm 3: the /O entry. The 50× re-hash here runs over the
+    * FULL 16-byte digest (unlike Algorithm 2's first-n-bytes form). */
+  private[graft] def ownerValue(ownerPwd: Array[Byte], userPwd: Array[Byte],
+      r: Int, n: Int): Array[Byte] = {
+    var h = md5(padPwd(ownerPwd))
+    if (r >= 3) (0 until 50).foreach(_ => h = md5(h))
+    val key = h.take(n)
+    var o = rc4(key, padPwd(userPwd))
+    if (r >= 3) (1 to 19).foreach(i => o = rc4(key.map(b => (b ^ i).toByte), o))
+    o
+  }
+
+  /** Algorithms 4 (R2) / 5 (R≥3): the 32-byte /U entry for a file key.
+    * R≥3 defines only the first 16 bytes; the tail is arbitrary
+    * (zeros here) and excluded from verification. */
+  private[graft] def userValue(key: Array[Byte], id0: Array[Byte], r: Int): Array[Byte] =
+    if (r == 2) rc4(key, PwdPad)
+    else {
+      var x = rc4(key, md5(PwdPad, id0))
+      (1 to 19).foreach(i => x = rc4(key.map(b => (b ^ i).toByte), x))
+      x ++ new Array[Byte](16)
+    }
+
+  /** Algorithm 1: the per-object key — MD5 of file key ‖ objnum (3
+    * bytes LE) ‖ gen (2 bytes LE) ‖ "sAlT" for AESV2, truncated to
+    * min(keyLen+5, 16). */
+  private[graft] def objectKey(fileKey: Array[Byte], num: Int, gen: Int,
+      aes: Boolean): Array[Byte] = {
+    val salt =
+      if (aes) Array[Byte](0x73, 0x41, 0x6C, 0x54) else Array.emptyByteArray
+    md5(fileKey, intLE(num.toLong, 3), intLE(gen.toLong, 2), salt)
+      .take(math.min(fileKey.length + 5, 16))
+  }
+
+  private def aesCipher(mode: Int, key: Array[Byte], iv: Array[Byte]) = {
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+    c.init(mode, new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    c
+  }
+
+  /** AESV2 stream layout (§7.6.2): 16-byte IV ‖ CBC ciphertext whose
+    * plaintext carries PKCS#5 padding (NoPadding cipher + manual strip,
+    * so a sloppy generator's bad pad degrades to a loud fail here, not
+    * a provider BadPaddingException with no file context). */
+  private[graft] def aesDecrypt(okey: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    if (data.length < 32 || data.length % 16 != 0)
+      fail(s"AESV2 stream of ${data.length} bytes (needs 16-byte IV + padded blocks)")
+    val plain = aesCipher(javax.crypto.Cipher.DECRYPT_MODE, okey, data.take(16))
+      .doFinal(data.drop(16))
+    val padLen = plain.last & 0xff
+    if (padLen < 1 || padLen > 16) fail(s"AESV2 padding byte $padLen out of range")
+    plain.dropRight(padLen)
+  }
+
+  private[graft] def aesEncrypt(okey: Array[Byte], iv: Array[Byte],
+      plain: Array[Byte]): Array[Byte] = {
+    val padLen = 16 - plain.length % 16
+    val padded = plain ++ Array.fill(padLen)(padLen.toByte)
+    iv ++ aesCipher(javax.crypto.Cipher.ENCRYPT_MODE, okey, iv).doFinal(padded)
+  }
+
+  /** A verified file key plus the stream crypt method: "rc4", "aes"
+    * (AESV2), or "identity" (V4 with /StmF /Identity — strings may be
+    * encrypted but streams are not, and only streams feed text
+    * extraction here). */
+  private[graft] final case class Decryptor(key: Array[Byte], mode: String) {
+    def decrypt(num: Int, gen: Int, data: Array[Byte]): Array[Byte] = mode match {
+      case "identity" => data
+      case "aes" => aesDecrypt(objectKey(key, num, gen, aes = true), data)
+      case _ => rc4(objectKey(key, num, gen, aes = false), data)
+    }
+  }
+
+  /** Parse one PDF string (hex or literal, full escape set) at the
+    * first non-whitespace position at/after `from`; bytes, not text. */
+  private[graft] def pdfStringAt(text: String, from: Int): Option[Array[Byte]] = {
+    var i = from
+    while (i < text.length && text.charAt(i).isWhitespace) i += 1
+    if (i >= text.length) None
+    else if (text.charAt(i) == '<') {
+      val end = text.indexOf('>', i)
+      if (end < 0) None
+      else {
+        val h0 = text.substring(i + 1, end).replaceAll("\\s", "")
+        val h = if (h0.length % 2 == 1) h0 + "0" else h0
+        Some(h.grouped(2).map(b => Integer.parseInt(b, 16).toByte).toArray)
+      }
+    } else if (text.charAt(i) == '(') {
+      val out = new ByteArrayOutputStream()
+      var depth = 1
+      i += 1
+      while (i < text.length && depth > 0) {
+        val c = text.charAt(i)
+        if (c == '\\' && i + 1 < text.length) {
+          text.charAt(i + 1) match {
+            case 'n' => out.write('\n'); i += 2
+            case 'r' => out.write('\r'); i += 2
+            case 't' => out.write('\t'); i += 2
+            case 'b' => out.write('\b'); i += 2
+            case 'f' => out.write('\f'); i += 2
+            case '\n' => i += 2
+            case '\r' =>
+              i += 2; if (i < text.length && text.charAt(i) == '\n') i += 1
+            case d if d >= '0' && d <= '7' =>
+              var v = 0; var k = 0; i += 1
+              while (k < 3 && i < text.length &&
+                  text.charAt(i) >= '0' && text.charAt(i) <= '7') {
+                v = v * 8 + (text.charAt(i) - '0'); i += 1; k += 1
+              }
+              out.write(v & 0xff)
+            case other => out.write(other); i += 2
+          }
+        } else {
+          if (c == '(') depth += 1
+          else if (c == ')') depth -= 1
+          if (depth > 0) out.write(c)
+          i += 1
+        }
+      }
+      Some(out.toByteArray)
+    } else None
+  }
+
+  /** The string value of dict entry `key` (the /O and /U entries). */
+  private def stringValue(body: String, key: String): Option[Array[Byte]] =
+    (java.util.regex.Pattern.quote(key) + "(?![A-Za-z0-9])").r
+      .findFirstMatchIn(body).flatMap(m => pdfStringAt(body, m.end))
+
+  /** Parse an /Encrypt dict, verify the EMPTY user password (Algorithm
+    * 6), and return the decryptor — or fail loudly with the real
+    * reason (wrong handler, unsupported method, or an actual
+    * password). */
+  private def buildDecryptor(body: String, id0: Array[Byte]): Decryptor = {
+    def enc(msg: String): Nothing =
+      throw new IllegalArgumentException(s"encrypted PDF: $msg")
+    val filter = "/Filter\\s*/([A-Za-z0-9]+)".r.findFirstMatchIn(body)
+      .map(_.group(1)).getOrElse(enc("/Encrypt dict lacks /Filter"))
+    if (filter != "Standard")
+      enc(s"security handler /$filter is unsupported (only /Standard)")
+    def intOf(key: String, dflt: => Int): Int =
+      (java.util.regex.Pattern.quote(key) + "\\s+(-?\\d+)").r
+        .findFirstMatchIn(body).map(_.group(1).toInt).getOrElse(dflt)
+    val v = intOf("/V", 0)
+    val r = intOf("/R", enc("/Encrypt dict lacks /R"))
+    val p = intOf("/P", enc("/Encrypt dict lacks /P"))
+    val bits = intOf("/Length", 40)
+    val o = stringValue(body, "/O").getOrElse(enc("/Encrypt dict lacks /O"))
+    val u = stringValue(body, "/U").getOrElse(enc("/Encrypt dict lacks /U"))
+    if (o.length < 32 || u.length < 32) enc("/O and /U must be 32 bytes")
+    val encMeta = !body.contains("/EncryptMetadata false")
+    val mode = v match {
+      case 1 | 2 => "rc4"
+      case 4 =>
+        // /StmF names the stream crypt filter; absent means /Identity
+        // (§7.6.5) — streams unencrypted even though strings may be
+        val stmF = "/StmF\\s*/([A-Za-z0-9]+)".r.findFirstMatchIn(body)
+          .map(_.group(1)).getOrElse("Identity")
+        if (stmF == "Identity") "identity"
+        else {
+          val cfm = ("/" + java.util.regex.Pattern.quote(stmF) +
+              "\\s*<<[^>]*?/CFM\\s*/([A-Za-z0-9]+)").r
+            .findFirstMatchIn(body).map(_.group(1))
+            .getOrElse(enc(s"crypt filter /$stmF has no /CFM"))
+          cfm match {
+            case "AESV2" => "aes"
+            case "V2" => "rc4"
+            case other =>
+              enc(s"crypt filter method /$other is unsupported " +
+                "(only /V2 RC4 and /AESV2)")
+          }
+        }
+      case other =>
+        enc(s"/V $other is unsupported (V1/V2 RC4, V4 crypt filters)")
+    }
+    val n = if (v == 1) 5 else bits / 8
+    if (n < 5 || n > 16) enc(s"/Length $bits bits out of the 40-128 range")
+    val key = fileKey(padPwd(Array.emptyByteArray), o.take(32), p, id0, r, n, encMeta)
+    val expectU = userValue(key, id0, r)
+    val matches =
+      if (r == 2) java.util.Arrays.equals(expectU, u.take(32))
+      else expectU.take(16).sameElements(u.take(16))
+    if (!matches)
+      enc("password-protected (empty-user-password verification failed) — " +
+        "a real user password is required; supply the decrypted file instead")
+    Decryptor(key, mode)
+  }
 
   /** The stream's filter pipeline: `/Filter` as one name or an ARRAY
     * of names applied in order (PDF 32000-1 §7.4 — `[/ASCII85Decode
@@ -509,27 +825,68 @@ object Pdf {
     out
   }
 
+  /** One page's inheritable geometry (§7.7.3.4): the effective
+    * /Rotate (normalized to 0/90/180/270) and /MediaBox
+    * (x0, y0, x1, y1; US-Letter default). */
+  private[graft] final case class PageGeo(rotate: Int,
+      box: (Double, Double, Double, Double))
+
   /** Page object numbers in tree order (nested /Pages recursed), each
-    * with the nearest /Resources spec — pages inherit /Resources from
-    * ancestor /Pages nodes (PDF 32000-1 §7.7.3.4 inheritable
-    * attributes), which is how real generators attach shared fonts. */
-  private def pageObjs(doc: Doc): Seq[(Int, Option[String])] = {
+    * with the nearest /Resources spec and geometry — pages inherit
+    * /Resources, /Rotate and /MediaBox from ancestor /Pages nodes
+    * (PDF 32000-1 §7.7.3.4 inheritable attributes), which is how real
+    * generators attach shared fonts and landscape orientation. */
+  private def pageObjs(doc: Doc): Seq[(Int, Option[String], PageGeo)] = {
     val pagesRef = ref(doc.catalog.body, "/Pages")
       .getOrElse(fail("catalog has no /Pages"))
-    def walk(num: Int, depth: Int, inherited: Option[String]): Seq[(Int, Option[String])] = {
+    def walk(num: Int, depth: Int, inherited: Option[String],
+        rot: Option[Int], box: Option[(Double, Double, Double, Double)]):
+        Seq[(Int, Option[String], PageGeo)] = {
       if (depth > 64) fail("page tree deeper than 64 levels (cycle?)")
       val body = doc.obj(num).getOrElse(fail(s"page-tree object $num missing")).body
       val res = rawValue(body, "/Resources").orElse(inherited)
+      val r = "/Rotate\\s+(-?\\d+)".r.findFirstMatchIn(body)
+        .map(_.group(1).toInt).orElse(rot)
+      val b = "/MediaBox\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(body)
+        .map(_.group(1).trim.split("\\s+").toSeq.map(_.toDouble))
+        .collect { case Seq(x0, y0, x1, y1) => (x0, y0, x1, y1) }
+        .orElse(box)
       if (body.contains("/Kids")) {
         val kids = "(\\d+)\\s+\\d+\\s+R".r.findAllMatchIn(
           "/Kids\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(body)
             .map(_.group(1)).getOrElse("")
         ).map(_.group(1).toInt).toSeq
-        kids.flatMap(walk(_, depth + 1, res))
-      } else Seq((num, res))
+        kids.flatMap(walk(_, depth + 1, res, r, b))
+      } else {
+        val rr = r.getOrElse(0)
+        if (rr % 90 != 0) fail(s"page $num /Rotate $rr is not a multiple of 90")
+        Seq((num, res,
+          PageGeo(((rr % 360) + 360) % 360, b.getOrElse((0.0, 0.0, 612.0, 792.0)))))
+      }
     }
-    walk(pagesRef, 0, None)
+    walk(pagesRef, 0, None, None, None)
   }
+
+  /** Map an unrotated-user-space origin into DISPLAYED coordinates
+    * (§7.7.3.3 Table 30: /Rotate = degrees the page is rotated
+    * CLOCKWISE when displayed). Displayed space keeps y-up with the
+    * origin at the displayed page's bottom-left, so a tabula-style
+    * area crop expressed against what a viewer shows lands on the
+    * right text — on an unrotated page this is the identity, byte-for-
+    * byte compatible with every existing positioned read. */
+  private[graft] def displayXY(geo: PageGeo, x: Double, y: Double): (Double, Double) =
+    geo.rotate match {
+      case 0 => (x, y)
+      case r =>
+        val (x0, y0, x1, y1) = geo.box
+        val (w, h) = (x1 - x0, y1 - y0)
+        val (u, v) = (x - x0, y - y0)
+        r match {
+          case 90 => (v, w - u)
+          case 180 => (w - u, h - v)
+          case _ => (h - v, u) // 270
+        }
+    }
 
   /** A page's full content: /Contents as one ref or an array of refs,
     * streams decoded and concatenated in order. */
@@ -839,15 +1196,17 @@ object Pdf {
     * `encDict` its dict text when it is one. A named encoding that is
     * not one of the three standard tables (an Identity CMap name, a
     * symbolic font's private encoding) has NO recoverable text mapping
-    * without a /ToUnicode — that fails LOUDLY, same contract as
-    * corrupt input. */
+    * without a /ToUnicode — THAT FONT degrades to U+FFFD per byte
+    * (the unmapped-code convention), scoped to the one font: a single
+    * legacy font must not kill a directory-wide scan whose other
+    * files read fine. A non-standard /BaseEncoding inside a dict is
+    * genuinely malformed (§9.6.5 restricts it to the three names) and
+    * still fails loudly. */
   private[graft] def simpleFontDec(encSpec: String, encDict: Option[String]): SimpleFont = {
     encDict match {
       case None =>
         val n = encSpec.trim.stripPrefix("/")
-        SimpleFont(baseEncoding(n).getOrElse(fail(
-          s"font /Encoding /$n: not a standard simple-font encoding and no " +
-            "/ToUnicode — no recoverable text mapping")))
+        SimpleFont(baseEncoding(n).getOrElse(Array.fill[String](256)("�")))
       case Some(dict) =>
         // absent /BaseEncoding the spec falls back to the font's
         // built-in encoding; for the non-symbolic text fonts this
@@ -946,9 +1305,14 @@ object Pdf {
     * when absent). `depth` caps nesting — a self-referencing form is
     * a bomb, not a document. Real filings carry headers, stamps, and
     * letterheads as Form XObjects; without this their text is
-    * silently invisible. */
+    * silently invisible. Resolved forms are memoized per document in
+    * `fcache` keyed by (object, effective resources, depth) — a
+    * letterhead shared by N pages decodes once, not N times; the
+    * resources component covers the inherited-resources case, where
+    * the same form object resolves differently per caller. */
   private def formsOf(doc: Doc, resSpec: Option[String],
       cache: scala.collection.mutable.Map[Int, Option[FontDec]],
+      fcache: scala.collection.mutable.Map[(Int, Option[String], Int), FormX],
       depth: Int = 8): Map[String, FormX] =
     if (depth <= 0) Map.empty
     else (for {
@@ -959,18 +1323,21 @@ object Pdf {
       m <- "/([^\\s/<>\\[\\]()]+)\\s+(\\d+)\\s+\\d+\\s+R".r.findAllMatchIn(xos)
       obj <- doc.obj(m.group(2).toInt).toSeq
       if obj.body.contains("/Form")
-      stream <- obj.stream.toSeq
+      if obj.stream.isDefined
     } yield {
-      val content = new String(decodeStream(obj.body, stream), ISO_8859_1)
+      val num = m.group(2).toInt
       // the form's own /Resources when present, else the caller's
       val ownRes = rawValue(obj.body, "/Resources").orElse(resSpec)
-      val mat = "/Matrix\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(obj.body)
-        .map(_.group(1).trim.split("\\s+").toSeq.map(_.toDouble)) match {
-        case Some(Seq(a, b, c, d, e, f)) => (a, b, c, d, e, f)
-        case _ => (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
-      }
-      m.group(1) -> FormX(content, fontsOf(doc, ownRes, cache),
-        formsOf(doc, ownRes, cache, depth - 1), mat)
+      m.group(1) -> fcache.getOrElseUpdate((num, ownRes, depth), {
+        val content = new String(doc.streamOf(num), ISO_8859_1)
+        val mat = "/Matrix\\s*\\[([^\\]]*)\\]".r.findFirstMatchIn(obj.body)
+          .map(_.group(1).trim.split("\\s+").toSeq.map(_.toDouble)) match {
+          case Some(Seq(a, b, c, d, e, f)) => (a, b, c, d, e, f)
+          case _ => (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+        }
+        FormX(content, fontsOf(doc, ownRes, cache),
+          formsOf(doc, ownRes, cache, fcache, depth - 1), mat)
+      })
     }).toMap
 
   // ---- content-stream tokenizer --------------------------------------
@@ -1203,28 +1570,37 @@ object Pdf {
     out.result()
   }
 
-  /** Parse one PDF payload to (page, line_no, text) rows. */
+  /** Parse one PDF payload to (page, line_no, text) rows. Page
+    * rotation does not reorder the stream, so plain text reads are
+    * rotation-invariant by construction. */
   def parsePdf(bytes: Array[Byte]): Seq[(Long, Long, String)] = {
     val doc = new Doc(bytes)
     val cmaps = scala.collection.mutable.Map[Int, Option[FontDec]]()
-    pageObjs(doc).zipWithIndex.flatMap { case ((pageObj, res), pi) =>
+    val fcache = scala.collection.mutable.Map[(Int, Option[String], Int), FormX]()
+    pageObjs(doc).zipWithIndex.flatMap { case ((pageObj, res, _), pi) =>
       walkContent(pageContent(doc, pageObj), fontsOf(doc, res, cmaps),
-          formsOf(doc, res, cmaps))
+          formsOf(doc, res, cmaps, fcache))
         .zipWithIndex.map {
           case ((_, _, text), li) => ((pi + 1).toLong, li.toLong, text)
         }
     }
   }
 
-  /** Positioned variant: (page, line_no, x, y, text) per show op. */
+  /** Positioned variant: (page, line_no, x, y, text) per show op, in
+    * DISPLAYED coordinates — origins on a /Rotate page map through the
+    * page rotation (see displayXY), so an area crop (`tableRegion`)
+    * expressed against what a viewer shows reads the right region on
+    * landscape statement pages too. */
   def parsePdfPositioned(bytes: Array[Byte]): Seq[(Long, Long, Double, Double, String)] = {
     val doc = new Doc(bytes)
     val cmaps = scala.collection.mutable.Map[Int, Option[FontDec]]()
-    pageObjs(doc).zipWithIndex.flatMap { case ((pageObj, res), pi) =>
+    val fcache = scala.collection.mutable.Map[(Int, Option[String], Int), FormX]()
+    pageObjs(doc).zipWithIndex.flatMap { case ((pageObj, res, geo), pi) =>
       walkContent(pageContent(doc, pageObj), fontsOf(doc, res, cmaps),
-          formsOf(doc, res, cmaps))
-        .zipWithIndex.map {
-          case ((x, y, text), li) => ((pi + 1).toLong, li.toLong, x, y, text)
+          formsOf(doc, res, cmaps, fcache))
+        .zipWithIndex.map { case ((x, y, text), li) =>
+          val (dx, dy) = displayXY(geo, x, y)
+          ((pi + 1).toLong, li.toLong, dx, dy, text)
         }
     }
   }
@@ -1267,11 +1643,35 @@ object Pdf {
     * text sits at absolute page coordinates (BT resets the text
     * matrix). This is the fixture shape for the table-region scan —
     * the reference's tabula `area=[top,left,bottom,right]` crop
-    * (test_uploadPDF.py:31-34) needs geometry to crop against. */
-  def writePdfPositioned(pages: Seq[Seq[(Int, Int, String)]]): Array[Byte] =
-    assemblePdf(pages.map(cells =>
-      cells.map { case (x, y, t) => s"BT /F1 10 Tf $x $y Td (${esc(t)}) Tj ET" }
-        .mkString("\n")))
+    * (test_uploadPDF.py:31-34) needs geometry to crop against.
+    *
+    * `rotates` (optional, per page, 0 when absent) writes a /Rotate
+    * page whose cells are given in DISPLAYED coordinates — the writer
+    * inverts the display mapping to place the raw text origins in
+    * unrotated user space, so the fixture's expected cells and the
+    * parser's displayed-space output coincide by construction while
+    * the bytes on disk genuinely carry rotated geometry. */
+  def writePdfPositioned(pages: Seq[Seq[(Int, Int, String)]],
+      rotates: Seq[Int] = Seq.empty): Array[Byte] = {
+    val streams = pages.zipWithIndex.map { case (cells, pi) =>
+      val r = rotates.lift(pi).getOrElse(0)
+      cells.map { case (x, y, t) =>
+        // invert displayXY for the standard US-Letter box
+        val (ux, uy) = (((r % 360) + 360) % 360) match {
+          case 90 => (612.0 - y, x.toDouble)
+          case 180 => (612.0 - x, 792.0 - y)
+          case 270 => (y.toDouble, 792.0 - x)
+          case _ => (x.toDouble, y.toDouble)
+        }
+        s"BT /F1 10 Tf ${fmtNum(ux)} ${fmtNum(uy)} Td (${esc(t)}) Tj ET"
+      }.mkString("\n")
+    }
+    assemblePdf(streams, rotates)
+  }
+
+  private def fmtNum(v: Double): String =
+    if (v == v.toLong.toDouble) v.toLong.toString
+    else String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
 
   private def esc(s: String) =
     s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
@@ -1730,7 +2130,162 @@ object Pdf {
     body.toString.getBytes(ISO_8859_1)
   }
 
-  private def assemblePdf(streams: Seq[String]): Array[Byte] = {
+  /** Independent ENCRYPTED-PDF encoder (§7.6.3 standard security
+    * handler, EMPTY user password — the commonest encrypted-filing
+    * shape): Flate-compressed content streams encrypted per object,
+    * /O derived from a real owner password ("graft-owner"), /ID in
+    * the trailer, classic xref. `method`: "rc4-40" (V1/R2), "rc4-128"
+    * (V2/R3 /Length 128), or "aesv2" (V4/R4 /CF crypt filters).
+    * Deterministic bytes — the AES IVs derive from the object number.
+    * The underlying algorithm transcriptions are certified against
+    * independently computed known-answer vectors in PdfSpec, so the
+    * writer/reader pair cannot hide a symmetric derivation bug. */
+  def writePdfEncrypted(pages: Seq[Seq[String]], method: String): Array[Byte] = {
+    val nPages = pages.size
+    require(nPages >= 1, "writePdfEncrypted needs at least one page")
+    val (v, r, bits, cfExtra) = method match {
+      case "rc4-40" => (1, 2, 40, "")
+      case "rc4-128" => (2, 3, 128, "")
+      case "aesv2" => (4, 4, 128,
+        " /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >>" +
+          " /StmF /StdCF /StrF /StdCF")
+      case other => sys.error(s"writePdfEncrypted: unknown method '$other'")
+    }
+    val n = bits / 8
+    val p = -3904 // a realistic permissions mask (print/modify denied)
+    val id0 = md5(s"graft-fixture-$method".getBytes(ISO_8859_1))
+    val o = ownerValue("graft-owner".getBytes(ISO_8859_1),
+      Array.emptyByteArray, r, n)
+    val key = fileKey(padPwd(Array.emptyByteArray), o, p, id0, r, n,
+      encryptMetadata = true)
+    val u = userValue(key, id0, r)
+    def hx(b: Array[Byte]): String =
+      b.map(x => f"${x & 0xff}%02X").mkString("<", "", ">")
+    def encrypt(num: Int, data: Array[Byte]): Array[Byte] =
+      if (method == "aesv2")
+        aesEncrypt(objectKey(key, num, 0, aes = true),
+          md5(s"iv$num".getBytes(ISO_8859_1)), data)
+      else rc4(objectKey(key, num, 0, aes = false), data)
+    // layout: 1 catalog, 2 pages, 3..2+n page dicts, then content
+    // streams, then the (never-encrypted) /Encrypt dict
+    val pageNums = (0 until nPages).map(3 + _)
+    val contNums = (0 until nPages).map(3 + nPages + _)
+    val encNum = 3 + 2 * nPages
+    val body = new StringBuilder
+    val offsets = scala.collection.mutable.ArrayBuffer[Int]()
+    body.append("%PDF-1.4\n")
+    def obj(num: Int, content: String): Unit = {
+      offsets += body.length
+      body.append(s"$num 0 obj\n$content\nendobj\n")
+    }
+    obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    obj(2, s"<< /Type /Pages /Kids [${pageNums.map(x => s"$x 0 R").mkString(" ")}] /Count $nPages >>")
+    pageNums.zip(contNums).foreach { case (pg, c) =>
+      obj(pg, s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents $c 0 R >>")
+    }
+    pages.zip(contNums).foreach { case (lines, c) =>
+      val text = "BT /F1 12 Tf 72 720 Td\n" +
+        lines.map(l => s"(${esc(l)}) Tj 0 -14 Td").mkString("\n") + "\nET"
+      // order per §7.6.2: compress first, encrypt last — /Length is
+      // the stored (encrypted) byte count
+      val enc = encrypt(c, deflate(text.getBytes(ISO_8859_1)))
+      offsets += body.length
+      body.append(s"$c 0 obj\n<< /Length ${enc.length} /Filter /FlateDecode >>\nstream\n")
+      body.append(new String(enc, ISO_8859_1))
+      body.append("\nendstream\nendobj\n")
+    }
+    obj(encNum, s"<< /Filter /Standard /V $v /R $r /Length $bits$cfExtra" +
+      s" /O ${hx(o)} /U ${hx(u)} /P $p >>")
+    val xrefPos = body.length
+    body.append(s"xref\n0 ${encNum + 1}\n0000000000 65535 f \n")
+    offsets.foreach(off => body.append(f"$off%010d 00000 n \n"))
+    body.append(s"trailer\n<< /Size ${encNum + 1} /Root 1 0 R /Encrypt $encNum 0 R" +
+      s" /ID [${hx(id0)} ${hx(id0)}] >>\nstartxref\n$xrefPos\n%%EOF\n")
+    body.toString.getBytes(ISO_8859_1)
+  }
+
+  /** Independent MIXED-WIDTH CMap encoder: a Type0 font whose
+    * /ToUnicode CMap declares TWO codespace ranges — 1-byte <20><7E>
+    * (ASCII identity via one bfrange) and 2-byte <8140><FFFC> (the
+    * Shift-JIS-style frame real CJK-capable filings carry) — with
+    * non-ASCII chars assigned sequential 2-byte codes from 0x8140
+    * whose second byte stays inside [0x40,0xFC]. Show strings are hex
+    * with MIXED byte widths, so byte-by-byte codespace matching
+    * (§9.7.6.2) is load-bearing: a whole-value comparator would
+    * misframe codes and garble every line. Classic xref, Flate
+    * content, deterministic bytes. */
+  def writePdfCidMixed(pages: Seq[Seq[String]]): Array[Byte] = {
+    val nPages = pages.size
+    require(nPages >= 1, "writePdfCidMixed needs at least one page")
+    val nonAscii = pages.flatten.flatten
+      .filter(c => c < 0x20 || c > 0x7e).distinct.sorted
+    def code2(i: Int): Int = // 189 cells per row, second byte 0x40..0xFC
+      ((0x81 + i / 0xBD) << 8) | (0x40 + i % 0xBD)
+    val charCode = nonAscii.zipWithIndex
+      .map { case (c, i) => c -> code2(i) }.toMap
+    def hexShow(text: String): String =
+      text.flatMap { c =>
+        if (c >= 0x20 && c <= 0x7e) f"${c.toInt}%02X"
+        else f"${charCode(c)}%04X"
+      }.mkString("<", "", ">")
+    val cmapText = {
+      val sb = new StringBuilder
+      sb.append("/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n")
+      sb.append("2 begincodespacerange\n<20> <7E>\n<8140> <FFFC>\nendcodespacerange\n")
+      sb.append("1 beginbfrange\n<20> <7E> <0020>\nendbfrange\n")
+      if (nonAscii.nonEmpty) {
+        sb.append(s"${nonAscii.size} beginbfchar\n")
+        nonAscii.foreach(c => sb.append(f"<${charCode(c)}%04X> <${c.toInt}%04X>\n"))
+        sb.append("endbfchar\n")
+      }
+      sb.append("endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend\n")
+      sb.toString
+    }
+    val pageNums = (0 until nPages).map(3 + _)
+    val contNums = (0 until nPages).map(3 + nPages + _)
+    val fontNum = 3 + 2 * nPages; val cmapNum = 4 + 2 * nPages
+    val body = new StringBuilder
+    val offsets = scala.collection.mutable.ArrayBuffer[Int]()
+    body.append("%PDF-1.4\n")
+    def obj(num: Int, content: String): Unit = {
+      offsets += body.length
+      body.append(s"$num 0 obj\n$content\nendobj\n")
+    }
+    def streamObj(num: Int, data: Array[Byte]): Unit = {
+      val d = deflate(data)
+      offsets += body.length
+      body.append(s"$num 0 obj\n<< /Length ${d.length} /Filter /FlateDecode >>\nstream\n")
+      body.append(new String(d, ISO_8859_1))
+      body.append("\nendstream\nendobj\n")
+    }
+    obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    obj(2, s"<< /Type /Pages /Kids [${pageNums.map(x => s"$x 0 R").mkString(" ")}] " +
+      s"/Count $nPages /Resources << /Font << /F1 $fontNum 0 R >> >> >>")
+    pageNums.zip(contNums).foreach { case (pg, c) =>
+      obj(pg, s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents $c 0 R >>")
+    }
+    pages.zip(contNums).foreach { case (lines, c) =>
+      val ops = Seq.newBuilder[String]
+      ops += "BT"
+      ops += "/F1 11 Tf"
+      ops += "72 720 Td"
+      lines.foreach { l => ops += s"${hexShow(l)} Tj"; ops += "0 -14 Td" }
+      ops += "ET"
+      streamObj(c, ops.result().mkString("\n").getBytes(ISO_8859_1))
+    }
+    obj(fontNum, "<< /Type /Font /Subtype /Type0 /BaseFont /GRAFT+Mixed " +
+      s"/Encoding /Identity-H /ToUnicode $cmapNum 0 R >>")
+    streamObj(cmapNum, cmapText.getBytes(ISO_8859_1))
+    val xrefPos = body.length
+    val nObjs = cmapNum
+    body.append(s"xref\n0 ${nObjs + 1}\n0000000000 65535 f \n")
+    offsets.foreach(off => body.append(f"$off%010d 00000 n \n"))
+    body.append(s"trailer\n<< /Size ${nObjs + 1} /Root 1 0 R >>\nstartxref\n$xrefPos\n%%EOF\n")
+    body.toString.getBytes(ISO_8859_1)
+  }
+
+  private def assemblePdf(streams: Seq[String],
+      rotates: Seq[Int] = Seq.empty): Array[Byte] = {
     val nPages = streams.size
     // object numbering: 1 catalog, 2 pages, then (3+2i) page / (4+2i) content
     val pageObjNums = (0 until nPages).map(i => 3 + 2 * i)
@@ -1746,7 +2301,11 @@ object Pdf {
     streams.zipWithIndex.foreach { case (streamText, i) =>
       val pageNum = 3 + 2 * i
       val contNum = 4 + 2 * i
-      obj(pageNum, s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents $contNum 0 R >>")
+      val rot = rotates.lift(i).getOrElse(0) match {
+        case 0 => ""
+        case r => s"/Rotate $r "
+      }
+      obj(pageNum, s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] $rot/Contents $contNum 0 R >>")
       val deflated = deflate(streamText.getBytes(ISO_8859_1))
       offsets += body.length
       body.append(s"$contNum 0 obj\n<< /Length ${deflated.length} /Filter /FlateDecode >>\nstream\n")

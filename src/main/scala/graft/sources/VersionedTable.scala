@@ -429,6 +429,12 @@ object VersionedTable {
     require(numBuckets > 0, "numBuckets must be positive")
     require(!updates.columns.contains(KB),
       s"updates must not carry a '$KB' column — it is the table's bucket key")
+    // DEL/LAYER are the merge-on-read resolution internals; a batch
+    // carrying either would collide with the columns merge itself adds
+    // (duplicate-column write failure at best, silently mis-resolved
+    // tombstones at worst), so reject it as loudly as the KB case
+    Seq(DEL, LAYER).foreach(c => require(!updates.columns.contains(c),
+      s"updates must not carry a '$c' column — reserved merge-on-read internal"))
     deleteCol.foreach(c => require(updates.columns.contains(c),
       s"deleteCol '$c' not in updates schema ${updates.columns.mkString(",")}"))
     val (fs, root) = fsOf(spark, path)
@@ -1187,9 +1193,19 @@ object VersionedTable {
     val sn = snapshot(spark, path, asOf)
     val live = sn.deltas.values.flatten.toSet
     val (fs, root) = fsOf(spark, path)
+    // mirror resolved()'s membership filter: a delta dir also holds a
+    // _cdc feed and kb= partitions for buckets that later commits folded
+    // out of membership — only the kb=<still-live bucket> subdirs are
+    // payload a read actually resolves, so only those count toward the
+    // compaction-cadence signal
     val bytes = live.toSeq.map { d =>
-      val p = new HPath(root, d)
-      if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+      val liveBuckets = sn.deltas.collect {
+        case (b, ds) if ds.contains(d) => b
+      }
+      liveBuckets.map { b =>
+        val p = new HPath(root, s"$d/$KB=$b")
+        if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+      }.sum
     }.sum
     (live.size,
       if (sn.deltas.isEmpty) 0 else sn.deltas.values.map(_.size).max,
