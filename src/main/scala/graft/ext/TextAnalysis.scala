@@ -115,14 +115,27 @@ object TextAnalysis extends QueryModule {
     val lst = markers(lang).map(w => s"'$w'").mkString(", ")
     s"len(list_filter(string_split(text, ' '), x -> list_contains([$lst], x)))"
   }
+  /** DuckDB expression replaying `languageOf` over a `text` column —
+    * shared by the a01 oracle and the SQL-surface gate's (x07). */
+  private[graft] lazy val predictedCaseSql: String =
+    s"""CASE
+         WHEN ${hitsSql("en")} >= ${hitsSql("de")} AND ${hitsSql("en")} >= ${hitsSql("es")} AND ${hitsSql("en")} >= ${hitsSql("zh")} THEN 'en'
+         WHEN ${hitsSql("de")} >= ${hitsSql("es")} AND ${hitsSql("de")} >= ${hitsSql("zh")} THEN 'de'
+         WHEN ${hitsSql("es")} >= ${hitsSql("zh")} THEN 'es'
+         ELSE 'zh' END"""
+
+  /** DuckDB expression replaying `qualityScore` over a token-list
+    * column `l` (empty strings filtered) — shared by the a02 oracle
+    * and the SQL-surface gate's (x07). */
+  private[graft] lazy val qualityFromListSql: String =
+    """round(1.0
+         - (CAST(len(list_filter(l, x -> strlen(x) <= 2)) AS DOUBLE) / len(l)) * 0.5
+         - (CAST(len(list_filter(l, x -> list_contains(['the','a','of','and'], x))) AS DOUBLE) / len(l)) * 0.3
+         + least(CAST(len(l) AS DOUBLE) / 100.0, 1.0) * 0.2, 6)"""
+
   private val a01Sql =
     s"""SELECT lang, predicted, count(*) AS n FROM (
-         SELECT lang,
-           CASE
-             WHEN ${hitsSql("en")} >= ${hitsSql("de")} AND ${hitsSql("en")} >= ${hitsSql("es")} AND ${hitsSql("en")} >= ${hitsSql("zh")} THEN 'en'
-             WHEN ${hitsSql("de")} >= ${hitsSql("es")} AND ${hitsSql("de")} >= ${hitsSql("zh")} THEN 'de'
-             WHEN ${hitsSql("es")} >= ${hitsSql("zh")} THEN 'es'
-             ELSE 'zh' END AS predicted
+         SELECT lang, $predictedCaseSql AS predicted
          FROM documents)
        GROUP BY lang, predicted ORDER BY lang, predicted"""
 

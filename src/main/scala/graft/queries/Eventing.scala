@@ -1077,11 +1077,12 @@ object Eventing extends QueryModule {
     * micro-batch commits as a DELTA LAYER (`mor = true`) — the write
     * shape for high-frequency scattered micro-batches, where COW
     * rewrites ~the whole table per batch (study_r10.json, 515×
-    * amplification at sf1) — and the compaction cadence is driven by
-    * the manifest-only `deltaStats` surface: fold when any bucket
-    * stacks ≥ 2 layers (the aggressive end of the measured 8-16 rule,
-    * so the gate exercises BOTH the stacked-resolution read and the
-    * folded path inside one run). Oracle = e26's relational recompute:
+    * amplification at sf1) — and the compaction cadence is the
+    * table's own `autoCompactLayers` policy (manifest-only deltaStats
+    * probe inside merge): fold when any bucket stacks ≥ 2 layers (the
+    * aggressive end of the measured 8-16 rule, so the gate exercises
+    * BOTH the stacked-resolution read and the folded path inside one
+    * run). Oracle = e26's relational recompute:
     * MoR layering and compaction must be invisible in the result. */
   private def e28(s: SparkSession, d: String): DataFrame = {
     val prefix = "e28"
@@ -1090,11 +1091,14 @@ object Eventing extends QueryModule {
       s"${prefix}_vtab_${streamRunId.incrementAndGet()}")
     val applyBatch: (DataFrame, Long) => Unit = (batch, _) => {
       val sess = batch.sparkSession
+      // compaction now rides the TABLE's own policy (autoCompactLayers)
+      // instead of caller-side deltaStats+compact; the threshold stays
+      // at the aggressive end (2, vs AutoCompactDefault=8 for
+      // production cadence) so one gate run exercises BOTH the
+      // stacked-resolution read and the folded path
       graft.sources.VersionedTable.merge(sess, table,
         lastUserState(batch), Seq("user_id"), Some("del"), numBuckets = 16,
-        mor = true)
-      val (_, maxPerBucket, _) = graft.sources.VersionedTable.deltaStats(sess, table)
-      if (maxPerBucket >= 2) graft.sources.VersionedTable.compact(sess, table)
+        mor = true, autoCompactLayers = 2)
       ()
     }
     runCdcStream(s, stage, schema, prefix, applyBatch)

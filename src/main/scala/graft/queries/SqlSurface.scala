@@ -32,8 +32,13 @@ import graft.sources.Tables
   */
 object SqlSurface extends QueryModule {
 
-  /** Names every table under `sfDir` as a temp view and registers the
-    * library's SQL functions. Idempotent per session. */
+  /** Names every table under `sfDir` as a temp view, registers the
+    * library's SQL functions, and registers the PUBLIC operator
+    * wrappers as views — a SQL-only user gets near-dup pairs, ANN,
+    * and text signals without a line of DataFrame code. All views are
+    * LAZY relations (planning only at open; nothing executes until
+    * queried), so open() costs nothing beyond catalog writes.
+    * Idempotent per session. */
   def open(s: SparkSession, d: String): Unit = {
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings").foreach { t =>
@@ -41,6 +46,29 @@ object SqlSurface extends QueryModule {
     }
     graft.functions.CosineSimilarity.register(s)
     graft.functions.NfcNormalize.register(s)
+    // operator wrappers as views (each certified by an x-gate below):
+    // LSH-verified near-duplicate pairs over the documents corpus
+    graft.ext.Dedup.nearDupPairs(Tables.documents(s, d),
+        col("doc_id"), col("text"), 0.6)
+      .createOrReplaceTempView("near_dup_pairs")
+    val emb = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // exact cosine top-10 against the vec_id=0 query vector
+    graft.ext.Similarity.cosineTopK(emb.filter(col("vec_id") =!= 0),
+        col("vec_id"), col("v"),
+        emb.filter(col("vec_id") === 0).select(col("v").as("qv")), 10)
+      .createOrReplaceTempView("cosine_topk")
+    // batched exact kNN: 5 neighbors for each of the first 5 vectors
+    graft.ext.Similarity.knn(emb, col("vec_id"), col("v"),
+        emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("probe_id"), col("v").as("pv")), 5)
+      .createOrReplaceTempView("knn_neighbors")
+    // per-document language prediction + quality score
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.ext.TextAnalysis.languageOf(col("text")).as("predicted"),
+        graft.ext.TextAnalysis.qualityScore(col("text")).as("quality"))
+      .createOrReplaceTempView("doc_signals")
   }
 
   /** x01 — q14's contains-theta join through `spark.sql`: the SAME SQL
@@ -100,15 +128,151 @@ object SqlSurface extends QueryModule {
          GROUP BY canon)
        GROUP BY group_size ORDER BY group_size"""
 
+  /** x04 — the near-dup OPERATOR as a SQL view: plain SQL aggregates
+    * per-doc duplicate fan-out on top of `near_dup_pairs`. The oracle
+    * wraps the d06 chain (same LSH banding + exact-Jaccard replay),
+    * so the hash certifies the VIEW path end-to-end. */
+  private def x04(s: SparkSession, d: String): DataFrame = {
+    open(s, d)
+    s.sql(
+      """SELECT doc_a, count(*) AS n_pairs, max(jaccard) AS max_j
+         FROM near_dup_pairs GROUP BY doc_a ORDER BY doc_a""")
+  }
+  private lazy val x04Sql =
+    s"""SELECT doc_a, count(*) AS n_pairs, max(jaccard) AS max_j
+       FROM (${graft.ext.Dedup.d06Sql})
+       GROUP BY doc_a ORDER BY doc_a"""
+
+  /** x05 — the window family through `spark.sql`: the SAME text (a
+    * named WINDOW clause with lead/lag over a composite order) runs on
+    * both engines. */
+  private val x05Text =
+    """SELECT o_custkey, o_orderkey,
+         lead(o_orderkey, 1) OVER w AS next_order,
+         lag(o_orderkey, 1) OVER w AS prev_order
+       FROM orders
+       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+       ORDER BY o_custkey, o_orderkey"""
+  private def x05(s: SparkSession, d: String): DataFrame = {
+    open(s, d)
+    s.sql(x05Text)
+  }
+
+  /** x06 — a VersionedTable READ through `spark.sql`: two real merges
+    * (create, then upsert-with-tombstones) build the table; its
+    * resolved snapshot registers as a view and plain SQL aggregates
+    * it. The oracle recomputes the post-merge state relationally, so
+    * the hash certifies merge arithmetic AND the SQL read path. */
+  private val x06RunId = new java.util.concurrent.atomic.AtomicLong
+  private def x06(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    open(s, d)
+    val table = graft.util.Scratch.dir(s"x06_vtab_${x06RunId.incrementAndGet()}")
+    val base = Tables.orders(s, d).select($"o_orderkey".as("k"),
+      round($"o_totalprice" * 100).cast("long").as("cents"))
+    graft.sources.VersionedTable.merge(s, table, base, Seq("k"), numBuckets = 8)
+    val upd = base.filter($"k" % 3 === 0 || $"k" % 7 === 0)
+      .select($"k",
+        when($"k" % 3 === 0, $"cents" * 2).otherwise($"cents").as("cents"),
+        ($"k" % 7 === 0).as("del"))
+    graft.sources.VersionedTable.merge(s, table, upd, Seq("k"), Some("del"),
+      numBuckets = 8)
+    graft.sources.VersionedTable.read(s, table)
+      .createOrReplaceTempView("vt_orders")
+    s.sql(
+      """SELECT k % 10 AS bucket, count(*) AS n_rows, sum(cents) AS sum_cents
+         FROM vt_orders GROUP BY k % 10 ORDER BY bucket""")
+  }
+  private val x06Sql =
+    """SELECT k % 10 AS bucket, count(*) AS n_rows,
+         CAST(sum(cents) AS BIGINT) AS sum_cents
+       FROM (
+         SELECT o_orderkey AS k,
+           CASE WHEN o_orderkey % 3 = 0 THEN 2 * cents ELSE cents END AS cents
+         FROM (SELECT o_orderkey,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders)
+         WHERE o_orderkey % 7 <> 0)
+       GROUP BY 1 ORDER BY bucket"""
+
+  /** x07 — text-analysis signals as a SQL view: `doc_signals` carries
+    * languageOf + qualityScore per document; plain SQL rolls them up.
+    * The per-row quality is integerized (×1e6 on the already-rounded
+    * score) before summing so the aggregate is exact on both engines. */
+  private def x07(s: SparkSession, d: String): DataFrame = {
+    open(s, d)
+    s.sql(
+      """SELECT predicted, count(*) AS n_docs,
+           sum(CAST(round(quality * 1000000, 0) AS BIGINT)) AS sum_q6
+         FROM doc_signals GROUP BY predicted ORDER BY predicted""")
+  }
+  private lazy val x07Sql =
+    s"""SELECT predicted, count(*) AS n_docs,
+         CAST(sum(CAST(round(quality * 1000000, 0) AS BIGINT)) AS BIGINT) AS sum_q6
+       FROM (SELECT ${graft.ext.TextAnalysis.predictedCaseSql} AS predicted,
+               ${graft.ext.TextAnalysis.qualityFromListSql} AS quality
+             FROM (SELECT text,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS l
+                   FROM documents))
+       GROUP BY predicted ORDER BY predicted"""
+
+  /** x08 — batched exact kNN as a SQL view: `knn_neighbors` holds 5
+    * ranked neighbors per probe (built through the TopKPerKey
+    * operator); SQL keeps the top 2. */
+  private def x08(s: SparkSession, d: String): DataFrame = {
+    open(s, d)
+    s.sql(
+      """SELECT probe_id, neighbor_id, rank, cos_sim FROM knn_neighbors
+         WHERE rank <= 2 ORDER BY probe_id, rank""")
+  }
+  private val x08Sql =
+    """SELECT probe_id, neighbor_id, rank, cos_sim FROM (
+         SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY p.vec_id
+             ORDER BY round(list_cosine_similarity(e.v, p.v), 9) DESC, e.vec_id) AS rank,
+           round(list_cosine_similarity(e.v, p.v), 6) AS cos_sim
+         FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) e
+         JOIN (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 5) p
+           ON e.vec_id <> p.vec_id)
+       WHERE rank <= 2 ORDER BY probe_id, rank"""
+
+  /** x09 — exact cosine top-k as a SQL view: `cosine_topk` is the
+    * operator's 10-row result; SQL re-orders it by id. */
+  private def x09(s: SparkSession, d: String): DataFrame = {
+    open(s, d)
+    s.sql("SELECT vec_id, cos_sim FROM cosine_topk ORDER BY vec_id")
+  }
+  private val x09Sql =
+    """SELECT vec_id, cos_sim FROM (
+         SELECT vec_id,
+           round(list_cosine_similarity(e.v, q.qv), 6) AS cos_sim
+         FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id <> 0) e
+         CROSS JOIN (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0) q
+         ORDER BY round(list_cosine_similarity(e.v, q.qv), 9) DESC, vec_id
+         LIMIT 10)
+       ORDER BY vec_id"""
+
   override def queries: Map[String, QueryFn] = Map(
     "x01_sql_theta_join" -> x01 _,
     "x02_sql_cosine_fn" -> x02 _,
     "x03_sql_operator_view" -> x03 _,
+    "x04_sql_neardup_view" -> x04 _,
+    "x05_sql_window" -> x05 _,
+    "x06_sql_versioned_read" -> x06 _,
+    "x07_sql_text_signals" -> x07 _,
+    "x08_sql_knn_view" -> x08 _,
+    "x09_sql_topk_view" -> x09 _,
   )
 
   override def oracle: Map[String, String] = Map(
     "x01_sql_theta_join" -> x01Text,
     "x02_sql_cosine_fn" -> x02Sql,
     "x03_sql_operator_view" -> x03Sql,
+    "x04_sql_neardup_view" -> x04Sql,
+    "x05_sql_window" -> x05Text,
+    "x06_sql_versioned_read" -> x06Sql,
+    "x07_sql_text_signals" -> x07Sql,
+    "x08_sql_knn_view" -> x08Sql,
+    "x09_sql_topk_view" -> x09Sql,
   )
 }

@@ -388,7 +388,7 @@ object VersionedTable {
   def merge(spark: SparkSession, path: String, updates: DataFrame,
       keyCols: Seq[String], deleteCol: Option[String] = None,
       numBuckets: Int = 64, maxConflictRetries: Int = 3,
-      mor: Boolean = false): Long = {
+      mor: Boolean = false, autoCompactLayers: Int = 0): Long = {
     // Bounded recompute-and-retry on TRUE conflicts (the Delta pattern):
     // a loser whose rebase was impossible re-reads the fresh snapshot
     // and re-runs the whole merge body — survivors, feed, staged files
@@ -398,10 +398,29 @@ object VersionedTable {
     // commits yields the same final rows for its keys. Retries are
     // bounded; the pathological storm still fails loudly. Pass 0 to keep
     // the strict fail-on-conflict contract (the conflict spec does).
+    //
+    // `autoCompactLayers` (MoR only; 0 = off) is the TABLE-SIDE
+    // compaction policy: after a successful delta commit, if any
+    // bucket's live layer stack has reached the threshold, fold the
+    // table in the same call — every writer inherits the measured
+    // layer-count rule (resolved-read cost grows with LAYER COUNT, not
+    // delta bytes; study mor_layers: 0.56 s at 1 layer → 1.81 s at 16
+    // vs 0.09 s folded) instead of re-implementing deltaStats+compact
+    // caller-side. `AutoCompactDefault` encodes the 8-16 knee's
+    // conservative end. The deltaStats probe is manifest-only, so the
+    // steady-state (no-compaction) cost is one manifest read.
     var attempt = 0
     while (true) {
-      try return mergeOnce(spark, path, updates, keyCols, deleteCol,
-        numBuckets, mor)
+      try {
+        val v = mergeOnce(spark, path, updates, keyCols, deleteCol,
+          numBuckets, mor)
+        if (mor && autoCompactLayers > 0) {
+          val (_, maxPerBucket, _) = deltaStats(spark, path)
+          if (maxPerBucket >= autoCompactLayers)
+            return compact(spark, path)
+        }
+        return v
+      }
       catch {
         case e: ConcurrentCommitException =>
           attempt += 1
@@ -413,6 +432,32 @@ object VersionedTable {
       }
     }
     -1L // unreachable
+  }
+
+  /** The measured auto-compaction threshold: resolved-read cost knees
+    * between 8 and 16 live layers per bucket (study mor_layers); 8 is
+    * the conservative end. Pass to `merge(autoCompactLayers = ...)`. */
+  val AutoCompactDefault = 8
+
+  /** OCC operating rule, as a helper (study_r10.json
+    * `occ_throughput_sf01`: bucket-DISJOINT writers commit 2.7× faster
+    * than overlapping ones because every lost race rebases in O(1)
+    * instead of recomputing the merge body): split a batch into
+    * `writers` bucket-disjoint slices with the TABLE's OWN bucket
+    * arithmetic — `pmod(xxhash64(keys), numBuckets) % writers` — so N
+    * concurrent `merge` calls, one per slice, never contend on a
+    * bucket. The slices partition the batch exactly (every row lands
+    * in exactly one slice); key columns must already be cast to the
+    * table's key types (the same contract merge itself enforces). */
+  def partitionForWriters(updates: DataFrame, keyCols: Seq[String],
+      writers: Int, numBuckets: Int = 64): Seq[DataFrame] = {
+    require(writers > 0, "writers must be positive")
+    require(numBuckets > 0, "numBuckets must be positive")
+    (0 until writers).map { w =>
+      updates.filter(
+        pmod(pmod(xxhash64(keyCols.map(col): _*), lit(numBuckets)),
+          lit(writers)) === lit(w))
+    }
   }
 
   /** Study/ops instrumentation, not control flow: how many true

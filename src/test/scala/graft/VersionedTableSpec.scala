@@ -1037,4 +1037,98 @@ class VersionedTableSpec extends SparkSpec {
     assert(hist(1)._2 === 1L, "MoR commit touches its batch's buckets only")
     assert(hist(1)._3 === true, "MoR commits carry a materialized feed")
   }
+
+  test("merge rejects a batch carrying the reserved MoR internal columns") {
+    val dir = freshDir("mor_reserved")
+    VersionedTable.merge(spark, dir,
+      Seq((1L, "a")).toDF("k", "v"), Seq("k"), numBuckets = 2)
+    Seq("_mor_del", "_mor_layer").foreach { c =>
+      val e = intercept[IllegalArgumentException] {
+        VersionedTable.merge(spark, dir,
+          Seq((2L, "b", false)).toDF("k", "v", c), Seq("k"), numBuckets = 2)
+      }
+      assert(e.getMessage.contains(c) && e.getMessage.contains("reserved"),
+        s"reserved column $c must be rejected loudly: ${e.getMessage}")
+    }
+  }
+
+  test("mor: autoCompactLayers folds the table from inside merge at the threshold") {
+    val dir = freshDir("mor_autocompact")
+    VersionedTable.merge(spark, dir,
+      (1L to 20L).map(k => (k, s"v$k")).toDF("k", "v"), Seq("k"), numBuckets = 2)
+    // below the threshold nothing folds: layers stack normally
+    VersionedTable.merge(spark, dir,
+      (1L to 10L).map(k => (k, s"a$k")).toDF("k", "v"), Seq("k"),
+      numBuckets = 2, mor = true, autoCompactLayers = 3)
+    VersionedTable.merge(spark, dir,
+      (1L to 10L).map(k => (k, s"b$k")).toDF("k", "v"), Seq("k"),
+      numBuckets = 2, mor = true, autoCompactLayers = 3)
+    assert(VersionedTable.deltaStats(spark, dir)._2 === 2)
+    // the threshold-reaching merge compacts INSIDE the call and returns
+    // the compaction's version (one extra commit over the delta's)
+    val v = VersionedTable.merge(spark, dir,
+      (1L to 10L).map(k => (k, s"c$k")).toDF("k", "v"), Seq("k"),
+      numBuckets = 2, mor = true, autoCompactLayers = 3)
+    assert(v === 4L, s"delta commit 3 + compaction commit 4, got $v")
+    assert(VersionedTable.deltaStats(spark, dir) === ((0, 0, 0L)))
+    assert(state(dir) ===
+      ((1L to 10L).map(k => (k, s"c$k")) ++ (11L to 20L).map(k => (k, s"v$k"))).toSet)
+    // the default threshold constant encodes the measured 8-16 knee
+    assert(VersionedTable.AutoCompactDefault === 8)
+  }
+
+  test("mor: deltaStats counts only LIVE-bucket payload, not folded buckets or _cdc") {
+    val dir = freshDir("mor_stats_live")
+    // two keys in two distinct buckets (numBuckets=16 hash space)
+    val k1 = 1L
+    val k2 = (2L to 200L).find(k => bucketOf(k) != bucketOf(k1)).get
+    VersionedTable.merge(spark, dir,
+      Seq((k1, "a"), (k2, "b")).toDF("k", "v"), Seq("k"), numBuckets = 16)
+    VersionedTable.merge(spark, dir,
+      Seq((k1, "A", false), (k2, "B", false)).toDF("k", "v", "del"),
+      Seq("k"), Some("del"), numBuckets = 16, mor = true)
+    val before = VersionedTable.deltaStats(spark, dir)._3
+    assert(before > 0)
+    // a COW merge of k1 folds ITS bucket out of the delta dir's
+    // membership; the dir's bytes on disk are unchanged, but the
+    // compaction-cadence signal must now count only k2's partition
+    VersionedTable.merge(spark, dir,
+      Seq((k1, "AA", false)).toDF("k", "v", "del"),
+      Seq("k"), Some("del"), numBuckets = 16)
+    val after = VersionedTable.deltaStats(spark, dir)
+    assert(after._1 === 1 && after._2 === 1)
+    assert(after._3 > 0 && after._3 < before,
+      s"bytes must shrink to the live bucket's partition: $before -> ${after._3}")
+  }
+
+  test("partitionForWriters slices are bucket-disjoint, exact, and land thread-parallel") {
+    val dir = freshDir("writer_slices")
+    VersionedTable.merge(spark, dir,
+      (1L to 8L).map(k => (k, s"seed$k")).toDF("k", "v"), Seq("k"), numBuckets = 16)
+    val batch = (100L to 179L).map(k => (k, s"w$k")).toDF("k", "v")
+    val slices = VersionedTable.partitionForWriters(batch, Seq("k"), 4, numBuckets = 16)
+    assert(slices.size === 4)
+    // exact partition: every row in exactly one slice
+    val counts = slices.map(_.count())
+    assert(counts.sum === 80)
+    // bucket-disjoint: no table bucket appears in two slices
+    val bucketsPerSlice = slices.map(
+      _.select(pmod(xxhash64($"k"), lit(16L)).cast("int"))
+        .distinct().as[Int].collect().toSet)
+    bucketsPerSlice.combinations(2).foreach { case Seq(a, b) =>
+      assert((a intersect b).isEmpty, s"slices share buckets: $a vs $b")
+    }
+    // the four-writer harness: one thread-parallel merge per slice —
+    // disjointness means every lost manifest race rebases, all land
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = slices.filter(_.count() > 0).map { s =>
+      Future { VersionedTable.merge(spark, dir, s, Seq("k"), numBuckets = 16) }
+    }
+    Await.result(Future.sequence(fs), 120.seconds)
+    val got = state(dir)
+    (100L to 179L).foreach(k => assert(got.contains((k, s"w$k")), s"lost $k"))
+    assert(got.size === 88)
+  }
 }
