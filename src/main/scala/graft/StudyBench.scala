@@ -652,6 +652,7 @@ object StudyBench {
     def want(name: String) = only.forall(_.contains(name))
     val parts = Seq.newBuilder[String]   // round-9 studies → study_r9.json
     val parts10 = Seq.newBuilder[String] // round-10-brief studies → study_r10.json
+    val parts11 = Seq.newBuilder[String] // round-11-brief studies → study_r11.json
     if (want("containment")) parts += containmentSweep(spark, "sf01", sf01)
     if (want("ann")) parts += annFilterStudy(spark, sf01)
     if (want("statestore")) parts += stateStoreStudy(spark, "sf01", sf01)
@@ -666,6 +667,10 @@ object StudyBench {
       if (want("statestore")) parts += stateStoreStudy(spark, "sf1", d)
       if (want("iscan")) parts += indexedScanStudy(spark, "sf1", d)
       if (want("cow")) parts10 += cowAmplificationStudy(spark, "sf1", d)
+      // round-11 brief item 8: does the layer-count-not-bytes read-cost
+      // law hold at 10× the data? (gate name "morlayers1" so re-running
+      // it never re-times the recorded sf0.1 section)
+      if (want("morlayers1")) parts11 += morLayersStudy(spark, "sf1", d)
     }
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     def writeMerged(file: String, sections: Seq[String]): Unit = {
@@ -683,6 +688,7 @@ object StudyBench {
     }
     writeMerged("study_r9.json", parts.result())
     writeMerged("study_r10.json", parts10.result())
+    writeMerged("study_r11.json", parts11.result())
     spark.stop()
   }
 }

@@ -39,7 +39,9 @@ class PlanAuditSpec extends SparkSpec {
     "a17_perplexity_buckets" /* same 1-row total as a10's LM scoring */,
     "s15_mmr_rerank" /* 1-row broadcast query vector x corpus shortlist */,
     "s16_filtered_ann" /* 1-row broadcast query vector x filtered corpus */,
-    "v18_quality_constraints" /* three 1-row metric frames cross-joined */)
+    "v18_quality_constraints" /* three 1-row metric frames cross-joined */,
+    "x08_sql_knn_view" /* s02's broadcast probe set, through the view */,
+    "x09_sql_topk_view" /* s01's 1-row query-vector cross join, through the view */)
 
   test("q24 reuses the persisted per-part aggregate for the scalar total") {
     val plan = planOf(SparkEntry.queries("q24_value_share")(spark, sfDir))
