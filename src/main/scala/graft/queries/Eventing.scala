@@ -1105,6 +1105,47 @@ object Eventing extends QueryModule {
     graft.sources.VersionedTable.read(s, table).orderBy(col("user_id"))
   }
 
+  /** e29 — EXACTLY-ONCE streaming ingest under micro-batch REPLAY:
+    * e28's chronological MoR merge loop, but every micro-batch is
+    * applied TWICE with the same `txn = (queryName, batchId)` — the
+    * faithful simulation of checkpoint recovery, where the source
+    * re-delivers the last batch whose commit the sink already holds.
+    * The second application must be recognized by the table's
+    * idempotent-writer watermark and SKIPPED: in-code `require`s pin
+    * that the replay returns the SAME version (no phantom commit) and
+    * stacks NO spurious delta layer — a plain upsert replay would
+    * pass a data-only oracle silently while doubling the layer count
+    * and the compaction pressure, which is exactly the failure mode
+    * the watermark removes at scale. Oracle = e26's relational
+    * recompute: replay handling must be invisible in the result. */
+  private def e29(s: SparkSession, d: String): DataFrame = {
+    val prefix = "e29"
+    val (stage, schema) = stageCdcSlices(s, d, prefix)
+    val table = graft.util.Scratch.dir(
+      s"${prefix}_vtab_${streamRunId.incrementAndGet()}")
+    val applyBatch: (DataFrame, Long) => Unit = (batch, batchId) => {
+      val sess = batch.sparkSession
+      val state = lastUserState(batch)
+      def apply(): Long = graft.sources.VersionedTable.merge(sess, table,
+        state, Seq("user_id"), Some("del"), numBuckets = 16,
+        mor = true, txn = Some((s"${prefix}_ingest", batchId)))
+      val v1 = apply()
+      val layers1 =
+        graft.sources.VersionedTable.deltaStats(sess, table)._1
+      val v2 = apply() // the replayed delivery
+      val layers2 =
+        graft.sources.VersionedTable.deltaStats(sess, table)._1
+      require(v2 == v1,
+        s"replayed batch $batchId committed a phantom version ($v1 -> $v2)")
+      require(layers2 == layers1,
+        s"replayed batch $batchId stacked a spurious delta layer " +
+          s"($layers1 -> $layers2)")
+      ()
+    }
+    runCdcStream(s, stage, schema, prefix, applyBatch)
+    graft.sources.VersionedTable.read(s, table).orderBy(col("user_id"))
+  }
+
   private val e26Sql =
     """SELECT user_id, ts AS last_ts, event_id AS last_event_id,
          event_type AS last_type, value AS last_value
@@ -1209,6 +1250,7 @@ object Eventing extends QueryModule {
 
   val queries: Map[String, QueryFn] = Map(
     "e28_stream_mor_ingest" -> e28 _,
+    "e29_stream_exactly_once" -> e29 _,
     "e27_stream_feed_maintain" -> e27 _,
     "e26_stream_cdc_merge" -> e26 _,
     "e25_stream_anomaly" -> e25 _,
@@ -1243,6 +1285,9 @@ object Eventing extends QueryModule {
     "e26_stream_cdc_merge" -> e26Sql,
     // MoR layering + compaction must be invisible: same oracle as e26
     "e28_stream_mor_ingest" -> e26Sql,
+    // replay skipping must be invisible in the DATA (the in-code
+    // requires pin the version/layer accounting): same oracle as e26
+    "e29_stream_exactly_once" -> e26Sql,
     "e25_stream_anomaly" -> e25Sql,
     "e24_update_mode" -> e24Sql,
     "e23_jdbc_serving" -> e23Sql,

@@ -599,7 +599,10 @@ object Media extends QueryModule {
       Seq("Ikhtisar saldo terenkripsi", "Laba bersih 88"))),
     ("enc_aes_2025.pdf", "aesv2", Seq(
       Seq("CATATAN TERENKRIPSI", "Piutang usaha (neto) 800"),
-      Seq("2,3b"))))
+      Seq("2,3b"))),
+    ("enc_aes256_2026.pdf", "aesv3", Seq(
+      Seq("LAMPIRAN TERENKRIPSI AES-256", "Liabilitas jangka pendek 410"),
+      Seq("Catatan 7: pinjaman bank 95"))))
 
   def writePdfEncFixture(dir: String): String = {
     val d = new java.io.File(dir)
@@ -626,10 +629,11 @@ object Media extends QueryModule {
 
   private def pdfEncDir: String = graft.util.Scratch.dir("pdf_enc")
 
-  /** m26 — encrypted-PDF text extraction: RC4-40, RC4-128, and AESV2
-    * files (empty user password) decrypt and read through the same
-    * scan; oracle replays the expected lines (m20/m22/m23/m25
-    * discipline, against the independent encryptor). */
+  /** m26 — encrypted-PDF text extraction: RC4-40, RC4-128, AESV2, and
+    * AES-256 R6 (AESV3) files (empty user password) decrypt and read
+    * through the same scan; oracle replays the expected lines
+    * (m20/m22/m23/m25 discipline, against the independent
+    * encryptor). */
   private def m26(s: SparkSession, d: String): DataFrame = {
     val dir = writePdfEncFixture(pdfEncDir)
     graft.sources.Pdf.read(s, dir).toDF()

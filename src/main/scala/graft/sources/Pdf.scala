@@ -47,7 +47,7 @@ import org.apache.spark.sql.functions._
   *     one legacy filing cannot kill a directory-wide scan.
   *
   *   - STANDARD-HANDLER DECRYPTION for the empty user password
-  *     (§7.6.3) — RC4-40/RC4-n and AESV2, the shape most encrypted
+  *     (§7.6.3) — RC4-40/RC4-n, AESV2, and AES-256 (R5/R6), the shapes most encrypted
   *     real filings use (the reference's fitz path reads these
   *     transparently). A real (non-empty) user password, or a
   *     non-standard handler, fails LOUDLY with the actual reason.
@@ -316,7 +316,7 @@ object Pdf {
       * newest trailer carried /Encrypt. Only the standard security
       * handler with an EMPTY USER PASSWORD is supported (the shape the
       * reference's fitz path reads transparently, mainTesting.py:
-      * 273-285): RC4-40 (V1/R2), RC4-n (V2/R3), and AESV2 crypt
+      * 273-285): RC4-40 (V1/R2), RC4-n (V2/R3), AESV2, and AES-256 R5/R6 crypt
       * filters (V4/R4). A non-empty user password (U verification
       * fails) or an unsupported handler still fails LOUDLY with the
       * real reason. */
@@ -537,6 +537,57 @@ object Pdf {
       x ++ new Array[Byte](16)
     }
 
+  private def sha(alg: String)(parts: Array[Byte]*): Array[Byte] = {
+    val d = java.security.MessageDigest.getInstance(alg)
+    parts.foreach(d.update)
+    d.digest()
+  }
+
+  /** Algorithm 2.B (PDF 32000-2 §7.6.4.3.4): the R6 iterated password
+    * hash. SHA-256 of pwd‖salt‖udata seeds K; each round AES-128-CBC
+    * encrypts 64 repeats of pwd‖K‖udata under K's halves, re-digests
+    * with SHA-256/384/512 picked by sum(E[0..16]) mod 3, and the loop
+    * runs at least 64 rounds, then until E's last byte ≤ rounds−32
+    * (the pdf.js/mupdf interoperable reading of the round-number
+    * clause; bytes compared UNSIGNED). R5 (the withdrawn Acrobat 9
+    * scheme) is the plain seed digest with no rounds. Certified
+    * against independently computed vectors in PdfSpec. */
+  private[graft] def hash2B(pwd: Array[Byte], salt: Array[Byte],
+      udata: Array[Byte]): Array[Byte] = {
+    var k = sha("SHA-256")(pwd, salt, udata)
+    var e = Array[Byte](-1)
+    var rounds = 0
+    while (rounds < 64 || (e.last & 0xff) > rounds - 32) {
+      val block = pwd ++ k ++ udata
+      val k1 = new Array[Byte](block.length * 64)
+      (0 until 64).foreach(i => System.arraycopy(block, 0, k1, i * block.length, block.length))
+      e = aesCipher(javax.crypto.Cipher.ENCRYPT_MODE, k.take(16),
+        k.slice(16, 32)).doFinal(k1)
+      val alg = (e.take(16).map(_ & 0xff).sum % 3) match {
+        case 0 => "SHA-256"; case 1 => "SHA-384"; case _ => "SHA-512"
+      }
+      k = sha(alg)(e)
+      rounds += 1
+    }
+    k.take(32)
+  }
+
+  /** AES-256 key unwrap for /UE and /OE (Algorithm 2.A steps e-f):
+    * CBC, zero IV, no padding — the 32-byte plaintext IS the file
+    * key. */
+  private[graft] def unwrapKey256(intermediate: Array[Byte],
+      wrapped: Array[Byte]): Array[Byte] = {
+    if (wrapped.length != 32)
+      fail(s"/UE//OE must be 32 bytes, got ${wrapped.length}")
+    aesCipher(javax.crypto.Cipher.DECRYPT_MODE, intermediate,
+      new Array[Byte](16)).doFinal(wrapped)
+  }
+
+  private[graft] def wrapKey256(intermediate: Array[Byte],
+      fileKey: Array[Byte]): Array[Byte] =
+    aesCipher(javax.crypto.Cipher.ENCRYPT_MODE, intermediate,
+      new Array[Byte](16)).doFinal(fileKey)
+
   /** Algorithm 1: the per-object key — MD5 of file key ‖ objnum (3
     * bytes LE) ‖ gen (2 bytes LE) ‖ "sAlT" for AESV2, truncated to
     * min(keyLen+5, 16). */
@@ -584,6 +635,9 @@ object Pdf {
     def decrypt(num: Int, gen: Int, data: Array[Byte]): Array[Byte] = mode match {
       case "identity" => data
       case "aes" => aesDecrypt(objectKey(key, num, gen, aes = true), data)
+      // AESV3 (§7.6.3.2 /V 5): the 256-bit file key encrypts every
+      // object directly — no per-object MD5 derivation
+      case "aes256" => aesDecrypt(key, data)
       case _ => rc4(objectKey(key, num, gen, aes = false), data)
     }
   }
@@ -665,6 +719,47 @@ object Pdf {
     val u = stringValue(body, "/U").getOrElse(enc("/Encrypt dict lacks /U"))
     if (o.length < 32 || u.length < 32) enc("/O and /U must be 32 bytes")
     val encMeta = !body.contains("/EncryptMetadata false")
+    if (v == 5) {
+      // AES-256 (§7.6.4: R6 = ISO 32000-2; R5 = the withdrawn Acrobat 9
+      // scheme, no iteration rounds). The file key is not derived from
+      // the password at all — it is UNWRAPPED from /UE after the
+      // password validates against /U's hash+salts.
+      if (r != 5 && r != 6) enc(s"/V 5 with /R $r is unsupported (R5/R6)")
+      if (u.length < 48) enc("/V 5 needs a 48-byte /U (hash + salts)")
+      val ue = stringValue(body, "/UE").getOrElse(enc("/V 5 lacks /UE"))
+      def h(pwd: Array[Byte], salt: Array[Byte]): Array[Byte] =
+        if (r == 6) hash2B(pwd, salt, Array.emptyByteArray)
+        else sha("SHA-256")(pwd, salt)
+      val vSalt = u.slice(32, 40)
+      val kSalt = u.slice(40, 48)
+      if (!java.util.Arrays.equals(h(Array.emptyByteArray, vSalt), u.take(32)))
+        enc("password-protected (empty-user-password verification failed) — " +
+          "a real user password is required; supply the decrypted file instead")
+      val key = unwrapKey256(h(Array.emptyByteArray, kSalt), ue)
+      // /Perms is the file key's integrity check (Algorithm 13):
+      // AES-ECB decrypt must surface 'adb' at bytes 9-11
+      stringValue(body, "/Perms").foreach { perms =>
+        if (perms.length >= 16) {
+          val c = javax.crypto.Cipher.getInstance("AES/ECB/NoPadding")
+          c.init(javax.crypto.Cipher.DECRYPT_MODE,
+            new javax.crypto.spec.SecretKeySpec(key, "AES"))
+          val plain = c.doFinal(perms.take(16))
+          if (!(plain(9) == 'a' && plain(10) == 'd' && plain(11) == 'b'))
+            enc("/Perms does not validate against the unwrapped file key " +
+              "(corrupt /UE or /Perms)")
+        }
+      }
+      val stmF = "/StmF\\s*/([A-Za-z0-9]+)".r.findFirstMatchIn(body)
+        .map(_.group(1)).getOrElse("Identity")
+      if (stmF == "Identity") return Decryptor(key, "identity")
+      val cfm = ("/" + java.util.regex.Pattern.quote(stmF) +
+          "\\s*<<[^>]*?/CFM\\s*/([A-Za-z0-9]+)").r
+        .findFirstMatchIn(body).map(_.group(1))
+        .getOrElse(enc(s"crypt filter /$stmF has no /CFM"))
+      if (cfm != "AESV3")
+        enc(s"crypt filter method /$cfm is unsupported under /V 5 (only /AESV3)")
+      return Decryptor(key, "aes256")
+    }
     val mode = v match {
       case 1 | 2 => "rc4"
       case 4 =>
@@ -687,7 +782,7 @@ object Pdf {
           }
         }
       case other =>
-        enc(s"/V $other is unsupported (V1/V2 RC4, V4 crypt filters)")
+        enc(s"/V $other is unsupported (V1/V2 RC4, V4 crypt filters, V5 AES-256)")
     }
     val n = if (v == 1) 5 else bits / 8
     if (n < 5 || n > 16) enc(s"/Length $bits bits out of the 40-128 range")
@@ -2149,20 +2244,52 @@ object Pdf {
       case "aesv2" => (4, 4, 128,
         " /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >>" +
           " /StmF /StdCF /StrF /StdCF")
+      case "aesv3" => (5, 6, 256,
+        " /CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen /Length 32 >> >>" +
+          " /StmF /StdCF /StrF /StdCF")
       case other => sys.error(s"writePdfEncrypted: unknown method '$other'")
     }
-    val n = bits / 8
     val p = -3904 // a realistic permissions mask (print/modify denied)
     val id0 = md5(s"graft-fixture-$method".getBytes(ISO_8859_1))
-    val o = ownerValue("graft-owner".getBytes(ISO_8859_1),
-      Array.emptyByteArray, r, n)
-    val key = fileKey(padPwd(Array.emptyByteArray), o, p, id0, r, n,
-      encryptMetadata = true)
-    val u = userValue(key, id0, r)
+    val ownerPwd = "graft-owner".getBytes(ISO_8859_1)
+    // V5 (AES-256 R6): the file key is RANDOM in real writers —
+    // deterministic here — and wrapped into /UE (empty user password)
+    // and /OE (the owner password); V≤4 derives it from the password
+    val (o, u, key, v5Extra) =
+      if (v == 5) {
+        val fk = sha("SHA-256")(s"graft-filekey-$method".getBytes(ISO_8859_1))
+        def salt(label: String) = md5(label.getBytes(ISO_8859_1)).take(8)
+        val (vs, ks) = (salt("uvs"), salt("uks"))
+        val u5 = hash2B(Array.emptyByteArray, vs, Array.emptyByteArray) ++ vs ++ ks
+        val ue = wrapKey256(
+          hash2B(Array.emptyByteArray, ks, Array.emptyByteArray), fk)
+        val (ovs, oks) = (salt("ovs"), salt("oks"))
+        val o5 = hash2B(ownerPwd, ovs, u5) ++ ovs ++ oks
+        val oe = wrapKey256(hash2B(ownerPwd, oks, u5), fk)
+        val permsPlain = intLE(p.toLong & 0xffffffffL, 4) ++
+          Array[Byte](-1, -1, -1, -1, 'T', 'a', 'd', 'b') ++
+          md5("perms-tail".getBytes(ISO_8859_1)).take(4)
+        val ecb = javax.crypto.Cipher.getInstance("AES/ECB/NoPadding")
+        ecb.init(javax.crypto.Cipher.ENCRYPT_MODE,
+          new javax.crypto.spec.SecretKeySpec(fk, "AES"))
+        val perms = ecb.doFinal(permsPlain)
+        def hx0(b: Array[Byte]): String =
+          b.map(x => f"${x & 0xff}%02X").mkString("<", "", ">")
+        (o5, u5, fk,
+          s" /UE ${hx0(ue)} /OE ${hx0(oe)} /Perms ${hx0(perms)}")
+      } else {
+        val n = bits / 8
+        val o4 = ownerValue(ownerPwd, Array.emptyByteArray, r, n)
+        val k4 = fileKey(padPwd(Array.emptyByteArray), o4, p, id0, r, n,
+          encryptMetadata = true)
+        (o4, userValue(k4, id0, r), k4, "")
+      }
     def hx(b: Array[Byte]): String =
       b.map(x => f"${x & 0xff}%02X").mkString("<", "", ">")
     def encrypt(num: Int, data: Array[Byte]): Array[Byte] =
-      if (method == "aesv2")
+      if (method == "aesv3")
+        aesEncrypt(key, md5(s"iv$num".getBytes(ISO_8859_1)), data)
+      else if (method == "aesv2")
         aesEncrypt(objectKey(key, num, 0, aes = true),
           md5(s"iv$num".getBytes(ISO_8859_1)), data)
       else rc4(objectKey(key, num, 0, aes = false), data)
@@ -2195,7 +2322,7 @@ object Pdf {
       body.append("\nendstream\nendobj\n")
     }
     obj(encNum, s"<< /Filter /Standard /V $v /R $r /Length $bits$cfExtra" +
-      s" /O ${hx(o)} /U ${hx(u)} /P $p >>")
+      s" /O ${hx(o)} /U ${hx(u)} /P $p$v5Extra >>")
     val xrefPos = body.length
     body.append(s"xref\n0 ${encNum + 1}\n0000000000 65535 f \n")
     offsets.foreach(off => body.append(f"$off%010d 00000 n \n"))

@@ -113,12 +113,19 @@ object VersionedTable {
     * whose rows still apply to it (a later COW rewrite of a bucket
     * folds its delta rows in and removes the bucket from the dirs'
     * membership; the dir itself stays live for its other buckets).
-    * Both empty on pre-MoR manifests and after any compact/rebucket. */
+    * Both empty on pre-MoR manifests and after any compact/rebucket.
+    *
+    * `txns` is the idempotent-writer watermark map (Delta's
+    * setTransaction analog): appId → highest transaction version a
+    * `merge(txn = ...)` has committed. Carried forward verbatim by
+    * every commit (merge, compact, rebucket, restore), so a replayed
+    * micro-batch is recognized at ANY later table state. */
   final case class Snapshot(version: Long, numBuckets: Int,
       keyCols: Seq[String], schema: StructType, owners: Map[Int, String],
       cdc: Option[(String, StructType)] = None,
       deltaDirs: Seq[String] = Nil,
-      deltas: Map[Int, Seq[String]] = Map.empty)
+      deltas: Map[Int, Seq[String]] = Map.empty,
+      txns: Map[String, Long] = Map.empty)
 
   private def fsOf(spark: SparkSession, path: String): (FileSystem, HPath) = {
     val p = new HPath(path)
@@ -185,9 +192,17 @@ object VersionedTable {
         }
         b.result()
       }
+    val txns =
+      if (!m.has("txns")) Map.empty[String, Long]
+      else {
+        val it = m.get("txns").fields()
+        val b = Map.newBuilder[String, Long]
+        while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue.asLong()) }
+        b.result()
+      }
     Snapshot(m.get("version").asLong(), m.get("numBuckets").asInt(), keys,
       DataType.fromJson(m.get("schema").asText()).asInstanceOf[StructType],
-      owners, cdc, deltaDirs, deltas)
+      owners, cdc, deltaDirs, deltas, txns)
   }
 
   /** Read the table as of `asOf` (latest when None). ONE Catalyst file
@@ -275,7 +290,8 @@ object VersionedTable {
       owners: Map[Int, String],
       cdc: Option[(String, StructType)] = None,
       deltaDirs: Seq[String] = Nil,
-      deltas: Map[Int, Seq[String]] = Map.empty): Unit = {
+      deltas: Map[Int, Seq[String]] = Map.empty,
+      txns: Map[String, Long] = Map.empty): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.createObjectNode()
     node.put("version", v)
@@ -296,6 +312,10 @@ object VersionedTable {
         val arr = dn.putArray(b.toString)
         ds.foreach(arr.add)
       }
+    }
+    if (txns.nonEmpty) {
+      val tn = node.putObject("txns")
+      txns.toSeq.sortBy(_._1).foreach { case (a, tv) => tn.put(a, tv) }
     }
     fs.mkdirs(new HPath(root, LOG))
     // put-if-absent IS the commit: a concurrent writer (or a re-run of
@@ -384,11 +404,29 @@ object VersionedTable {
     * commits). So: pre-partition concurrent writers by bucket
     * (`pmod(xxhash64(keys), B)` is public arithmetic a router can
     * compute), and treat sustained recompute-retry log lines as the
-    * signal that writers are colliding. */
+    * signal that writers are colliding.
+    *
+    * IDEMPOTENT WRITES — `txn = Some((appId, txnVersion))` is Delta's
+    * `txnAppId`/`txnVersion` contract, the exactly-once half of a
+    * Structured Streaming `foreachBatch` sink: pass the query's stable
+    * id as appId and the micro-batch id as txnVersion, and a REPLAYED
+    * batch (checkpoint recovery re-delivers the last uncommitted-at-
+    * the-source batch, which may already be committed at the SINK) is
+    * recognized and skipped — the table's manifest carries an
+    * appId → high-watermark map, and a merge whose txnVersion is ≤ the
+    * watermark returns the current version without reading, writing,
+    * or stacking a spurious MoR delta layer. Watermarks survive
+    * compact/rebucket/restore (carried forward on every commit;
+    * RESTORE deliberately does NOT roll them back — same caveat as
+    * Delta, a post-restore writer wanting re-application uses a fresh
+    * appId). Distinct appIds are independent; an empty batch commits
+    * nothing and records nothing (a replay of an empty batch is empty
+    * again, so the watermark is not needed for correctness). */
   def merge(spark: SparkSession, path: String, updates: DataFrame,
       keyCols: Seq[String], deleteCol: Option[String] = None,
       numBuckets: Int = 64, maxConflictRetries: Int = 3,
-      mor: Boolean = false, autoCompactLayers: Int = 0): Long = {
+      mor: Boolean = false, autoCompactLayers: Int = 0,
+      txn: Option[(String, Long)] = None): Long = {
     // Bounded recompute-and-retry on TRUE conflicts (the Delta pattern):
     // a loser whose rebase was impossible re-reads the fresh snapshot
     // and re-runs the whole merge body — survivors, feed, staged files
@@ -413,7 +451,7 @@ object VersionedTable {
     while (true) {
       try {
         val v = mergeOnce(spark, path, updates, keyCols, deleteCol,
-          numBuckets, mor)
+          numBuckets, mor, txn)
         if (mor && autoCompactLayers > 0) {
           val (_, maxPerBucket, _) = deltaStats(spark, path)
           if (maxPerBucket >= autoCompactLayers)
@@ -469,7 +507,8 @@ object VersionedTable {
 
   private def mergeOnce(spark: SparkSession, path: String, updates: DataFrame,
       keyCols: Seq[String], deleteCol: Option[String],
-      numBuckets: Int, mor: Boolean = false): Long = {
+      numBuckets: Int, mor: Boolean = false,
+      txn: Option[(String, Long)] = None): Long = {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     require(numBuckets > 0, "numBuckets must be positive")
     require(!updates.columns.contains(KB),
@@ -494,6 +533,14 @@ object VersionedTable {
         s"table $path is keyed by (${sn.keyCols.mkString(",")}), " +
           s"merge called with (${keyCols.mkString(",")})")
       Some(sn)
+    }
+    // Idempotent-replay gate: the whole point is to decide BEFORE any
+    // job runs — a skipped batch costs one manifest read, nothing else
+    txn.foreach { case (appId, tv) =>
+      require(appId.nonEmpty, "txn appId must be non-empty")
+      baseSn0.foreach { sn =>
+        if (sn.txns.get(appId).exists(_ >= tv)) return sn.version
+      }
     }
     // KEY TYPES ARE THE BUCKETING: xxhash64 of an int and of the same
     // value as a long DIFFER, so a batch whose key column arrives in a
@@ -626,7 +673,7 @@ object VersionedTable {
       val staged = listBuckets(fs, new HPath(root, dir))
       val committed =
         commitWithRebase(spark, fs, root, path, dir, staged, affected,
-          baseSn, commitSchema, keyCols, numBuckets, cdc, morEff)
+          baseSn, commitSchema, keyCols, numBuckets, cdc, morEff, txn)
       // post-commit publication sweep: this version's feed plus any
       // predecessor's a crash left committed-but-unpublished. The
       // commit is already durable, so a transient publish failure must
@@ -671,7 +718,8 @@ object VersionedTable {
       root: HPath, path: String, dir: String, staged: Seq[Int],
       affected: Set[Int], base: Option[Snapshot], schema: StructType,
       keyCols: Seq[String], numBuckets: Int,
-      cdc: Option[(String, StructType)], mor: Boolean = false): Long = {
+      cdc: Option[(String, StructType)], mor: Boolean = false,
+      txn: Option[(String, Long)] = None): Long = {
     val hook = beforeCommitHook
     beforeCommitHook = () => ()
     hook()
@@ -702,7 +750,8 @@ object VersionedTable {
         }
       try {
         writeManifest(fs, root, v, numBuckets, keyCols, schema, owners, cdc,
-          deltaDirs, deltas)
+          deltaDirs, deltas,
+          cur.map(_.txns).getOrElse(Map.empty) ++ txn)
         return v
       } catch {
         case e: java.io.IOException if fs.exists(manifestPath(root, v)) =>
@@ -716,6 +765,16 @@ object VersionedTable {
           def abandonStaged(): Unit =
             try fs.delete(new HPath(root, dir), true)
             catch { case _: java.io.IOException => () } // vacuum's job then
+          // the winner may BE our batch: two executions of the same
+          // idempotent writer racing (a zombie driver after failover is
+          // the textbook case) — the watermark says the rows are
+          // committed, so the only correct ending is skip, not re-apply
+          txn.foreach { case (appId, tv) =>
+            if (winner.txns.get(appId).exists(_ >= tv)) {
+              abandonStaged()
+              return winner.version
+            }
+          }
           val b = cur.getOrElse {
             abandonStaged()
             throw new ConcurrentCommitException(
@@ -1276,8 +1335,13 @@ object VersionedTable {
     // hashed with its bucket count — restoring across a rebucket must
     // restore the bucketing too, or lookups would prune wrong buckets
     // (and its delta layers, or a restore would silently fold them)
+    // txn watermarks come from the CURRENT head, not the target: a
+    // restore rolls back DATA, not the idempotent-writer ledger (the
+    // Delta caveat, documented on merge — re-application after a
+    // restore needs a fresh appId)
     writeManifest(fs, root, nv, target.numBuckets, target.keyCols,
-      target.schema, target.owners, None, target.deltaDirs, target.deltas)
+      target.schema, target.owners, None, target.deltaDirs, target.deltas,
+      cur.txns)
     nv
   }
 
@@ -1368,7 +1432,8 @@ object VersionedTable {
       .write.mode("error").parquet(s"$path/$dir/_cdc")
     val staged = listBuckets(fs, new HPath(root, dir))
     writeManifest(fs, root, v, b, sn.keyCols, cur.schema,
-      staged.map(_ -> dir).toMap, Some((s"$dir/_cdc", feedSchema)))
+      staged.map(_ -> dir).toMap, Some((s"$dir/_cdc", feedSchema)),
+      txns = sn.txns)
     try publishFeeds(spark, path)
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(

@@ -535,6 +535,94 @@ class PdfSpec extends SparkSpec {
       == "1af9103089775e5ef3e77077e4179288")
   }
 
+  test("AES-256 R6 hash and key-wrap match independently computed vectors") {
+    def hx(b: Array[Byte]) = b.map(x => f"${x & 0xff}%02x").mkString
+    // Algorithm 2.B vectors computed with python hashlib + the pyca
+    // `cryptography` AES (the pdf.js/mupdf loop reading: ≥64 rounds,
+    // then until E's last byte ≤ rounds−32, bytes unsigned); an
+    // off-by-one in the termination clause or a signed-byte compare
+    // cannot reproduce these
+    val none = Array.emptyByteArray
+    assert(hx(Pdf.hash2B(none, Array.tabulate(8)(_.toByte), none))
+      == "1403c04eb647d2e60452dfc4eb0a5e0cf322e8a83a759eabbd17d498a93ba041")
+    assert(hx(Pdf.hash2B("owner".getBytes("US-ASCII"),
+        Array.tabulate(8)(i => (0xA0 + i).toByte),
+        Array.tabulate(48)(_.toByte)))
+      == "ce0b3aa789e326bcf8e22c1e9381c73607f3252ed8eb2abe91e4370edeb14cbb")
+    // the exact /U, /UE, /O, /OE, /Perms bytes writePdfEncrypted emits
+    // for "aesv3" (empty user password, owner "graft-owner"),
+    // recomputed independently — writer/reader symmetry cannot hide a
+    // derivation bug behind these
+    val fk = Pdf.writePdfEncrypted(Seq(Seq("x")), "aesv3")
+    val raw = new String(fk, java.nio.charset.StandardCharsets.ISO_8859_1)
+    def hexVal(key: String): String = {
+      val at = raw.indexOf(key + " <") + key.length + 2
+      raw.substring(at, raw.indexOf('>', at)).toLowerCase
+    }
+    assert(hexVal("/U") ==
+      "46a213f93155a5668fd2d36667229636301262cce27ea8ef152ce11b9abc8d72" +
+      "04b78a7985bab2a492be88071bdee6de")
+    assert(hexVal("/UE") ==
+      "107a4f13738ec6651f75074315d7bebb58113ee865b1b491cdab7eb604983168")
+    assert(hexVal("/O") ==
+      "986c9d0c4a8875ebf88c7bacae7653fcd575f8d97b80d049fa79c17a3e1ac6b4" +
+      "99415f0b9a2ae6d78d2cc35e70deca85")
+    assert(hexVal("/OE") ==
+      "a82f7a2fff045eea82b59528590692a3272825d5adaf71dcd7045cd50d852624")
+    assert(hexVal("/Perms") == "d89827ff42dbb1fcbdf040c93d396bd9")
+    // unwrap inverts wrap (the /UE path the reader takes)
+    val key = java.security.MessageDigest.getInstance("SHA-256")
+      .digest("graft-filekey-aesv3".getBytes("US-ASCII"))
+    val inter = Pdf.hash2B(none,
+      Pdf.md5("uks".getBytes("US-ASCII")).take(8), none)
+    assert(hx(Pdf.unwrapKey256(inter, Pdf.wrapKey256(inter, key))) == hx(key))
+  }
+
+  test("AES-256 R6 and R5 files (empty user password) decrypt; wrong /U fails loudly") {
+    val pages = Seq(Seq("terenkripsi AES-256", "baris dua"), Seq("halaman 2"))
+    val bytes = Pdf.writePdfEncrypted(pages, "aesv3")
+    val raw = new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(!raw.contains("terenkripsi"), "aesv3 left plaintext in the file")
+    assert(raw.contains("/AESV3") && raw.contains("/V 5 /R 6"))
+    val want = for {
+      (lines, pi) <- pages.zipWithIndex
+      (text, li) <- lines.zipWithIndex
+    } yield ((pi + 1).toLong, li.toLong, text)
+    assert(Pdf.parsePdf(bytes) == want)
+    // a flipped /U hash byte = a real user password: loud fail, with
+    // the password diagnosis, not a corrupt-PDF one
+    val uAt = raw.indexOf("/U <") + 4
+    val flipped = raw.substring(0, uAt) +
+      (if (raw.charAt(uAt) == '0') '1' else '0') + raw.substring(uAt + 1)
+    val e = intercept[IllegalArgumentException] {
+      Pdf.parsePdf(flipped.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    }
+    assert(e.getMessage.contains("password-protected"))
+    // R5 (the withdrawn Acrobat 9 scheme): single SHA-256, no rounds.
+    // Rewrite the dict in place — same length, so xref offsets hold —
+    // with /U recomputed for the R5 hash of the same salts
+    val vs = Pdf.md5("uvs".getBytes("US-ASCII")).take(8)
+    val ks = Pdf.md5("uks".getBytes("US-ASCII")).take(8)
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+    sha.update(vs)
+    val r5hash = sha.digest()
+    def hx(b: Array[Byte]) = b.map(x => f"${x & 0xff}%02X").mkString
+    val oldU = raw.substring(raw.indexOf("/U <") + 4, raw.indexOf('>', raw.indexOf("/U <")))
+    val newU = hx(r5hash ++ vs ++ ks)
+    assert(oldU.length == newU.length)
+    // /UE must wrap the same file key under the R5 intermediate
+    val sha2 = java.security.MessageDigest.getInstance("SHA-256")
+    sha2.update(ks)
+    val fileKey = java.security.MessageDigest.getInstance("SHA-256")
+      .digest("graft-filekey-aesv3".getBytes("US-ASCII"))
+    val newUE = hx(Pdf.wrapKey256(sha2.digest(), fileKey))
+    val oldUE = raw.substring(raw.indexOf("/UE <") + 5, raw.indexOf('>', raw.indexOf("/UE <")))
+    val r5raw = raw.replace("/V 5 /R 6", "/V 5 /R 5")
+      .replace(oldU, newU).replace(oldUE, newUE)
+    assert(Pdf.parsePdf(
+      r5raw.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)) == want)
+  }
+
   test("encrypted PDFs (empty user password) round-trip through all three methods") {
     Seq("rc4-40", "rc4-128", "aesv2").foreach { method =>
       val pages = Seq(Seq("baris satu (a)", "baris dua"), Seq("halaman 2"))

@@ -595,9 +595,9 @@ class VersionedTableSpec extends SparkSpec {
   /** Bucket of key k under numBuckets=16, computed the same way merge
     * does (deterministic interleavings below need provably disjoint /
     * overlapping keys, not lucky ones). */
-  private def bucketOf(k: Long): Int =
+  private def bucketOf(k: Long, numBuckets: Long = 16L): Int =
     Seq(k).toDF("k")
-      .select(pmod(xxhash64($"k"), lit(16L)).cast("int")).collect()(0).getInt(0)
+      .select(pmod(xxhash64($"k"), lit(numBuckets)).cast("int")).collect()(0).getInt(0)
 
   test("a batch whose key column type drifts is upcast to the table's key type (hash-consistent) or rejected") {
     val dir = freshDir("keytype")
@@ -1130,5 +1130,122 @@ class VersionedTableSpec extends SparkSpec {
     val got = state(dir)
     (100L to 179L).foreach(k => assert(got.contains((k, s"w$k")), s"lost $k"))
     assert(got.size === 88)
+  }
+
+  // ---- idempotent writer transactions (exactly-once foreachBatch) ----
+
+  test("txn: a replayed batch is skipped — same version, same content, no spurious delta layer") {
+    val dir = freshDir("txn_replay")
+    VersionedTable.merge(spark, dir,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), Seq("k"), numBuckets = 4)
+    val batch = Seq((2L, "B"), (3L, "c")).toDF("k", "v")
+    val v1 = VersionedTable.merge(spark, dir, batch, Seq("k"),
+      numBuckets = 4, mor = true, txn = Some(("ingest", 7L)))
+    val layers1 = VersionedTable.deltaStats(spark, dir)._1
+    // the replayed delivery: same appId, same txnVersion
+    val v2 = VersionedTable.merge(spark, dir, batch, Seq("k"),
+      numBuckets = 4, mor = true, txn = Some(("ingest", 7L)))
+    assert(v2 === v1, "replay must return the committed version, not commit")
+    assert(VersionedTable.deltaStats(spark, dir)._1 === layers1,
+      "replay must not stack a delta layer")
+    assert(VersionedTable.versions(spark, dir).max === v1)
+    assert(state(dir) === Set((1L, "a"), (2L, "B"), (3L, "c")))
+    // a LOWER txnVersion (out-of-order duplicate) also skips
+    val v3 = VersionedTable.merge(spark, dir,
+      Seq((9L, "stale")).toDF("k", "v"), Seq("k"),
+      numBuckets = 4, txn = Some(("ingest", 6L)))
+    assert(v3 === v1 && !state(dir).exists(_._1 == 9L))
+  }
+
+  test("txn: higher versions apply, appIds are independent, untagged merges never skip") {
+    val dir = freshDir("txn_apps")
+    VersionedTable.merge(spark, dir,
+      Seq((1L, "a")).toDF("k", "v"), Seq("k"), numBuckets = 4,
+      txn = Some(("appA", 0L)))
+    // appA advances
+    val v1 = VersionedTable.merge(spark, dir,
+      Seq((2L, "b")).toDF("k", "v"), Seq("k"), numBuckets = 4,
+      txn = Some(("appA", 1L)))
+    assert(v1 === 1L)
+    // appB at the same numeric version is independent — applies
+    val v2 = VersionedTable.merge(spark, dir,
+      Seq((3L, "c")).toDF("k", "v"), Seq("k"), numBuckets = 4,
+      txn = Some(("appB", 1L)))
+    assert(v2 === 2L)
+    // an untagged merge of already-present rows still commits (the
+    // watermark is opt-in; plain merges keep their re-merge semantics)
+    val v3 = VersionedTable.merge(spark, dir,
+      Seq((3L, "c")).toDF("k", "v"), Seq("k"), numBuckets = 4)
+    assert(v3 === 3L)
+    val sn = VersionedTable.snapshot(spark, dir)
+    assert(sn.txns === Map("appA" -> 1L, "appB" -> 1L))
+    // empty appId is a contract error, not a silent global watermark
+    intercept[IllegalArgumentException] {
+      VersionedTable.merge(spark, dir, Seq((4L, "d")).toDF("k", "v"),
+        Seq("k"), numBuckets = 4, txn = Some(("", 9L)))
+    }
+  }
+
+  test("txn: watermarks survive compact, rebucket, and restore") {
+    val dir = freshDir("txn_carry")
+    VersionedTable.merge(spark, dir,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), Seq("k"), numBuckets = 4,
+      txn = Some(("ingest", 3L)))
+    VersionedTable.compact(spark, dir)
+    assert(VersionedTable.snapshot(spark, dir).txns === Map("ingest" -> 3L),
+      "compact must carry the watermark")
+    VersionedTable.rebucket(spark, dir, 8)
+    assert(VersionedTable.snapshot(spark, dir).txns === Map("ingest" -> 3L),
+      "rebucket must carry the watermark")
+    // replay across the layout change still skips
+    val head = VersionedTable.versions(spark, dir).max
+    val v = VersionedTable.merge(spark, dir,
+      Seq((9L, "late")).toDF("k", "v"), Seq("k"), numBuckets = 8,
+      txn = Some(("ingest", 3L)))
+    assert(v === head && !state(dir).exists(_._1 == 9L))
+    // restore keeps the LEDGER while rolling back data (the Delta
+    // caveat: a post-restore writer wanting re-application needs a
+    // fresh appId)
+    VersionedTable.merge(spark, dir,
+      Seq((5L, "e")).toDF("k", "v"), Seq("k"), numBuckets = 8,
+      txn = Some(("ingest", 4L)))
+    VersionedTable.restore(spark, dir, head)
+    assert(!state(dir).exists(_._1 == 5L), "restore rolls the data back")
+    assert(VersionedTable.snapshot(spark, dir).txns === Map("ingest" -> 4L),
+      "restore must NOT roll the watermark back")
+  }
+
+  test("txn: a same-appId commit race resolves to skip; a disjoint race merges both ledgers") {
+    val dir = freshDir("txn_race")
+    VersionedTable.merge(spark, dir,
+      (1L to 40L).map(k => (k, s"v$k")).toDF("k", "v"), Seq("k"), numBuckets = 4)
+    // ZOMBIE WRITER: the competing execution of the SAME (appId, txn)
+    // commits first, via the pre-commit seam; ours must detect the
+    // watermark on the winner and SKIP (same rows, no double-apply)
+    VersionedTable.beforeCommitHook = () =>
+      VersionedTable.merge(spark, dir,
+        Seq((1L, "X")).toDF("k", "v"), Seq("k"), numBuckets = 4,
+        txn = Some(("zombie", 5L)))
+    val v = VersionedTable.merge(spark, dir,
+      Seq((1L, "X")).toDF("k", "v"), Seq("k"), numBuckets = 4,
+      txn = Some(("zombie", 5L)))
+    assert(v === VersionedTable.versions(spark, dir).max,
+      "the raced replay must resolve to the winner's version")
+    assert(state(dir).count(_._1 == 1L) === 1)
+    // DISJOINT race: a different appId wins on other buckets; ours
+    // rebases and the committed manifest carries BOTH watermarks
+    val k1 = 1L
+    val k2 = (2L to 200L).find(k =>
+      bucketOf(k, 4) != bucketOf(k1, 4)).get
+    VersionedTable.beforeCommitHook = () =>
+      VersionedTable.merge(spark, dir,
+        Seq((k1, "w1")).toDF("k", "v"), Seq("k"), numBuckets = 4,
+        txn = Some(("writerA", 1L)))
+    VersionedTable.merge(spark, dir,
+      Seq((k2, "w2")).toDF("k", "v"), Seq("k"), numBuckets = 4,
+      txn = Some(("writerB", 1L)))
+    val txns = VersionedTable.snapshot(spark, dir).txns
+    assert(txns.get("writerA").contains(1L) && txns.get("writerB").contains(1L),
+      s"rebase must merge both ledgers, got $txns")
   }
 }
