@@ -42,7 +42,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // Raised 1g -> 2g in round 9: at 189 queries the 1g cache refilled
   // near the v-family and v09's HLL aggregate ran 8.8x its isolated
   // CPU (475 s in-suite vs 54 s alone, identical stage counts) —
-  // same signature, later onset. A long-lived cluster executor JVM
-  // serving a large query mix wants the same headroom.
+  // same signature, later onset. 2g is the JVM's HARD MAXIMUM for
+  // ReservedCodeCacheSize.
   "-XX:ReservedCodeCacheSize=2g",
-)
+) ++ sys.env.get("GRAFT_EXTRA_JVM").toSeq.flatMap(_.split("\\s+"))

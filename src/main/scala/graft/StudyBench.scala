@@ -573,6 +573,57 @@ object StudyBench {
     s""""mor_layers_$tag":{${sections.mkString(",")}}"""
   }
 
+  /** Round-12: the idempotent-writer ledger's operational value,
+    * measured. A streaming sink recovering from a checkpoint
+    * re-delivers its last micro-batch; by upsert semantics a replay is
+    * CORRECT either way, so the ledger's value is pure operations —
+    * without `txn` every replay is a full merge commit (a version, a
+    * delta layer, the commit's write+publish work), with it a replay
+    * is one manifest read. 20 scattered MoR batches each delivered
+    * twice against twin tables; records the replay-path wall and the
+    * version/layer/read-cost bills each arm accumulates. */
+  private def txnReplayStudy(s: SparkSession, tag: String, d: String): String = {
+    import org.apache.spark.sql.functions.{col, count, lit, pmod, round, sum, xxhash64, year}
+    val batchesN = 20
+    val ord = Tables.orders(s, d)
+    val t0 = ord.filter(year(col("o_orderdate")) <= 1997)
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")), 2).as("spend"),
+        count(lit(1)).as("n_orders"))
+      .persist()
+    t0.count()
+    def batch(i: Int) = t0
+      .filter(pmod(xxhash64(col("o_custkey")), lit(499L)) === (i % 499))
+      .withColumn("spend", round(col("spend") + i, 2))
+    def arm(useTxn: Boolean): (Double, Long, Int, Double) = {
+      val dir = graft.util.Scratch.dir(s"study_txn_${tag}_$useTxn")
+      graft.util.Scratch.deleteRecursively(new java.io.File(dir))
+      graft.sources.VersionedTable.merge(s, dir, t0, Seq("o_custkey"))
+      def deliver(i: Int): Long =
+        graft.sources.VersionedTable.merge(s, dir, batch(i),
+          Seq("o_custkey"), mor = true,
+          txn = if (useTxn) Some(("study_ingest", i.toLong)) else None)
+      (0 until batchesN).foreach(deliver)
+      // the replay pass: what checkpoint recovery re-delivers
+      val (_, replayWall) = time((0 until batchesN).foreach(deliver))
+      val versions = graft.sources.VersionedTable.versions(s, dir).max
+      val layers = graft.sources.VersionedTable.deltaStats(s, dir)._1
+      val (_, readSec) = { time(
+        graft.sources.VersionedTable.read(s, dir).count())
+        time(graft.sources.VersionedTable.read(s, dir).count()) }
+      (replayWall, versions, layers, readSec)
+    }
+    val (wSkip, vSkip, lSkip, rSkip) = arm(useTxn = true)
+    val (wDup, vDup, lDup, rDup) = arm(useTxn = false)
+    t0.unpersist(blocking = false)
+    s""""txn_replay_$tag":{"batches":$batchesN,
+       |"replay_wall_sec_txn":${j(wSkip)},"replay_wall_sec_untagged":${j(wDup)},
+       |"versions_txn":$vSkip,"versions_untagged":$vDup,
+       |"live_layers_txn":$lSkip,"live_layers_untagged":$lDup,
+       |"resolved_read_sec_txn":${j(rSkip)},"resolved_read_sec_untagged":${j(rDup)}}"""
+      .stripMargin.replace("\n", "")
+  }
+
   // ---- 7. OCC throughput under contention (round-10 item 6) ---------
 
   /** The four-writer spec proves OCC safety; this measures THROUGHPUT:
@@ -653,6 +704,7 @@ object StudyBench {
     val parts = Seq.newBuilder[String]   // round-9 studies → study_r9.json
     val parts10 = Seq.newBuilder[String] // round-10-brief studies → study_r10.json
     val parts11 = Seq.newBuilder[String] // round-11-brief studies → study_r11.json
+    val parts12 = Seq.newBuilder[String] // round-12 studies → study_r12.json
     if (want("containment")) parts += containmentSweep(spark, "sf01", sf01)
     if (want("ann")) parts += annFilterStudy(spark, sf01)
     if (want("statestore")) parts += stateStoreStudy(spark, "sf01", sf01)
@@ -660,6 +712,7 @@ object StudyBench {
     if (want("cow")) parts10 += cowAmplificationStudy(spark, "sf01", sf01)
     if (want("occ")) parts10 += occThroughputStudy(spark, "sf01", sf01)
     if (want("morlayers")) parts10 += morLayersStudy(spark, "sf01", sf01)
+    if (want("txnreplay")) parts12 += txnReplayStudy(spark, "sf01", sf01)
     sf1.foreach { d =>
       if (want("containment")) parts += containmentSweep(spark, "sf1", d)
       if (want("skew")) parts += skewStudy(spark, d)
@@ -689,6 +742,7 @@ object StudyBench {
     writeMerged("study_r9.json", parts.result())
     writeMerged("study_r10.json", parts10.result())
     writeMerged("study_r11.json", parts11.result())
+    writeMerged("study_r12.json", parts12.result())
     spark.stop()
   }
 }
