@@ -28,6 +28,13 @@ object GraftSession {
       // events.ts is parquet TIMESTAMP(NANOS); set once at build time so
       // no table loader has to mutate session config as a read side effect
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // write timestamps as INT64 micros, not the deprecated INT96:
+      // INT96 chunks carry NO parquet statistics (verified on this
+      // Spark build), which silently disables BOTH row-group pushdown
+      // and the manifest data-skipping stats for timestamp columns —
+      // and int64 is what every other lakehouse reader (DuckDB,
+      // Iceberg, Delta) expects anyway
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
 
   /** Local session sized to the machine (the test/bench shape). The

@@ -624,6 +624,58 @@ object StudyBench {
       .stripMargin.replace("\n", "")
   }
 
+  /** Round-12: what file-level data skipping buys over parquet
+    * row-group pushdown alone, on the chunked-compact layout. Same
+    * table, same quarter-range scan, chunksPerBucket 1 (stats exist
+    * but every bucket is one full-range file — skipping CAN'T prune)
+    * vs 8 (range-disjoint chunks — the FileIndex drops non-matching
+    * files before any task launches). Records files read (executed-
+    * plan numFiles) and second-run walls; at 100 TB the pruned files
+    * are also footer reads and scheduler tasks that never happen. */
+  private def dataSkippingStudy(s: SparkSession, tag: String, d: String): String = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val ord = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice"))
+    def arm(chunks: Int): (Long, Long, Double) = {
+      val dir = graft.util.Scratch.dir(s"study_skip_${tag}_$chunks")
+      graft.util.Scratch.deleteRecursively(new java.io.File(dir))
+      graft.sources.VersionedTable.merge(s, dir, ord, Seq("o_orderkey"),
+        numBuckets = 16)
+      graft.sources.VersionedTable.compact(s, dir,
+        clusterBy = Seq("o_orderdate"), chunksPerBucket = chunks)
+      def ranged = graft.sources.VersionedTable.read(s, dir)
+        .filter(col("o_orderdate") >=
+            lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00")) &&
+          col("o_orderdate") <
+            lit(java.sql.Timestamp.valueOf("1995-04-01 00:00:00")))
+        .select(col("o_orderkey"))
+      def numFiles(df: org.apache.spark.sql.DataFrame): Long = {
+        df.collect()
+        val plan = df.queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.executedPlan
+          case p => p
+        }
+        plan.collect {
+          case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+            sc.metrics("numFiles").value
+        }.sum
+      }
+      val total = numFiles(graft.sources.VersionedTable.read(s, dir)
+        .select(col("o_orderkey")))
+      val read = numFiles(ranged)
+      val (_, wall) = { time(ranged.count()); time(ranged.count()) }
+      (total, read, wall)
+    }
+    val (t1, r1, w1) = arm(1)
+    val (t8, r8, w8) = arm(8)
+    s""""data_skipping_$tag":{
+       |"chunks_1":{"files_total":$t1,"files_read":$r1,"scan_sec":${j(w1)}},
+       |"chunks_8":{"files_total":$t8,"files_read":$r8,"scan_sec":${j(w8)}}}"""
+      .stripMargin.replace("\n", "")
+  }
+
   // ---- 7. OCC throughput under contention (round-10 item 6) ---------
 
   /** The four-writer spec proves OCC safety; this measures THROUGHPUT:
@@ -713,6 +765,7 @@ object StudyBench {
     if (want("occ")) parts10 += occThroughputStudy(spark, "sf01", sf01)
     if (want("morlayers")) parts10 += morLayersStudy(spark, "sf01", sf01)
     if (want("txnreplay")) parts12 += txnReplayStudy(spark, "sf01", sf01)
+    if (want("skipping")) parts12 += dataSkippingStudy(spark, "sf01", sf01)
     sf1.foreach { d =>
       if (want("containment")) parts += containmentSweep(spark, "sf1", d)
       if (want("skew")) parts += skewStudy(spark, d)

@@ -67,8 +67,24 @@ object Verify {
     // than the suite defines
     var errors = List.empty[(String, String)]
     SparkEntry.queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      // dump TIMESTAMP columns as NTZ: the session is UTC, so the cast
+      // is the same instant rendered naive — which is both what DuckDB
+      // produces from the naive source data and what the old INT96
+      // dump layout read back as; the engine switched its parquet
+      // writes to TIMESTAMP_MICROS (isAdjustedToUTC=true), and without
+      // this the type-strict arrow compare sees tz-aware vs naive on
+      // every timestamp-bearing result
+      try {
+        val df = fn(spark, sfDir)
+        val naive = df.select(df.schema.fields.map { f =>
+          if (f.dataType == org.apache.spark.sql.types.TimestampType)
+            org.apache.spark.sql.functions.col(f.name)
+              .cast("timestamp_ntz").as(f.name)
+          else org.apache.spark.sql.functions.col(f.name)
+        }.toSeq: _*)
+        naive.coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         errors ::= name -> s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"

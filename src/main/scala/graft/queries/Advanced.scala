@@ -1234,7 +1234,61 @@ object Advanced extends QueryModule {
        SELECT CAST(3 AS BIGINT), o_custkey, spend, n_orders FROM s2
        ORDER BY version, o_custkey"""
 
+  /** v26 — DATA SKIPPING end-to-end: orders land in a versioned table,
+    * a chunked clusterBy(o_orderdate) compact splits every bucket into
+    * range-disjoint files with manifest min/max stats, and a quarter
+    * range scan aggregates through the pruned FileIndex. The ORACLE
+    * certifies the rows (skipping must be invisible in the result);
+    * the in-code require certifies the PRUNING — the ranged scan must
+    * read strictly fewer files than the table holds, so a silently
+    * broken stats path fails the gate instead of degrading. */
+  private def v26(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = graft.util.Scratch.dir(
+      "v26_skip_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+    graft.util.Scratch.deleteRecursively(new java.io.File(dir))
+    val ord = Tables.orders(s, d)
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_totalprice")
+    graft.sources.VersionedTable.merge(s, dir, ord, Seq("o_orderkey"),
+      numBuckets = 8)
+    graft.sources.VersionedTable.compact(s, dir,
+      clusterBy = Seq("o_orderdate"), chunksPerBucket = 4)
+    def ranged = graft.sources.VersionedTable.read(s, dir)
+      .filter($"o_orderdate" >= lit(java.sql.Date.valueOf("1995-01-01")) &&
+        $"o_orderdate" < lit(java.sql.Date.valueOf("1995-07-01")))
+    // prove the skip: executed-plan file counts, full scan vs ranged
+    def numFiles(df: DataFrame): Long = {
+      df.collect()
+      val plan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      plan.collect {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+          sc.metrics("numFiles").value
+      }.sum
+    }
+    val total = numFiles(graft.sources.VersionedTable.read(s, dir))
+    val read = numFiles(ranged.select($"o_orderkey"))
+    require(read < total,
+      s"data skipping read $read of $total files — stats pruning is broken")
+    ranged
+      .groupBy((year($"o_orderdate") * 100 + month($"o_orderdate"))
+        .cast("bigint").as("ym")) // DuckDB's year() is BIGINT; match it
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum($"o_totalprice"), 2).as("revenue"))
+      .orderBy($"ym")
+  }
+  private val v26Sql =
+    """SELECT year(o_orderdate) * 100 + month(o_orderdate) AS ym,
+         count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+       FROM orders
+       WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-07-01'
+       GROUP BY 1 ORDER BY ym"""
+
   val queries: Map[String, QueryFn] = Map(
+    "v26_data_skipping" -> v26 _,
     "v25_merge_on_read" -> v25 _,
     "v24_table_history" -> v24 _,
     "v23_indexed_scan" -> v23 _,
@@ -1263,6 +1317,7 @@ object Advanced extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "v26_data_skipping" -> v26Sql,
     "v25_merge_on_read" -> v25Sql,
     "v24_table_history" -> v24Sql,
     "v23_indexed_scan" -> v23Sql,

@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.hadoop.fs.{FileStatus, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualNullSafe, EqualTo, Expression, In, InSet, Literal, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal, XxHash64}
 import org.apache.spark.sql.execution.datasources.{FileIndex, FileStatusWithMetadata, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.types.StructType
@@ -115,6 +115,71 @@ object VersionedScan {
     case other => Seq(other)
   }
 
+  /** DATA-SKIPPING intervals from the pushed filters: column →
+    * [lo, hi] in BigDecimal (sound at any magnitude — a Long→Double
+    * round at 2^63 could mis-prune), for columns whose manifest stats
+    * exist. Each range/equality/IN conjunct on an exact-type literal
+    * contributes one interval; multiple conjuncts on a column
+    * intersect. Anything else (casts, functions, IsNull, strings)
+    * contributes nothing — a file is only skipped when its recorded
+    * [min, max] provably misses EVERY interval-constrained conjunct. */
+  private[sources] def statsIntervals(filters: Seq[Expression],
+      statsCols: Map[String, org.apache.spark.sql.types.DataType])
+      : Map[String, (BigDecimal, BigDecimal)] = {
+    def num(l: Literal): Option[BigDecimal] = l.value match {
+      case null => None
+      case i: java.lang.Integer => Some(BigDecimal(i.intValue))
+      case j: java.lang.Long => Some(BigDecimal(j.longValue))
+      case s: java.lang.Short => Some(BigDecimal(s.intValue))
+      case b: java.lang.Byte => Some(BigDecimal(b.intValue))
+      case d: java.lang.Double =>
+        if (d.isNaN || d.isInfinite) None else Some(BigDecimal(d.doubleValue))
+      case _ => None
+    }
+    val inf = BigDecimal("1e9999")
+    def bound(a: AttributeReference, l: Literal): Option[BigDecimal] =
+      statsCols.get(a.name).filter(_ == l.dataType).flatMap(_ => num(l))
+    val acc = scala.collection.mutable.Map[String, (BigDecimal, BigDecimal)]()
+    def add(col: String, lo: BigDecimal, hi: BigDecimal): Unit = {
+      val (plo, phi) = acc.getOrElse(col, (-inf, inf))
+      acc(col) = (plo.max(lo), phi.min(hi))
+    }
+    filters.flatMap(splitAnd).foreach {
+      // inclusive bounds throughout: file-level stats cannot see
+      // whether the endpoint row actually matches a strict inequality,
+      // so < and <= prune identically (sound, one fewer case to hold)
+      case EqualTo(a: AttributeReference, l: Literal) =>
+        bound(a, l).foreach(v => add(a.name, v, v))
+      case EqualTo(l: Literal, a: AttributeReference) =>
+        bound(a, l).foreach(v => add(a.name, v, v))
+      case GreaterThan(a: AttributeReference, l: Literal) =>
+        bound(a, l).foreach(v => add(a.name, v, inf))
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+        bound(a, l).foreach(v => add(a.name, v, inf))
+      case LessThan(a: AttributeReference, l: Literal) =>
+        bound(a, l).foreach(v => add(a.name, -inf, v))
+      case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+        bound(a, l).foreach(v => add(a.name, -inf, v))
+      // literal-first mirrors flip the direction
+      case GreaterThan(l: Literal, a: AttributeReference) =>
+        bound(a, l).foreach(v => add(a.name, -inf, v))
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+        bound(a, l).foreach(v => add(a.name, -inf, v))
+      case LessThan(l: Literal, a: AttributeReference) =>
+        bound(a, l).foreach(v => add(a.name, v, inf))
+      case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+        bound(a, l).foreach(v => add(a.name, v, inf))
+      case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        val bs = vs.map(v => bound(a, v.asInstanceOf[Literal]))
+        if (bs.nonEmpty && bs.forall(_.isDefined)) {
+          val nums = bs.map(_.get)
+          add(a.name, nums.min, nums.max) // envelope: sound superset
+        }
+      case _ => ()
+    }
+    acc.toMap
+  }
+
   /** One conjunct → (key column, allowed literal set), when it is an
     * exact-type equality/IN on a key column. A null literal in an
     * equality matches no row (keys are non-null by the merge contract),
@@ -183,6 +248,13 @@ private[sources] class VersionedFileIndex(spark: SparkSession, path: String,
 
   override def partitionSchema: StructType = new StructType()
 
+  /** Columns the manifest carries stats for (any file), with their
+    * schema types — the domain `statsIntervals` may constrain. */
+  private val statsColTypes: Map[String, org.apache.spark.sql.types.DataType] =
+    sn.fileStats.valuesIterator.flatMap(_.keysIterator).toSet
+      .flatMap((c: String) => sn.schema.fields.find(_.name == c)
+        .map(f => c -> f.dataType)).toMap
+
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val pruned = VersionedScan.candidateBuckets(
@@ -191,8 +263,31 @@ private[sources] class VersionedFileIndex(spark: SparkSession, path: String,
       case Some(bs) => liveBuckets.filter(bs)
       case None => liveBuckets
     }
+    // DATA SKIPPING: drop a file when its recorded [min, max] provably
+    // misses an interval the pushed filters pin — un-stat'd files and
+    // columns always survive (sound default), so merge-written files
+    // simply read until the next chunked compaction re-stats them
+    val intervals =
+      if (statsColTypes.isEmpty) Map.empty[String, (BigDecimal, BigDecimal)]
+      else VersionedScan.statsIntervals(dataFilters, statsColTypes)
+    def survives(b: Int, st: FileStatus): Boolean =
+      intervals.isEmpty || {
+        val rel = s"${sn.owners(b)}/${VersionedTable.KB}=$b/${st.getPath.getName}"
+        sn.fileStats.get(rel) match {
+          case None => true
+          case Some(cols) => intervals.forall { case (c, (lo, hi)) =>
+            cols.get(c) match {
+              case None => true
+              case Some((mnS, mxS)) =>
+                val mn = BigDecimal(mnS); val mx = BigDecimal(mxS)
+                mx >= lo && mn <= hi // ranges overlap → might match
+            }
+          }
+        }
+      }
     Seq(PartitionDirectory(InternalRow.empty,
-      buckets.flatMap(filesOf).map(FileStatusWithMetadata(_, Map.empty))))
+      buckets.flatMap(b => filesOf(b).filter(survives(b, _)))
+        .map(FileStatusWithMetadata(_, Map.empty))))
   }
 
   override def inputFiles: Array[String] =

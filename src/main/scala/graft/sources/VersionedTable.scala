@@ -119,13 +119,25 @@ object VersionedTable {
     * setTransaction analog): appId → highest transaction version a
     * `merge(txn = ...)` has committed. Carried forward verbatim by
     * every commit (merge, compact, rebucket, restore), so a replayed
-    * micro-batch is recognized at ANY later table state. */
+    * micro-batch is recognized at ANY later table state.
+    *
+    * `fileStats` is the DATA-SKIPPING index (Delta's per-file stats
+    * analog): relative file path → column → (min, max), both encoded
+    * as strings of the column's INTERNAL value (days for dates, micros
+    * for timestamps). Collected from parquet footers at
+    * `compact(clusterBy, chunksPerBucket)` time — the only write that
+    * produces range-disjoint files worth skipping — and consulted by
+    * [[VersionedScan]]'s FileIndex to drop whole files on range
+    * predicates before any task launches. A later merge DROPS the
+    * rewritten buckets' entries (conservative: un-stat'd files are
+    * never pruned), restore carries the target's. */
   final case class Snapshot(version: Long, numBuckets: Int,
       keyCols: Seq[String], schema: StructType, owners: Map[Int, String],
       cdc: Option[(String, StructType)] = None,
       deltaDirs: Seq[String] = Nil,
       deltas: Map[Int, Seq[String]] = Map.empty,
-      txns: Map[String, Long] = Map.empty)
+      txns: Map[String, Long] = Map.empty,
+      fileStats: Map[String, Map[String, (String, String)]] = Map.empty)
 
   private def fsOf(spark: SparkSession, path: String): (FileSystem, HPath) = {
     val p = new HPath(path)
@@ -200,9 +212,27 @@ object VersionedTable {
         while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue.asLong()) }
         b.result()
       }
+    val fileStats =
+      if (!m.has("fileStats")) Map.empty[String, Map[String, (String, String)]]
+      else {
+        val fit = m.get("fileStats").fields()
+        val fb = Map.newBuilder[String, Map[String, (String, String)]]
+        while (fit.hasNext) {
+          val fe = fit.next()
+          val cit = fe.getValue.fields()
+          val cb = Map.newBuilder[String, (String, String)]
+          while (cit.hasNext) {
+            val ce = cit.next()
+            cb += (ce.getKey ->
+              (ce.getValue.get(0).asText(), ce.getValue.get(1).asText()))
+          }
+          fb += (fe.getKey -> cb.result())
+        }
+        fb.result()
+      }
     Snapshot(m.get("version").asLong(), m.get("numBuckets").asInt(), keys,
       DataType.fromJson(m.get("schema").asText()).asInstanceOf[StructType],
-      owners, cdc, deltaDirs, deltas, txns)
+      owners, cdc, deltaDirs, deltas, txns, fileStats)
   }
 
   /** Read the table as of `asOf` (latest when None). ONE Catalyst file
@@ -291,7 +321,8 @@ object VersionedTable {
       cdc: Option[(String, StructType)] = None,
       deltaDirs: Seq[String] = Nil,
       deltas: Map[Int, Seq[String]] = Map.empty,
-      txns: Map[String, Long] = Map.empty): Unit = {
+      txns: Map[String, Long] = Map.empty,
+      fileStats: Map[String, Map[String, (String, String)]] = Map.empty): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.createObjectNode()
     node.put("version", v)
@@ -316,6 +347,15 @@ object VersionedTable {
     if (txns.nonEmpty) {
       val tn = node.putObject("txns")
       txns.toSeq.sortBy(_._1).foreach { case (a, tv) => tn.put(a, tv) }
+    }
+    if (fileStats.nonEmpty) {
+      val fn = node.putObject("fileStats")
+      fileStats.toSeq.sortBy(_._1).foreach { case (f, cols) =>
+        val cn = fn.putObject(f)
+        cols.toSeq.sortBy(_._1).foreach { case (c, (mn, mx)) =>
+          val arr = cn.putArray(c); arr.add(mn); arr.add(mx)
+        }
+      }
     }
     fs.mkdirs(new HPath(root, LOG))
     // put-if-absent IS the commit: a concurrent writer (or a re-run of
@@ -749,9 +789,22 @@ object VersionedTable {
             prunedDeltas)
         }
       try {
+        // data-skipping stats survive only where the file they describe
+        // is still the live serve for its bucket — "D/kb=B/f" stays iff
+        // owners(B) == D (a COW rewrite of B drops B's entries; MoR
+        // append touches no owners so all stats ride through)
+        val stats = cur.map(_.fileStats).getOrElse(Map.empty).filter {
+          case (p, _) =>
+            val parts = p.split("/")
+            parts.length >= 2 &&
+              parts(parts.length - 2).startsWith(s"$KB=") &&
+              scala.util.Try(parts(parts.length - 2).stripPrefix(s"$KB=").toInt)
+                .toOption.exists(b => owners.get(b)
+                  .contains(parts.dropRight(2).mkString("/")))
+        }
         writeManifest(fs, root, v, numBuckets, keyCols, schema, owners, cdc,
           deltaDirs, deltas,
-          cur.map(_.txns).getOrElse(Map.empty) ++ txn)
+          cur.map(_.txns).getOrElse(Map.empty) ++ txn, stats)
         return v
       } catch {
         case e: java.io.IOException if fs.exists(manifestPath(root, v)) =>
@@ -1282,6 +1335,87 @@ object VersionedTable {
       .parquet(s"$path/$FEED")
   }
 
+  /** Column types the data-skipping stats cover. Strings are
+    * deliberately OUT: parquet orders them as UTF-8 bytes while Java
+    * compares UTF-16 code units, and the two disagree beyond the BMP —
+    * an unsound prune is a silently wrong answer, so only types whose
+    * internal value is a number (ints, longs, doubles, date days,
+    * timestamp micros) participate. */
+  private[sources] def statsSupported(t: DataType): Boolean = t match {
+    case org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
+         org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.DateType |
+         org.apache.spark.sql.types.TimestampType |
+         org.apache.spark.sql.types.TimestampNTZType |
+         org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.ByteType => true
+    case _ => false
+  }
+
+  /** Per-file min/max of `cols` from the parquet FOOTERS of every file
+    * under `dir`'s kb= partitions — Θ(files written), driver-side, no
+    * data pages read (the same numbers the lakehouse formats persist
+    * at commit time). A column whose stats any row group omits is
+    * dropped for that file (never-prune is the sound default); an
+    * all-null row group contributes nothing but invalidates nothing;
+    * a NaN endpoint invalidates the double column for the file
+    * (parquet NaN ordering is unreliable). Values are encoded as
+    * strings of the INTERNAL representation (days/micros/number). */
+  private def collectFileStats(spark: SparkSession,
+      fs: FileSystem, root: HPath, dir: String,
+      cols: Seq[String]): Map[String, Map[String, (String, String)]] = {
+    if (cols.isEmpty) return Map.empty
+    val conf = spark.sparkContext.hadoopConfiguration
+    val out = Map.newBuilder[String, Map[String, (String, String)]]
+    listBuckets(fs, new HPath(root, dir)).foreach { b =>
+      val d = new HPath(root, s"$dir/$KB=$b")
+      fs.listStatus(d).filter(s => s.isFile &&
+          !s.getPath.getName.startsWith("_") &&
+          !s.getPath.getName.startsWith(".")).foreach { st =>
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(st.getPath, conf))
+        try {
+          // (min, max, valid) per column, folded across row groups
+          val acc = scala.collection.mutable.HashMap[String, (Comparable[Any], Comparable[Any], Boolean)]()
+          cols.foreach(c => acc(c) = (null, null, true))
+          val blocks = reader.getFooter.getBlocks
+          (0 until blocks.size()).foreach { bi =>
+            val chunks = blocks.get(bi).getColumns
+            (0 until chunks.size()).foreach { ci =>
+              val ch = chunks.get(ci)
+              val name = ch.getPath.toDotString
+              if (acc.contains(name)) {
+                val s = ch.getStatistics
+                if (s == null || s.isEmpty)
+                  acc(name) = (null, null, false) // stats absent: unsound to prune
+                else if (s.hasNonNullValue) {
+                  val (mn, mx, ok) = acc(name)
+                  if (ok) {
+                    val bMin = s.genericGetMin.asInstanceOf[Comparable[Any]]
+                    val bMax = s.genericGetMax.asInstanceOf[Comparable[Any]]
+                    val isNaN = (v: Any) => v.isInstanceOf[java.lang.Double] &&
+                      v.asInstanceOf[java.lang.Double].isNaN
+                    if (isNaN(bMin) || isNaN(bMax)) acc(name) = (null, null, false)
+                    else acc(name) = (
+                      if (mn == null || bMin.compareTo(mn) < 0) bMin else mn,
+                      if (mx == null || bMax.compareTo(mx) > 0) bMax else mx,
+                      true)
+                  }
+                }
+              }
+            }
+          }
+          val colStats = acc.collect {
+            case (c, (mn, mx, true)) if mn != null && mx != null =>
+              c -> (mn.toString, mx.toString)
+          }.toMap
+          if (colStats.nonEmpty)
+            out += (s"$dir/$KB=$b/${st.getPath.getName}" -> colStats)
+        } finally reader.close()
+      }
+    }
+    out.result()
+  }
+
   /** MoR operational surface: the numbers the compaction-cadence
     * decision needs, manifest + file-listing only (no data read).
     * `live_layers` = delta dirs still referenced by any bucket,
@@ -1341,7 +1475,7 @@ object VersionedTable {
     // restore needs a fresh appId)
     writeManifest(fs, root, nv, target.numBuckets, target.keyCols,
       target.schema, target.owners, None, target.deltaDirs, target.deltas,
-      cur.txns)
+      cur.txns, target.fileStats)
     nv
   }
 
@@ -1367,9 +1501,19 @@ object VersionedTable {
     * answer for range-selective non-key queries. Content-invariant
     * for any clusterBy (spec'd); the win itself is measured in
     * ZorderSpec's layout study. */
+  /** `chunksPerBucket > 1` (requires `clusterBy`) splits each bucket
+    * into ~that many RANGE-DISJOINT files (the in-task sort makes the
+    * row-count splits contiguous in cluster order) and records each
+    * file's clusterBy min/max in the manifest — the Delta
+    * OPTIMIZE-ZORDER + per-file-stats shape. Hash bucketing scatters
+    * non-key values, so with one file per bucket every file spans
+    * ~the full value range and file-level stats can prune nothing;
+    * range-chunking is what makes a range predicate read 1/chunks of
+    * the files (measured: study_r12.json `data_skipping_sf01`), with
+    * parquet row-group pushdown still applying inside each file. */
   def compact(spark: SparkSession, path: String,
-      clusterBy: Seq[String] = Nil): Long =
-    rewriteAll(spark, path, None, clusterBy)
+      clusterBy: Seq[String] = Nil, chunksPerBucket: Int = 1): Long =
+    rewriteAll(spark, path, None, clusterBy, chunksPerBucket)
 
   /** RE-BUCKET the table to `newNumBuckets` — the migration for a
     * table that outgrew (or over-provisioned) its creation-time
@@ -1395,7 +1539,12 @@ object VersionedTable {
     * dir, bucketed by `newB` (compact keeps the current count),
     * optionally sorted on `clusterBy` within each bucket. */
   private def rewriteAll(spark: SparkSession, path: String,
-      newB: Option[Int], clusterBy: Seq[String] = Nil): Long = {
+      newB: Option[Int], clusterBy: Seq[String] = Nil,
+      chunksPerBucket: Int = 1): Long = {
+    require(chunksPerBucket >= 1, "chunksPerBucket must be >= 1")
+    require(chunksPerBucket == 1 || clusterBy.nonEmpty,
+      "chunksPerBucket > 1 needs clusterBy columns — unsorted chunks " +
+        "would be range-overlapping and the stats could prune nothing")
     val sn = snapshot(spark, path, None)
     val b = newB.getOrElse(sn.numBuckets)
     val v = sn.version + 1
@@ -1413,11 +1562,26 @@ object VersionedTable {
     val (fs, root) = fsOf(spark, path)
     // one file per bucket, same rationale as merge's pre-write shuffle;
     // KB leads the in-task sort so a task carrying several buckets
-    // still writes each bucket's FILE fully clusterBy-sorted
-    cur.withColumn(KB, bucket)
+    // still writes each bucket's FILE fully clusterBy-sorted. With
+    // chunking, maxRecordsPerFile splits each task's SORTED output at
+    // a row count — contiguous in cluster order, so the chunks are
+    // range-disjoint by construction (one count job sizes the split)
+    val writer = cur.withColumn(KB, bucket)
       .repartition(col(KB))
       .sortWithinPartitions((KB +: clusterBy).map(col): _*)
-      .write.mode("error").partitionBy(KB).parquet(s"$path/$dir")
+      .write.mode("error").partitionBy(KB)
+    (if (chunksPerBucket > 1) {
+      val rows = cur.count()
+      writer.option("maxRecordsPerFile",
+        math.max(1L, rows / (b.toLong * chunksPerBucket)))
+    } else writer).parquet(s"$path/$dir")
+    // data-skipping stats: footer min/max of the clusterBy columns for
+    // every file just written — Θ(files) driver-side footer reads on
+    // the files this commit created, never a table scan
+    val fileStats =
+      if (clusterBy.isEmpty) Map.empty[String, Map[String, (String, String)]]
+      else collectFileStats(spark, fs, root, dir,
+        clusterBy.filter(c => statsSupported(cur.schema(c).dataType)))
     // a layout rewrite changes no rows: commit an EMPTY materialized
     // feed so changes() across it stays on the batch-sized path
     // instead of falling back to a full two-sided rescan (every owner
@@ -1433,7 +1597,7 @@ object VersionedTable {
     val staged = listBuckets(fs, new HPath(root, dir))
     writeManifest(fs, root, v, b, sn.keyCols, cur.schema,
       staged.map(_ -> dir).toMap, Some((s"$dir/_cdc", feedSchema)),
-      txns = sn.txns)
+      txns = sn.txns, fileStats = fileStats)
     try publishFeeds(spark, path)
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(

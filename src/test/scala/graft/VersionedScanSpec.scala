@@ -157,4 +157,92 @@ class VersionedScanSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [") && plan.contains("GreaterThan(x,"),
       s"parquet pushdown must survive the custom FileIndex:\n$plan")
   }
+
+  // ---- data skipping (per-file min/max stats from chunked compact) ---
+
+  /** 400 rows over 4 buckets, x = 0..399 (the range column), then a
+    * chunked clusterBy compact: each bucket splits into ~4 x-sorted
+    * range-disjoint files with manifest stats. */
+  private def skippingFixture(chunks: Int = 4): (String, Long) = {
+    val dir = freshDir(s"skip_$chunks")
+    VersionedTable.merge(spark, dir,
+      (0L until 400L).map(k => (k, k.toInt, s"v$k")).toDF("k", "x", "v"),
+      Seq("k"), numBuckets = 4)
+    val v = VersionedTable.compact(spark, dir, clusterBy = Seq("x"),
+      chunksPerBucket = chunks)
+    (dir, v)
+  }
+
+  test("chunked compact splits buckets into range-disjoint files with manifest stats") {
+    val (dir, v) = skippingFixture()
+    val sn = VersionedTable.snapshot(spark, dir, Some(v))
+    assert(sn.fileStats.nonEmpty, "chunked clusterBy compact must record stats")
+    // every live file has an x entry, and within a bucket the files'
+    // [min,max] ranges are pairwise disjoint (the whole point)
+    val byBucket = sn.fileStats.toSeq.groupBy(_._1.split("/")(1))
+    assert(byBucket.size === 4)
+    byBucket.foreach { case (b, files) =>
+      assert(files.size >= 3, s"bucket $b must be split (got ${files.size} files)")
+      val ranges = files.map { case (_, cols) =>
+        val (mn, mx) = cols("x"); (mn.toLong, mx.toLong)
+      }.sortBy(_._1)
+      ranges.sliding(2).foreach {
+        case Seq((_, hi), (lo2, _)) =>
+          assert(hi < lo2, s"bucket $b chunk ranges overlap: $ranges")
+        case _ => ()
+      }
+    }
+    // content identical to the pre-compact table
+    assert(VersionedTable.read(spark, dir).count() === 400L)
+  }
+
+  test("a range predicate skips files whose stats miss it; result identical") {
+    val (dir, _) = skippingFixture()
+    val all = filesRead(VersionedTable.read(spark, dir))
+    assert(all._2 >= 12L, s"fixture should have >=12 files, got ${all._2}")
+    // a narrow range: only ~1 chunk per bucket can hold x in [0, 60)
+    val (n, files) = filesRead(
+      VersionedTable.read(spark, dir).filter($"x" < 60))
+    assert(n === 60L)
+    assert(files <= all._2 / 2,
+      s"stats must skip most files: read $files of ${all._2}")
+    // equality and BETWEEN shapes prune too, and rows stay exact
+    val (n2, files2) = filesRead(
+      VersionedTable.read(spark, dir).filter($"x" === 250))
+    assert(n2 === 1L && files2 <= 4L)
+    val (n3, _) = filesRead(VersionedTable.read(spark, dir)
+      .filter($"x" >= 100 && $"x" <= 150))
+    assert(n3 === 51L)
+  }
+
+  test("skipping soundness: wrong-type literals, un-stat'd files, and merges never mis-prune") {
+    val (dir, _) = skippingFixture()
+    val all = filesRead(VersionedTable.read(spark, dir))._2
+    // a predicate that wraps the column in a function must not prune —
+    // statsIntervals only reads bare attribute-vs-exact-type-literal
+    // shapes; the ROWS are still correct either way. (A cast shape is
+    // deliberately not asserted: UnwrapCastInBinaryComparison may
+    // legally rewrite it to an exact-type compare that DOES prune.)
+    val (nc, filesC) = filesRead(
+      VersionedTable.read(spark, dir).filter(abs($"x") === 250))
+    assert(nc === 1L && filesC === all,
+      "non-attribute predicates must not file-prune (soundness default)")
+    // a merge rewrites one bucket COW: its stats drop, others survive,
+    // and the range query stays correct (changed row included)
+    VersionedTable.merge(spark, dir,
+      Seq((7L, 999, "MOVED")).toDF("k", "x", "v"), Seq("k"), numBuckets = 4)
+    val sn = VersionedTable.snapshot(spark, dir)
+    assert(sn.fileStats.nonEmpty, "untouched buckets keep their stats")
+    val touched = sn.fileStats.keys.map(_.split("/")(1)).toSet
+    assert(touched.size === 3, s"rewritten bucket's stats must drop: $touched")
+    val got = VersionedTable.read(spark, dir).filter($"x" >= 390)
+      .select($"k", $"x").as[(Long, Int)].collect().toSet
+    assert(got.contains((7L, 999)), "post-merge row must appear in range reads")
+    assert(got.size === 11L, s"x>=390 after move: 390..399 + k=7, got $got")
+    // restore back to the stat'd version: stats ride along
+    val statsV = VersionedTable.versions(spark, dir).max - 1
+    VersionedTable.restore(spark, dir, statsV)
+    assert(VersionedTable.snapshot(spark, dir).fileStats.size ===
+      VersionedTable.snapshot(spark, dir, Some(statsV)).fileStats.size)
+  }
 }
