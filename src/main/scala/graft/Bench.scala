@@ -169,8 +169,10 @@ object Bench {
     //   - bench_full_<sf>.json is the SF-keyed RECORD: a full run only
     //     replaces it when it is at least as good — strictly more
     //     queries, or (>= queries, no failures, and steal no higher than
-    //     the incumbent's). A refused run is preserved verbatim in
-    //     bench_full_<sf>_attempt.json so no datapoint is lost.
+    //     the incumbent's). A refused run is APPENDED (one JSON line) to
+    //     bench_full_<sf>_attempts.jsonl so no datapoint is lost —
+    //     a fixed-name attempt file would itself clobber on the second
+    //     refused run, the exact failure the protocol exists to stop.
     val sfLabel = new java.io.File(sfDir).getName
     def writeFile(path: String): Unit =
       java.nio.file.Files.write(java.nio.file.Paths.get(path),
@@ -195,7 +197,14 @@ object Bench {
               (oldSteal < 0 || (stealRun >= 0 && stealRun <= oldSteal))
         }
         if (replace) { writeFile(s"bench_full_$sfLabel.json"); "updated" }
-        else { writeFile(s"bench_full_${sfLabel}_attempt.json"); "kept" }
+        else {
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"bench_full_${sfLabel}_attempts.jsonl"),
+            (fullJson + "\n").getBytes("UTF-8"),
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.APPEND)
+          "kept"
+        }
       }
     // printed line: top-20 wall times, plus the [stages, cpu_ms, run_ms]
     // triple for the same 20 — enough to discriminate contention from

@@ -650,21 +650,9 @@ object StudyBench {
           col("o_orderdate") <
             lit(java.sql.Timestamp.valueOf("1995-04-01 00:00:00")))
         .select(col("o_orderkey"))
-      def numFiles(df: org.apache.spark.sql.DataFrame): Long = {
-        df.collect()
-        val plan = df.queryExecution.executedPlan match {
-          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-            a.executedPlan
-          case p => p
-        }
-        plan.collect {
-          case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
-            sc.metrics("numFiles").value
-        }.sum
-      }
-      val total = numFiles(graft.sources.VersionedTable.read(s, dir)
-        .select(col("o_orderkey")))
-      val read = numFiles(ranged)
+      val total = graft.util.PlanMetrics.filesRead(
+        graft.sources.VersionedTable.read(s, dir).select(col("o_orderkey")))
+      val read = graft.util.PlanMetrics.filesRead(ranged)
       val (_, wall) = { time(ranged.count()); time(ranged.count()) }
       (total, read, wall)
     }

@@ -167,16 +167,16 @@ object TextAnalysis extends QueryModule {
         round($"stop_ratio", 4).as("stop_ratio"), $"quality")
       .orderBy($"doc_id")
   }
+  // quality from the SHARED expression (qualityFromListSql) so the a02
+  // and x07 oracles can never drift apart on the scoring constants
   private val a02Sql =
-    """SELECT doc_id, n_tokens, round(mean_wlen, 4) AS mean_wlen,
-         round(stop_ratio, 4) AS stop_ratio,
-         round(1.0 - short_ratio * 0.5 - stop_ratio * 0.3 +
-           least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.2, 6) AS quality
+    s"""SELECT doc_id, n_tokens, round(mean_wlen, 4) AS mean_wlen,
+         round(stop_ratio, 4) AS stop_ratio, quality
        FROM (
          SELECT doc_id, len(l) AS n_tokens,
            CAST(n_chars - (len(l) - 1) AS DOUBLE) / len(l) AS mean_wlen,
            CAST(len(list_filter(l, x -> list_contains(['the','a','of','and'], x))) AS DOUBLE) / len(l) AS stop_ratio,
-           CAST(len(list_filter(l, x -> strlen(x) <= 2)) AS DOUBLE) / len(l) AS short_ratio
+           $qualityFromListSql AS quality
          FROM (SELECT doc_id, n_chars,
                  list_filter(string_split(text, ' '), x -> x <> '') AS l
                FROM documents))

@@ -1257,20 +1257,9 @@ object Advanced extends QueryModule {
       .filter($"o_orderdate" >= lit(java.sql.Date.valueOf("1995-01-01")) &&
         $"o_orderdate" < lit(java.sql.Date.valueOf("1995-07-01")))
     // prove the skip: executed-plan file counts, full scan vs ranged
-    def numFiles(df: DataFrame): Long = {
-      df.collect()
-      val plan = df.queryExecution.executedPlan match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          a.executedPlan
-        case p => p
-      }
-      plan.collect {
-        case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
-          sc.metrics("numFiles").value
-      }.sum
-    }
-    val total = numFiles(graft.sources.VersionedTable.read(s, dir))
-    val read = numFiles(ranged.select($"o_orderkey"))
+    val total = graft.util.PlanMetrics.filesRead(
+      graft.sources.VersionedTable.read(s, dir))
+    val read = graft.util.PlanMetrics.filesRead(ranged.select($"o_orderkey"))
     require(read < total,
       s"data skipping read $read of $total files — stats pruning is broken")
     ranged

@@ -53,9 +53,12 @@ object SqlSurface extends QueryModule {
   def open(s: SparkSession, d: String): Unit = {
     openedDir.synchronized {
       if (openedDir.get(s) == d) return
-      openedDir.put(s, d)
     }
+    // memo AFTER a successful registration: a partial reopen (transient
+    // FS error halfway through the views) must leave the next open()
+    // free to retry, not poison the session with missing views
     reopen(s, d)
+    openedDir.synchronized { openedDir.put(s, d) }
   }
 
   /** The un-memoized registration body (forces re-registration). */

@@ -175,6 +175,17 @@ object VersionedScan {
           val nums = bs.map(_.get)
           add(a.name, nums.min, nums.max) // envelope: sound superset
         }
+      // the optimizer converts IN lists past inSetConversionThreshold
+      // (default 10) to InSet over RAW internal values — without this
+      // arm an 11-element list silently stops file-pruning while a
+      // 10-element one prunes (the bucket-pruning constraintOf below
+      // handles the same shape)
+      case InSet(a: AttributeReference, vs) =>
+        val bs = vs.toSeq.map(v => bound(a, Literal(v, a.dataType)))
+        if (bs.nonEmpty && bs.forall(_.isDefined)) {
+          val nums = bs.map(_.get)
+          add(a.name, nums.min, nums.max)
+        }
       case _ => ()
     }
     acc.toMap

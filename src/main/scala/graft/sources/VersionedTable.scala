@@ -130,14 +130,21 @@ object VersionedTable {
     * [[VersionedScan]]'s FileIndex to drop whole files on range
     * predicates before any task launches. A later merge DROPS the
     * rewritten buckets' entries (conservative: un-stat'd files are
-    * never pruned), restore carries the target's. */
+    * never pruned), restore carries the target's.
+    *
+    * `layout` is the table's DECLARED clustering spec —
+    * (clusterBy columns, chunksPerBucket) — recorded by a clustered
+    * compact and carried by merges/rebucket so AUTO-compaction
+    * re-applies the same layout instead of silently flattening it;
+    * an explicit plain `compact()` clears the declaration. */
   final case class Snapshot(version: Long, numBuckets: Int,
       keyCols: Seq[String], schema: StructType, owners: Map[Int, String],
       cdc: Option[(String, StructType)] = None,
       deltaDirs: Seq[String] = Nil,
       deltas: Map[Int, Seq[String]] = Map.empty,
       txns: Map[String, Long] = Map.empty,
-      fileStats: Map[String, Map[String, (String, String)]] = Map.empty)
+      fileStats: Map[String, Map[String, (String, String)]] = Map.empty,
+      layout: Option[(Seq[String], Int)] = None)
 
   private def fsOf(spark: SparkSession, path: String): (FileSystem, HPath) = {
     val p = new HPath(path)
@@ -212,6 +219,13 @@ object VersionedTable {
         while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue.asLong()) }
         b.result()
       }
+    val layout =
+      if (!m.has("layoutCols")) None
+      else {
+        val a = m.get("layoutCols")
+        Some(((0 until a.size()).map(a.get(_).asText()),
+          m.get("layoutChunks").asInt()))
+      }
     val fileStats =
       if (!m.has("fileStats")) Map.empty[String, Map[String, (String, String)]]
       else {
@@ -232,7 +246,7 @@ object VersionedTable {
       }
     Snapshot(m.get("version").asLong(), m.get("numBuckets").asInt(), keys,
       DataType.fromJson(m.get("schema").asText()).asInstanceOf[StructType],
-      owners, cdc, deltaDirs, deltas, txns, fileStats)
+      owners, cdc, deltaDirs, deltas, txns, fileStats, layout)
   }
 
   /** Read the table as of `asOf` (latest when None). ONE Catalyst file
@@ -322,7 +336,8 @@ object VersionedTable {
       deltaDirs: Seq[String] = Nil,
       deltas: Map[Int, Seq[String]] = Map.empty,
       txns: Map[String, Long] = Map.empty,
-      fileStats: Map[String, Map[String, (String, String)]] = Map.empty): Unit = {
+      fileStats: Map[String, Map[String, (String, String)]] = Map.empty,
+      layout: Option[(Seq[String], Int)] = None): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.createObjectNode()
     node.put("version", v)
@@ -347,6 +362,11 @@ object VersionedTable {
     if (txns.nonEmpty) {
       val tn = node.putObject("txns")
       txns.toSeq.sortBy(_._1).foreach { case (a, tv) => tn.put(a, tv) }
+    }
+    layout.foreach { case (cols, chunks) =>
+      val la = node.putArray("layoutCols")
+      cols.foreach(la.add)
+      node.put("layoutChunks", chunks)
     }
     if (fileStats.nonEmpty) {
       val fn = node.putObject("fileStats")
@@ -494,8 +514,24 @@ object VersionedTable {
           numBuckets, mor, txn)
         if (mor && autoCompactLayers > 0) {
           val (_, maxPerBucket, _) = deltaStats(spark, path)
-          if (maxPerBucket >= autoCompactLayers)
-            return compact(spark, path)
+          if (maxPerBucket >= autoCompactLayers) {
+            // the MERGE is already durably committed — auto-compaction
+            // is opportunistic maintenance on top, so (a) it re-applies
+            // the table's DECLARED clustering layout (flattening a
+            // chunked table would silently void its data-skipping
+            // stats), and (b) losing a compaction race to a concurrent
+            // writer must not surface as a merge failure (the goal —
+            // fewer layers — was achieved by whoever won; a retried
+            // "failed" merge would double-apply the batch)
+            val sn = snapshot(spark, path)
+            val (cb, chunks) = sn.layout.getOrElse((Nil, 1))
+            try return compact(spark, path, cb, chunks)
+            catch { case scala.util.control.NonFatal(e) =>
+              System.err.println(s"[VersionedTable] auto-compaction of " +
+                s"$path deferred (merge version $v is committed; " +
+                s"next threshold crossing retries): ${e.getMessage.take(160)}")
+            }
+          }
         }
         return v
       }
@@ -804,7 +840,8 @@ object VersionedTable {
         }
         writeManifest(fs, root, v, numBuckets, keyCols, schema, owners, cdc,
           deltaDirs, deltas,
-          cur.map(_.txns).getOrElse(Map.empty) ++ txn, stats)
+          cur.map(_.txns).getOrElse(Map.empty) ++ txn, stats,
+          cur.flatMap(_.layout))
         return v
       } catch {
         case e: java.io.IOException if fs.exists(manifestPath(root, v)) =>
@@ -1475,7 +1512,7 @@ object VersionedTable {
     // restore needs a fresh appId)
     writeManifest(fs, root, nv, target.numBuckets, target.keyCols,
       target.schema, target.owners, None, target.deltaDirs, target.deltas,
-      cur.txns, target.fileStats)
+      cur.txns, target.fileStats, target.layout)
     nv
   }
 
@@ -1595,9 +1632,17 @@ object VersionedTable {
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], feedSchema)
       .write.mode("error").parquet(s"$path/$dir/_cdc")
     val staged = listBuckets(fs, new HPath(root, dir))
+    // the layout DECLARATION: a clustered rewrite records its spec (so
+    // auto-compaction re-applies it), a rebucket preserves the standing
+    // declaration (its files are unchunked until the next compact, but
+    // the intent survives), and an explicit plain compact() clears it
+    val layout =
+      if (clusterBy.nonEmpty) Some((clusterBy, chunksPerBucket))
+      else if (newB.isDefined) sn.layout
+      else None
     writeManifest(fs, root, v, b, sn.keyCols, cur.schema,
       staged.map(_ -> dir).toMap, Some((s"$dir/_cdc", feedSchema)),
-      txns = sn.txns, fileStats = fileStats)
+      txns = sn.txns, fileStats = fileStats, layout = layout)
     try publishFeeds(spark, path)
     catch { case scala.util.control.NonFatal(e) =>
       System.err.println(

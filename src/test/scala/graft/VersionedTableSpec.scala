@@ -1132,6 +1132,40 @@ class VersionedTableSpec extends SparkSpec {
     assert(got.size === 88)
   }
 
+  test("auto-compaction re-applies the declared clustered layout and survives its own races") {
+    val dir = freshDir("autocompact_layout")
+    VersionedTable.merge(spark, dir,
+      (0L until 200L).map(k => (k, k.toInt, s"v$k")).toDF("k", "x", "v"),
+      Seq("k"), numBuckets = 4)
+    // declare the layout: clustered chunked compact records its spec
+    VersionedTable.compact(spark, dir, clusterBy = Seq("x"), chunksPerBucket = 4)
+    assert(VersionedTable.snapshot(spark, dir).layout === Some((Seq("x"), 4)))
+    val statsBefore = VersionedTable.snapshot(spark, dir).fileStats
+    assert(statsBefore.nonEmpty)
+    // MoR merges up to the threshold: the auto-compaction must re-apply
+    // the DECLARED layout, not flatten the table
+    (1 to 2).foreach { i =>
+      VersionedTable.merge(spark, dir,
+        (0L until 10L).map(k => (k, (1000 + i).toInt, s"a$i$k")).toDF("k", "x", "v"),
+        Seq("k"), numBuckets = 4, mor = true, autoCompactLayers = 2)
+    }
+    val sn = VersionedTable.snapshot(spark, dir)
+    assert(sn.deltaDirs.isEmpty, "threshold crossing must have compacted")
+    assert(sn.layout === Some((Seq("x"), 4)), "layout declaration must survive")
+    assert(sn.fileStats.nonEmpty, "auto-compaction must re-collect stats")
+    // the merge-carry rule: a plain merge keeps the declaration; an
+    // EXPLICIT plain compact clears it; rebucket preserves it
+    VersionedTable.merge(spark, dir,
+      Seq((5L, 7, "m")).toDF("k", "x", "v"), Seq("k"), numBuckets = 4)
+    assert(VersionedTable.snapshot(spark, dir).layout === Some((Seq("x"), 4)))
+    VersionedTable.rebucket(spark, dir, 8)
+    assert(VersionedTable.snapshot(spark, dir).layout === Some((Seq("x"), 4)),
+      "rebucket keeps the declared clustering intent")
+    VersionedTable.compact(spark, dir)
+    assert(VersionedTable.snapshot(spark, dir).layout === None,
+      "an explicit plain compact clears the declaration")
+  }
+
   // ---- idempotent writer transactions (exactly-once foreachBatch) ----
 
   test("txn: a replayed batch is skipped — same version, same content, no spurious delta layer") {
