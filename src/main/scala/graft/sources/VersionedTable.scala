@@ -747,9 +747,28 @@ object VersionedTable {
         (s"$dir/_cdc", f.schema)
       }
       val staged = listBuckets(fs, new HPath(root, dir))
+      // on a layout-DECLARED table, a COW merge re-stats the bucket
+      // files it just rewrote (Θ(touched files) footer reads) — without
+      // this, every merged bucket reads un-prunable until the next
+      // chunked compaction; the rewritten file spans its bucket's full
+      // range, so the stats prune less than chunked ones, but they are
+      // sound and keep range scans partially pruned between compactions.
+      // MoR delta files are read by the resolution layers, not the
+      // FileIndex, so stats for them would never be consulted.
+      val mergeStats =
+        if (morEff) Map.empty[String, Map[String, (String, String)]]
+        else baseSn.flatMap(_.layout) match {
+          case Some((cols, _)) =>
+            val statCols = cols.filter(c =>
+              commitSchema.fields.exists(f => f.name == c &&
+                statsSupported(f.dataType)))
+            collectFileStats(spark, fs, root, dir, statCols)
+          case None => Map.empty[String, Map[String, (String, String)]]
+        }
       val committed =
         commitWithRebase(spark, fs, root, path, dir, staged, affected,
-          baseSn, commitSchema, keyCols, numBuckets, cdc, morEff, txn)
+          baseSn, commitSchema, keyCols, numBuckets, cdc, morEff, txn,
+          mergeStats)
       // post-commit publication sweep: this version's feed plus any
       // predecessor's a crash left committed-but-unpublished. The
       // commit is already durable, so a transient publish failure must
@@ -795,7 +814,8 @@ object VersionedTable {
       affected: Set[Int], base: Option[Snapshot], schema: StructType,
       keyCols: Seq[String], numBuckets: Int,
       cdc: Option[(String, StructType)], mor: Boolean = false,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      newStats: Map[String, Map[String, (String, String)]] = Map.empty): Long = {
     val hook = beforeCommitHook
     beforeCommitHook = () => ()
     hook()
@@ -840,7 +860,7 @@ object VersionedTable {
         }
         writeManifest(fs, root, v, numBuckets, keyCols, schema, owners, cdc,
           deltaDirs, deltas,
-          cur.map(_.txns).getOrElse(Map.empty) ++ txn, stats,
+          cur.map(_.txns).getOrElse(Map.empty) ++ txn, stats ++ newStats,
           cur.flatMap(_.layout))
         return v
       } catch {

@@ -227,14 +227,20 @@ class VersionedScanSpec extends SparkSpec {
       VersionedTable.read(spark, dir).filter(abs($"x") === 250))
     assert(nc === 1L && filesC === all,
       "non-attribute predicates must not file-prune (soundness default)")
-    // a merge rewrites one bucket COW: its stats drop, others survive,
-    // and the range query stays correct (changed row included)
+    // a merge rewrites one bucket COW: the stale chunk stats drop and
+    // the table's DECLARED layout makes the merge re-stat its freshly
+    // written whole-bucket file — so the moved row's new value is
+    // covered by a sound (if wide) range, and the range query stays
+    // correct (changed row included)
     VersionedTable.merge(spark, dir,
       Seq((7L, 999, "MOVED")).toDF("k", "x", "v"), Seq("k"), numBuckets = 4)
     val sn = VersionedTable.snapshot(spark, dir)
     assert(sn.fileStats.nonEmpty, "untouched buckets keep their stats")
-    val touched = sn.fileStats.keys.map(_.split("/")(1)).toSet
-    assert(touched.size === 3, s"rewritten bucket's stats must drop: $touched")
+    val byBucket2 = sn.fileStats.toSeq.groupBy(_._1.split("/")(1))
+    assert(byBucket2.size === 4, "the rewritten bucket must be re-stat'd")
+    val rewritten = byBucket2.filter(_._2.size == 1) // one whole-bucket file
+    assert(rewritten.exists(_._2.head._2("x")._2.toLong >= 999L),
+      s"the re-stat'd file must cover the moved value: $rewritten")
     val got = VersionedTable.read(spark, dir).filter($"x" >= 390)
       .select($"k", $"x").as[(Long, Int)].collect().toSet
     assert(got.contains((7L, 999)), "post-merge row must appear in range reads")
