@@ -658,9 +658,31 @@ object StudyBench {
     }
     val (t1, r1, w1) = arm(1)
     val (t8, r8, w8) = arm(8)
+    // two-dimensional arm: (o_orderdate, o_totalprice) clusterBy,
+    // lexicographic vs Morton z-order, probing the TRAILING column —
+    // the case lexicographic chunking cannot prune at all
+    def arm2(z: Boolean): (Long, Long) = {
+      val dir = graft.util.Scratch.dir(s"study_skip2_${tag}_$z")
+      graft.util.Scratch.deleteRecursively(new java.io.File(dir))
+      graft.sources.VersionedTable.merge(s, dir, ord, Seq("o_orderkey"),
+        numBuckets = 16)
+      graft.sources.VersionedTable.compact(s, dir,
+        clusterBy = Seq("o_orderdate", "o_totalprice"),
+        chunksPerBucket = 8, zorder = z)
+      val probe = graft.sources.VersionedTable.read(s, dir)
+        .filter(col("o_totalprice") >= 400000.0)
+        .select(col("o_orderkey"))
+      (graft.util.PlanMetrics.filesRead(
+        graft.sources.VersionedTable.read(s, dir).select(col("o_orderkey"))),
+        graft.util.PlanMetrics.filesRead(probe))
+    }
+    val (lexTotal, lexRead) = arm2(z = false)
+    val (zTotal, zRead) = arm2(z = true)
     s""""data_skipping_$tag":{
        |"chunks_1":{"files_total":$t1,"files_read":$r1,"scan_sec":${j(w1)}},
-       |"chunks_8":{"files_total":$t8,"files_read":$r8,"scan_sec":${j(w8)}}}"""
+       |"chunks_8":{"files_total":$t8,"files_read":$r8,"scan_sec":${j(w8)}},
+       |"trailing_col_lex":{"files_total":$lexTotal,"files_read":$lexRead},
+       |"trailing_col_zorder":{"files_total":$zTotal,"files_read":$zRead}}"""
       .stripMargin.replace("\n", "")
   }
 

@@ -132,11 +132,16 @@ object VersionedTable {
     * rewritten buckets' entries (conservative: un-stat'd files are
     * never pruned), restore carries the target's.
     *
-    * `layout` is the table's DECLARED clustering spec —
-    * (clusterBy columns, chunksPerBucket) — recorded by a clustered
-    * compact and carried by merges/rebucket so AUTO-compaction
-    * re-applies the same layout instead of silently flattening it;
-    * an explicit plain `compact()` clears the declaration. */
+    * `layout` is the table's DECLARED clustering spec — recorded by a
+    * clustered compact and carried by merges/rebucket so
+    * AUTO-compaction re-applies the same layout instead of silently
+    * flattening it; an explicit plain `compact()` clears the
+    * declaration. `zorder` sorts by the Morton interleave of the two
+    * cluster columns instead of lexicographically, so chunk files tile
+    * BOTH dimensions and a predicate on either column prunes. */
+  final case class Layout(cols: Seq[String], chunks: Int,
+      zorder: Boolean = false)
+  /** See [[Layout]]. */
   final case class Snapshot(version: Long, numBuckets: Int,
       keyCols: Seq[String], schema: StructType, owners: Map[Int, String],
       cdc: Option[(String, StructType)] = None,
@@ -144,7 +149,7 @@ object VersionedTable {
       deltas: Map[Int, Seq[String]] = Map.empty,
       txns: Map[String, Long] = Map.empty,
       fileStats: Map[String, Map[String, (String, String)]] = Map.empty,
-      layout: Option[(Seq[String], Int)] = None)
+      layout: Option[Layout] = None)
 
   private def fsOf(spark: SparkSession, path: String): (FileSystem, HPath) = {
     val p = new HPath(path)
@@ -223,8 +228,9 @@ object VersionedTable {
       if (!m.has("layoutCols")) None
       else {
         val a = m.get("layoutCols")
-        Some(((0 until a.size()).map(a.get(_).asText()),
-          m.get("layoutChunks").asInt()))
+        Some(Layout((0 until a.size()).map(a.get(_).asText()),
+          m.get("layoutChunks").asInt(),
+          m.has("layoutZ") && m.get("layoutZ").asBoolean()))
       }
     val fileStats =
       if (!m.has("fileStats")) Map.empty[String, Map[String, (String, String)]]
@@ -337,7 +343,7 @@ object VersionedTable {
       deltas: Map[Int, Seq[String]] = Map.empty,
       txns: Map[String, Long] = Map.empty,
       fileStats: Map[String, Map[String, (String, String)]] = Map.empty,
-      layout: Option[(Seq[String], Int)] = None): Unit = {
+      layout: Option[Layout] = None): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.createObjectNode()
     node.put("version", v)
@@ -363,10 +369,11 @@ object VersionedTable {
       val tn = node.putObject("txns")
       txns.toSeq.sortBy(_._1).foreach { case (a, tv) => tn.put(a, tv) }
     }
-    layout.foreach { case (cols, chunks) =>
+    layout.foreach { l =>
       val la = node.putArray("layoutCols")
-      cols.foreach(la.add)
-      node.put("layoutChunks", chunks)
+      l.cols.foreach(la.add)
+      node.put("layoutChunks", l.chunks)
+      if (l.zorder) node.put("layoutZ", true)
     }
     if (fileStats.nonEmpty) {
       val fn = node.putObject("fileStats")
@@ -524,8 +531,8 @@ object VersionedTable {
             // fewer layers — was achieved by whoever won; a retried
             // "failed" merge would double-apply the batch)
             val sn = snapshot(spark, path)
-            val (cb, chunks) = sn.layout.getOrElse((Nil, 1))
-            try return compact(spark, path, cb, chunks)
+            val l = sn.layout.getOrElse(Layout(Nil, 1))
+            try return compact(spark, path, l.cols, l.chunks, l.zorder)
             catch { case scala.util.control.NonFatal(e) =>
               System.err.println(s"[VersionedTable] auto-compaction of " +
                 s"$path deferred (merge version $v is committed; " +
@@ -758,8 +765,8 @@ object VersionedTable {
       val mergeStats =
         if (morEff) Map.empty[String, Map[String, (String, String)]]
         else baseSn.flatMap(_.layout) match {
-          case Some((cols, _)) =>
-            val statCols = cols.filter(c =>
+          case Some(l) =>
+            val statCols = l.cols.filter(c =>
               commitSchema.fields.exists(f => f.name == c &&
                 statsSupported(f.dataType)))
             collectFileStats(spark, fs, root, dir, statCols)
@@ -1569,8 +1576,9 @@ object VersionedTable {
     * the files (measured: study_r12.json `data_skipping_sf01`), with
     * parquet row-group pushdown still applying inside each file. */
   def compact(spark: SparkSession, path: String,
-      clusterBy: Seq[String] = Nil, chunksPerBucket: Int = 1): Long =
-    rewriteAll(spark, path, None, clusterBy, chunksPerBucket)
+      clusterBy: Seq[String] = Nil, chunksPerBucket: Int = 1,
+      zorder: Boolean = false): Long =
+    rewriteAll(spark, path, None, clusterBy, chunksPerBucket, zorder)
 
   /** RE-BUCKET the table to `newNumBuckets` — the migration for a
     * table that outgrew (or over-provisioned) its creation-time
@@ -1597,8 +1605,12 @@ object VersionedTable {
     * optionally sorted on `clusterBy` within each bucket. */
   private def rewriteAll(spark: SparkSession, path: String,
       newB: Option[Int], clusterBy: Seq[String] = Nil,
-      chunksPerBucket: Int = 1): Long = {
+      chunksPerBucket: Int = 1, zorder: Boolean = false): Long = {
     require(chunksPerBucket >= 1, "chunksPerBucket must be >= 1")
+    require(!zorder || clusterBy.size == 2,
+      "zorder needs exactly two clusterBy columns (the Morton interleave " +
+        "is two-dimensional; one column is a plain sort, more need a " +
+        "wider key)")
     require(chunksPerBucket == 1 || clusterBy.nonEmpty,
       "chunksPerBucket > 1 needs clusterBy columns — unsorted chunks " +
         "would be range-overlapping and the stats could prune nothing")
@@ -1623,9 +1635,43 @@ object VersionedTable {
     // chunking, maxRecordsPerFile splits each task's SORTED output at
     // a row count — contiguous in cluster order, so the chunks are
     // range-disjoint by construction (one count job sizes the split)
+    // z-order: sort by the Morton interleave so row-count chunks tile
+    // BOTH dimensions (each file = a z-range = bounded x AND y), while
+    // stats stay on the ORIGINAL columns — the FileIndex prunes on
+    // either predicate without knowing the sort key existed. The
+    // interleave needs 16-bit inputs, so each column is QUANTIZED to
+    // its rank in [0, 65535] via table min/max (one agg job, monotone
+    // — raw low bits of a timestamp are noise and would z-shuffle the
+    // sort into uselessness)
+    val sortKeys: Seq[org.apache.spark.sql.Column] =
+      if (!zorder) (KB +: clusterBy).map(col)
+      else {
+        def asNum(c: String): Column = cur.schema(c).dataType match {
+          case org.apache.spark.sql.types.DateType =>
+            datediff(col(c), lit("1970-01-01")).cast("double")
+          case org.apache.spark.sql.types.TimestampType =>
+            unix_micros(col(c)).cast("double")
+          case org.apache.spark.sql.types.TimestampNTZType =>
+            unix_micros(col(c).cast("timestamp")).cast("double")
+          case _ => col(c).cast("double")
+        }
+        val nums = clusterBy.map(asNum)
+        val mm = cur.agg(
+          min(nums(0)), max(nums(0)), min(nums(1)), max(nums(1))).collect()(0)
+        def quant(n: Column, loI: Int): Column = {
+          val (lo, hi) =
+            (if (mm.isNullAt(loI)) 0.0 else mm.getDouble(loI),
+             if (mm.isNullAt(loI + 1)) 0.0 else mm.getDouble(loI + 1))
+          if (hi <= lo) lit(0L)
+          else least(lit(65535L), greatest(lit(0L),
+            floor((n - lo) / (hi - lo) * 65535.0).cast("long")))
+        }
+        Seq(col(KB), graft.ops.ScaleOps.zorderKey2(
+          quant(nums(0), 0), quant(nums(1), 2)))
+      }
     val writer = cur.withColumn(KB, bucket)
       .repartition(col(KB))
-      .sortWithinPartitions((KB +: clusterBy).map(col): _*)
+      .sortWithinPartitions(sortKeys: _*)
       .write.mode("error").partitionBy(KB)
     (if (chunksPerBucket > 1) {
       val rows = cur.count()
@@ -1657,7 +1703,7 @@ object VersionedTable {
     // declaration (its files are unchunked until the next compact, but
     // the intent survives), and an explicit plain compact() clears it
     val layout =
-      if (clusterBy.nonEmpty) Some((clusterBy, chunksPerBucket))
+      if (clusterBy.nonEmpty) Some(Layout(clusterBy, chunksPerBucket, zorder))
       else if (newB.isDefined) sn.layout
       else None
     writeManifest(fs, root, v, b, sn.keyCols, cur.schema,

@@ -215,6 +215,49 @@ class VersionedScanSpec extends SparkSpec {
     assert(n3 === 51L)
   }
 
+  test("z-order compact: chunk files tile both dimensions, so either predicate prunes") {
+    val dir = freshDir("zskip")
+    // (x, y) on a shuffled grid: lexicographic (x, y) sort would give
+    // every chunk the FULL y range — only the z-interleave tiles both
+    val rows = for { x <- 0L until 40L; y <- 0L until 40L }
+      yield (x * 40 + y, x.toInt, y.toInt)
+    VersionedTable.merge(spark, dir, rows.toDF("k", "x", "y"),
+      Seq("k"), numBuckets = 2)
+    VersionedTable.compact(spark, dir, clusterBy = Seq("x", "y"),
+      chunksPerBucket = 16, zorder = true)
+    val sn = VersionedTable.snapshot(spark, dir)
+    assert(sn.layout === Some(VersionedTable.Layout(Seq("x", "y"), 16, zorder = true)))
+    val all = filesRead(VersionedTable.read(spark, dir))._2
+    assert(all >= 16L, s"fixture should chunk into many files, got $all")
+    // a narrow predicate on EACH dimension must skip most files — the
+    // lexicographic layout can only do this for the leading column
+    val (nx, fx) = filesRead(VersionedTable.read(spark, dir).filter($"x" < 5))
+    val (ny, fy) = filesRead(VersionedTable.read(spark, dir).filter($"y" < 5))
+    assert(nx === 200L && ny === 200L)
+    assert(fx <= all / 2, s"x-predicate must prune on the z layout: $fx of $all")
+    assert(fy <= all / 2, s"y-predicate must prune on the z layout: $fy of $all")
+    // the lexicographic twin: same data, same chunks, plain clusterBy —
+    // the TRAILING column's predicate cannot prune (full y range per file)
+    val lex = freshDir("zskip_lex")
+    VersionedTable.merge(spark, lex, rows.toDF("k", "x", "y"),
+      Seq("k"), numBuckets = 2)
+    VersionedTable.compact(spark, lex, clusterBy = Seq("x", "y"),
+      chunksPerBucket = 16)
+    val allLex = filesRead(VersionedTable.read(spark, lex))._2
+    val (_, fyLex) = filesRead(VersionedTable.read(spark, lex).filter($"y" < 5))
+    // nearly everything: a boundary chunk (last x-run's tail) can
+    // happen to carry a tight y range, so allow a file or two of slack
+    assert(fyLex >= allLex - 2,
+      s"lexicographic trailing-column predicate reads ~everything: $fyLex of $allLex")
+    assert(fy < fyLex / 2,
+      s"the z layout must beat lexicographic on the trailing column: $fy vs $fyLex")
+    // content equality between the two layouts
+    assert(VersionedTable.read(spark, dir).select($"k", $"x", $"y")
+      .as[(Long, Int, Int)].collect().toSet ===
+      VersionedTable.read(spark, lex).select($"k", $"x", $"y")
+        .as[(Long, Int, Int)].collect().toSet)
+  }
+
   test("skipping soundness: wrong-type literals, un-stat'd files, and merges never mis-prune") {
     val (dir, _) = skippingFixture()
     val all = filesRead(VersionedTable.read(spark, dir))._2

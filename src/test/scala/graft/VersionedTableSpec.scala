@@ -1139,7 +1139,7 @@ class VersionedTableSpec extends SparkSpec {
       Seq("k"), numBuckets = 4)
     // declare the layout: clustered chunked compact records its spec
     VersionedTable.compact(spark, dir, clusterBy = Seq("x"), chunksPerBucket = 4)
-    assert(VersionedTable.snapshot(spark, dir).layout === Some((Seq("x"), 4)))
+    assert(VersionedTable.snapshot(spark, dir).layout === Some(VersionedTable.Layout(Seq("x"), 4)))
     val statsBefore = VersionedTable.snapshot(spark, dir).fileStats
     assert(statsBefore.nonEmpty)
     // MoR merges up to the threshold: the auto-compaction must re-apply
@@ -1151,15 +1151,15 @@ class VersionedTableSpec extends SparkSpec {
     }
     val sn = VersionedTable.snapshot(spark, dir)
     assert(sn.deltaDirs.isEmpty, "threshold crossing must have compacted")
-    assert(sn.layout === Some((Seq("x"), 4)), "layout declaration must survive")
+    assert(sn.layout === Some(VersionedTable.Layout(Seq("x"), 4)), "layout declaration must survive")
     assert(sn.fileStats.nonEmpty, "auto-compaction must re-collect stats")
     // the merge-carry rule: a plain merge keeps the declaration; an
     // EXPLICIT plain compact clears it; rebucket preserves it
     VersionedTable.merge(spark, dir,
       Seq((5L, 7, "m")).toDF("k", "x", "v"), Seq("k"), numBuckets = 4)
-    assert(VersionedTable.snapshot(spark, dir).layout === Some((Seq("x"), 4)))
+    assert(VersionedTable.snapshot(spark, dir).layout === Some(VersionedTable.Layout(Seq("x"), 4)))
     VersionedTable.rebucket(spark, dir, 8)
-    assert(VersionedTable.snapshot(spark, dir).layout === Some((Seq("x"), 4)),
+    assert(VersionedTable.snapshot(spark, dir).layout === Some(VersionedTable.Layout(Seq("x"), 4)),
       "rebucket keeps the declared clustering intent")
     VersionedTable.compact(spark, dir)
     assert(VersionedTable.snapshot(spark, dir).layout === None,
