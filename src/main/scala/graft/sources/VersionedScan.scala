@@ -290,8 +290,13 @@ private[sources] class VersionedFileIndex(spark: SparkSession, path: String,
             cols.get(c) match {
               case None => true
               case Some((mnS, mxS)) =>
-                val mn = BigDecimal(mnS); val mx = BigDecimal(mxS)
-                mx >= lo && mn <= hi // ranges overlap → might match
+                // defensive: a manifest written before non-finite endpoints
+                // were invalidated (or by hand) may hold "Infinity"/"NaN";
+                // an unparseable endpoint must never prune, only not help
+                try {
+                  val mn = BigDecimal(mnS); val mx = BigDecimal(mxS)
+                  mx >= lo && mn <= hi // ranges overlap → might match
+                } catch { case _: NumberFormatException => true }
             }
           }
         }

@@ -149,7 +149,8 @@ object VersionedTable {
       deltas: Map[Int, Seq[String]] = Map.empty,
       txns: Map[String, Long] = Map.empty,
       fileStats: Map[String, Map[String, (String, String)]] = Map.empty,
-      layout: Option[Layout] = None)
+      layout: Option[Layout] = None,
+      deltaBytes: Map[String, Long] = Map.empty)
 
   private def fsOf(spark: SparkSession, path: String): (FileSystem, HPath) = {
     val p = new HPath(path)
@@ -250,9 +251,17 @@ object VersionedTable {
         }
         fb.result()
       }
+    val deltaBytes =
+      if (!m.has("deltaBytes")) Map.empty[String, Long]
+      else {
+        val it = m.get("deltaBytes").fields()
+        val b = Map.newBuilder[String, Long]
+        while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue.asLong()) }
+        b.result()
+      }
     Snapshot(m.get("version").asLong(), m.get("numBuckets").asInt(), keys,
       DataType.fromJson(m.get("schema").asText()).asInstanceOf[StructType],
-      owners, cdc, deltaDirs, deltas, txns, fileStats, layout)
+      owners, cdc, deltaDirs, deltas, txns, fileStats, layout, deltaBytes)
   }
 
   /** Read the table as of `asOf` (latest when None). ONE Catalyst file
@@ -343,7 +352,8 @@ object VersionedTable {
       deltas: Map[Int, Seq[String]] = Map.empty,
       txns: Map[String, Long] = Map.empty,
       fileStats: Map[String, Map[String, (String, String)]] = Map.empty,
-      layout: Option[Layout] = None): Unit = {
+      layout: Option[Layout] = None,
+      deltaBytes: Map[String, Long] = Map.empty): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = mapper.createObjectNode()
     node.put("version", v)
@@ -383,6 +393,10 @@ object VersionedTable {
           val arr = cn.putArray(c); arr.add(mn); arr.add(mx)
         }
       }
+    }
+    if (deltaBytes.nonEmpty) {
+      val dbn = node.putObject("deltaBytes")
+      deltaBytes.toSeq.sortBy(_._1).foreach { case (p, n) => dbn.put(p, n) }
     }
     fs.mkdirs(new HPath(root, LOG))
     // put-if-absent IS the commit: a concurrent writer (or a re-run of
@@ -754,6 +768,18 @@ object VersionedTable {
         (s"$dir/_cdc", f.schema)
       }
       val staged = listBuckets(fs, new HPath(root, dir))
+      // manifest-carried delta payload bytes: ONE content-summary per
+      // staged bucket at COMMIT time (the writer's own fresh output),
+      // so deltaStats — the compaction-cadence probe every
+      // auto-compact-enabled merge consults — reads the manifest
+      // instead of re-listing the table's whole delta tree
+      // (O(layers × buckets) FS RPCs per probe otherwise)
+      val stagedDeltaBytes: Map[String, Long] =
+        if (!morEff) Map.empty
+        else staged.map { b =>
+          val key = s"$dir/$KB=$b"
+          key -> fs.getContentSummary(new HPath(root, key)).getLength
+        }.toMap
       // on a layout-DECLARED table, a COW merge re-stats the bucket
       // files it just rewrote (Θ(touched files) footer reads) — without
       // this, every merged bucket reads un-prunable until the next
@@ -775,7 +801,7 @@ object VersionedTable {
       val committed =
         commitWithRebase(spark, fs, root, path, dir, staged, affected,
           baseSn, commitSchema, keyCols, numBuckets, cdc, morEff, txn,
-          mergeStats)
+          mergeStats, stagedDeltaBytes)
       // post-commit publication sweep: this version's feed plus any
       // predecessor's a crash left committed-but-unpublished. The
       // commit is already durable, so a transient publish failure must
@@ -822,7 +848,8 @@ object VersionedTable {
       keyCols: Seq[String], numBuckets: Int,
       cdc: Option[(String, StructType)], mor: Boolean = false,
       txn: Option[(String, Long)] = None,
-      newStats: Map[String, Map[String, (String, String)]] = Map.empty): Long = {
+      newStats: Map[String, Map[String, (String, String)]] = Map.empty,
+      newDeltaBytes: Map[String, Long] = Map.empty): Long = {
     val hook = beforeCommitHook
     beforeCommitHook = () => ()
     hook()
@@ -865,10 +892,22 @@ object VersionedTable {
                 .toOption.exists(b => owners.get(b)
                   .contains(parts.dropRight(2).mkString("/")))
         }
+        // delta payload bytes live exactly as long as their (dir,
+        // bucket) membership: a COW rewrite that folds bucket B out of
+        // dir D drops "D/kb=B" here, same rule as `deltas` itself
+        val carriedDeltaBytes =
+          cur.map(_.deltaBytes).getOrElse(Map.empty).filter { case (p, _) =>
+            val parts = p.split("/")
+            parts.length >= 2 &&
+              parts.last.startsWith(s"$KB=") &&
+              scala.util.Try(parts.last.stripPrefix(s"$KB=").toInt).toOption
+                .exists(b => deltas.get(b)
+                  .exists(_.contains(parts.dropRight(1).mkString("/"))))
+          } ++ newDeltaBytes
         writeManifest(fs, root, v, numBuckets, keyCols, schema, owners, cdc,
           deltaDirs, deltas,
           cur.map(_.txns).getOrElse(Map.empty) ++ txn, stats ++ newStats,
-          cur.flatMap(_.layout))
+          cur.flatMap(_.layout), carriedDeltaBytes)
         return v
       } catch {
         case e: java.io.IOException if fs.exists(manifestPath(root, v)) =>
@@ -1415,69 +1454,117 @@ object VersionedTable {
     case _ => false
   }
 
-  /** Per-file min/max of `cols` from the parquet FOOTERS of every file
-    * under `dir`'s kb= partitions — Θ(files written), driver-side, no
-    * data pages read (the same numbers the lakehouse formats persist
-    * at commit time). A column whose stats any row group omits is
-    * dropped for that file (never-prune is the sound default); an
-    * all-null row group contributes nothing but invalidates nothing;
-    * a NaN endpoint invalidates the double column for the file
-    * (parquet NaN ordering is unreliable). Values are encoded as
+  /** Footer min/max of `cols` for ONE parquet file — the shared body
+    * of [[collectFileStats]], callable from the driver fallback AND
+    * from a distributed footer-read task (captures nothing beyond its
+    * arguments). A column whose stats any row group omits is dropped
+    * for that file (never-prune is the sound default); an all-null row
+    * group contributes nothing but invalidates nothing; a NaN or
+    * ±Infinity endpoint invalidates the double column for the file
+    * (parquet NaN ordering is unreliable, and a non-finite toString
+    * would fail the scan-side numeric parse). Values are encoded as
     * strings of the INTERNAL representation (days/micros/number). */
+  private def footerStats(absPath: String,
+      conf: org.apache.hadoop.conf.Configuration,
+      cols: Seq[String]): Map[String, (String, String)] = {
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new HPath(absPath), conf))
+    try {
+      // (min, max, valid) per column, folded across row groups
+      val acc = scala.collection.mutable.HashMap[String, (Comparable[Any], Comparable[Any], Boolean)]()
+      cols.foreach(c => acc(c) = (null, null, true))
+      val blocks = reader.getFooter.getBlocks
+      (0 until blocks.size()).foreach { bi =>
+        val chunks = blocks.get(bi).getColumns
+        (0 until chunks.size()).foreach { ci =>
+          val ch = chunks.get(ci)
+          val name = ch.getPath.toDotString
+          if (acc.contains(name)) {
+            val s = ch.getStatistics
+            if (s == null || s.isEmpty)
+              acc(name) = (null, null, false) // stats absent: unsound to prune
+            else if (s.hasNonNullValue) {
+              val (mn, mx, ok) = acc(name)
+              if (ok) {
+                val bMin = s.genericGetMin.asInstanceOf[Comparable[Any]]
+                val bMax = s.genericGetMax.asInstanceOf[Comparable[Any]]
+                val nonFinite = (v: Any) => v.isInstanceOf[java.lang.Double] &&
+                  !java.lang.Double.isFinite(v.asInstanceOf[java.lang.Double])
+                if (nonFinite(bMin) || nonFinite(bMax)) acc(name) = (null, null, false)
+                else acc(name) = (
+                  if (mn == null || bMin.compareTo(mn) < 0) bMin else mn,
+                  if (mx == null || bMax.compareTo(mx) > 0) bMax else mx,
+                  true)
+              }
+            }
+          }
+        }
+      }
+      acc.collect {
+        case (c, (mn, mx, true)) if mn != null && mx != null =>
+          c -> (mn.toString, mx.toString)
+      }.toMap
+    } finally reader.close()
+  }
+
+  /** File count at which stats collection moves off the driver: below
+    * this a local loop beats a job\'s scheduling latency; above it the
+    * footer reads run as ONE distributed job (Delta collects stats in
+    * the write tasks for the same reason — at 100 TB a compaction
+    * emitting thousands of chunk files would otherwise serialize
+    * thousands of sequential footer RPCs on the driver, minutes on
+    * object storage). */
+  private[graft] val statsDriverMaxFiles = 16
+
+  /** Per-file min/max of `cols` for every file under `dir`\'s kb=
+    * partitions — the numbers the lakehouse formats persist at commit
+    * time. Listing stays per-bucket on the driver (the same RPCs the
+    * commit already pays for `staged`); the footer reads — the Θ(files)
+    * term — run as one DISTRIBUTED job past [[statsDriverMaxFiles]],
+    * so commit-time stats cost is flat in file count (measured:
+    * study_r13.json `stats_commit_cost`). No data pages are read on
+    * either path. */
   private def collectFileStats(spark: SparkSession,
       fs: FileSystem, root: HPath, dir: String,
       cols: Seq[String]): Map[String, Map[String, (String, String)]] = {
     if (cols.isEmpty) return Map.empty
-    val conf = spark.sparkContext.hadoopConfiguration
-    val out = Map.newBuilder[String, Map[String, (String, String)]]
-    listBuckets(fs, new HPath(root, dir)).foreach { b =>
-      val d = new HPath(root, s"$dir/$KB=$b")
-      fs.listStatus(d).filter(s => s.isFile &&
-          !s.getPath.getName.startsWith("_") &&
-          !s.getPath.getName.startsWith(".")).foreach { st =>
-        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(st.getPath, conf))
-        try {
-          // (min, max, valid) per column, folded across row groups
-          val acc = scala.collection.mutable.HashMap[String, (Comparable[Any], Comparable[Any], Boolean)]()
-          cols.foreach(c => acc(c) = (null, null, true))
-          val blocks = reader.getFooter.getBlocks
-          (0 until blocks.size()).foreach { bi =>
-            val chunks = blocks.get(bi).getColumns
-            (0 until chunks.size()).foreach { ci =>
-              val ch = chunks.get(ci)
-              val name = ch.getPath.toDotString
-              if (acc.contains(name)) {
-                val s = ch.getStatistics
-                if (s == null || s.isEmpty)
-                  acc(name) = (null, null, false) // stats absent: unsound to prune
-                else if (s.hasNonNullValue) {
-                  val (mn, mx, ok) = acc(name)
-                  if (ok) {
-                    val bMin = s.genericGetMin.asInstanceOf[Comparable[Any]]
-                    val bMax = s.genericGetMax.asInstanceOf[Comparable[Any]]
-                    val isNaN = (v: Any) => v.isInstanceOf[java.lang.Double] &&
-                      v.asInstanceOf[java.lang.Double].isNaN
-                    if (isNaN(bMin) || isNaN(bMax)) acc(name) = (null, null, false)
-                    else acc(name) = (
-                      if (mn == null || bMin.compareTo(mn) < 0) bMin else mn,
-                      if (mx == null || bMax.compareTo(mx) > 0) bMax else mx,
-                      true)
-                  }
-                }
-              }
-            }
-          }
-          val colStats = acc.collect {
-            case (c, (mn, mx, true)) if mn != null && mx != null =>
-              c -> (mn.toString, mx.toString)
-          }.toMap
-          if (colStats.nonEmpty)
-            out += (s"$dir/$KB=$b/${st.getPath.getName}" -> colStats)
-        } finally reader.close()
+    val files: Seq[(String, String)] = // (relative manifest key, absolute)
+      listBuckets(fs, new HPath(root, dir)).flatMap { b =>
+        val d = new HPath(root, s"$dir/$KB=$b")
+        fs.listStatus(d).filter(s => s.isFile &&
+            !s.getPath.getName.startsWith("_") &&
+            !s.getPath.getName.startsWith(".")).toSeq.map(st =>
+          (s"$dir/$KB=$b/${st.getPath.getName}", st.getPath.toString))
       }
-    }
-    out.result()
+    val stats: Seq[(String, Map[String, (String, String)])] =
+      if (files.size <= statsDriverMaxFiles) {
+        val conf = spark.sparkContext.hadoopConfiguration
+        files.map { case (rel, abs) => rel -> footerStats(abs, conf, cols) }
+      } else {
+        val confB = spark.sparkContext.broadcast(
+          new graft.util.SerializableHadoopConf(
+            spark.sparkContext.hadoopConfiguration))
+        val colsLocal = cols.toList // capture the list, not the frame
+        spark.sparkContext
+          .parallelize(files, math.min(files.size,
+            spark.sparkContext.defaultParallelism))
+          .map { case (rel, abs) =>
+            rel -> footerStats(abs, confB.value.value, colsLocal)
+          }
+          .collect().toSeq
+      }
+    stats.filter(_._2.nonEmpty).toMap
+  }
+
+  /** Study/spec seam: re-collect the data-skipping stats of one
+    * committed dir through the same code path a commit runs, so the
+    * stats-cost study can time driver-vs-distributed collection
+    * without staging a write. */
+  private[graft] def collectStatsFor(spark: SparkSession, path: String,
+      dir: String, cols: Seq[String]): Map[String, Map[String, (String, String)]] = {
+    val (fs, root) = fsOf(spark, path)
+    collectFileStats(spark, fs, root, dir, cols)
   }
 
   /** MoR operational surface: the numbers the compaction-cadence
@@ -1498,19 +1585,25 @@ object VersionedTable {
       asOf: Option[Long] = None): (Int, Int, Long) = {
     val sn = snapshot(spark, path, asOf)
     val live = sn.deltas.values.flatten.toSet
-    val (fs, root) = fsOf(spark, path)
     // mirror resolved()'s membership filter: a delta dir also holds a
     // _cdc feed and kb= partitions for buckets that later commits folded
     // out of membership — only the kb=<still-live bucket> subdirs are
     // payload a read actually resolves, so only those count toward the
-    // compaction-cadence signal
+    // compaction-cadence signal. Bytes come from the MANIFEST (recorded
+    // once by the committing writer), so the probe is one manifest read
+    // — no per-(layer, bucket) listing RPCs; the FS fallback exists
+    // only for pairs committed before deltaBytes was recorded
+    lazy val fsRoot = fsOf(spark, path)
     val bytes = live.toSeq.map { d =>
       val liveBuckets = sn.deltas.collect {
         case (b, ds) if ds.contains(d) => b
       }
       liveBuckets.map { b =>
-        val p = new HPath(root, s"$d/$KB=$b")
-        if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+        sn.deltaBytes.getOrElse(s"$d/$KB=$b", {
+          val (fs, root) = fsRoot
+          val p = new HPath(root, s"$d/$KB=$b")
+          if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+        })
       }.sum
     }.sum
     (live.size,
@@ -1539,7 +1632,7 @@ object VersionedTable {
     // restore needs a fresh appId)
     writeManifest(fs, root, nv, target.numBuckets, target.keyCols,
       target.schema, target.owners, None, target.deltaDirs, target.deltas,
-      cur.txns, target.fileStats, target.layout)
+      cur.txns, target.fileStats, target.layout, target.deltaBytes)
     nv
   }
 

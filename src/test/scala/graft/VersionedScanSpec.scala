@@ -294,4 +294,59 @@ class VersionedScanSpec extends SparkSpec {
     assert(VersionedTable.snapshot(spark, dir).fileStats.size ===
       VersionedTable.snapshot(spark, dir, Some(statsV)).fileStats.size)
   }
+
+  test("non-finite double endpoints never enter the stats; range scans stay plannable") {
+    val dir = freshDir("nonfinite")
+    // one bucket's chunk carries +Infinity, another -Infinity, another
+    // NaN; the rest are plain finite doubles
+    val rows = (0 until 200).map { i =>
+      val d = i match {
+        case 10 => Double.PositiveInfinity
+        case 50 => Double.NegativeInfinity
+        case 90 => Double.NaN
+        case _ => i.toDouble
+      }
+      (i.toLong, d)
+    }
+    VersionedTable.merge(spark, dir, rows.toDF("k", "d"),
+      Seq("k"), numBuckets = 2)
+    VersionedTable.compact(spark, dir, clusterBy = Seq("d"),
+      chunksPerBucket = 8)
+    val sn = VersionedTable.snapshot(spark, dir)
+    // a stat that says "Infinity"/"NaN" would throw NumberFormatException
+    // at PLANNING time for every range scan of the table — assert none
+    // was recorded, and that finite files still carry usable stats
+    val endpoints = sn.fileStats.values.flatMap(_.get("d")).toSeq
+    assert(endpoints.nonEmpty, "finite chunks must still be stat'd")
+    endpoints.foreach { case (mn, mx) =>
+      assert(java.lang.Double.isFinite(mn.toDouble) &&
+        java.lang.Double.isFinite(mx.toDouble),
+        s"non-finite endpoint leaked into the manifest: ($mn, $mx)")
+    }
+    // the range scan plans (no NumberFormatException), prunes on the
+    // finite files, and returns exact rows
+    val all = filesRead(VersionedTable.read(spark, dir))._2
+    val (n, files) = filesRead(
+      VersionedTable.read(spark, dir).filter($"d" >= 100.0 && $"d" < 120.0))
+    assert(n === 20L)
+    assert(files < all, s"finite chunks must still prune: $files of $all")
+    // the infinity rows themselves are readable (their files simply
+    // never prune)
+    val inf = VersionedTable.read(spark, dir)
+      .filter($"d" === Double.PositiveInfinity).count()
+    assert(inf === 1L)
+  }
+
+  test("PlanMetrics.filesRead descends into AQE query stages (shuffled plans)") {
+    val dir = freshDir("planmetrics")
+    VersionedTable.merge(spark, dir,
+      (1L to 100L).map(k => (k, k % 7)).toDF("k", "g"),
+      Seq("k"), numBuckets = 4)
+    // an aggregate puts an exchange above the scan; under AQE the
+    // materialized stage becomes a leaf node a plain collect() misses
+    val shuffled = VersionedTable.read(spark, dir)
+      .groupBy($"g").count()
+    assert(graft.util.PlanMetrics.filesRead(shuffled) >= 4L,
+      "filesRead must see through ShuffleQueryStageExec")
+  }
 }

@@ -1101,6 +1101,44 @@ class VersionedTableSpec extends SparkSpec {
       s"bytes must shrink to the live bucket's partition: $before -> ${after._3}")
   }
 
+  test("mor: deltaStats is manifest-only — bytes survive the payload moving away") {
+    val dir = freshDir("mor_stats_manifest")
+    VersionedTable.merge(spark, dir,
+      (1L to 20L).map(k => (k, s"v$k")).toDF("k", "v"), Seq("k"), numBuckets = 2)
+    VersionedTable.merge(spark, dir,
+      (1L to 10L).map(k => (k, s"a$k")).toDF("k", "v"), Seq("k"),
+      numBuckets = 2, mor = true)
+    val sn = VersionedTable.snapshot(spark, dir)
+    assert(sn.deltaBytes.nonEmpty,
+      "a MoR commit must record its payload bytes in the manifest")
+    val before = VersionedTable.deltaStats(spark, dir)
+    assert(before._3 > 0)
+    assert(before._3 === sn.deltaBytes.values.sum,
+      "probe must equal the committed manifest bytes exactly")
+    // move the delta payload aside: a probe that listed the filesystem
+    // would now see 0 — the manifest-only probe must not notice
+    val deltaDir = new java.io.File(dir, sn.deltaDirs.head)
+    val aside = new java.io.File(dir, "_aside")
+    assert(deltaDir.renameTo(aside), s"rename failed for $deltaDir")
+    try assert(VersionedTable.deltaStats(spark, dir) === before,
+      "deltaStats must read the manifest, not list the delta tree")
+    finally assert(aside.renameTo(deltaDir))
+    // fallback parity: a manifest written before deltaBytes existed
+    // (simulated by stripping the field) falls back to listing — and
+    // the listed number agrees with what the writer committed
+    val manifest = new java.io.File(dir,
+      f"_log/${sn.version}%08d.json")
+    val json = new String(java.nio.file.Files.readAllBytes(manifest.toPath),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(json)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    node.remove("deltaBytes")
+    java.nio.file.Files.write(manifest.toPath, mapper.writeValueAsBytes(node))
+    assert(VersionedTable.deltaStats(spark, dir) === before,
+      "the pre-deltaBytes fallback must list the same payload")
+  }
+
   test("partitionForWriters slices are bucket-disjoint, exact, and land thread-parallel") {
     val dir = freshDir("writer_slices")
     VersionedTable.merge(spark, dir,
