@@ -49,6 +49,10 @@ object Verify {
         .coalesce(1).write.mode("overwrite").parquet(s"$fixDir/pdf_enc_expected")
       graft.queries.Media.pdfMixedExpected(spark)
         .coalesce(1).write.mode("overwrite").parquet(s"$fixDir/pdf_mixed_expected")
+      graft.queries.Media.pdfPwdExpected(spark)
+        .coalesce(1).write.mode("overwrite").parquet(s"$fixDir/pdf_pwd_expected")
+      graft.queries.Media.pdfLatticeExpected(spark)
+        .coalesce(1).write.mode("overwrite").parquet(s"$fixDir/pdf_lattice_expected")
       graft.queries.Media.pixelsExpected(spark)
         .coalesce(1).write.mode("overwrite").parquet(s"$fixDir/pixels_expected")
       graft.queries.Media.audioExpected(spark)

@@ -157,6 +157,36 @@ object ScaleOps {
     spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
   }
 
+  /** Bits per dimension for an N-column Morton key: 16 (the
+    * quantization width) while it fits, else the largest width whose
+    * interleave stays inside a signed long's 63 value bits. */
+  def zorderBits(n: Int): Int = math.min(16, 63 / n)
+
+  /** N-dimensional Morton interleave of quantized columns (each
+    * already in [0, 2^zorderBits(n))) — generalizes [[zorderKey2]] so
+    * a 3-column cluster (issuer, year, quarter) tiles all three
+    * dimensions. The 2-D case keeps the magic-mask spread; higher
+    * dimensions build the key as an OR of per-bit shifts — a wider
+    * expression tree, but codegen'd and paid once per compaction
+    * rewrite, never per query. Bit i of column c lands at position
+    * i*n + c, so each output file's z-range bounds EVERY column. */
+  def zorderKeyN(cols: Seq[Column]): Column = {
+    require(cols.nonEmpty && cols.size <= 8,
+      s"zorderKeyN supports 1-8 columns, got ${cols.size}")
+    cols.size match {
+      case 1 => cols.head.bitwiseAND(lit(0xFFFFL))
+      case 2 => zorderKey2(cols(0), cols(1))
+      case n =>
+        val bits = zorderBits(n)
+        cols.zipWithIndex.map { case (c, i) =>
+          val v = c.bitwiseAND(lit((1L << bits) - 1))
+          (0 until bits).map { b =>
+            shiftleft(shiftright(v, b).bitwiseAND(lit(1L)), b * n + i)
+          }.reduce(_ bitwiseOR _)
+        }.reduce(_ bitwiseOR _)
+    }
+  }
+
   /** Write `df` z-clustered across `files` parquet files: range-
     * partition on the z-key (each output file owns one contiguous
     * z-range → a tight rectangle of (x, y) space for min-max skipping),

@@ -1276,7 +1276,47 @@ object Advanced extends QueryModule {
        WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-07-01'
        GROUP BY 1 ORDER BY ym"""
 
+  /** v27 — STRING data skipping end-to-end: customers land in a
+    * versioned table, a chunked clusterBy(c_name) compact records
+    * truncated byte-ordered min/max per chunk file, and a name-range
+    * scan (the reference's ticker/issuer-code filter shape,
+    * mainTesting.py:365-369) aggregates through the pruned FileIndex.
+    * Oracle certifies rows; the in-code require certifies PRUNING —
+    * string predicates that silently stop skipping fail the gate. */
+  private def v27(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = graft.util.Scratch.dir(
+      "v27_strskip_" + d.replaceAll("[^A-Za-z0-9]", "_"))
+    graft.util.Scratch.deleteRecursively(new java.io.File(dir))
+    val cust = Tables.customer(s, d)
+      .select($"c_custkey", $"c_name", $"c_nationkey", $"c_acctbal")
+    graft.sources.VersionedTable.merge(s, dir, cust, Seq("c_custkey"),
+      numBuckets = 8)
+    graft.sources.VersionedTable.compact(s, dir,
+      clusterBy = Seq("c_name"), chunksPerBucket = 4)
+    def ranged = graft.sources.VersionedTable.read(s, dir)
+      .filter($"c_name" >= "Customer#000000100" &&
+        $"c_name" < "Customer#000000140")
+    val total = graft.util.PlanMetrics.filesRead(
+      graft.sources.VersionedTable.read(s, dir))
+    val read = graft.util.PlanMetrics.filesRead(ranged.select($"c_custkey"))
+    require(read < total,
+      s"string skipping read $read of $total files — string stats broken")
+    ranged
+      .groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_cust"),
+        round(avg($"c_acctbal"), 2).as("avg_bal"))
+      .orderBy($"c_nationkey")
+  }
+  private val v27Sql =
+    """SELECT c_nationkey, count(*) AS n_cust,
+         round(avg(c_acctbal), 2) AS avg_bal
+       FROM customer
+       WHERE c_name >= 'Customer#000000100' AND c_name < 'Customer#000000140'
+       GROUP BY 1 ORDER BY c_nationkey"""
+
   val queries: Map[String, QueryFn] = Map(
+    "v27_string_skipping" -> v27 _,
     "v26_data_skipping" -> v26 _,
     "v25_merge_on_read" -> v25 _,
     "v24_table_history" -> v24 _,
@@ -1306,6 +1346,7 @@ object Advanced extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "v27_string_skipping" -> v27Sql,
     "v26_data_skipping" -> v26Sql,
     "v25_merge_on_read" -> v25Sql,
     "v24_table_history" -> v24Sql,

@@ -644,6 +644,153 @@ object Media extends QueryModule {
        FROM read_parquet('__FIXTURES__/pdf_enc_expected/*.parquet')
        ORDER BY file, page, line_no"""
 
+  /** PASSWORD-protected fixture: files whose USER password is real
+    * (non-empty) — unreadable without credentials, across the legacy
+    * RC4 path and AES-256 R6. Both share one user password so a single
+    * `read(dir, password)` call covers the directory; the owner
+    * password is the writer's fixed "graft-owner". */
+  def pdfPwdFixtureData: Seq[(String, String, Seq[Seq[String]])] = Seq(
+    ("pwd_rc4_128_2024.pdf", "rc4-128", Seq(
+      Seq("NERACA TERKUNCI", "Kas di bank 77.5"),
+      Seq("Catatan 3: deposito 12"))),
+    ("pwd_aes256_2026.pdf", "aesv3", Seq(
+      Seq("IKHTISAR TERKUNCI AES-256", "Modal disetor 950"))))
+
+  /** The shared user password of [[pdfPwdFixtureData]]. */
+  val pdfPwdUserPassword = "buka-rahasia"
+
+  def writePdfPwdFixture(dir: String): String = {
+    val d = new java.io.File(dir)
+    d.mkdirs()
+    pdfPwdFixtureData.foreach { case (name, method, pages) =>
+      java.nio.file.Files.write(
+        new java.io.File(d, name).toPath,
+        graft.sources.Pdf.writePdfEncrypted(pages, method,
+          userPassword = pdfPwdUserPassword))
+    }
+    d.getAbsolutePath
+  }
+
+  /** Expected rows × both credentials, straight from the fixture
+    * definition — the parser never touches these. */
+  def pdfPwdExpected(s: SparkSession): DataFrame = {
+    import s.implicits._
+    (for {
+      cred <- Seq("owner", "user")
+      (file, _, pages) <- pdfPwdFixtureData
+      (lines, pi) <- pages.zipWithIndex
+      (text, li) <- lines.zipWithIndex
+    } yield (cred, file, (pi + 1).toLong, li.toLong, text))
+      .toDF("cred", "file", "page", "line_no", "text")
+  }
+
+  /** m28 — caller-supplied PDF passwords: real-password files decrypt
+    * under the USER password and, independently, under the OWNER
+    * password (Algorithm 7/12 recovery); a wrong password and a
+    * missing password each fail LOUDLY (certified in-gate before the
+    * oracle rows are produced). Oracle replays the fixture definition
+    * (m26 discipline — independent of the parser). */
+  private def m28(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = writePdfPwdFixture(graft.util.Scratch.dir("pdf_pwd"))
+    def failsWith(pwd: Option[String], marker: String): Unit = {
+      val loud =
+        try { graft.sources.Pdf.read(s, dir, pwd).count(); false }
+        catch {
+          case e: Throwable =>
+            Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+              .exists(c => c.getMessage != null &&
+                c.getMessage.contains(marker))
+        }
+      require(loud, s"password $pwd must fail loudly with '$marker'")
+    }
+    failsWith(None, "password-protected")
+    failsWith(Some("salah-total"), "matches neither")
+    val user = graft.sources.Pdf.read(s, dir, Some(pdfPwdUserPassword))
+      .toDF().withColumn("cred", lit("user"))
+    val owner = graft.sources.Pdf.read(s, dir, Some("graft-owner"))
+      .toDF().withColumn("cred", lit("owner"))
+    user.unionByName(owner)
+      .select($"cred", $"file", $"page", $"line_no", $"text")
+      .orderBy("cred", "file", "page", "line_no")
+  }
+  private val m28Sql =
+    """SELECT cred, file, page, line_no, text
+       FROM read_parquet('__FIXTURES__/pdf_pwd_expected/*.parquet')
+       ORDER BY cred, file, page, line_no"""
+
+  /** RULED-TABLE (lattice) fixture: three encoder shapes —
+    *   page 1: stroked grid (outer `re S`, inner `m/l S`), one cell
+    *     holding TWO tokens (concatenation order is load-bearing);
+    *   page 2: the same machinery under a `q cm … Q` translation with
+    *     LOCAL path coordinates, drawn as thin FILLED bars (`re f`);
+    *   page 3: no rulings at all — [[tableAuto]]'s stream fallback.
+    * Cell map: (row, col) → tokens, 1-based from the top-left. */
+  def pdfLatticeFixture: Seq[graft.sources.Pdf.RuledPageSpec] = Seq(
+    graft.sources.Pdf.RuledPage(
+      left = 72, top = 700,
+      colWidths = Seq(120, 90, 90), rowHeights = Seq(20, 20, 20),
+      cells = Map(
+        (1, 1) -> Seq("Pos"), (1, 2) -> Seq("2023"), (1, 3) -> Seq("2024"),
+        (2, 1) -> Seq("Kas", "bersih"), (2, 2) -> Seq("150.5"),
+        (2, 3) -> Seq("200.25"),
+        (3, 1) -> Seq("Piutang"), (3, 2) -> Seq("80"), (3, 3) -> Seq("95"))),
+    graft.sources.Pdf.RuledPage(
+      left = 10, top = 100, // LOCAL coords; cm shifts to (100, 400)
+      colWidths = Seq(100, 100), rowHeights = Seq(18, 18),
+      cells = Map(
+        (1, 1) -> Seq("Modal"), (1, 2) -> Seq("950"),
+        (2, 1) -> Seq("Laba"), (2, 2) -> Seq("88")),
+      thinFill = true, translate = Some((90.0, 300.0))),
+    graft.sources.Pdf.PlainPage(Seq(
+      (72, 700, "CATATAN UMUM"), (72, 686, "tanpa tabel"),
+      (200, 686, "kolom dua"))))
+
+  /** Expected (page, row, col, value) cells straight from the fixture
+    * definition — lattice cells for pages 1-2, stream rows for the
+    * unruled page 3. */
+  def pdfLatticeExpected(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val lattice = pdfLatticeFixture.zipWithIndex.collect {
+      case (p: graft.sources.Pdf.RuledPage, pi) =>
+        p.cells.toSeq.map { case ((r, c), toks) =>
+          ("ruled_tables.pdf", (pi + 1).toLong, r.toLong, c.toLong,
+            toks.mkString(" "))
+        }
+    }.flatten
+    // page 3 stream fallback: rows by distinct y top-down, cols by x
+    val stream = Seq(
+      ("ruled_tables.pdf", 3L, 1L, 1L, "CATATAN UMUM"),
+      ("ruled_tables.pdf", 3L, 2L, 1L, "tanpa tabel"),
+      ("ruled_tables.pdf", 3L, 2L, 2L, "kolom dua"))
+    (lattice ++ stream).toDF("file", "page", "row_idx", "col_idx", "value")
+  }
+
+  def writePdfLatticeFixture(dir: String): String = {
+    val d = new java.io.File(dir)
+    d.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(d, "ruled_tables.pdf").toPath,
+      graft.sources.Pdf.writePdfRuled(pdfLatticeFixture))
+    d.getAbsolutePath
+  }
+
+  /** m29 — LATTICE table extraction (tabula's default when rulings
+    * exist, test_uploadPDF.py:31-34): drawn rulings — stroked grids
+    * AND thin filled bars, with and without a CTM translation — define
+    * the cell grid; the unruled page falls back to the stream-mode
+    * text grid inside the same call. Oracle replays the fixture
+    * definition (m26/m28 discipline). */
+  private def m29(s: SparkSession, d: String): DataFrame = {
+    val dir = writePdfLatticeFixture(graft.util.Scratch.dir("pdf_lattice"))
+    graft.sources.Pdf.tableAuto(s, dir)
+      .orderBy("file", "page", "row_idx", "col_idx")
+  }
+  private val m29Sql =
+    """SELECT file, page, row_idx, col_idx, value
+       FROM read_parquet('__FIXTURES__/pdf_lattice_expected/*.parquet')
+       ORDER BY file, page, row_idx, col_idx"""
+
   /** MIXED-WIDTH CMap fixture: a /ToUnicode CMap with a 1-byte ASCII
     * codespace AND a Shift-JIS-style 2-byte codespace <8140><FFFC> in
     * the same font — show strings interleave widths, so byte-by-byte
@@ -1321,6 +1468,8 @@ object Media extends QueryModule {
     "m25_pdf_form_xobject" -> m25 _,
     "m26_pdf_encrypted" -> m26 _,
     "m27_pdf_mixed_cmap" -> m27 _,
+    "m28_pdf_password" -> m28 _,
+    "m29_pdf_lattice" -> m29 _,
     "p04_pdf_report" -> p04 _,
   )
 
@@ -1418,6 +1567,8 @@ object Media extends QueryModule {
     "m25_pdf_form_xobject" -> m25Sql,
     "m26_pdf_encrypted" -> m26Sql,
     "m27_pdf_mixed_cmap" -> m27Sql,
+    "m28_pdf_password" -> m28Sql,
+    "m29_pdf_lattice" -> m29Sql,
     "p04_pdf_report" -> p04Sql,
   )
 }

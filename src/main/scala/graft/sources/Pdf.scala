@@ -77,13 +77,16 @@ object Pdf {
   case class Line(file: String, page: Long, line_no: Long, text: String)
 
   /** Read every *.pdf under `dir` into per-line rows. */
-  def read(spark: SparkSession, dir: String): Dataset[Line] = {
+  def read(spark: SparkSession, dir: String,
+      password: Option[String] = None): Dataset[Line] = {
     import spark.implicits._
     spark.read.format("binaryFile").load(s"$dir/*.pdf")
       .select($"path", $"content").as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
         val name = path.substring(path.lastIndexOf('/') + 1)
-        parsePdf(bytes).map { case (pg, ln, text) => Line(name, pg, ln, text) }
+        parsePdf(bytes, password).map {
+          case (pg, ln, text) => Line(name, pg, ln, text)
+        }
       }
   }
 
@@ -109,13 +112,14 @@ object Pdf {
   /** Read every *.pdf under `dir` into POSITIONED rows: each shown
     * string with the text-line origin (x, y) in page coordinates at
     * the moment of its show op. */
-  def readPositioned(spark: SparkSession, dir: String): Dataset[PosLine] = {
+  def readPositioned(spark: SparkSession, dir: String,
+      password: Option[String] = None): Dataset[PosLine] = {
     import spark.implicits._
     spark.read.format("binaryFile").load(s"$dir/*.pdf")
       .select($"path", $"content").as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
         val name = path.substring(path.lastIndexOf('/') + 1)
-        parsePdfPositioned(bytes).map { case (pg, ln, x, y, text) =>
+        parsePdfPositioned(bytes, password).map { case (pg, ln, x, y, text) =>
           PosLine(name, pg, ln, x, y, text)
         }
       }
@@ -145,6 +149,91 @@ object Pdf {
       .orderBy($"file", $"page", $"row_idx", $"col_idx")
   }
 
+  case class Ruling(file: String, page: Long,
+      x0: Double, y0: Double, x1: Double, y1: Double)
+
+  /** Read every *.pdf under `dir` into RULING rows: the axis-aligned
+    * line segments its content streams stroke (`m`/`l`/`re` + `S`-family
+    * paint ops) or fill as thin bars (`re f`, ≤2pt across — the other
+    * way real tables draw their rules), in displayed coordinates. The
+    * raw material of lattice-mode table detection. */
+  def readRulings(spark: SparkSession, dir: String,
+      password: Option[String] = None): Dataset[Ruling] = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(s"$dir/*.pdf")
+      .select($"path", $"content").as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val name = path.substring(path.lastIndexOf('/') + 1)
+        parseRulings(bytes, password).map { case (pg, x0, y0, x1, y1) =>
+          Ruling(name, pg, x0, y0, x1, y1)
+        }
+      }
+  }
+
+  /** LATTICE-mode table extraction — tabula's default when ruled lines
+    * exist (test_uploadPDF.py:31-34 relies on it): the drawn rulings
+    * define the cell grid directly, instead of inferring one from text
+    * positions (the stream-mode [[tableRegion]]). Per (file, page):
+    * horizontal rulings become row cuts, vertical rulings column cuts
+    * (clustered at 0.1pt), and each positioned text token lands in the
+    * cell its (x, y) falls in; a cell's tokens concatenate top-down,
+    * left-to-right. Pages whose rulings give less than a 2×2 grid emit
+    * nothing here — [[tableAuto]] routes them to the stream fallback.
+    * All work is per-(file, page) shuffle groups; no global state. */
+  def tableLattice(spark: SparkSession, dir: String,
+      password: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val eps = 0.01
+    val rl = readRulings(spark, dir, password)
+      .withColumn("horiz", abs($"y1" - $"y0") <= eps)
+    val ycuts = rl.filter($"horiz").groupBy($"file", $"page")
+      .agg(sort_array(collect_set(round(($"y0" + $"y1") / 2, 1))).as("ycuts"))
+    val xcuts = rl.filter(!$"horiz").groupBy($"file", $"page")
+      .agg(sort_array(collect_set(round(($"x0" + $"x1") / 2, 1))).as("xcuts"))
+    val grid = ycuts.join(xcuts, Seq("file", "page"))
+      .filter(size($"ycuts") >= 2 && size($"xcuts") >= 2)
+    readPositioned(spark, dir, password).toDF()
+      .join(grid, Seq("file", "page"))
+      // only text INSIDE the outer borders belongs to the table
+      .filter($"x" > element_at($"xcuts", 1) && $"x" < element_at($"xcuts", -1) &&
+        $"y" > element_at($"ycuts", 1) && $"y" < element_at($"ycuts", -1))
+      // row = cuts strictly above the baseline (PDF y grows upward);
+      // col = cuts strictly left of the origin — both 1-based
+      .withColumn("row_idx",
+        size(filter($"ycuts", c => c > $"y")).cast("long"))
+      .withColumn("col_idx",
+        size(filter($"xcuts", c => c < $"x")).cast("long"))
+      .groupBy($"file", $"page", $"row_idx", $"col_idx")
+      .agg(array_join(transform(sort_array(collect_list(
+        struct((-$"y").as("ny"), $"x".as("x"), $"text".as("text")))),
+        t => t("text")), " ").as("value"))
+      .orderBy($"file", $"page", $"row_idx", $"col_idx")
+  }
+
+  /** Tabula's actual DEFAULT behavior: lattice where rulings exist,
+    * stream-mode otherwise. Ruled pages produce [[tableLattice]] cells;
+    * pages with no usable grid fall back to the whole-page text grid
+    * (rows = distinct baselines top-down, columns left-to-right) —
+    * the same shape [[tableRegion]] crops. One anti-join routes pages;
+    * both paths stay per-(file, page). */
+  def tableAuto(spark: SparkSession, dir: String,
+      password: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val lat = tableLattice(spark, dir, password)
+    val ruledPages = lat.select($"file", $"page").distinct()
+    val rowW = Window.partitionBy($"file", $"page").orderBy($"y".desc)
+    val colW = Window.partitionBy($"file", $"page", $"y").orderBy($"x")
+    val stream = readPositioned(spark, dir, password).toDF()
+      .join(ruledPages, Seq("file", "page"), "left_anti")
+      .withColumn("row_idx", dense_rank().over(rowW).cast("long"))
+      .withColumn("col_idx", row_number().over(colW).cast("long"))
+      .select($"file", $"page", $"row_idx", $"col_idx",
+        $"text".as("value"))
+    lat.unionByName(stream)
+      .orderBy($"file", $"page", $"row_idx", $"col_idx")
+  }
+
   // ---- parser (executor-side, JDK-only) -----------------------------
 
   /** Kern threshold (thousandths of an em): a TJ adjustment at or
@@ -162,7 +251,8 @@ object Pdf {
     * (classic table or xref stream, /Prev chains, /ObjStm members) —
     * or, for a pre-xref/hand-built file with no `startxref`, a legacy
     * whole-file scan. */
-  private[graft] final class Doc(bytes: Array[Byte]) {
+  private[graft] final class Doc(bytes: Array[Byte],
+      password: Option[String] = None) {
     val raw = new String(bytes, ISO_8859_1) // byte-preserving view
     if (!raw.startsWith("%PDF-")) fail("missing %PDF- header")
 
@@ -313,17 +403,17 @@ object Pdf {
     }
 
     /** The file decryptor, built once after the xref init when the
-      * newest trailer carried /Encrypt. Only the standard security
-      * handler with an EMPTY USER PASSWORD is supported (the shape the
-      * reference's fitz path reads transparently, mainTesting.py:
-      * 273-285): RC4-40 (V1/R2), RC4-n (V2/R3), AESV2, and AES-256 R5/R6 crypt
-      * filters (V4/R4). A non-empty user password (U verification
-      * fails) or an unsupported handler still fails LOUDLY with the
-      * real reason. */
+      * newest trailer carried /Encrypt. Standard security handler:
+      * RC4-40 (V1/R2), RC4-n (V2/R3), AESV2 (V4/R4), AES-256 R5/R6 —
+      * opened with the Doc's password (None = the empty password, the
+      * shape the reference's fitz path reads transparently,
+      * mainTesting.py:273-285), tried as user then owner credentials.
+      * A wrong password or an unsupported handler fails LOUDLY with
+      * the real reason. */
     val decryptor: Option[Decryptor] = encryptRef.map { num =>
       val body = obj(num).getOrElse(throw new IllegalArgumentException(
         s"encrypted PDF: /Encrypt dictionary (object $num) is missing")).body
-      buildDecryptor(body, idFirst)
+      buildDecryptor(body, idFirst, password)
     }
 
     /** Generation number of a type-1 xref entry (0 for compressed /
@@ -453,12 +543,13 @@ object Pdf {
 
   // ---- standard security handler (PDF 32000-1 §7.6.3) ----------------
   //
-  // Only the EMPTY-USER-PASSWORD case is supported — the commonest
-  // real-filing shape, which the reference's fitz path reads
-  // transparently (mainTesting.py:273-285): RC4-40 (V1/R2), RC4-n
-  // (V2/R3) and the AESV2 crypt filter (V4/R4). A non-empty user
-  // password, or any other handler/method, still fails LOUDLY with the
-  // real reason. The algorithm transcriptions below are anchored in
+  // The EMPTY-USER-PASSWORD case — the commonest real-filing shape,
+  // which the reference's fitz path reads transparently
+  // (mainTesting.py:273-285) — opens with no password argument:
+  // RC4-40 (V1/R2), RC4-n (V2/R3), AESV2 (V4/R4), AES-256 (V5 R5/R6).
+  // A caller-supplied password is tried as USER then OWNER credentials
+  // (fitz's authenticate order). A wrong/missing password, or any
+  // other handler/method, still fails LOUDLY with the real reason. The algorithm transcriptions below are anchored in
   // PdfSpec against known-answer vectors computed with an independent
   // implementation (python hashlib + a standalone ARC4), so a
   // transcription bug cannot hide behind writer/reader symmetry.
@@ -697,11 +788,18 @@ object Pdf {
     (java.util.regex.Pattern.quote(key) + "(?![A-Za-z0-9])").r
       .findFirstMatchIn(body).flatMap(m => pdfStringAt(body, m.end))
 
-  /** Parse an /Encrypt dict, verify the EMPTY user password (Algorithm
-    * 6), and return the decryptor — or fail loudly with the real
-    * reason (wrong handler, unsupported method, or an actual
-    * password). */
-  private def buildDecryptor(body: String, id0: Array[Byte]): Decryptor = {
+  /** Parse an /Encrypt dict, verify the password, and return the
+    * decryptor — or fail loudly with the real reason (wrong handler,
+    * unsupported method, or a wrong/missing password). The supplied
+    * password (empty when None) is tried as the USER password
+    * (Algorithm 6 / 11) first, then as the OWNER password (Algorithm 7
+    * / 12) — the same both-ways authentication fitz applies, so a
+    * caller holding either credential reads the file. V≤4 passwords
+    * are Latin-1 bytes per §7.6.3.3; V5 passwords are UTF-8 truncated
+    * to 127 bytes per §7.6.4.3.2 (SASLprep normalization is omitted —
+    * ASCII passwords, the filing norm, are unaffected). */
+  private def buildDecryptor(body: String, id0: Array[Byte],
+      password: Option[String] = None): Decryptor = {
     def enc(msg: String): Nothing =
       throw new IllegalArgumentException(s"encrypted PDF: $msg")
     val filter = "/Filter\\s*/([A-Za-z0-9]+)".r.findFirstMatchIn(body)
@@ -727,15 +825,37 @@ object Pdf {
       if (r != 5 && r != 6) enc(s"/V 5 with /R $r is unsupported (R5/R6)")
       if (u.length < 48) enc("/V 5 needs a 48-byte /U (hash + salts)")
       val ue = stringValue(body, "/UE").getOrElse(enc("/V 5 lacks /UE"))
-      def h(pwd: Array[Byte], salt: Array[Byte]): Array[Byte] =
-        if (r == 6) hash2B(pwd, salt, Array.emptyByteArray)
-        else sha("SHA-256")(pwd, salt)
+      // §7.6.4.3.2: UTF-8, truncated to 127 bytes (SASLprep omitted —
+      // documented simplification, ASCII passwords unaffected)
+      val pwd5: Array[Byte] = password
+        .map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8).take(127))
+        .getOrElse(Array.emptyByteArray)
+      def h(pwd: Array[Byte], salt: Array[Byte],
+          udata: Array[Byte]): Array[Byte] =
+        if (r == 6) hash2B(pwd, salt, udata)
+        else sha("SHA-256")(pwd, salt, udata) // R5: plain digest
       val vSalt = u.slice(32, 40)
       val kSalt = u.slice(40, 48)
-      if (!java.util.Arrays.equals(h(Array.emptyByteArray, vSalt), u.take(32)))
-        enc("password-protected (empty-user-password verification failed) — " +
-          "a real user password is required; supply the decrypted file instead")
-      val key = unwrapKey256(h(Array.emptyByteArray, kSalt), ue)
+      val none = Array.emptyByteArray
+      val key =
+        if (java.util.Arrays.equals(h(pwd5, vSalt, none), u.take(32)))
+          // Algorithm 11: user password validates against /U
+          unwrapKey256(h(pwd5, kSalt, none), ue)
+        else if (o.length >= 48 &&
+            java.util.Arrays.equals(h(pwd5, o.slice(32, 40), u.take(48)),
+              o.take(32))) {
+          // Algorithm 12: owner password validates against /O (whose
+          // hash and key salts bind the full 48-byte /U)
+          val oe = stringValue(body, "/OE").getOrElse(enc(
+            "owner password validated but /V 5 dict lacks /OE"))
+          unwrapKey256(h(pwd5, o.slice(40, 48), u.take(48)), oe)
+        } else if (password.isDefined)
+          enc("password-protected — the supplied password matches neither " +
+            "the user nor the owner verification hash")
+        else
+          enc("password-protected (empty-user-password verification failed) — " +
+            "a real user password is required; pass password = Some(...) " +
+            "or supply the decrypted file instead")
       // /Perms is the file key's integrity check (Algorithm 13):
       // AES-ECB decrypt must surface 'adb' at bytes 9-11
       stringValue(body, "/Perms").foreach { perms =>
@@ -786,14 +906,45 @@ object Pdf {
     }
     val n = if (v == 1) 5 else bits / 8
     if (n < 5 || n > 16) enc(s"/Length $bits bits out of the 40-128 range")
-    val key = fileKey(padPwd(Array.emptyByteArray), o.take(32), p, id0, r, n, encMeta)
-    val expectU = userValue(key, id0, r)
-    val matches =
-      if (r == 2) java.util.Arrays.equals(expectU, u.take(32))
-      else expectU.take(16).sameElements(u.take(16))
-    if (!matches)
-      enc("password-protected (empty-user-password verification failed) — " +
-        "a real user password is required; supply the decrypted file instead")
+    // §7.6.3.3: V≤4 password bytes are Latin-1 (PDFDocEncoding's
+    // byte-identity range — the filing norm)
+    val pwd4: Array[Byte] = password
+      .map(_.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+      .getOrElse(Array.emptyByteArray)
+    def userCheck(paddedUser: Array[Byte]): Option[Array[Byte]] = {
+      val key = fileKey(paddedUser, o.take(32), p, id0, r, n, encMeta)
+      val expectU = userValue(key, id0, r)
+      val matches =
+        if (r == 2) java.util.Arrays.equals(expectU, u.take(32))
+        else expectU.take(16).sameElements(u.take(16))
+      if (matches) Some(key) else None
+    }
+    // Algorithm 6: try the password as the USER password; Algorithm 7:
+    // failing that, try it as the OWNER password — decrypt /O with the
+    // Algorithm-3 owner key to RECOVER the (padded) user password, then
+    // run the user check with it
+    val key = userCheck(padPwd(pwd4)).orElse {
+      var oh = md5(padPwd(pwd4))
+      if (r >= 3) (0 until 50).foreach(_ => oh = md5(oh))
+      val okey = oh.take(n)
+      val recovered =
+        if (r == 2) rc4(okey, o.take(32))
+        else {
+          var d = o.take(32)
+          (19 to 0 by -1).foreach(i =>
+            d = rc4(okey.map(b => (b ^ i).toByte), d))
+          d
+        }
+      userCheck(recovered) // recovered IS the padded user password
+    }.getOrElse {
+      if (password.isDefined)
+        enc("password-protected — the supplied password matches neither " +
+          "the user nor the owner verification hash")
+      else
+        enc("password-protected (empty-user-password verification failed) — " +
+          "a real user password is required; pass password = Some(...) " +
+          "or supply the decrypted file instead")
+    }
     Decryptor(key, mode)
   }
 
@@ -1668,8 +1819,9 @@ object Pdf {
   /** Parse one PDF payload to (page, line_no, text) rows. Page
     * rotation does not reorder the stream, so plain text reads are
     * rotation-invariant by construction. */
-  def parsePdf(bytes: Array[Byte]): Seq[(Long, Long, String)] = {
-    val doc = new Doc(bytes)
+  def parsePdf(bytes: Array[Byte],
+      password: Option[String] = None): Seq[(Long, Long, String)] = {
+    val doc = new Doc(bytes, password)
     val cmaps = scala.collection.mutable.Map[Int, Option[FontDec]]()
     val fcache = scala.collection.mutable.Map[(Int, Option[String], Int), FormX]()
     pageObjs(doc).zipWithIndex.flatMap { case ((pageObj, res, _), pi) =>
@@ -1686,8 +1838,9 @@ object Pdf {
     * page rotation (see displayXY), so an area crop (`tableRegion`)
     * expressed against what a viewer shows reads the right region on
     * landscape statement pages too. */
-  def parsePdfPositioned(bytes: Array[Byte]): Seq[(Long, Long, Double, Double, String)] = {
-    val doc = new Doc(bytes)
+  def parsePdfPositioned(bytes: Array[Byte], password: Option[String] = None)
+      : Seq[(Long, Long, Double, Double, String)] = {
+    val doc = new Doc(bytes, password)
     val cmaps = scala.collection.mutable.Map[Int, Option[FontDec]]()
     val fcache = scala.collection.mutable.Map[(Int, Option[String], Int), FormX]()
     pageObjs(doc).zipWithIndex.flatMap { case ((pageObj, res, geo), pi) =>
@@ -1698,6 +1851,151 @@ object Pdf {
           ((pi + 1).toLong, li.toLong, dx, dy, text)
         }
     }
+  }
+
+  /** Parse one PDF payload to ruling rows (page, x0, y0, x1, y1) in
+    * DISPLAYED coordinates — endpoints of every axis-aligned segment a
+    * content stream paints (see [[walkPaths]]), mapped through the
+    * page /Rotate like positioned text, so rulings and text share one
+    * coordinate space. */
+  def parseRulings(bytes: Array[Byte], password: Option[String] = None)
+      : Seq[(Long, Double, Double, Double, Double)] = {
+    val doc = new Doc(bytes, password)
+    pageObjs(doc).zipWithIndex.flatMap { case ((pageObj, _, geo), pi) =>
+      walkPaths(pageContent(doc, pageObj)).map { case (x0, y0, x1, y1) =>
+        val (dx0, dy0) = displayXY(geo, x0, y0)
+        val (dx1, dy1) = displayXY(geo, x1, y1)
+        ((pi + 1).toLong, dx0, dy0, dx1, dy1)
+      }
+    }
+  }
+
+  /** Walk a decoded content stream's PATH operators and return the
+    * axis-aligned segments it paints — the ruled lines a lattice table
+    * is drawn with (§8.5): `m`/`l`/`h` polylines and `re` rectangle
+    * edges, transformed through the CTM (`cm`, with `q`/`Q` nesting),
+    * emitted by the stroke paints (`S s B B* b b*`); a FILL (`f F f*`)
+    * emits only thin `re` bars (≤2pt across) as their centerlines —
+    * the other way real documents draw rules — never area fills. `n`
+    * discards. Curves (`c v y`) are not rulings and are skipped (their
+    * operands clear at the op like any other). Non-axis-aligned
+    * segments (a rotating `cm`) are dropped — lattice detection only
+    * consumes H/V rules, and [[tableAuto]]'s stream fallback covers
+    * anything fancier. Text-block operators pass through untouched:
+    * strings/names/arrays are skipped as tokens, and every operator
+    * clears the operand stack, so a TJ array's kern numbers can never
+    * leak into a path operand. */
+  private[graft] def walkPaths(content: String)
+      : Seq[(Double, Double, Double, Double)] = {
+    val out = scala.collection.mutable.ArrayBuffer[(Double, Double, Double, Double)]()
+    var ctm = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+    val gstack = scala.collection.mutable.Stack[(Double, Double, Double, Double, Double, Double)]()
+    def xf(x: Double, y: Double): (Double, Double) =
+      (ctm._1 * x + ctm._3 * y + ctm._5, ctm._2 * x + ctm._4 * y + ctm._6)
+    val nums = scala.collection.mutable.ArrayBuffer[Double]()
+    var cur: Option[(Double, Double)] = None
+    var start: Option[(Double, Double)] = None
+    val stroke = scala.collection.mutable.ArrayBuffer[(Double, Double, Double, Double)]()
+    val fillThin = scala.collection.mutable.ArrayBuffer[(Double, Double, Double, Double)]()
+    val eps = 1e-6
+    def seg(p: (Double, Double), q: (Double, Double)): Unit = {
+      val axis = math.abs(p._1 - q._1) <= eps || math.abs(p._2 - q._2) <= eps
+      val nonZero = math.abs(p._1 - q._1) > eps || math.abs(p._2 - q._2) > eps
+      if (axis && nonZero) stroke += ((p._1, p._2, q._1, q._2))
+    }
+    def clearPath(): Unit = {
+      stroke.clear(); fillThin.clear(); cur = None; start = None
+    }
+    var i = 0
+    val n = content.length
+    while (i < n) {
+      val c = content.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '%') { while (i < n && content.charAt(i) != '\n') i += 1 }
+      else if (c == '(') { // literal string: nesting + escapes
+        var depth = 1; i += 1
+        while (i < n && depth > 0) {
+          val ch = content.charAt(i)
+          if (ch == '\\') i += 2
+          else {
+            if (ch == '(') depth += 1 else if (ch == ')') depth -= 1
+            i += 1
+          }
+        }
+      }
+      else if (c == '<' && i + 1 < n && content.charAt(i + 1) == '<') i += 2
+      else if (c == '<') { val e = content.indexOf('>', i); i = if (e < 0) n else e + 1 }
+      else if (c == '>') i += 1
+      else if (c == '[' || c == ']' || c == '{' || c == '}') i += 1
+      else if (c == '/') {
+        i += 1
+        while (i < n && !content.charAt(i).isWhitespace &&
+          !"()<>[]{}/%".contains(content.charAt(i))) i += 1
+      }
+      else if (c == '-' || c == '+' || c == '.' || c.isDigit) {
+        val st = i; i += 1
+        while (i < n && (content.charAt(i).isDigit ||
+          content.charAt(i) == '.' || content.charAt(i) == 'e' ||
+          content.charAt(i) == '-' || content.charAt(i) == '+')) i += 1
+        try nums += content.substring(st, i).toDouble
+        catch { case _: NumberFormatException => () }
+      }
+      else { // operator token
+        val st = i
+        while (i < n && !content.charAt(i).isWhitespace &&
+          !"()<>[]{}/%".contains(content.charAt(i))) i += 1
+        content.substring(st, i) match {
+          case "q" => gstack.push(ctm)
+          case "Q" => if (gstack.nonEmpty) ctm = gstack.pop()
+          case "cm" if nums.length >= 6 =>
+            val m = nums.takeRight(6)
+            ctm = (m(0) * ctm._1 + m(1) * ctm._3, m(0) * ctm._2 + m(1) * ctm._4,
+              m(2) * ctm._1 + m(3) * ctm._3, m(2) * ctm._2 + m(3) * ctm._4,
+              m(4) * ctm._1 + m(5) * ctm._3 + ctm._5,
+              m(4) * ctm._2 + m(5) * ctm._4 + ctm._6)
+          case "m" if nums.length >= 2 =>
+            val p = xf(nums(nums.length - 2), nums.last)
+            cur = Some(p); start = Some(p)
+          case "l" if nums.length >= 2 =>
+            val p = xf(nums(nums.length - 2), nums.last)
+            cur.foreach(seg(_, p))
+            cur = Some(p)
+            if (start.isEmpty) start = Some(p)
+          case "h" =>
+            for (p <- cur; s0 <- start) seg(p, s0)
+            cur = start
+          case "re" if nums.length >= 4 =>
+            val r = nums.takeRight(4)
+            val (x, y, w, h) = (r(0), r(1), r(2), r(3))
+            val p00 = xf(x, y); val p10 = xf(x + w, y)
+            val p11 = xf(x + w, y + h); val p01 = xf(x, y + h)
+            seg(p00, p10); seg(p10, p11); seg(p11, p01); seg(p01, p00)
+            // a thin bar's centerline is the ruling a FILL draws
+            if (math.abs(p01._2 - p00._2) <= 2.0 &&
+                math.abs(p10._1 - p00._1) > 2.0) {
+              val my = (p00._2 + p01._2) / 2
+              fillThin += ((p00._1, my, p10._1, my))
+            } else if (math.abs(p10._1 - p00._1) <= 2.0 &&
+                math.abs(p01._2 - p00._2) > 2.0) {
+              val mx = (p00._1 + p10._1) / 2
+              fillThin += ((mx, p00._2, mx, p01._2))
+            }
+            cur = Some(p00); start = Some(p00)
+          case op @ ("S" | "s" | "B" | "b" | "B*" | "b*") =>
+            if (op == "s" || op == "b" || op == "b*")
+              for (p <- cur; s0 <- start) seg(p, s0)
+            out ++= stroke
+            clearPath()
+          case "f" | "F" | "f*" =>
+            out ++= fillThin
+            clearPath()
+          case "n" => clearPath()
+          case _ => () // text/state ops: operands clear below
+        }
+        nums.clear()
+      }
+    }
+    out.toSeq
   }
 
   /** Streams are untrusted input: a preset-dictionary or corrupt stream
@@ -2235,9 +2533,11 @@ object Pdf {
     * The underlying algorithm transcriptions are certified against
     * independently computed known-answer vectors in PdfSpec, so the
     * writer/reader pair cannot hide a symmetric derivation bug. */
-  def writePdfEncrypted(pages: Seq[Seq[String]], method: String): Array[Byte] = {
+  def writePdfEncrypted(pages: Seq[Seq[String]], method: String,
+      userPassword: String = ""): Array[Byte] = {
     val nPages = pages.size
     require(nPages >= 1, "writePdfEncrypted needs at least one page")
+    val userPwd = userPassword.getBytes(ISO_8859_1)
     val (v, r, bits, cfExtra) = method match {
       case "rc4-40" => (1, 2, 40, "")
       case "rc4-128" => (2, 3, 128, "")
@@ -2260,9 +2560,9 @@ object Pdf {
         val fk = sha("SHA-256")(s"graft-filekey-$method".getBytes(ISO_8859_1))
         def salt(label: String) = md5(label.getBytes(ISO_8859_1)).take(8)
         val (vs, ks) = (salt("uvs"), salt("uks"))
-        val u5 = hash2B(Array.emptyByteArray, vs, Array.emptyByteArray) ++ vs ++ ks
+        val u5 = hash2B(userPwd, vs, Array.emptyByteArray) ++ vs ++ ks
         val ue = wrapKey256(
-          hash2B(Array.emptyByteArray, ks, Array.emptyByteArray), fk)
+          hash2B(userPwd, ks, Array.emptyByteArray), fk)
         val (ovs, oks) = (salt("ovs"), salt("oks"))
         val o5 = hash2B(ownerPwd, ovs, u5) ++ ovs ++ oks
         val oe = wrapKey256(hash2B(ownerPwd, oks, u5), fk)
@@ -2279,8 +2579,8 @@ object Pdf {
           s" /UE ${hx0(ue)} /OE ${hx0(oe)} /Perms ${hx0(perms)}")
       } else {
         val n = bits / 8
-        val o4 = ownerValue(ownerPwd, Array.emptyByteArray, r, n)
-        val k4 = fileKey(padPwd(Array.emptyByteArray), o4, p, id0, r, n,
+        val o4 = ownerValue(ownerPwd, userPwd, r, n)
+        val k4 = fileKey(padPwd(userPwd), o4, p, id0, r, n,
           encryptMetadata = true)
         (o4, userValue(k4, id0, r), k4, "")
       }
@@ -2409,6 +2709,79 @@ object Pdf {
     offsets.foreach(off => body.append(f"$off%010d 00000 n \n"))
     body.append(s"trailer\n<< /Size ${nObjs + 1} /Root 1 0 R >>\nstartxref\n$xrefPos\n%%EOF\n")
     body.toString.getBytes(ISO_8859_1)
+  }
+
+  /** One page of the ruled-table fixture ([[writePdfRuled]]). A
+    * `Ruled` page draws a `rows × cols` grid whose OUTER border is an
+    * `re` stroke and whose inner rules are `m`/`l` strokes — or, with
+    * `thinFill`, every rule a 1pt filled bar (`re f`), the other
+    * encoding real tables use. `translate` wraps the page's ops in
+    * `q <tx ty> cm … Q` with all coordinates LOCAL, exercising the
+    * reader's CTM tracking. `cells(r)(c)` text sits inside cell (r, c),
+    * top-left cell = (1, 1); a cell may hold several tokens (drawn as
+    * separate show ops, left-to-right). A `Plain` page has no rulings
+    * at all — the stream-fallback shape. */
+  sealed trait RuledPageSpec
+  final case class RuledPage(left: Double, top: Double,
+      colWidths: Seq[Double], rowHeights: Seq[Double],
+      cells: Map[(Int, Int), Seq[String]],
+      thinFill: Boolean = false,
+      translate: Option[(Double, Double)] = None) extends RuledPageSpec
+  final case class PlainPage(lines: Seq[(Int, Int, String)]) extends RuledPageSpec
+
+  /** Independent RULED-TABLE encoder: real path-construction operators
+    * (`re`, `m`, `l`) painted with `S` or `f` draw the grid the
+    * lattice reader must recover — deterministic bytes, no reader code
+    * shared with [[walkPaths]]. */
+  def writePdfRuled(pages: Seq[RuledPageSpec]): Array[Byte] = {
+    val streams = pages.map {
+      case PlainPage(lines) =>
+        lines.map { case (x, y, t) =>
+          s"BT /F1 10 Tf $x $y Td (${esc(t)}) Tj ET"
+        }.mkString("\n")
+      case RuledPage(left, top, colWs, rowHs, cells, thinFill, translate) =>
+        val width = colWs.sum
+        val height = rowHs.sum
+        val bottom = top - height
+        val xs = colWs.scanLeft(left)(_ + _) // col boundaries, size cols+1
+        val ys = rowHs.scanLeft(top)(_ - _) // row boundaries top-down
+        val ops = new StringBuilder
+        if (thinFill) {
+          // every rule a 1pt filled bar centered on the boundary
+          ys.foreach(y => ops.append(
+            s"${fmtNum(left)} ${fmtNum(y - 0.5)} ${fmtNum(width)} 1 re f\n"))
+          xs.foreach(x => ops.append(
+            s"${fmtNum(x - 0.5)} ${fmtNum(bottom)} 1 ${fmtNum(height)} re f\n"))
+        } else {
+          // outer border one re-stroke; inner rules m/l strokes
+          ops.append(s"${fmtNum(left)} ${fmtNum(bottom)} " +
+            s"${fmtNum(width)} ${fmtNum(height)} re S\n")
+          ys.tail.dropRight(1).foreach(y => ops.append(
+            s"${fmtNum(left)} ${fmtNum(y)} m ${fmtNum(left + width)} ${fmtNum(y)} l S\n"))
+          xs.tail.dropRight(1).foreach(x => ops.append(
+            s"${fmtNum(x)} ${fmtNum(top)} m ${fmtNum(x)} ${fmtNum(bottom)} l S\n"))
+        }
+        // grid coordinates are LOCAL under `translate` (wrapped in
+        // q cm … Q — the reader's CTM tracking maps them); TEXT is
+        // always emitted at GLOBAL coordinates, the way report
+        // generators typically split background art from content
+        val (tx, ty) = translate.getOrElse((0.0, 0.0))
+        val text = new StringBuilder
+        cells.toSeq.sortBy(_._1).foreach { case ((r, c), toks) =>
+          val cx = xs(c - 1) + 4 + tx
+          val cy = ys(r) + 4 + ty // 4pt above the cell's bottom rule
+          toks.zipWithIndex.foreach { case (t, ti) =>
+            text.append(s"BT /F1 9 Tf ${fmtNum(cx + ti * 30)} ${fmtNum(cy)} " +
+              s"Td (${esc(t)}) Tj ET\n")
+          }
+        }
+        (translate match {
+          case Some(_) =>
+            s"q 1 0 0 1 ${fmtNum(tx)} ${fmtNum(ty)} cm\n" + ops.toString + "Q\n"
+          case None => ops.toString
+        }) + text.toString
+    }
+    assemblePdf(streams)
   }
 
   private def assemblePdf(streams: Seq[String],

@@ -49,15 +49,24 @@ object VersionedScan {
   private[sources] def relation(spark: SparkSession, path: String,
       sn: VersionedTable.Snapshot, buckets: Option[Set[Int]]): DataFrame = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    classic.baseRelationToDataFrame(baseRelation(spark, path, sn, buckets))
+  }
+
+  /** The relation itself — shared by [[relation]] and the
+    * `format("graft")` [[GraftTableProvider]], so the DSv1 surface and
+    * the programmatic read plan through ONE FileIndex implementation. */
+  private[sources] def baseRelation(spark: SparkSession, path: String,
+      sn: VersionedTable.Snapshot,
+      buckets: Option[Set[Int]]): HadoopFsRelation = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val idx = new VersionedFileIndex(spark, path, sn, buckets)
-    val rel = HadoopFsRelation(
+    HadoopFsRelation(
       location = idx,
       partitionSchema = new StructType(),
       dataSchema = sn.schema,
       bucketSpec = None,
       fileFormat = new ParquetFileFormat,
       options = Map.empty)(classic)
-    classic.baseRelationToDataFrame(rel)
   }
 
   /** Buckets that can possibly hold rows satisfying `filters` (a
@@ -191,6 +200,87 @@ object VersionedScan {
     acc.toMap
   }
 
+  /** Unsigned UTF-8 byte comparison — the order parquet footers use
+    * for UTF8 min/max and the order Spark's binary collation sorts by.
+    * Comparing the re-encoded bytes (not java.lang.String's UTF-16
+    * code units) keeps the overlap test sound beyond the BMP. */
+  private[sources] def u8cmp(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** DATA-SKIPPING intervals for STRING columns: column → [lo, hi] in
+    * unsigned UTF-8 byte order, None = unbounded on that side. Same
+    * conjunct shapes as [[statsIntervals]]; only exact StringType
+    * literals contribute (a cast never reaches here — Catalyst wraps
+    * mismatched types, and the AttributeReference arm won't match).
+    * This is the reference's commonest filter shape — ticker/issuer
+    * code equality (mainTesting.py:365-369) — finally pruning files. */
+  private[sources] def stringIntervals(filters: Seq[Expression],
+      statsCols: Map[String, org.apache.spark.sql.types.DataType])
+      : Map[String, (Option[String], Option[String])] = {
+    def str(a: AttributeReference, l: Literal): Option[String] =
+      statsCols.get(a.name)
+        .filter(t => t == org.apache.spark.sql.types.StringType &&
+          l.dataType == org.apache.spark.sql.types.StringType &&
+          l.value != null)
+        .map(_ => l.value.toString)
+    val acc = scala.collection.mutable.Map[String, (Option[String], Option[String])]()
+    def add(col: String, lo: Option[String], hi: Option[String]): Unit = {
+      val (plo, phi) = acc.getOrElse(col,
+        (None: Option[String], None: Option[String]))
+      val nlo = (plo, lo) match {
+        case (Some(a), Some(b)) => Some(if (u8cmp(a, b) >= 0) a else b)
+        case (a, b) => a.orElse(b)
+      }
+      val nhi = (phi, hi) match {
+        case (Some(a), Some(b)) => Some(if (u8cmp(a, b) <= 0) a else b)
+        case (a, b) => a.orElse(b)
+      }
+      acc(col) = (nlo, nhi)
+    }
+    filters.flatMap(splitAnd).foreach {
+      // strict and non-strict prune identically (file stats can't see
+      // whether the endpoint row matches), same as the numeric path
+      case EqualTo(a: AttributeReference, l: Literal) =>
+        str(a, l).foreach(v => add(a.name, Some(v), Some(v)))
+      case EqualTo(l: Literal, a: AttributeReference) =>
+        str(a, l).foreach(v => add(a.name, Some(v), Some(v)))
+      case GreaterThan(a: AttributeReference, l: Literal) =>
+        str(a, l).foreach(v => add(a.name, Some(v), None))
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+        str(a, l).foreach(v => add(a.name, Some(v), None))
+      case LessThan(a: AttributeReference, l: Literal) =>
+        str(a, l).foreach(v => add(a.name, None, Some(v)))
+      case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+        str(a, l).foreach(v => add(a.name, None, Some(v)))
+      case GreaterThan(l: Literal, a: AttributeReference) =>
+        str(a, l).foreach(v => add(a.name, None, Some(v)))
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+        str(a, l).foreach(v => add(a.name, None, Some(v)))
+      case LessThan(l: Literal, a: AttributeReference) =>
+        str(a, l).foreach(v => add(a.name, Some(v), None))
+      case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+        str(a, l).foreach(v => add(a.name, Some(v), None))
+      case In(a: AttributeReference, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        val bs = vs.map(v => str(a, v.asInstanceOf[Literal]))
+        if (bs.nonEmpty && bs.forall(_.isDefined)) {
+          val ss = bs.map(_.get)
+          add(a.name, Some(ss.min(Ordering.fromLessThan[String](u8cmp(_, _) < 0))),
+            Some(ss.max(Ordering.fromLessThan[String](u8cmp(_, _) < 0))))
+        }
+      case InSet(a: AttributeReference, vs) =>
+        val bs = vs.toSeq.map(v => str(a, Literal(v, a.dataType)))
+        if (bs.nonEmpty && bs.forall(_.isDefined)) {
+          val ss = bs.map(_.get)
+          add(a.name, Some(ss.min(Ordering.fromLessThan[String](u8cmp(_, _) < 0))),
+            Some(ss.max(Ordering.fromLessThan[String](u8cmp(_, _) < 0))))
+        }
+      case _ => ()
+    }
+    acc.toMap
+  }
+
   /** One conjunct → (key column, allowed literal set), when it is an
     * exact-type equality/IN on a key column. A null literal in an
     * equality matches no row (keys are non-null by the merge contract),
@@ -281,8 +371,12 @@ private[sources] class VersionedFileIndex(spark: SparkSession, path: String,
     val intervals =
       if (statsColTypes.isEmpty) Map.empty[String, (BigDecimal, BigDecimal)]
       else VersionedScan.statsIntervals(dataFilters, statsColTypes)
+    val strIntervals =
+      if (statsColTypes.isEmpty)
+        Map.empty[String, (Option[String], Option[String])]
+      else VersionedScan.stringIntervals(dataFilters, statsColTypes)
     def survives(b: Int, st: FileStatus): Boolean =
-      intervals.isEmpty || {
+      (intervals.isEmpty && strIntervals.isEmpty) || {
         val rel = s"${sn.owners(b)}/${VersionedTable.KB}=$b/${st.getPath.getName}"
         sn.fileStats.get(rel) match {
           case None => true
@@ -297,6 +391,16 @@ private[sources] class VersionedFileIndex(spark: SparkSession, path: String,
                   val mn = BigDecimal(mnS); val mx = BigDecimal(mxS)
                   mx >= lo && mn <= hi // ranges overlap → might match
                 } catch { case _: NumberFormatException => true }
+            }
+          } && strIntervals.forall { case (c, (lo, hi)) =>
+            cols.get(c) match {
+              case None => true
+              case Some((mnS, mxS)) =>
+                // manifest endpoints may be TRUNCATED (min a prefix,
+                // max widened) — still a superset range, so the same
+                // overlap test stays sound, in unsigned UTF-8 order
+                lo.forall(l => VersionedScan.u8cmp(mxS, l) >= 0) &&
+                  hi.forall(h => VersionedScan.u8cmp(mnS, h) <= 0)
             }
           }
         }

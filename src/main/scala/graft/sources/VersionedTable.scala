@@ -136,9 +136,10 @@ object VersionedTable {
     * clustered compact and carried by merges/rebucket so
     * AUTO-compaction re-applies the same layout instead of silently
     * flattening it; an explicit plain `compact()` clears the
-    * declaration. `zorder` sorts by the Morton interleave of the two
-    * cluster columns instead of lexicographically, so chunk files tile
-    * BOTH dimensions and a predicate on either column prunes. */
+    * declaration. `zorder` sorts by the Morton interleave of the
+    * cluster columns (2-8 of them) instead of lexicographically, so
+    * chunk files tile EVERY dimension and a predicate on any cluster
+    * column prunes. */
   final case class Layout(cols: Seq[String], chunks: Int,
       zorder: Boolean = false)
   /** See [[Layout]]. */
@@ -1438,20 +1439,101 @@ object VersionedTable {
       .parquet(s"$path/$FEED")
   }
 
-  /** Column types the data-skipping stats cover. Strings are
-    * deliberately OUT: parquet orders them as UTF-8 bytes while Java
-    * compares UTF-16 code units, and the two disagree beyond the BMP —
-    * an unsound prune is a silently wrong answer, so only types whose
-    * internal value is a number (ints, longs, doubles, date days,
-    * timestamp micros) participate. */
+  /** Column types the data-skipping stats cover: types whose internal
+    * value is a number (ints, longs, doubles, date days, timestamp
+    * micros) compare as BigDecimal, and STRINGS compare as unsigned
+    * UTF-8 bytes on BOTH sides — parquet's footer min/max for a UTF8
+    * column is byte-ordered, Spark's UTF8String binary collation is
+    * byte-ordered, and the scan-side overlap test
+    * ([[VersionedScan.stringIntervals]]) re-encodes the manifest
+    * endpoints and the predicate literal to UTF-8 before comparing, so
+    * Java's UTF-16 code-unit order (which disagrees beyond the BMP)
+    * never participates. Long endpoints are truncated Delta-style
+    * ([[truncateStringStats]]): min to a byte-bounded prefix, max to a
+    * prefix with the last code point incremented — both sound widening,
+    * never tightening. */
   private[sources] def statsSupported(t: DataType): Boolean = t match {
     case org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType |
          org.apache.spark.sql.types.DoubleType | org.apache.spark.sql.types.DateType |
          org.apache.spark.sql.types.TimestampType |
          org.apache.spark.sql.types.TimestampNTZType |
          org.apache.spark.sql.types.ShortType |
-         org.apache.spark.sql.types.ByteType => true
+         org.apache.spark.sql.types.ByteType |
+         org.apache.spark.sql.types.StringType => true
     case _ => false
+  }
+
+  /** Manifest string-stat endpoints are capped at this many UTF-8
+    * bytes (Delta's stats truncation length) — ticker/code predicates
+    * prune on short values; a long outlier widens instead of bloating
+    * every manifest read. */
+  private[graft] val statsMaxStringBytes = 32
+
+  /** UTF-8 byte width of one code point. */
+  private def utf8Width(cp: Int): Int =
+    if (cp < 0x80) 1 else if (cp < 0x800) 2 else if (cp < 0x10000) 3 else 4
+
+  /** Longest prefix of `s` whose UTF-8 encoding fits `statsMaxStringBytes`,
+    * cut on a CODE-POINT boundary (a byte-level cut could split a
+    * multi-byte sequence — the re-encode round trip through the JSON
+    * manifest would corrupt it and the bound would silently tighten). */
+  private def utf8Prefix(s: String): String = {
+    val sb = new java.lang.StringBuilder
+    var bytes = 0; var i = 0; var fits = true
+    while (fits && i < s.length) {
+      val cp = s.codePointAt(i)
+      val w = utf8Width(cp)
+      if (bytes + w > statsMaxStringBytes) fits = false
+      else { sb.appendCodePoint(cp); bytes += w; i += Character.charCount(cp) }
+    }
+    sb.toString
+  }
+
+  /** Delta-style string stat truncation. min → a byte-bounded PREFIX
+    * (a prefix precedes the value byte-wise, so it is a sound lower
+    * bound); max → when over the cap, the prefix with its last code
+    * point incremented (strictly greater than every string sharing the
+    * prefix — a sound upper bound), carrying left past the surrogate
+    * range and U+10FFFF. None when the max cannot be widened (a prefix
+    * of all U+10FFFF) — the column is then dropped for the file, which
+    * only costs pruning, never correctness. */
+  private[graft] def truncateStringStats(mn: String,
+      mx: String): Option[(String, String)] = {
+    val outMin =
+      if (mn.getBytes(java.nio.charset.StandardCharsets.UTF_8).length <=
+        statsMaxStringBytes) mn
+      else utf8Prefix(mn)
+    if (mx.getBytes(java.nio.charset.StandardCharsets.UTF_8).length <=
+      statsMaxStringBytes) Some((outMin, mx))
+    else {
+      val cps = utf8Prefix(mx).codePoints().toArray.toBuffer
+      var widened: Option[String] = None
+      while (widened.isEmpty && cps.nonEmpty) {
+        val n = cps.last + 1
+        val next =
+          if (n >= 0xD800 && n <= 0xDFFF) Some(0xE000) // unencodable gap
+          else if (n > 0x10FFFF) None // carry left
+          else Some(n)
+        next match {
+          case Some(cp) =>
+            cps(cps.length - 1) = cp
+            widened = Some(new String(cps.toArray, 0, cps.length))
+          case None => cps.remove(cps.length - 1)
+        }
+      }
+      widened.map(w => (outMin, w))
+    }
+  }
+
+  /** Comparable wrapper giving strings their UNSIGNED UTF-8 byte order
+    * (= code-point order) inside the footer fold — java.lang.String's
+    * natural order is UTF-16 code units, which disagrees beyond the
+    * BMP and would mis-fold row-group endpoints. */
+  private final case class U8(s: String) extends Comparable[U8] {
+    override def compareTo(o: U8): Int = java.util.Arrays.compareUnsigned(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      o.s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    override def toString: String = s
   }
 
   /** Footer min/max of `cols` for ONE parquet file — the shared body
@@ -1487,8 +1569,17 @@ object VersionedTable {
             else if (s.hasNonNullValue) {
               val (mn, mx, ok) = acc(name)
               if (ok) {
-                val bMin = s.genericGetMin.asInstanceOf[Comparable[Any]]
-                val bMax = s.genericGetMax.asInstanceOf[Comparable[Any]]
+                // a Binary endpoint can only be a requested STRING
+                // column (statsSupported admits no other binary type):
+                // wrap in U8 so the fold compares UTF-8 bytes unsigned,
+                // not String's UTF-16 code units
+                def wrap(v: Any): Comparable[Any] = (v match {
+                  case b: org.apache.parquet.io.api.Binary =>
+                    U8(b.toStringUsingUTF8)
+                  case c => c
+                }).asInstanceOf[Comparable[Any]]
+                val bMin = wrap(s.genericGetMin)
+                val bMax = wrap(s.genericGetMax)
                 val nonFinite = (v: Any) => v.isInstanceOf[java.lang.Double] &&
                   !java.lang.Double.isFinite(v.asInstanceOf[java.lang.Double])
                 if (nonFinite(bMin) || nonFinite(bMax)) acc(name) = (null, null, false)
@@ -1501,9 +1592,14 @@ object VersionedTable {
           }
         }
       }
-      acc.collect {
+      acc.toSeq.flatMap {
         case (c, (mn, mx, true)) if mn != null && mx != null =>
-          c -> (mn.toString, mx.toString)
+          ((mn: Any, mx: Any)) match {
+            case (a: U8, b: U8) => // string endpoints: truncate+widen
+              truncateStringStats(a.s, b.s).map(c -> _)
+            case _ => Some(c -> (mn.toString, mx.toString))
+          }
+        case _ => None
       }.toMap
     } finally reader.close()
   }
@@ -1700,10 +1796,10 @@ object VersionedTable {
       newB: Option[Int], clusterBy: Seq[String] = Nil,
       chunksPerBucket: Int = 1, zorder: Boolean = false): Long = {
     require(chunksPerBucket >= 1, "chunksPerBucket must be >= 1")
-    require(!zorder || clusterBy.size == 2,
-      "zorder needs exactly two clusterBy columns (the Morton interleave " +
-        "is two-dimensional; one column is a plain sort, more need a " +
-        "wider key)")
+    require(!zorder || (clusterBy.size >= 2 && clusterBy.size <= 8),
+      "zorder needs 2-8 clusterBy columns (one column is a plain sort; " +
+        "past 8 each dimension gets under 8 bits of the 63-bit key and " +
+        "the tiling is too coarse to prune)")
     require(chunksPerBucket == 1 || clusterBy.nonEmpty,
       "chunksPerBucket > 1 needs clusterBy columns — unsorted chunks " +
         "would be range-overlapping and the stats could prune nothing")
@@ -1736,6 +1832,13 @@ object VersionedTable {
     // its rank in [0, 65535] via table min/max (one agg job, monotone
     // — raw low bits of a timestamp are noise and would z-shuffle the
     // sort into uselessness)
+    if (zorder) clusterBy.foreach { c =>
+      val t = cur.schema(c).dataType
+      require(t != org.apache.spark.sql.types.StringType,
+        s"zorder clusterBy column '$c' is a string — the Morton " +
+          "interleave needs a numeric quantization; use lexicographic " +
+          "clustering (zorder = false) for string columns")
+    }
     val sortKeys: Seq[org.apache.spark.sql.Column] =
       if (!zorder) (KB +: clusterBy).map(col)
       else {
@@ -1749,18 +1852,20 @@ object VersionedTable {
           case _ => col(c).cast("double")
         }
         val nums = clusterBy.map(asNum)
-        val mm = cur.agg(
-          min(nums(0)), max(nums(0)), min(nums(1)), max(nums(1))).collect()(0)
+        // ONE agg job covers every dimension's table min/max
+        val mmAggs = nums.flatMap(n => Seq(min(n), max(n)))
+        val mmRow = cur.agg(mmAggs.head, mmAggs.tail: _*).collect()(0)
+        val maxQ = (1L << graft.ops.ScaleOps.zorderBits(nums.size)) - 1
         def quant(n: Column, loI: Int): Column = {
           val (lo, hi) =
-            (if (mm.isNullAt(loI)) 0.0 else mm.getDouble(loI),
-             if (mm.isNullAt(loI + 1)) 0.0 else mm.getDouble(loI + 1))
+            (if (mmRow.isNullAt(loI)) 0.0 else mmRow.getDouble(loI),
+             if (mmRow.isNullAt(loI + 1)) 0.0 else mmRow.getDouble(loI + 1))
           if (hi <= lo) lit(0L)
-          else least(lit(65535L), greatest(lit(0L),
-            floor((n - lo) / (hi - lo) * 65535.0).cast("long")))
+          else least(lit(maxQ), greatest(lit(0L),
+            floor((n - lo) / (hi - lo) * maxQ.toDouble).cast("long")))
         }
-        Seq(col(KB), graft.ops.ScaleOps.zorderKey2(
-          quant(nums(0), 0), quant(nums(1), 2)))
+        Seq(col(KB), graft.ops.ScaleOps.zorderKeyN(
+          nums.zipWithIndex.map { case (n, i) => quant(n, i * 2) }))
       }
     val writer = cur.withColumn(KB, bucket)
       .repartition(col(KB))

@@ -639,6 +639,101 @@ class PdfSpec extends SparkSpec {
     }
   }
 
+  test("caller-supplied passwords open real-password files: user AND owner, all methods") {
+    val pages = Seq(Seq("dokumen rahasia", "baris dua"), Seq("halaman 2"))
+    val want = for {
+      (lines, pi) <- pages.zipWithIndex
+      (text, li) <- lines.zipWithIndex
+    } yield ((pi + 1).toLong, li.toLong, text)
+    Seq("rc4-40", "rc4-128", "aesv2", "aesv3").foreach { method =>
+      val bytes = Pdf.writePdfEncrypted(pages, method, userPassword = "s3cret!")
+      // no password: loud fail naming the password, not a corrupt-PDF error
+      val e0 = intercept[IllegalArgumentException] { Pdf.parsePdf(bytes) }
+      assert(e0.getMessage.contains("password-protected"), s"$method: $e0")
+      // wrong password: loud fail saying the password didn't match
+      val e1 = intercept[IllegalArgumentException] {
+        Pdf.parsePdf(bytes, Some("wrong-password"))
+      }
+      assert(e1.getMessage.contains("matches neither"), s"$method: $e1")
+      // the USER password opens the file
+      assert(Pdf.parsePdf(bytes, Some("s3cret!")) == want, s"$method user pwd")
+      // the OWNER password opens it too (Algorithm 7 / 12 recovery)
+      assert(Pdf.parsePdf(bytes, Some("graft-owner")) == want,
+        s"$method owner pwd")
+      // positioned reads take the same argument
+      assert(Pdf.parsePdfPositioned(bytes, Some("s3cret!")).map(_._5) ==
+        want.map(_._3), s"$method positioned")
+    }
+    // empty-user-password files keep opening with NO password (the
+    // default path is unchanged), and their owner password also works
+    Seq("rc4-128", "aesv3").foreach { method =>
+      val open = Pdf.writePdfEncrypted(pages, method)
+      assert(Pdf.parsePdf(open) == want, s"$method empty-user")
+      assert(Pdf.parsePdf(open, Some("graft-owner")) == want,
+        s"$method owner on empty-user file")
+    }
+  }
+
+  test("walkPaths: path ops, CTM nesting, thin fills, discards, and text immunity") {
+    def segs(c: String) = Pdf.walkPaths(c).toSet
+    // m/l stroke
+    assert(segs("10 20 m 110 20 l S") === Set((10.0, 20.0, 110.0, 20.0)))
+    // re stroke = 4 edges
+    assert(segs("10 20 100 50 re S").size === 4)
+    // h closes the subpath; the closing diagonal is dropped (non-axis),
+    // while an axis-aligned close contributes its edge
+    assert(segs("0 0 m 10 0 l 10 10 l h S").size === 2,
+      "triangle: two axis edges kept, closing diagonal dropped")
+    assert(segs("0 0 m 10 0 l 10 10 l 0 10 l h S").size === 4,
+      "rectangle via h: the close supplies the fourth edge")
+    // close-and-stroke (s) implies h
+    assert(segs("0 0 m 10 0 l 10 10 l 0 10 l s").size === 4)
+    // unpainted path emits nothing; n discards
+    assert(segs("10 20 m 110 20 l") === Set.empty)
+    assert(segs("10 20 m 110 20 l n 5 5 m 9 5 l S") ===
+      Set((5.0, 5.0, 9.0, 5.0)))
+    // fill emits ONLY thin bars (centerline), never area fills
+    assert(segs("10 20 100 1 re f") === Set((10.0, 20.5, 110.0, 20.5)))
+    assert(segs("10 20 100 50 re f") === Set.empty)
+    // CTM translation via cm inside q/Q, restored after Q
+    assert(segs("q 1 0 0 1 100 200 cm 10 20 m 110 20 l S Q 0 0 m 5 0 l S") ===
+      Set((110.0, 220.0, 210.0, 220.0), (0.0, 0.0, 5.0, 0.0)))
+    // CTM scale applies; a rotating CTM makes segments non-axis → dropped
+    assert(segs("q 2 0 0 3 0 0 cm 10 20 m 110 20 l S Q") ===
+      Set((20.0, 60.0, 220.0, 60.0)))
+    assert(segs("q 0.7 0.7 -0.7 0.7 0 0 cm 10 20 m 110 20 l S Q") ===
+      Set.empty)
+    // text blocks and TJ kern arrays cannot leak operands into paths;
+    // a string containing path-looking text is skipped whole
+    assert(segs("BT /F1 9 Tf 50 60 Td [(a) -250 (b)] TJ ET 5 5 m 9 5 l S") ===
+      Set((5.0, 5.0, 9.0, 5.0)))
+    assert(segs("BT (10 20 m 99 20 l S) Tj ET") === Set.empty)
+    // curves are not rulings; their operands clear at the op
+    assert(segs("0 0 m 10 0 10 10 20 10 c S") === Set.empty)
+  }
+
+  test("tableAuto: lattice grids on ruled pages, stream rows on unruled ones") {
+    import spark.implicits._
+    val dir = graft.util.Scratch.dir("pdf_lattice_spec")
+    graft.util.Scratch.deleteRecursively(new java.io.File(dir))
+    new java.io.File(dir).mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(dir, "t.pdf").toPath,
+      Pdf.writePdfRuled(graft.queries.Media.pdfLatticeFixture))
+    val got = Pdf.tableAuto(spark, dir)
+      .select($"page", $"row_idx", $"col_idx", $"value")
+      .as[(Long, Long, Long, String)].collect().toSet
+    val want = graft.queries.Media.pdfLatticeExpected(spark)
+      .select($"page", $"row_idx", $"col_idx", $"value")
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(got === want)
+    // the multi-token cell concatenates left-to-right
+    assert(got.contains((1L, 2L, 1L, "Kas bersih")))
+    // rulings surface through the public reader too, rotated-space like text
+    val nRulings = Pdf.readRulings(spark, dir).count()
+    assert(nRulings >= 14L, s"expected the fixture's rulings, got $nRulings")
+  }
+
   test("a REAL user password still fails loudly, with the real reason") {
     val bytes = Pdf.writePdfEncrypted(Seq(Seq("rahasia")), "rc4-128")
     // corrupt one byte inside the /U hex value: verification of the

@@ -337,6 +337,106 @@ class VersionedScanSpec extends SparkSpec {
     assert(inf === 1L)
   }
 
+  test("string data skipping: ticker-shaped predicates prune chunk files byte-wise") {
+    val dir = freshDir("strskip")
+    // 26 tickers × 20 rows, clusterBy the ticker: chunks are
+    // range-disjoint in UTF-8 byte order
+    val rows = for { t <- 'A' to 'Z'; i <- 0 until 20 }
+      yield (t.toLong * 100 + i, s"TICK_$t", i.toLong)
+    VersionedTable.merge(spark, dir, rows.toDF("k", "ticker", "x"),
+      Seq("k"), numBuckets = 2)
+    VersionedTable.compact(spark, dir, clusterBy = Seq("ticker"),
+      chunksPerBucket = 8)
+    val sn = VersionedTable.snapshot(spark, dir)
+    assert(sn.fileStats.values.exists(_.contains("ticker")),
+      "string clusterBy column must be stat'd now")
+    val all = filesRead(VersionedTable.read(spark, dir))._2
+    assert(all >= 12L)
+    // equality: the reference's commonest filter shape
+    val (n1, f1) = filesRead(
+      VersionedTable.read(spark, dir).filter($"ticker" === "TICK_M"))
+    assert(n1 === 20L)
+    assert(f1 <= all / 2, s"equality must skip most files: $f1 of $all")
+    // range
+    val (n2, f2) = filesRead(
+      VersionedTable.read(spark, dir).filter($"ticker" < "TICK_C"))
+    assert(n2 === 40L && f2 < all)
+    // IN-list envelope
+    val (n3, f3) = filesRead(VersionedTable.read(spark, dir)
+      .filter($"ticker".isin("TICK_A", "TICK_B")))
+    assert(n3 === 40L && f3 < all)
+    // conjunct with a numeric filter still exact
+    val (n4, _) = filesRead(VersionedTable.read(spark, dir)
+      .filter($"ticker" === "TICK_Z" && $"x" >= 10))
+    assert(n4 === 10L)
+  }
+
+  test("string stats truncation: long and non-ASCII values widen, never tighten") {
+    import graft.sources.{VersionedTable => VT}
+    // unit level: short strings pass through
+    assert(VT.truncateStringStats("a", "b") === Some(("a", "b")))
+    // long min truncates to a PREFIX (≤ the value), long max widens (>)
+    val longMin = "m" * 100
+    val longMax = "z" * 100
+    val Some((tm, tx)) = VT.truncateStringStats(longMin, longMax)
+    assert(tm.getBytes("UTF-8").length <= VT.statsMaxStringBytes)
+    assert(tx.getBytes("UTF-8").length <= VT.statsMaxStringBytes)
+    assert(tm <= longMin && tx > longMax)
+    // multi-byte boundary: 3-byte chars must cut on a code-point edge
+    val cjk = "中" * 20 // 60 UTF-8 bytes
+    val Some((cm, cx)) = VT.truncateStringStats(cjk, cjk)
+    assert(cm.getBytes("UTF-8").length % 3 === 0 &&
+      cm.getBytes("UTF-8").length <= 30)
+    assert(java.util.Arrays.compareUnsigned(
+      cx.getBytes("UTF-8"), cjk.getBytes("UTF-8")) > 0,
+      "widened max must exceed the value in byte order")
+    // increment carrying: a max ending at U+10FFFF carries left
+    val hard = "a" + ("􏿿" * 10) // a + 10× U+10FFFF = 41 bytes
+    val Some((_, hx)) = VT.truncateStringStats("a", hard)
+    assert(java.util.Arrays.compareUnsigned(
+      hx.getBytes("UTF-8"), hard.getBytes("UTF-8")) > 0)
+    // all-U+10FFFF: unwidenable → None (column dropped, sound)
+    assert(VT.truncateStringStats("a", "􏿿" * 12) === None)
+    // end-to-end: a table whose string values exceed the cap still
+    // answers exactly, and its truncated stats still prune
+    val dir = freshDir("strtrunc")
+    val rows = (0 until 120).map { i =>
+      (i.toLong, f"GROUP_${i / 40}%d_" + ("x" * 60) + f"_$i%03d")
+    }
+    VersionedTable.merge(spark, dir, rows.toDF("k", "s"),
+      Seq("k"), numBuckets = 2)
+    VersionedTable.compact(spark, dir, clusterBy = Seq("s"),
+      chunksPerBucket = 3)
+    val all = filesRead(VersionedTable.read(spark, dir))._2
+    val want = rows.filter(_._2 startsWith "GROUP_2").map(_._1).toSet
+    val got = VersionedTable.read(spark, dir)
+      .filter($"s" >= "GROUP_2" && $"s" < "GROUP_3")
+    val (n, f) = filesRead(got.select($"k"))
+    assert(n === want.size.toLong)
+    assert(f < all, s"truncated stats must still prune: $f of $all")
+  }
+
+  test("string skipping soundness beyond the BMP: byte order, not UTF-16 order") {
+    val dir = freshDir("strbmp")
+    // U+FFFF sorts ABOVE U+1F600 in UTF-16 code units but BELOW it in
+    // UTF-8 bytes; values straddle the disagreement
+    val emoji = new String(Character.toChars(0x1F600))
+    val rows = Seq(
+      (1L, "￿"), (2L, emoji), (3L, "aaa"), (4L, "zzz"))
+    VersionedTable.merge(spark, dir, rows.toDF("k", "s"),
+      Seq("k"), numBuckets = 1)
+    VersionedTable.compact(spark, dir, clusterBy = Seq("s"),
+      chunksPerBucket = 4)
+    // the emoji row must survive a > U+FFFF predicate (byte order says
+    // it's greater; a UTF-16 comparison would have pruned its file)
+    val got = VersionedTable.read(spark, dir).filter($"s" > "￿")
+      .select($"k").as[Long].collect().toSet
+    assert(got === Set(2L),
+      s"beyond-BMP value must survive byte-ordered skipping: $got")
+    // and every row is still reachable exactly
+    assert(VersionedTable.read(spark, dir).count() === 4L)
+  }
+
   test("PlanMetrics.filesRead descends into AQE query stages (shuffled plans)") {
     val dir = freshDir("planmetrics")
     VersionedTable.merge(spark, dir,

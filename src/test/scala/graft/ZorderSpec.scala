@@ -30,6 +30,93 @@ class ZorderSpec extends SparkSpec {
     }
   }
 
+  test("zorderKeyN matches the reference interleave for 3 and 5 dims") {
+    import spark.implicits._
+    def mortonN(vals: Seq[Long], bits: Int): Long = {
+      var z = 0L
+      val n = vals.size
+      for (i <- 0 until bits; c <- 0 until n)
+        z |= ((vals(c) >> i) & 1L) << (i * n + c)
+      z
+    }
+    // 3-D: 16 bits each (48 total)
+    val rows3 = Seq(
+      Seq(0L, 0L, 0L), Seq(1L, 0L, 0L), Seq(0L, 1L, 0L), Seq(0L, 0L, 1L),
+      Seq(65535L, 65535L, 65535L), Seq(12345L, 54321L, 7L))
+    val df3 = rows3.map(v => (v(0), v(1), v(2))).toDF("a", "b", "c")
+      .withColumn("z", ScaleOps.zorderKeyN(Seq(col("a"), col("b"), col("c"))))
+    assert(ScaleOps.zorderBits(3) === 16)
+    df3.collect().foreach { r =>
+      val vals = Seq(r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(r.getLong(3) === mortonN(vals, 16), s"$vals")
+    }
+    // 5-D: 12 bits each (60 total); inputs past the width are masked
+    assert(ScaleOps.zorderBits(5) === 12)
+    val rows5 = Seq(Seq(0L, 1L, 2L, 3L, 4L), Seq(4095L, 0L, 4095L, 0L, 4095L))
+    val df5 = rows5.map(v => (v(0), v(1), v(2), v(3), v(4)))
+      .toDF("a", "b", "c", "d", "e")
+      .withColumn("z", ScaleOps.zorderKeyN(
+        Seq(col("a"), col("b"), col("c"), col("d"), col("e"))))
+    df5.collect().foreach { r =>
+      val vals = (0 until 5).map(r.getLong(_))
+      assert(r.getLong(5) === mortonN(vals, 12), s"$vals")
+    }
+    // the 2-D fast path and the generic path agree
+    val both = Seq((12345L, 54321L)).toDF("x", "y")
+      .withColumn("z2", ScaleOps.zorderKey2(col("x"), col("y")))
+      .withColumn("zn", ScaleOps.zorderKeyN(Seq(col("x"), col("y"))))
+      .collect()(0)
+    assert(both.getLong(2) === both.getLong(3))
+  }
+
+  test("3-D z-order compact: a predicate on ANY of the three cluster columns prunes") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    val dir = graft.util.Scratch.dir("zorder_3d")
+    graft.util.Scratch.deleteRecursively(new java.io.File(dir))
+    // (issuer, year, quarter)-shaped grid, shuffled key order
+    val rows = for { x <- 0L until 16L; y <- 0L until 16L; q <- 0L until 16L }
+      yield (x * 4096 + y * 256 + q, x.toInt, y.toInt, q.toInt)
+    VersionedTable.merge(spark, dir,
+      rows.toDF("k", "x", "y", "q"), Seq("k"), numBuckets = 2)
+    VersionedTable.compact(spark, dir, clusterBy = Seq("x", "y", "q"),
+      chunksPerBucket = 32, zorder = true)
+    val sn = VersionedTable.snapshot(spark, dir)
+    assert(sn.layout ===
+      Some(VersionedTable.Layout(Seq("x", "y", "q"), 32, zorder = true)))
+    def files(df: org.apache.spark.sql.DataFrame): Long =
+      graft.util.PlanMetrics.filesRead(df.select($"k"))
+    val all = files(VersionedTable.read(spark, dir))
+    assert(all >= 32L, s"fixture should chunk into many files, got $all")
+    val byX = files(VersionedTable.read(spark, dir).filter($"x" === 5))
+    val byY = files(VersionedTable.read(spark, dir).filter($"y" === 5))
+    val byQ = files(VersionedTable.read(spark, dir).filter($"q" === 5))
+    // geometry: a ~128-z-code chunk spans ≤3 of the 4-wide blocks on
+    // each axis → an equality hits ~1-(3/4)³ ≈ 58% of files; assert
+    // under 70% on EVERY axis (the win is that all three prune at all —
+    // lexicographic gives the trailing axis 100%, proven below)
+    assert(byX <= all * 7 / 10, s"x probe must prune: $byX of $all")
+    assert(byY <= all * 7 / 10, s"y probe must prune: $byY of $all")
+    assert(byQ <= all * 7 / 10, s"q (third dim) probe must prune: $byQ of $all")
+    // counterfactual: the same table lexicographically clustered reads
+    // ~every file for the TRAILING dimension's probe
+    val lexDir = graft.util.Scratch.dir("zorder_3d_lex")
+    graft.util.Scratch.deleteRecursively(new java.io.File(lexDir))
+    VersionedTable.merge(spark, lexDir,
+      rows.toDF("k", "x", "y", "q"), Seq("k"), numBuckets = 2)
+    VersionedTable.compact(spark, lexDir, clusterBy = Seq("x", "y", "q"),
+      chunksPerBucket = 32, zorder = false)
+    val lexAll = files(VersionedTable.read(spark, lexDir))
+    val lexQ = files(VersionedTable.read(spark, lexDir).filter($"q" === 5))
+    assert(lexQ >= lexAll * 9 / 10,
+      s"lexicographic trailing-dim probe should read ~all: $lexQ of $lexAll")
+    assert(byQ * 10 <= lexQ * 8,
+      s"z layout must clearly beat lexicographic on the trailing dim: $byQ vs $lexQ")
+    // rows stay exact through the layout
+    assert(VersionedTable.read(spark, dir).filter($"q" === 5).count() === 256L)
+    assert(VersionedTable.read(spark, dir).count() === 4096L)
+  }
+
   test("z-clustered files prune on both dims; single-column sort on one") {
     import spark.implicits._
     val li = Tables.lineitem(spark, sfDir)
