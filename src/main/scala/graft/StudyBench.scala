@@ -747,6 +747,99 @@ object StudyBench {
     s""""occ_throughput_$tag":{$disjoint,$overlap}"""
   }
 
+  /** Round-13 brief item 1: is commit-time stats collection flat in
+    * file count now that footer reads run distributed? Same table,
+    * chunked compacts producing 8 / 64 / 256 stat'd files; re-times
+    * the exact collection path a commit runs (collectStatsFor) on each
+    * committed dir. 8 files ride the driver loop (below the 16-file
+    * cutover), the rest the distributed job — wall per FILE must fall,
+    * not hold, as file count grows (the driver-serial loop held it
+    * constant: Θ(files) sequential footer RPCs). */
+  private def statsCostStudy(s: SparkSession, tag: String, d: String): String = {
+    import org.apache.spark.sql.functions.col
+    val ord = Tables.orders(s, d).select(col("o_orderkey"),
+      col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+    def arm(chunks: Int): (Long, Double) = {
+      val dir = graft.util.Scratch.dir(s"study_statscost_${tag}_$chunks")
+      graft.util.Scratch.deleteRecursively(new java.io.File(dir))
+      graft.sources.VersionedTable.merge(s, dir, ord, Seq("o_orderkey"),
+        numBuckets = 8)
+      graft.sources.VersionedTable.compact(s, dir,
+        clusterBy = Seq("o_orderdate"), chunksPerBucket = chunks)
+      val sn = graft.sources.VersionedTable.snapshot(s, dir)
+      val commitDir = sn.owners.values.head
+      val files = sn.fileStats.size.toLong
+      // warm once (JIT + FS metadata cache), then time the real pass
+      graft.sources.VersionedTable.collectStatsFor(s, dir, commitDir,
+        Seq("o_orderdate"))
+      val (_, w) = time(graft.sources.VersionedTable.collectStatsFor(
+        s, dir, commitDir, Seq("o_orderdate")))
+      (files, w)
+    }
+    val (f1, w1) = arm(1)
+    val (f8, w8) = arm(8)
+    val (f32, w32) = arm(32)
+    s""""stats_commit_cost_$tag":{"driver_cutover_files":${
+      graft.sources.VersionedTable.statsDriverMaxFiles},
+       |"files_a":$f1,"wall_sec_a":${j(w1)},
+       |"files_b":$f8,"wall_sec_b":${j(w8)},
+       |"files_c":$f32,"wall_sec_c":${j(w32)},
+       |"usec_per_file_a":${j(w1 * 1e6 / math.max(1, f1))},
+       |"usec_per_file_b":${j(w8 * 1e6 / math.max(1, f8))},
+       |"usec_per_file_c":${j(w32 * 1e6 / math.max(1, f32))}}"""
+      .stripMargin.replace("\n", "")
+  }
+
+  /** Round-13 brief item 5: attribute e27's r12 quiet-to-quiet CPU
+    * growth (+18% at identical stage counts). Hypothesis from the
+    * verdict: the merge path's per-batch txn-ledger probe + deltaStats
+    * listing added work; round 13's manifest-carried delta bytes
+    * should remove the listing term. The probe isolates the
+    * compaction-cadence probe itself on a 20-layer MoR table: the
+    * MANIFEST path (what deltaStats now runs) vs the LISTING path
+    * (what r12 ran — one getContentSummary per live (layer, bucket)
+    * pair, reproduced verbatim), each timed over 50 calls. The
+    * difference × probes-per-batch is the per-batch work item 2
+    * removed. */
+  private def e27ProbeStudy(s: SparkSession, tag: String, d: String): String = {
+    import org.apache.spark.sql.functions.{col, pmod, xxhash64, lit}
+    val ord = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val dir = graft.util.Scratch.dir(s"study_e27probe_$tag")
+    graft.util.Scratch.deleteRecursively(new java.io.File(dir))
+    graft.sources.VersionedTable.merge(s, dir, ord, Seq("o_orderkey"),
+      numBuckets = 8)
+    val layersN = 20
+    (0 until layersN).foreach { i =>
+      graft.sources.VersionedTable.merge(s, dir,
+        ord.filter(pmod(xxhash64(col("o_orderkey")), lit(97L)) === i),
+        Seq("o_orderkey"), numBuckets = 8, mor = true)
+    }
+    val sn = graft.sources.VersionedTable.snapshot(s, dir)
+    val reps = 50
+    // manifest path: the probe as shipped
+    val (_, wManifest) = time((0 until reps).foreach(_ =>
+      graft.sources.VersionedTable.deltaStats(s, dir)))
+    // listing path: r12's implementation, reproduced on the same state
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val livePairs = sn.deltas.toSeq.flatMap { case (b, ds) =>
+      ds.map(dd => s"$dd/kb=$b")
+    }
+    val (_, wListing) = time((0 until reps).foreach { _ =>
+      livePairs.foreach { p =>
+        val hp = new org.apache.hadoop.fs.Path(root, p)
+        if (fs.exists(hp)) fs.getContentSummary(hp).getLength
+      }
+    })
+    s""""e27_merge_probe_$tag":{"layers":${sn.deltaDirs.size},
+       |"live_pairs":${livePairs.size},"probe_reps":$reps,
+       |"delta_stats_manifest_ms_per_call":${j(wManifest * 1000 / reps)},
+       |"delta_stats_listing_ms_per_call":${j(wListing * 1000 / reps)},
+       |"listing_removed_ratio":${j(wListing / math.max(1e-9, wManifest))}}"""
+      .stripMargin.replace("\n", "")
+  }
+
   def main(args: Array[String]): Unit = {
     val pos = args.filterNot(_.startsWith("only="))
     val sf01 = pos.headOption.getOrElse("/root/testdata/sf0.1")
@@ -767,6 +860,7 @@ object StudyBench {
     val parts10 = Seq.newBuilder[String] // round-10-brief studies → study_r10.json
     val parts11 = Seq.newBuilder[String] // round-11-brief studies → study_r11.json
     val parts12 = Seq.newBuilder[String] // round-12 studies → study_r12.json
+    val parts13 = Seq.newBuilder[String] // round-13 studies → study_r13.json
     if (want("containment")) parts += containmentSweep(spark, "sf01", sf01)
     if (want("ann")) parts += annFilterStudy(spark, sf01)
     if (want("statestore")) parts += stateStoreStudy(spark, "sf01", sf01)
@@ -776,6 +870,8 @@ object StudyBench {
     if (want("morlayers")) parts10 += morLayersStudy(spark, "sf01", sf01)
     if (want("txnreplay")) parts12 += txnReplayStudy(spark, "sf01", sf01)
     if (want("skipping")) parts12 += dataSkippingStudy(spark, "sf01", sf01)
+    if (want("statscost")) parts13 += statsCostStudy(spark, "sf01", sf01)
+    if (want("e27probe")) parts13 += e27ProbeStudy(spark, "sf01", sf01)
     sf1.foreach { d =>
       if (want("containment")) parts += containmentSweep(spark, "sf1", d)
       if (want("skew")) parts += skewStudy(spark, d)
@@ -806,6 +902,7 @@ object StudyBench {
     writeMerged("study_r10.json", parts10.result())
     writeMerged("study_r11.json", parts11.result())
     writeMerged("study_r12.json", parts12.result())
+    writeMerged("study_r13.json", parts13.result())
     spark.stop()
   }
 }

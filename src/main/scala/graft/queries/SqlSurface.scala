@@ -275,7 +275,61 @@ object SqlSurface extends QueryModule {
          LIMIT 10)
        ORDER BY vec_id"""
 
+  /** x10 — the versioned table as a FIRST-CLASS SQL data source:
+    * `CREATE TABLE … USING graft` (GraftTableProvider, registered via
+    * the DataSourceRegister service file) binds the snapshot into the
+    * catalog with no imports, and `versionAsOf` gives DDL-level time
+    * travel. Two merges build head state; SQL reads BOTH the head and
+    * version 0 through `USING graft` tables and aggregates — the
+    * oracle recomputes each state relationally, certifying the
+    * provider plans the same FileIndex read as the programmatic
+    * surface. */
+  private val x10RunId = new java.util.concurrent.atomic.AtomicLong
+  private def x10(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    open(s, d)
+    val table = graft.util.Scratch.dir(s"x10_graft_${x10RunId.incrementAndGet()}")
+    val base = Tables.customer(s, d).select($"c_custkey".as("k"),
+      $"c_nationkey".as("nat"),
+      round($"c_acctbal" * 100).cast("long").as("bal"))
+    graft.sources.VersionedTable.merge(s, table, base, Seq("k"), numBuckets = 8)
+    val upd = base.filter($"k" % 5 === 0)
+      .select($"k", $"nat", ($"bal" * 3).as("bal"), ($"k" % 10 === 0).as("del"))
+    graft.sources.VersionedTable.merge(s, table, upd, Seq("k"), Some("del"),
+      numBuckets = 8)
+    s.sql("DROP TABLE IF EXISTS x10_head")
+    s.sql("DROP TABLE IF EXISTS x10_v0")
+    s.sql(s"CREATE TABLE x10_head USING graft OPTIONS (path '$table')")
+    s.sql(s"CREATE TABLE x10_v0 USING graft " +
+      s"OPTIONS (path '$table', versionAsOf '0')")
+    s.sql(
+      """SELECT 'head' AS snap, nat, count(*) AS n_cust, sum(bal) AS sum_bal
+         FROM x10_head GROUP BY nat
+         UNION ALL
+         SELECT 'v0' AS snap, nat, count(*) AS n_cust, sum(bal) AS sum_bal
+         FROM x10_v0 GROUP BY nat
+         ORDER BY snap, nat""")
+  }
+  private val x10Sql =
+    """WITH base AS (
+         SELECT c_custkey AS k, c_nationkey AS nat,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+         FROM customer),
+       head AS (
+         SELECT k, nat, CASE WHEN k % 5 = 0 THEN 3 * bal ELSE bal END AS bal
+         FROM base WHERE k % 10 <> 0)
+       SELECT * FROM (
+         SELECT 'head' AS snap, nat, count(*) AS n_cust,
+           CAST(sum(bal) AS BIGINT) AS sum_bal
+         FROM head GROUP BY nat
+         UNION ALL
+         SELECT 'v0' AS snap, nat, count(*) AS n_cust,
+           CAST(sum(bal) AS BIGINT) AS sum_bal
+         FROM base GROUP BY nat)
+       ORDER BY snap, nat"""
+
   override def queries: Map[String, QueryFn] = Map(
+    "x10_sql_using_graft" -> x10 _,
     "x01_sql_theta_join" -> x01 _,
     "x02_sql_cosine_fn" -> x02 _,
     "x03_sql_operator_view" -> x03 _,
@@ -288,6 +342,7 @@ object SqlSurface extends QueryModule {
   )
 
   override def oracle: Map[String, String] = Map(
+    "x10_sql_using_graft" -> x10Sql,
     "x01_sql_theta_join" -> x01Text,
     "x02_sql_cosine_fn" -> x02Sql,
     "x03_sql_operator_view" -> x03Sql,
