@@ -791,6 +791,97 @@ object Media extends QueryModule {
        FROM read_parquet('__FIXTURES__/pdf_lattice_expected/*.parquet')
        ORDER BY file, page, row_idx, col_idx"""
 
+  /** Legacy .xls (BIFF8) fixture: TWO files chosen to land on BOTH CFB
+    * placements — a small workbook riding the MINI stream and a padded
+    * one in regular FAT sectors with its SST split into a CONTINUE
+    * record mid-string. Cells cover every record family: LABELSST,
+    * NUMBER, RK (+ a MULRK run), date XFs under both epochs, FORMULA
+    * cached values, BOOLERR, and a merged region. */
+  def xlsFixtureData: Seq[(String, Boolean, Boolean, Int, Seq[graft.sources.Xls.XlsSheet])] = {
+    import graft.sources.Xls._
+    Seq(
+      ("neraca_2005.xls", false, false, 0, Seq(
+        XlsSheet("NERACA", Seq(
+          (1, 1, XStr("Pos")), (1, 2, XStr("Nilai")),
+          (2, 1, XStr("Kas dan setara kas")), (2, 2, XNum(1500.5)),
+          (3, 1, XStr("Piutang usaha")), (3, 2, XInt(800)),
+          (4, 1, XStr("Tanggal pelaporan")), (4, 2, XDate("2005-12-31")),
+          (5, 1, XStr("Diaudit")), (5, 2, XBool(true)),
+          (6, 1, XStr("Jumlah aset")), (6, 2, XFormulaNum(2300.5)),
+          (7, 1, XStr("Catatan")), (7, 2, XFormulaStr("lihat CALK 3")),
+          (8, 1, XInt(10)), (8, 2, XInt(20)), (8, 3, XInt(30)),
+          (9, 1, XStr("LAPORAN POSISI KEUANGAN"))),
+          merges = Seq((9, 1, 10, 2))),
+        XlsSheet("CALK", Seq((1, 1, XStr("catatan atas laporan keuangan")))))),
+      ("arsip_1904_2006.xls", true, true, 5000, Seq(
+        XlsSheet("Arsip", (1 to 120).map(i =>
+          (i, 1, XStr(f"baris arsip nomor $i%03d"): XlsVal)) ++ Seq(
+          (121, 1, XStr("kalimat-terakhir-yang-dibelah"): XlsVal),
+          (122, 1, XDate("2006-06-30"): XlsVal)))))) }
+
+  /** Expected (file, sheet, sheet_idx, row, col, value) rows straight
+    * from the fixture definition — replays the writer INPUT through
+    * the same display rules the reader promises (the m03/m26
+    * discipline), so the oracle never consults the parser. */
+  def xlsExpected(s: SparkSession): DataFrame = {
+    import s.implicits._
+    import graft.sources.Xls._
+    def render(v: XlsVal): String = v match {
+      case XStr(t) => t
+      case XNum(d) => if (d == math.rint(d) && math.abs(d) < 1e15)
+        d.toLong.toString else d.toString
+      case XInt(n) => n.toString
+      case XDate(iso) => iso
+      case XFormulaNum(d) => if (d == math.rint(d) && math.abs(d) < 1e15)
+        d.toLong.toString else d.toString
+      case XFormulaStr(t) => t
+      case XBool(b) => if (b) "TRUE" else "FALSE"
+    }
+    xlsFixtureData.flatMap { case (file, _, _, _, sheets) =>
+      sheets.zipWithIndex.flatMap { case (sh, si) =>
+        val base = sh.cells.map { case (r, c, v) =>
+          (file, sh.name, (si + 1).toLong, r.toLong, c.toLong, render(v))
+        }
+        val have = base.map(t => (t._4, t._5)).toSet
+        val anchor = base.map(t => ((t._4, t._5), t._6)).toMap
+        val fills = sh.merges.flatMap { case (r1, c1, r2, c2) =>
+          anchor.get((r1.toLong, c1.toLong)).toSeq.flatMap { v =>
+            for { r <- r1.toLong to r2.toLong; c <- c1.toLong to c2.toLong
+              if !have((r, c)) } yield (file, sh.name, (si + 1).toLong, r, c, v)
+          }
+        }
+        base ++ fills
+      }
+    }.toDF("file", "sheet", "sheet_idx", "row_idx", "col_idx", "value")
+  }
+
+  def writeXlsFixture(dir: String): String = {
+    val d = new java.io.File(dir)
+    d.mkdirs()
+    xlsFixtureData.foreach { case (name, d1904, split, pad, sheets) =>
+      java.nio.file.Files.write(new java.io.File(d, name).toPath,
+        graft.sources.Xls.writeXls(sheets, date1904 = d1904,
+          splitSst = split, padTo = pad))
+    }
+    d.getAbsolutePath
+  }
+
+  /** m30 — legacy .xls (BIFF8): both CFB placements (mini stream +
+    * regular FAT), SST CONTINUE stitching, RK/MULRK, FORMULA cached
+    * values, date XFs under both epochs, merged-region anchor fill —
+    * through the same long Cell shape as the XLSX scan, so S1-S3
+    * operators are format-blind. Oracle replays the fixture
+    * definition. */
+  private def m30(s: SparkSession, d: String): DataFrame = {
+    val dir = writeXlsFixture(graft.util.Scratch.dir("xls_legacy"))
+    graft.sources.Xls.read(s, dir).toDF()
+      .orderBy("file", "sheet_idx", "row_idx", "col_idx")
+  }
+  private val m30Sql =
+    """SELECT file, sheet, sheet_idx, row_idx, col_idx, value
+       FROM read_parquet('__FIXTURES__/xls_expected/*.parquet')
+       ORDER BY file, sheet_idx, row_idx, col_idx"""
+
   /** MIXED-WIDTH CMap fixture: a /ToUnicode CMap with a 1-byte ASCII
     * codespace AND a Shift-JIS-style 2-byte codespace <8140><FFFC> in
     * the same font — show strings interleave widths, so byte-by-byte
@@ -1470,6 +1561,7 @@ object Media extends QueryModule {
     "m27_pdf_mixed_cmap" -> m27 _,
     "m28_pdf_password" -> m28 _,
     "m29_pdf_lattice" -> m29 _,
+    "m30_xls_legacy" -> m30 _,
     "p04_pdf_report" -> p04 _,
   )
 
@@ -1569,6 +1661,7 @@ object Media extends QueryModule {
     "m27_pdf_mixed_cmap" -> m27Sql,
     "m28_pdf_password" -> m28Sql,
     "m29_pdf_lattice" -> m29Sql,
+    "m30_xls_legacy" -> m30Sql,
     "p04_pdf_report" -> p04Sql,
   )
 }
