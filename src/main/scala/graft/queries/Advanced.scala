@@ -1302,15 +1302,17 @@ object Advanced extends QueryModule {
     val read = graft.util.PlanMetrics.filesRead(ranged.select($"c_custkey"))
     require(read < total,
       s"string skipping read $read of $total files — string stats broken")
+    // exact-integer aggregate (cents), not round(avg(..)): a half-cent
+    // tie rounds differently across engines (hit at sf0.1: 8523.175)
     ranged
       .groupBy($"c_nationkey")
       .agg(count(lit(1)).as("n_cust"),
-        round(avg($"c_acctbal"), 2).as("avg_bal"))
+        sum(round($"c_acctbal" * 100).cast("long")).as("sum_bal_cents"))
       .orderBy($"c_nationkey")
   }
   private val v27Sql =
     """SELECT c_nationkey, count(*) AS n_cust,
-         round(avg(c_acctbal), 2) AS avg_bal
+         CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_bal_cents
        FROM customer
        WHERE c_name >= 'Customer#000000100' AND c_name < 'Customer#000000140'
        GROUP BY 1 ORDER BY c_nationkey"""
