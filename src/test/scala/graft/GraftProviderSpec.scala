@@ -99,4 +99,59 @@ class GraftProviderSpec extends SparkSpec {
     }
     assert(e3.getMessage.contains("99"), s"missing version names itself: $e3")
   }
+
+  test("write path: save modes map onto key-scoped MERGE") {
+    val dir = freshDir("write")
+    val base = (1L to 10L).map(k => (k, s"v$k")).toDF("k", "v")
+    // the default (ErrorIfExists) creates the table
+    base.write.format("graft")
+      .option("keyCols", "k").option("numBuckets", 4).save(dir)
+    assert(VersionedTable.read(spark, dir).count() === 10L)
+    assert(VersionedTable.snapshot(spark, dir).numBuckets === 4)
+    // ErrorIfExists refuses an existing table, loudly
+    val e1 = intercept[Exception] {
+      base.write.format("graft").option("keyCols", "k").save(dir)
+    }
+    assert(e1.getMessage.contains("already exists"))
+    // append = upsert + tombstones; the table's bucket count is reused
+    // (no numBuckets option on this write)
+    Seq((2L, "V2", false), (3L, "", true), (11L, "v11", false))
+      .toDF("k", "v", "del")
+      .write.format("graft").option("keyCols", "k")
+      .option("deleteCol", "del").mode("append").save(dir)
+    val state = VersionedTable.read(spark, dir)
+      .select($"k", $"v").as[(Long, String)].collect().toMap
+    assert(state.size === 10 && state(2L) === "V2" &&
+      !state.contains(3L) && state(11L) === "v11")
+    assert(VersionedTable.snapshot(spark, dir).numBuckets === 4,
+      "append must reuse the existing bucket count")
+    // Ignore leaves an existing table untouched
+    Seq((99L, "x")).toDF("k", "v").write.format("graft")
+      .option("keyCols", "k").mode("ignore").save(dir)
+    assert(VersionedTable.read(spark, dir).filter($"k" === 99L).isEmpty,
+      "SaveMode.Ignore must not merge into an existing table")
+    // Overwrite is refused by design
+    val e2 = intercept[Exception] {
+      base.write.format("graft").option("keyCols", "k")
+        .mode("overwrite").save(dir)
+    }
+    assert(e2.getMessage.contains("Overwrite"))
+    // missing keyCols names the option
+    val e3 = intercept[Exception] {
+      Seq((1L, "a")).toDF("k", "v").write.format("graft")
+        .mode("append").save(freshDir("nokeys"))
+    }
+    assert(e3.getMessage.contains("keyCols"))
+    // idempotent writer ledger through options: a replayed batch skips
+    val before = VersionedTable.versions(spark, dir).max
+    def txnWrite(): Unit = Seq((5L, "TXN")).toDF("k", "v")
+      .write.format("graft").option("keyCols", "k")
+      .option("txnAppId", "prov_app").option("txnVersion", "7")
+      .mode("append").save(dir)
+    txnWrite()
+    val after1 = VersionedTable.versions(spark, dir).max
+    assert(after1 === before + 1)
+    txnWrite() // replay: recognized, no phantom version
+    assert(VersionedTable.versions(spark, dir).max === after1)
+  }
 }
