@@ -42,7 +42,9 @@ object Excel {
     * reads through the right parser, the pandas behavior). */
   def read(spark: SparkSession, dir: String): Dataset[Xlsx.Cell] = {
     import spark.implicits._
-    spark.read.format("binaryFile").load(s"$dir/*.{xls,xlsx}")
+    // case-tolerant extensions (.XLS archives are common); Hadoop
+    // globs are case-sensitive, so both cases are listed explicitly
+    spark.read.format("binaryFile").load(s"$dir/*.{xls,xlsx,XLS,XLSX}")
       .select($"path", $"content").as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
         val name = path.substring(path.lastIndexOf('/') + 1)

@@ -184,12 +184,25 @@ object Pdf {
       password: Option[String] = None): DataFrame = {
     import spark.implicits._
     val eps = 0.01
+    // tabula's ruling-merge tolerance: real generators DOUBLE-DRAW
+    // rules (a stroke over a fill, or adjacent cell borders) at
+    // sub-point offsets — near-coincident cuts must collapse to one,
+    // or every such line splits its row/column into a sliver. A
+    // per-page sorted array fold (native higher-order `aggregate`, no
+    // UDF) keeps a cut only when it clears the previous by > 2pt.
+    def cluster(cuts: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      aggregate(slice(cuts, 2, 100000),
+        array(element_at(cuts, 1)),
+        (acc, c) => when(c - element_at(acc, -1) > lit(2.0),
+          concat(acc, array(c))).otherwise(acc))
     val rl = readRulings(spark, dir, password)
       .withColumn("horiz", abs($"y1" - $"y0") <= eps)
     val ycuts = rl.filter($"horiz").groupBy($"file", $"page")
-      .agg(sort_array(collect_set(round(($"y0" + $"y1") / 2, 1))).as("ycuts"))
+      .agg(cluster(sort_array(collect_set(round(($"y0" + $"y1") / 2, 2))))
+        .as("ycuts"))
     val xcuts = rl.filter(!$"horiz").groupBy($"file", $"page")
-      .agg(sort_array(collect_set(round(($"x0" + $"x1") / 2, 1))).as("xcuts"))
+      .agg(cluster(sort_array(collect_set(round(($"x0" + $"x1") / 2, 2))))
+        .as("xcuts"))
     val grid = ycuts.join(xcuts, Seq("file", "page"))
       .filter(size($"ycuts") >= 2 && size($"xcuts") >= 2)
     readPositioned(spark, dir, password).toDF()

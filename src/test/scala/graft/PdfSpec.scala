@@ -734,6 +734,63 @@ class PdfSpec extends SparkSpec {
     assert(nRulings >= 14L, s"expected the fixture's rulings, got $nRulings")
   }
 
+  test("lattice tolerance: double-drawn rules at sub-point offsets collapse to one cut") {
+    import spark.implicits._
+    // a 2×2 grid whose every rule is drawn TWICE, offset by 0.4pt —
+    // the stroke-over-fill shape real generators emit. Without the
+    // 2pt cut clustering each rule splits into two cuts and every
+    // row/column gains a sliver cell.
+    def grid(d: Double): String = {
+      val ys = Seq(700.0, 680.0, 660.0)
+      val xs = Seq(72.0, 172.0, 272.0)
+      (ys.map(y => s"72 ${y + d} m 272 ${y + d} l S") ++
+        xs.map(x => s"${x + d} 700 m ${x + d} 660 l S")).mkString("\n")
+    }
+    val text = Seq((1, 1, 80.0, 690.0, "a"), (1, 2, 180.0, 690.0, "b"),
+      (2, 1, 80.0, 670.0, "c"), (2, 2, 180.0, 670.0, "d"))
+      .map { case (_, _, x, y, t) => s"BT /F1 9 Tf $x $y Td ($t) Tj ET" }
+      .mkString("\n")
+    val content = grid(0.0) + "\n" + grid(0.4) + "\n" + text
+    val dir = graft.util.Scratch.dir("pdf_lattice_tol")
+    graft.util.Scratch.deleteRecursively(new java.io.File(dir))
+    new java.io.File(dir).mkdirs()
+    java.nio.file.Files.write(new java.io.File(dir, "t.pdf").toPath,
+      rawPdf(content))
+    val got = Pdf.tableLattice(spark, dir)
+      .select($"row_idx", $"col_idx", $"value")
+      .as[(Long, Long, String)].collect().toSet
+    assert(got === Set((1L, 1L, "a"), (1L, 2L, "b"),
+      (2L, 1L, "c"), (2L, 2L, "d")),
+      s"double-drawn rules must not split the grid: $got")
+  }
+
+  /** Minimal single-page PDF around a raw content stream (the shape
+    * assemblePdf builds, inlined here for a custom-ops fixture). */
+  private def rawPdf(content: String): Array[Byte] = {
+    val stream = content
+    val body = new StringBuilder
+    val offsets = scala.collection.mutable.ArrayBuffer[Int]()
+    body.append("%PDF-1.4\n")
+    def obj(num: Int, c: String): Unit = {
+      offsets += body.length
+      body.append(s"$num 0 obj\n$c\nendobj\n")
+    }
+    obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    obj(3, "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Resources << /Font << /F1 << /Type /Font /Subtype /Type1 " +
+      "/BaseFont /Helvetica >> >> >> /Contents 4 0 R >>")
+    offsets += body.length
+    body.append(s"4 0 obj\n<< /Length ${stream.length} >>\nstream\n")
+    body.append(stream)
+    body.append("\nendstream\nendobj\n")
+    val xrefAt = body.length
+    body.append(s"xref\n0 5\n0000000000 65535 f \n")
+    offsets.foreach(o => body.append(f"$o%010d 00000 n \n"))
+    body.append(s"trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF")
+    body.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+  }
+
   test("a REAL user password still fails loudly, with the real reason") {
     val bytes = Pdf.writePdfEncrypted(Seq(Seq("rahasia")), "rc4-128")
     // corrupt one byte inside the /U hex value: verification of the
