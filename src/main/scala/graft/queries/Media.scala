@@ -783,8 +783,13 @@ object Media extends QueryModule {
     * definition (m26/m28 discipline). */
   private def m29(s: SparkSession, d: String): DataFrame = {
     val dir = writePdfLatticeFixture(graft.util.Scratch.dir("pdf_lattice"))
+    // total order for the row-exact oracle compare WITHOUT a range
+    // sort over the scan itself (range partitioning SAMPLES its child,
+    // i.e. would parse every PDF a second time): shuffle the finished
+    // cells — tiny — to one partition, then sort within it.
     graft.sources.Pdf.tableAuto(s, dir)
-      .orderBy("file", "page", "row_idx", "col_idx")
+      .repartition(1)
+      .sortWithinPartitions("file", "page", "row_idx", "col_idx")
   }
   private val m29Sql =
     """SELECT file, page, row_idx, col_idx, value

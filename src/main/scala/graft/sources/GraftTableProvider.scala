@@ -82,9 +82,15 @@ final class GraftTableProvider extends RelationProvider
     val params = lower(parameters)
     val path = pathOf(params)
     val spark = sqlContext.sparkSession
+    // `versions` already answers `empty` for a missing table (it probes
+    // the log dir before listing); only a listing race with a concurrent
+    // vacuum can surface FileNotFoundException, which still means
+    // "absent". Any OTHER failure (permissions, FS outage) must
+    // propagate — swallowing it would let SaveMode.Ignore mutate a table
+    // it promised to leave alone, and ErrorIfExists lose its guard.
     val exists =
       try { VersionedTable.versions(spark, path).nonEmpty }
-      catch { case _: Exception => false }
+      catch { case _: java.io.FileNotFoundException => false }
     mode match {
       case SaveMode.Overwrite =>
         throw new IllegalArgumentException(

@@ -152,6 +152,9 @@ object Pdf {
   case class Ruling(file: String, page: Long,
       x0: Double, y0: Double, x1: Double, y1: Double)
 
+  case class Cell(file: String, page: Long, row_idx: Long, col_idx: Long,
+      value: String)
+
   /** Read every *.pdf under `dir` into RULING rows: the axis-aligned
     * line segments its content streams stroke (`m`/`l`/`re` + `S`-family
     * paint ops) or fill as thin bars (`re f`, ≤2pt across — the other
@@ -175,76 +178,63 @@ object Pdf {
     * define the cell grid directly, instead of inferring one from text
     * positions (the stream-mode [[tableRegion]]). Per (file, page):
     * horizontal rulings become row cuts, vertical rulings column cuts
-    * (clustered at 0.1pt), and each positioned text token lands in the
-    * cell its (x, y) falls in; a cell's tokens concatenate top-down,
-    * left-to-right. Pages whose rulings give less than a 2×2 grid emit
-    * nothing here — [[tableAuto]] routes them to the stream fallback.
-    * All work is per-(file, page) shuffle groups; no global state. */
+    * (near-coincident cuts merged at tabula's 2pt tolerance), and each
+    * positioned text token lands in the cell its (x, y) falls in; a
+    * cell's tokens concatenate top-down, left-to-right. Pages whose
+    * rulings give less than a 2×2 grid emit nothing here —
+    * [[tableAuto]] routes them to the stream fallback.
+    *
+    * Execution shape: the grid is a PURE PER-PAGE function of that
+    * page's tokens and rulings, so it is computed inside the
+    * connector's existing per-file parse ([[pageCellRows]]) — the same
+    * place the tokens are decoded. One binaryFile scan, ONE parse
+    * (xref + decrypt + inflate) per file, and ZERO shuffle: cells
+    * leave the scan stage finished. (The previous formulation built
+    * the grid with per-page DataFrame aggregates — correct, but it
+    * re-parsed the file once per consumer AND shuffled every token
+    * corpus-wide to group them by page; at a million-document scale
+    * that was a 3× crypto bill plus a token-sized exchange for work
+    * that never needed to leave the task.) PdfSpec pins one parse per
+    * file AND a single executed file scan.
+    *
+    * Output order is unspecified, like any Dataset: a global ORDER BY
+    * directly over this scan would make Spark's range partitioner
+    * SAMPLE the child — i.e. re-run the parse — so consumers needing
+    * total order should sort after a shuffle barrier (the m29 gate
+    * repartitions the finished cells, then sorts within the
+    * partition). */
   def tableLattice(spark: SparkSession, dir: String,
       password: Option[String] = None): DataFrame = {
     import spark.implicits._
-    val eps = 0.01
-    // tabula's ruling-merge tolerance: real generators DOUBLE-DRAW
-    // rules (a stroke over a fill, or adjacent cell borders) at
-    // sub-point offsets — near-coincident cuts must collapse to one,
-    // or every such line splits its row/column into a sliver. A
-    // per-page sorted array fold (native higher-order `aggregate`, no
-    // UDF) keeps a cut only when it clears the previous by > 2pt.
-    def cluster(cuts: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      aggregate(slice(cuts, 2, 100000),
-        array(element_at(cuts, 1)),
-        (acc, c) => when(c - element_at(acc, -1) > lit(2.0),
-          concat(acc, array(c))).otherwise(acc))
-    val rl = readRulings(spark, dir, password)
-      .withColumn("horiz", abs($"y1" - $"y0") <= eps)
-    val ycuts = rl.filter($"horiz").groupBy($"file", $"page")
-      .agg(cluster(sort_array(collect_set(round(($"y0" + $"y1") / 2, 2))))
-        .as("ycuts"))
-    val xcuts = rl.filter(!$"horiz").groupBy($"file", $"page")
-      .agg(cluster(sort_array(collect_set(round(($"x0" + $"x1") / 2, 2))))
-        .as("xcuts"))
-    val grid = ycuts.join(xcuts, Seq("file", "page"))
-      .filter(size($"ycuts") >= 2 && size($"xcuts") >= 2)
-    readPositioned(spark, dir, password).toDF()
-      .join(grid, Seq("file", "page"))
-      // only text INSIDE the outer borders belongs to the table
-      .filter($"x" > element_at($"xcuts", 1) && $"x" < element_at($"xcuts", -1) &&
-        $"y" > element_at($"ycuts", 1) && $"y" < element_at($"ycuts", -1))
-      // row = cuts strictly above the baseline (PDF y grows upward);
-      // col = cuts strictly left of the origin — both 1-based
-      .withColumn("row_idx",
-        size(filter($"ycuts", c => c > $"y")).cast("long"))
-      .withColumn("col_idx",
-        size(filter($"xcuts", c => c < $"x")).cast("long"))
-      .groupBy($"file", $"page", $"row_idx", $"col_idx")
-      .agg(array_join(transform(sort_array(collect_list(
-        struct((-$"y").as("ny"), $"x".as("x"), $"text".as("text")))),
-        t => t("text")), " ").as("value"))
-      .orderBy($"file", $"page", $"row_idx", $"col_idx")
+    spark.read.format("binaryFile").load(s"$dir/*.pdf")
+      .select($"path", $"content").as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val name = path.substring(path.lastIndexOf('/') + 1)
+        pageCellRows(bytes, password, streamFallback = false).map {
+          case (pg, r, c, v) => Cell(name, pg, r, c, v)
+        }
+      }.toDF()
   }
 
   /** Tabula's actual DEFAULT behavior: lattice where rulings exist,
     * stream-mode otherwise. Ruled pages produce [[tableLattice]] cells;
-    * pages with no usable grid fall back to the whole-page text grid
-    * (rows = distinct baselines top-down, columns left-to-right) —
-    * the same shape [[tableRegion]] crops. One anti-join routes pages;
-    * both paths stay per-(file, page). */
+    * pages with no usable grid (or whose grid captured no text) fall
+    * back to the whole-page text grid (rows = distinct baselines
+    * top-down, columns left-to-right) — the same shape [[tableRegion]]
+    * crops. The route is decided per page inside the one-parse
+    * per-file flatMap (see [[tableLattice]]'s execution note): one
+    * scan, one parse, zero shuffle. */
   def tableAuto(spark: SparkSession, dir: String,
       password: Option[String] = None): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.expressions.Window
-    val lat = tableLattice(spark, dir, password)
-    val ruledPages = lat.select($"file", $"page").distinct()
-    val rowW = Window.partitionBy($"file", $"page").orderBy($"y".desc)
-    val colW = Window.partitionBy($"file", $"page", $"y").orderBy($"x")
-    val stream = readPositioned(spark, dir, password).toDF()
-      .join(ruledPages, Seq("file", "page"), "left_anti")
-      .withColumn("row_idx", dense_rank().over(rowW).cast("long"))
-      .withColumn("col_idx", row_number().over(colW).cast("long"))
-      .select($"file", $"page", $"row_idx", $"col_idx",
-        $"text".as("value"))
-    lat.unionByName(stream)
-      .orderBy($"file", $"page", $"row_idx", $"col_idx")
+    spark.read.format("binaryFile").load(s"$dir/*.pdf")
+      .select($"path", $"content").as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val name = path.substring(path.lastIndexOf('/') + 1)
+        pageCellRows(bytes, password, streamFallback = true).map {
+          case (pg, r, c, v) => Cell(name, pg, r, c, v)
+        }
+      }.toDF()
   }
 
   // ---- parser (executor-side, JDK-only) -----------------------------
@@ -266,6 +256,7 @@ object Pdf {
     * whole-file scan. */
   private[graft] final class Doc(bytes: Array[Byte],
       password: Option[String] = None) {
+    docParses.incrementAndGet() // spec seam: one Doc = one full parse
     val raw = new String(bytes, ISO_8859_1) // byte-preserving view
     if (!raw.startsWith("%PDF-")) fail("missing %PDF- header")
 
@@ -1883,6 +1874,98 @@ object Pdf {
     }
   }
 
+  /** Parses started, across all entry points that construct a [[Doc]]
+    * (xref walk + decryption setup) — the spec seam proving the
+    * lattice/auto table readers parse each file exactly ONCE. Counts
+    * are JVM-wide; local-mode specs snapshot before/after an action. */
+  private[graft] val docParses = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** tabula's ruling-merge tolerance: real generators DOUBLE-DRAW
+    * rules (a stroke over a fill, or adjacent cell borders) at
+    * sub-point offsets — near-coincident cuts must collapse to one,
+    * or every such line splits its row/column into a sliver. Sorted
+    * fold keeping a cut only when it clears the previous by > 2pt. */
+  private def clusterCuts(mids: Seq[Double]): IndexedSeq[Double] = {
+    val sorted = mids.distinct.sorted
+    sorted.headOption.map { h =>
+      sorted.tail.foldLeft(Vector(h)) { (acc, c) =>
+        if (c - acc.last > 2.0) acc :+ c else acc
+      }
+    }.getOrElse(Vector.empty)
+  }
+
+  private def round2(v: Double): Double =
+    BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** ONE parse of one PDF payload → finished table-cell rows
+    * (page, row_idx, col_idx, value). The Doc (xref resolution +
+    * decryption setup) is built once; each page's content stream is
+    * located, decrypted, and inflated once; the text and path walkers
+    * both read the SAME decoded string; and the grid — a pure function
+    * of that page's tokens and rulings — is assembled right here, so
+    * nothing but finished cells ever leaves the scan task.
+    *
+    * Lattice rule per page: horizontal-ruling midpoints (rounded to
+    * 2 decimals) cluster into row cuts, vertical into column cuts
+    * (> 2pt tolerance, see [[clusterCuts]]); a page needs a 2×2 grid;
+    * tokens strictly inside the outer borders land in the cell whose
+    * cut intervals contain their (x, y); a cell's tokens concatenate
+    * sorted by (top-down, left-to-right, text). With `streamFallback`,
+    * a page whose lattice yields NO cells instead emits the whole-page
+    * text grid: rows are distinct baselines top-down (dense rank),
+    * columns left-to-right within a baseline — exactly the
+    * [[tableRegion]] shape. */
+  private[graft] def pageCellRows(bytes: Array[Byte],
+      password: Option[String], streamFallback: Boolean)
+      : Seq[(Long, Long, Long, String)] = {
+    val doc = new Doc(bytes, password)
+    val cmaps = scala.collection.mutable.Map[Int, Option[FontDec]]()
+    val fcache = scala.collection.mutable.Map[(Int, Option[String], Int), FormX]()
+    val eps = 0.01
+    pageObjs(doc).zipWithIndex.flatMap { case ((pageObj, res, geo), pi) =>
+      val content = pageContent(doc, pageObj)
+      val toks = walkContent(content, fontsOf(doc, res, cmaps),
+          formsOf(doc, res, cmaps, fcache))
+        .map { case (x, y, text) =>
+          val (dx, dy) = displayXY(geo, x, y)
+          (dx, dy, text)
+        }
+      val rulings = walkPaths(content).map { case (x0, y0, x1, y1) =>
+        val (dx0, dy0) = displayXY(geo, x0, y0)
+        val (dx1, dy1) = displayXY(geo, x1, y1)
+        (dx0, dy0, dx1, dy1)
+      }
+      val (horiz, vert) = rulings.partition(r => math.abs(r._4 - r._2) <= eps)
+      val ycuts = clusterCuts(horiz.map(r => round2((r._2 + r._4) / 2)))
+      val xcuts = clusterCuts(vert.map(r => round2((r._1 + r._3) / 2)))
+      val lattice: Seq[(Long, Long, String)] =
+        if (ycuts.size < 2 || xcuts.size < 2) Nil
+        else toks
+          // only text INSIDE the outer borders belongs to the table
+          .filter(t => t._1 > xcuts.head && t._1 < xcuts.last &&
+            t._2 > ycuts.head && t._2 < ycuts.last)
+          // row = cuts strictly above the baseline (PDF y grows
+          // upward); col = cuts strictly left of the origin — 1-based
+          .groupBy(t => (ycuts.count(_ > t._2).toLong,
+            xcuts.count(_ < t._1).toLong))
+          .toSeq.map { case ((r, c), ts) =>
+            (r, c, ts.sortBy(t => (-t._2, t._1, t._3)).map(_._3).mkString(" "))
+          }
+      val cells: Seq[(Long, Long, String)] =
+        if (lattice.nonEmpty || !streamFallback) lattice
+        else {
+          val rowOf = toks.map(_._2).distinct.sorted(Ordering[Double].reverse)
+            .zipWithIndex.map { case (y, i) => y -> (i + 1).toLong }.toMap
+          toks.groupBy(_._2).toSeq.flatMap { case (y, ts) =>
+            ts.sortBy(_._1).zipWithIndex.map { case (t, i) =>
+              (rowOf(y), (i + 1).toLong, t._3)
+            }
+          }
+        }
+      cells.map { case (r, c, v) => ((pi + 1).toLong, r, c, v) }
+    }
+  }
+
   /** Walk a decoded content stream's PATH operators and return the
     * axis-aligned segments it paints — the ruled lines a lattice table
     * is drawn with (§8.5): `m`/`l`/`h` polylines and `re` rectangle
@@ -1994,6 +2077,15 @@ object Pdf {
               fillThin += ((mx, p00._2, mx, p01._2))
             }
             cur = Some(p00); start = Some(p00)
+          case "BI" =>
+            // inline image (§8.9.7): raw sample bytes follow `ID` and are
+            // NOT content tokens — a '(' byte in them would swallow the
+            // rest of the stream via the literal-string skipper, and
+            // stray bytes can fabricate m/l/re operands. Same skip the
+            // text walker does: past ID, resume after the EI delimiter.
+            val id = content.indexOf("ID", i)
+            val ei = content.indexOf("EI", if (id < 0) i else id + 2)
+            i = if (ei < 0) n else ei + 2
           case op @ ("S" | "s" | "B" | "b" | "B*" | "b*") =>
             if (op == "s" || op == "b" || op == "b*")
               for (p <- cur; s0 <- start) seg(p, s0)

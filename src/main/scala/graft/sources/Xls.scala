@@ -285,12 +285,16 @@ object Xls {
       val sb = new java.lang.StringBuilder(cch)
       var left = cch
       var wide = wide0
-      var started = false
       while (left > 0) {
         ensure()
         if (!hasMore) fail("SST truncated (chars)")
-        if (started && pos == 0) wide = (u8() & 1) == 1
-        started = true
+        // character data beginning at offset 0 of a continuation chunk
+        // is ALWAYS preceded by a fresh flags byte (§2.5.293) — even on
+        // the first iteration, i.e. when the record boundary fell
+        // exactly between the string's header and its first character.
+        // (chars can only start at pos 0 of chunk 0 if there were no
+        // header bytes before them, which string() makes impossible.)
+        if (pos == 0 && ci > 0) wide = (u8() & 1) == 1
         val avail = chunks(ci).length - pos
         val width = if (wide) 2 else 1
         val take = math.min(left, avail / width)
@@ -450,8 +454,9 @@ object Xls {
           case Some((EOFr, _, _)) => sdone = true
           case Some((LABELSST, p, _)) =>
             val idx = u32(p, 6).toInt
-            put(u16(p, 0), u16(p, 2),
-              sst.lift(idx).getOrElse(idx.toString))
+            put(u16(p, 0), u16(p, 2), sst.lift(idx).getOrElse(fail(
+              s"LABELSST index $idx out of range (SST has ${sst.length} " +
+                "strings) — corrupt or mis-stitched shared string table")))
           case Some((LABEL, p, _)) =>
             val (s, _) = inlineString(p, 6, short = false)
             put(u16(p, 0), u16(p, 2), s)
@@ -543,7 +548,8 @@ object Xls {
     * XInt cells in a row become one MULRK record. Deterministic
     * bytes. */
   def writeXls(sheets: Seq[XlsSheet], date1904: Boolean = false,
-      splitSst: Boolean = false, padTo: Int = 0): Array[Byte] = {
+      splitSst: Boolean = false, splitSstAtHeader: Boolean = false,
+      sstIndexBump: Int = 0, padTo: Int = 0): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def w8(v: Int): Unit = out.write(v & 0xff)
     def w16(v: Int): Unit = { w8(v); w8(v >> 8) }
@@ -612,6 +618,22 @@ object Xls {
       }
       rec(0xFC, sstPart)
       rec(0x3C, contPart)
+    } else if (splitSstAtHeader && strings.nonEmpty) {
+      // the nastier §2.5.293 shape: the record boundary falls EXACTLY
+      // between the last string's header and its first character — the
+      // continuation still leads with a fresh flags byte, here flipping
+      // the string to wide chars to make a mis-read unmissable
+      val head = strings.dropRight(1)
+      val last = strings.last
+      rec(0xFC, bb { b =>
+        p32(b, total.toLong); p32(b, strings.size.toLong)
+        head.foreach(pstr(b, _))
+        p16(b, last.length); b.write(0) // header only; zero chars consumed
+      })
+      rec(0x3C, bb { b =>
+        b.write(1) // fresh flags byte: continuation switches to WIDE
+        last.foreach(ch => p16(b, ch.toInt))
+      })
     } else if (strings.nonEmpty) {
       rec(0xFC, bb { b =>
         p32(b, total.toLong); p32(b, strings.size.toLong)
@@ -669,7 +691,8 @@ object Xls {
           case XStr(s) =>
             rec(0xFD, bb { b =>
               p16(b, r - 1); p16(b, c - 1); p16(b, IxfeGeneral)
-              p32(b, sstStrings(s).toLong)
+              // sstIndexBump simulates a corrupt/mis-stitched SST ref
+              p32(b, (sstStrings(s) + sstIndexBump).toLong)
             })
             i += 1
           case XNum(d) =>

@@ -39,4 +39,19 @@ object PlanMetrics {
         "frame must read files, or the metric is vacuously 0")
     found.map(_.metrics("numFiles").value).sum
   }
+
+  /** Execute `df` and return how many DISTINCT file-scan operators its
+    * executed plan ran — plan-tree references deduped by node identity
+    * (`SparkPlan.id`), so a scan reached twice through exchange/stage
+    * reuse counts ONCE, while a genuinely re-planned second scan of
+    * the same source counts twice. The pin for "this multi-consumer
+    * query reads its files exactly once". */
+  def distinctFileScans(df: DataFrame): Int = {
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    scans(plan).map(_.id).distinct.size
+  }
 }

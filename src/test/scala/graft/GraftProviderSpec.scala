@@ -154,4 +154,39 @@ class GraftProviderSpec extends SparkSpec {
     txnWrite() // replay: recognized, no phantom version
     assert(VersionedTable.versions(spark, dir).max === after1)
   }
+
+  test("exists-probe: a genuine FS failure propagates instead of reading as 'absent'") {
+    // a throwing FileSystem behind its own scheme — if the write path
+    // swallowed this as "table absent", SaveMode.Ignore would proceed
+    // to mutate a table it promised to leave alone, and the user would
+    // chase a misleading create-path error instead of the outage
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.failfs.impl", classOf[FailingFs].getName)
+    spark.sparkContext.hadoopConfiguration
+      .setBoolean("fs.failfs.impl.disable.cache", true)
+    Seq(org.apache.spark.sql.SaveMode.Ignore,
+        org.apache.spark.sql.SaveMode.ErrorIfExists).foreach { mode =>
+      val e = intercept[java.io.IOException] {
+        Seq((1L, "a")).toDF("k", "v").write.format("graft")
+          .option("keyCols", "k").mode(mode).save("failfs://host/tbl")
+      }
+      assert(e.getMessage.contains("simulated FS outage"),
+        s"$mode must surface the real failure, got: ${e.getMessage}")
+    }
+  }
+}
+
+/** Test-only FileSystem whose metadata calls always fail — simulates a
+  * permissions/outage error that is NOT "table absent". */
+class FailingFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "failfs"
+  override def getUri: java.net.URI = java.net.URI.create("failfs://host")
+  override def exists(p: org.apache.hadoop.fs.Path): Boolean =
+    throw new java.io.IOException("simulated FS outage")
+  override def listStatus(p: org.apache.hadoop.fs.Path)
+      : Array[org.apache.hadoop.fs.FileStatus] =
+    throw new java.io.IOException("simulated FS outage")
+  override def getFileStatus(p: org.apache.hadoop.fs.Path)
+      : org.apache.hadoop.fs.FileStatus =
+    throw new java.io.IOException("simulated FS outage")
 }

@@ -710,6 +710,14 @@ class PdfSpec extends SparkSpec {
     assert(segs("BT (10 20 m 99 20 l S) Tj ET") === Set.empty)
     // curves are not rulings; their operands clear at the op
     assert(segs("0 0 m 10 0 10 10 20 10 c S") === Set.empty)
+    // inline images (BI..ID..EI): raw sample bytes are NOT tokens — a
+    // '(' byte must not swallow the stream via the literal-string
+    // skipper, and path-looking bytes must not fabricate rulings
+    assert(segs("BI /W 2 /H 2 /BPC 8 /CS /G ID ( ÿ 9 9 m 5 9 l S EI 5 5 m 9 5 l S") ===
+      Set((5.0, 5.0, 9.0, 5.0)),
+      "bytes after ID must be skipped whole, tokenizing resumes after EI")
+    // an unterminated inline image degrades to end-of-stream, not a hang
+    assert(segs("5 5 m 9 5 l S BI /W 1 ID (((") === Set((5.0, 5.0, 9.0, 5.0)))
   }
 
   test("tableAuto: lattice grids on ruled pages, stream rows on unruled ones") {
@@ -732,6 +740,38 @@ class PdfSpec extends SparkSpec {
     // rulings surface through the public reader too, rotated-space like text
     val nRulings = Pdf.readRulings(spark, dir).count()
     assert(nRulings >= 14L, s"expected the fixture's rulings, got $nRulings")
+  }
+
+  test("tableAuto parses each file exactly ONCE (xref + decrypt + inflate)") {
+    import spark.implicits._
+    val dir = graft.util.Scratch.dir("pdf_oneparse_spec")
+    graft.util.Scratch.deleteRecursively(new java.io.File(dir))
+    new java.io.File(dir).mkdirs()
+    // two files: one ruled + unruled mix, one plain-text — both table
+    // routes exercised in the same action
+    java.nio.file.Files.write(
+      new java.io.File(dir, "a.pdf").toPath,
+      Pdf.writePdfRuled(graft.queries.Media.pdfLatticeFixture))
+    java.nio.file.Files.write(
+      new java.io.File(dir, "b.pdf").toPath,
+      Pdf.writePdf(Seq(Seq("halaman polos", "dua baris"))))
+    val auto = Pdf.tableAuto(spark, dir)
+    val before = Pdf.docParses.get()
+    // ONE executed file scan in the whole multi-consumer plan: the
+    // lattice branch, the ruled-pages anti-join, and the stream
+    // fallback all reuse the per-page rollup exchange
+    assert(graft.util.PlanMetrics.distinctFileScans(auto) === 1,
+      "lattice + fallback must share one binaryFile scan")
+    val parses = Pdf.docParses.get() - before
+    assert(parses === 2L,
+      s"tableAuto over 2 files must parse exactly 2 times, measured $parses")
+    // and the cells are still right (content unchanged by the rewiring)
+    assert(auto.filter($"file" === "b.pdf").count() === 2L)
+    // tableLattice alone: also a single parse per file
+    val before2 = Pdf.docParses.get()
+    Pdf.tableLattice(spark, dir).collect()
+    assert(Pdf.docParses.get() - before2 === 2L,
+      "tableLattice must not parse rulings and tokens separately")
   }
 
   test("lattice tolerance: double-drawn rules at sub-point offsets collapse to one cut") {

@@ -1320,4 +1320,26 @@ class VersionedTableSpec extends SparkSpec {
     assert(txns.get("writerA").contains(1L) && txns.get("writerB").contains(1L),
       s"rebase must merge both ledgers, got $txns")
   }
+  test("SerializableHadoopConf survives Java AND Kryo serialization") {
+    val conf = new org.apache.hadoop.conf.Configuration(false)
+    conf.set("graft.test.key", "value-42")
+    val wrapped = new graft.util.SerializableHadoopConf(conf)
+    // Java serialization (the default closure/broadcast path)
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(wrapped); oos.close()
+    val viaJava = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+      .readObject().asInstanceOf[graft.util.SerializableHadoopConf]
+    assert(viaJava.value.get("graft.test.key") === "value-42")
+    // Kryo (spark.serializer=KryoSerializer deployments): bypasses
+    // writeObject/readObject hooks entirely — a hook-based wrapper
+    // arrives with a null Configuration and the distributed
+    // footer-stats job NPEs; the snapshot-based wrapper must not
+    val kser = new org.apache.spark.serializer.KryoSerializer(
+      new org.apache.spark.SparkConf(false)).newInstance()
+    val viaKryo = kser.deserialize[graft.util.SerializableHadoopConf](
+      kser.serialize(wrapped))
+    assert(viaKryo.value.get("graft.test.key") === "value-42")
+  }
 }

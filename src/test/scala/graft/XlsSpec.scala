@@ -83,6 +83,26 @@ class XlsSpec extends SparkSpec {
     assert(got.contains((1L, 1L, "baris panjang nomor 001")))
   }
 
+  test("SST boundary EXACTLY after a string header: continuation flags byte re-read") {
+    // the record break falls between the last string's header and its
+    // first character — zero chars consumed when the CONTINUE starts.
+    // The fixture's continuation flips to WIDE chars, so consuming the
+    // flags byte as character data garbles the string unmissably.
+    val sheets = Seq(XlsSheet("Data", cells = Seq(
+      (1, 1, XStr("pertama")), (2, 1, XStr("header-split")))))
+    val bytes = writeXls(sheets, splitSstAtHeader = true)
+    val got = cellsOf(bytes).map { case (_, _, r, c, v) => (r, c, v) }.toSet
+    assert(got === Set((1L, 1L, "pertama"), (2L, 1L, "header-split")))
+  }
+
+  test("LABELSST index out of SST range fails loudly, not as plausible data") {
+    val bytes = writeXls(Seq(XlsSheet("S", Seq((1, 1, XStr("x"))))),
+      sstIndexBump = 5)
+    val e = intercept[IllegalArgumentException] { Xls.parseWorkbook(bytes) }
+    assert(e.getMessage.contains("corrupt XLS"))
+    assert(e.getMessage.contains("LABELSST") && e.getMessage.contains("5"))
+  }
+
   test("wide (UTF-16) strings and sheet names; 1904 date system") {
     val sheets = Seq(XlsSheet("Ringkasan–ü",
       cells = Seq((1, 1, XStr("naïve — résumé ±µ")), (2, 1, XDate("2024-03-31")))))
