@@ -96,8 +96,42 @@ object Bench {
       try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/stat"))
         .linesIterator.next().trim.split("\\s+")(8).toLong
       catch { case _: Exception => -1L }
+    // SECOND admission signal (BASELINE.md r12-r13: this host's
+    // throttle windows steal CPU the steal counter undercounts — the
+    // sf1 record chain showed wall as noise between similar-steal
+    // runs): PSI /proc/pressure/cpu `some total` counts EVERY
+    // microsecond any runnable task here waited for a CPU, whatever
+    // the cause — hypervisor steal, co-tenant burst, or cgroup
+    // throttling — so a run that "looked quiet on steal" but stalled
+    // is machine-detectable.
+    def cpuStallUsec(): Long =
+      try {
+        val line = java.nio.file.Files.readString(
+            java.nio.file.Paths.get("/proc/pressure/cpu"))
+          .linesIterator.find(_.startsWith("some")).getOrElse("")
+        "total=(\\d+)".r.findFirstMatchIn(line)
+          .map(_.group(1).toLong).getOrElse(-1L)
+      } catch { case _: Exception => -1L }
+    // cgroup CFS throttling, recorded alongside (v2 cpu.stat
+    // throttled_usec, else v1 throttled_time in ns): zero on this host
+    // today, but a quota'd deployment would see its bench ceilings here
+    def cpuThrottledUsec(): Long =
+      try {
+        val v2 = java.nio.file.Paths.get("/sys/fs/cgroup/cpu.stat")
+        val v1 = java.nio.file.Paths.get("/sys/fs/cgroup/cpu/cpu.stat")
+        if (java.nio.file.Files.exists(v2))
+          java.nio.file.Files.readString(v2).linesIterator
+            .find(_.startsWith("throttled_usec"))
+            .map(_.split("\\s+")(1).toLong).getOrElse(-1L)
+        else
+          java.nio.file.Files.readString(v1).linesIterator
+            .find(_.startsWith("throttled_time"))
+            .map(_.split("\\s+")(1).toLong / 1000L).getOrElse(-1L)
+      } catch { case _: Exception => -1L }
     val loadStart = loadAvg()
     val stealStart = stealTicks()
+    val stallStart = cpuStallUsec()
+    val throttledStart = cpuThrottledUsec()
     // one end-read shared by both outputs (two separate reads could
     // disagree), and -1 propagates as the EXPLICIT error marker instead
     // of being subtracted through (start -1 + good end = end+1 bogus;
@@ -105,6 +139,14 @@ object Bench {
     def stealDelta(): Long = {
       val end = stealTicks()
       if (stealStart < 0 || end < 0) -1L else end - stealStart
+    }
+    def stallDelta(): Long = {
+      val end = cpuStallUsec()
+      if (stallStart < 0 || end < 0) -1L else end - stallStart
+    }
+    def throttledDelta(): Long = {
+      val end = cpuThrottledUsec()
+      if (throttledStart < 0 || end < 0) -1L else end - throttledStart
     }
     var failed = List.empty[String]
     // optional args = query-name filter (substring match) for focused
@@ -142,6 +184,8 @@ object Bench {
       Double.box(v))
     val total = results.values.map(_._1).filter(_ > 0).sum
     val stealRun = stealDelta() // captured once; both outputs record the same figure
+    val stallRun = stallDelta()
+    val throttledRun = throttledDelta()
     val fullFailedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // cap the PRINTED failure list — a mass failure must not push the
     // JSON line's head out of the driver's ~2000-char capture window
@@ -158,7 +202,7 @@ object Bench {
       .map { case (k, (v, st, cpu, run, l0, l1)) =>
         val errField = if (v < 0) ""","err":true""" else ""
         s"""\"$k\":{"sec":${j(math.max(v, 0))},"stages":$st,"cpu_ms":$cpu,"run_ms":$run,"load":[${j(l0)},${j(l1)}]$errField}""" }
-      .mkString(s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${results.size},"load_start":${j(loadStart)},"load_end":${j(loadAvg())},"steal_ticks":$stealRun,"queries":{""",
+      .mkString(s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${results.size},"load_start":${j(loadStart)},"load_end":${j(loadAvg())},"steal_ticks":$stealRun,"cpu_stall_usec":$stallRun,"cpu_throttled_usec":$throttledRun,"queries":{""",
         ",", s"""},"failed":$fullFailedJson,"sf":"$sfDir"}""")
     // Record-file protocol (two rounds of clobbered quiet records forced
     // this to be structural, not procedural):
@@ -191,10 +235,19 @@ object Bench {
           case None => true // no incumbent
           case Some(t) =>
             val (oldN, oldSteal) = (field(t, "n_queries"), field(t, "steal_ticks"))
+            // PSI stall is the SECOND admission signal (r13 finding:
+            // throttle windows steal CPU the steal counter undercounts,
+            // so similar-steal runs differed 20 s on pure wall noise).
+            // An incumbent predating the field (MinValue) or an
+            // unreadable PSI (-1) degrades to the steal-only rule.
+            val oldStall = field(t, "cpu_stall_usec")
+            val stallOk = oldStall == Long.MinValue || oldStall < 0 ||
+              (stallRun >= 0 && stallRun <= oldStall)
             if (oldN == Long.MinValue) true // unparseable incumbent
             else if (results.size > oldN && failed.isEmpty) true
             else failed.isEmpty && results.size >= oldN &&
-              (oldSteal < 0 || (stealRun >= 0 && stealRun <= oldSteal))
+              (oldSteal < 0 || (stealRun >= 0 && stealRun <= oldSteal)) &&
+              stallOk
         }
         if (replace) { writeFile(s"bench_full_$sfLabel.json"); "updated" }
         else {
@@ -213,7 +266,7 @@ object Bench {
     val top20 = sorted.take(20)
     val top = top20.map { case (k, (v, _, _, _, _, _)) => s"\"$k\":${j(math.max(v, 0))}" }.mkString(",")
     val topM = top20.map { case (k, (_, st, cpu, run, _, _)) => s"\"$k\":[$st,$cpu,$run]" }.mkString(",")
-    println(s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${results.size},"load":[${j(loadStart)},${j(loadAvg())}],"steal":$stealRun,"record":"$recordStatus","queries":{$top},"m":{$topM},"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${j(total)},"unit":"sec","n_queries":${results.size},"load":[${j(loadStart)},${j(loadAvg())}],"steal":$stealRun,"stall_us":$stallRun,"record":"$recordStatus","queries":{$top},"m":{$topM},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -840,6 +840,67 @@ object StudyBench {
       .stripMargin.replace("\n", "")
   }
 
+  // ---- manifest/history scale: snapshot & sweep cost vs commit count
+
+  /** Does snapshot load stay flat at 10⁴ commits, and what does the
+    * publish sweep cost against a long feed-less history? The table is
+    * real (8 commits); depth is then fabricated by cloning the head
+    * manifest with bumped version numbers — valid manifests whose
+    * owners point at the real files, so `snapshot`/`history` parse
+    * exactly what a long-lived table's log holds, without paying 10⁴
+    * Spark write jobs to measure an FS-layer cost. `sweep_cold` is the
+    * pre-watermark behavior (marker deleted: the sweep re-opens every
+    * feed-less manifest); `sweep_warm` is the post-watermark steady
+    * state every commit actually pays. */
+  private def manifestScaleStudy(s: SparkSession): String = {
+    import s.implicits._
+    val dir = graft.util.Scratch.dir("study_manifest_scale")
+    graft.util.Scratch.deleteRecursively(new java.io.File(dir))
+    (0 until 8).foreach { i =>
+      graft.sources.VersionedTable.merge(s, dir,
+        Seq((i.toLong, s"v$i")).toDF("k", "v"), Seq("k"), numBuckets = 4)
+    }
+    val log = java.nio.file.Paths.get(dir, "_log")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val head = mapper.readTree(java.nio.file.Files.readAllBytes(
+        log.resolve("00000007.json")))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    head.remove("cdcDir"); head.remove("cdcSchema")
+    var fabricated = 8
+    def fabricate(upTo: Int): Unit = {
+      (fabricated until upTo).foreach { v =>
+        head.put("version", v.toLong)
+        java.nio.file.Files.write(log.resolve(f"$v%08d.json"),
+          mapper.writeValueAsBytes(head))
+      }
+      fabricated = math.max(fabricated, upTo)
+    }
+    val wm = java.nio.file.Paths.get(dir, "_feed", "_swept")
+    val entries = Seq(128, 1024, 10240).map { n =>
+      fabricate(n)
+      java.nio.file.Files.deleteIfExists(wm)
+      val (_, coldSweep) = time(graft.sources.VersionedTable.publishFeeds(s, dir))
+      val (_, warmSweep) = time(graft.sources.VersionedTable.publishFeeds(s, dir))
+      val (vs, tVers) = time(graft.sources.VersionedTable.versions(s, dir))
+      val (_, tSnap) = time(graft.sources.VersionedTable.snapshot(s, dir))
+      // history() is O(commits) manifest reads BY CONTRACT (it reports
+      // every version); measured to document the slope users pay
+      val (_, tHist) =
+        if (n <= 1024) time(graft.sources.VersionedTable.history(s, dir).count())
+        else (0L, -1.0)
+      s""""commits_$n":{"versions_sec":${j(tVers)},"snapshot_sec":${j(tSnap)},
+         |"sweep_cold_sec":${j(coldSweep)},"sweep_warm_sec":${j(warmSweep)},
+         |"history_sec":${j(tHist)},"n_listed":${vs.size}}"""
+        .stripMargin.replace("\n", "")
+    }
+    // a real merge at full depth: the end-to-end commit cost including
+    // listing, snapshot load, and the (watermarked) sweep
+    val (_, tMerge) = time(graft.sources.VersionedTable.merge(s, dir,
+      Seq((999L, "deep")).toDF("k", "v"), Seq("k"), numBuckets = 4))
+    s""""manifest_scale":{${entries.mkString(",")},
+       |"merge_at_10k_sec":${j(tMerge)}}""".stripMargin.replace("\n", "")
+  }
+
   def main(args: Array[String]): Unit = {
     val pos = args.filterNot(_.startsWith("only="))
     val sf01 = pos.headOption.getOrElse("/root/testdata/sf0.1")
@@ -861,6 +922,7 @@ object StudyBench {
     val parts11 = Seq.newBuilder[String] // round-11-brief studies → study_r11.json
     val parts12 = Seq.newBuilder[String] // round-12 studies → study_r12.json
     val parts13 = Seq.newBuilder[String] // round-13 studies → study_r13.json
+    val parts14 = Seq.newBuilder[String] // round-14 studies → study_r14.json
     if (want("containment")) parts += containmentSweep(spark, "sf01", sf01)
     if (want("ann")) parts += annFilterStudy(spark, sf01)
     if (want("statestore")) parts += stateStoreStudy(spark, "sf01", sf01)
@@ -872,6 +934,7 @@ object StudyBench {
     if (want("skipping")) parts12 += dataSkippingStudy(spark, "sf01", sf01)
     if (want("statscost")) parts13 += statsCostStudy(spark, "sf01", sf01)
     if (want("e27probe")) parts13 += e27ProbeStudy(spark, "sf01", sf01)
+    if (want("manifestscale")) parts14 += manifestScaleStudy(spark)
     sf1.foreach { d =>
       if (want("containment")) parts += containmentSweep(spark, "sf1", d)
       if (want("skew")) parts += skewStudy(spark, d)
@@ -903,6 +966,7 @@ object StudyBench {
     writeMerged("study_r11.json", parts11.result())
     writeMerged("study_r12.json", parts12.result())
     writeMerged("study_r13.json", parts13.result())
+    writeMerged("study_r14.json", parts14.result())
     spark.stop()
   }
 }

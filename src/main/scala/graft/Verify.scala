@@ -53,6 +53,8 @@ object Verify {
         .coalesce(1).write.mode("overwrite").parquet(s"$fixDir/pdf_pwd_expected")
       graft.queries.Media.pdfLatticeExpected(spark)
         .coalesce(1).write.mode("overwrite").parquet(s"$fixDir/pdf_lattice_expected")
+      graft.queries.Media.pdfFontProgExpected(spark)
+        .coalesce(1).write.mode("overwrite").parquet(s"$fixDir/pdf_fontprog_expected")
       graft.queries.Media.xlsExpected(spark)
         .coalesce(1).write.mode("overwrite").parquet(s"$fixDir/xls_expected")
       graft.queries.Media.pixelsExpected(spark)

@@ -1237,6 +1237,71 @@ object Eventing extends QueryModule {
       .orderBy(col("last_type"))
   }
 
+  /** e30 — the SAME loop as e27, consumed through
+    * `readStream.format("graft")` (GraftChangeFeedSource) instead of
+    * the programmatic `changeFeedStream`: a stream consumer names the
+    * format like the batch side (the Delta CDF streaming UX) with the
+    * table's commit version as the offset domain. Certified against
+    * e27's relational oracle, so the provider-path stream's rows are
+    * proven interchangeable with the file-source path's end to end
+    * (merge → publish → provider stream → table-to-table IVM). Two
+    * merge slices keep the staging lean; convergence is slicing-
+    * independent because the upserts are keyed and `maintain`'s
+    * algebra is linear. */
+  private def e30(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val run = streamRunId.incrementAndGet()
+    val table = graft.util.Scratch.dir(s"e30_vtab_$run")
+    graft.util.Scratch.deleteRecursively(new java.io.File(table))
+    def slice(pred: Column): DataFrame = ev.filter(pred)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+        col("value"))).as("last"))
+      .select(col("user_id"),
+        col("last.ts").as("last_ts"),
+        col("last.event_id").as("last_event_id"),
+        col("last.event_type").as("last_type"),
+        col("last.value").as("last_value"))
+      .withColumn("del", col("last_type") === "error")
+    Seq(dayofmonth(col("ts")) <= 15, dayofmonth(col("ts")) > 15)
+      .foreach(p => graft.sources.VersionedTable.merge(s, table, slice(p),
+        Seq("user_id"), Some("del"), numBuckets = 16))
+    def rollup(df: DataFrame): DataFrame = df
+      .withColumn("cents", expr("cast(round(last_value * 100) as bigint)"))
+      .groupBy(col("last_type"))
+      .agg(count(lit(1)).as("n_users"), sum(col("cents")).as("cents"))
+    val viewTable = graft.util.Scratch.dir(s"e30_view_$run")
+    graft.util.Scratch.deleteRecursively(new java.io.File(viewTable))
+    graft.sources.VersionedTable.merge(s, viewTable,
+      rollup(graft.sources.VersionedTable.read(s, table, Some(0L))),
+      Seq("last_type"), numBuckets = 4)
+    val ckpt =
+      java.nio.file.Files.createTempDirectory("graft_e30_ckpt").toString
+    val ns = s.newSession()
+    ns.conf.set("spark.sql.shuffle.partitions", "8")
+    val applyBatch: (DataFrame, Long) => Unit = (batch, _) => {
+      val ss = batch.sparkSession
+      val feed = batch
+        .withColumn("cents", expr("cast(round(last_value * 100) as bigint)"))
+        .select(col("change"), col("last_type"), col("cents"))
+      graft.sources.VersionedTable.maintainTable(
+        ss, viewTable, feed, Seq("last_type"), "n_users", Seq("cents"))
+      ()
+    }
+    val q = ns.readStream.format("graft").load(table)
+      .writeStream
+      .foreachBatch(applyBatch)
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.sources.VersionedTable.read(s, viewTable)
+      .select(col("last_type"), col("n_users"),
+        (col("cents") / 100.0).as("total_value"))
+      .orderBy(col("last_type"))
+  }
+
   private val e27Sql =
     """WITH final AS (
          SELECT user_id, event_type, value
@@ -1252,6 +1317,7 @@ object Eventing extends QueryModule {
     "e28_stream_mor_ingest" -> e28 _,
     "e29_stream_exactly_once" -> e29 _,
     "e27_stream_feed_maintain" -> e27 _,
+    "e30_stream_graft_source" -> e30 _,
     "e26_stream_cdc_merge" -> e26 _,
     "e25_stream_anomaly" -> e25 _,
     "e24_update_mode" -> e24 _,
@@ -1282,6 +1348,9 @@ object Eventing extends QueryModule {
 
   val oracle: Map[String, String] = Map(
     "e27_stream_feed_maintain" -> e27Sql,
+    // the provider-path stream must be row-interchangeable with the
+    // programmatic feed stream: same oracle as e27
+    "e30_stream_graft_source" -> e27Sql,
     "e26_stream_cdc_merge" -> e26Sql,
     // MoR layering + compaction must be invisible: same oracle as e26
     "e28_stream_mor_ingest" -> e26Sql,

@@ -719,6 +719,58 @@ object Media extends QueryModule {
        FROM read_parquet('__FIXTURES__/pdf_pwd_expected/*.parquet')
        ORDER BY cred, file, page, line_no"""
 
+  /** FONT-PROGRAM fixture (no /ToUnicode, no standard /Encoding —
+    * text recoverable ONLY from the embedded programs' own tables):
+    * (font kind, line text). Font 1 = simple TrueType via symbolic
+    * cmap (3,0)+(3,1); font 2 = Type1 builtin encoding; font 3 =
+    * Type0/Identity-H CID via inverted (3,1) alone. */
+  def pdfFontProgFixture: Seq[(Int, String)] = Seq(
+    (1, "NERACA KONSOLIDASIAN"),
+    (1, "Jumlah aset 2.300"),
+    (2, "Kas dan setara kas"),
+    (2, "CALK 3: piutang"),
+    (3, "LAPORAN ARUS KAS"),
+    (3, "Saldo akhir 88"))
+
+  def writePdfFontProgFixture(dir: String): String = {
+    val d = new java.io.File(dir)
+    d.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(d, "font_prog.pdf").toPath,
+      graft.sources.Pdf.writePdfFontProg(pdfFontProgFixture))
+    d.getAbsolutePath
+  }
+
+  /** Expected rows straight from the fixture definition. */
+  def pdfFontProgExpected(s: SparkSession): DataFrame = {
+    import s.implicits._
+    pdfFontProgFixture.zipWithIndex.map { case ((_, text), li) =>
+      ("font_prog.pdf", 1L, li.toLong, text)
+    }.toDF("file", "page", "line_no", "text")
+  }
+
+  /** m31 — embedded-font text recovery (the fitz behavior the
+    * reference relies on for pre-2010 filings, mainTesting.py:217-254):
+    * subsetted fonts with NEITHER /ToUnicode NOR a standard /Encoding
+    * decode through the embedded font program's own tables — a
+    * TrueType `cmap` (symbolic (3,0) codes composed with the inverted
+    * (3,1) unicode subtable), a Type1 builtin /Encoding array, and an
+    * Identity-H CID font whose 2-byte codes are glyph ids. The code
+    * assignment is deliberately NON-identity, so a Latin-1 passthrough
+    * cannot fake a pass. Oracle replays the fixture definition (m26
+    * discipline). */
+  private def m31(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = writePdfFontProgFixture(graft.util.Scratch.dir("pdf_fontprog"))
+    graft.sources.Pdf.read(s, dir)
+      .select($"file", $"page", $"line_no", $"text")
+      .orderBy("file", "page", "line_no")
+  }
+  private val m31Sql =
+    """SELECT file, page, line_no, text
+       FROM read_parquet('__FIXTURES__/pdf_fontprog_expected/*.parquet')
+       ORDER BY file, page, line_no"""
+
   /** RULED-TABLE (lattice) fixture: three encoder shapes —
     *   page 1: stroked grid (outer `re S`, inner `m/l S`), one cell
     *     holding TWO tokens (concatenation order is load-bearing);
@@ -1567,6 +1619,7 @@ object Media extends QueryModule {
     "m28_pdf_password" -> m28 _,
     "m29_pdf_lattice" -> m29 _,
     "m30_xls_legacy" -> m30 _,
+    "m31_pdf_fontprog" -> m31 _,
     "p04_pdf_report" -> p04 _,
   )
 
@@ -1667,6 +1720,7 @@ object Media extends QueryModule {
     "m28_pdf_password" -> m28Sql,
     "m29_pdf_lattice" -> m29Sql,
     "m30_xls_legacy" -> m30Sql,
+    "m31_pdf_fontprog" -> m31Sql,
     "p04_pdf_report" -> p04Sql,
   )
 }

@@ -1,7 +1,10 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SQLContext}
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
 
 /** `format("graft")` / `USING graft` — the versioned table as a
   * first-class Spark data source (the Delta UX), both directions:
@@ -47,7 +50,8 @@ import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, Da
   * travel MySQL never had.
   */
 final class GraftTableProvider extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with StreamSourceProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft"
 
@@ -131,4 +135,62 @@ final class GraftTableProvider extends RelationProvider
     val sn = VersionedTable.snapshot(spark, path, None)
     VersionedScan.baseRelation(spark, path, sn, None)
   }
+
+  // ---- streaming read: spark.readStream.format("graft").load(path) --
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    require(schema.isEmpty,
+      "the graft stream's schema is the table's own feed schema — " +
+        "drop the .schema(...) call")
+    val path = pathOf(lower(parameters))
+    (shortName(), VersionedTable.feedStreamSchema(
+      sqlContext.sparkSession, path))
+  }
+
+  override def createSource(sqlContext: SQLContext,
+      metadataPath: String, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): Source =
+    new GraftChangeFeedSource(sqlContext.sparkSession,
+      pathOf(lower(parameters)))
+}
+
+/** The CDF stream behind `readStream.format("graft")` — the same
+  * published `_feed` rows [[VersionedTable.changeFeedStream]] serves,
+  * nameable by format string (the Delta CDF streaming UX), with the
+  * table's COMMIT VERSION as the offset domain:
+  *
+  *   - `getOffset` heals any committed-but-unpublished feed (the same
+  *     sweep every merge runs — watermarked, so a poll costs one feed
+  *     listing), then reports the newest published version;
+  *   - `getBatch(from, to)` is a partition-pruned batch read of the
+  *     feed dirs in (from, to] — published feed dirs are immutable, so
+  *     a checkpoint replay of the same range reads identical rows:
+  *     exactly-once composes with any idempotent sink exactly as the
+  *     file-source path does (e29's ledger gate).
+  *
+  * Offsets are plain version numbers (LongOffset); a restart arrives
+  * as SerializedOffset json, so versions parse from `json` rather than
+  * pattern-matching the class. */
+final class GraftChangeFeedSource(spark: SparkSession, path: String)
+    extends Source {
+
+  override val schema: StructType =
+    VersionedTable.feedStreamSchema(spark, path)
+
+  private def ver(o: OffsetV1): Long = o.json.trim.toLong
+
+  override def getOffset: Option[OffsetV1] = {
+    VersionedTable.publishFeeds(spark, path)
+    VersionedTable.publishedFeedVersions(spark, path)
+      .lastOption.map(LongOffset(_))
+  }
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame =
+    org.apache.spark.sql.graft.SqlBridge.asStreamingFrame(spark,
+      VersionedTable.feedBatch(spark, path,
+        start.map(ver).getOrElse(-1L), ver(end)))
+
+  override def stop(): Unit = ()
 }

@@ -1513,17 +1513,185 @@ object Pdf {
       .flatMap(m => doc.obj(m.group(1).toInt).map(_.body))
   }
 
-  /** A font's /Encoding entry → simple-font decoder: a direct name, an
-    * inline dict, or an indirect ref to either. None when the font has
-    * no /Encoding at all (passthrough, the built-in-encoding case). */
-  private def encodingDec(doc: Doc, fontBody: String): Option[FontDec] =
-    rawValue(fontBody, "/Encoding").map { enc =>
-      resolveDict(doc, enc) match {
-        case Some(txt) if txt.trim.startsWith("<<") => simpleFontDec("", Some(txt))
-        case Some(txt) => simpleFontDec(txt, None) // indirect name object
-        case None => simpleFontDec(enc, None) // direct name
-      }
+  // ---- embedded-font-program text recovery (§9.6.6.4 / OpenType) -----
+  //
+  // A subsetted font with NEITHER /ToUnicode NOR a standard /Encoding —
+  // common in pre-2010 generator output — still carries its own
+  // character tables: a TrueType program's `cmap` (FontFile2) or a
+  // Type1 program's builtin /Encoding array (FontFile). The reference's
+  // fitz path recovers text through exactly these tables
+  // (mainTesting.py:217-254); this section is that recovery, JDK-only.
+
+  /** Parse an embedded TrueType/OpenType program's `cmap` table:
+    * (platformID, encodingID) → code→glyphId, subtable formats 0, 4,
+    * and 6 (the formats subsetted text fonts actually carry). Out-of-
+    * range offsets fail loudly (corrupt program); an UNSUPPORTED
+    * subtable format is merely unusable (empty map), not an error.
+    * Bomb guard: at most 65,536 mappings per subtable. */
+  private[graft] def ttfCmaps(ttf: Array[Byte]): Map[(Int, Int), Map[Int, Int]] = {
+    def u8(i: Int): Int = {
+      if (i < 0 || i >= ttf.length)
+        fail(s"corrupt embedded font program: offset $i out of range")
+      ttf(i) & 0xff
     }
+    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def u32(i: Int): Long = (u16(i).toLong << 16) | u16(i + 2).toLong
+    def parseSub(off: Int): Map[Int, Int] = u16(off) match {
+      case 0 =>
+        (0 until 256).map(c => c -> u8(off + 6 + c)).filter(_._2 != 0).toMap
+      case 4 =>
+        val segX2 = u16(off + 6)
+        val endAt = off + 14
+        val startAt = endAt + segX2 + 2 // +2: reservedPad
+        val deltaAt = startAt + segX2
+        val rangeAt = deltaAt + segX2
+        val b = Map.newBuilder[Int, Int]
+        var total = 0
+        var s = 0
+        while (s * 2 < segX2) {
+          val end = u16(endAt + 2 * s); val start = u16(startAt + 2 * s)
+          val delta = u16(deltaAt + 2 * s); val ro = u16(rangeAt + 2 * s)
+          var c = start
+          while (c <= end && c != 0xFFFF && total < 65536) {
+            val gid =
+              if (ro == 0) (c + delta) & 0xFFFF
+              else {
+                // idRangeOffset is relative to ITS OWN array slot
+                val gi = u16(rangeAt + 2 * s + ro + 2 * (c - start))
+                if (gi == 0) 0 else (gi + delta) & 0xFFFF
+              }
+            if (gid != 0) { b += c -> gid; total += 1 }
+            c += 1
+          }
+          s += 1
+        }
+        b.result()
+      case 6 =>
+        val first = u16(off + 6); val cnt = u16(off + 8)
+        (0 until math.min(cnt, 65536)).map(k =>
+          (first + k) -> u16(off + 10 + 2 * k)).filter(_._2 != 0).toMap
+      case _ => Map.empty
+    }
+    if (ttf.length < 12) fail("corrupt embedded font program: truncated")
+    val numTables = u16(4)
+    val cmapOff = (0 until numTables).map(k => 12 + 16 * k)
+      .find { e =>
+        u8(e + 3) >= 0 && // bounds-check via u8
+          new String(Array(u8(e), u8(e + 1), u8(e + 2), u8(e + 3)).map(_.toByte),
+            ISO_8859_1) == "cmap"
+      }
+      .map(e => u32(e + 8).toInt)
+      .getOrElse(fail("embedded font program has no cmap table"))
+    val n = u16(cmapOff + 2)
+    (0 until n).map { k =>
+      val rec = cmapOff + 4 + 8 * k
+      (u16(rec), u16(rec + 2)) -> parseSub(cmapOff + u32(rec + 4).toInt)
+    }.toMap
+  }
+
+  /** Text decoder from an embedded TrueType program alone. Unicode
+    * comes from the program's (3,1) — else (0,x) — subtable, INVERTED
+    * to glyphId→codepoint (smallest code point wins, deterministic).
+    * For a SIMPLE font (1-byte codes) the show-byte reaches its glyph
+    * through the symbolic (3,0) subtable (trying 0xF000+code first,
+    * the MS symbol convention) or the Mac (1,0) subtable; for an
+    * Identity-H CID font (`twoByteCids`) the 2-byte code IS the glyph
+    * id. None when the program has no unicode subtable (or, simple
+    * case, no code subtable) — truly unmappable stays unmapped. */
+  private[graft] def ttfDec(ttf: Array[Byte], twoByteCids: Boolean): Option[FontDec] = {
+    val subs = ttfCmaps(ttf)
+    val uni = subs.get((3, 1))
+      .orElse(subs.collectFirst { case ((0, _), m) if m.nonEmpty => m })
+    uni.filter(_.nonEmpty).flatMap { u =>
+      val gidToUni: Map[Int, Int] =
+        u.toSeq.groupBy(_._2).map { case (g, cs) => g -> cs.map(_._1).min }
+      def uniOf(gid: Int): String =
+        if (gid == 0) "�"
+        else gidToUni.get(gid)
+          .map(cp => new String(Character.toChars(cp))).getOrElse("�")
+      if (twoByteCids)
+        Some(CMap(Seq((2, 0x0000L, 0xFFFFL)),
+          gidToUni.map { case (g, cp) =>
+            g.toLong -> new String(Character.toChars(cp)) }))
+      else
+        subs.get((3, 0)).orElse(subs.get((1, 0))).map { cg =>
+          SimpleFont(Array.tabulate(256) { c =>
+            uniOf(cg.getOrElse(0xF000 + c, cg.getOrElse(c, 0)))
+          })
+        }
+    }
+  }
+
+  /** Text decoder from an embedded Type1 program's CLEARTEXT builtin
+    * /Encoding: `dup <code> /<glyphname> put` entries (glyph names
+    * through the same AGL resolution /Differences use), or the literal
+    * `StandardEncoding` declaration. None when the cleartext holds no
+    * usable encoding. */
+  private[graft] def type1BuiltinDec(program: Array[Byte]): Option[FontDec] = {
+    val clear = new String(program, ISO_8859_1)
+    val head = clear.indexOf("eexec") match {
+      case -1 => clear
+      case i => clear.substring(0, i)
+    }
+    if (!head.contains("/Encoding")) None
+    else if (head.contains("StandardEncoding")) Some(SimpleFont(standardBase))
+    else {
+      val t = Array.fill[String](256)("�")
+      var any = false
+      "dup\\s+(\\d+)\\s*/([^\\s/\\[\\]<>()]+)\\s+put".r
+        .findAllMatchIn(head).foreach { m =>
+          val c = m.group(1).toInt
+          if (c >= 0 && c < 256) { t(c) = glyphText(m.group(2)); any = true }
+        }
+      if (any) Some(SimpleFont(t)) else None
+    }
+  }
+
+  /** The embedded font program behind `fontBody`, decoded to a text
+    * mapping when its own tables allow one. Type0 fonts descend into
+    * the (single) descendant CID font's descriptor and read 2-byte
+    * codes as glyph ids (the Identity-H subset shape). */
+  private def embeddedFontDec(doc: Doc, fontBody: String): Option[FontDec] = {
+    val type0 = fontBody.contains("/Type0")
+    val effBody: Option[String] =
+      if (!type0) Some(fontBody)
+      else "/DescendantFonts\\s*\\[?\\s*(\\d+)\\s+\\d+\\s+R".r
+        .findFirstMatchIn(fontBody)
+        .orElse(ref(fontBody, "/DescendantFonts")
+          .flatMap(n => doc.obj(n).map(_.body))
+          .flatMap(b => "(\\d+)\\s+\\d+\\s+R".r.findFirstMatchIn(b)))
+        .flatMap(m => doc.obj(m.group(1).toInt).map(_.body))
+    for {
+      fb <- effBody
+      dn <- ref(fb, "/FontDescriptor")
+      desc <- doc.obj(dn).map(_.body)
+      dec <- ref(desc, "/FontFile2")
+        .flatMap(fn => ttfDec(doc.streamOf(fn), type0))
+        .orElse(ref(desc, "/FontFile")
+          .flatMap(fn => type1BuiltinDec(doc.streamOf(fn))))
+    } yield dec
+  }
+
+  /** Text mapping for a font WITHOUT /ToUnicode, in fidelity order:
+    * a standard /Encoding (name or dict, §9.6.5) wins; else the
+    * EMBEDDED FONT PROGRAM's own tables (TrueType `cmap` /
+    * Type1 builtin encoding — the fitz recovery path for subsetted
+    * pre-2010 fonts); else the old scoped degradations — a
+    * nonstandard-named encoding reads as U+FFFD per byte, a font with
+    * no /Encoding at all passes through as Latin-1. */
+  private def fontTextDec(doc: Doc, fontBody: String): Option[FontDec] = {
+    val encRaw = rawValue(fontBody, "/Encoding")
+    val resolved = encRaw.map(e => resolveDict(doc, e).getOrElse(e))
+    resolved match {
+      case Some(t) if t.trim.startsWith("<<") =>
+        Some(simpleFontDec("", Some(t)))
+      case Some(t) if baseEncoding(t.trim.stripPrefix("/")).isDefined =>
+        Some(simpleFontDec(t, None))
+      case other =>
+        embeddedFontDec(doc, fontBody)
+          .orElse(other.map(t => simpleFontDec(t, None)))
+    }
+  }
 
   /** Font-resource name → decoder for one page: a /ToUnicode CMap when
     * present (it wins — it is the authoritative text mapping), else a
@@ -1543,7 +1711,7 @@ object Pdf {
         doc.obj(m.group(2).toInt).map(_.body).flatMap { b =>
           ref(b, "/ToUnicode")
             .map(tn => parseCMap(new String(doc.streamOf(tn), ISO_8859_1)): FontDec)
-            .orElse(encodingDec(doc, b))
+            .orElse(fontTextDec(doc, b))
         })
     } yield m.group(1) -> cm).toMap
 
@@ -2887,6 +3055,148 @@ object Pdf {
         }) + text.toString
     }
     assemblePdf(streams)
+  }
+
+  /** Independent TrueType encoder: a minimal font program holding ONLY
+    * a `cmap` table (what the text-recovery path reads), format-4
+    * subtables with correct segment arrays and binary-search header
+    * fields. `codeToGid` pairs per (platform, encoding) subtable.
+    * Shares no code with [[ttfCmaps]]. */
+  def writeTtfProgram(subtables: Seq[((Int, Int), Seq[(Int, Int)])]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def w8(v: Int): Unit = out.write(v & 0xff)
+    def w16(v: Int): Unit = { w8(v >> 8); w8(v) }
+    def w32(v: Long): Unit = { w16((v >> 16).toInt); w16(v.toInt) }
+    def fmt4(pairs: Seq[(Int, Int)]): Array[Byte] = {
+      val b = new ByteArrayOutputStream()
+      def b16(v: Int): Unit = { b.write((v >> 8) & 0xff); b.write(v & 0xff) }
+      // one segment per code plus the mandatory terminal 0xFFFF segment
+      val segs = pairs.sortBy(_._1).map { case (c, g) =>
+        (c, c, (g - c) & 0xFFFF) } :+ ((0xFFFF, 0xFFFF, 1))
+      val segCount = segs.size
+      val floorLog = 31 - Integer.numberOfLeadingZeros(segCount)
+      val searchRange = 2 * (1 << floorLog)
+      b16(4); b16(16 + 8 * segCount); b16(0) // format, length, language
+      b16(segCount * 2); b16(searchRange); b16(floorLog)
+      b16(2 * segCount - searchRange)
+      segs.foreach { case (_, end, _) => b16(end) }
+      b16(0) // reservedPad
+      segs.foreach { case (start, _, _) => b16(start) }
+      segs.foreach { case (_, _, delta) => b16(delta) }
+      segs.foreach(_ => b16(0)) // idRangeOffset: all delta-mapped
+      b.toByteArray
+    }
+    val bodies = subtables.map { case (_, pairs) => fmt4(pairs) }
+    val cmapLen = 4 + 8 * subtables.size + bodies.map(_.length).sum
+    // offset table: one table record ('cmap' at offset 28)
+    w32(0x00010000L); w16(1); w16(16); w16(0); w16(0)
+    out.write("cmap".getBytes(ISO_8859_1)); w32(0L); w32(28L); w32(cmapLen.toLong)
+    // cmap header + subtable records + bodies
+    w16(0); w16(subtables.size)
+    var off = 4 + 8 * subtables.size
+    subtables.zip(bodies).foreach { case (((pid, eid), _), body) =>
+      w16(pid); w16(eid); w32(off.toLong); off += body.length
+    }
+    bodies.foreach(out.write)
+    out.toByteArray
+  }
+
+  /** Independent Type1 encoder: the CLEARTEXT program head with a
+    * builtin /Encoding array (`dup code /glyph put`), an `eexec`
+    * marker, and dummy private-section bytes — the §9.6.6.2 shape a
+    * pre-2010 subsetted Type1 embeds. */
+  def writeType1Program(codeToGlyph: Seq[(Int, String)]): Array[Byte] =
+    ("%!PS-AdobeFont-1.0: GraftSubset 001.001\n" +
+      "/FontName /GraftSubset def\n" +
+      "/FontType 1 def\n" +
+      "/Encoding 256 array\n" +
+      "0 1 255 {1 index exch /.notdef put} for\n" +
+      codeToGlyph.map { case (c, g) => s"dup $c /$g put" }.mkString("\n") +
+      "\nreadonly def\n" +
+      "currentdict end\ncurrentfile eexec\n" +
+      "0123456789abcdef0123456789abcdef\n").getBytes(ISO_8859_1)
+
+  /** Independent FONT-PROGRAM fixture encoder: one page whose lines
+    * are shown through three fonts that all lack /ToUnicode AND any
+    * standard /Encoding — text is recoverable ONLY from the embedded
+    * programs' own tables (the pre-2010 subset shape):
+    *   font 1 — simple /TrueType, FontFile2 whose cmap carries a
+    *     symbolic (3,0) code subtable (0xF000-offset codes, NON-identity
+    *     code assignment) plus the (3,1) unicode subtable;
+    *   font 2 — /Type1, FontFile builtin encoding via uniXXXX names;
+    *   font 3 — /Type0 /Identity-H, descendant CID font whose
+    *     FontFile2 has ONLY the (3,1) subtable: 2-byte show codes ARE
+    *     glyph ids, unicode comes from the inverted table.
+    * Each line is (font 1|2|3, text). Classic xref, hex show strings,
+    * deterministic bytes. */
+  def writePdfFontProg(lines: Seq[(Int, String)]): Array[Byte] = {
+    val chars = lines.flatMap(_._2).distinct.sorted
+    // NON-identity code assignment: i-th char shows as byte i+2
+    val codeOf = chars.zipWithIndex.map { case (c, i) => c -> (i + 2) }.toMap
+    val gidOf = chars.zipWithIndex.map { case (c, i) => c -> (i + 1) }.toMap
+    val ttfSimple = writeTtfProgram(Seq(
+      (3, 0) -> chars.map(c => (0xF000 + codeOf(c)) -> gidOf(c)),
+      (3, 1) -> chars.map(c => c.toInt -> gidOf(c))))
+    val ttfCid = writeTtfProgram(Seq(
+      (3, 1) -> chars.map(c => c.toInt -> gidOf(c))))
+    val t1 = writeType1Program(chars.map(c =>
+      codeOf(c) -> f"uni${c.toInt}%04X"))
+    def hexOf(text: String, font: Int): String =
+      text.map { c =>
+        if (font == 3) f"${gidOf(c)}%04X" else f"${codeOf(c)}%02X"
+      }.mkString("<", "", ">")
+    val content = {
+      val ops = Seq.newBuilder[String]
+      ops += "BT"; ops += "72 720 Td"
+      lines.foreach { case (f, text) =>
+        ops += s"/F$f 11 Tf"
+        ops += s"${hexOf(text, f)} Tj"
+        ops += "0 -14 Td"
+      }
+      ops += "ET"
+      ops.result().mkString("\n")
+    }
+    val body = new StringBuilder
+    val offsets = scala.collection.mutable.ArrayBuffer[Int]()
+    body.append("%PDF-1.4\n")
+    def obj(num: Int, c: String): Unit = {
+      offsets += body.length
+      body.append(s"$num 0 obj\n$c\nendobj\n")
+    }
+    def streamObj(num: Int, dict: String, data: Array[Byte]): Unit = {
+      offsets += body.length
+      body.append(s"$num 0 obj\n<< /Length ${data.length} $dict >>\nstream\n")
+      body.append(new String(data, ISO_8859_1))
+      body.append("\nendstream\nendobj\n")
+    }
+    obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    obj(3, "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R " +
+      "/Resources << /Font << /F1 5 0 R /F2 8 0 R /F3 11 0 R >> >> >>")
+    streamObj(4, "", content.getBytes(ISO_8859_1))
+    obj(5, "<< /Type /Font /Subtype /TrueType /BaseFont /AAAAAA+GraftTTF " +
+      "/FirstChar 2 /LastChar 255 /FontDescriptor 6 0 R >>")
+    obj(6, "<< /Type /FontDescriptor /FontName /AAAAAA+GraftTTF /Flags 4 " +
+      "/FontFile2 7 0 R >>")
+    streamObj(7, s"/Length1 ${ttfSimple.length}", ttfSimple)
+    obj(8, "<< /Type /Font /Subtype /Type1 /BaseFont /BBBBBB+GraftT1 " +
+      "/FontDescriptor 9 0 R >>")
+    obj(9, "<< /Type /FontDescriptor /FontName /BBBBBB+GraftT1 /Flags 4 " +
+      "/FontFile 10 0 R >>")
+    streamObj(10, s"/Length1 ${t1.length} /Length2 0 /Length3 0", t1)
+    obj(11, "<< /Type /Font /Subtype /Type0 /BaseFont /CCCCCC+GraftCID " +
+      "/Encoding /Identity-H /DescendantFonts [12 0 R] >>")
+    obj(12, "<< /Type /Font /Subtype /CIDFontType2 /BaseFont /CCCCCC+GraftCID " +
+      "/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) /Supplement 0 >> " +
+      "/FontDescriptor 13 0 R >>")
+    obj(13, "<< /Type /FontDescriptor /FontName /CCCCCC+GraftCID /Flags 4 " +
+      "/FontFile2 14 0 R >>")
+    streamObj(14, s"/Length1 ${ttfCid.length}", ttfCid)
+    val xrefPos = body.length
+    body.append("xref\n0 15\n0000000000 65535 f \n")
+    offsets.foreach(o => body.append(f"$o%010d 00000 n \n"))
+    body.append(s"trailer\n<< /Size 15 /Root 1 0 R >>\nstartxref\n$xrefPos\n%%EOF\n")
+    body.toString.getBytes(ISO_8859_1)
   }
 
   private def assemblePdf(streams: Seq[String],

@@ -180,6 +180,18 @@ object VersionedTable {
       s"version $v of $path does not exist (available: ${vs.mkString(", ")}" +
         " — a vacuumed version is gone for good)")
     val (fs, root) = fsOf(spark, path)
+    loadSnapshot(fs, root, path, v)
+  }
+
+  /** Parse one already-known-to-exist manifest — no `_log` listing.
+    * `snapshot` (one listing, validated) is the public surface; loops
+    * that already HOLD the version list (publishFeeds' rescan,
+    * history) call this so an n-version walk costs n manifest reads,
+    * not n listings of n files — the difference measured 1,472 s vs
+    * 1.5 s for a 10⁴-commit rescan (BASELINE.md r14; committed
+    * study_r14.json `manifest_scale` holds the post-split curve). */
+  private def loadSnapshot(fs: FileSystem, root: HPath, path: String,
+      v: Long): Snapshot = {
     val in = fs.open(manifestPath(root, v))
     val bytes =
       try { val o = new java.io.ByteArrayOutputStream(); in.transferTo(o); o.toByteArray }
@@ -401,58 +413,15 @@ object VersionedTable {
     }
     fs.mkdirs(new HPath(root, LOG))
     // put-if-absent IS the commit: a concurrent writer (or a re-run of
-    // a crashed one) must fail here, before any reader can see v.
-    // On the LOCAL filesystem Hadoop's create(overwrite=false) is
-    // check-then-act (exists() then open) — two racing writers can
-    // BOTH pass the check and one manifest silently overwrites the
-    // other (a lost commit, observed as a 1-in-N flake in the
-    // thread-parallel OCC spec). The atomic local protocol: write the
-    // full content to a temp file, then hard-LINK it to the manifest
-    // path — link(2) is O_EXCL-atomic AND the destination appears
-    // with its complete content, so a concurrent reader can never
-    // observe a partially written manifest either. Non-local
-    // filesystems keep create(false), which HDFS implements atomically
-    // at the namenode (object stores need a conditional-put analog).
-    val bytes = mapper.writeValueAsBytes(node)
-    val dst = manifestPath(root, v)
-    if (fs.getScheme == "file") {
-      val dstP = java.nio.file.Paths.get(dst.toUri.getPath)
-      val tmp = dstP.resolveSibling(
-        s".tmp_${v}_${java.util.UUID.randomUUID().toString.take(8)}")
-      java.nio.file.Files.write(tmp, bytes)
-      try java.nio.file.Files.createLink(dstP, tmp) // throws if v exists
-      finally java.nio.file.Files.deleteIfExists(tmp)
-    } else {
-      // Non-local: write the FULL content to a temp log path first, then
-      // rename onto the manifest path. A bare create(false)-then-write
-      // could fail AFTER the create succeeded, publishing a visible,
-      // PARTIAL manifest for v — every later reader's snapshot() would
-      // fail until someone hand-deleted it, and the commit loop's
-      // exists() guard would misread our own wreckage as a lost race.
-      // With write-then-rename, a write failure leaves only a temp file
-      // (cleaned here, swept by vacuum if we crash), and the manifest
-      // appears atomically complete or not at all. HDFS rename is
-      // namenode-atomic and refuses an existing destination (the
-      // put-if-absent we need); an object store deployment must swap in
-      // a conditional-put here, same as Delta's LogStore contract.
-      val tmp = new HPath(new HPath(root, LOG),
-        s".tmp_${v}_${java.util.UUID.randomUUID().toString.take(8)}")
-      try {
-        val out = fs.create(tmp, false)
-        try out.write(bytes) finally out.close()
-      } catch { case e: Throwable =>
-        try fs.delete(tmp, false) catch { case _: java.io.IOException => () }
-        throw e
-      }
-      val renamed =
-        try fs.rename(tmp, dst)
-        catch { case _: java.io.IOException => false } // e.g. dst exists
-      if (!renamed) {
-        try fs.delete(tmp, false) catch { case _: java.io.IOException => () }
-        throw new java.io.IOException(
-          s"manifest for version $v of $root already exists (lost the commit race)")
-      }
-    }
+    // a crashed one) must fail here, before any reader can see v. The
+    // primitive is the [[CommitStore]] seam, resolved by filesystem
+    // scheme: local hard-link, HDFS-class atomic rename, or a
+    // deployment-registered conditional-put — and a LOUD refusal on
+    // filesystems with no atomic primitive (S3-class), instead of a
+    // silent race to lost commits.
+    CommitStore.forScheme(fs.getScheme).putIfAbsent(
+      fs, new HPath(root, LOG), manifestPath(root, v),
+      mapper.writeValueAsBytes(node))
   }
 
   /** Key-scoped MERGE committing a NEW version; returns it. Matched
@@ -982,7 +951,10 @@ object VersionedTable {
     * table size. */
   def history(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    val sns = versions(spark, path).map(v => snapshot(spark, path, Some(v)))
+    val (fs, root) = fsOf(spark, path)
+    // O(versions) manifest READS by contract (one row per version) —
+    // but one _log listing total, not one per version (study_r14.json)
+    val sns = versions(spark, path).map(v => loadSnapshot(fs, root, path, v))
     sns.zipWithIndex.map { case (sn, i) =>
       // a bucket changed when its OWNER moved (COW) or its DELTA
       // layer list did (a MoR append, or a COW/compact fold) — for a
@@ -1360,7 +1332,8 @@ object VersionedTable {
     * `changes(materialized = false)`), and version 0 (creation has no
     * before-state; consumers bootstrap from `read(asOf = Some(0))`
     * and stream feeds with `commit_version >= 1`). */
-  def publishFeeds(spark: SparkSession, path: String): Seq[Long] = {
+  def publishFeeds(spark: SparkSession, path: String,
+      rescan: Boolean = false): Seq[Long] = {
     val (fs, root) = fsOf(spark, path)
     val feedRoot = new HPath(root, FEED)
     // one _feed listing up front, then manifests opened only for the
@@ -1372,8 +1345,37 @@ object VersionedTable {
       else fs.listStatus(feedRoot).toSeq.map(_.getPath.getName)
         .filter(_.startsWith("commit_version="))
         .map(_.stripPrefix("commit_version=").toLong).toSet
-    versions(spark, path).filterNot(already).flatMap { v =>
-      snapshot(spark, path, Some(v)).cdc.flatMap { case (cdcDir, _) =>
+    // `already` only covers versions that PUBLISHED something — a
+    // version with no feed (every commit of a plain non-CDC table, or
+    // pre-CDC history) would be re-opened by EVERY later sweep, an
+    // O(versions) manifest re-read per commit that compounds to
+    // O(versions²) at streaming cadence (a 10⁴-commit sweep measured
+    // 1,472 s before the watermark + loadSnapshot split, 1.5 s after —
+    // BASELINE.md r14, study_r14.json `manifest_scale`). The
+    // sweep is ascending and exhaustive, so after one completed sweep
+    // every version ≤ its head is either published or known feed-less:
+    // record that head and start the next sweep above it. The marker
+    // is best-effort (overwrite-rename; a stale or lost marker only
+    // costs re-examining manifests — `already` + the exists() guard
+    // still make publication idempotent). CRASH healing is preserved:
+    // the marker only advances after a completed sweep, so a publish
+    // that died mid-flight stays below it and the next sweep retries.
+    // What the fast path will NOT notice is a published dir deleted
+    // LATER (manual tampering/partial restore) — repair that with
+    // `rescan = true`, which re-examines the full history.
+    val wmPath = new HPath(feedRoot, "_swept")
+    val watermark: Long =
+      if (rescan || !fs.exists(wmPath)) -1L
+      else try {
+        val in = fs.open(wmPath)
+        try new String({
+          val o = new java.io.ByteArrayOutputStream(); in.transferTo(o); o.toByteArray
+        }, "UTF-8").trim.toLong
+        finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => -1L }
+    val vs = versions(spark, path)
+    val published = vs.filter(v => v > watermark && !already(v)).flatMap { v =>
+      loadSnapshot(fs, root, path, v).cdc.flatMap { case (cdcDir, _) =>
         val dst = new HPath(feedRoot, s"commit_version=$v")
         if (fs.exists(dst)) None
         else {
@@ -1399,6 +1401,25 @@ object VersionedTable {
         }
       }
     }
+    // sweep completed through the listed head: advance the marker so
+    // the next sweep skips everything at or below it. Racing sweeps
+    // may interleave writes; the loser's (smaller) value only widens
+    // the next re-examination window, never skips an unswept version.
+    vs.lastOption.filter(_ > watermark).foreach { head =>
+      fs.mkdirs(feedRoot)
+      val tmp = new HPath(feedRoot,
+        s"._swept_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+      try {
+        val out = fs.create(tmp, true)
+        try out.write(head.toString.getBytes("UTF-8")) finally out.close()
+        fs.delete(wmPath, false) // local rename refuses existing dst
+        if (!fs.rename(tmp, wmPath)) fs.delete(tmp, false)
+      } catch { case scala.util.control.NonFatal(_) =>
+        try fs.delete(tmp, false)
+        catch { case _: java.io.IOException => () } // marker is best-effort
+      }
+    }
+    published
   }
 
   /** STREAMING READ of the published change feed — the downstream
@@ -1419,6 +1440,22 @@ object VersionedTable {
     * nothing — see `publishFeeds`. */
   def changeFeedStream(spark: SparkSession, path: String,
       options: Map[String, String] = Map.empty): DataFrame = {
+    val schema = feedStreamSchema(spark, path)
+    publishFeeds(spark, path) // heal before the source lists files
+    // commit_version arrives as the publish layout's partition column
+    spark.readStream
+      .schema(schema)
+      .options(options)
+      .parquet(s"$path/$FEED")
+  }
+
+  /** The change-feed stream's row schema: the LATEST materialized
+    * feed's columns plus `commit_version` (the publish layout's
+    * partition column). Shared by [[changeFeedStream]] and the
+    * `readStream.format("graft")` source so both surfaces emit
+    * identical rows. */
+  private[sources] def feedStreamSchema(spark: SparkSession,
+      path: String): StructType = {
     val vs = versions(spark, path)
     val feedSchema = vs.reverse.iterator
       .map(v => snapshot(spark, path, Some(v)).cdc)
@@ -1429,15 +1466,34 @@ object VersionedTable {
     require(!feedSchema.fieldNames.contains("commit_version"),
       "the table has a 'commit_version' column, which collides with " +
         "the feed stream's version column")
-    publishFeeds(spark, path) // heal before the source lists files
-    // commit_version arrives as the publish layout's partition column
-    spark.readStream
-      .schema(StructType(feedSchema.fields :+
-        org.apache.spark.sql.types.StructField("commit_version",
-          org.apache.spark.sql.types.LongType)))
-      .options(options)
-      .parquet(s"$path/$FEED")
+    StructType(feedSchema.fields :+
+      org.apache.spark.sql.types.StructField("commit_version",
+        org.apache.spark.sql.types.LongType))
   }
+
+  /** Commit versions with a PUBLISHED feed dir, ascending — the
+    * offset domain of the `graft` streaming source (one feed-root
+    * listing, no manifest reads). */
+  private[sources] def publishedFeedVersions(spark: SparkSession,
+      path: String): Seq[Long] = {
+    val (fs, root) = fsOf(spark, path)
+    val feedRoot = new HPath(root, FEED)
+    if (!fs.exists(feedRoot)) Seq.empty
+    else fs.listStatus(feedRoot).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("commit_version="))
+      .map(_.stripPrefix("commit_version=").toLong).sorted
+  }
+
+  /** One micro-batch of the published feed: rows of every commit in
+    * (fromExclusive, toInclusive] — a partition-pruned batch read of
+    * `_feed` (feed dirs are immutable once published, so a checkpoint
+    * replay of the same offset range reads identical rows). */
+  private[sources] def feedBatch(spark: SparkSession, path: String,
+      fromExclusive: Long, toInclusive: Long): DataFrame =
+    spark.read.schema(feedStreamSchema(spark, path))
+      .parquet(s"$path/$FEED")
+      .filter(col("commit_version") > fromExclusive &&
+        col("commit_version") <= toInclusive)
 
   /** Column types the data-skipping stats cover: types whose internal
     * value is a number (ints, longs, doubles, date days, timestamp

@@ -26,5 +26,14 @@ object SqlBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** Re-wrap a batch frame as isStreaming=true — the shape
+    * MicroBatchExecution asserts on every DataFrame a DSv1
+    * `Source.getBatch` returns (the engine splices it under the
+    * streaming plan). Same internalCreateDataFrame call Spark's own
+    * file stream source makes; private[sql], hence bridged here. */
+  def asStreamingFrame(spark: SparkSession, df: DataFrame): DataFrame =
+    spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = true)
+
   def logicalPlan(df: DataFrame): LogicalPlan = df.queryExecution.logical
 }

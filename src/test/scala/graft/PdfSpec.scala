@@ -742,6 +742,75 @@ class PdfSpec extends SparkSpec {
     assert(nRulings >= 14L, s"expected the fixture's rulings, got $nRulings")
   }
 
+  test("embedded-font recovery: TTF cmap, Type1 builtin, Identity-H CID round-trip") {
+    import spark.implicits._
+    val dir = graft.util.Scratch.dir("pdf_fontprog_spec")
+    graft.util.Scratch.deleteRecursively(new java.io.File(dir))
+    new java.io.File(dir).mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(dir, "f.pdf").toPath,
+      Pdf.writePdfFontProg(graft.queries.Media.pdfFontProgFixture))
+    val got = Pdf.read(spark, dir)
+      .select($"page", $"line_no", $"text").as[(Long, Long, String)]
+      .collect().sortBy(_._2).map(_._3).toSeq
+    assert(got === graft.queries.Media.pdfFontProgFixture.map(_._2),
+      "all three font shapes must decode through their embedded programs")
+  }
+
+  test("ttfCmaps: format 4 idRangeOffset path, format 6, bounds, loud corrupt fail") {
+    // hand-rolled format 4 with ONE glyphIdArray-mapped segment
+    // (idRangeOffset != 0): codes 0x41..0x43 -> gids 7, 9, 11
+    def u16(v: Int) = Seq((v >> 8) & 0xff, v & 0xff)
+    val seg = Seq( // two segments: [41..43], terminal FFFF
+      u16(0x43), u16(0xFFFF), // endCodes
+      u16(0), // pad
+      u16(0x41), u16(0xFFFF), // startCodes
+      u16(0), u16(1), // idDelta
+      // idRangeOffset[0] points past idRangeOffset[1] into glyphIds:
+      // slot 0 is at byte 0 of the array; glyphIds begin 4 bytes later
+      u16(4), u16(0),
+      u16(7), u16(9), u16(11)).flatten
+    val sub = (u16(4) ++ u16(16 + 8 * 2 + 6) ++ u16(0) ++ u16(4) ++
+      u16(4) ++ u16(1) ++ u16(0)).toSeq ++ seg
+    val font = (
+      u16(1) ++ u16(0) ++ // version 1.0 hi
+      u16(1) ++ u16(16) ++ u16(0) ++ u16(0) ++ // numTables etc.
+      "cmap".getBytes("US-ASCII").toSeq.map(_.toInt) ++
+      u16(0) ++ u16(0) ++ // checksum
+      u16(0) ++ u16(28) ++ // offset 28
+      u16(0) ++ u16(sub.size + 12) ++ // length
+      // cmap header: version 0, 1 subtable, (3,1) at offset 12
+      u16(0) ++ u16(1) ++ u16(3) ++ u16(1) ++ u16(0) ++ u16(12)
+    ) ++ sub
+    val bytes = font.map(_.toByte).toArray
+    val maps = Pdf.ttfCmaps(bytes)
+    assert(maps((3, 1)) === Map(0x41 -> 7, 0x42 -> 9, 0x43 -> 11))
+    // corrupt: a subtable offset out of range fails loudly, by name
+    val cut = bytes.take(40)
+    val e = intercept[IllegalArgumentException] { Pdf.ttfCmaps(cut) }
+    assert(e.getMessage.contains("corrupt"))
+    // a program with no cmap at all fails by name
+    val e2 = intercept[IllegalArgumentException] {
+      Pdf.ttfCmaps(Array[Byte](0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0))
+    }
+    assert(e2.getMessage.contains("no cmap"))
+    // ttfDec: unicode subtable present but no code subtable -> simple
+    // font unmappable (None); CID mode still decodes (codes = gids)
+    assert(Pdf.ttfDec(bytes, twoByteCids = false).isEmpty)
+    val cid = Pdf.ttfDec(bytes, twoByteCids = true).get
+    assert(cid.decode("\u0000\u0007") === "A") // gid 7 (2-byte code) -> U+0041
+  }
+
+  test("type1BuiltinDec: dup/put entries, StandardEncoding, and no-encoding programs") {
+    val prog = Pdf.writeType1Program(Seq(65 -> "uni004B", 66 -> "eacute"))
+    val dec = Pdf.type1BuiltinDec(prog).get
+    assert(dec.decode("AB") === "Ké")
+    val std = Pdf.type1BuiltinDec(
+      ("%!PS\n/Encoding StandardEncoding def\neexec\n").getBytes("ISO-8859-1")).get
+    assert(std.decode("abc") === "abc")
+    assert(Pdf.type1BuiltinDec("%!PS no encoding here eexec".getBytes("ISO-8859-1")).isEmpty)
+  }
+
   test("tableAuto parses each file exactly ONCE (xref + decrypt + inflate)") {
     import spark.implicits._
     val dir = graft.util.Scratch.dir("pdf_oneparse_spec")

@@ -339,15 +339,23 @@ class VersionedTableSpec extends SparkSpec {
       Seq((5L, "e", false)).toDF("k", "v", "del"),
       Seq("k"), Some("del"), numBuckets = 4)
     def published = Option(new java.io.File(dir, "_feed").listFiles())
-      .map(_.map(_.getName).toSet).getOrElse(Set.empty[String])
+      .map(_.map(_.getName).filter(_.startsWith("commit_version=")).toSet)
+      .getOrElse(Set.empty[String])
     // creation (v0) publishes nothing — consumers bootstrap from the
     // v0 snapshot; each merge published its own feed at commit time
     assert(published === Set("commit_version=1", "commit_version=2"))
-    // healing: a lost publish dir is republished by the next merge
+    // healing: a feed dir deleted BELOW the sweep watermark (tampering/
+    // partial restore — not a crash, which stays above the watermark
+    // and self-heals) is repaired by an explicit rescan sweep; the
+    // routine per-commit sweep stays O(new versions) by design
+    // (study_r14.json manifest_scale measures the difference)
     graft.util.Scratch.deleteRecursively(new java.io.File(dir, "_feed/commit_version=2"))
     VersionedTable.merge(spark, dir,
       Seq((6L, "f", false)).toDF("k", "v", "del"),
       Seq("k"), Some("del"), numBuckets = 4)
+    assert(published === Set("commit_version=1", "commit_version=3"),
+      "the watermarked sweep must NOT re-open old manifests")
+    VersionedTable.publishFeeds(spark, dir, rescan = true)
     assert(published ===
       Set("commit_version=1", "commit_version=2", "commit_version=3"))
     // a restore commit publishes nothing (derived-only diff)
@@ -376,6 +384,62 @@ class VersionedTableSpec extends SparkSpec {
         .as[(Long, String, Long, String)].collect()
     }.toSet
     assert(got.toSet === expected)
+  }
+
+  test("readStream.format(\"graft\"): provider stream equals the programmatic feed stream; offsets resume by commit version") {
+    val dir = freshDir("graft_source_stream")
+    VersionedTable.merge(spark, dir,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), Seq("k"), numBuckets = 4)
+    VersionedTable.merge(spark, dir,
+      Seq((2L, "B", false), (3L, "", true), (4L, "d", false)).toDF("k", "v", "del"),
+      Seq("k"), Some("del"), numBuckets = 4)
+    def collectVia(df: org.apache.spark.sql.DataFrame,
+        ckpt: String): Set[(Long, String, Long, String)] = {
+      val got = scala.collection.mutable.Set.empty[(Long, String, Long, String)]
+      val cb: (org.apache.spark.sql.DataFrame, Long) => Unit = (b, _) => {
+        got.synchronized { got ++= b
+          .select($"commit_version", $"change", $"k", $"v")
+          .as[(Long, String, Long, String)].collect() }
+        ()
+      }
+      val q = df.writeStream.foreachBatch(cb)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      got.toSet
+    }
+    def tmpCkpt() = java.nio.file.Files
+      .createTempDirectory("graft_source_ckpt").toString
+    val provCkpt = tmpCkpt()
+    val viaProvider =
+      collectVia(spark.readStream.format("graft").load(dir), provCkpt)
+    val viaFileSource =
+      collectVia(VersionedTable.changeFeedStream(spark, dir), tmpCkpt())
+    assert(viaProvider.nonEmpty)
+    assert(viaProvider === viaFileSource,
+      "the provider-path rows must be interchangeable with changeFeedStream's")
+    // schema parity too (same columns, same order)
+    assert(spark.readStream.format("graft").load(dir).schema ===
+      VersionedTable.changeFeedStream(spark, dir).schema)
+    // offsets are COMMIT VERSIONS in the stream's checkpoint: resuming
+    // after a new merge delivers exactly the new version's feed
+    VersionedTable.merge(spark, dir,
+      Seq((5L, "e", false)).toDF("k", "v", "del"),
+      Seq("k"), Some("del"), numBuckets = 4)
+    val resumed =
+      collectVia(spark.readStream.format("graft").load(dir), provCkpt)
+    assert(resumed.map(_._1) === Set(2L), // v0 creation publishes no feed
+      s"resume must deliver only the new commit's feed, got $resumed")
+    assert(resumed.map(r => (r._2, r._3, r._4)) ===
+      Set(("insert", 5L, "e")))
+    // a declared schema is refused: the feed's schema is the table's
+    val e = intercept[Exception] {
+      spark.readStream.format("graft")
+        .schema(new org.apache.spark.sql.types.StructType().add("x", "int"))
+        .load(dir).writeStream.format("noop").start()
+    }
+    assert(e.getMessage.contains("feed schema"))
   }
 
   test("a batch with a coercibly-narrower column type widens through merge AND feed") {
