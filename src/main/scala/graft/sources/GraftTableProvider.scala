@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession, SQLContext}
+import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSourceProvider}
@@ -151,9 +152,22 @@ final class GraftTableProvider extends RelationProvider
 
   override def createSource(sqlContext: SQLContext,
       metadataPath: String, schema: Option[StructType],
-      providerName: String, parameters: Map[String, String]): Source =
-    new GraftChangeFeedSource(sqlContext.sparkSession,
-      pathOf(lower(parameters)))
+      providerName: String, parameters: Map[String, String]): Source = {
+    val params = lower(parameters)
+    def longOpt(key: String, what: String): Option[Long] =
+      params.get(key).map { v =>
+        try v.toLong
+        catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"$what must be a number, got '$v'")
+        }
+      }
+    new GraftChangeFeedSource(sqlContext.sparkSession, pathOf(params),
+      longOpt("startingversion", "startingVersion"),
+      longOpt("maxversionspertrigger", "maxVersionsPerTrigger")
+        .map(n => { require(n > 0,
+          s"maxVersionsPerTrigger must be positive, got $n"); n }))
+  }
 }
 
 /** The CDF stream behind `readStream.format("graft")` — the same
@@ -172,25 +186,71 @@ final class GraftTableProvider extends RelationProvider
   *
   * Offsets are plain version numbers (LongOffset); a restart arrives
   * as SerializedOffset json, so versions parse from `json` rather than
-  * pattern-matching the class. */
-final class GraftChangeFeedSource(spark: SparkSession, path: String)
-    extends Source {
+  * pattern-matching the class. `startingVersion` (the Delta CDF
+  * option) is the FIRST commit version delivered — a consumer that
+  * bootstrapped from `read(asOf = v0)` passes v0+1 to skip history it
+  * already holds; a checkpointed offset past it wins, so restarts
+  * never re-deliver. */
+final class GraftChangeFeedSource(spark: SparkSession, path: String,
+    startingVersion: Option[Long] = None,
+    maxVersionsPerTrigger: Option[Long] = None)
+    extends Source with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
   override val schema: StructType =
     VersionedTable.feedStreamSchema(spark, path)
 
   private def ver(o: OffsetV1): Long = o.json.trim.toLong
 
-  override def getOffset: Option[OffsetV1] = {
+  private def fetchLatest(): Option[Long] = {
     VersionedTable.publishFeeds(spark, path)
-    VersionedTable.publishedFeedVersions(spark, path)
-      .lastOption.map(LongOffset(_))
+    VersionedTable.publishedFeedVersions(spark, path).lastOption
   }
+
+  /** Trigger.AvailableNow latches the catch-up TARGET here (the
+    * FileStreamSource pattern): batches then pace toward it through
+    * `latestOffset` until it is reached, so `maxVersionsPerTrigger`
+    * still bounds every batch during an available-now drain instead
+    * of one giant batch (or, worse, a drain that stops at the first
+    * paced offset — what the plain-Source wrapper would do). */
+  @volatile private var availableNowTarget: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = fetchLatest()
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerTrigger.map(n => ReadLimit.maxFiles(n.toInt))
+      .getOrElse(ReadLimit.allAvailable())
+
+  /** Admission-control form the engine actually calls (for a Source
+    * that implements it, `getOffset` is bypassed): the next batch END
+    * is the published head — frozen at the available-now target when
+    * one is latched — capped `maxVersionsPerTrigger` past the last
+    * committed offset. Never regresses: published versions only grow,
+    * and the anchor is max(committed, startingVersion-1). */
+  override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val latest = availableNowTarget.orElse(fetchLatest())
+    val anchor = math.max(
+      startingVersion.map(_ - 1).getOrElse(-1L),
+      Option(startOffset).map(_.json.trim.toLong).getOrElse(-1L))
+    latest.map { l =>
+      val end = maxVersionsPerTrigger match {
+        case Some(max) => math.max(anchor, math.min(l, anchor + max))
+        case None => math.max(anchor, l)
+      }
+      LongOffset(end): OffsetV2
+    }.orNull
+  }
+
+  override def getOffset: Option[OffsetV1] =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead of this method")
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame =
     org.apache.spark.sql.graft.SqlBridge.asStreamingFrame(spark,
       VersionedTable.feedBatch(spark, path,
-        start.map(ver).getOrElse(-1L), ver(end)))
+        math.max(start.map(ver).getOrElse(-1L),
+          startingVersion.map(_ - 1).getOrElse(-1L)), ver(end)))
 
   override def stop(): Unit = ()
 }

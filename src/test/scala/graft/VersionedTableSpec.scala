@@ -433,6 +433,30 @@ class VersionedTableSpec extends SparkSpec {
       s"resume must deliver only the new commit's feed, got $resumed")
     assert(resumed.map(r => (r._2, r._3, r._4)) ===
       Set(("insert", 5L, "e")))
+    // startingVersion (Delta CDF parity): deliver only v >= it
+    val fromV2 = collectVia(spark.readStream.format("graft")
+      .option("startingVersion", 2).load(dir), tmpCkpt())
+    assert(fromV2.map(_._1) === Set(2L),
+      s"startingVersion=2 must skip v1's feed, got $fromV2")
+    // maxVersionsPerTrigger paces catch-up into one-version batches
+    val batchVersions = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val paced = spark.readStream.format("graft")
+      .option("maxVersionsPerTrigger", 1).load(dir)
+      .writeStream.foreachBatch {
+        (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val vs = b.select($"commit_version").as[Long].collect().toSet
+          batchVersions.synchronized { batchVersions += vs }
+          ()
+      }
+      .option("checkpointLocation", tmpCkpt())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    paced.awaitTermination()
+    val nonEmpty = batchVersions.filter(_.nonEmpty)
+    assert(nonEmpty.forall(_.size == 1),
+      s"each paced batch must hold ONE version, got $batchVersions")
+    assert(nonEmpty.flatten.toSet === Set(1L, 2L),
+      "pacing must still deliver every version exactly once")
     // a declared schema is refused: the feed's schema is the table's
     val e = intercept[Exception] {
       spark.readStream.format("graft")
