@@ -125,5 +125,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // dead-rank top-k rewrite: row_number()<=k window filters become the
     // TopKPerKey operator (partial per-partition heaps, O(k) shuffle)
     ext.injectOptimizerRule(_ => graft.plans.RankToTopKRule)
+    // a bare INSERT INTO a graft table would be an invisible write
+    // (files no manifest references) — refuse at analysis, loudly
+    ext.injectCheckRule(_ => graft.sources.GraftInsertGuard)
   }
 }

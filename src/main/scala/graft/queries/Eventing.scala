@@ -1146,6 +1146,57 @@ object Eventing extends QueryModule {
     graft.sources.VersionedTable.read(s, table).orderBy(col("user_id"))
   }
 
+  /** e31 — streaming ingest through the NAMED sink
+    * (`writeStream.format("graft")`): the chronological event slices
+    * stream in (maxFilesPerTrigger=1 → one merge per slice), keyed by
+    * event_id with MoR layering riding the option surface. EXACTLY-
+    * ONCE is certified in-gate by replaying the WHOLE stream — a
+    * fresh checkpoint restarts batch ids at 0, and the sink's writer
+    * ledger (txnAppId × batchId) must recognize every batch and
+    * commit zero phantom versions. The oracle is the raw event log:
+    * ingest-by-unique-key must reproduce it exactly. */
+  private def e31(s: SparkSession, d: String): DataFrame = {
+    val prefix = "e31"
+    val (stage, schema) = stageCdcSlices(s, d, prefix)
+    val table = graft.util.Scratch.dir(
+      s"${prefix}_vtab_${streamRunId.incrementAndGet()}")
+    graft.util.Scratch.deleteRecursively(new java.io.File(table))
+    def runOnce(): Unit = {
+      val ckpt = java.nio.file.Files
+        .createTempDirectory(s"graft_${prefix}_ckpt").toString
+      val ns = s.newSession()
+      ns.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = ns.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .transform(graft.sources.Tables.normalizeTs)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"), col("value"))
+        .writeStream.format("graft")
+        .option("keyCols", "event_id")
+        .option("numBuckets", 16)
+        .option("mor", "true")
+        .option("txnAppId", s"${prefix}_ingest")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(table)
+      q.awaitTermination()
+    }
+    runOnce()
+    val v1 = graft.sources.VersionedTable.versions(s, table).max
+    runOnce() // full replay: fresh checkpoint, same identity + batch ids
+    val v2 = graft.sources.VersionedTable.versions(s, table).max
+    require(v2 == v1,
+      s"replayed stream committed phantom versions ($v1 -> $v2)")
+    graft.sources.VersionedTable.read(s, table)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+  }
+  private val e31Sql =
+    """SELECT event_id, user_id, ts, event_type, value
+       FROM events ORDER BY event_id"""
+
   private val e26Sql =
     """SELECT user_id, ts AS last_ts, event_id AS last_event_id,
          event_type AS last_type, value AS last_value
@@ -1318,6 +1369,7 @@ object Eventing extends QueryModule {
     "e29_stream_exactly_once" -> e29 _,
     "e27_stream_feed_maintain" -> e27 _,
     "e30_stream_graft_source" -> e30 _,
+    "e31_stream_graft_sink" -> e31 _,
     "e26_stream_cdc_merge" -> e26 _,
     "e25_stream_anomaly" -> e25 _,
     "e24_update_mode" -> e24 _,
@@ -1351,6 +1403,7 @@ object Eventing extends QueryModule {
     // the provider-path stream must be row-interchangeable with the
     // programmatic feed stream: same oracle as e27
     "e30_stream_graft_source" -> e27Sql,
+    "e31_stream_graft_sink" -> e31Sql,
     "e26_stream_cdc_merge" -> e26Sql,
     // MoR layering + compaction must be invisible: same oracle as e26
     "e28_stream_mor_ingest" -> e26Sql,

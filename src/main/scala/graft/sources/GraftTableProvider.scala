@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession, SQLContext}
 import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 
 /** `format("graft")` / `USING graft` — the versioned table as a
@@ -52,7 +52,7 @@ import org.apache.spark.sql.types.StructType
   */
 final class GraftTableProvider extends RelationProvider
     with CreatableRelationProvider with StreamSourceProvider
-    with DataSourceRegister {
+    with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
 
@@ -108,30 +108,8 @@ final class GraftTableProvider extends RelationProvider
             "use mode(\"append\") to merge into it")
       case SaveMode.Ignore if exists => () // leave the table untouched
       case _ =>
-        val keyCols = params.getOrElse("keycols",
-          throw new IllegalArgumentException(
-            "graft writes need option(\"keyCols\", \"k1,k2\") — the merge " +
-              "is key-scoped")).split(",").map(_.trim).filter(_.nonEmpty).toSeq
-        val txn = (params.get("txnappid"), params.get("txnversion")) match {
-          case (Some(a), Some(v)) => Some((a, v.toLong))
-          case (None, None) => None
-          case _ => throw new IllegalArgumentException(
-            "txnAppId and txnVersion must be supplied together")
-        }
-        // an existing table's bucket count is part of its layout — the
-        // merge must pass it back (or the option overrides explicitly,
-        // e.g. for a first write)
-        val numBuckets = params.get("numbuckets").map(_.toInt).getOrElse {
-          if (exists) VersionedTable.snapshot(spark, path, None).numBuckets
-          else 64
-        }
-        VersionedTable.merge(spark, path, data, keyCols,
-          deleteCol = params.get("deletecol"),
-          numBuckets = numBuckets,
-          mor = params.get("mor").exists(_.toBoolean),
-          autoCompactLayers = params.get("autocompactlayers").map(_.toInt)
-            .getOrElse(0),
-          txn = txn)
+        GraftTableProvider.mergeWithOptions(spark, path, data, params,
+          exists, txn = GraftTableProvider.txnOf(params))
     }
     val sn = VersionedTable.snapshot(spark, path, None)
     VersionedScan.baseRelation(spark, path, sn, None)
@@ -148,6 +126,39 @@ final class GraftTableProvider extends RelationProvider
     val path = pathOf(lower(parameters))
     (shortName(), VersionedTable.feedStreamSchema(
       sqlContext.sparkSession, path))
+  }
+
+  /** `df.writeStream.format("graft")` — the streaming MoR/COW ingest
+    * loop as a NAMED sink. Every micro-batch is one key-scoped MERGE;
+    * exactly-once comes from the idempotent writer ledger: the txn id
+    * is (writer identity, batchId), so a replayed micro-batch after a
+    * crash is recognized from the manifest and skipped before any job
+    * runs (the e29 contract, now without hand-writing foreachBatch).
+    * Writer identity: option("txnAppId") if given, else the query's
+    * checkpoint location — the same string that makes the REPLAY
+    * possible, so the default is exactly as stable as the recovery it
+    * protects. Output modes Append and Update both map onto the merge
+    * (per-key newest state; that IS update semantics); Complete is
+    * refused — a versioned table's history is the point. */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val params = lower(parameters)
+    require(partitionColumns.isEmpty,
+      "graft tables lay out by key bucket; partitionBy is not supported")
+    require(outputMode != org.apache.spark.sql.streaming.OutputMode.Complete(),
+      "graft sink: Complete mode would rewrite the table every batch — " +
+        "the versioned history is the point. Use append/update (both " +
+        "are key-scoped MERGE upserts).")
+    val appId = params.get("txnappid")
+      .orElse(params.get("checkpointlocation"))
+      .getOrElse(throw new IllegalArgumentException(
+        "graft sink needs a stable writer identity for exactly-once: " +
+          "set option(\"checkpointLocation\", ...) (the usual streaming " +
+          "requirement) or an explicit option(\"txnAppId\", ...)"))
+    new GraftStreamSink(sqlContext.sparkSession, pathOf(params), params,
+      appId)
   }
 
   override def createSource(sqlContext: SQLContext,
@@ -167,6 +178,69 @@ final class GraftTableProvider extends RelationProvider
       longOpt("maxversionspertrigger", "maxVersionsPerTrigger")
         .map(n => { require(n > 0,
           s"maxVersionsPerTrigger must be positive, got $n"); n }))
+  }
+}
+
+/** Analysis-time guard: a bare `INSERT INTO` on a graft table plans as
+  * Spark's generic InsertIntoHadoopFsRelationCommand, which would write
+  * parquet STRAIGHT INTO the table directory — bytes no manifest ever
+  * references, so the "insert" silently never becomes visible (and
+  * junk accumulates a vacuum won't claim). Injected as a check rule by
+  * GraftExtensions: the command is recognized by its FileIndex and
+  * refused with the honest alternative. */
+object GraftInsertGuard
+    extends (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan => Unit) {
+  override def apply(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
+    plan.foreach {
+      case cmd: org.apache.spark.sql.execution.datasources.InsertIntoHadoopFsRelationCommand
+          if cmd.fileIndex.exists(_.isInstanceOf[VersionedFileIndex]) =>
+        throw new UnsupportedOperationException(
+          "INSERT INTO a graft table is not supported: the generic file " +
+            "insert would write files no manifest references (an invisible " +
+            "write). Upsert with df.write.format(\"graft\")" +
+            ".option(\"keyCols\", ...).mode(\"append\") — a key-scoped, " +
+            "versioned MERGE.")
+      case _ => ()
+    }
+}
+
+object GraftTableProvider {
+
+  private[sources] def txnOf(params: Map[String, String]): Option[(String, Long)] =
+    (params.get("txnappid"), params.get("txnversion")) match {
+      case (Some(a), Some(v)) => Some((a, v.toLong))
+      case (None, None) => None
+      case _ => throw new IllegalArgumentException(
+        "txnAppId and txnVersion must be supplied together")
+    }
+
+  /** The one write both provider surfaces (batch SaveMode and the
+    * streaming sink) map onto: key-scoped MERGE with the options
+    * contract — `keyCols` required, `numBuckets` from the option or
+    * the existing table's layout, `mor`/`deleteCol`/
+    * `autoCompactLayers` passed through. */
+  private[sources] def mergeWithOptions(spark: SparkSession, path: String,
+      data: DataFrame, params: Map[String, String], exists: Boolean,
+      txn: Option[(String, Long)]): Long = {
+    val keyCols = params.getOrElse("keycols",
+      throw new IllegalArgumentException(
+        "graft writes need option(\"keyCols\", \"k1,k2\") — the merge " +
+          "is key-scoped")).split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    // an existing table's bucket count is part of its layout — the
+    // merge must pass it back (or the option overrides explicitly,
+    // e.g. for a first write)
+    val numBuckets = params.get("numbuckets").map(_.toInt).getOrElse {
+      if (exists) VersionedTable.snapshot(spark, path, None).numBuckets
+      else 64
+    }
+    VersionedTable.merge(spark, path, data, keyCols,
+      deleteCol = params.get("deletecol"),
+      numBuckets = numBuckets,
+      mor = params.get("mor").exists(_.toBoolean),
+      autoCompactLayers = params.get("autocompactlayers").map(_.toInt)
+        .getOrElse(0),
+      txn = txn)
   }
 }
 
@@ -253,4 +327,25 @@ final class GraftChangeFeedSource(spark: SparkSession, path: String,
           startingVersion.map(_ - 1).getOrElse(-1L)), ver(end)))
 
   override def stop(): Unit = ()
+}
+
+/** One micro-batch = one key-scoped MERGE, exactly-once by ledger:
+  * see [[GraftTableProvider.createSink]]. */
+final class GraftStreamSink(spark: SparkSession, path: String,
+    params: Map[String, String], appId: String)
+    extends org.apache.spark.sql.execution.streaming.Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    // the engine hands the batch over streaming-tagged; the merge is a
+    // batch write, so re-wrap it (no Row decode — the ForeachBatchSink
+    // pattern via the bridge)
+    val batch = org.apache.spark.sql.graft.SqlBridge
+      .asBatchFrame(data.sparkSession, data)
+    val exists = VersionedTable.versions(spark, path).nonEmpty
+    GraftTableProvider.mergeWithOptions(spark, path, batch, params,
+      exists, txn = Some((appId, batchId)))
+    ()
+  }
+
+  override def toString: String = s"GraftStreamSink[$path]"
 }

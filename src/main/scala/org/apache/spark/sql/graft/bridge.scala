@@ -35,5 +35,14 @@ object SqlBridge {
     spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = true)
 
+  /** The inverse re-wrap: a micro-batch frame the engine hands a DSv1
+    * `Sink.addBatch` is streaming-tagged; a batch write (MERGE) must
+    * re-plan it as a plain batch frame — without decoding to Row and
+    * back (same internalCreateDataFrame, isStreaming=false; what
+    * Spark's own ForeachBatchSink does). */
+  def asBatchFrame(spark: SparkSession, df: DataFrame): DataFrame =
+    spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+
   def logicalPlan(df: DataFrame): LogicalPlan = df.queryExecution.logical
 }

@@ -155,6 +155,65 @@ class GraftProviderSpec extends SparkSpec {
     assert(VersionedTable.versions(spark, dir).max === after1)
   }
 
+  test("a bare INSERT INTO is refused at analysis — no invisible writes") {
+    val dir = fixture()
+    spark.sql("DROP TABLE IF EXISTS provider_ins")
+    spark.sql(s"CREATE TABLE provider_ins USING graft OPTIONS (path '$dir')")
+    def rootFiles = new java.io.File(dir).listFiles().map(_.getName).toSet
+    val before = rootFiles
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO provider_ins VALUES (99, 'x', 1)")
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(5).map(t => String.valueOf(t.getMessage))
+    assert(msgs.exists(_.contains("key-scoped")),
+      s"the refusal must name the honest alternative: $e")
+    assert(rootFiles === before,
+      "the refused insert must leave no junk in the table dir")
+  }
+
+  test("writeStream.format(\"graft\"): named sink merges with exactly-once ledger") {
+    import org.apache.spark.sql.streaming.Trigger
+    val stage = freshDir("sink_stage"); new java.io.File(stage).mkdirs()
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1)
+      .write.parquet(s"$stage/s1")
+    // one file per subdir so maxFilesPerTrigger paces deterministically
+    val schema = spark.read.parquet(s"$stage/s1").schema
+    val table = freshDir("sink_table")
+    def run(ckpt: String): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$stage/*")
+        .writeStream.format("graft")
+        .option("keyCols", "k").option("numBuckets", 2)
+        .option("txnAppId", "sink_spec")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start(table)
+      q.awaitTermination()
+    }
+    def tmpCkpt() = java.nio.file.Files
+      .createTempDirectory("sink_spec_ckpt").toString
+    run(tmpCkpt())
+    assert(VersionedTable.read(spark, table)
+      .select($"k", $"v").as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b")))
+    val v1 = VersionedTable.versions(spark, table).max
+    // FULL replay: fresh checkpoint restarts batch ids; the ledger
+    // (txnAppId x batchId) must skip every batch — zero phantom versions
+    run(tmpCkpt())
+    assert(VersionedTable.versions(spark, table).max === v1,
+      "replayed stream must commit nothing")
+    // Complete mode is refused at sink creation, loudly
+    val e = intercept[Exception] {
+      spark.readStream.schema(schema).parquet(s"$stage/*")
+        .groupBy($"k").count()
+        .writeStream.format("graft")
+        .option("keyCols", "k")
+        .option("checkpointLocation", tmpCkpt())
+        .outputMode("complete").start(freshDir("sink_complete"))
+    }
+    assert(e.getMessage.contains("Complete"), s"got: ${e.getMessage}")
+  }
+
   test("exists-probe: a genuine FS failure propagates instead of reading as 'absent'") {
     // a throwing FileSystem behind its own scheme — if the write path
     // swallowed this as "table absent", SaveMode.Ignore would proceed
