@@ -277,7 +277,16 @@ final class GraftChangeFeedSource(spark: SparkSession, path: String,
   private def ver(o: OffsetV1): Long = o.json.trim.toLong
 
   private def fetchLatest(): Option[Long] = {
-    VersionedTable.publishFeeds(spark, path)
+    // heal committed-but-unpublished feeds before listing — but as a
+    // BEST-EFFORT: a read-only consumer may lack write permission on
+    // _feed, and the WRITER already heals on every commit; a consumer
+    // must degrade to reading what is published, not die
+    try VersionedTable.publishFeeds(spark, path)
+    catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(
+        s"[graft source] feed heal skipped for $path (writer heals on " +
+          s"commit): $e")
+    }
     VersionedTable.publishedFeedVersions(spark, path).lastOption
   }
 
