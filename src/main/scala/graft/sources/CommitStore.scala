@@ -75,13 +75,25 @@ object CommitStore {
         try fs.delete(tmp, false) catch { case _: java.io.IOException => () }
         throw e
       }
-      val renamed =
-        try fs.rename(tmp, dst)
-        catch { case _: java.io.IOException => false } // e.g. dst exists
-      if (!renamed) {
+      // a failed rename is only a LOST RACE when the destination
+      // actually exists — mapping every IOException to "lost the race"
+      // would send a transient namenode/FS outage down the OCC-rebase
+      // diagnostic path (and retry loops would rebase when they should
+      // surface the outage)
+      val renamed: Either[java.io.IOException, Boolean] =
+        try Right(fs.rename(tmp, dst))
+        catch { case e: java.io.IOException => Left(e) }
+      if (renamed != Right(true)) {
         try fs.delete(tmp, false) catch { case _: java.io.IOException => () }
-        throw new java.io.IOException(
-          s"manifest $dst already exists (lost the commit race)")
+        if (fs.exists(dst))
+          throw new java.io.IOException(
+            s"manifest $dst already exists (lost the commit race)")
+        renamed match {
+          case Left(e) => throw e // genuine FS failure, unpublished
+          case _ => throw new java.io.IOException(
+            s"rename to $dst refused but no manifest exists there — " +
+              "filesystem failure, commit not published")
+        }
       }
     }
   }

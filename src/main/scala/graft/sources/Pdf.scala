@@ -1634,16 +1634,23 @@ object Pdf {
       case i => clear.substring(0, i)
     }
     if (!head.contains("/Encoding")) None
-    else if (head.contains("StandardEncoding")) Some(SimpleFont(standardBase))
     else {
-      val t = Array.fill[String](256)("�")
+      // the common Type1 idiom COPIES StandardEncoding and then
+      // overrides slots (`/Encoding StandardEncoding readonly def`
+      // followed by `dup N /name put` entries) — seed from the
+      // standard table when the marker is present and apply the
+      // overrides ON TOP; bare-marker and overrides-only programs are
+      // the degenerate ends of the same path
+      val std = head.contains("StandardEncoding")
+      val t: Array[String] =
+        if (std) standardBase.clone() else Array.fill[String](256)("�")
       var any = false
       "dup\\s+(\\d+)\\s*/([^\\s/\\[\\]<>()]+)\\s+put".r
         .findAllMatchIn(head).foreach { m =>
           val c = m.group(1).toInt
           if (c >= 0 && c < 256) { t(c) = glyphText(m.group(2)); any = true }
         }
-      if (any) Some(SimpleFont(t)) else None
+      if (std || any) Some(SimpleFont(t)) else None
     }
   }
 

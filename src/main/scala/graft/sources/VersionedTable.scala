@@ -161,6 +161,65 @@ object VersionedTable {
   private def manifestPath(root: HPath, v: Long): HPath =
     new HPath(new HPath(root, LOG), f"$v%08d.json")
 
+  /** The HEAD HINT (`_log/_head`, Delta's `_last_checkpoint` analog):
+    * a tiny best-effort marker holding the newest version its writer
+    * committed, refreshed after every successful manifest publish.
+    * With it, resolving the LATEST version costs one small read plus a
+    * couple of existence probes instead of an O(commits) `_log`
+    * listing — the term that otherwise grows with history depth on
+    * every `snapshot()`/`merge`/streaming-sink batch (139 ms/listing
+    * measured at 10,240 commits, study_r14.json `manifest_scale`).
+    * Correctness never depends on it: the hint is monotonic and
+    * always ≤ the true head (it is written AFTER the commit), readers
+    * probe FORWARD past it for commits whose hint write was lost, and
+    * a missing/garbled/vacuum-stale hint falls back to the listing. */
+  private val HEAD = "_head"
+
+  private def headPath(root: HPath): HPath =
+    new HPath(new HPath(root, LOG), HEAD)
+
+  /** The hint's value, or None when absent/unreadable. A genuine FS
+    * failure (outage, permissions) propagates — "absent" must mean
+    * absent, not "storage is down" (same contract as the provider's
+    * exists-probe, GraftProviderSpec's FailingFs gate). */
+  private def readHeadHint(fs: FileSystem, root: HPath): Option[Long] =
+    try {
+      val in = fs.open(headPath(root))
+      val s =
+        try { val o = new java.io.ByteArrayOutputStream(); in.transferTo(o); o.toString("UTF-8") }
+        finally in.close()
+      s.trim.toLongOption
+    } catch {
+      case _: java.io.FileNotFoundException => None
+      // a corrupt hint (torn write survived a crash, stale checksum
+      // sidecar) is WORTHLESS, not fatal — degrade to the listing
+      case _: org.apache.hadoop.fs.ChecksumException => None
+    }
+
+  /** Advance the hint to `v` (best-effort, monotonic, never throws):
+    * temp + overwrite-rename, so readers see the old value or the new
+    * one, never a torn write. A racing older writer that lands last
+    * only leaves the hint a little behind — the forward probe in
+    * [[latestVersion]] absorbs any lag. The temp name starts with
+    * `.tmp_` so vacuum's orphan sweep ages out a crashed writer's
+    * leftover. */
+  private def writeHeadHint(fs: FileSystem, root: HPath, v: Long): Unit =
+    try {
+      if (readHeadHint(fs, root).exists(_ >= v)) return
+      val tmp = new HPath(new HPath(root, LOG),
+        s".tmp_head_${java.util.UUID.randomUUID().toString.take(8)}")
+      val out = fs.create(tmp, true)
+      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+      fs.delete(headPath(root), false) // local rename refuses existing dst
+      if (!fs.rename(tmp, headPath(root))) fs.delete(tmp, false)
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** How far past the hint [[latestVersion]] probes one-manifest-at-a-
+    * time before giving up on the hint and paying the full listing —
+    * bounds the worst case when a hint is very stale (e.g. a log
+    * populated outside the commit path). */
+  private val headProbeMax = 256
+
   /** Committed versions, ascending (vacuumed versions are absent). */
   def versions(spark: SparkSession, path: String): Seq[Long] = {
     val (fs, root) = fsOf(spark, path)
@@ -171,16 +230,49 @@ object VersionedTable {
       .map(_.stripSuffix(".json").toLong).sorted
   }
 
+  /** The newest committed version, without an O(commits) `_log`
+    * listing when the head hint is fresh: read the hint, verify its
+    * manifest exists, then probe forward for any commit whose hint
+    * write was lost (normally zero or one step). None = no table.
+    * Every latest-version consumer (`snapshot(asOf = None)`, `merge`'s
+    * base load, the streaming sink's per-batch probe) resolves through
+    * here, so a deep history costs readers what a shallow one does. */
+  def latestVersion(spark: SparkSession, path: String): Option[Long] = {
+    val (fs, root) = fsOf(spark, path)
+    readHeadHint(fs, root) match {
+      case Some(h) if fs.exists(manifestPath(root, h)) =>
+        var v = h
+        var steps = 0
+        while (steps < headProbeMax && fs.exists(manifestPath(root, v + 1))) {
+          v += 1; steps += 1
+        }
+        if (steps < headProbeMax) Some(v)
+        else versions(spark, path).lastOption // hint absurdly stale
+      case _ => versions(spark, path).lastOption
+    }
+  }
+
   def snapshot(spark: SparkSession, path: String,
       asOf: Option[Long] = None): Snapshot = {
-    val vs = versions(spark, path)
-    require(vs.nonEmpty, s"no versioned table at $path (no $LOG/ manifests)")
-    val v = asOf.getOrElse(vs.max)
-    require(vs.contains(v),
-      s"version $v of $path does not exist (available: ${vs.mkString(", ")}" +
-        " — a vacuumed version is gone for good)")
     val (fs, root) = fsOf(spark, path)
-    loadSnapshot(fs, root, path, v)
+    val resolved: Option[Long] = asOf match {
+      // pinned version: one existence probe resolves it — no listing
+      // at any history depth; the miss path pays the listing only to
+      // name the surviving versions in the error
+      case Some(v) => Some(v).filter(x => fs.exists(manifestPath(root, x)))
+      case None => latestVersion(spark, path)
+    }
+    resolved match {
+      case Some(v) => loadSnapshot(fs, root, path, v)
+      case None =>
+        val vs = versions(spark, path)
+        require(vs.nonEmpty, s"no versioned table at $path (no $LOG/ manifests)")
+        val v = asOf.getOrElse(vs.max)
+        require(vs.contains(v),
+          s"version $v of $path does not exist (available: " +
+            s"${vs.mkString(", ")} — a vacuumed version is gone for good)")
+        loadSnapshot(fs, root, path, v)
+    }
   }
 
   /** Parse one already-known-to-exist manifest — no `_log` listing.
@@ -422,6 +514,10 @@ object VersionedTable {
     CommitStore.forScheme(fs.getScheme).putIfAbsent(
       fs, new HPath(root, LOG), manifestPath(root, v),
       mapper.writeValueAsBytes(node))
+    // the commit is durable; advance the head hint so the NEXT reader
+    // resolves this version without a log listing (best-effort — a
+    // lost hint write costs one forward probe, never correctness)
+    writeHeadHint(fs, root, v)
   }
 
   /** Key-scoped MERGE committing a NEW version; returns it. Matched
@@ -589,9 +685,12 @@ object VersionedTable {
     deleteCol.foreach(c => require(updates.columns.contains(c),
       s"deleteCol '$c' not in updates schema ${updates.columns.mkString(",")}"))
     val (fs, root) = fsOf(spark, path)
-    val vs = versions(spark, path)
-    val baseSn0: Option[Snapshot] = if (vs.isEmpty) None else {
-      val sn = snapshot(spark, path, None)
+    // latest-version resolution, not a full listing: a streaming sink
+    // merges once per micro-batch into a table whose history GROWS one
+    // commit per batch — the base load must stay O(1) in history depth
+    val headV = latestVersion(spark, path)
+    val baseSn0: Option[Snapshot] = if (headV.isEmpty) None else {
+      val sn = loadSnapshot(fs, root, path, headV.get)
       require(sn.numBuckets == numBuckets,
         s"table $path currently has numBuckets=${sn.numBuckets}, " +
           s"merge called with $numBuckets — pass the current count " +
@@ -1336,33 +1435,24 @@ object VersionedTable {
       rescan: Boolean = false): Seq[Long] = {
     val (fs, root) = fsOf(spark, path)
     val feedRoot = new HPath(root, FEED)
-    // one _feed listing up front, then manifests opened only for the
-    // UNPUBLISHED versions (normally just the one that triggered the
-    // sweep) — a long-retained history must not make every commit pay
-    // an O(versions) manifest re-read
-    val already: Set[Long] =
-      if (!fs.exists(feedRoot)) Set.empty
-      else fs.listStatus(feedRoot).toSeq.map(_.getPath.getName)
-        .filter(_.startsWith("commit_version="))
-        .map(_.stripPrefix("commit_version=").toLong).toSet
-    // `already` only covers versions that PUBLISHED something — a
-    // version with no feed (every commit of a plain non-CDC table, or
-    // pre-CDC history) would be re-opened by EVERY later sweep, an
-    // O(versions) manifest re-read per commit that compounds to
-    // O(versions²) at streaming cadence (a 10⁴-commit sweep measured
-    // 1,472 s before the watermark + loadSnapshot split, 1.5 s after —
-    // BASELINE.md r14, study_r14.json `manifest_scale`). The
-    // sweep is ascending and exhaustive, so after one completed sweep
-    // every version ≤ its head is either published or known feed-less:
-    // record that head and start the next sweep above it. The marker
-    // is best-effort (overwrite-rename; a stale or lost marker only
-    // costs re-examining manifests — `already` + the exists() guard
-    // still make publication idempotent). CRASH healing is preserved:
-    // the marker only advances after a completed sweep, so a publish
-    // that died mid-flight stays below it and the next sweep retries.
-    // What the fast path will NOT notice is a published dir deleted
-    // LATER (manual tampering/partial restore) — repair that with
-    // `rescan = true`, which re-examines the full history.
+    // The sweep is ascending and exhaustive, so after one completed
+    // sweep every version ≤ its head is either published or known
+    // feed-less: the `_swept` marker records that head and the next
+    // sweep starts above it. Without it, a version with no feed (every
+    // commit of a plain non-CDC table, or pre-CDC history) would be
+    // re-opened by EVERY later sweep — an O(versions) manifest re-read
+    // per commit that compounds to O(versions²) at streaming cadence
+    // (a 10⁴-commit sweep measured 1,472 s before the watermark +
+    // loadSnapshot split, 1.5 s after — BASELINE.md r14, study_r14.json
+    // `manifest_scale`). The marker is best-effort (overwrite-rename; a
+    // stale or lost marker only costs re-examining manifests — the
+    // per-version exists() guard still makes publication idempotent).
+    // CRASH healing is preserved: the marker only advances after a
+    // completed sweep, so a publish that died mid-flight stays below it
+    // and the next sweep retries. What the fast path will NOT notice is
+    // a published dir deleted LATER (manual tampering/partial restore)
+    // — repair that with `rescan = true`, which re-examines the full
+    // history.
     val wmPath = new HPath(feedRoot, "_swept")
     val watermark: Long =
       if (rescan || !fs.exists(wmPath)) -1L
@@ -1373,9 +1463,34 @@ object VersionedTable {
         }, "UTF-8").trim.toLong
         finally in.close()
       } catch { case scala.util.control.NonFatal(_) => -1L }
-    val vs = versions(spark, path)
+    // Candidate versions above the watermark. Steady state (marker
+    // present): the (watermark, head] RANGE via the head hint — an
+    // O(gap) resolution with NO `_log` listing and NO O(published)
+    // `_feed` listing, so a streaming sink's per-batch sweep stays flat
+    // as its own history deepens (the r15 fix; the per-candidate
+    // exists(dst) probe below is the idempotence guard the skipped
+    // `_feed` listing used to provide). Cold/rescan: one listing of
+    // each, with `already` skipping published versions' manifest opens.
+    val (vs: Seq[Long], already: Set[Long]) =
+      if (watermark >= 0)
+        (latestVersion(spark, path).filter(_ > watermark)
+          .map(h => (watermark + 1) to h: Seq[Long]).getOrElse(Seq.empty),
+          Set.empty[Long])
+      else {
+        val pub: Set[Long] =
+          if (!fs.exists(feedRoot)) Set.empty
+          else fs.listStatus(feedRoot).toSeq.map(_.getPath.getName)
+            .filter(_.startsWith("commit_version="))
+            .map(_.stripPrefix("commit_version=").toLong).toSet
+        (versions(spark, path), pub)
+      }
     val published = vs.filter(v => v > watermark && !already(v)).flatMap { v =>
-      loadSnapshot(fs, root, path, v).cdc.flatMap { case (cdcDir, _) =>
+      // a range candidate vacuumed since the marker was written has no
+      // manifest (and no _cdc left to publish) — skip, don't die
+      val cdcOf =
+        try loadSnapshot(fs, root, path, v).cdc
+        catch { case _: java.io.FileNotFoundException => None }
+      cdcOf.flatMap { case (cdcDir, _) =>
         val dst = new HPath(feedRoot, s"commit_version=$v")
         if (fs.exists(dst)) None
         else {
@@ -1456,9 +1571,14 @@ object VersionedTable {
     * identical rows. */
   private[sources] def feedStreamSchema(spark: SparkSession,
       path: String): StructType = {
+    // one _log listing, then loadSnapshot per walked version — the
+    // reverse walk normally stops at the head (merges attach a feed);
+    // only a tail of feed-less commits (compactions/restores) walks
+    // further, and each step is a manifest READ, not a re-listing
+    val (fs, root) = fsOf(spark, path)
     val vs = versions(spark, path)
     val feedSchema = vs.reverse.iterator
-      .map(v => snapshot(spark, path, Some(v)).cdc)
+      .map(v => loadSnapshot(fs, root, path, v).cdc)
       .collectFirst { case Some((_, s)) => s }
       .getOrElse(throw new IllegalArgumentException(
         s"$path has no materialized feed to stream (only creation/" +
@@ -1489,8 +1609,13 @@ object VersionedTable {
     * `_feed` (feed dirs are immutable once published, so a checkpoint
     * replay of the same offset range reads identical rows). */
   private[sources] def feedBatch(spark: SparkSession, path: String,
-      fromExclusive: Long, toInclusive: Long): DataFrame =
-    spark.read.schema(feedStreamSchema(spark, path))
+      fromExclusive: Long, toInclusive: Long,
+      schema: Option[StructType] = None): DataFrame =
+    // the schema is stable for a source's lifetime (the file-source
+    // contract: restart after a widening commit) — a long-lived stream
+    // passes its construction-time schema instead of paying the
+    // reverse manifest walk again on every micro-batch
+    spark.read.schema(schema.getOrElse(feedStreamSchema(spark, path)))
       .parquet(s"$path/$FEED")
       .filter(col("commit_version") > fromExclusive &&
         col("commit_version") <= toInclusive)

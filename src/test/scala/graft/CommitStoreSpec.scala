@@ -93,6 +93,42 @@ class CommitStoreSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(leftovers.isEmpty, s"temp files must be cleaned: ${leftovers.toSeq}")
   }
 
+  test("HdfsRename classifies failures: lost race ONLY when dst exists; a transient outage rethrows as itself") {
+    val (fs, logDir) = localFsAndDir("rename_classify")
+    // a wrapper FS whose rename always throws — simulates a transient
+    // namenode/FS failure that is NOT a commit race
+    val flaky = new org.apache.hadoop.fs.FilterFileSystem(fs) {
+      override def rename(src: HPath, dst: HPath): Boolean =
+        throw new java.io.IOException("transient namenode outage")
+    }
+    val dst = new HPath(logDir, "00000005.json")
+    val e = intercept[java.io.IOException] {
+      CommitStore.HdfsRename.putIfAbsent(flaky, logDir, dst, "x".getBytes)
+    }
+    assert(e.getMessage.contains("transient namenode outage"),
+      s"an outage with no manifest at dst must surface AS the outage, " +
+        s"not as a lost race: ${e.getMessage}")
+    // same throwing rename, but the destination EXISTS: that IS a lost
+    // race (the OCC rebase path), whatever the rename's excuse was
+    val out = fs.create(dst, false)
+    try out.write("winner".getBytes) finally out.close()
+    val e2 = intercept[java.io.IOException] {
+      CommitStore.HdfsRename.putIfAbsent(flaky, logDir, dst, "y".getBytes)
+    }
+    assert(e2.getMessage.contains("lost the commit race"),
+      s"dst present must classify as a race: ${e2.getMessage}")
+    // rename returning FALSE with no dst is an FS failure, named as such
+    val refusing = new org.apache.hadoop.fs.FilterFileSystem(fs) {
+      override def rename(src: HPath, dst: HPath): Boolean = false
+    }
+    val dst3 = new HPath(logDir, "00000006.json")
+    val e3 = intercept[java.io.IOException] {
+      CommitStore.HdfsRename.putIfAbsent(refusing, logDir, dst3, "z".getBytes)
+    }
+    assert(e3.getMessage.contains("filesystem failure"),
+      s"refused rename with no dst must read as an FS failure: ${e3.getMessage}")
+  }
+
   test("a conforming in-memory store drives the seam: race through the TRAIT") {
     // the test double a deployment would register for an object store
     // with conditional put: putIfAbsent maps directly onto it

@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.sources.VersionedTable
@@ -212,6 +214,93 @@ class GraftProviderSpec extends SparkSpec {
         .outputMode("complete").start(freshDir("sink_complete"))
     }
     assert(e.getMessage.contains("Complete"), s"got: ${e.getMessage}")
+  }
+
+  test("sink identity defaults to the STREAMING QUERY ID: a replay from a RELOCATED checkpoint still skips") {
+    import org.apache.spark.sql.streaming.Trigger
+    val stage = freshDir("sinkq_stage"); new java.io.File(stage).mkdirs()
+    Seq((1L, "a")).toDF("k", "v").coalesce(1).write.parquet(s"$stage/s1")
+    Seq((2L, "b")).toDF("k", "v").coalesce(1).write.parquet(s"$stage/s2")
+    val schema = spark.read.parquet(s"$stage/s1").schema
+    val table = freshDir("sinkq_table")
+    def run(ckpt: String): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$stage/*")
+        .writeStream.format("graft")
+        .option("keyCols", "k").option("numBuckets", 2)
+        // NO txnAppId: identity must come from the query id persisted
+        // in the checkpoint's metadata file, NOT the checkpoint path
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start(table)
+      q.awaitTermination()
+    }
+    val ckptA = freshDir("sinkq_ckptA")
+    run(ckptA)
+    assert(VersionedTable.read(spark, table)
+      .select($"k", $"v").as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b")))
+    val v1 = VersionedTable.versions(spark, table).max
+    // RELOCATE the checkpoint (copy A -> B), then force a replay by
+    // dropping the newest commit marker: the engine re-runs that batch
+    // from B. Were the identity derived from the checkpoint PATH, the
+    // replayed batch would arrive under a new appId and re-commit a
+    // phantom version; the query id rides along in B's metadata file.
+    val ckptB = freshDir("sinkq_ckptB")
+    val src = java.nio.file.Paths.get(ckptA)
+    val dst = java.nio.file.Paths.get(ckptB)
+    java.nio.file.Files.walk(src).forEach { p =>
+      val t = dst.resolve(src.relativize(p))
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val commits = dst.resolve("commits")
+    val newest = java.nio.file.Files.list(commits).iterator().asScala
+      .filter(p => p.getFileName.toString.forall(_.isDigit))
+      .maxBy(_.getFileName.toString.toLong)
+    java.nio.file.Files.delete(newest)
+    java.nio.file.Files.deleteIfExists(
+      commits.resolve(s".${newest.getFileName}.crc"))
+    run(ckptB)
+    assert(VersionedTable.versions(spark, table).max === v1,
+      "replayed batch from a relocated checkpoint must be recognized " +
+        "by the ledger — same query id, zero phantom versions")
+    assert(VersionedTable.read(spark, table)
+      .select($"k", $"v").as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b")))
+  }
+
+  test("available-now with NOTHING published at prepare terminates instead of consuming live") {
+    val dir = freshDir("avnow_empty")
+    VersionedTable.merge(spark, dir,
+      Seq((1L, "a")).toDF("k", "v"), Seq("k"), numBuckets = 2)
+    VersionedTable.merge(spark, dir,
+      Seq((2L, "b")).toDF("k", "v"), Seq("k"), numBuckets = 2)
+    // construct the source while a feed schema exists...
+    val srcFeed = new graft.sources.GraftChangeFeedSource(spark, dir)
+    // ...then strip ALL publication state and v1's cdc declaration, so
+    // prepare genuinely finds nothing published (the read-only-consumer
+    // shape: heal publishes nothing, _feed is empty)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "_feed"), true)
+    val m1 = java.nio.file.Paths.get(dir, "_log", "00000001.json")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(java.nio.file.Files.readAllBytes(m1))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    node.remove("cdcDir"); node.remove("cdcSchema")
+    java.nio.file.Files.write(m1, mapper.writeValueAsBytes(node))
+    srcFeed.prepareForTriggerAvailableNow()
+    // a version published AFTER the trigger started must NOT be drained
+    // by this run (the pre-fix bug: an empty latch fell through to a
+    // live fetch and kept consuming)
+    VersionedTable.merge(spark, dir,
+      Seq((3L, "c")).toDF("k", "v"), Seq("k"), numBuckets = 2)
+    val off = srcFeed.latestOffset(null,
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable())
+    assert(off === null,
+      s"empty-at-prepare available-now run must report no data, got $off")
   }
 
   test("exists-probe: a genuine FS failure propagates instead of reading as 'absent'") {

@@ -808,6 +808,15 @@ class PdfSpec extends SparkSpec {
     val std = Pdf.type1BuiltinDec(
       ("%!PS\n/Encoding StandardEncoding def\neexec\n").getBytes("ISO-8859-1")).get
     assert(std.decode("abc") === "abc")
+    // the copy-then-override idiom: StandardEncoding seeded, dup/put
+    // entries win ON TOP of it — decoding as pure StandardEncoding
+    // would silently drop the overrides (r15 advice fix)
+    val over = Pdf.type1BuiltinDec(
+      ("%!PS\n/Encoding StandardEncoding readonly def\n" +
+        "dup 97 /eacute put\ndup 98 /uni004B put\neexec\n")
+        .getBytes("ISO-8859-1")).get
+    assert(over.decode("abc") === "éKc",
+      "overridden slots must apply over the standard base")
     assert(Pdf.type1BuiltinDec("%!PS no encoding here eexec".getBytes("ISO-8859-1")).isEmpty)
   }
 

@@ -1430,4 +1430,85 @@ class VersionedTableSpec extends SparkSpec {
       kser.serialize(wrapped))
     assert(viaKryo.value.get("graft.test.key") === "value-42")
   }
+
+  test("head hint: latest-version reads skip the log listing; stale/garbled/missing hints degrade to it, never to a wrong version") {
+    val dir = freshDir("headhint")
+    (0 until 5).foreach(i => VersionedTable.merge(spark, dir,
+      Seq((i.toLong, s"v$i")).toDF("k", "v"), Seq("k"), numBuckets = 4))
+    val head = java.nio.file.Paths.get(dir, "_log", "_head")
+    // tampering below bypasses Hadoop's ChecksumFileSystem — drop the
+    // crc sidecar so the written VALUE is what readers actually see
+    def tamper(value: String): Unit = {
+      java.nio.file.Files.write(head, value.getBytes("UTF-8"))
+      java.nio.file.Files.deleteIfExists(
+        head.resolveSibling("._head.crc"))
+    }
+    assert(java.nio.file.Files.exists(head),
+      "every commit must refresh the head hint")
+    assert(new String(java.nio.file.Files.readAllBytes(head),
+      "UTF-8").trim === "4")
+    assert(VersionedTable.latestVersion(spark, dir) === Some(4L))
+    assert(VersionedTable.snapshot(spark, dir).version === 4L)
+    // STALE hint (a writer whose hint write was lost): the forward
+    // probe recovers the true head — a reader must NEVER see an old
+    // version as latest because a marker lagged
+    tamper("1")
+    assert(VersionedTable.latestVersion(spark, dir) === Some(4L))
+    assert(VersionedTable.snapshot(spark, dir).version === 4L)
+    // hint pointing PAST the real head (manifest hand-deleted to roll
+    // back a crashed commit): existence check fails -> listing fallback
+    tamper("9")
+    assert(VersionedTable.latestVersion(spark, dir) === Some(4L))
+    // GARBLED hint: fallback, and the next commit restores it
+    tamper("not a number")
+    assert(VersionedTable.latestVersion(spark, dir) === Some(4L))
+    // MISSING hint (a pre-hint table): fallback
+    java.nio.file.Files.delete(head)
+    java.nio.file.Files.deleteIfExists(head.resolveSibling("._head.crc"))
+    assert(VersionedTable.latestVersion(spark, dir) === Some(4L))
+    assert(VersionedTable.snapshot(spark, dir).version === 4L)
+    VersionedTable.merge(spark, dir,
+      Seq((99L, "z")).toDF("k", "v"), Seq("k"), numBuckets = 4)
+    assert(new String(java.nio.file.Files.readAllBytes(head),
+      "UTF-8").trim === "5", "a commit must re-create a lost hint")
+    // time travel resolves PINNED versions with no listing and still
+    // errors loudly on a vacuumed one
+    assert(VersionedTable.snapshot(spark, dir, Some(2L)).version === 2L)
+    VersionedTable.vacuum(spark, dir, retainLast = 2)
+    assert(VersionedTable.latestVersion(spark, dir) === Some(5L))
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.snapshot(spark, dir, Some(1L))
+    }
+    assert(e.getMessage.contains("does not exist"))
+  }
+
+  test("head hint: publish sweep stays correct on the watermark+hint fast path") {
+    val dir = freshDir("headhint_sweep")
+    // 3 CDC merges; each merge's trailing sweep publishes its own feed
+    (0 until 3).foreach(i => VersionedTable.merge(spark, dir,
+      Seq((i.toLong, s"v$i")).toDF("k", "v"), Seq("k"), numBuckets = 4))
+    def publishedDirs: Seq[Long] = {
+      val f = new java.io.File(dir, "_feed")
+      if (!f.exists()) Seq.empty
+      else f.list().toSeq.filter(_.startsWith("commit_version="))
+        .map(_.stripPrefix("commit_version=").toLong).sorted
+    }
+    val feeds0 = publishedDirs
+    assert(feeds0 === Seq(1L, 2L), s"v0 never publishes; got $feeds0")
+    // simulate a crashed publisher: a committed version with its feed
+    // dir missing BELOW the watermark is only healed by rescan (the
+    // documented repair), while versions ABOVE the watermark publish
+    // through the range fast path
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "_feed/commit_version=2"), true)
+    assert(VersionedTable.publishFeeds(spark, dir) === Seq.empty,
+      "fast path must not re-examine below the watermark")
+    assert(VersionedTable.publishFeeds(spark, dir, rescan = true) === Seq(2L),
+      "rescan must heal the deleted publication")
+    // new commits above the watermark land through the range path
+    VersionedTable.merge(spark, dir,
+      Seq((7L, "x")).toDF("k", "v"), Seq("k"), numBuckets = 4)
+    assert(publishedDirs === Seq(1L, 2L, 3L))
+  }
 }
