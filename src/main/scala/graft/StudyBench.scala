@@ -901,6 +901,86 @@ object StudyBench {
        |"merge_at_10k_sec":${j(tMerge)}}""".stripMargin.replace("\n", "")
   }
 
+  // ---- round-15: per-batch named-sink cost vs table history depth
+
+  /** The r14 `weak` item, measured end-to-end: the named streaming
+    * sink commits one version per micro-batch, so its own uptime
+    * deepens the history its per-batch probes read. Pre-r15, addBatch
+    * paid two O(commits) `_log` listings (exists + layout probe) plus
+    * the sweep's `_log` and `_feed` listings — ~0.3-0.4 s of driver
+    * time per batch at 10,240 commits and rising linearly. Post-r15
+    * every per-batch term resolves through the `_head` hint and the
+    * sink's across-batch layout cache; this study drives REAL
+    * `addBatch` calls at depth ~16 and at depth 10,240 and reports the
+    * per-batch wall — flat ⇒ the fix holds. Also measured here:
+    * `latestVersion`/`snapshot`/warm-sweep at depth (the individual
+    * per-batch terms), and `history()` at 10,240 — the r14 `-1.0`
+    * sentinel finished: history is O(commits) manifest reads BY
+    * CONTRACT (one row per self-contained manifest), so the number
+    * documents the slope users pay, not a defect. */
+  private def sinkDepthStudy(s: SparkSession): String = {
+    import s.implicits._
+    val dir = graft.util.Scratch.dir("study_sink_depth")
+    graft.util.Scratch.deleteRecursively(new java.io.File(dir))
+    val sink = new graft.sources.GraftStreamSink(s, dir,
+      Map("keycols" -> "k", "numbuckets" -> "4"),
+      explicitAppId = Some("study_sink"), checkpointLoc = None)
+    def batch(i: Long) = Seq((i % 16, s"b$i")).toDF("k", "v")
+    def perBatch(from: Long, n: Int): Double = {
+      val (_, w) = time(
+        (from until from + n).foreach(i => sink.addBatch(i, batch(i))))
+      w / n
+    }
+    perBatch(0L, 8)                      // JVM/codegen warmup commits
+    val shallowPer = perBatch(8L, 8)     // steady per-batch at depth ~16
+    val (_, tLatestShallow) =
+      time(graft.sources.VersionedTable.latestVersion(s, dir))
+    val (_, tSnapShallow) =
+      time(graft.sources.VersionedTable.snapshot(s, dir))
+    // fabricate depth: clone the head manifest with bumped versions
+    // (valid manifests over the same data files — the FS-layer cost is
+    // what depth changes), strip cdc so the clones are feed-less, and
+    // advance the head hint exactly as real commits would have
+    val log = java.nio.file.Paths.get(dir, "_log")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val head = mapper.readTree(java.nio.file.Files.readAllBytes(
+        log.resolve("00000015.json")))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    head.remove("cdcDir"); head.remove("cdcSchema")
+    (16 until 10240).foreach { v =>
+      head.put("version", v.toLong)
+      java.nio.file.Files.write(log.resolve(f"$v%08d.json"),
+        mapper.writeValueAsBytes(head))
+    }
+    java.nio.file.Files.write(log.resolve("_head"),
+      "10239".getBytes("UTF-8"))
+    java.nio.file.Files.deleteIfExists(log.resolve("._head.crc"))
+    // one catch-up batch: the sweep walks the fabricated (wm, head]
+    // range ONCE (real operation sweeps per commit, so the gap never
+    // exceeds the batch cadence) — excluded from the steady window
+    val (_, catchup) = time(sink.addBatch(10240L, batch(10240L)))
+    val deepPer = perBatch(10241L, 8)    // steady per-batch at depth 10k
+    val (_, tLatestDeep) =
+      time(graft.sources.VersionedTable.latestVersion(s, dir))
+    val (_, tSnapDeep) =
+      time(graft.sources.VersionedTable.snapshot(s, dir))
+    val (_, tSweepDeep) =
+      time(graft.sources.VersionedTable.publishFeeds(s, dir))
+    val (nHist, tHist) =
+      time(graft.sources.VersionedTable.history(s, dir).count())
+    s""""sink_depth":{"shallow_per_batch_sec":${j(shallowPer)},
+       |"deep_per_batch_sec":${j(deepPer)},
+       |"deep_over_shallow":${j(deepPer / math.max(1e-9, shallowPer))},
+       |"catchup_batch_sec":${j(catchup)},
+       |"latest_version_shallow_sec":${j(tLatestShallow)},
+       |"latest_version_10k_sec":${j(tLatestDeep)},
+       |"snapshot_shallow_sec":${j(tSnapShallow)},
+       |"snapshot_10k_sec":${j(tSnapDeep)},
+       |"sweep_warm_10k_sec":${j(tSweepDeep)},
+       |"history_10240_sec":${j(tHist)},"history_rows":$nHist}"""
+      .stripMargin.replace("\n", "")
+  }
+
   def main(args: Array[String]): Unit = {
     val pos = args.filterNot(_.startsWith("only="))
     val sf01 = pos.headOption.getOrElse("/root/testdata/sf0.1")
@@ -923,6 +1003,7 @@ object StudyBench {
     val parts12 = Seq.newBuilder[String] // round-12 studies → study_r12.json
     val parts13 = Seq.newBuilder[String] // round-13 studies → study_r13.json
     val parts14 = Seq.newBuilder[String] // round-14 studies → study_r14.json
+    val parts15 = Seq.newBuilder[String] // round-15 studies → study_r15.json
     if (want("containment")) parts += containmentSweep(spark, "sf01", sf01)
     if (want("ann")) parts += annFilterStudy(spark, sf01)
     if (want("statestore")) parts += stateStoreStudy(spark, "sf01", sf01)
@@ -935,6 +1016,7 @@ object StudyBench {
     if (want("statscost")) parts13 += statsCostStudy(spark, "sf01", sf01)
     if (want("e27probe")) parts13 += e27ProbeStudy(spark, "sf01", sf01)
     if (want("manifestscale")) parts14 += manifestScaleStudy(spark)
+    if (want("sinkdepth")) parts15 += sinkDepthStudy(spark)
     sf1.foreach { d =>
       if (want("containment")) parts += containmentSweep(spark, "sf1", d)
       if (want("skew")) parts += skewStudy(spark, d)
@@ -967,6 +1049,7 @@ object StudyBench {
     writeMerged("study_r12.json", parts12.result())
     writeMerged("study_r13.json", parts13.result())
     writeMerged("study_r14.json", parts14.result())
+    writeMerged("study_r15.json", parts15.result())
     spark.stop()
   }
 }
