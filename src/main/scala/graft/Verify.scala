@@ -63,6 +63,8 @@ object Verify {
         .coalesce(1).write.mode("overwrite").parquet(s"$fixDir/audio_expected")
       graft.queries.Media.framePixelsExpected(spark)
         .coalesce(1).write.mode("overwrite").parquet(s"$fixDir/frame_pixels_expected")
+      graft.queries.Media.jpegPixelsExpected(spark)
+        .coalesce(1).write.mode("overwrite").parquet(s"$fixDir/jpeg_pixels_expected")
       graft.queries.Media.tarExpected(spark)
         .coalesce(1).write.mode("overwrite").parquet(s"$fixDir/tar_expected")
       // raw TEXT (not parquet): the m14 oracle re-parses these bytes

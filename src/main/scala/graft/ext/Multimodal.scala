@@ -131,6 +131,55 @@ object Multimodal extends Serializable {
       chunk("IEND", Array.emptyByteArray)
   }
 
+  /** Real grayscale-JPEG encoder through the JDK's built-in writer,
+    * QUALITY-PINNED (MODE_EXPLICIT — the default would float with JDK
+    * configuration): the fixture side of the m32 gate. JPEG is LOSSY,
+    * so unlike [[encodeGrayPng]] the decode is NOT the input pixels —
+    * any oracle must recompute from a dump of the DECODED payload,
+    * never from the generator (Media.jpegPixelsExpected). Within one
+    * JVM the encode is deterministic for fixed input+quality, which is
+    * all the gate needs: the query side and the fixture dump encode
+    * the same bytes and decode through the same codec, so a hash match
+    * certifies the Spark-side plumbing (batching, frame slice, feature
+    * arithmetic) end-to-end. */
+  def encodeGrayJpeg(width: Int, height: Int, pixels: Array[Byte],
+      quality: Float = 0.85f): Array[Byte] = {
+    require(pixels.length == width * height,
+      s"pixel buffer ${pixels.length} != $width x $height")
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, width, height, pixels)
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("jpeg").next()
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** JPEG twin of [[syntheticMedia]]: same generator pixels, same
+    * dimensions, payloads encoded as grayscale JPEG (all single-frame —
+    * the filmstrip trick needs losslessness to slice exactly; real
+    * video is a container format, not a tall JPEG). Real image corpora
+    * are overwhelmingly JPEG, so the decode path earns its own gate
+    * (m32) instead of riding on PNG's. */
+  def syntheticJpegMedia(spark: SparkSession, n: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n).map { id =>
+      val w = 8 + (id % 5).toInt
+      val h = 6 + (id % 3).toInt
+      val pixels = Array.tabulate(w * h)(i => syntheticPixel(id, i).toByte)
+      MediaRow(id, encodeGrayJpeg(w, h, pixels),
+        MediaMeta("image", w, h, 0, 40L))
+    }
+  }
+
   /** Real image decode through the JDK's built-in codec
     * (`javax.imageio.ImageIO` — PNG/JPEG ship with every JDK): returns
     * (width, height, band-0 samples row-major). */

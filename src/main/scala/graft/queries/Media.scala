@@ -773,7 +773,12 @@ object Media extends QueryModule {
 
   /** RULED-TABLE (lattice) fixture: three encoder shapes —
     *   page 1: stroked grid (outer `re S`, inner `m/l S`), one cell
-    *     holding TWO tokens (concatenation order is load-bearing);
+    *     holding TWO tokens (concatenation order is load-bearing),
+    *     PLUS an inline image (`BI..ID..EI`) dropped mid-walk whose
+    *     binary data spells operator lookalikes (a diagonal `m/l S`, a
+    *     phantom `re f`, an unbalanced `(`) — the scanned-logo shape
+    *     real filings carry; a reader that fails to skip it fabricates
+    *     grid cuts or derails the text scan, and the oracle catches it;
     *   page 2: the same machinery under a `q cm … Q` translation with
     *     LOCAL path coordinates, drawn as thin FILLED bars (`re f`);
     *   page 3: no rulings at all — [[tableAuto]]'s stream fallback.
@@ -786,7 +791,8 @@ object Media extends QueryModule {
         (1, 1) -> Seq("Pos"), (1, 2) -> Seq("2023"), (1, 3) -> Seq("2024"),
         (2, 1) -> Seq("Kas", "bersih"), (2, 2) -> Seq("150.5"),
         (2, 3) -> Seq("200.25"),
-        (3, 1) -> Seq("Piutang"), (3, 2) -> Seq("80"), (3, 3) -> Seq("95"))),
+        (3, 1) -> Seq("Piutang"), (3, 2) -> Seq("80"), (3, 3) -> Seq("95")),
+      inlineImage = true),
     graft.sources.Pdf.RuledPage(
       left = 10, top = 100, // LOCAL coords; cm shifts to (100, 400)
       colWidths = Seq(100, 100), rowHeights = Seq(18, 18),
@@ -1197,6 +1203,62 @@ object Media extends QueryModule {
          CAST(sum(CASE WHEN value >= 128 AND value < 192 THEN 1 ELSE 0 END) AS BIGINT) AS h2,
          CAST(sum(CASE WHEN value >= 192 THEN 1 ELSE 0 END) AS BIGINT) AS h3
        FROM read_parquet('__FIXTURES__/pixels_expected/*.parquet')
+       GROUP BY media_id ORDER BY media_id"""
+
+  /** DECODED pixels of the JPEG corpus — the m32 oracle's input. JPEG
+    * is LOSSY, so the generator pixels are NOT the decode (unlike m10's
+    * PNG): this dump encodes each image through the quality-pinned
+    * writer and reads the raster back with a straight-line ImageIO
+    * decode, independent of the distributed query path (no Dataset, no
+    * mapPartitions, no frame slicing). The gate then certifies that the
+    * Spark plumbing reproduces these features exactly. */
+  def jpegPixelsExpected(s: SparkSession): DataFrame = {
+    import s.implicits._
+    (for {
+      id <- 0L until 12L
+      w = 8 + (id % 5).toInt
+      h = 6 + (id % 3).toInt
+      img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+        Multimodal.encodeGrayJpeg(w, h,
+          Array.tabulate(w * h)(i => Multimodal.syntheticPixel(id, i).toByte))))
+      i <- 0 until w * h
+    } yield (id, w.toLong, h.toLong, i.toLong,
+      img.getRaster.getSample(i % w, i / w, 0).toLong))
+      .toDF("media_id", "width", "height", "px_idx", "value")
+  }
+
+  /** m32 — JPEG decode under the gate: the same feature path as m10
+    * (batched mapPartitions decode → mean/max/histogram) over grayscale
+    * JPEG payloads — the format real image corpora overwhelmingly ship
+    * in. The oracle recomputes the features in DuckDB from
+    * [[jpegPixelsExpected]], the independently dumped DECODE (never the
+    * generator pixels — JPEG is lossy). Scale: identical to m10 —
+    * decode is map-side per payload, only feature columns shuffle. */
+  private def m32(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Multimodal.imageFeatures(Multimodal.syntheticJpegMedia(s, 12)).toDF()
+      .select($"media_id",
+        $"width".cast("long").as("width"),
+        $"height".cast("long").as("height"),
+        $"mean_intensity",
+        $"max_intensity".cast("long").as("max_intensity"),
+        element_at($"histogram", 1).as("h0"),
+        element_at($"histogram", 2).as("h1"),
+        element_at($"histogram", 3).as("h2"),
+        element_at($"histogram", 4).as("h3"))
+      .orderBy("media_id")
+  }
+  private val m32Sql =
+    """SELECT media_id,
+         CAST(max(width) AS BIGINT) AS width,
+         CAST(max(height) AS BIGINT) AS height,
+         CAST(sum(value) AS DOUBLE) / count(*) AS mean_intensity,
+         CAST(max(value) AS BIGINT) AS max_intensity,
+         CAST(sum(CASE WHEN value < 64 THEN 1 ELSE 0 END) AS BIGINT) AS h0,
+         CAST(sum(CASE WHEN value >= 64 AND value < 128 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+         CAST(sum(CASE WHEN value >= 128 AND value < 192 THEN 1 ELSE 0 END) AS BIGINT) AS h2,
+         CAST(sum(CASE WHEN value >= 192 THEN 1 ELSE 0 END) AS BIGINT) AS h3
+       FROM read_parquet('__FIXTURES__/jpeg_pixels_expected/*.parquet')
        GROUP BY media_id ORDER BY media_id"""
 
   /** Raw pixels of EVERY frame of the synthetic corpus's video rows,
@@ -1620,6 +1682,7 @@ object Media extends QueryModule {
     "m29_pdf_lattice" -> m29 _,
     "m30_xls_legacy" -> m30 _,
     "m31_pdf_fontprog" -> m31 _,
+    "m32_jpeg_decode" -> m32 _,
     "p04_pdf_report" -> p04 _,
   )
 
@@ -1721,6 +1784,7 @@ object Media extends QueryModule {
     "m29_pdf_lattice" -> m29Sql,
     "m30_xls_legacy" -> m30Sql,
     "m31_pdf_fontprog" -> m31Sql,
+    "m32_jpeg_decode" -> m32Sql,
     "p04_pdf_report" -> p04Sql,
   )
 }

@@ -3006,7 +3006,8 @@ object Pdf {
       colWidths: Seq[Double], rowHeights: Seq[Double],
       cells: Map[(Int, Int), Seq[String]],
       thinFill: Boolean = false,
-      translate: Option[(Double, Double)] = None) extends RuledPageSpec
+      translate: Option[(Double, Double)] = None,
+      inlineImage: Boolean = false) extends RuledPageSpec
   final case class PlainPage(lines: Seq[(Int, Int, String)]) extends RuledPageSpec
 
   /** Independent RULED-TABLE encoder: real path-construction operators
@@ -3019,13 +3020,27 @@ object Pdf {
         lines.map { case (x, y, t) =>
           s"BT /F1 10 Tf $x $y Td (${esc(t)}) Tj ET"
         }.mkString("\n")
-      case RuledPage(left, top, colWs, rowHs, cells, thinFill, translate) =>
+      case RuledPage(left, top, colWs, rowHs, cells, thinFill, translate,
+          inlineImage) =>
         val width = colWs.sum
         val height = rowHs.sum
         val bottom = top - height
         val xs = colWs.scanLeft(left)(_ + _) // col boundaries, size cols+1
         val ys = rowHs.scanLeft(top)(_ - _) // row boundaries top-down
         val ops = new StringBuilder
+        if (inlineImage) {
+          // an INLINE IMAGE (§8.9.7) dropped mid-walk, its binary data
+          // stuffed with operator LOOKALIKES — a spurious diagonal rule
+          // (`m … l S`), a phantom filled bar (`re f`), and an
+          // UNBALANCED `(` — real scanned-report PDFs carry exactly
+          // this shape (logo bitmaps between the rulings). A reader
+          // that fails to skip BI..ID..EI wholesale either corrupts
+          // the cell grid (phantom cuts) or derails the text scan; the
+          // m29 oracle catches both.
+          ops.append("BI /W 4 /H 4 /BPC 8 /CS /G ID ")
+          ops.append("\n0 0 m 600 600 l S\n999 1 77 1 re f\n( Kas\n")
+          ops.append(" EI\n")
+        }
         if (thinFill) {
           // every rule a 1pt filled bar centered on the boundary
           ys.foreach(y => ops.append(

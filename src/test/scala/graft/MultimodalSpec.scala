@@ -150,4 +150,50 @@ class MultimodalSpec extends SparkSpec {
     assert(gen2.getAs[Long]("nn_custkey") == 0 &&
       gen2.getAs[Long]("nn_cents") == gen2.getAs[Long]("n_rows"))
   }
+
+  test("JPEG: quality-pinned encode decodes to exact dims, bounded loss; corrupt payloads fail LOUDLY") {
+    import graft.ext.Multimodal
+    val w = 8; val h = 6
+    val px = Array.tabulate(w * h)(i => Multimodal.syntheticPixel(3L, i).toByte)
+    val jp = Multimodal.encodeGrayJpeg(w, h, px)
+    assert((jp.take(3).map(_ & 0xff).toSeq === Seq(0xff, 0xd8, 0xff)),
+      "payload must carry the JPEG SOI magic")
+    val (dw, dh, vals) = Multimodal.decodeImage(jp)
+    assert(dw === w && dh === h && vals.length === w * h,
+      "JPEG preserves dimensions exactly even though values are lossy")
+    // lossy but BOUNDED: at quality 0.85 on smooth-ish synthetic data
+    // the per-pixel drift stays far from the histogram-breaking range;
+    // the real correctness bar is m32's oracle (decoded-dump recompute),
+    // this pins that the codec is actually compressing, not passing
+    // bytes through
+    val maxErr = vals.zip(px.map(_ & 0xff)).map { case (a, b) =>
+      math.abs(a - b) }.max
+    assert(maxErr <= 96, s"decode drifted implausibly far: $maxErr")
+    // determinism within a JVM: the gate's fixture dump and query path
+    // must encode identical bytes
+    assert(java.util.Arrays.equals(jp, Multimodal.encodeGrayJpeg(w, h, px)))
+    // corrupt payloads: truncated JPEG and non-image garbage both fail
+    // loudly — a silent null would turn a corrupt corpus into wrong
+    // features downstream
+    intercept[Exception] { Multimodal.decodeImage(jp.take(20)) }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeImage(Array.fill[Byte](64)(0x42))
+    }
+    // and the distributed feature path agrees with a straight-line
+    // decode of the same payloads (the m32 shape, in-process)
+    val feats = Multimodal.imageFeatures(
+      Multimodal.syntheticJpegMedia(spark, 4)).collect()
+      .map(f => f.media_id -> f).toMap
+    (0L until 4L).foreach { id =>
+      val iw = 8 + (id % 5).toInt; val ih = 6 + (id % 3).toInt
+      val bytes = Multimodal.encodeGrayJpeg(iw, ih,
+        Array.tabulate(iw * ih)(i => Multimodal.syntheticPixel(id, i).toByte))
+      val (_, _, dpx) = Multimodal.decodeImage(bytes)
+      val f = feats(id)
+      assert(f.width === iw && f.height === ih)
+      assert(f.max_intensity === dpx.max)
+      assert(math.abs(f.mean_intensity -
+        dpx.map(_.toLong).sum.toDouble / dpx.length) < 1e-12)
+    }
+  }
 }
