@@ -65,6 +65,11 @@ object Verify {
         .coalesce(1).write.mode("overwrite").parquet(s"$fixDir/frame_pixels_expected")
       graft.queries.Media.jpegPixelsExpected(spark)
         .coalesce(1).write.mode("overwrite").parquet(s"$fixDir/jpeg_pixels_expected")
+      // the STORED vector index (s17): dumped from the same versioned
+      // table the query serves from, so the oracle recomputes the
+      // search from the artifact, never from a second training run
+      graft.ext.Similarity.ivfIndexExpected(spark, sfDir)
+        .coalesce(1).write.mode("overwrite").parquet(s"$fixDir/ivf_index")
       graft.queries.Media.tarExpected(spark)
         .coalesce(1).write.mode("overwrite").parquet(s"$fixDir/tar_expected")
       // raw TEXT (not parquet): the m14 oracle re-parses these bytes

@@ -1149,7 +1149,171 @@ object Similarity extends QueryModule {
        FROM (SELECT * FROM s4 UNION ALL SELECT * FROM r5)
        ORDER BY mmr_rank"""
 
+  // ---- s17: the vector index as a DURABLE ARTIFACT -------------------
+
+  /** Build (or REBUILD) an IVF index over `corpus` as a versioned
+    * table at `indexPath` — the production ANN posture: train once,
+    * serve many, version the index WITH the corpus instead of
+    * re-deriving centroids per query (what s03/s06 do inline).
+    *
+    * Storage layout — one [[graft.sources.VersionedTable]] keyed by
+    * `(part, id)`, three row kinds in one fixed schema
+    * `(part string, id long, cell long, vec array<double>)`:
+    *   - `part='param'`: id 0 → `cell` holds nlist (cell count),
+    *     id 1 → `cell` holds the vector dimension;
+    *   - `part='centroid'`: one row per cell, `vec` = the trained
+    *     coarse-quantizer centroid (id = cell);
+    *   - `part='code'`: one row per corpus vector — `cell` = its
+    *     inverted-list assignment, `vec` = the stored vector (the
+    *     self-contained serving copy; a PQ deployment would store the
+    *     code bytes instead — s13/s14 hold that arithmetic).
+    *
+    * Rebuild after a corpus change is a key-scoped MERGE committing a
+    * NEW version: vanished vec_ids are tombstoned, changed cells
+    * replaced — readers pinned to the old version keep serving it
+    * (time travel = index rollback), and `history()` audits retrains.
+    * STALENESS is therefore explicit: an index serves the corpus
+    * snapshot it was built from, and the commit version SAYS which
+    * build that was; queries needing fresher data rebuild or fall back
+    * to brute force (s01). Scale: centroids are |cells| tiny rows; the
+    * codes merge shuffles once on (part, id) — the same bucket math as
+    * any other table write. */
+  def buildIvfIndex(spark: SparkSession, corpus: DataFrame,
+      indexPath: String): Long = {
+    import spark.implicits._
+    // corpus contract: (vec_id long, label long-castable, v array<double>)
+    val cent = corpus
+      .select($"label", posexplode($"v").as(Seq("p", "x")))
+      .groupBy($"label", $"p").agg(avg($"x").as("cx"))
+      .groupBy($"label")
+      .agg(transform(array_sort(collect_list(struct($"p", $"cx"))),
+        c => c.getField("cx")).as("cv"))
+    val centRows = cent.select(lit("centroid").as("part"),
+      $"label".cast("long").as("id"), $"label".cast("long").as("cell"),
+      $"cv".cast("array<double>").as("vec"))
+    val codeRows = corpus.select(lit("code").as("part"),
+      $"vec_id".cast("long").as("id"), $"label".cast("long").as("cell"),
+      $"v".cast("array<double>").as("vec"))
+    val nlist = cent.count()
+    val dim = corpus.select(size($"v")).as[Int].head().toLong
+    val paramRows = Seq(("param", 0L, nlist), ("param", 1L, dim))
+      .toDF("part", "id", "cell")
+      .withColumn("vec", lit(null).cast("array<double>"))
+    graft.sources.VersionedTable.merge(spark, indexPath,
+      centRows.unionByName(codeRows).unionByName(paramRows),
+      Seq("part", "id"), numBuckets = 16)
+  }
+
+  /** Tombstone-aware refresh: see [[buildIvfIndex]] for the layout;
+    * this removes index entries whose vec_ids vanished from the corpus
+    * (a delete-aware retrain). Returns the committed version. */
+  def refreshIvfIndex(spark: SparkSession, corpus: DataFrame,
+      indexPath: String): Long = {
+    import spark.implicits._
+    val stored = graft.sources.VersionedTable.read(spark, indexPath)
+    val gone = stored.filter($"part" === "code")
+      .join(corpus.select($"vec_id".cast("long").as("id")), Seq("id"),
+        "left_anti")
+      .select($"part", $"id", $"cell", $"vec")
+      .withColumn("_del", lit(true))
+    buildIvfIndex(spark, corpus, indexPath) // upsert current state
+    if (gone.isEmpty) graft.sources.VersionedTable.snapshot(spark, indexPath).version
+    else graft.sources.VersionedTable.merge(spark, indexPath,
+      gone, Seq("part", "id"), deleteCol = Some("_del"), numBuckets = 16)
+  }
+
+  /** Serve an ANN lookup FROM THE STORED INDEX — no corpus access, no
+    * retraining: assign each probe to its `nprobe` nearest STORED
+    * centroids, scan only those cells' STORED code rows, rank through
+    * TopKPerKey (bounded partial heaps). Centroids and probe batch are
+    * broadcast; the code scan is the only distributed read. */
+  def ivfIndexSearch(spark: SparkSession, indexPath: String,
+      probes: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    import spark.implicits._
+    val idx = graft.sources.VersionedTable.read(spark, indexPath)
+    val cent = idx.filter($"part" === "centroid")
+      .select($"cell", $"vec".as("cv"))
+    val codes = idx.filter($"part" === "code")
+      .select($"id".as("vec_id"), $"cell", $"vec".as("v"))
+    val wAssign = Window.partitionBy($"probe_id")
+      .orderBy(round($"ccos", 9).desc, $"cell")
+    val assign = probes.crossJoin(broadcast(cent))
+      .withColumn("ccos", cosine($"pv", $"cv"))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter($"arn" <= nprobe)
+      .select($"probe_id", $"pv", $"cell")
+    val scored = codes.join(broadcast(assign).withColumnRenamed("cell", "pcell"),
+        $"cell" === $"pcell" && $"vec_id" =!= $"probe_id")
+      .withColumn("cos", cosine($"v", $"pv"))
+    val top = graft.plans.TopKPerKey.topKPerKey(scored, k,
+      Seq($"probe_id"), Seq(round($"cos", 9).desc, $"vec_id"))
+    val wRank = Window.partitionBy($"probe_id")
+      .orderBy(round($"cos", 9).desc, $"vec_id")
+    top.withColumn("rank", row_number().over(wRank).cast("long"))
+      .select($"probe_id", $"vec_id".as("neighbor_id"), $"rank",
+        round($"cos", 6).as("cos_sim"))
+  }
+
+  /** One stored index per (JVM, corpus dir) for the s17 gate and its
+    * fixture dump: whichever side touches it first builds it; both then
+    * read the SAME stored rows, so the oracle is a recompute from the
+    * artifact, never from a second training run (float summation order
+    * could differ between runs — the artifact pins it). */
+  private val ivfIndexPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def ensureIvfIndex(s: SparkSession, d: String): String =
+    ivfIndexPaths.computeIfAbsent(d, _ => {
+      val p = graft.util.Scratch.dir(
+        "ivf_index_" + Integer.toHexString(d.hashCode))
+      graft.util.Scratch.deleteRecursively(new java.io.File(p))
+      buildIvfIndex(s, Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v")), p)
+      p
+    })
+
+  /** The stored index rows, for the fixture dump (Verify) — the m32
+    * discipline: the oracle recomputes the SEARCH from the ARTIFACT. */
+  def ivfIndexExpected(s: SparkSession, d: String): DataFrame =
+    graft.sources.VersionedTable.read(s, ensureIvfIndex(s, d))
+
+  /** s17 — ANN served from the PERSISTED index: probes are the stored
+    * code rows with id < 10 (so probe vectors come from the artifact
+    * too), searched with nprobe=2 / k=3 — the s06 shape, but every
+    * centroid and candidate read from the versioned table. The oracle
+    * replays the identical search in DuckDB over the dumped index rows. */
+  private def s17(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val path = ensureIvfIndex(s, d)
+    val probes = graft.sources.VersionedTable.read(s, path)
+      .filter($"part" === "code" && $"id" < 10)
+      .select($"id".as("probe_id"), $"vec".as("pv"))
+    ivfIndexSearch(s, path, probes, k = 3, nprobe = 2)
+      .orderBy($"probe_id", $"rank")
+  }
+  private val s17Sql =
+    """WITH idx AS (SELECT part, id, cell, vec::DOUBLE[] AS vec
+           FROM read_parquet('__FIXTURES__/ivf_index/*.parquet')),
+       cent AS (SELECT cell, vec AS cv FROM idx WHERE part = 'centroid'),
+       codes AS (SELECT id AS vec_id, cell, vec AS v FROM idx WHERE part = 'code'),
+       probes AS (SELECT vec_id AS probe_id, v AS pv FROM codes WHERE vec_id < 10),
+       assign AS (
+         SELECT probe_id, pv, cell FROM (
+           SELECT p.probe_id, p.pv, c.cell,
+             row_number() OVER (PARTITION BY p.probe_id
+               ORDER BY round(list_cosine_similarity(p.pv, c.cv), 9) DESC, c.cell) AS arn
+           FROM probes p CROSS JOIN cent c)
+         WHERE arn <= 2)
+       SELECT probe_id, neighbor_id, rank, cos_sim FROM (
+         SELECT a.probe_id, e.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY a.probe_id
+             ORDER BY round(list_cosine_similarity(e.v, a.pv), 9) DESC, e.vec_id) AS rank,
+           round(list_cosine_similarity(e.v, a.pv), 6) AS cos_sim
+         FROM codes e JOIN assign a ON e.cell = a.cell AND e.vec_id <> a.probe_id)
+       WHERE rank <= 3 ORDER BY probe_id, rank"""
+
   val queries: Map[String, QueryFn] = Map(
+    "s17_stored_index" -> s17 _,
     "s16_filtered_ann" -> s16 _,
     "s15_mmr_rerank" -> s15 _,
     "s14_ivfpq" -> s14 _,
@@ -1169,6 +1333,7 @@ object Similarity extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "s17_stored_index" -> s17Sql,
     "s16_filtered_ann" -> s16Sql,
     "s15_mmr_rerank" -> s15Sql,
     "s14_ivfpq" -> s14Sql,

@@ -187,6 +187,53 @@ class SimilaritySpec extends SparkSpec {
       s"diversity penalty must demote the near-duplicate: $picks")
   }
 
+  test("stored IVF index: durable build, version-pinned serving, tombstoned refresh") {
+    import spark.implicits._
+    val dir = graft.util.Scratch.dir("sim_ivf_index_spec")
+    graft.util.Scratch.deleteRecursively(new java.io.File(dir))
+    def vec(seed: Int): Seq[Double] =
+      Seq.tabulate(4)(i => ((seed * 31 + i * 7) % 17).toDouble + 1.0)
+    val corpus = (0L until 12L)
+      .map(id => (id, id % 3, vec(id.toInt))).toDF("vec_id", "label", "v")
+    val v0 = Similarity.buildIvfIndex(spark, corpus, dir)
+    assert(v0 === 0L)
+    val stored = graft.sources.VersionedTable.read(spark, dir)
+    // self-contained artifact: params + one centroid per cell + one
+    // code row per corpus vector, vectors carried for serving
+    assert(stored.filter($"part" === "param").count() === 2)
+    assert(stored.filter($"part" === "centroid").count() === 3)
+    assert(stored.filter($"part" === "code").count() === 12)
+    val nlist = stored.filter($"part" === "param" && $"id" === 0)
+      .select($"cell").as[Long].head()
+    assert(nlist === 3L)
+    // serving reads ONLY the artifact: results equal brute force over
+    // the stored code rows restricted to the probed cells
+    val probes = Seq((100L, vec(5))).toDF("probe_id", "pv")
+    val hits = Similarity.ivfIndexSearch(spark, dir, probes, k = 2,
+      nprobe = 3) // nprobe = all cells -> exact over stored rows
+      .orderBy($"rank").collect()
+    val brute = stored.filter($"part" === "code").collect()
+      .map(r => (r.getAs[Long]("id"),
+        r.getAs[Seq[Double]]("vec").zip(vec(5)).map(p => p._1 * p._2).sum /
+          (math.sqrt(r.getAs[Seq[Double]]("vec").map(x => x * x).sum) *
+           math.sqrt(vec(5).map(x => x * x).sum))))
+      .sortBy { case (id, c) => (-math.rint(c * 1e9) / 1e9, id) }
+      .take(2).map(_._1).toSeq
+    assert(hits.map(_.getAs[Long]("neighbor_id")).toSeq === brute,
+      "full-nprobe stored-index search must equal brute force over the artifact")
+    // refresh after corpus shrinks: vanished ids tombstoned, new
+    // version committed, old version still serves (index time travel)
+    val corpus2 = corpus.filter($"vec_id" =!= 7L)
+    val v1 = Similarity.refreshIvfIndex(spark, corpus2, dir)
+    assert(v1 > v0)
+    val now = graft.sources.VersionedTable.read(spark, dir)
+    assert(now.filter($"part" === "code").count() === 11)
+    assert(now.filter($"part" === "code" && $"id" === 7L).isEmpty)
+    val pinned = graft.sources.VersionedTable.read(spark, dir, Some(v0))
+    assert(pinned.filter($"part" === "code").count() === 12,
+      "a reader pinned to the old index version keeps serving it")
+  }
+
   test("s10 recall is monotonically non-decreasing in nprobe") {
     // nprobe=2 searches a superset of nprobe=1's cell, so per probe its
     // hit count can never be lower — the invariant that makes nprobe a
