@@ -328,7 +328,63 @@ object SqlSurface extends QueryModule {
          FROM base GROUP BY nat)
        ORDER BY snap, nat"""
 
+  /** x15 — the INSERT-parity DECISION, pinned under the gate: a bare
+    * `INSERT INTO` on a graft table is REFUSED at analysis (the
+    * alternative — routing it through the generic file insert — would
+    * write parquet no manifest references, an invisible write; and
+    * silently mapping INSERT onto keyed MERGE would make duplicate-key
+    * inserts UPSERT without the user ever asking for merge semantics).
+    * The gate certifies the whole posture, not just the happy path:
+    * the refusal fires, names the honest alternative (`write.format
+    * ("graft").mode("append")` = key-scoped MERGE), leaves ZERO bytes
+    * behind, and the named alternative actually lands the same rows. */
+  private val x15RunId = new java.util.concurrent.atomic.AtomicLong
+  private def x15(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val table = graft.util.Scratch.dir(
+      s"x15_graft_${x15RunId.incrementAndGet()}")
+    graft.util.Scratch.deleteRecursively(new java.io.File(table))
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .write.format("graft").option("keyCols", "k")
+      .option("numBuckets", 2).mode("append").save(table)
+    s.sql("DROP TABLE IF EXISTS x15_ins")
+    s.sql(s"CREATE TABLE x15_ins USING graft OPTIONS (path '$table')")
+    def rootFiles = new java.io.File(table).list().toSet
+    val before = rootFiles
+    val err =
+      try { s.sql("INSERT INTO x15_ins VALUES (99, 'x')"); None }
+      catch { case e: Throwable =>
+        Some(Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(5)
+          .map(t => String.valueOf(t.getMessage)).mkString(" | "))
+      }
+    // the honest alternative lands the very row the INSERT refused
+    Seq((99L, "x")).toDF("k", "v")
+      .write.format("graft").option("keyCols", "k")
+      .mode("append").save(table)
+    val visible = s.sql("SELECT count(*) FROM x15_ins WHERE k = 99")
+      .as[Long].head() // snapshot relation is PINNED: must still be 0
+    val headHas = graft.sources.VersionedTable.read(s, table)
+      .filter($"k" === 99L).count()
+    Seq(
+      ("insert_refused", err.isDefined),
+      ("refusal_names_merge", err.exists(_.contains("key-scoped"))),
+      ("no_invisible_write", before.subsetOf(rootFiles)
+        && !rootFiles.exists(_.startsWith("part-"))),
+      ("catalog_snapshot_pinned", visible == 0L),
+      ("merge_alternative_lands", headHas == 1L)
+    ).toDF("probe", "ok").orderBy("probe")
+  }
+  private val x15Sql =
+    """SELECT * FROM (VALUES
+         ('catalog_snapshot_pinned', true),
+         ('insert_refused', true),
+         ('merge_alternative_lands', true),
+         ('no_invisible_write', true),
+         ('refusal_names_merge', true)) AS t(probe, ok)
+       ORDER BY probe"""
+
   override def queries: Map[String, QueryFn] = Map(
+    "x15_sql_insert_guard" -> x15 _,
     "x10_sql_using_graft" -> x10 _,
     "x01_sql_theta_join" -> x01 _,
     "x02_sql_cosine_fn" -> x02 _,
@@ -342,6 +398,7 @@ object SqlSurface extends QueryModule {
   )
 
   override def oracle: Map[String, String] = Map(
+    "x15_sql_insert_guard" -> x15Sql,
     "x10_sql_using_graft" -> x10Sql,
     "x01_sql_theta_join" -> x01Text,
     "x02_sql_cosine_fn" -> x02Sql,
