@@ -1046,8 +1046,14 @@ object VersionedTable {
     * under a dir named for its original target version; a merge shows
     * ≤ its key count, a compact/rebucket every bucket, a restore the
     * rolled-back set), and whether a materialized feed is attached.
-    * Reads only the manifests: O(log), no data files touched at any
-    * table size. */
+    * Reads only the manifests: O(commits) manifest reads BY CONTRACT
+    * (one row per version, each manifest self-contained), no data
+    * files touched at any table size. Measured slope ~0.18 ms/commit
+    * on local storage — 1.85 s for a 10,240-commit history
+    * (study_r15.json `sink_depth.history_10240_sec`); a deployment
+    * that needs bounded DESCRIBE-HISTORY latency on very deep logs
+    * should vacuum or cap the report, not expect a sublinear read —
+    * the cost IS the report size. */
   def history(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val (fs, root) = fsOf(spark, path)
