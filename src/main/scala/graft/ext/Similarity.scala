@@ -1196,11 +1196,38 @@ object Similarity extends QueryModule {
       $"v".cast("array<double>").as("vec"))
     val nlist = cent.count()
     val dim = corpus.select(size($"v")).as[Int].head().toLong
-    val paramRows = Seq(("param", 0L, nlist), ("param", 1L, dim))
+    val n = corpus.count()
+    val paramRows = Seq(("param", 0L, nlist), ("param", 1L, dim),
+      ("param", 2L, n))
       .toDF("part", "id", "cell")
       .withColumn("vec", lit(null).cast("array<double>"))
-    graft.sources.VersionedTable.merge(spark, indexPath,
-      centRows.unionByName(codeRows).unionByName(paramRows),
+    // PQ half of the artifact (when the dimension tiles into 8-dim
+    // subspaces — s13's shape): `pqcode` rows hold each vector's
+    // per-subspace SIGN CODES (8 bits each, stored as small exact
+    // integers in the vec payload), `pqstat` rows the per-dim
+    // magnitude profile S_i in integer micro-units (cell column) that
+    // the query-side ADC lookup tables are built from. Stored AT BUILD
+    // TIME so serving (s18) and any oracle read the same profile — a
+    // recompute could drift on float summation order.
+    val nsp = (dim / 8L).toInt
+    val pqParts =
+      if (dim % 8 != 0) Seq.empty[DataFrame]
+      else Seq(
+        corpus.select(lit("pqcode").as("part"),
+          $"vec_id".cast("long").as("id"), $"label".cast("long").as("cell"),
+          expr(s"""transform(sequence(0, ${nsp - 1}), s ->
+               CAST(aggregate(sequence(0, 7), 0L,
+                 (acc, j) -> acc + IF(element_at(v, s * 8 + j + 1) > 0,
+                                      shiftleft(1L, CAST(j AS INT)), 0L))
+                 AS DOUBLE))""").as("vec")),
+        corpus.select(posexplode($"v").as(Seq("i", "x")))
+          .groupBy($"i")
+          .agg(sum(expr("CAST(round(abs(x) * 1000000) AS BIGINT)")).as("si"))
+          .select(lit("pqstat").as("part"), $"i".cast("long").as("id"),
+            $"si".as("cell"), lit(null).cast("array<double>").as("vec")))
+    val rows = (Seq(centRows, codeRows, paramRows) ++ pqParts)
+      .reduce(_ unionByName _)
+    graft.sources.VersionedTable.merge(spark, indexPath, rows,
       Seq("part", "id"), numBuckets = 16)
   }
 
@@ -1211,7 +1238,7 @@ object Similarity extends QueryModule {
       indexPath: String): Long = {
     import spark.implicits._
     val stored = graft.sources.VersionedTable.read(spark, indexPath)
-    val gone = stored.filter($"part" === "code")
+    val gone = stored.filter($"part".isin("code", "pqcode"))
       .join(corpus.select($"vec_id".cast("long").as("id")), Seq("id"),
         "left_anti")
       .select($"part", $"id", $"cell", $"vec")
@@ -1312,7 +1339,135 @@ object Similarity extends QueryModule {
          FROM codes e JOIN assign a ON e.cell = a.cell AND e.vec_id <> a.probe_id)
        WHERE rank <= 3 ORDER BY probe_id, rank"""
 
+  /** s18 — IVF-PQ served from the PERSISTED index (the FAISS
+    * IndexIVFPQ posture as a durable artifact, composing s17's stored
+    * coarse quantizer with s13's PQ arithmetic — but every input read
+    * from the versioned table): probes assign to nprobe=2 stored
+    * centroids; per-probe ADC lookup tables build from the STORED
+    * per-dim magnitude profile (`pqstat`, integer micro-units — no
+    * recompute, no float-order drift); the probed cells' STORED 8-byte
+    * sign codes (`pqcode`) score candidates without touching full
+    * vectors; a 20-deep shortlist pays the only exact cosines (from
+    * the stored `code` vectors). At 100 TB the serving scan reads
+    * |corpus|/|cells| x nprobe rows of 8 CODE BYTES each — fraction
+    * scanned and bytes-per-row cut independently, and the index is an
+    * artifact: train once, version with the corpus, serve many. */
+  private def s18(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val path = ensureIvfIndex(s, d)
+    val idx = graft.sources.VersionedTable.read(s, path)
+    val cent = idx.filter($"part" === "centroid")
+      .select($"cell", $"vec".as("cv"))
+    val codes = idx.filter($"part" === "code")
+      .select($"id".as("vec_id"), $"vec".as("v"))
+    val pq = idx.filter($"part" === "pqcode")
+      .select($"id".as("vec_id"), $"cell", $"vec".as("pcodes"))
+    val stats = idx.filter($"part" === "pqstat")
+      .select($"id".cast("int").as("i"), $"cell".as("si"))
+    val nDf = idx.filter($"part" === "param" && $"id" === 2)
+      .select($"cell".as("n"))
+    val probes = codes.filter($"vec_id" < 10)
+      .select($"vec_id".as("probe_id"), $"v".as("pv"))
+    val wAssign = Window.partitionBy($"probe_id")
+      .orderBy(round($"ccos", 9).desc, $"cell")
+    val assign = probes.crossJoin(broadcast(cent))
+      .withColumn("ccos", cosine($"pv", $"cv"))
+      .withColumn("arn", row_number().over(wAssign))
+      .filter($"arn" <= 2)
+      .select($"probe_id", $"cell".as("pcell"))
+    // per-probe ADC weights from the STORED profile: w_i = round(
+    // pv_i * (S_i/(n*1e6)) * 1e9) — integer exact on both engines
+    val wtab = stats.crossJoin(broadcast(probes)).crossJoin(broadcast(nDf))
+      .select($"probe_id", $"i", expr(
+        "CAST(round((element_at(pv, i + 1) * (si / (n * 1000000.0))) * 1000000000.0) AS BIGINT)")
+        .as("wi"))
+    val lut = s.range(0, 2048)
+      .select(floor($"id" / 256).cast("long").as("sp"),
+        ($"id" % 256).cast("long").as("code"))
+      .crossJoin(s.range(0, 8).select($"id".cast("long").as("j")))
+      .withColumn("i", ($"sp" * 8 + $"j").cast("int"))
+      .join(broadcast(wtab), "i")
+      .withColumn("t", when(
+        expr("shiftright(code, CAST(j AS INT)) & 1") === 1L, $"wi")
+        .otherwise(-$"wi"))
+      .groupBy($"probe_id", $"sp", $"code").agg(sum($"t").as("wsc"))
+    val adc = pq.join(broadcast(assign),
+        $"cell" === $"pcell" && $"vec_id" =!= $"probe_id")
+      .select($"probe_id", $"vec_id", posexplode($"pcodes").as(Seq("sp", "cd")))
+      .withColumn("sp", $"sp".cast("long"))
+      .withColumn("code", $"cd".cast("long"))
+      .join(broadcast(lut), Seq("probe_id", "sp", "code"))
+      .groupBy($"probe_id", $"vec_id").agg(sum($"wsc").as("adc"))
+    val short = graft.plans.TopKPerKey.topKPerKey(adc, 20,
+      Seq($"probe_id"), Seq($"adc".desc, $"vec_id"))
+    val exact = short.join(codes, "vec_id")
+      .join(broadcast(probes), "probe_id")
+      .withColumn("cos", cosine($"v", $"pv"))
+    val top = graft.plans.TopKPerKey.topKPerKey(exact, 3,
+      Seq($"probe_id"), Seq(round($"cos", 9).desc, $"vec_id"))
+    val wRank = Window.partitionBy($"probe_id")
+      .orderBy(round($"cos", 9).desc, $"vec_id")
+    top.withColumn("rank", row_number().over(wRank).cast("long"))
+      .select($"probe_id", $"vec_id".as("neighbor_id"), $"rank",
+        round($"adc" / 1e9, 6).as("adc_score"),
+        round($"cos", 6).as("cos_sim"))
+      .orderBy($"probe_id", $"rank")
+  }
+  private val s18Sql =
+    """WITH idx AS (SELECT part, id, cell, vec::DOUBLE[] AS vec
+           FROM read_parquet('__FIXTURES__/ivf_index/*.parquet')),
+       cent AS (SELECT cell, vec AS cv FROM idx WHERE part = 'centroid'),
+       codes AS (SELECT id AS vec_id, vec AS v FROM idx WHERE part = 'code'),
+       pq AS (SELECT id AS vec_id, cell, vec AS pcodes FROM idx WHERE part = 'pqcode'),
+       st AS (SELECT id AS i, cell AS si FROM idx WHERE part = 'pqstat'),
+       nn AS (SELECT cell AS n FROM idx WHERE part = 'param' AND id = 2),
+       probes AS (SELECT vec_id AS probe_id, v AS pv FROM codes WHERE vec_id < 10),
+       assign AS (
+         SELECT probe_id, cell FROM (
+           SELECT p.probe_id, c.cell,
+             row_number() OVER (PARTITION BY p.probe_id
+               ORDER BY round(list_cosine_similarity(p.pv, c.cv), 9) DESC, c.cell) AS arn
+           FROM probes p CROSS JOIN cent c)
+         WHERE arn <= 2),
+       w AS (
+         SELECT p.probe_id, st.i,
+           CAST(round((p.pv[st.i + 1] * (st.si / (n * 1000000.0))) * 1000000000.0) AS BIGINT) AS wi
+         FROM probes p, st, nn),
+       lut AS (
+         SELECT probe_id, sp, code,
+           CAST(sum(CASE WHEN (code >> j) & 1 = 1 THEN wi ELSE -wi END) AS BIGINT) AS wsc
+         FROM generate_series(0, 7) s(sp), generate_series(0, 255) c(code),
+              generate_series(0, 7) jj(j), w
+         WHERE w.i = sp * 8 + j
+         GROUP BY 1, 2, 3),
+       adc AS (
+         SELECT a.probe_id, pq.vec_id, CAST(sum(l.wsc) AS BIGINT) AS adc
+         FROM pq
+         JOIN assign a ON pq.cell = a.cell AND pq.vec_id <> a.probe_id
+         CROSS JOIN generate_series(0, 7) s(sp)
+         JOIN lut l ON l.probe_id = a.probe_id AND l.sp = s.sp
+                   AND l.code = CAST(pq.pcodes[s.sp + 1] AS BIGINT)
+         GROUP BY 1, 2),
+       short AS (
+         SELECT probe_id, vec_id, adc FROM (
+           SELECT probe_id, vec_id, adc,
+             row_number() OVER (PARTITION BY probe_id
+               ORDER BY adc DESC, vec_id) AS srn
+           FROM adc)
+         WHERE srn <= 20)
+       SELECT probe_id, neighbor_id, rank, adc_score, cos_sim FROM (
+         SELECT sh.probe_id, e.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY sh.probe_id
+             ORDER BY round(list_cosine_similarity(e.v, p.pv), 9) DESC, e.vec_id) AS rank,
+           round(sh.adc / 1000000000.0, 6) AS adc_score,
+           round(list_cosine_similarity(e.v, p.pv), 6) AS cos_sim
+         FROM short sh
+         JOIN codes e ON e.vec_id = sh.vec_id
+         JOIN probes p ON p.probe_id = sh.probe_id)
+       WHERE rank <= 3 ORDER BY probe_id, rank"""
+
   val queries: Map[String, QueryFn] = Map(
+    "s18_stored_ivfpq" -> s18 _,
     "s17_stored_index" -> s17 _,
     "s16_filtered_ann" -> s16 _,
     "s15_mmr_rerank" -> s15 _,
@@ -1333,6 +1488,7 @@ object Similarity extends QueryModule {
   )
 
   val oracle: Map[String, String] = Map(
+    "s18_stored_ivfpq" -> s18Sql,
     "s17_stored_index" -> s17Sql,
     "s16_filtered_ann" -> s16Sql,
     "s15_mmr_rerank" -> s15Sql,

@@ -40,6 +40,7 @@ class PlanAuditSpec extends SparkSpec {
     "s15_mmr_rerank" /* 1-row broadcast query vector x corpus shortlist */,
     "s16_filtered_ann" /* 1-row broadcast query vector x filtered corpus */,
     "s17_stored_index" /* broadcast probe set x STORED centroids (s03/s06 shape, from the persisted index) */,
+    "s18_stored_ivfpq" /* broadcast probes x stored centroids + stored stats x probes (the per-probe ADC tables) */,
     "v18_quality_constraints" /* three 1-row metric frames cross-joined */,
     "x08_sql_knn_view" /* s02's broadcast probe set, through the view */,
     "x09_sql_topk_view" /* s01's 1-row query-vector cross join, through the view */)

@@ -192,17 +192,27 @@ class SimilaritySpec extends SparkSpec {
     val dir = graft.util.Scratch.dir("sim_ivf_index_spec")
     graft.util.Scratch.deleteRecursively(new java.io.File(dir))
     def vec(seed: Int): Seq[Double] =
-      Seq.tabulate(4)(i => ((seed * 31 + i * 7) % 17).toDouble + 1.0)
+      Seq.tabulate(8)(i => ((seed * 31 + i * 7) % 17).toDouble - 5.0)
     val corpus = (0L until 12L)
       .map(id => (id, id % 3, vec(id.toInt))).toDF("vec_id", "label", "v")
     val v0 = Similarity.buildIvfIndex(spark, corpus, dir)
     assert(v0 === 0L)
     val stored = graft.sources.VersionedTable.read(spark, dir)
     // self-contained artifact: params + one centroid per cell + one
-    // code row per corpus vector, vectors carried for serving
-    assert(stored.filter($"part" === "param").count() === 2)
+    // code row per corpus vector (vectors carried for serving) + the
+    // PQ half (sign codes per vector, per-dim magnitude profile)
+    assert(stored.filter($"part" === "param").count() === 3)
     assert(stored.filter($"part" === "centroid").count() === 3)
     assert(stored.filter($"part" === "code").count() === 12)
+    assert(stored.filter($"part" === "pqcode").count() === 12)
+    assert(stored.filter($"part" === "pqstat").count() === 8)
+    // a stored sign code IS the sign pattern of its vector's one
+    // 8-dim subspace
+    val pc0 = stored.filter($"part" === "pqcode" && $"id" === 2L)
+      .select($"vec".getItem(0)).as[Double].head().toLong
+    val expect0 = vec(2).zipWithIndex
+      .collect { case (x, j) if x > 0 => 1L << j }.sum
+    assert(pc0 === expect0, "stored PQ code must match the sign pattern")
     val nlist = stored.filter($"part" === "param" && $"id" === 0)
       .select($"cell").as[Long].head()
     assert(nlist === 3L)

@@ -773,6 +773,11 @@ class VersionedTableSpec extends SparkSpec {
     assert(h.map(_._1) === Seq(0L, 1L, 2L, 3L, 4L))
     assert(h.tail.forall(_._2 === 1L), s"each 1-key merge changes one bucket: $h")
     assert(h.head._3 === false && h.tail.forall(_._3 === true))
+    // the head hint survived the four-writer race: best-effort and
+    // monotonic, but NEVER wrong — latestVersion must agree with the
+    // full listing whatever interleaving the hint writes landed in
+    assert(VersionedTable.latestVersion(spark, dir) ===
+      Some(VersionedTable.versions(spark, dir).max))
   }
 
   test("optimistic commit: with retries pinned to 0, overlapping buckets, schema change, and creation races conflict loudly") {
