@@ -981,6 +981,45 @@ object StudyBench {
       .stripMargin.replace("\n", "")
   }
 
+  // ---- round-15: stored-index serving vs per-query retraining
+
+  /** What the durable index BUYS: s03's inline IVF re-derives the
+    * centroids from the corpus on every query; s17/s18 serve from the
+    * persisted artifact. This times a build ONCE, then N repeated
+    * lookups through each path on the same corpus.
+    *
+    * MEASURED NEGATIVE RESULT at sf0.1 (study_r15.json
+    * `stored_index`): serve ≈ retrain (0.91 s both) — at 60k×64-dim
+    * the per-query wall is FIXED JOB OVERHEAD (stage launch, broadcast
+    * build), not the centroid aggregate, and the 13 s build only pays
+    * off after many queries. The honest operating rule: at small SF
+    * the artifact buys VERSIONING (pinned serving, auditable retrains,
+    * no float-order drift between query and oracle), not latency; the
+    * latency argument is structural and kicks in when the corpus scan
+    * dominates the fixed overhead — the retrain is a FULL corpus
+    * aggregate while the stored path reads |cells| centroid rows plus
+    * the probed cells' rows, a gap that grows linearly with corpus
+    * size. */
+  private def storedIndexStudy(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val reps = 5
+    val (path, tBuild) = time(graft.ext.Similarity.ensureIvfIndex(s, d))
+    def probesDf = graft.sources.VersionedTable.read(s, path)
+      .filter($"part" === "code" && $"id" < 10)
+      .select($"id".as("probe_id"), $"vec".as("pv"))
+    val (_, tServe) = time((0 until reps).foreach { _ =>
+      graft.ext.Similarity.ivfIndexSearch(s, path, probesDf, 3, 2).count()
+    })
+    val (_, tInline) = time((0 until reps).foreach { _ =>
+      graft.ext.Similarity.queries("s03_ivf_ann")(s, d).count()
+    })
+    s""""stored_index":{"build_once_sec":${j(tBuild)},
+       |"serve_per_query_sec":${j(tServe / reps)},
+       |"inline_retrain_per_query_sec":${j(tInline / reps)},
+       |"serve_speedup":${j(tInline / math.max(1e-9, tServe))},
+       |"reps":$reps}""".stripMargin.replace("\n", "")
+  }
+
   def main(args: Array[String]): Unit = {
     val pos = args.filterNot(_.startsWith("only="))
     val sf01 = pos.headOption.getOrElse("/root/testdata/sf0.1")
@@ -1017,6 +1056,7 @@ object StudyBench {
     if (want("e27probe")) parts13 += e27ProbeStudy(spark, "sf01", sf01)
     if (want("manifestscale")) parts14 += manifestScaleStudy(spark)
     if (want("sinkdepth")) parts15 += sinkDepthStudy(spark)
+    if (want("storedindex")) parts15 += storedIndexStudy(spark, sf01)
     sf1.foreach { d =>
       if (want("containment")) parts += containmentSweep(spark, "sf1", d)
       if (want("skew")) parts += skewStudy(spark, d)
