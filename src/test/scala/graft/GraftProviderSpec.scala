@@ -271,6 +271,36 @@ class GraftProviderSpec extends SparkSpec {
       Set((1L, "a"), (2L, "b")))
   }
 
+  test("sink layout cache: a concurrent REBUCKET fails the batch loudly, and the retry re-probes") {
+    import graft.sources.GraftStreamSink
+    val table = freshDir("sink_rebucket")
+    val sink = new GraftStreamSink(spark, table,
+      Map("keycols" -> "k"), explicitAppId = Some("rebucket_spec"),
+      checkpointLoc = None)
+    sink.addBatch(0L, Seq((1L, "a")).toDF("k", "v")) // caches buckets=64
+    // an operator rebuckets the table OUT FROM UNDER the stream — the
+    // cached layout is now stale; committing against it would scatter
+    // keys to the wrong buckets, so the merge MUST refuse
+    VersionedTable.rebucket(spark, table, 8)
+    val e = intercept[IllegalArgumentException] {
+      sink.addBatch(1L, Seq((2L, "b")).toDF("k", "v"))
+    }
+    assert(e.getMessage.contains("numBuckets"),
+      s"the stale-layout refusal must name the bucket count: ${e.getMessage}")
+    // the failure invalidated the cache: the engine's batch RETRY
+    // re-probes the table and lands under the new layout
+    sink.addBatch(1L, Seq((2L, "b")).toDF("k", "v"))
+    assert(VersionedTable.read(spark, table)
+      .select($"k", $"v").as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b")))
+    assert(VersionedTable.snapshot(spark, table).numBuckets === 8)
+    // and the ledger still holds: replaying the landed batch skips
+    val vMax = VersionedTable.versions(spark, table).max
+    sink.addBatch(1L, Seq((2L, "b")).toDF("k", "v"))
+    assert(VersionedTable.versions(spark, table).max === vMax,
+      "a replayed batch after recovery must be recognized by the ledger")
+  }
+
   test("available-now with NOTHING published at prepare terminates instead of consuming live") {
     val dir = freshDir("avnow_empty")
     VersionedTable.merge(spark, dir,
