@@ -19,8 +19,8 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  def builder(master: String, cores: Int): SparkSession.Builder =
-    SparkSession.builder()
+  def builder(master: String, cores: Int): SparkSession.Builder = {
+    val b = SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
@@ -35,7 +35,52 @@ object GraftSession {
       // and int64 is what every other lakehouse reader (DuckDB,
       // Iceberg, Delta) expects anyway
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // AQE partition coalescing (optimization guide §2.2), MEASURED
+      // A/B this round: size-first coalescing (parallelismFirst=false,
+      // advisory 64m) collapsed small post-shuffle stages to 1-2 tasks
+      // — which SERIALIZED expansion joins whose input is small but
+      // whose probe work is large (d16's candidate join: input 224k
+      // rows ≈ 4 MB, output 2.4M pairs → 1 task, wall 5.7 → 13.4 s).
+      // Once the real per-task constant was fixed at the source (the
+      // bypass shuffle writer's 33 file creates per map task, below),
+      // parallelism-first won every A/B cell: d16 5.0 vs 13.4 s wall,
+      // d02 1.7 vs 2.9, g01 6.1 vs 7.4, rest equal. Both knobs stay
+      // env-parameterised: a cluster with real data volumes wants
+      // size-targeted partitions (set ..PARALLELISM_FIRST=false and an
+      // advisory in the 64-256m range, guide §9); the measured local
+      // default keeps the driver's bench shape.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_COALESCE_PARALLELISM_FIRST", "true"))
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY_PARTITION_BYTES", "64m"))
+      // Shuffle writer + local-dir I/O (guide §2.1: map-side cost is
+      // charged to executor compute; §6: local disk is the shuffle
+      // medium). Thread-dump sampling of the bench showed map tasks
+      // spending ~half their CPU inside BypassMergeSortShuffleWriter's
+      // per-reduce-partition FileOutputStream.open/write/concat: the
+      // bypass writer opens R files PER MAP TASK (32 reduce partitions
+      // → 33 file creates/task on ext4, ~1-3 ms each), which dominates
+      // every small stage. Disabling the bypass path (threshold below
+      // the partition count) selects the serialized sort writer — ONE
+      // data+index file per map task at any R — the same writer every
+      // >200-partition production shuffle already uses.
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS_MERGE_THRESHOLD", "1"))
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+    localDir.fold(b)(d => b.config("spark.local.dir", d))
+  }
+
+  /** Shuffle/spill scratch directory: tmpfs when the host offers it
+    * (/dev/shm — file create ~µs vs ~ms on this sandbox's ext4 /tmp),
+    * else Spark's default. A deployment with real local SSDs sets
+    * SPARK_GRAFT_LOCAL_DIR (or spark.local.dir) itself; shuffle data
+    * at bench scale is MBs, far under the tmpfs bound. */
+  private def localDir: Option[String] =
+    sys.env.get("SPARK_GRAFT_LOCAL_DIR").orElse {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite) Some("/dev/shm/graft_spark_local")
+      else None
+    }
 
   /** Local session sized to the machine (the test/bench shape). The
     * TopKPerKey strategy self-registers on first use via

@@ -385,8 +385,12 @@ object TextAnalysis extends QueryModule {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
-    val tf = docs.select($"doc_id", explode(split($"text", " ")).as("word"))
-      .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+    // tf feeds BOTH the df rollup and the scored join; unpersisted, the
+    // token explode + (doc,word) aggregation ran twice (r15 profile:
+    // the explode+agg map stage is the query's dominant CPU term)
+    val tf = swapPersist("a09tf",
+      docs.select($"doc_id", explode(split($"text", " ")).as("word"))
+        .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf")))
     val df = tf.groupBy($"word").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(broadcast(df), "word")
@@ -437,11 +441,15 @@ object TextAnalysis extends QueryModule {
     */
   private def a10(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // tok stays UNPERSISTED (caching the |tokens|-sized exploded string
+    // table measured slower to read back than re-exploding — see a16);
+    // instead the corpus total derives from lm's vocabulary rollup
+    // (identical value), cutting the third token explosion for free.
     val tok = Tables.documents(s, d)
       .select($"doc_id", explode(split($"text", " ")).as("word"))
       .filter($"word" =!= "")
     val lm = tok.groupBy($"word").agg(count(lit(1)).as("cnt"))
-    val n = tok.agg(count(lit(1)).as("n_total"))
+    val n = lm.agg(sum($"cnt").as("n_total"))
     tok.join(broadcast(lm), "word")
       .crossJoin(broadcast(n))
       .withColumn("logp", log($"cnt" / $"n_total"))
@@ -755,6 +763,12 @@ object TextAnalysis extends QueryModule {
   private def a16(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val toks = Tables.documents(s, d).withColumn("toks", split($"text", " "))
+    // NOT persisted — measured pessimization (r15): caching the
+    // |tokens|-sized two-string-column explode cost MORE to read back
+    // (1.25M columnar cache rows per consumer, ~8 s CPU) than
+    // re-running the explode from the 5000 compressed source docs
+    // (~4.4 s). The cheap fix is below: cw1 derives from cb instead of
+    // from a third explosion.
     val big = toks
       .select($"doc_id", explode(arrays_zip(
         slice($"toks", lit(1), size($"toks") - 1),
@@ -766,7 +780,11 @@ object TextAnalysis extends QueryModule {
       .groupBy($"word").agg(count(lit(1)).as("cu"))
     val n = uni.agg(sum($"cu").as("n_total"))
     val cb = big.groupBy($"w1", $"w2").agg(count(lit(1)).as("cb"))
-    val cw1 = big.groupBy($"w1").agg(count(lit(1)).as("cw1"))
+    // c(w1·) = Σ_{w2} c(w1,w2): roll the bigram-start counts up from
+    // the vocabulary-sized cb table instead of re-exploding the corpus
+    // a third time — identical value, |bigram-vocab| input (guide
+    // §2.3: aggregate before you shuffle / don't recompute upstream)
+    val cw1 = cb.groupBy($"w1").agg(sum($"cb").as("cw1"))
     big
       .join(broadcast(cb), Seq("w1", "w2"))
       .join(broadcast(cw1), Seq("w1"))
@@ -863,11 +881,13 @@ object TextAnalysis extends QueryModule {
   /** The per-doc LM score table a17's two formulations share. */
   private def a17Scored(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // same shape as a10: tok unpersisted (exploded-string caches
+    // measured slower than recompute), corpus total from lm's rollup
     val tok = Tables.documents(s, d)
       .select($"doc_id", explode(split($"text", " ")).as("word"))
       .filter($"word" =!= "")
     val lm = tok.groupBy($"word").agg(count(lit(1)).as("cnt"))
-    val n = tok.agg(count(lit(1)).as("n_total"))
+    val n = lm.agg(sum($"cnt").as("n_total"))
     tok.join(broadcast(lm), "word")
       .crossJoin(broadcast(n))
       .withColumn("logp", log($"cnt" / $"n_total"))

@@ -79,17 +79,27 @@ object Graph extends QueryModule {
     */
   private def g01(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val pairs = Tables.lineitem(s, d)
+    // pairs is referenced by BOTH unionAll branches below; unpersisted,
+    // each branch re-ran the whole lineitem⨝orders + groupBy (two full
+    // fact scans + two (c,s) exchanges, verified in the r15 before-plan
+    // plans/r15/g01_pagerank_before.txt). One cache, both branches read
+    // blocks (guide §2.4: remove shuffles/passes outright).
+    val pairs = swapPersist(Tables.lineitem(s, d)
       .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
       .groupBy($"o_custkey".as("c"), $"l_suppkey".as("s"))
-      .agg(count(lit(1)).as("w"))
+      .agg(count(lit(1)).as("w")), "g01pairs")
     val edges = pairs.select(($"c" * 2).as("src"), ($"s" * 2 + 1).as("dst"), $"w")
       .unionAll(pairs.select(($"s" * 2 + 1).as("src"), ($"c" * 2).as("dst"), $"w"))
     val outw = edges.groupBy($"src").agg(sum($"w").as("ow"))
-    // Cache the annotated edge list once (the src-join leaves it
-    // hash-partitioned on src, which the final groupBy below can't use
-    // anyway — dst is the agg key, so no extra repartition).
-    val e = swapPersist(edges.join(outw, "src"))
+    // outw is NODE-sized (|C|+|S| ≪ |edges|): broadcast it explicitly,
+    // same rationale as the per-iteration rank broadcast below — the
+    // planner's SMJ left the edge cache pinned to a stray 32-partition
+    // src-exchange, so every iteration scan inherited max-parallelism
+    // partitions of a few thousand rows each and paid ~32 per-task
+    // constants per round (measured: iteration stages ~6 s CPU each at
+    // 32 tasks for 1.17M cached rows). With the broadcast the cached
+    // edge table keeps the union's (AQE size-coalesced) partitioning.
+    val e = swapPersist(edges.join(broadcast(outw), "src"))
     var ranks = e.select($"src".as("node")).distinct()
       .withColumn("r", lit(1000000L))
     for (i <- 1 to 5) {
