@@ -66,6 +66,20 @@ object GraftSession {
       // >200-partition production shuffle already uses.
       .config("spark.shuffle.sort.bypassMergeThreshold",
         sys.env.getOrElse("SPARK_GRAFT_BYPASS_MERGE_THRESHOLD", "1"))
+      // Spark 4.1's checkpoint file checksums (new in 4.1; absent from
+      // every earlier Spark) write a sibling .checksum per checkpoint
+      // file through ChecksumCheckpointFileManager. On a local
+      // filesystem WITHOUT the Hadoop native library (this sandbox —
+      // and most laptops/CI), the extra getFileStatus/permission calls
+      // each FORK a shell (`ls`/`chmod` via Hadoop's
+      // DeprecatedRawLocalFileStatus.loadPermissionInfo): driver
+      // thread-dump sampling during e17 caught 34/50 runnable samples
+      // inside ProcessImpl.forkAndExec under that manager. Integrity
+      // hardening against storage corruption, not semantics — off by
+      // default here, env-overridable for deployments on storage where
+      // the protection is wanted.
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_CKPT_CHECKSUM", "false"))
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
     localDir.fold(b)(d => b.config("spark.local.dir", d))
   }

@@ -414,7 +414,7 @@ object Eventing extends QueryModule {
       lateSplit: Boolean = false, oneFilePerTrigger: Boolean = false)(
       xf: DataFrame => DataFrame): DataFrame = {
     val name = s"${prefix}_mem_${streamRunId.incrementAndGet()}"
-    val ckpt = java.nio.file.Files.createTempDirectory(s"graft_${prefix}_ckpt").toString
+    val ckpt = graft.util.Scratch.ckptDir(prefix)
     // file stream source needs an explicit schema; reuse the batch
     // footer's (ts arrives as nanos-long, normalized the same way as
     // Tables.events) — except under lateSplit and the coalesced
@@ -784,7 +784,7 @@ object Eventing extends QueryModule {
     * band-matching signature already seen, the moment it arrives. */
   private def e20(s: SparkSession, d: String): DataFrame = {
     val name = s"e20_mem_${streamRunId.incrementAndGet()}"
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_e20_ckpt").toString
+    val ckpt = graft.util.Scratch.ckptDir("e20")
     val schema = s.read.parquet(s"$d/documents.parquet").schema
     val stage = java.nio.file.Files.createTempDirectory("graft_e20_src")
     val src = java.nio.file.Paths.get(s"$d/documents.parquet")
@@ -887,7 +887,7 @@ object Eventing extends QueryModule {
     val runId = streamRunId.incrementAndGet()
     val url = s"jdbc:derby:memory:graft_e23_$runId;create=true"
     val table = "tier_totals"
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_e23_ckpt").toString
+    val ckpt = graft.util.Scratch.ckptDir("e23")
     val schema = s.read.parquet(s"$d/events.parquet").schema
     val stage = java.nio.file.Files.createTempDirectory("graft_e23_src")
     val src = java.nio.file.Paths.get(s"$d/events.parquet")
@@ -1041,7 +1041,7 @@ object Eventing extends QueryModule {
   private def runCdcStream(s: SparkSession, stage: String,
       schema: org.apache.spark.sql.types.StructType, prefix: String,
       applyBatch: (DataFrame, Long) => Unit): Unit = {
-    val ckpt = java.nio.file.Files.createTempDirectory(s"graft_${prefix}_ckpt").toString
+    val ckpt = graft.util.Scratch.ckptDir(prefix)
     val ns = s.newSession()
     ns.conf.set("spark.sql.shuffle.partitions", "8")
     val q = ns.readStream.schema(schema)
@@ -1162,8 +1162,7 @@ object Eventing extends QueryModule {
       s"${prefix}_vtab_${streamRunId.incrementAndGet()}")
     graft.util.Scratch.deleteRecursively(new java.io.File(table))
     def runOnce(): Unit = {
-      val ckpt = java.nio.file.Files
-        .createTempDirectory(s"graft_${prefix}_ckpt").toString
+      val ckpt = graft.util.Scratch.ckptDir(prefix)
       val ns = s.newSession()
       ns.conf.set("spark.sql.shuffle.partitions", "8")
       val q = ns.readStream.schema(schema)
@@ -1261,8 +1260,7 @@ object Eventing extends QueryModule {
     graft.sources.VersionedTable.merge(s, viewTable,
       rollup(graft.sources.VersionedTable.read(s, table, Some(0L))),
       Seq("last_type"), numBuckets = 4)
-    val ckpt =
-      java.nio.file.Files.createTempDirectory("graft_e27_ckpt").toString
+    val ckpt = graft.util.Scratch.ckptDir("e27")
     val ns = s.newSession()
     ns.conf.set("spark.sql.shuffle.partitions", "8")
     val applyBatch: (DataFrame, Long) => Unit = (batch, _) => {
@@ -1327,8 +1325,7 @@ object Eventing extends QueryModule {
     graft.sources.VersionedTable.merge(s, viewTable,
       rollup(graft.sources.VersionedTable.read(s, table, Some(0L))),
       Seq("last_type"), numBuckets = 4)
-    val ckpt =
-      java.nio.file.Files.createTempDirectory("graft_e30_ckpt").toString
+    val ckpt = graft.util.Scratch.ckptDir("e30")
     val ns = s.newSession()
     ns.conf.set("spark.sql.shuffle.partitions", "8")
     val applyBatch: (DataFrame, Long) => Unit = (batch, _) => {
