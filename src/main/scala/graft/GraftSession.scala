@@ -92,8 +92,20 @@ object GraftSession {
   private def localDir: Option[String] =
     sys.env.get("SPARK_GRAFT_LOCAL_DIR").orElse {
       val shm = new java.io.File("/dev/shm")
-      if (shm.isDirectory && shm.canWrite) Some("/dev/shm/graft_spark_local")
-      else None
+      if (shm.isDirectory && shm.canWrite) {
+        // tmpfs is RAM: Spark's shutdown hook removes its blockmgr/spark
+        // subdirs on clean exit, but a killed JVM leaks them silently.
+        // Best-effort GC of stale (>6h) entries, same discipline as
+        // Scratch.gcStaleRoots.
+        try {
+          val root = new java.io.File("/dev/shm/graft_spark_local")
+          val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
+          Option(root.listFiles()).getOrElse(Array.empty)
+            .filter(f => f.isDirectory && f.lastModified() < cutoff)
+            .foreach(graft.util.Scratch.deleteRecursively)
+        } catch { case _: Exception => () }
+        Some("/dev/shm/graft_spark_local")
+      } else None
     }
 
   /** Local session sized to the machine (the test/bench shape). The

@@ -385,12 +385,13 @@ object TextAnalysis extends QueryModule {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
-    // tf feeds BOTH the df rollup and the scored join; unpersisted, the
-    // token explode + (doc,word) aggregation ran twice (r15 profile:
-    // the explode+agg map stage is the query's dominant CPU term)
-    val tf = swapPersist("a09tf",
-      docs.select($"doc_id", explode(split($"text", " ")).as("word"))
-        .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf")))
+    val tf = docs.select($"doc_id", explode(split($"text", " ")).as("word"))
+      .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+    // df derives from tf but is NOT worth a persist: caching tf was
+    // tried this round and REGRESSED the cold in-suite run (cpu 11.8 →
+    // 21.5 s, bench_full attempts r15) even though warm profile reps
+    // showed a win — the cache write + columnar read-back of the
+    // (doc,word,tf) table costs more cold than re-running the explode.
     val df = tf.groupBy($"word").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(broadcast(df), "word")
