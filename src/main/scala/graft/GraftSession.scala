@@ -92,19 +92,31 @@ object GraftSession {
   private def localDir: Option[String] =
     sys.env.get("SPARK_GRAFT_LOCAL_DIR").orElse {
       val shm = new java.io.File("/dev/shm")
-      if (shm.isDirectory && shm.canWrite) {
+      // capacity gate (r15 advisor): containers commonly cap /dev/shm at
+      // 64 MB — shuffle files or memory-pressure spills landing on a tiny
+      // RAM-backed tmpfs would ENOSPC runs that worked on disk /tmp.
+      // Elect tmpfs only with a real margin; otherwise Spark's default.
+      if (shm.isDirectory && shm.canWrite &&
+          shm.getUsableSpace > 4L * 1024 * 1024 * 1024) {
         // tmpfs is RAM: Spark's shutdown hook removes its blockmgr/spark
         // subdirs on clean exit, but a killed JVM leaks them silently.
-        // Best-effort GC of stale (>6h) entries, same discipline as
-        // Scratch.gcStaleRoots.
+        // Each JVM gets a PID-named subdir so the best-effort GC can
+        // skip dirs whose owning process is still alive (r15 advisor: an
+        // age-only cutoff could delete a live >6h session's shuffle dirs
+        // mid-query) and reap the rest once stale.
         try {
           val root = new java.io.File("/dev/shm/graft_spark_local")
           val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
+          val pidRe = "pid_(\\d+)".r
+          def ownerAlive(name: String): Boolean = pidRe.findFirstMatchIn(name)
+            .exists(m => java.nio.file.Files.isDirectory(
+              java.nio.file.Paths.get("/proc", m.group(1))))
           Option(root.listFiles()).getOrElse(Array.empty)
-            .filter(f => f.isDirectory && f.lastModified() < cutoff)
+            .filter(f => f.isDirectory && f.lastModified() < cutoff &&
+              !ownerAlive(f.getName))
             .foreach(graft.util.Scratch.deleteRecursively)
         } catch { case _: Exception => () }
-        Some("/dev/shm/graft_spark_local")
+        Some(s"/dev/shm/graft_spark_local/pid_${ProcessHandle.current().pid()}")
       } else None
     }
 

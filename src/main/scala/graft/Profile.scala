@@ -9,6 +9,12 @@ object Profile {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
       .config("spark.ui.enabled", "false")
+      // committed plan dumps must stay reviewable: iteration queries
+      // nest each round's InMemoryRelation child plan, so an uncapped
+      // explain of g01 prints ~29k lines of repeated subtrees. Spark
+      // truncates with an explicit marker at this cap.
+      .config("spark.sql.maxPlanStringLength",
+        sys.env.getOrElse("PROFILE_MAX_PLAN_CHARS", "120000"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000L).selectExpr("sum(id)")

@@ -90,36 +90,58 @@ object Graph extends QueryModule {
       .agg(count(lit(1)).as("w")), "g01pairs")
     val edges = pairs.select(($"c" * 2).as("src"), ($"s" * 2 + 1).as("dst"), $"w")
       .unionAll(pairs.select(($"s" * 2 + 1).as("src"), ($"c" * 2).as("dst"), $"w"))
-    val outw = edges.groupBy($"src").agg(sum($"w").as("ow"))
-    // outw is NODE-sized (|C|+|S| ≪ |edges|): broadcast it explicitly,
-    // same rationale as the per-iteration rank broadcast below — the
-    // planner's SMJ left the edge cache pinned to a stray 32-partition
-    // src-exchange, so every iteration scan inherited max-parallelism
-    // partitions of a few thousand rows each and paid ~32 per-task
-    // constants per round (measured: iteration stages ~6 s CPU each at
-    // 32 tasks for 1.17M cached rows). With the broadcast the cached
-    // edge table keeps the union's (AQE size-coalesced) partitioning.
-    val e = swapPersist(edges.join(broadcast(outw), "src"))
-    var ranks = e.select($"src".as("node")).distinct()
+    // outw is NODE-sized (|C|+|S| ≪ |edges|) and read TWICE (the edge
+    // annotation broadcast below + the initial rank table): one cache,
+    // one aggregation pass — and since its src set IS the distinct node
+    // set by construction, r0 derives from it for free instead of
+    // paying a distinct() exchange over the 1.17M-row edge cache.
+    val outw = swapPersist(edges.groupBy($"src").agg(sum($"w").as("ow")),
+      "g01outw")
+    // The edge cache is hash-partitioned by dst ONCE at build time
+    // (guide §2.4: operations keyed the same way share one exchange):
+    // every iteration below is a broadcast probe (no shuffle) followed
+    // by groupBy(dst) — with the cache already clustered on dst, the
+    // per-iteration aggregation needs NO Exchange at all, where the
+    // r15 shape shuffled ~360k partial-agg rows per round (measured,
+    // PROFILE_STAGES rep1: five 64-task probe stages each writing
+    // 360,886 partials + five 2-task final-agg stages — all gone).
+    // broadcast(outw): node-sized annotation join, never a shuffle of
+    // the edge table (r15's C3 rationale, unchanged).
+    val e = swapPersist(edges.join(broadcast(outw), "src")
+      .repartition($"dst"))
+    // pairs was only needed until e materialized (swapPersist's eager
+    // count above guarantees it has): release it now instead of pinning
+    // storage memory for the session's remainder (r15 advisor), where it
+    // competed with every later query's iteration caches
+    locally {
+      val p = persistSlots.remove("g01pairs")
+      if (p != null) p.unpersist(blocking = false)
+    }
+    var ranks = outw.select($"src".as("node"))
       .withColumn("r", lit(1000000L))
     for (i <- 1 to 5) {
       // The rank table is node-sized (|C|+|S|, orders smaller than the
       // edge list) — BROADCAST it so each iteration is one map-side
-      // hash probe over the cached edges plus a partial-agg shuffle of
-      // per-task dst groups. The planner left to itself picks a
-      // sort-merge join here (post-groupBy stats are unknown), which
-      // re-sorted the full edge table EVERY iteration — measured 12 s
-      // CPU/iteration vs ~2 s broadcast. At a scale where even the
-      // node table outgrows broadcast, switch to pre-partitioning both
-      // sides on the join key instead.
+      // hash probe over the cached edges plus an in-stage aggregation
+      // over the cache's dst-clustered partitions. The planner left to
+      // itself picks a sort-merge join here (post-groupBy stats are
+      // unknown), which re-sorted the full edge table EVERY iteration —
+      // measured 12 s CPU/iteration vs ~2 s broadcast. At a scale where
+      // even the node table outgrows broadcast, switch to
+      // pre-partitioning both sides on the join key instead.
+      // groupBy(e("dst")) — the RAW cache column, aliased only in the
+      // post-agg select: grouping on an alias would hide the child's
+      // hashpartitioning(dst) from EnsureRequirements and reinstate the
+      // per-round exchange this layout exists to remove.
       // persist EACH round's node-sized table: the next round's
       // broadcast otherwise re-executes the whole iteration lineage
       // (see swapPersist scaladoc) — alternating slots so round k's
       // build can still read round k-1's cache before releasing it
       ranks = swapPersist(
         e.join(broadcast(ranks), e("src") === ranks("node"))
-          .groupBy($"dst".as("node"))
-          .agg(expr("150000 + (85 * sum((r * w) div ow)) div 100").cast("long").as("r")),
+          .groupBy(e("dst"))
+          .agg(expr("150000 + (85 * sum((r * w) div ow)) div 100").cast("long").as("r"))
+          .select($"dst".as("node"), $"r"),
         s"g01r${i % 2}")
     }
     sortedWide(

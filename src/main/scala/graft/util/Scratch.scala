@@ -95,15 +95,24 @@ object Scratch {
         System.getProperty("java.io.tmpdir")))
     try {
       val cutoff = System.currentTimeMillis() - 6L * 3600 * 1000
+      // PID embedded in the dir name (r15 advisor): an age-only cutoff
+      // could delete a LIVE >6h session's active checkpoint mid-query —
+      // skip dirs whose owning process is still alive (old-format dirs
+      // without a pid still reap by age alone).
+      val pidRe = "graft_ckpt_p(\\d+)_".r
+      def ownerAlive(name: String): Boolean = pidRe.findFirstMatchIn(name)
+        .exists(m => Files.isDirectory(
+          java.nio.file.Paths.get("/proc", m.group(1))))
       Option(base.toFile.listFiles()).getOrElse(Array.empty)
         .filter(f => f.isDirectory && f.getName.startsWith("graft_ckpt_")
-          && f.lastModified() < cutoff)
+          && f.lastModified() < cutoff && !ownerAlive(f.getName))
         .foreach(deleteRecursively)
     } catch { case _: Exception => () }
     base
   }
 
   def ckptDir(prefix: String): String =
-    Files.createTempDirectory(ckptBase, s"graft_ckpt_${prefix}_")
+    Files.createTempDirectory(ckptBase,
+        s"graft_ckpt_p${ProcessHandle.current().pid()}_${prefix}_")
       .toAbsolutePath.toString
 }
