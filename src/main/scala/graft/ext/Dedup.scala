@@ -1444,10 +1444,27 @@ object Dedup extends QueryModule {
     // for ANY na, integer arithmetic, result-invariant (the oracle
     // computes the unpruned form and must agree). Arrays are joined
     // only for survivors.
+    // UNORDERED pair counts, both directions derived after the agg:
+    // c_capped (shared capped-shingle count) is symmetric in the pair,
+    // but containment is ordered — the old shape emitted every pair
+    // TWICE out of the index join (doc_a ≠ doc_b), doubling the one
+    // expensive exchange (2.38M partial rows, zero map-side combining
+    // — pairs are unique per task by construction) and the partial-agg
+    // hash map it feeds. Counting doc_a < doc_b halves the probe
+    // stage's emissions, map size, and shuffle bytes (guide §2.3), and
+    // a 2-way explode AFTER the aggregation restores both ordered
+    // directions for the per-side admission filter. Same candidates,
+    // same exact check, same oracle.
     val candCnt = kept.select($"sh", $"doc_id".as("doc_a"))
       .join(kept.select($"sh", $"doc_id".as("doc_b")), "sh")
-      .filter($"doc_a" =!= $"doc_b")
+      .filter($"doc_a" < $"doc_b")
       .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("c_capped"))
+      .select(explode(array(
+        struct($"doc_a", $"doc_b", $"c_capped"),
+        struct($"doc_b".as("doc_a"), $"doc_a".as("doc_b"), $"c_capped")))
+        .as("p"))
+      .select($"p.doc_a".as("doc_a"), $"p.doc_b".as("doc_b"),
+        $"p.c_capped".as("c_capped"))
     val docStats = swapPersist("d16st",
       sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
         .join(kept.groupBy($"doc_id").agg(count(lit(1)).as("n_kept")),

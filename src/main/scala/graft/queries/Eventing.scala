@@ -590,6 +590,15 @@ object Eventing extends QueryModule {
     // that holds at 100 TB.
     ns.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // changelog checkpointing: per batch, persist the key-value
+    // CHANGELOG instead of snapshotting the store's sst files — the
+    // modern RocksDB checkpoint mode (recovery replays changelogs onto
+    // periodic snapshots). Recovery-format choice, not semantics; it
+    // removes most of the per-micro-batch checkpoint file churn these
+    // bounded certification runs pay per store lifecycle.
+    ns.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      sys.env.getOrElse("SPARK_GRAFT_ROCKSDB_CHANGELOG", "true"))
     // maxFileAge pinned explicitly: the sentinel heartbeats carry
     // future mtimes, and the default 7-day window is measured from the
     // LATEST seen timestamp — make the age window a stated property of
@@ -798,6 +807,10 @@ object Eventing extends QueryModule {
     // the heap store caps
     ns.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // changelog checkpointing — same rationale as runStreamed's
+    ns.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      sys.env.getOrElse("SPARK_GRAFT_ROCKSDB_CHANGELOG", "true"))
     // split-starved scan, streaming face: the staged single-row-group
     // file reads as ONE task and Tables.spread can't probe a streaming
     // plan — one cheap round-robin shuffle of the raw (doc_id, text)

@@ -819,22 +819,56 @@ object VersionedTable {
             (merged, merged.schema, Some(sn), Some(feedDf))
           }
         }
+      // The bucket write and the CDC-feed write are INDEPENDENT jobs
+      // over the same persisted batch + bucket-pruned base scan, and
+      // both must land before the manifest — so they run CONCURRENTLY
+      // (guide §2.6: actions are only sequential because the driver
+      // calls them sequentially; the second job back-fills executors
+      // the first job's tail leaves idle). The feed stages to a
+      // dot-prefixed sibling (the main write's mode("error") existence
+      // probe must not race the feed creating $dir first) and is
+      // RENAMED into $dir/_cdc once the data write has created $dir —
+      // rename is metadata-only on one filesystem, and both writes
+      // still strictly precede the manifest, so the crash contract is
+      // unchanged (orphan dirs for vacuum, never a committed version
+      // with a missing feed).
       // mode("error"): the dir is version-unique, anything there is a bug
-      toWrite.withColumn(KB, bucket)
-        .repartition(col(KB))
-        .write.mode("error").partitionBy(KB).parquet(s"$path/$dir")
-      // feed before manifest: the manifest IS the commit, so a crash
-      // between the two leaves an orphan dir for vacuum, never a
-      // committed version with a missing feed
       // REBALANCE, not the join's raw task layout: a batch-sized feed
       // from a 32-partition exchange otherwise lands as 32 near-empty
       // files, and every later feed read (changes(), the published
       // stream's per-file micro-batches, the publish copy itself) pays
       // the file count. AQE sizes the rebalance output — one file for
       // small feeds, target-size splits for huge ones.
-      val cdc = feed.map { f =>
-        f.hint("rebalance").write.mode("error").parquet(s"$path/$dir/_cdc")
-        (s"$dir/_cdc", f.schema)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val cdcTmpName = s".cdc_tmp_$dir"
+      val cdcF: Option[Future[StructType]] = feed.map { f =>
+        Future {
+          f.hint("rebalance").write.mode("error").parquet(s"$path/$cdcTmpName")
+          f.schema
+        }
+      }
+      try
+        toWrite.withColumn(KB, bucket)
+          .repartition(col(KB))
+          .write.mode("error").partitionBy(KB).parquet(s"$path/$dir")
+      catch { case e: Throwable =>
+        // reap the staged feed so a failed merge leaves only the one
+        // orphan shape vacuum already knows ($dir); best-effort
+        cdcF.foreach { cf =>
+          try { Await.ready(cf, Duration.Inf)
+                fs.delete(new HPath(root, cdcTmpName), true) }
+          catch { case _: Exception => () }
+        }
+        throw e
+      }
+      val cdc = cdcF.map { cf =>
+        val schema = Await.result(cf, Duration.Inf)
+        require(fs.rename(new HPath(root, cdcTmpName),
+            new HPath(root, s"$dir/_cdc")),
+          s"staged CDC feed rename failed for $path/$dir")
+        (s"$dir/_cdc", schema)
       }
       val staged = listBuckets(fs, new HPath(root, dir))
       // manifest-carried delta payload bytes: ONE content-summary per
