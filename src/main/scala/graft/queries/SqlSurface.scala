@@ -70,9 +70,11 @@ object SqlSurface extends QueryModule {
     graft.functions.CosineSimilarity.register(s)
     graft.functions.NfcNormalize.register(s)
     // operator wrappers as views (each certified by an x-gate below):
-    // LSH-verified near-duplicate pairs over the documents corpus
-    graft.ext.Dedup.nearDupPairs(Tables.documents(s, d),
-        col("doc_id"), col("text"), 0.6)
+    // LSH-verified near-duplicate pairs over the documents corpus —
+    // the dir-aware path reads the per-dir shingle artifact the
+    // d-family already materializes instead of re-tokenizing (same
+    // operator, same result; Dedup.nearDupPairsFor scaladoc)
+    graft.ext.Dedup.nearDupPairsFor(s, d, 0.6, slot = "sqlview")
       .createOrReplaceTempView("near_dup_pairs")
     val emb = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
