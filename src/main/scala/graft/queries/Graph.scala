@@ -95,6 +95,13 @@ object Graph extends QueryModule {
     // one aggregation pass — and since its src set IS the distinct node
     // set by construction, r0 derives from it for free instead of
     // paying a distinct() exchange over the 1.17M-row edge cache.
+    // MEASURED NEGATIVE RESULT — do not rewrite this aggregate with
+    // Dataset.groupingSets to save the second pairs-cache scan: the
+    // grouping-sets plan broke CacheManager plan matching for every
+    // cache built OVER it (outw, the edge cache, each round's rank
+    // table) — iterations re-derived pairs/outw/e from parquet each
+    // round, g01 went 6.7 → 30.7 s cold / 4.9 → 20.6 s warm before the
+    // bisect isolated it.
     val outw = swapPersist(edges.groupBy($"src").agg(sum($"w").as("ow")),
       "g01outw")
     // The edge cache is hash-partitioned by dst ONCE at build time
