@@ -816,11 +816,16 @@ object Dedup extends QueryModule {
   private[graft] def simhashSigs(s: SparkSession, d: String, bits: Int,
       persistSlot: Option[String]): DataFrame = {
     import s.implicits._
-    val occ = Tables.documents(s, d)
-      .select($"doc_id", explode(split($"text", " ")).as("word"))
+    // per-occurrence ±1 votes recompose exactly as cnt-weighted votes
+    // over the per-dir word-count artifact (Σ_occurrences ±1 =
+    // Σ_(doc,word) ±cnt, integer arithmetic) — md5 now runs once per
+    // DISTINCT (doc, word) instead of once per token occurrence, and
+    // the corpus never re-explodes (this is the oracle's own `wc`
+    // formulation, simhashCte below).
+    val occ = graft.ext.TextAnalysis.wordCounts(s, d)
       .withColumn("h", h60(concat(lit("w:"), $"word")))
     val voteCols = (0 until bits).map(b =>
-      sum(when(expr(s"(h >> $b) & 1") === 1, lit(1L)).otherwise(lit(-1L))).as(s"v$b"))
+      sum(when(expr(s"(h >> $b) & 1") === 1, $"cnt").otherwise(-$"cnt")).as(s"v$b"))
     val sigs = occ.groupBy($"doc_id").agg(voteCols.head, voteCols.tail: _*)
       .withColumn("simhash",
         (0 until bits).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))

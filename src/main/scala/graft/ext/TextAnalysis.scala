@@ -37,6 +37,38 @@ object TextAnalysis extends QueryModule {
     cached
   }
 
+  /** Per-(JVM, input-dir) scratch materialization of the corpus TERM
+    * FREQUENCIES — distinct (doc_id, word, cnt) with cnt = the word's
+    * occurrence count in the document (the Dedup.shingles /
+    * Graph.coTradingEdges shared-intermediate pattern applied to the
+    * token layer). Five queries (a09's tf, a10/a17's LM scoring, the
+    * d04/d09 simhash votes) each re-ran the identical
+    * explode-split-aggregate over the corpus per bench invocation; the
+    * rollup is vocabulary×docs-sized (~116 k rows ≈ 1 MB parquet at
+    * sf0.1 — words and counts, never documents), built once per input
+    * dir by its first consumer and read by the rest. EMPTY-STRING
+    * tokens are kept (split of adjacent spaces): a09/d04/d09 count
+    * them like the raw explode did; a10/a17 filter them exactly as
+    * before. Occurrence-level aggregates recompose exactly:
+    * Σ_occurrences f(word) = Σ_(doc,word) cnt·f(word) — integer-exact
+    * for counts/votes; the LM means use the cnt-weighted form (see
+    * a10). */
+  private val wordCountPathByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def wordCounts(s: SparkSession, d: String): DataFrame = {
+    val path = wordCountPathByDir.computeIfAbsent(d, _ => {
+      val out = graft.util.Scratch.dir(
+        "wordcounts_" + d.replaceAll("[^A-Za-z0-9]", "_")) + "/wc"
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("cnt"))
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+    s.read.parquet(path)
+  }
+
   /** Marker-word lists per language (n-gram-heuristic stand-in; the
     * fixture vocabulary is shared so the *mechanism* — count marker
     * hits per language, argmax with deterministic tie-break — is the
@@ -385,13 +417,13 @@ object TextAnalysis extends QueryModule {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
-    val tf = docs.select($"doc_id", explode(split($"text", " ")).as("word"))
-      .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
-    // df derives from tf but is NOT worth a persist: caching tf was
-    // tried this round and REGRESSED the cold in-suite run (cpu 11.8 →
-    // 21.5 s, bench_full attempts r15) even though warm profile reps
-    // showed a win — the cache write + columnar read-back of the
-    // (doc,word,tf) table costs more cold than re-running the explode.
+    // tf IS the per-dir word-count artifact (identical integers by
+    // construction) — read twice (df branch + scored branch) at
+    // ~1 MB/scan instead of re-running the corpus explode per branch.
+    // (The r15 negative result on PERSISTING tf — cold columnar-cache
+    // regression — concerned the in-memory cache, not a parquet
+    // artifact shared across the suite.)
+    val tf = wordCounts(s, d).select($"doc_id", $"word", $"cnt".as("tf"))
     val df = tf.groupBy($"word").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(broadcast(df), "word")
@@ -442,22 +474,25 @@ object TextAnalysis extends QueryModule {
     */
   private def a10(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // tok stays UNPERSISTED (caching the |tokens|-sized exploded string
-    // table measured slower to read back than re-exploding — see a16);
-    // instead the corpus total derives from lm's vocabulary rollup
-    // (identical value), cutting the third token explosion for free.
-    val tok = Tables.documents(s, d)
-      .select($"doc_id", explode(split($"text", " ")).as("word"))
-      .filter($"word" =!= "")
-    val lm = tok.groupBy($"word").agg(count(lit(1)).as("cnt"))
+    // the token stream never re-explodes: both the LM rollup and the
+    // per-doc scoring derive from the word-count artifact. The per-doc
+    // mean log-probability is the cnt-WEIGHTED mean over distinct
+    // (doc, word) rows — Σ tf·logp / Σ tf — which is the same sum the
+    // occurrence-level avg() accumulated term-for-term (tf identical
+    // logp values each); the round(…, 4/2) guards absorb the one-ulp
+    // reassociation like they already absorbed partition-order
+    // variation, verified by the oracle gate at all three SFs.
+    val wc = wordCounts(s, d).filter($"word" =!= "")
+      .select($"doc_id", $"word", $"cnt".as("tf"))
+    val lm = wc.groupBy($"word").agg(sum($"tf").as("cnt"))
     val n = lm.agg(sum($"cnt").as("n_total"))
-    tok.join(broadcast(lm), "word")
+    wc.join(broadcast(lm), "word")
       .crossJoin(broadcast(n))
       .withColumn("logp", log($"cnt" / $"n_total"))
       .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        round(avg($"logp"), 4).as("avg_logp"),
-        round(exp(-avg($"logp")), 2).as("ppl"))
+      .agg(sum($"tf").as("n_tokens"),
+        round(sum($"tf" * $"logp") / sum($"tf"), 4).as("avg_logp"),
+        round(exp(-(sum($"tf" * $"logp") / sum($"tf"))), 2).as("ppl"))
       .orderBy($"doc_id")
   }
   private val a10Sql =
@@ -882,18 +917,17 @@ object TextAnalysis extends QueryModule {
   /** The per-doc LM score table a17's two formulations share. */
   private def a17Scored(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // same shape as a10: tok unpersisted (exploded-string caches
-    // measured slower than recompute), corpus total from lm's rollup
-    val tok = Tables.documents(s, d)
-      .select($"doc_id", explode(split($"text", " ")).as("word"))
-      .filter($"word" =!= "")
-    val lm = tok.groupBy($"word").agg(count(lit(1)).as("cnt"))
+    // same shape as a10: word-count artifact + cnt-weighted mean
+    // (identical arithmetic to a10's — the two scores must agree)
+    val wc = wordCounts(s, d).filter($"word" =!= "")
+      .select($"doc_id", $"word", $"cnt".as("tf"))
+    val lm = wc.groupBy($"word").agg(sum($"tf").as("cnt"))
     val n = lm.agg(sum($"cnt").as("n_total"))
-    tok.join(broadcast(lm), "word")
+    wc.join(broadcast(lm), "word")
       .crossJoin(broadcast(n))
       .withColumn("logp", log($"cnt" / $"n_total"))
       .groupBy($"doc_id")
-      .agg(round(avg($"logp"), 4).as("avg_logp"))
+      .agg(round(sum($"tf" * $"logp") / sum($"tf"), 4).as("avg_logp"))
   }
 
   /** Shared tail: per-(bucket, source) stats off a (doc_id, avg_logp,
